@@ -1,0 +1,213 @@
+"""AutoLinker — the zero-label search loop (reference parity:
+``arc.autolinker.AutoLinker.auto_link``, autolinker.py:688-847).
+
+The reference wraps Hyperopt TPE around (blocking rule × per-column distance
+function × threshold) and scores each trial with the unsupervised
+information-gain power ratio. Hyperopt is sequential-in-driver there too
+(no SparkTrials); this implementation uses seeded random search over the
+same space — identical per-trial cost profile, no external dependency.
+
+Per-trial pipeline (all Spark work):
+  clean → unique_id → candidate blocking rules (estimated, never joined) →
+  u-estimation → EM per training rule → predict → cluster → score.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark import blocking as blocking_mod
+from auto_data_linkage_spark.cleaning import (
+    clean_columns,
+    ensure_unique_id,
+    null_sentinel,
+    string_columns,
+)
+from auto_data_linkage_spark.cluster import cluster_at_threshold
+from auto_data_linkage_spark.compare import Comparison
+from auto_data_linkage_spark.metrics import (
+    information_gain_power_ratio,
+    pairwise_prf,
+)
+from auto_data_linkage_spark.model import BlockingRule, FellegiSunterModel
+
+# reference hyperopt space (autolinker.py:345-358)
+_DISTANCE_SPACE = (
+    ("levenshtein", (1, 2, 3, 4, 5)),
+    ("jaccard", (0.7, 0.99)),
+    ("jaro_winkler", (0.7, 0.99)),
+)
+
+
+@dataclass
+class Trial:
+    comparisons: list[Comparison]
+    rule: blocking_mod.RuleEstimate
+    score: float = float("nan")
+    metrics: dict[str, Any] = field(default_factory=dict)
+    model: FellegiSunterModel | None = None
+
+
+class AutoLinker:
+    """Unsupervised auto-linking: search comparison configs × blocking
+    rules, train a Fellegi–Sunter model per trial, keep the best by the
+    information-gain power ratio.
+
+    ``auto_link(data=df)`` → dedup mode; ``auto_link(data=[df1, df2])`` →
+    link mode (reference autolinker.py:688-702).
+    """
+
+    def __init__(
+        self,
+        *,
+        comparison_size_limit: int = 100_000,
+        max_evals: int = 5,
+        threshold: float = 0.9,
+        cluster_threshold: float = 0.8,
+        true_label: str | None = None,
+        unique_id: str = "unique_id",
+        random_seed: int = 42,
+        attribute_columns: list[str] | None = None,
+    ):
+        self.comparison_size_limit = comparison_size_limit
+        self.max_evals = max_evals
+        self.threshold = threshold
+        self.cluster_threshold = cluster_threshold
+        self.true_label = true_label
+        self.unique_id = unique_id
+        self.random_seed = random_seed
+        self.attribute_columns = attribute_columns
+        self.trials: list[Trial] = []
+        self.best_trial: Trial | None = None
+        self.best_predictions: DataFrame | None = None
+        self.clean_data: DataFrame | None = None
+        self._cluster_cache: dict[float, DataFrame] = {}
+
+    # ------------------------------------------------------------ helpers
+    def _infer_attributes(self, df: DataFrame) -> list[str]:
+        """All string columns minus id/label (reference autolinker.py:1022-1040)."""
+        skip = {self.unique_id, self.true_label}
+        cols = [c for c in string_columns(df) if c not in skip]
+        if not cols:
+            raise ValueError("no string attribute columns to link on")
+        return cols
+
+    def _sample_comparisons(self, rng: random.Random, attrs: list[str]) -> list[Comparison]:
+        comps = []
+        for col in attrs:
+            name, spec = rng.choice(_DISTANCE_SPACE)
+            if name == "levenshtein":
+                thr: float = rng.choice(spec)
+            else:
+                lo, hi = spec
+                thr = round(rng.uniform(lo, hi), 3)
+            comps.append(Comparison(col, name, thr))
+        return comps
+
+    # --------------------------------------------------------------- run
+    def auto_link(self, data: DataFrame | list[DataFrame]) -> Trial:
+        link_mode = isinstance(data, (list, tuple))
+        if link_mode:
+            if len(data) != 2:
+                raise ValueError("link mode takes exactly two DataFrames")
+            left, right = data
+            common = [c for c in left.columns if c in set(right.columns)]
+            df = left.select(*common).unionByName(right.select(*common))
+        else:
+            df = data
+
+        attrs = self.attribute_columns or self._infer_attributes(df)
+        keep = attrs + ([self.true_label] if self.true_label else [])
+        df = ensure_unique_id(df.select(*keep, *(
+            [self.unique_id] if self.unique_id in df.columns else []
+        )), self.unique_id)
+        df = null_sentinel(clean_columns(df, attrs), attrs)
+        df = df.cache()
+        self.clean_data = df
+
+        rules = blocking_mod.generate_blocking_rules(
+            df,
+            attrs,
+            comparison_size_limit=self.comparison_size_limit,
+            seed=self.random_seed,
+        )
+        if not rules:
+            raise ValueError(
+                "no blocking rule fits the comparison_size_limit budget"
+            )
+        training_rule = blocking_mod.deterministic_rule(rules)
+
+        rng = random.Random(self.random_seed)
+        best_score = float("-inf")
+        for _ in range(self.max_evals):
+            comps = self._sample_comparisons(rng, attrs)
+            rule = rng.choice(rules[: max(1, min(len(rules), 20))])
+            trial = self._run_trial(df, attrs, comps, rule, training_rule)
+            self.trials.append(trial)
+            if trial.score > best_score:
+                best_score = trial.score
+                self.best_trial = trial
+        assert self.best_trial is not None
+        self.best_predictions = self.best_trial.model.predict(df).cache()
+        self._cluster_cache.clear()
+        return self.best_trial
+
+    def _run_trial(
+        self,
+        df: DataFrame,
+        attrs: list[str],
+        comps: list[Comparison],
+        rule: blocking_mod.RuleEstimate,
+        training_rule: blocking_mod.RuleEstimate | None,
+    ) -> Trial:
+        model = FellegiSunterModel(
+            comps,
+            rule.to_blocking_rules(),
+            unique_id=self.unique_id,
+        )
+        model.estimate_u(df, target_pairs=100_000, seed=self.random_seed)
+        if training_rule is not None:
+            for arm in training_rule.arms:
+                model.estimate_m_em(df, arm)
+        predictions = model.predict(df, threshold=0.01)
+        clusters = cluster_at_threshold(
+            df, predictions, self.cluster_threshold, self.unique_id
+        )
+        um = information_gain_power_ratio(df, clusters, attrs, self.unique_id)
+        trial = Trial(
+            comparisons=comps,
+            rule=rule,
+            score=um.information_gain_power_ratio,
+            model=model,
+            metrics={
+                "adjusted_gain": um.adjusted_gain,
+                "standardized_gain": um.standardized_gain,
+            },
+        )
+        if self.true_label and self.true_label in df.columns:
+            trial.metrics.update(pairwise_prf(clusters, self.true_label))
+        return trial
+
+    # ------------------------------------------------------------ output
+    def best_clusters_at_threshold(self, threshold: float = 0.8) -> DataFrame:
+        """Memoized clustering of the best model's predictions (reference
+        autolinker.py:1069-1094)."""
+        if self.best_predictions is None or self.clean_data is None:
+            raise RuntimeError("call auto_link first")
+        if threshold not in self._cluster_cache:
+            self._cluster_cache[threshold] = cluster_at_threshold(
+                self.clean_data, self.best_predictions, threshold, self.unique_id
+            )
+        return self._cluster_cache[threshold]
+
+    def get_scores_df(self) -> DataFrame:
+        """Pairwise predictions of the best model (reference
+        ``get_scores_df``, autolinker.py:1155-1162)."""
+        if self.best_predictions is None:
+            raise RuntimeError("call auto_link first")
+        return self.best_predictions

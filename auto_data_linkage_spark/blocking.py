@@ -1,0 +1,167 @@
+"""Blocking-rule enumeration + join-size estimation WITHOUT executing joins
+(reference parity: SURVEY §3.2 — ``arc_generate_blocking_rules``,
+ARC.scala:10-113, ARC_EstimateSquaredCountOR.scala:20-35).
+
+The key optimizer idea of the reference: the candidate-pair count of an
+equality blocking rule is ≈ Σ count² over its blocks, so rules can be
+costed from per-combination value counts (one aggregation over a sample)
+instead of running O(#rules) self-joins. OR-of-AND rules combine arm
+estimates by inclusion–exclusion: ``est(A OR B) = n_A·k_B + n_B·k_A −
+k_A·k_B`` summed over arm pairs.
+
+Spark-first mapping: combination enumeration is driver-side
+``itertools`` (inputs are column-name lists); value counts are one
+melt-explode + one shuffle (:func:`profile.combo_value_counts`); per-rule
+stats collect to a small dict (the reference does exactly this at
+ARC.scala:107-110); the OR search is pure Python arithmetic over that dict.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from itertools import combinations as _combinations
+
+from pyspark.sql import DataFrame
+
+from auto_data_linkage_spark.model import BlockingRule
+from auto_data_linkage_spark.profile import (
+    column_combinations,
+    combo_value_counts,
+    rule_block_stats,
+)
+
+
+@dataclass(frozen=True)
+class RuleEstimate:
+    """An OR-of-AND blocking rule with its estimated candidate-pair count."""
+
+    arms: tuple[tuple[str, ...], ...]  # each arm = AND of these columns
+    estimated_pairs: int
+
+    def to_sql(self) -> str:
+        """Reference-style rule string (ARC_ToSplinkRule.scala:17-24)."""
+        rendered = [
+            "(" + " AND ".join(f"l.{c} = r.{c}" for c in arm) + ")"
+            for arm in self.arms
+        ]
+        return " OR ".join(rendered)
+
+    def to_blocking_rules(self) -> list[BlockingRule]:
+        return [BlockingRule(arm) for arm in self.arms]
+
+
+def count_lookup(
+    df: DataFrame,
+    attribute_columns: list[str],
+    *,
+    max_columns_per_and_rule: int = 2,
+    min_count: int = 2,
+    top_k: int = 1000,
+) -> dict[tuple[str, ...], tuple[int, int]]:
+    """Stage A (ARC.scala:10-53): per AND-rule (column combination) →
+    ``(n_blocks, trimmed_avg_squared_block_size)``.
+
+    One explode + one shuffle builds all combination value counts; the
+    per-rule stat table is ≤ #combinations rows — safe to collect.
+    """
+    combos = column_combinations(attribute_columns, max_columns_per_and_rule)
+    counts = combo_value_counts(df, combos, min_count=min_count)
+    stats = rule_block_stats(counts).orderBy("avg_squared").limit(
+        max(top_k, len(combos))
+    )
+    out: dict[tuple[str, ...], tuple[int, int]] = {}
+    for r in stats.collect():
+        out[tuple(r["rule"].split(","))] = (int(r["n_blocks"]), int(r["avg_squared"]))
+    return out
+
+
+def estimate_or_rule(
+    arms: tuple[tuple[str, ...], ...],
+    lookup: dict[tuple[str, ...], tuple[int, int]],
+) -> int:
+    """Inclusion–exclusion pair-count estimate for an OR of AND-arms —
+    exact reference semantics (ARC_EstimateSquaredCountOR.scala:22-35):
+    a single arm contributes its trimmed-average squared block size ``k``;
+    multi-arm rules sum over arm *pairs* ``n1·k2 + n2·k1 − k1·k2`` where
+    ``n`` is the arm's block count."""
+    if len(arms) == 1:
+        return int(lookup.get(arms[0], (0, 0))[1])
+    total = 0
+    for a, b in _combinations(arms, 2):
+        n1, k1 = lookup[a]
+        n2, k2 = lookup[b]
+        total += n1 * k2 + n2 * k1 - k1 * k2
+    return int(total)  # reference does not clamp negatives
+
+
+def generate_blocking_rules(
+    df: DataFrame,
+    attribute_columns: list[str],
+    *,
+    comparison_size_limit: int = 100_000,
+    max_columns_per_and_rule: int = 2,
+    max_rules_per_or_rule: int = 3,
+    sample_rows: int | None = 10_000,
+    seed: int = 42,
+    top_k: int = 1000,
+) -> list[RuleEstimate]:
+    """Full reference pipeline (§3.2 stages A-C): sample → count lookup →
+    enumerate OR-rules for i = 1..max arms → estimate → keep rules under
+    ``comparison_size_limit``, ordered by estimate descending (richer rules
+    first, reference autolinker.py:290-302).
+
+    Defaults match the reference: 100k pair budget (autolinker.py:693),
+    ≤2 cols per AND, ≤3 arms per OR (autolinker.py:263-264), 10k-row
+    estimation sample (autolinker.py:280-284).
+    """
+    n = df.count()
+    sampled = df
+    scale = 1.0
+    if sample_rows is not None and n > sample_rows:
+        frac = sample_rows / n
+        sampled = df.sample(fraction=frac, seed=seed)
+        scale = (n / sample_rows) ** 2  # pair counts scale quadratically
+
+    lookup = count_lookup(
+        sampled,
+        attribute_columns,
+        max_columns_per_and_rule=max_columns_per_and_rule,
+        top_k=top_k,
+    )
+    if not lookup:
+        return []
+
+    arms_sorted = sorted(lookup)
+    results: list[RuleEstimate] = []
+    # i=1: single-arm rules
+    singles = []
+    for arm in arms_sorted:
+        est = int(estimate_or_rule((arm,), lookup) * scale)
+        singles.append(RuleEstimate((arm,), est))
+    results.extend(singles)
+
+    # i>=2: extend the top single arms (by estimate, smallest first so the
+    # cheapest arms combine) — mirrors the reference's top-k expansion
+    # (ARC.scala:62-82) without materializing the full combination space.
+    cheap_arms = [
+        r.arms[0]
+        for r in sorted(singles, key=lambda r: r.estimated_pairs)[:40]
+    ]
+    for i in range(2, max_rules_per_or_rule + 1):
+        for arm_set in _combinations(cheap_arms, i):
+            est = int(estimate_or_rule(tuple(arm_set), lookup) * scale)
+            results.append(RuleEstimate(tuple(arm_set), est))
+
+    affordable = [r for r in results if r.estimated_pairs < comparison_size_limit]
+    affordable.sort(key=lambda r: (-r.estimated_pairs, r.arms))
+    return affordable[:top_k]
+
+
+def deterministic_rule(rules: list[RuleEstimate]) -> RuleEstimate | None:
+    """The reference's deterministic-rule heuristic (autolinker.py:298):
+    among the 500 smallest-estimate rules, pick the largest — a rule tight
+    enough to be nearly deterministic but as productive as possible."""
+    if not rules:
+        return None
+    smallest = sorted(rules, key=lambda r: r.estimated_pairs)[:500]
+    return max(smallest, key=lambda r: r.estimated_pairs)

@@ -1,0 +1,111 @@
+"""Clustering: threshold filter + connected components (reference parity:
+SURVEY §2.10 L6 — Splink ``cluster_pairwise_predictions_at_threshold``).
+
+Connected components is the one operator here with no Spark built-in.
+Implementation: the **alternating large-star / small-star** algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+public algorithm), expressed as pure DataFrame joins/aggregations:
+
+- converges in O(log n) rounds on any graph shape (a naive min-label
+  propagation needs O(diameter) rounds — unbounded on chain-shaped
+  clusters),
+- every round is two self-joins + one aggregation on the *edge* table,
+  which shrinks toward a star forest as it converges,
+- ``localCheckpoint()`` every round truncates lineage, otherwise iterative
+  plans blow up the optimizer at scale (SURVEY §7 watch list).
+
+Node ids are compared with their natural ordering; the component id is the
+minimum member id (deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
+def _star_round(nbrs: DataFrame, large: bool) -> DataFrame:
+    """One large-star (connect strictly-greater neighbors to the
+    neighborhood minimum) or small-star (connect ≤ neighbors) round.
+    ``nbrs`` must be symmetric. Returns a directed child→root edge list."""
+    min_nbr = nbrs.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("mn")
+    )
+    joined = nbrs.join(min_nbr, "src")
+    if large:
+        emitted = joined.where(F.col("dst") > F.col("src"))
+    else:
+        emitted = joined.where(F.col("dst") <= F.col("src"))
+    out = emitted.select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    # small-star also links each center to its min
+    self_link = min_nbr.select(F.col("src"), F.col("mn").alias("dst"))
+    if not large:
+        out = out.unionByName(self_link)
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components of an undirected edge list.
+
+    Returns ``(node, component)`` covering every node that appears in
+    ``edges``; ``component`` is the minimum node id of the component.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = _symmetrize(e).localCheckpoint(eager=True)
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _star_round(_symmetrize(e), large=True)
+        e = _star_round(_symmetrize(e), large=False)
+        e = e.localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count("*").alias("n"),
+            # order-independent signature; bit_xor can't overflow under ANSI
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        cur_sig = (sig["n"], sig["h"])
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+
+    # converged edge set is a star forest: src → root
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return members.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def cluster_at_threshold(
+    records: DataFrame,
+    predictions: DataFrame,
+    threshold: float = 0.8,
+    unique_id: str = "unique_id",
+) -> DataFrame:
+    """Reference ``best_clusters_at_threshold`` semantics
+    (autolinker.py:1063-1094): filter pairwise predictions at ``threshold``,
+    run connected components, join ``cluster_id`` back onto the records.
+    Singletons get their own id as cluster_id.
+
+    The components table is tiny relative to the input (≤ one row per
+    matched record) — the join back is broadcast-able and marked as such.
+    """
+    edges = predictions.where(F.col("match_probability") >= threshold).select(
+        F.col(f"{unique_id}_l").alias("src"), F.col(f"{unique_id}_r").alias("dst")
+    )
+    comp = connected_components(edges).withColumnRenamed("node", unique_id)
+    joined = records.join(F.broadcast(comp), unique_id, "left")
+    return joined.withColumn(
+        "cluster_id", F.coalesce(F.col("component"), F.col(unique_id))
+    ).drop("component")

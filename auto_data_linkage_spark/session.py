@@ -1,0 +1,81 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[N]`` in one JVM, but every config here is chosen
+to also be the right default on a multi-executor cluster: AQE for runtime
+re-planning (skew joins, partition coalescing), Arrow for the few pandas-UDF
+operators, UTC session timezone so results are oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "auto_data_linkage_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. Shuffle
+    partitions default to the core count — correct for local mode; on a real
+    cluster callers pass ~2-3x total executor cores instead.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # Iterative algorithms (connected components, EM) checkpoint to
+        # truncate lineage; local dir works in local mode, DFS on a cluster.
+        .config("spark.checkpoint.compress", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES):
+    """Read the driver-generated parquet tables and register temp views.
+
+    Returns a dict name -> DataFrame. Parquet scans get predicate pushdown
+    and column pruning from Catalyst for free.
+    """
+    out = {}
+    for name in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,88 @@
+import pytest
+
+from auto_data_linkage_spark.blocking import (
+    RuleEstimate,
+    count_lookup,
+    deterministic_rule,
+    estimate_or_rule,
+    generate_blocking_rules,
+)
+from auto_data_linkage_spark.model import BlockingRule, candidate_pairs
+from auto_data_linkage_spark.compare import Comparison
+
+
+def test_estimate_or_rule_reference_semantics():
+    """Exact parity with ARC_EstimateSquaredCountOR.scala:22-35: singleton
+    -> its avg squared count; pairs -> n1*k2 + n2*k1 - k1*k2 summed."""
+    lookup = {("a",): (10, 100), ("b",): (20, 50), ("c",): (5, 9)}
+    assert estimate_or_rule((("a",),), lookup) == 100
+    assert estimate_or_rule((("a",), ("b",)), lookup) == 10 * 50 + 20 * 100 - 100 * 50
+    three = (
+        (10 * 50 + 20 * 100 - 100 * 50)
+        + (10 * 9 + 5 * 100 - 100 * 9)
+        + (20 * 9 + 5 * 50 - 50 * 9)
+    )
+    assert estimate_or_rule((("a",), ("b",), ("c",)), lookup) == three
+
+
+def test_rule_estimate_to_sql():
+    r = RuleEstimate((("surname", "postcode"), ("suburb",)), 42)
+    assert r.to_sql() == (
+        "(l.surname = r.surname AND l.postcode = r.postcode) OR (l.suburb = r.suburb)"
+    )
+    assert [b.columns for b in r.to_blocking_rules()] == [
+        ("surname", "postcode"), ("suburb",)
+    ]
+
+
+def test_count_lookup_shapes(spark, people):
+    lookup = count_lookup(
+        people, ["surname", "postcode"], max_columns_per_and_rule=2, min_count=1
+    )
+    assert ("surname",) in lookup
+    assert ("postcode",) in lookup
+    assert ("postcode", "surname") in lookup
+    for n, k in lookup.values():
+        assert n >= 1 and k >= 1
+
+
+def test_generated_rules_estimates_track_true_counts(spark, people):
+    """The estimate is a heuristic — verify it orders rules consistently
+    with TRUE blocking-join pair counts (SURVEY §7: verify by comparison,
+    not bit-for-bit)."""
+    rules = generate_blocking_rules(
+        people,
+        ["surname", "postcode", "suburb"],
+        comparison_size_limit=10_000,
+        sample_rows=None,
+    )
+    assert rules, "expected at least one affordable rule"
+    comps = [Comparison("surname", "exact", 0)]
+    sizes = {}
+    for r in rules:
+        if len(r.arms) != 1:
+            continue
+        true_pairs = candidate_pairs(
+            people, r.to_blocking_rules(), comps
+        ).count()
+        sizes[r.arms] = (r.estimated_pairs, true_pairs)
+    ests = [v[0] for v in sizes.values()]
+    trues = [v[1] for v in sizes.values()]
+    # estimates within a constant factor of n^2-flavored truth, and ranking
+    # broadly agrees: the cheapest-estimated single rule is among the
+    # cheapest by truth
+    best_est = min(sizes, key=lambda a: sizes[a][0])
+    assert sizes[best_est][1] <= sorted(trues)[1 if len(trues) > 1 else 0]
+
+
+def test_budget_filter(spark, people):
+    rules = generate_blocking_rules(
+        people, ["surname", "postcode"], comparison_size_limit=1, sample_rows=None
+    )
+    assert rules == []
+
+
+def test_deterministic_rule_picks_largest_of_smallest():
+    rules = [RuleEstimate((("a",),), e) for e in (5, 50, 500)]
+    assert deterministic_rule(rules).estimated_pairs == 500
+    assert deterministic_rule([]) is None

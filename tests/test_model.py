@@ -1,0 +1,109 @@
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.cleaning import null_sentinel
+from auto_data_linkage_spark.cluster import cluster_at_threshold
+from auto_data_linkage_spark.compare import Comparison
+from auto_data_linkage_spark.metrics import pairwise_prf
+from auto_data_linkage_spark.model import (
+    BlockingRule,
+    FellegiSunterModel,
+    candidate_pairs,
+)
+
+
+def test_blocking_rule_parse_roundtrip():
+    r = BlockingRule.parse("l.surname = r.surname AND l.postcode = r.postcode")
+    assert r.columns == ("surname", "postcode")
+    assert r.to_sql() == "l.surname = r.surname AND l.postcode = r.postcode"
+    assert BlockingRule.parse(("a", "b")).columns == ("a", "b")
+
+
+def test_candidate_pairs_basic(spark):
+    df = spark.createDataFrame(
+        [("1", "smith", "2000"), ("2", "smith", "2000"), ("3", "jones", "2000")],
+        "unique_id string, surname string, postcode string",
+    )
+    comps = [Comparison("surname", "levenshtein", 2)]
+    pairs = candidate_pairs(df, [BlockingRule(("surname",))], comps)
+    rows = pairs.collect()
+    assert len(rows) == 1
+    assert (rows[0]["unique_id_l"], rows[0]["unique_id_r"]) == ("1", "2")
+    assert rows[0]["gamma_surname"] == 2
+
+
+def test_candidate_pairs_disjoint_across_rules(spark):
+    # pair (1,2) matches BOTH rules; match-key negation must emit it once
+    df = spark.createDataFrame(
+        [("1", "smith", "2000"), ("2", "smith", "2000"), ("4", "smith", "9999")],
+        "unique_id string, surname string, postcode string",
+    )
+    comps = [Comparison("surname", "levenshtein", 2)]
+    rules = [BlockingRule(("surname",)), BlockingRule(("postcode",))]
+    pairs = candidate_pairs(df, rules, comps)
+    keyed = {(r["unique_id_l"], r["unique_id_r"]) for r in pairs.collect()}
+    assert keyed == {("1", "2"), ("1", "4"), ("2", "4")}
+    assert pairs.count() == 3  # no duplicate pair rows
+
+
+def test_scores_monotone_in_agreement(spark, people):
+    df = null_sentinel(people)
+    comps = [
+        Comparison("given_name", "levenshtein", 2),
+        Comparison("surname", "levenshtein", 2),
+        Comparison("suburb", "levenshtein", 2),
+    ]
+    model = FellegiSunterModel(comps, [("postcode",)], prior=0.01)
+    scored = model.predict(df)
+    rows = {
+        (r["unique_id_l"], r["unique_id_r"]): r["match_probability"]
+        for r in scored.collect()
+    }
+    # (3,15) is an exact duplicate pair; every gamma exact -> near 1
+    exact_pair = rows[("15", "3")] if ("15", "3") in rows else rows[("3", "15")]
+    assert exact_pair > 0.99
+
+
+def test_u_estimation_shifts_params(spark, people):
+    df = null_sentinel(people)
+    comps = [Comparison("surname", "levenshtein", 2)]
+    model = FellegiSunterModel(comps, [("postcode",)])
+    before = dict(model.params["surname"].u)
+    model.estimate_u(df, target_pairs=500)
+    after = model.params["surname"].u
+    assert after != before
+    # random pairs rarely share a surname -> u(exact) small, u(else) large
+    assert after[0] > 0.5
+
+
+def test_em_converges_and_improves_m(spark, people):
+    df = null_sentinel(people)
+    comps = [
+        Comparison("given_name", "levenshtein", 2),
+        Comparison("surname", "levenshtein", 2),
+    ]
+    model = FellegiSunterModel(comps, [("postcode",)])
+    model.estimate_u(df, target_pairs=500)
+    iters = model.estimate_m_em(df, ("postcode",))
+    assert 1 <= iters <= model.max_em_iterations
+    m = model.params["surname"].m
+    assert m[2] > 0.5  # matches mostly agree exactly on surname
+
+
+def test_end_to_end_dedup_recovers_entities(spark, people):
+    """The PR-1 slice: clean -> block -> compare -> score -> cluster."""
+    df = null_sentinel(people)
+    comps = [
+        Comparison("given_name", "jaro_winkler", 0.9),
+        Comparison("surname", "levenshtein", 2),
+        Comparison("suburb", "levenshtein", 2),
+        Comparison("postcode", "levenshtein", 1),
+    ]
+    model = FellegiSunterModel(
+        comps, [("postcode",), ("surname",)], prior=5 / (17 * 16 / 2)
+    )
+    preds = model.predict(df)
+    clusters = cluster_at_threshold(df, preds, 0.8)
+    prf = pairwise_prf(clusters, "recid")
+    assert prf["recall"] >= 0.8, prf
+    assert prf["precision"] >= 0.8, prf
