@@ -1,0 +1,760 @@
+"""Operator-inventory query catalog (the driver contract).
+
+Each entry demonstrates one operator family from SURVEY.md §2 as a
+(PySpark DataFrame program, equivalent ANSI SQL for DuckDB) pair over the
+driver's TPC-H-ish tables. The driver hash-compares both sides at sf0.01,
+so every computed column is explicitly aliased AND rounded the same way on
+both sides (float sums are order-dependent at the 1e-13 level; rounding to
+2-6 decimals makes the hash stable).
+
+Conventions:
+- every aggregate/computed column aliased identically in Spark and SQL
+- money sums rounded to 2 decimals, ratios/similarities/entropies to 6
+- timestamps cast to DATE strings when they appear in output
+- deterministic ordering is irrelevant (driver sorts) but ties inside
+  window functions are always broken by a unique key
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.session import load_tables
+
+
+@dataclass
+class QuerySpec:
+    """One catalog entry: the Spark program and its DuckDB oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None => non-SQL-expressible; driver does rows-only
+    survey: str = ""  # SURVEY.md §2 operator ids this covers
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None, survey: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, sql, survey)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [
+        spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names
+    ]
+
+
+# --------------------------------------------------------------------------
+# A1/A10/P5 — the flagship: TPC-H Q1-style grouped aggregation with pushdown
+# --------------------------------------------------------------------------
+@register(
+    "groupby_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
+           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey="A1 A10 P5 (TPC-H Q1 shape)",
+)
+def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 — global aggregation (groupBy(lit(1)) pattern)
+# --------------------------------------------------------------------------
+@register(
+    "global_agg",
+    """
+    SELECT COUNT(*)                              AS n_rows,
+           COUNT(DISTINCT l_orderkey)            AS n_orders,
+           ROUND(SUM(l_extendedprice), 2)        AS total_price,
+           ROUND(MIN(l_quantity), 2)             AS min_qty,
+           ROUND(MAX(l_quantity), 2)             AS max_qty
+    FROM lineitem
+    """,
+    survey="A2",
+)
+def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P1/P2/P3 — cleaning projection: lower + strip non-alnum + null sentinel
+# --------------------------------------------------------------------------
+@register(
+    "clean_project",
+    """
+    SELECT p_partkey,
+           LOWER(REGEXP_REPLACE(p_name, '[^A-Za-z0-9 ]+', '', 'g'))  AS name_clean,
+           COALESCE(NULLIF(p_brand, 'Brand#33'), 'null_')            AS brand_sentinel
+    FROM part
+    WHERE p_size > 20
+    """,
+    survey="P1 P2 P3 P5",
+)
+def clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return part.where(F.col("p_size") > 20).select(
+        "p_partkey",
+        F.lower(F.regexp_replace("p_name", r"[^A-Za-z0-9 ]+", "")).alias(
+            "name_clean"
+        ),
+        F.coalesce(
+            F.nullif(F.col("p_brand"), F.lit("Brand#33")), F.lit("null_")
+        ).alias("brand_sentinel"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P4 — synthetic id (deterministic row_number flavor)
+# --------------------------------------------------------------------------
+@register(
+    "synthetic_id",
+    """
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS VARCHAR) AS unique_id,
+           o_orderkey
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+    survey="P4",
+)
+def synthetic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        .withColumn("unique_id", F.row_number().over(w).cast("string"))
+        .select("unique_id", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# P7 — conditional projection (when/otherwise relabel)
+# --------------------------------------------------------------------------
+@register(
+    "conditional_projection",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_band
+    FROM orders
+    """,
+    survey="P7",
+)
+def conditional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P6 — deterministic sample (hash-free modulo; seeded rand() is not
+# reproducible across engines)
+# --------------------------------------------------------------------------
+@register(
+    "deterministic_sample",
+    "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 20 = 0",
+    survey="P6 (deterministic variant)",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.where(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 + A1 — left join of per-group counts back onto rows (cluster-size
+# pattern; small side broadcast)
+# --------------------------------------------------------------------------
+@register(
+    "join_left_counts",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.cnt AS cust_order_count
+    FROM orders o
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) c
+      ON o.o_custkey = c.o_custkey
+    """,
+    survey="J1 A1",
+)
+def join_left_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return (
+        orders.alias("o")
+        .join(F.broadcast(counts).alias("c"), "o_custkey", "left")
+        .select(
+            "o.o_orderkey", "o_custkey", F.col("c.cnt").alias("cust_order_count")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J2/J3 — multi-way inner equi-join (dim chain; both dims broadcast-able)
+# --------------------------------------------------------------------------
+@register(
+    "join_inner_multi",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    survey="J2 J3 A1",
+)
+def join_inner_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J5 + §2.9 — blocking self-join with comparison gammas (the linkage
+# workhorse, hash-checked against SQL)
+# --------------------------------------------------------------------------
+@register(
+    "blocking_self_join",
+    """
+    SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+           CASE WHEN l.c_name = r.c_name THEN 2
+                WHEN levenshtein(l.c_name, r.c_name) <= 2 THEN 1
+                ELSE 0 END AS gamma_name
+    FROM customer l
+    JOIN customer r
+      ON l.c_nationkey = r.c_nationkey
+     AND l.c_mktsegment = r.c_mktsegment
+     AND l.c_custkey < r.c_custkey
+    """,
+    survey="J5 §2.9 (blocking + comparison vector)",
+)
+def blocking_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    left = cust.alias("l")
+    right = cust.alias("r")
+    cond = (
+        (F.col("l.c_nationkey") == F.col("r.c_nationkey"))
+        & (F.col("l.c_mktsegment") == F.col("r.c_mktsegment"))
+        & (F.col("l.c_custkey") < F.col("r.c_custkey"))
+    )
+    return left.join(right, cond).select(
+        F.col("l.c_custkey").alias("custkey_l"),
+        F.col("r.c_custkey").alias("custkey_r"),
+        F.when(F.col("l.c_name") == F.col("r.c_name"), 2)
+        .when(F.levenshtein(F.col("l.c_name"), F.col("r.c_name")) <= 2, 1)
+        .otherwise(0)
+        .alias("gamma_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — theta self-join (label pairs excluding self)
+# --------------------------------------------------------------------------
+@register(
+    "theta_join_pairs",
+    """
+    SELECT l.s_suppkey AS suppkey_l, r.s_suppkey AS suppkey_r
+    FROM supplier l
+    JOIN supplier r ON l.s_nationkey = r.s_nationkey
+                   AND l.s_suppkey <> r.s_suppkey
+    """,
+    survey="J4",
+)
+def theta_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (supp,) = _t(spark, sf_dir, "supplier")
+    left = supp.alias("l")
+    right = supp.alias("r")
+    return left.join(
+        right,
+        (F.col("l.s_nationkey") == F.col("r.s_nationkey"))
+        & (F.col("l.s_suppkey") != F.col("r.s_suppkey")),
+    ).select(
+        F.col("l.s_suppkey").alias("suppkey_l"),
+        F.col("r.s_suppkey").alias("suppkey_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J6/A4 — join-size estimation WITHOUT joining: Σ count² per blocking key
+# --------------------------------------------------------------------------
+@register(
+    "squared_count_estimate",
+    """
+    SELECT 'c_mktsegment' AS rule,
+           COUNT(*) AS n_blocks,
+           SUM(cnt * cnt) AS squared_count,
+           SUM(cnt * (cnt - 1) / 2) AS est_pairs
+    FROM (SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY c_mktsegment)
+    """,
+    survey="J6 A4 (blocking-rule cost estimation)",
+)
+def squared_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment").agg(F.count("*").alias("cnt"))
+    return counts.agg(
+        F.lit("c_mktsegment").alias("rule"),
+        F.count("*").alias("n_blocks"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("squared_count"),
+        F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2).alias("est_pairs"),
+    ).select("rule", "n_blocks", "squared_count", "est_pairs")
+
+
+# --------------------------------------------------------------------------
+# A3 — per-column Shannon entropy via melt → group (one shuffle, no UDAF)
+# --------------------------------------------------------------------------
+@register(
+    "entropy",
+    """
+    WITH melted AS (
+        SELECT 'l_returnflag' AS col, l_returnflag AS val FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus' AS col, l_linestatus AS val FROM lineitem
+    ),
+    vc AS (SELECT col, val, COUNT(*) AS cnt FROM melted GROUP BY col, val),
+    tot AS (SELECT col, SUM(cnt) AS total FROM vc GROUP BY col)
+    SELECT vc.col AS col,
+           ROUND(SUM(-(cnt / total) * LN(cnt / total)), 6) AS entropy
+    FROM vc JOIN tot ON vc.col = tot.col
+    GROUP BY vc.col
+    """,
+    survey="A3 (ARC_EntropyAggExpression parity)",
+)
+def entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.profile import entropy_df
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ent = entropy_df(li, ["l_returnflag", "l_linestatus"], base=math.e)
+    return ent.select("col", F.round("entropy", 6).alias("entropy"))
+
+
+# --------------------------------------------------------------------------
+# A4/A5 — combinatorial value counts (count-map equivalent, exploded form)
+# --------------------------------------------------------------------------
+@register(
+    "combo_counts",
+    """
+    WITH exploded AS (
+        SELECT 'o_orderstatus' AS combo, o_orderstatus AS vals FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority' AS combo, o_orderpriority AS vals FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus,o_orderpriority' AS combo,
+               o_orderstatus || '|' || o_orderpriority AS vals FROM orders
+    )
+    SELECT combo, vals, COUNT(*) AS cnt
+    FROM exploded GROUP BY combo, vals HAVING COUNT(*) >= 2
+    """,
+    survey="A4 A5 (combinatorial count agg, exploded count-map)",
+)
+def combo_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    structs = [
+        F.struct(
+            F.lit("o_orderstatus").alias("combo"),
+            F.col("o_orderstatus").alias("vals"),
+        ),
+        F.struct(
+            F.lit("o_orderpriority").alias("combo"),
+            F.col("o_orderpriority").alias("vals"),
+        ),
+        F.struct(
+            F.lit("o_orderstatus,o_orderpriority").alias("combo"),
+            F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("vals"),
+        ),
+    ]
+    return (
+        orders.select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.combo", "kv.vals")
+        .groupBy("combo", "vals")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# A8 — per-column distinct counts in one job
+# --------------------------------------------------------------------------
+@register(
+    "distinct_counts",
+    """
+    SELECT COUNT(DISTINCT o_orderstatus)   AS n_status,
+           COUNT(DISTINCT o_orderpriority) AS n_priority,
+           COUNT(DISTINCT o_custkey)       AS n_cust
+    FROM orders
+    """,
+    survey="A8",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.countDistinct("o_orderpriority").alias("n_priority"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W1 — partitioned count window (singleton-relabel pattern)
+# --------------------------------------------------------------------------
+@register(
+    "window_count",
+    """
+    SELECT o_orderkey,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders,
+           CASE WHEN COUNT(*) OVER (PARTITION BY o_custkey) = 1
+                THEN -1 ELSE o_custkey END AS cluster_relabel
+    FROM orders
+    """,
+    survey="W1 P7 (singleton relabel, autolinker.py:1234-1243)",
+)
+def window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cnt = F.count("*").over(w)
+    return orders.select(
+        "o_orderkey",
+        cnt.alias("cust_orders"),
+        F.when(cnt == 1, F.lit(-1)).otherwise(F.col("o_custkey")).alias(
+            "cluster_relabel"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# W3 — first-value standardization over an ordered partition
+# --------------------------------------------------------------------------
+@register(
+    "window_first",
+    """
+    SELECT o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS first_order_of_cust
+    FROM orders
+    """,
+    survey="W3 (cluster canonicalization)",
+)
+def window_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order_of_cust"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T1 — top-k (orderBy + limit → TakeOrderedAndProject)
+# --------------------------------------------------------------------------
+@register(
+    "topk_orderby_limit",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    survey="T1",
+)
+def topk_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# T2 — double-sorted pick (500-smallest-then-largest heuristic)
+# --------------------------------------------------------------------------
+@register(
+    "double_sorted_pick",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM (
+        SELECT * FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 500
+    ) ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    """,
+    survey="T2 (deterministic-rule heuristic shape)",
+)
+def double_sorted_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.asc("o_totalprice"), "o_orderkey")
+        .limit(500)
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(1)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# U1/U2 — union + distinct
+# --------------------------------------------------------------------------
+@register(
+    "union_distinct",
+    """
+    SELECT DISTINCT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+    survey="U1 U2",
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .unionAll(supp.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 — levenshtein comparison levels over blocked pairs
+# --------------------------------------------------------------------------
+@register(
+    "levenshtein_pairs",
+    """
+    SELECT l.s_suppkey AS suppkey_l, r.s_suppkey AS suppkey_r,
+           levenshtein(l.s_name, r.s_name) AS lev
+    FROM supplier l JOIN supplier r ON l.s_suppkey < r.s_suppkey
+    """,
+    survey="§2.9 levenshtein",
+)
+def levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (supp,) = _t(spark, sf_dir, "supplier")
+    left = supp.alias("l")
+    right = supp.alias("r")
+    return left.join(
+        right, F.col("l.s_suppkey") < F.col("r.s_suppkey")
+    ).select(
+        F.col("l.s_suppkey").alias("suppkey_l"),
+        F.col("r.s_suppkey").alias("suppkey_r"),
+        F.levenshtein(F.col("l.s_name"), F.col("r.s_name")).alias("lev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 — token-set Jaccard via array built-ins (no UDF)
+# --------------------------------------------------------------------------
+@register(
+    "jaccard_token_pairs",
+    """
+    SELECT l.p_partkey AS partkey_l, r.p_partkey AS partkey_r,
+           ROUND(
+             CAST(len(list_intersect(list_distinct(string_split(l.p_name, ' ')),
+                                     list_distinct(string_split(r.p_name, ' ')))) AS DOUBLE)
+             / len(list_distinct(list_concat(list_distinct(string_split(l.p_name, ' ')),
+                                             list_distinct(string_split(r.p_name, ' '))))),
+             6) AS jaccard
+    FROM part l JOIN part r
+      ON l.p_brand = r.p_brand AND l.p_partkey < r.p_partkey
+    """,
+    survey="§2.9 jaccard (array_intersect/array_union)",
+)
+def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.compare import token_jaccard
+
+    (part,) = _t(spark, sf_dir, "part")
+    left = part.alias("l")
+    right = part.alias("r")
+    return left.join(
+        right,
+        (F.col("l.p_brand") == F.col("r.p_brand"))
+        & (F.col("l.p_partkey") < F.col("r.p_partkey")),
+    ).select(
+        F.col("l.p_partkey").alias("partkey_l"),
+        F.col("r.p_partkey").alias("partkey_r"),
+        F.round(
+            token_jaccard(F.col("l.p_name"), F.col("r.p_name")), 6
+        ).alias("jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 — jaro-winkler (pandas UDF vs DuckDB's built-in — same algorithm,
+# 0.7 boost threshold, max prefix 4)
+# --------------------------------------------------------------------------
+@register(
+    "jaro_winkler_pairs",
+    """
+    SELECT l.s_suppkey AS suppkey_l, r.s_suppkey AS suppkey_r,
+           ROUND(jaro_winkler_similarity(l.s_name, r.s_name), 6) AS jw
+    FROM supplier l JOIN supplier r ON l.s_suppkey < r.s_suppkey
+    """,
+    survey="§2.9 jaro_winkler (pandas UDF)",
+)
+def jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.compare import jaro_winkler_udf
+
+    (supp,) = _t(spark, sf_dir, "supplier")
+    left = supp.alias("l")
+    right = supp.alias("r")
+    return left.join(
+        right, F.col("l.s_suppkey") < F.col("r.s_suppkey")
+    ).select(
+        F.col("l.s_suppkey").alias("suppkey_l"),
+        F.col("r.s_suppkey").alias("suppkey_r"),
+        F.round(
+            jaro_winkler_udf(F.col("l.s_name"), F.col("r.s_name")), 6
+        ).alias("jw"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L5 — Fellegi–Sunter scoring with fixed m/u as pure arithmetic
+# (the predict() math, hash-checked end-to-end against SQL)
+# --------------------------------------------------------------------------
+_FS_PRIOR = 0.001
+_FS = {
+    # (m, u) per gamma level for the single name comparison
+    2: (0.90, 0.01),
+    1: (0.08, 0.04),
+    0: (0.02, 0.95),
+}
+
+
+def _fs_sql() -> str:
+    prior_odds = math.log2(_FS_PRIOR / (1 - _FS_PRIOR))
+    bf2 = math.log2(_FS[2][0] / _FS[2][1])
+    bf1 = math.log2(_FS[1][0] / _FS[1][1])
+    bf0 = math.log2(_FS[0][0] / _FS[0][1])
+    return f"""
+    WITH pairs AS (
+        SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+               CASE WHEN l.c_name = r.c_name THEN 2
+                    WHEN levenshtein(l.c_name, r.c_name) <= 2 THEN 1
+                    ELSE 0 END AS gamma_name
+        FROM customer l JOIN customer r
+          ON l.c_nationkey = r.c_nationkey
+         AND l.c_mktsegment = r.c_mktsegment
+         AND l.c_custkey < r.c_custkey
+    )
+    SELECT custkey_l, custkey_r, gamma_name,
+           ROUND(({prior_odds!r}) + CASE gamma_name
+                WHEN 2 THEN {bf2!r} WHEN 1 THEN {bf1!r} ELSE {bf0!r} END, 6)
+               AS match_weight,
+           ROUND(1.0 / (1.0 + POW(2.0, -(({prior_odds!r}) + CASE gamma_name
+                WHEN 2 THEN {bf2!r} WHEN 1 THEN {bf1!r} ELSE {bf0!r} END))), 6)
+               AS match_probability
+    FROM pairs
+    """
+
+
+@register(
+    "fs_score_fixed",
+    _fs_sql(),
+    survey="L5 (Fellegi-Sunter predict math)",
+)
+def fs_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = blocking_self_join(spark, sf_dir)
+    prior_odds = math.log2(_FS_PRIOR / (1 - _FS_PRIOR))
+    g = F.col("gamma_name")
+    bf = (
+        F.when(g == 2, math.log2(_FS[2][0] / _FS[2][1]))
+        .when(g == 1, math.log2(_FS[1][0] / _FS[1][1]))
+        .otherwise(math.log2(_FS[0][0] / _FS[0][1]))
+    )
+    weight = F.lit(prior_odds) + bf
+    prob = F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -weight))
+    return pairs.select(
+        "custkey_l",
+        "custkey_r",
+        "gamma_name",
+        F.round(weight, 6).alias("match_weight"),
+        F.round(prob, 6).alias("match_probability"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L6 — connected components (iterative; not SQL-expressible → rows-only).
+# Edges: suppliers in the same nation chained by adjacent suppkey.
+# --------------------------------------------------------------------------
+@register(
+    "connected_components",
+    None,  # iterative algorithm; driver records rows-only check
+    survey="L6 (connected components)",
+)
+def connected_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.cluster import connected_components
+
+    (supp,) = _t(spark, sf_dir, "supplier")
+    left = supp.alias("l")
+    right = supp.alias("r")
+    edges = left.join(
+        right,
+        (F.col("l.s_nationkey") == F.col("r.s_nationkey"))
+        & (F.col("l.s_suppkey") < F.col("r.s_suppkey")),
+    ).select(
+        F.col("l.s_suppkey").cast("string").alias("src"),
+        F.col("r.s_suppkey").cast("string").alias("dst"),
+    )
+    return connected_components(edges).orderBy("node")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None
+    }

@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is collected (full materialization) and timed individually
+after a JVM/session warmup query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from auto_data_linkage_spark import queries as catalog
+from auto_data_linkage_spark.session import get_spark
+
+# headline set: the operator families that dominate real linkage work
+BENCH_QUERIES = [
+    "groupby_agg",
+    "global_agg",
+    "clean_project",
+    "join_left_counts",
+    "join_inner_multi",
+    "blocking_self_join",
+    "squared_count_estimate",
+    "entropy",
+    "combo_counts",
+    "window_count",
+    "topk_orderby_limit",
+    "union_distinct",
+    "fs_score_fixed",
+    "connected_components",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cpus=cpus)
+
+    qs = catalog.queries()
+    # warmup: spin up executors / codegen once
+    qs["global_agg"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink fully materializes every column without driver collect
+        # and without letting Catalyst prune the projection under a count()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
