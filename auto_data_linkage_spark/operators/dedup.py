@@ -1,0 +1,326 @@
+"""Deduplication family for training-data pipelines.
+
+Five strategies, each a pure DataFrame program designed for the 100 TB
+path:
+
+- **exact**: md5(normalized text) → groupBy hash → keep min id. One
+  shuffle on a short hash key; survivors join back broadcast-free via
+  semi-join.
+- **MinHash + LSH**: shingle → k portable hash functions → per-band
+  signature → self-join on (band, band_hash) buckets only. The self-join
+  never touches pairs outside a shared bucket, so cost is Σ bucket², not
+  n² — the standard near-dup recipe at web scale.
+- **SimHash**: 32-bit sign-aggregated token hashes; near-dups share the
+  simhash value (or a band of it). One projection + one groupBy.
+- **n-gram Jaccard**: exact char/word n-gram Jaccard over LSH- or
+  key-blocked candidate pairs (verification stage after MinHash, or
+  standalone on small blocks).
+- **embedding cosine**: cosine ≥ t pairs within coarse buckets (labels /
+  IVF cells) — see :mod:`.similarity` for the ANN machinery.
+
+Every hash is md5-derived (:func:`..operators.text.md5_hash64`) so each
+strategy is DuckDB-oracle-checkable; swap in ``xxhash64`` for raw speed
+when cross-engine parity is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators.text import (
+    doc_fingerprint,
+    md5_hash64,
+    shingles,
+    tokens,
+)
+
+
+# ----------------------------------------------------------------- exact
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fingerprint, n_copies, keep_id) per duplicated normalized text.
+    One shuffle on the 32-char hash."""
+    return (
+        df.select(doc_fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop all but the min-id row of each exact-duplicate group.
+    Implemented as a window-free groupBy + semi-join so the wide ``text``
+    column is never shuffled — only (hash, id) pairs move."""
+    keep = (
+        df.select(doc_fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# --------------------------------------------------------------- minhash
+def _hasher(seed: int):
+    # one-arg lambda: F.transform inspects arity, and a default-arg seed
+    # would be misread as the array-index parameter
+    return lambda s: md5_hash64(s, seed=seed)
+
+
+def minhash_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
+    """Signature from an already-materialized shingle array column.
+
+    Feed this a *column reference* (two-phase projection), not the shingle
+    expression itself — otherwise the shingle subtree is re-evaluated once
+    per hash seed inside the same projection."""
+    mins = [
+        F.array_min(F.transform(sh, _hasher(i))) for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 16, shingle_k: int = 3
+) -> Column:
+    """MinHash signature: for seed i, ``min over shingles of hash_i``.
+    Computed entirely with array built-ins — no UDF, no explode, no
+    shuffle. For hot paths prefer the two-phase form (materialize
+    :func:`~auto_data_linkage_spark.operators.text.shingles` first, then
+    :func:`minhash_from_shingles`)."""
+    return minhash_from_shingles(shingles(text, shingle_k), num_hashes)
+
+
+def minhash_bands(
+    signature: Column, num_bands: int = 4, rows_per_band: int = 4
+) -> Column:
+    """Band the signature: array of (band_id, band_hash) structs. Docs
+    sharing ANY band collide in LSH."""
+    bands = []
+    for b in range(num_bands):
+        sl = F.slice(signature, b * rows_per_band + 1, rows_per_band)
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_hash64(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))).alias(
+                    "band_hash"
+                ),
+            )
+        )
+    return F.array(*bands)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Plan shape: project signature → explode bands → self-join on
+    (band, band_hash) with id_l < id_r → distinct pair. The join key is a
+    16-byte-ish bucket id, so the shuffle moves (bucket, id) pairs only;
+    pair count is Σ bucket-size² over genuinely-similar buckets.
+    """
+    rows_per_band = num_hashes // num_bands
+    # three-phase projection: shingles → signature → bands, each referencing
+    # the previous phase's column once (the md5 work runs exactly once per
+    # doc, not once per seed)
+    sig = df.select(
+        F.col(id_col), shingles(text_col, shingle_k).alias("__sh")
+    ).select(
+        F.col(id_col), minhash_from_shingles(F.col("__sh"), num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        id_col, F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
+    ).select(id_col, "b.band", "b.band_hash")
+    # both sides of the self-join read this small (id, band, hash) table —
+    # persist so the hashing subtree isn't evaluated twice
+    banded = banded.persist()
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias(f"{id_col}_l"),
+        F.col(f"r.{id_col}").alias(f"{id_col}_r"),
+    )
+    return pairs.distinct()
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    jaccard_threshold: float = 0.7,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard ≥ threshold.
+    The exact check touches only candidate pairs (the LSH output), never
+    the full n² space."""
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col,
+        num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
+    )
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_k).alias("sh")
+    )
+    joined = (
+        cands.join(
+            sh.withColumnRenamed(id_col, f"{id_col}_l").withColumnRenamed("sh", "sh_l"),
+            f"{id_col}_l",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, f"{id_col}_r").withColumnRenamed("sh", "sh_r"),
+            f"{id_col}_r",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_l", "sh_r"))
+    union = F.size(F.array_union("sh_l", "sh_r"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return joined.select(
+        f"{id_col}_l",
+        f"{id_col}_r",
+        F.round(jac, 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= jaccard_threshold)
+
+
+# --------------------------------------------------------------- simhash
+def token_hashes(text: Column | str) -> Column:
+    """Portable 60-bit hashes of the distinct whitespace tokens."""
+    return F.transform(
+        F.array_distinct(tokens(text)), lambda t: md5_hash64(t)
+    )
+
+
+def simhash_from_hashes(hashed: Column, bits: int = 32) -> Column:
+    """SimHash from a materialized token-hash array column: per bit, sum
+    ±1 votes over tokens; positive bits pack into one integer. Feed a
+    column reference — the ``bits`` folds all read the same array, so
+    hashing must not be inlined here (it would run once per bit)."""
+
+    def bit_votes(mask: int):
+        # closure, not default arg: F.aggregate inspects lambda arity
+        return lambda a, h: a + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    acc = F.lit(0).cast("bigint")
+    for b in range(bits):
+        votes = F.aggregate(hashed, F.lit(0), bit_votes(1 << b))
+        acc = acc + F.when(votes > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
+    return acc
+
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """One-shot SimHash column (convenience; hot paths should use the
+    two-phase :func:`token_hashes` → :func:`simhash_from_hashes`)."""
+    return simhash_from_hashes(token_hashes(text), bits)
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """(id, simhash) with the two-phase projection: tokenize+hash once,
+    then the per-bit folds read the materialized array."""
+    return df.select(
+        F.col(id_col), token_hashes(text_col).alias("__h")
+    ).select(
+        F.col(id_col), simhash_from_hashes(F.col("__h"), bits).alias("simhash")
+    )
+
+
+def simhash_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Groups of documents sharing an identical simhash (hamming-0 match;
+    for hamming-k use banded simhash prefixes as LSH keys)."""
+    return (
+        simhash_table(df, text_col, id_col, bits)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------- n-gram jaccard (blocked)
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-shingle Jaccard over pairs blocked on ``block_cols``
+    (lang/source/length-bucket). Standalone small-block dedup; for
+    unblocked scale use MinHash LSH first."""
+    base = df.select(
+        F.col(id_col), *block_cols, shingles(text_col, shingle_k).alias("sh")
+    )
+    left = base.alias("l")
+    right = base.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for c in block_cols:
+        cond = (F.col(f"l.{c}") == F.col(f"r.{c}")) & cond
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        left.join(right, cond)
+        .select(
+            F.col(f"l.{id_col}").alias(f"{id_col}_l"),
+            F.col(f"r.{id_col}").alias(f"{id_col}_r"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------ embedding cosine
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_col: str | None = "label",
+    *,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, blocked by a
+    coarse bucket (cluster label / IVF cell) so the self-join is per-bucket
+    instead of n². Dot products run as codegen'd array folds in double."""
+    from auto_data_linkage_spark.operators.similarity import cosine_expr
+
+    cols = [F.col(id_col), F.col(vec_col)]
+    if bucket_col:
+        cols.append(F.col(bucket_col))
+    base = df.select(*cols)
+    left = base.alias("l")
+    right = base.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    if bucket_col:
+        cond = (F.col(f"l.{bucket_col}") == F.col(f"r.{bucket_col}")) & cond
+    cos = cosine_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+    return (
+        left.join(right, cond)
+        .select(
+            F.col(f"l.{id_col}").alias(f"{id_col}_l"),
+            F.col(f"r.{id_col}").alias(f"{id_col}_r"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

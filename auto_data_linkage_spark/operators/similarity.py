@@ -1,0 +1,239 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — the correctness baseline. Queries
+  broadcast against the corpus; the dot product is a codegen'd
+  ``aggregate(zip_with(...))`` fold in double precision (no UDF, no Python).
+  Cost O(|queries|·n·d) — fine for thousands of queries, and the plan
+  shape (broadcast join + window top-k) is exactly what a 1000-executor
+  run wants: corpus stays partitioned, queries ship to it.
+- **IVF (inverted-file) search** — the scale path. Build centroids per
+  coarse cell (here: provided ``label`` buckets, or k-means-lite
+  centroids from an aggregation), probe the closest ``nprobe`` cells, and
+  search only those cells' rows. Cuts the scan by ~#cells/nprobe at the
+  cost of approximate recall — the standard ANN trade.
+
+A vectorized pandas-UDF path (numpy matmul per Arrow batch) is provided
+for wide corpora where the per-element fold dominates; semantics are
+identical, so tests pin them to each other.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double precision as a codegen'd array fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: for every query vector, the k most similar
+    corpus vectors (excluding itself when ids collide).
+
+    Output: (query_id, neighbor_id, cosine, rank). Queries are broadcast —
+    the corpus never shuffles. Ties break by neighbor id (deterministic).
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("__qvec"), F.col("__cvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------------------------------------- IVF
+def build_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Per-cell mean vector via element-wise aggregation: explode the
+    vector with its position, average per (cell, pos), reassemble. One
+    shuffle keyed on (cell, pos) — scales to any corpus size."""
+    d = corpus.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    agg = d.groupBy("cell", "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    return (
+        agg.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: route each query to its ``nprobe`` closest
+    cells (by centroid cosine), then brute-force only within those cells.
+
+    The routing table is queries × #cells — tiny, broadcast. The main join
+    is equi on the cell id, so the corpus partition-prunes by cell instead
+    of scanning fully. Recall < 1 when a true neighbor lives outside the
+    probed cells — the standard IVF trade, tested explicitly.
+    """
+    cents = centroids if centroids is not None else build_centroids(
+        corpus, vec_col=vec_col, cell_col=cell_col
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    routed = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "__qvec",
+            F.col("cell"),
+            cosine_expr(F.col("__qvec"), F.col("centroid")).alias("cell_sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    probes = routed.withColumn("cr", F.row_number().over(wq)).where(
+        F.col("cr") <= nprobe
+    ).select("query_id", "__qvec", "cell")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("__qvec"), F.col("__cvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+# ------------------------------------------------- vectorized numpy path
+def topk_pandas(
+    corpus: DataFrame,
+    query_vectors: list[tuple[object, list[float]]],
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k with a numpy matmul per Arrow batch
+    (``mapInPandas``): the whole query matrix multiplies each corpus batch
+    at BLAS speed. Same semantics as :func:`brute_force_topk`; preferred
+    when d·|queries| is large enough that the per-element fold dominates.
+
+    ``query_vectors``: [(query_id, vector), ...] — driver-side list,
+    broadcast into the closure (small by construction).
+    """
+    qids = [q for q, _ in query_vectors]
+    qmat = np.asarray([v for _, v in query_vectors], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat @ qmat.T) / norms[:, None] / qnorm[None, :]
+            n = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(ids, len(qids)),
+                    "cosine": np.round(sims.T.ravel(), 6),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

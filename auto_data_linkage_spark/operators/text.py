@@ -1,0 +1,174 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are built-in column expressions (JVM-side, codegen'd) — no
+Python UDFs anywhere. Documents are rows in a ``documents(doc_id, text,
+lang, source, n_chars)`` table; every operator is a narrow projection or
+one aggregation, so they scale linearly with input and parallelize per
+partition with zero shuffles unless grouping is requested.
+
+Portability: hashes derive from md5 (identical in Spark and DuckDB), so
+every operator here is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols —
+# mirrors the common GPT-2-style pre-tokenizer split (public regex idea).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# small stopword inventories for the language-ID heuristic (public lists)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "zh": ("de", "shi", "le", "bu", "wo", "you", "zai", "ta", "men", "zhe"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (lowercased), empty strings removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token count via the pre-tokenizer regex (word pieces +
+    numbers + symbols), using ``regexp_count`` — no explode needed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(TOKEN_PATTERN))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature columns: length, token stats, punctuation /
+    digit / whitespace / stopword ratios, mean token length."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    n_punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
+    n_digit = F.regexp_count(c, F.lit(r"[0-9]"))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_chars_calc": n_chars,
+        "n_tokens": n_tok,
+        "punct_ratio": n_punct.cast("double") / safe_chars,
+        "digit_ratio": n_digit.cast("double") / safe_chars,
+        "stopword_ratio": n_stop.cast("double") / safe_tok,
+        "mean_token_len": (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast(
+                "double"
+            )
+            / safe_tok
+        ),
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality score: rewards stopword presence and sane
+    token lengths, penalizes punctuation/digit-heavy text. Heuristic in the
+    spirit of C4/Gopher quality filters (public recipes)."""
+    f = quality_features(text)
+    score = (
+        F.lit(0.25) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(f["punct_ratio"] * 5, F.lit(1.0)))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(f["digit_ratio"] * 5, F.lit(1.0)))
+        + F.lit(0.25)
+        * F.when(
+            (f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), 1.0
+        ).otherwise(0.0)
+    )
+    return score
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts (the n-gram/stopword heuristic)."""
+    toks = tokens(text)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax stopword hits, ``und`` when no evidence.
+    Ties break by language code order (deterministic)."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(lang).alias("lang"), s.alias("hits"))
+            for lang, s in sorted(scores.items())
+        ]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit("und").alias("lang"), F.lit(0).alias("hits")),
+        lambda acc, x: F.when(x["hits"] > acc["hits"], x).otherwise(acc),
+    )
+    return best["lang"]
+
+
+def doc_fingerprint(text: Column | str, *, normalize: bool = True) -> Column:
+    """Whole-document fingerprint: md5 of whitespace-normalized lowercase
+    text — the exact-dedup key. md5 is identical across engines."""
+    c = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        c = F.regexp_replace(F.lower(c), r"\s+", " ")
+        c = F.trim(c)
+    return F.md5(c)
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles (arrays of k consecutive tokens joined by a
+    space) — the unit set for MinHash / Jaccard document similarity."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+def md5_hash64(col: Column, seed: int = 0) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5(seed || value).
+    Identical in DuckDB via CAST(CONCAT('0x', SUBSTR(md5(...),1,15)) AS
+    BIGINT). Used where cross-engine hash equality matters; xxhash64 is
+    faster but Spark-only."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed) + "|"), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def rolling_fingerprints(text: Column | str, k: int = 3, keep: int = 4) -> Column:
+    """Winnowing-style document signature: the ``keep`` smallest shingle
+    hashes (a deterministic subset that near-identical docs share)."""
+    sh = shingles(text, k)
+    hashed = F.transform(sh, lambda s: md5_hash64(s))
+    return F.slice(F.array_sort(hashed), 1, keep)
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach all text-analysis columns to a documents table."""
+    feats = quality_features(text_col)
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+    )

@@ -751,10 +751,18 @@ def connected_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
+def _load_extensions() -> None:
+    """Import sibling catalogs so their @register side effects land in
+    REGISTRY (deferred to avoid a circular import at module load)."""
+    from auto_data_linkage_spark import queries_llm  # noqa: F401
+
+
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {
         name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None
     }

@@ -1,0 +1,513 @@
+"""LLM-data-pipeline query catalog: text analysis, dedup family,
+similarity search, and event-stream (batch-semantics) queries over the
+``documents`` / ``embeddings`` / ``events`` tables, each with a DuckDB
+oracle where expressible.
+
+Hash-heavy oracles (minhash / simhash) are generated programmatically from
+the same constants the Spark operators use, so both engines compute the
+exact same md5-derived integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators import dedup as D
+from auto_data_linkage_spark.operators import similarity as S
+from auto_data_linkage_spark.operators import text as X
+from auto_data_linkage_spark.queries import register, _t
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, handling TIMESTAMP(NANOS) parquet, which
+    Spark 4 rejects natively: read nanos as long and rebuild a
+    microsecond-truncated timestamp. Oracles apply the same µs truncation
+    via CAST(ts AS TIMESTAMP) (DuckDB TIMESTAMP_NS → TIMESTAMP)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        # integer div — float division loses sub-µs bits at ns magnitudes
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# DuckDB-side: events with µs-truncated timestamps (matches _events)
+_EV_CTE = (
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+    "event_type, value FROM events)"
+)
+
+# ---- shared SQL fragments (kept in lockstep with operators/text.py) ------
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower({c}), '\\s+'), t -> t <> '')"
+)
+
+
+def _sql_hash64(expr: str, seed: int = 0) -> str:
+    """DuckDB twin of text.md5_hash64."""
+    return (
+        f"CAST(CONCAT('0x', SUBSTR(md5(CONCAT('{seed}|', {expr})), 1, 15)) "
+        f"AS BIGINT)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Text features: token counts, ratios, fingerprint
+# --------------------------------------------------------------------------
+@register(
+    "text_features",
+    f"""
+    SELECT doc_id,
+           len({_SQL_TOKENS.format(c='text')})                          AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                                                                        AS n_bpe_tokens,
+           ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1), 6)                        AS punct_ratio,
+           ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1), 6)                        AS digit_ratio,
+           md5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))     AS fingerprint
+    FROM documents
+    """,
+    survey="LLM text analysis: token counting + fingerprint",
+)
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(c).alias("n_tokens"),
+        X.bpe_token_count(c).alias("n_bpe_tokens"),
+        F.round(
+            F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+            / F.greatest(F.length(c), F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            F.regexp_count(c, F.lit(r"[0-9]")).cast("double")
+            / F.greatest(F.length(c), F.lit(1)),
+            6,
+        ).alias("digit_ratio"),
+        X.doc_fingerprint(c).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID heuristic: stopword-hit argmax with deterministic tie-break
+# --------------------------------------------------------------------------
+def _lang_sql() -> str:
+    langs = sorted(X.LANG_STOPWORDS)
+    hit_cols = []
+    for lang in langs:
+        arr = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang])
+        hit_cols.append(
+            f"len(list_filter({_SQL_TOKENS.format(c='text')}, "
+            f"t -> list_contains([{arr}], t))) AS {lang}_hits"
+        )
+    mx = "GREATEST(" + ", ".join(f"{lang}_hits" for lang in langs) + ")"
+    case = "CASE WHEN " + mx + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN {lang}_hits = {mx} THEN '{lang}' "
+    case += "END"
+    return f"""
+    WITH hits AS (SELECT doc_id, lang, {', '.join(hit_cols)} FROM documents)
+    SELECT lang, {case} AS lang_pred, COUNT(*) AS n_docs
+    FROM hits GROUP BY lang, lang_pred
+    """
+
+
+@register(
+    "lang_id_dist",
+    _lang_sql(),
+    survey="LLM text analysis: language-ID heuristic",
+)
+def lang_id_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", X.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+def _quality_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    stop = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"])
+    return f"""
+    WITH f AS (
+        SELECT doc_id,
+               {toks} AS toks,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                   / GREATEST(LENGTH(text), 1) AS punct_ratio,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   / GREATEST(LENGTH(text), 1) AS digit_ratio
+        FROM documents
+    ), g AS (
+        SELECT doc_id, punct_ratio, digit_ratio,
+               CAST(len(list_filter(toks, t -> list_contains([{stop}], t))) AS DOUBLE)
+                   / GREATEST(len(toks), 1) AS stopword_ratio,
+               CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE)
+                   / GREATEST(len(toks), 1) AS mean_token_len
+        FROM f
+    )
+    SELECT doc_id,
+           ROUND(0.25 * LEAST(stopword_ratio * 4, 1.0)
+               + 0.25 * (1.0 - LEAST(punct_ratio * 5, 1.0))
+               + 0.25 * (1.0 - LEAST(digit_ratio * 5, 1.0))
+               + 0.25 * (CASE WHEN mean_token_len BETWEEN 3 AND 10
+                              THEN 1.0 ELSE 0.0 END), 6) AS quality
+    FROM g
+    """
+
+
+@register(
+    "quality_score",
+    _quality_sql(),
+    survey="LLM text analysis: quality scoring",
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(X.quality_score("text"), 6).alias("quality")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup over a table WITH planted duplicates (documents has none, so
+# both sides re-add every 10th doc under a shifted id — deterministic)
+# --------------------------------------------------------------------------
+@register(
+    "exact_dedup",
+    """
+    WITH dirty AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    keep AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id,
+                     md5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+              FROM dirty)
+        GROUP BY fp
+    )
+    SELECT d.doc_id FROM dirty d JOIN keep k ON d.doc_id = k.doc_id
+    """,
+    survey="LLM dedup: exact (hash-groupBy)",
+)
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    dirty = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return D.exact_dedup(dirty).select("doc_id")
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs (portable md5-derived hashes)
+# --------------------------------------------------------------------------
+_MH_HASHES = 4
+_SHINGLE_K = 3
+
+
+def _sql_shingle_cte() -> str:
+    """CTE producing (doc_id, sh) with sh = distinct word-3-shingle list —
+    DuckDB twin of text.shingles (slice semantics included)."""
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+    shingled AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   generate_series(1, GREATEST(len(toks) - {_SHINGLE_K - 1}, 1)),
+                   i -> array_to_string(toks[i : i + {_SHINGLE_K} - 1], ' ')
+                 )
+               ) AS sh
+        FROM (SELECT doc_id, {toks} AS toks FROM documents)
+    )
+    """
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> {_sql_hash64('s', seed=i)})) AS h{i}"
+        for i in range(_MH_HASHES)
+    )
+    return f"""
+    WITH {_sql_shingle_cte()}
+    SELECT doc_id, {mins} FROM shingled
+    """
+
+
+@register(
+    "minhash_signature",
+    _minhash_sql(),
+    survey="LLM dedup: MinHash signature (shingle→minhash)",
+)
+def minhash_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    sig = D.minhash_from_shingles(F.col("__sh"), _MH_HASHES)
+    return docs.select(
+        "doc_id", X.shingles("text", _SHINGLE_K).alias("__sh")
+    ).select(
+        "doc_id", *[sig.getItem(i).alias(f"h{i}") for i in range(_MH_HASHES)]
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    band_eq = " OR ".join(f"l.h{i} = r.h{i}" for i in range(_MH_HASHES))
+    sig = _minhash_sql().strip()
+    return f"""
+    WITH sig AS ({sig})
+    SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r
+    FROM sig l JOIN sig r ON l.doc_id < r.doc_id AND ({band_eq})
+    """
+
+
+@register(
+    "minhash_lsh_pairs",
+    _minhash_pairs_sql(),
+    survey="LLM dedup: MinHash LSH banding (band→bucket-join)",
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    # bands of 1 row each => collide when ANY single minhash matches
+    return D.minhash_lsh_candidates(
+        docs,
+        num_hashes=_MH_HASHES,
+        num_bands=_MH_HASHES,
+        shingle_k=_SHINGLE_K,
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (32-bit, portable) — value per document
+# --------------------------------------------------------------------------
+_SIMHASH_BITS = 32
+
+
+def _simhash_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    h = _sql_hash64("t")
+    bit_terms = []
+    for b in range(_SIMHASH_BITS):
+        mask = 1 << b
+        votes = (
+            f"(2 * len(list_filter(hs, h -> (h & {mask}) <> 0)) - len(hs))"
+        )
+        bit_terms.append(f"(CASE WHEN {votes} > 0 THEN CAST({mask} AS BIGINT) ELSE 0 END)")
+    total = " + ".join(bit_terms)
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               list_transform(list_distinct({toks}), t -> {h}) AS hs
+        FROM documents
+    )
+    SELECT doc_id, {total} AS simhash FROM hashed
+    """
+
+
+@register(
+    "simhash",
+    _simhash_sql(),
+    survey="LLM dedup: SimHash",
+)
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return D.simhash_table(docs, bits=_SIMHASH_BITS)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs, blocked by (lang, source)
+# --------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_sql_shingle_cte()},
+    base AS (
+        SELECT s.doc_id, d.lang, d.source, s.sh
+        FROM shingled s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+           ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jaccard
+    FROM base l JOIN base r
+      ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+    WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.05
+    """,
+    survey="LLM dedup: n-gram Jaccard (blocked)",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, block_cols=("lang", "source"), shingle_k=_SHINGLE_K, threshold=0.05
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine top-k (brute force) and IVF variant
+# --------------------------------------------------------------------------
+_COS_SQL = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(
+                 list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))),
+                 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register(
+    "cosine_topk",
+    _COS_SQL,
+    survey="LLM similarity: brute-force cosine top-k",
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "ivf_topk",
+    None,  # approximate + iterative routing; driver records rows-only
+    survey="LLM similarity: IVF-bucketed ANN (scale path)",
+)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.ivf_topk(emb, queries, k=5, nprobe=3)
+
+
+# --------------------------------------------------------------------------
+# Events: tumbling-window aggregation (batch semantics of the streaming op)
+# --------------------------------------------------------------------------
+@register(
+    "tumbling_window_agg",
+    f"""
+    WITH {_EV_CTE}
+    SELECT CAST(date_trunc('minute', ts) AS VARCHAR) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM ev
+    GROUP BY 1, 2
+    """,
+    survey="Streaming (batch twin): tumbling window agg",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.date_trunc("minute", "ts").cast("string").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Events: sessionization (gap > 30 min starts a new session)
+# --------------------------------------------------------------------------
+@register(
+    "sessionize",
+    f"""
+    WITH {_EV_CTE},
+    lagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS new_session,
+               event_id
+        FROM ev
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM lagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(MIN(ts) AS VARCHAR) AS session_start
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    survey="Streaming (batch twin): sessionization",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # double-cast keeps sub-second precision so the strict > matches the
+    # oracle's INTERVAL comparison exactly
+    ts_s = F.col("ts").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60.0), 1).otherwise(0)
+    sessions = events.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").cast("string").alias("session_start"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Events: first-event-per-key dedup (batch twin of dropDuplicates state)
+# --------------------------------------------------------------------------
+@register(
+    "events_dedup_first",
+    f"""
+    WITH {_EV_CTE}
+    SELECT user_id, event_type, event_id, CAST(ts AS VARCHAR) AS ts
+    FROM (
+        SELECT user_id, event_type, event_id, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS rn
+        FROM ev
+    ) WHERE rn = 1
+    """,
+    survey="Streaming (batch twin): stream dedup / first per key",
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.col("ts").cast("string").alias("ts"),
+        )
+    )

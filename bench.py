@@ -35,6 +35,17 @@ BENCH_QUERIES = [
     "union_distinct",
     "fs_score_fixed",
     "connected_components",
+    # LLM-pipeline operators
+    "text_features",
+    "quality_score",
+    "lang_id_dist",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash",
+    "cosine_topk",
+    "ivf_topk",
+    "tumbling_window_agg",
+    "sessionize",
 ]
 
 

@@ -1,0 +1,108 @@
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    exact_duplicates,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "The quick  brown fox jumps over the lazy dog", "en"),   # exact after norm
+        (3, "the quick brown fox jumps over the lazy cat", "en"),    # near-dup
+        (4, "pack my box with five dozen liquor jugs", "en"),
+        (5, "sphinx of black quartz judge my vow", "en"),
+        (6, "el veloz zorro marron salta sobre el perro", "es"),
+        (7, "el veloz zorro marron salta sobre el gato", "es"),      # near-dup of 6
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates_and_dedup(spark, docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_copies"] == 2 and groups[0]["keep_id"] == 1
+    kept = exact_dedup(docs)
+    assert kept.count() == 6
+    assert kept.where(F.col("doc_id") == 2).count() == 0
+
+
+def test_minhash_signature_properties(spark, docs):
+    sig = docs.select("doc_id", minhash_signature("text", 16).alias("s"))
+    rows = {r["doc_id"]: r["s"] for r in sig.collect()}
+    assert all(len(s) == 16 for s in rows.values())
+    # near-identical docs share most minhashes; unrelated docs share few
+    same = sum(a == b for a, b in zip(rows[1], rows[3]))
+    diff = sum(a == b for a, b in zip(rows[1], rows[5]))
+    assert same > diff
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["doc_id_l"], r["doc_id_r"])
+        for r in minhash_lsh_candidates(docs, num_hashes=16, num_bands=8).collect()
+    }
+    assert (1, 2) in pairs  # exact dup must collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup should collide
+    assert (4, 5) not in pairs  # unrelated must not
+
+
+def test_minhash_verified_pairs(spark, docs):
+    verified = minhash_dedup_pairs(
+        docs, jaccard_threshold=0.5, num_hashes=16, num_bands=8
+    ).collect()
+    got = {(r["doc_id_l"], r["doc_id_r"]): r["jaccard"] for r in verified}
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert all(j >= 0.5 for j in got.values())
+
+
+def test_simhash_identical_for_same_token_set(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["h"] for r in df.select("doc_id", simhash("text").alias("h")).collect()}
+    assert rows[1] == rows[2]  # order-insensitive token set
+    assert rows[1] != rows[3]
+    dups = simhash_duplicates(df).collect()
+    assert len(dups) == 1 and dups[0]["n_docs"] == 2
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, block_cols=("lang",), threshold=0.3)
+    got = {(r["doc_id_l"], r["doc_id_r"]): r["jaccard"] for r in pairs.collect()}
+    assert (6, 7) in got          # es near-dups found within their block
+    assert (1, 6) not in got      # cross-lang pair never compared
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0], 1),      # same vector, different bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        (r["vec_id_l"], r["vec_id_r"]): r["cosine"]
+        for r in embedding_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 3) not in got
+    assert (1, 4) not in got  # bucket blocking respected
+
+
+def test_exact_dedup_on_documents_table(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # testdata has no exact dups; dedup must be a no-op
+    assert exact_dedup(docs).count() == docs.count()

@@ -1,0 +1,109 @@
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators.similarity import (
+    brute_force_topk,
+    build_centroids,
+    cosine_expr,
+    dot_expr,
+    ivf_topk,
+    topk_pandas,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_dot_and_cosine_exprs(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<float>, b array<float>"
+    )
+    row = df.select(
+        dot_expr(F.col("a"), F.col("b")).alias("dot"),
+        cosine_expr(F.col("a"), F.col("b")).alias("cos"),
+    ).collect()[0]
+    assert row["dot"] == pytest.approx(32.0)
+    assert row["cos"] == pytest.approx(32.0 / (math.sqrt(14) * math.sqrt(77)))
+
+
+def test_cosine_zero_norm_safe(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 1.0])], "a array<float>, b array<float>"
+    )
+    assert df.select(cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"] == 0.0
+
+
+def test_brute_force_topk(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, queries, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, nbrs in by_q.items():
+        assert len(nbrs) == 5
+        ranks = [n["rank"] for n in sorted(nbrs, key=lambda n: n["rank"])]
+        assert ranks == [1, 2, 3, 4, 5]
+        sims = [n["cosine"] for n in sorted(nbrs, key=lambda n: n["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(n["neighbor_id"] != q for n in nbrs)
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """On data whose cells reflect geometry (tight clusters), IVF with
+    nprobe=1 must match brute force exactly. (The driver's synthetic
+    embeddings table has labels UNcorrelated with geometry — only ~4% of
+    true neighbors share the query's label — so recall there is
+    structurally nprobe/ncells; the plumbing test below covers it.)"""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    vid = 0
+    for cluster in range(5):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for _ in range(20):
+            vec = [c + rng.gauss(0, 0.01) for c in center]
+            rows.append((vid, vec, cluster))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = df.where(F.col("vec_id") % 20 == 0)
+    exact = brute_force_topk(df, queries, k=5)
+    approx = ivf_topk(df, queries, k=5, nprobe=1)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) == 1.0
+
+
+def test_ivf_probes_fewer_rows(spark, emb):
+    queries = emb.where(F.col("vec_id") < 2)
+    approx = ivf_topk(emb, queries, k=3, nprobe=1)
+    # every neighbor must come from ONE cell per query (the probed one)
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    out = approx.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    per_q = out.groupBy("query_id").agg(F.countDistinct("label").alias("cells")).collect()
+    assert all(r["cells"] == 1 for r in per_q)
+    assert len(labels) > 1
+
+
+def test_build_centroids_shape(spark, emb):
+    cents = build_centroids(emb).collect()
+    assert len(cents) == 10
+    assert all(len(r["centroid"]) == 64 for r in cents)
+
+
+def test_pandas_topk_matches_fold_path(spark, emb):
+    qrows = emb.where(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    qvecs = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    a = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=4)
+    b = topk_pandas(emb, qvecs, k=4)
+    sa = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in a.collect())
+    sb = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in b.collect())
+    assert sa == sb

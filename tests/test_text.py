@@ -1,0 +1,112 @@
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators.text import (
+    add_text_features,
+    bpe_token_count,
+    doc_fingerprint,
+    lang_id,
+    md5_hash64,
+    quality_score,
+    rolling_fingerprints,
+    shingles,
+    token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("the cat sat",), ("one-two  three!",), ("",)], "text string"
+    )
+    rows = df.select(
+        token_count("text").alias("ws"), bpe_token_count("text").alias("bpe")
+    ).collect()
+    assert rows[0]["ws"] == 3 and rows[0]["bpe"] == 3
+    assert rows[1]["ws"] == 2  # whitespace split
+    assert rows[1]["bpe"] == 5  # one, -, two, three, !
+    assert rows[2]["ws"] == 0
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            ("good", "the cat sat on the mat and it is happy there today",),
+            ("junk", "@@@ ### $$$ %%% 111 222 333 !!!",),
+        ],
+        "kind string, text string",
+    )
+    got = {r["kind"]: r["q"] for r in df.select("kind", quality_score("text").alias("q")).collect()}
+    assert got["good"] > got["junk"]
+    assert 0.0 <= got["junk"] <= got["good"] <= 1.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat and the dog is in a house"),
+            ("es", "el perro y la casa es un lugar que no se ve"),
+            ("de", "der hund und die katze ist ein tier zu hause"),
+            ("und", "zzz qqq xxx"),
+        ],
+        "expected string, text string",
+    )
+    rows = df.select("expected", lang_id("text").alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["expected"], r
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("A  cat\tsat",), ("a cat sat",), ("a cat stood",)], "text string"
+    )
+    fps = [r["fp"] for r in df.select(doc_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert sorted(got) == ["a b c", "b c d"]
+    # shorter than k -> single shingle of the whole text
+    short = spark.createDataFrame([("a b",)], "text string")
+    got2 = short.select(shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert got2 == ["a b"]
+
+
+def test_md5_hash64_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.createDataFrame([("hello",), ("world",)], "v string")
+    got = {r["v"]: r["h"] for r in df.select("v", md5_hash64(F.col("v"), seed=7).alias("h")).collect()}
+    con = duckdb.connect()
+    for v, h in got.items():
+        expected = con.execute(
+            "select cast(concat('0x', substr(md5(concat('7|', ?)),1,15)) as bigint)",
+            [v],
+        ).fetchone()[0]
+        assert h == expected, v
+
+
+def test_rolling_fingerprints_shared_prefix(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup
+            (3, "completely different words entirely here now"),
+        ],
+        "id int, text string",
+    )
+    rows = {r["id"]: r["fp"] for r in df.select("id", rolling_fingerprints("text").alias("fp")).collect()}
+    shared_12 = len(set(rows[1]) & set(rows[2]))
+    shared_13 = len(set(rows[1]) & set(rows[3]))
+    assert shared_12 > shared_13
+
+
+def test_add_text_features_on_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = add_text_features(docs)
+    row = out.limit(1).collect()[0]
+    assert row["n_tokens"] > 0
+    assert 0.0 <= row["quality"] <= 1.0
+    assert len(row["fingerprint"]) == 32
