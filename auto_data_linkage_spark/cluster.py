@@ -49,20 +49,64 @@ def _star_round(nbrs: DataFrame, large: bool) -> DataFrame:
     return out.where(F.col("src") != F.col("dst")).distinct()
 
 
+def _union_find_components(edge_rows, spark) -> DataFrame:
+    """Driver-side union-find with min-id representatives — exact same
+    contract as the distributed path, for edge sets small enough to
+    collect. O(E α(E)) and no per-iteration job overhead."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in edge_rows:
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            # union by MIN id so the representative is the component min
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, ["node", "component"])
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     *,
     max_iterations: int = 30,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of an undirected edge list.
 
     Returns ``(node, component)`` covering every node that appears in
     ``edges``; ``component`` is the minimum node id of the component.
+
+    Adaptive execution: edge sets under ``driver_threshold`` collect to a
+    driver union-find (iterative Spark jobs cost ~0.5 s each in fixed
+    overhead — a 10^5-edge graph finishes in milliseconds on the driver).
+    Larger graphs run the O(log n)-round distributed star algorithm. Both
+    paths produce identical output.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = _symmetrize(e).localCheckpoint(eager=True)
+
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        rows = [(r["src"], r["dst"]) for r in e.collect()]
+        if not rows:
+            return e.select(
+                F.col("src").alias("node"), F.col("dst").alias("component")
+            )
+        return _union_find_components(rows, edges.sparkSession)
 
     prev_sig = None
     for _ in range(max_iterations):

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from auto_data_linkage_spark.operators.text import (
     doc_fingerprint,
+    ensure_parallelism,
     md5_hash64,
     shingles,
     tokens,
@@ -130,6 +131,7 @@ def minhash_lsh_candidates(
     pair count is Σ bucket-size² over genuinely-similar buckets.
     """
     rows_per_band = num_hashes // num_bands
+    df = ensure_parallelism(df)
     # three-phase projection: shingles → signature → bands, each referencing
     # the previous phase's column once (the md5 work runs exactly once per
     # doc, not once per seed)
@@ -175,7 +177,7 @@ def minhash_dedup_pairs(
         df, text_col, id_col,
         num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
     )
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col), shingles(text_col, shingle_k).alias("sh")
     )
     joined = (
@@ -236,6 +238,7 @@ def simhash_table(
 ) -> DataFrame:
     """(id, simhash) with the two-phase projection: tokenize+hash once,
     then the per-bit folds read the materialized array."""
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col), token_hashes(text_col).alias("__h")
     ).select(
@@ -269,7 +272,7 @@ def ngram_jaccard_pairs(
     """Exact word-shingle Jaccard over pairs blocked on ``block_cols``
     (lang/source/length-bucket). Standalone small-block dedup; for
     unblocked scale use MinHash LSH first."""
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col), *block_cols, shingles(text_col, shingle_k).alias("sh")
     )
     left = base.alias("l")

@@ -68,11 +68,13 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cosine, rank). Queries are broadcast —
     the corpus never shuffles. Ties break by neighbor id (deterministic).
     """
+    from auto_data_linkage_spark.operators.text import ensure_parallelism
+
     qid = query_id_col or id_col
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     scored = (
@@ -141,6 +143,9 @@ def ivf_topk(
     of scanning fully. Recall < 1 when a true neighbor lives outside the
     probed cells — the standard IVF trade, tested explicitly.
     """
+    from auto_data_linkage_spark.operators.text import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
     cents = centroids if centroids is not None else build_centroids(
         corpus, vec_col=vec_col, cell_col=cell_col
     )

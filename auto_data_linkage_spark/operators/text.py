@@ -15,6 +15,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition when the input has fewer partitions than cores.
+
+    Small single-row-group parquet files scan as ONE partition, which
+    serializes CPU-bound per-row work (shingling, hashing) no matter how
+    many executors exist — the scan cannot split below a row group. The
+    one-off shuffle here is tiny compared to serialized compute. At real
+    scale inputs arrive in many files and this is a no-op."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # BPE-ish token pattern: word pieces, numbers, or single non-space symbols —
 # mirrors the common GPT-2-style pre-tokenizer split (public regex idea).
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

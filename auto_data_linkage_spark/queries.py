@@ -131,7 +131,10 @@ def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="P1 P2 P3 P5",
 )
 def clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.text import ensure_parallelism
+
     (part,) = _t(spark, sf_dir, "part")
+    part = ensure_parallelism(part)
     return part.where(F.col("p_size") > 20).select(
         "p_partkey",
         F.lower(F.regexp_replace("p_name", r"[^A-Za-z0-9 ]+", "")).alias(
@@ -286,8 +289,13 @@ def join_inner_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="J5 §2.9 (blocking + comparison vector)",
 )
 def blocking_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.text import ensure_parallelism
+
     (cust,) = _t(spark, sf_dir, "customer")
-    left = cust.alias("l")
+    # probe side repartitioned: the small file scans as one partition, and
+    # the per-pair levenshtein work would otherwise run on a single task;
+    # the build side broadcasts either way
+    left = ensure_parallelism(cust).alias("l")
     right = cust.alias("r")
     cond = (
         (F.col("l.c_nationkey") == F.col("r.c_nationkey"))

@@ -19,6 +19,13 @@ from auto_data_linkage_spark.operators import text as X
 from auto_data_linkage_spark.queries import register, _t
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table with scan parallelism fixed up (single-row-group
+    files scan as one partition, serializing regex/hash-heavy work)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return X.ensure_parallelism(docs)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events table, handling TIMESTAMP(NANOS) parquet, which
     Spark 4 rejects natively: read nanos as long and rebuild a
@@ -73,7 +80,7 @@ def _sql_hash64(expr: str, seed: int = 0) -> str:
     survey="LLM text analysis: token counting + fingerprint",
 )
 def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (docs,) = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -123,7 +130,7 @@ def _lang_sql() -> str:
     survey="LLM text analysis: language-ID heuristic",
 )
 def lang_id_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (docs,) = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select("lang", X.lang_id("text").alias("lang_pred"))
         .groupBy("lang", "lang_pred")
@@ -170,7 +177,7 @@ def _quality_sql() -> str:
     survey="LLM text analysis: quality scoring",
 )
 def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (docs,) = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", F.round(X.quality_score("text"), 6).alias("quality")
     )
@@ -200,7 +207,7 @@ def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="LLM dedup: exact (hash-groupBy)",
 )
 def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (docs,) = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     dirty = docs.select("doc_id", "text").unionByName(
         docs.where(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
@@ -251,7 +258,7 @@ def _minhash_sql() -> str:
     survey="LLM dedup: MinHash signature (shingle→minhash)",
 )
 def minhash_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (docs,) = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sig = D.minhash_from_shingles(F.col("__sh"), _MH_HASHES)
     return docs.select(
         "doc_id", X.shingles("text", _SHINGLE_K).alias("__sh")
@@ -276,7 +283,7 @@ def _minhash_pairs_sql() -> str:
     survey="LLM dedup: MinHash LSH banding (band→bucket-join)",
 )
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (docs,) = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     # bands of 1 row each => collide when ANY single minhash matches
     return D.minhash_lsh_candidates(
         docs,
@@ -319,7 +326,7 @@ def _simhash_sql() -> str:
     survey="LLM dedup: SimHash",
 )
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (docs,) = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return D.simhash_table(docs, bits=_SIMHASH_BITS)
 
 
@@ -345,7 +352,7 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="LLM dedup: n-gram Jaccard (blocked)",
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (docs,) = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return D.ngram_jaccard_pairs(
         docs, block_cols=("lang", "source"), shingle_k=_SHINGLE_K, threshold=0.05
     )
