@@ -83,6 +83,7 @@ class AutoLinker:
         self.random_seed = random_seed
         self.attribute_columns = attribute_columns
         self.trials: list[Trial] = []
+        self._link_frames: tuple[DataFrame, DataFrame] | None = None
         self.best_trial: Trial | None = None
         self.best_predictions: DataFrame | None = None
         self.clean_data: DataFrame | None = None
@@ -91,7 +92,7 @@ class AutoLinker:
     # ------------------------------------------------------------ helpers
     def _infer_attributes(self, df: DataFrame) -> list[str]:
         """All string columns minus id/label (reference autolinker.py:1022-1040)."""
-        skip = {self.unique_id, self.true_label}
+        skip = {self.unique_id, self.true_label, "__src"}
         cols = [c for c in string_columns(df) if c not in skip]
         if not cols:
             raise ValueError("no string attribute columns to link on")
@@ -111,24 +112,55 @@ class AutoLinker:
 
     # --------------------------------------------------------------- run
     def auto_link(self, data: DataFrame | list[DataFrame]) -> Trial:
+        """Dedup mode (one DataFrame) or link mode (two DataFrames;
+        reference autolinker.py:688-730). Link mode with mismatched
+        schemas infers the column correspondence first (J2,
+        autolinker.py:961-1020) and only generates cross-table pairs
+        (link_only semantics)."""
+        from auto_data_linkage_spark.cleaning import string_columns as _sc
+        from auto_data_linkage_spark.linking import align_for_linking
+
         link_mode = isinstance(data, (list, tuple))
+        self._link_frames: tuple[DataFrame, DataFrame] | None = None
         if link_mode:
             if len(data) != 2:
                 raise ValueError("link mode takes exactly two DataFrames")
             left, right = data
+            exclude = tuple(
+                c for c in (self.unique_id, self.true_label) if c
+            )
+            if set(_sc(left)) - set(exclude) != set(_sc(right)) - set(exclude):
+                left, right, _ = align_for_linking(
+                    left, right, exclude=exclude
+                )
             common = [c for c in left.columns if c in set(right.columns)]
-            df = left.select(*common).unionByName(right.select(*common))
+            # source-tagged ids so the two tables' rows can't collide
+            left = left.select(*common).withColumn(
+                "__src", F.lit("l")
+            )
+            right = right.select(*common).withColumn("__src", F.lit("r"))
+            df = left.unionByName(right)
         else:
             df = data
 
         attrs = self.attribute_columns or self._infer_attributes(df)
         keep = attrs + ([self.true_label] if self.true_label else [])
+        keep += ["__src"] if link_mode else []
         df = ensure_unique_id(df.select(*keep, *(
             [self.unique_id] if self.unique_id in df.columns else []
         )), self.unique_id)
+        if link_mode:
+            df = df.withColumn(
+                self.unique_id, F.concat("__src", F.lit("-"), self.unique_id)
+            )
         df = null_sentinel(clean_columns(df, attrs), attrs)
         df = df.cache()
         self.clean_data = df
+        if link_mode:
+            self._link_frames = (
+                df.where(F.col("__src") == "l"),
+                df.where(F.col("__src") == "r"),
+            )
 
         rules = blocking_mod.generate_blocking_rules(
             df,
@@ -153,9 +185,16 @@ class AutoLinker:
                 best_score = trial.score
                 self.best_trial = trial
         assert self.best_trial is not None
-        self.best_predictions = self.best_trial.model.predict(df).cache()
+        self.best_predictions = self._predict(self.best_trial.model).cache()
         self._cluster_cache.clear()
         return self.best_trial
+
+    def _predict(self, model: FellegiSunterModel, threshold: float = 0.0) -> DataFrame:
+        """Cross-table pairs in link mode, within-table otherwise."""
+        if self._link_frames is not None:
+            left, right = self._link_frames
+            return model.predict(left, right_df=right, threshold=threshold)
+        return model.predict(self.clean_data, threshold=threshold)
 
     def _run_trial(
         self,
@@ -174,7 +213,7 @@ class AutoLinker:
         if training_rule is not None:
             for arm in training_rule.arms:
                 model.estimate_m_em(df, arm)
-        predictions = model.predict(df, threshold=0.01)
+        predictions = self._predict(model, threshold=0.01)
         clusters = cluster_at_threshold(
             df, predictions, self.cluster_threshold, self.unique_id
         )
@@ -206,8 +245,24 @@ class AutoLinker:
         return self._cluster_cache[threshold]
 
     def get_scores_df(self) -> DataFrame:
-        """Pairwise predictions of the best model (reference
-        ``get_scores_df``, autolinker.py:1155-1162)."""
-        if self.best_predictions is None:
+        """Pairwise predictions of the best model. When a ``true_label``
+        was configured, both sides' labels are joined on as
+        ``{label}_l`` / ``{label}_r`` (reference ``get_scores_df``,
+        autolinker.py:1155-1162)."""
+        if self.best_predictions is None or self.clean_data is None:
             raise RuntimeError("call auto_link first")
-        return self.best_predictions
+        scores = self.best_predictions
+        if self.true_label and self.true_label in self.clean_data.columns:
+            labels = self.clean_data.select(self.unique_id, self.true_label)
+            for side in ("l", "r"):
+                scores = scores.join(
+                    F.broadcast(
+                        labels.select(
+                            F.col(self.unique_id).alias(f"{self.unique_id}_{side}"),
+                            F.col(self.true_label).alias(f"{self.true_label}_{side}"),
+                        )
+                    ),
+                    f"{self.unique_id}_{side}",
+                    "left",
+                )
+        return scores

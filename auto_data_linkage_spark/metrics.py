@@ -104,6 +104,92 @@ def information_gain_power_ratio(
     )
 
 
+def clustering_scores(
+    clusters: DataFrame,
+    true_label: str,
+    cluster_col: str = "cluster_id",
+) -> dict[str, float]:
+    """Supervised clustering scores computed IN SPARK from the
+    (cluster, label) contingency counts — replaces the reference's
+    ``toPandas`` + sklearn path (autolinker.py:1234-1257) with three
+    aggregations; no driver-side row data.
+
+    Returns homogeneity, completeness, V-measure (entropy-based; public
+    formulas) and adjusted Rand index (pair-count formula).
+    """
+    cont = (
+        clusters.groupBy(cluster_col, true_label)
+        .count()
+        .select(
+            F.col(cluster_col).alias("k"),
+            F.col(true_label).alias("c"),
+            F.col("count").cast("double").alias("n"),
+        )
+    ).cache()
+    n_total = cont.agg(F.sum("n")).collect()[0][0]
+    if not n_total:
+        return {k: 0.0 for k in (
+            "homogeneity", "completeness", "v_measure", "adjusted_rand"
+        )}
+
+    def entropy_of(keys: list[str]) -> float:
+        sizes = cont.groupBy(*keys).agg(F.sum("n").alias("m"))
+        row = sizes.agg(
+            F.sum(-(F.col("m") / n_total) * F.log(F.col("m") / n_total))
+        ).collect()[0]
+        return float(row[0] or 0.0)
+
+    h_c = entropy_of(["c"])
+    h_k = entropy_of(["k"])
+    # H(C|K) = -Σ_{k,c} (n/N) ln(n / n_k)
+    nk = cont.groupBy("k").agg(F.sum("n").alias("nk"))
+    joint = cont.join(nk, "k")
+    h_c_given_k = float(
+        joint.agg(
+            F.sum(-(F.col("n") / n_total) * F.log(F.col("n") / F.col("nk")))
+        ).collect()[0][0]
+        or 0.0
+    )
+    nc = cont.groupBy("c").agg(F.sum("n").alias("nc"))
+    joint_c = cont.join(nc, "c")
+    h_k_given_c = float(
+        joint_c.agg(
+            F.sum(-(F.col("n") / n_total) * F.log(F.col("n") / F.col("nc")))
+        ).collect()[0][0]
+        or 0.0
+    )
+    homogeneity = 1.0 if h_c == 0 else 1.0 - h_c_given_k / h_c
+    completeness = 1.0 if h_k == 0 else 1.0 - h_k_given_c / h_k
+    v = (
+        0.0
+        if homogeneity + completeness == 0
+        else 2 * homogeneity * completeness / (homogeneity + completeness)
+    )
+
+    # adjusted Rand from pair counts
+    def comb2(col):
+        return col * (col - 1) / 2
+
+    sum_ij = cont.agg(F.sum(comb2(F.col("n")))).collect()[0][0] or 0.0
+    sum_k = nk.agg(F.sum(comb2(F.col("nk")))).collect()[0][0] or 0.0
+    sum_c = nc.agg(F.sum(comb2(F.col("nc")))).collect()[0][0] or 0.0
+    total_pairs = n_total * (n_total - 1) / 2
+    expected = sum_k * sum_c / total_pairs if total_pairs else 0.0
+    max_index = (sum_k + sum_c) / 2
+    ari = (
+        0.0
+        if max_index == expected
+        else (sum_ij - expected) / (max_index - expected)
+    )
+    cont.unpersist()
+    return {
+        "homogeneity": homogeneity,
+        "completeness": completeness,
+        "v_measure": v,
+        "adjusted_rand": float(ari),
+    }
+
+
 def pairwise_prf(
     clusters: DataFrame,
     true_label: str,

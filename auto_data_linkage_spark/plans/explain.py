@@ -1,0 +1,90 @@
+"""Physical-plan inspection helpers.
+
+The scale contract of every operator in this engine is a *plan shape*,
+not just a result: filters pushed to the parquet scan, small sides
+broadcast, projections inside whole-stage codegen, no gratuitous
+exchanges. These helpers turn those claims into assertions so tests (and
+the perf pass) can pin them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The formatted physical plan as a string (post-AQE initial plan)."""
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().simpleString()
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan — the scale-cost headline.
+    Broadcast exchanges are excluded (they ship a small side, not the
+    data)."""
+    plan = physical_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+        and line.strip().startswith("(")
+    )
+
+
+def has_pushed_filter(df: DataFrame, column: str) -> bool:
+    """True when the parquet scan carries a pushed filter on ``column``."""
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line and column in line and "[]" not in line:
+            return True
+    return False
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df) or (
+        "BroadcastNestedLoopJoin" in physical_plan(df)
+    )
+
+
+def scan_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from the (first) parquet scan — column
+    pruning check: a 2-column projection must not scan 16 columns."""
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            schema = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            return [
+                f.split(":")[0].strip() for f in schema.split(",") if ":" in f
+            ]
+    return []
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final (post-AQE) physical plan — EXECUTES the query (collect) so
+    adaptive planning finalizes on the df's own query execution. A write
+    would not do: it plans a separate execution, leaving this one
+    unfinalized. Use for codegen/strategy assertions only in tests."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of whole-stage-codegen spans in the EXECUTED plan (runs the
+    query). Fewer, wider spans = more of the query runs as fused JVM
+    loops."""
+    plan = executed_plan(df)
+    ids = set()
+    for line in plan.splitlines():
+        if "WholeStageCodegen" in line:
+            ids.add(line.split("(")[-1].split(")")[0])
+        stripped = line.strip().lstrip("+-: ").strip()
+        if stripped.startswith("*("):
+            ids.add(stripped[2:].split(")", 1)[0])
+    return len(ids)
