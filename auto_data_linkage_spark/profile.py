@@ -160,6 +160,7 @@ def rule_block_stats(
     combo_counts: DataFrame,
     *,
     trim: bool = True,
+    exact_percentiles: bool = False,
 ) -> DataFrame:
     """Per-rule block statistics from combo value counts (reference A6+W2,
     ARC.scala:31-44): squared block size k = cnt², trimmed to [p10, p90]
@@ -172,9 +173,14 @@ def rule_block_stats(
     )
     if trim:
         # reference keeps k strictly inside (p10, p90); anything at or
-        # outside the bounds is replaced by the median (ARC.scala:36-40)
+        # outside the bounds is replaced by the median (ARC.scala:36-40).
+        # percentile_approx matches the reference; exact percentiles are
+        # cross-engine reproducible (oracle checks) at higher memory cost.
         w = Window.partitionBy("rule")
-        pct = F.percentile_approx("k", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)), 1000)
+        if exact_percentiles:
+            pct = F.expr("percentile(k, array(0.1D, 0.5D, 0.9D))")
+        else:
+            pct = F.percentile_approx("k", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)), 1000)
         k = k.withColumn("p", pct.over(w)).select(
             "rule",
             F.when(

@@ -409,6 +409,123 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# W2 + A6 — trimmed-mean squared block sizes per blocking rule, using a
+# windowed EXACT percentile (cross-engine reproducible)
+# --------------------------------------------------------------------------
+@register(
+    "trimmed_block_stats",
+    """
+    WITH counts AS (
+        SELECT 'o_orderpriority' AS rule, o_orderpriority AS vals, COUNT(*) AS cnt
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'o_orderstatus' AS rule, o_orderstatus AS vals, COUNT(*) AS cnt
+        FROM orders GROUP BY 2
+    ),
+    k AS (SELECT rule, cnt * cnt AS k FROM counts),
+    p AS (
+        SELECT rule, k,
+               quantile_cont(k, 0.1) OVER (PARTITION BY rule) AS p10,
+               quantile_cont(k, 0.5) OVER (PARTITION BY rule) AS p50,
+               quantile_cont(k, 0.9) OVER (PARTITION BY rule) AS p90
+        FROM k
+    )
+    SELECT rule, COUNT(*) AS n_blocks,
+           CAST(FLOOR(AVG(CASE WHEN k > p10 AND k < p90 THEN k ELSE p50 END))
+                AS BIGINT) AS avg_squared
+    FROM p GROUP BY rule
+    """,
+    survey="W2 A6 (windowed percentile trim, ARC.scala:31-44)",
+)
+def trimmed_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.profile import combo_value_counts, rule_block_stats
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    counts = combo_value_counts(
+        orders, [("o_orderpriority",), ("o_orderstatus",)]
+    )
+    return rule_block_stats(counts, trim=True, exact_percentiles=True)
+
+
+# --------------------------------------------------------------------------
+# J6 fidelity — squared-count estimate vs TRUE blocking-join pair count
+# (the estimation-is-a-heuristic contract, verified by comparison)
+# --------------------------------------------------------------------------
+@register(
+    "estimate_vs_true_pairs",
+    """
+    WITH counts AS (
+        SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY 1
+    ),
+    est AS (
+        SELECT SUM(cnt * (cnt - 1) / 2) AS estimated_pairs FROM counts
+    ),
+    actual AS (
+        SELECT COUNT(*) AS true_pairs
+        FROM customer l JOIN customer r
+          ON l.c_mktsegment = r.c_mktsegment AND l.c_custkey < r.c_custkey
+    )
+    SELECT estimated_pairs, true_pairs,
+           CAST(estimated_pairs = true_pairs AS INTEGER) AS estimate_exact
+    FROM est, actual
+    """,
+    survey="J6 (estimate fidelity: n-choose-2 per block equals true join)",
+)
+def estimate_vs_true_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment").agg(F.count("*").alias("cnt"))
+    est = counts.agg(
+        F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2).alias("estimated_pairs")
+    )
+    left = cust.alias("l")
+    right = cust.alias("r")
+    actual = left.join(
+        right,
+        (F.col("l.c_mktsegment") == F.col("r.c_mktsegment"))
+        & (F.col("l.c_custkey") < F.col("r.c_custkey")),
+    ).agg(F.count("*").alias("true_pairs"))
+    return est.crossJoin(actual).select(
+        "estimated_pairs",
+        "true_pairs",
+        (F.col("estimated_pairs") == F.col("true_pairs"))
+        .cast("int")
+        .alias("estimate_exact"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF centroid build: per-cell mean embedding via element-wise aggregation
+# --------------------------------------------------------------------------
+@register(
+    "ivf_centroids",
+    """
+    SELECT label AS cell, pos,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid_val
+    FROM (
+        SELECT label,
+               UNNEST(embedding) AS v,
+               GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    HAVING pos < 8
+    """,
+    survey="LLM similarity: IVF centroid build (element-wise mean)",
+)
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.col("label").alias("cell"),
+        F.posexplode(F.col("embedding")).alias("pos", "v"),
+    )
+    return (
+        d.where(F.col("pos") < 8)
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Events: tumbling-window aggregation (batch semantics of the streaming op)
 # --------------------------------------------------------------------------
 @register(
