@@ -758,6 +758,125 @@ def connected_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).orderBy("node")
 
 
+# --------------------------------------------------------------------------
+# A3 auto-base mode — entropy with per-column distinct-count log base
+# (the reference's base-0 mode, ARC_EntropyAggExpression.scala:57-63)
+# --------------------------------------------------------------------------
+@register(
+    "entropy_auto_base",
+    """
+    WITH melted AS (
+        SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority' AS col, o_orderpriority AS val FROM orders
+    ),
+    vc AS (SELECT col, val, COUNT(*) AS cnt FROM melted GROUP BY col, val),
+    tot AS (SELECT col, SUM(cnt) AS total, COUNT(*) AS n_distinct
+            FROM vc GROUP BY col)
+    SELECT vc.col AS col,
+           ROUND(SUM(-(cnt / total) * LN(cnt / total))
+                 / CASE WHEN MAX(n_distinct) > 1 THEN LN(MAX(n_distinct))
+                        ELSE 1.0 END, 6) AS entropy
+    FROM vc JOIN tot ON vc.col = tot.col
+    GROUP BY vc.col
+    """,
+    survey="A3 (auto log base = per-column distinct count)",
+)
+def entropy_auto_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.profile import value_counts
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    vc = value_counts(orders, ["o_orderstatus", "o_orderpriority"])
+    totals = vc.groupBy("col").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_distinct")
+    )
+    joined = vc.join(totals, "col")
+    p = F.col("cnt") / F.col("total")
+    return (
+        joined.groupBy("col")
+        .agg(
+            F.round(
+                F.sum(-p * F.log(p))
+                / F.when(
+                    F.max("n_distinct") > 1, F.log(F.max("n_distinct"))
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("entropy")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A5/A7 — count-map as MapType + mean over map values (the reference's
+# Map[String,Long] artifacts and `mean(ent_map.c)` access pattern)
+# --------------------------------------------------------------------------
+@register(
+    "map_value_stats",
+    """
+    WITH vc AS (
+        SELECT o_orderpriority AS k, COUNT(*) AS cnt FROM orders GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_keys,
+           ROUND(AVG(cnt), 6) AS mean_count,
+           MAX(cnt) AS max_count
+    FROM vc
+    """,
+    survey="A5 A7 (count-map merge + mean of map values)",
+)
+def map_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    # build the MapType artifact exactly like the reference's merged
+    # count-map, then aggregate over its values
+    vc = orders.groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
+    as_map = vc.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderpriority", "cnt"))
+        ).alias("count_map")
+    )
+    vals = as_map.select(F.explode(F.map_values("count_map")).alias("cnt"))
+    return vals.agg(
+        F.count("*").alias("n_keys"),
+        F.round(F.avg("cnt"), 6).alias("mean_count"),
+        F.max("cnt").alias("max_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F5 — canonical unordered pair key via array_sort (pair-dedup pattern,
+# autolinker.py:1173-1183)
+# --------------------------------------------------------------------------
+@register(
+    "canonical_pair_key",
+    """
+    WITH pairs AS (
+        SELECT l.s_suppkey AS a, r.s_suppkey AS b
+        FROM supplier l JOIN supplier r
+          ON l.s_nationkey = r.s_nationkey AND l.s_suppkey <> r.s_suppkey
+    )
+    SELECT DISTINCT
+        LEAST(a, b) AS key_lo, GREATEST(a, b) AS key_hi
+    FROM pairs
+    """,
+    survey="F5 U2 (array_sort canonical pair key + distinct)",
+)
+def canonical_pair_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (supp,) = _t(spark, sf_dir, "supplier")
+    left = supp.alias("l")
+    right = supp.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.s_nationkey") == F.col("r.s_nationkey"))
+        & (F.col("l.s_suppkey") != F.col("r.s_suppkey")),
+    ).select(
+        F.array_sort(
+            F.array(F.col("l.s_suppkey"), F.col("r.s_suppkey"))
+        ).alias("key")
+    )
+    return pairs.select(
+        F.col("key")[0].alias("key_lo"), F.col("key")[1].alias("key_hi")
+    ).distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
     return {name: spec.fn for name, spec in REGISTRY.items()}
