@@ -110,6 +110,31 @@ class AutoLinker:
             comps.append(Comparison(col, name, thr))
         return comps
 
+    def _perturb_comparisons(
+        self, rng: random.Random, comps: list[Comparison]
+    ) -> list[Comparison]:
+        """Local move around the incumbent: nudge one threshold (or swap
+        one column's distance function) while keeping the rest fixed."""
+        out = list(comps)
+        idx = rng.randrange(len(out))
+        c = out[idx]
+        if rng.random() < 0.3:
+            name, spec = rng.choice(_DISTANCE_SPACE)
+            thr = (
+                float(rng.choice(spec))
+                if name == "levenshtein"
+                else round(rng.uniform(*spec), 3)
+            )
+            out[idx] = Comparison(c.column, name, thr)
+        elif c.method == "levenshtein":
+            out[idx] = Comparison(
+                c.column, c.method, float(min(5, max(1, int(c.threshold) + rng.choice((-1, 1)))))
+            )
+        else:
+            thr = min(0.99, max(0.7, c.threshold + rng.gauss(0, 0.03)))
+            out[idx] = Comparison(c.column, c.method, round(thr, 3))
+        return out
+
     # --------------------------------------------------------------- run
     def auto_link(self, data: DataFrame | list[DataFrame]) -> Trial:
         """Dedup mode (one DataFrame) or link mode (two DataFrames;
@@ -176,9 +201,17 @@ class AutoLinker:
 
         rng = random.Random(self.random_seed)
         best_score = float("-inf")
-        for _ in range(self.max_evals):
-            comps = self._sample_comparisons(rng, attrs)
-            rule = rng.choice(rules[: max(1, min(len(rules), 20))])
+        # explore-then-exploit (the reference uses sequential TPE; this is
+        # the dependency-free equivalent): random exploration for ~2/3 of
+        # the budget, then local perturbation of the incumbent
+        n_explore = max(1, (2 * self.max_evals + 2) // 3)
+        for i in range(self.max_evals):
+            if i < n_explore or self.best_trial is None:
+                comps = self._sample_comparisons(rng, attrs)
+                rule = rng.choice(rules[: max(1, min(len(rules), 20))])
+            else:
+                comps = self._perturb_comparisons(rng, self.best_trial.comparisons)
+                rule = self.best_trial.rule
             trial = self._run_trial(df, attrs, comps, rule, training_rule)
             self.trials.append(trial)
             if trial.score > best_score:

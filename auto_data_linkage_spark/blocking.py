@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from itertools import combinations as _combinations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from auto_data_linkage_spark.model import BlockingRule
 from auto_data_linkage_spark.profile import (
@@ -155,6 +156,61 @@ def generate_blocking_rules(
     affordable = [r for r in results if r.estimated_pairs < comparison_size_limit]
     affordable.sort(key=lambda r: (-r.estimated_pairs, r.arms))
     return affordable[:top_k]
+
+
+def cap_block_size(
+    df: DataFrame,
+    block_columns: tuple[str, ...] | list[str],
+    max_rows_per_block: int,
+    *,
+    id_column: str = "unique_id",
+) -> DataFrame:
+    """Hard per-block cap BEFORE pair generation (SURVEY §7 watch list:
+    a blocking key shared by 10^5 rows creates 10^10 pairs; the reference
+    only filters at rule granularity).
+
+    Keeps a deterministic subset (smallest ``xxhash64(id)`` first) of at
+    most ``max_rows_per_block`` rows per block value, so the worst block
+    contributes ≤ cap²/2 pairs. One window pass — at scale this is a
+    shuffle on the block key, which the subsequent blocking join needs
+    anyway (the partitioning is reused)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in block_columns]).orderBy(
+        F.xxhash64(F.col(id_column)), F.col(id_column)
+    )
+    return (
+        df.withColumn("__bs_rn", F.row_number().over(w))
+        .where(F.col("__bs_rn") <= max_rows_per_block)
+        .drop("__bs_rn")
+    )
+
+
+def salt_hot_keys(
+    df: DataFrame,
+    block_columns: tuple[str, ...] | list[str],
+    *,
+    hot_threshold: int,
+    salt_buckets: int = 8,
+    id_column: str = "unique_id",
+) -> DataFrame:
+    """Add a ``__salt`` column splitting blocks larger than
+    ``hot_threshold`` into ``salt_buckets`` sub-blocks (hash of the row
+    id); small blocks get salt 0. Joining on (block cols + __salt) bounds
+    any single join partition to ~hot_threshold rows at the cost of
+    missing cross-salt pairs within hot blocks — the standard skew trade
+    when AQE skew-splitting isn't enough. Deterministic."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*[F.col(c) for c in block_columns]).agg(
+        F.count("*").alias("__bs_cnt")
+    )
+    joined = df.join(F.broadcast(counts), list(block_columns), "left")
+    salt = F.when(
+        F.col("__bs_cnt") > hot_threshold,
+        F.pmod(F.xxhash64(F.col(id_column)), F.lit(salt_buckets)),
+    ).otherwise(F.lit(0))
+    return joined.withColumn("__salt", salt.cast("int")).drop("__bs_cnt")
 
 
 def deterministic_rule(rules: list[RuleEstimate]) -> RuleEstimate | None:

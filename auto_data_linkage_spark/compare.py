@@ -150,11 +150,18 @@ class Comparison:
     thresholds follow the reference's hyperopt space: levenshtein integer
     1-5 (distance ≤ t), jaccard 0.7-0.99 (similarity ≥ t), jaro_winkler
     0.7-0.99 (similarity ≥ t) — autolinker.py:351-353.
+
+    ``tf_adjustment`` enables term-frequency adjustment of the exact-match
+    Bayes factor (Splink 3.x semantics, public): agreeing on a RARE value
+    ("zyzmalski") is stronger evidence than agreeing on a common one
+    ("smith"), so the exact-level u is replaced per-pair by the value's
+    observed relative frequency.
     """
 
     column: str
     method: str = "levenshtein"
     threshold: float = 2.0
+    tf_adjustment: bool = False
 
     @property
     def gamma_name(self) -> str:

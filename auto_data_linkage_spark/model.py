@@ -347,15 +347,112 @@ class FellegiSunterModel:
         for comp in self.comparisons:
             p = self.params[comp.column]
             g = F.col(comp.gamma_name)
+            if comp.tf_adjustment:
+                # exact-match u replaced by the value's relative frequency
+                # (joined on as __tf_<col> by predict); clamp to the global
+                # u as a ceiling so common values never score BELOW the
+                # untuned model
+                tf = F.coalesce(
+                    F.col(f"__tf_{comp.column}"),
+                    F.lit(max(p.u.get(EXACT_LEVEL, 1e-9), 1e-9)),
+                )
+                m_exact = F.lit(max(p.m.get(EXACT_LEVEL, 1e-9), 1e-9))
+                exact_bf = F.log2(
+                    m_exact / F.greatest(tf, F.lit(1e-9))
+                )
+            else:
+                exact_bf = F.lit(math.log2(p.bayes_factor(EXACT_LEVEL)))
             bf = (
                 F.when(g == NULL_LEVEL, F.lit(0.0))
-                .when(g == EXACT_LEVEL, F.lit(math.log2(p.bayes_factor(EXACT_LEVEL))))
+                .when(g == EXACT_LEVEL, exact_bf)
                 .when(g == FUZZY_LEVEL, F.lit(math.log2(p.bayes_factor(FUZZY_LEVEL))))
                 .otherwise(F.lit(math.log2(p.bayes_factor(ELSE_LEVEL))))
             )
             weight = weight + bf
         prob = F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -weight))
         return [weight.alias("match_weight"), prob.alias("match_probability")]
+
+    def _attach_term_frequencies(
+        self, pairs: DataFrame, df: DataFrame
+    ) -> DataFrame:
+        """Join per-value relative frequencies for tf-adjusted columns.
+        The frequency tables are one groupBy each over the (deduplicated)
+        input values — small, broadcast onto the pair table keyed by the
+        LEFT value (sides agree when gamma is exact, which is the only
+        level that reads the tf column)."""
+        n = df.count()
+        for comp in self.comparisons:
+            if not comp.tf_adjustment:
+                continue
+            freq = (
+                df.groupBy(F.col(comp.column).alias(f"{comp.column}_l"))
+                .agg((F.count("*") / F.lit(float(n))).alias(f"__tf_{comp.column}"))
+            )
+            pairs = pairs.join(F.broadcast(freq), f"{comp.column}_l", "left")
+        return pairs
+
+    # ------------------------------------------------------- persistence
+    def to_dict(self) -> dict:
+        """JSON-serializable model state (settings + trained m/u) — the
+        engine's equivalent of the reference's saved Splink model JSON."""
+        return {
+            "comparisons": [
+                {
+                    "column": c.column,
+                    "method": c.method,
+                    "threshold": c.threshold,
+                    "tf_adjustment": c.tf_adjustment,
+                }
+                for c in self.comparisons
+            ],
+            "blocking_rules": [list(r.columns) for r in self.blocking_rules],
+            "unique_id": self.unique_id,
+            "prior": self.prior,
+            "em_convergence": self.em_convergence,
+            "params": {
+                col: {
+                    "m": {str(k): v for k, v in p.m.items()},
+                    "u": {str(k): v for k, v in p.u.items()},
+                }
+                for col, p in self.params.items()
+            },
+        }
+
+    @classmethod
+    def from_dict(cls, state: dict) -> FellegiSunterModel:
+        comps = [
+            Comparison(
+                c["column"],
+                c["method"],
+                c["threshold"],
+                c.get("tf_adjustment", False),
+            )
+            for c in state["comparisons"]
+        ]
+        model = cls(
+            comps,
+            [tuple(r) for r in state["blocking_rules"]],
+            unique_id=state.get("unique_id", "unique_id"),
+            prior=state.get("prior"),
+            em_convergence=state.get("em_convergence", 0.01),
+        )
+        for col, p in state["params"].items():
+            model.params[col].m = {int(k): v for k, v in p["m"].items()}
+            model.params[col].u = {int(k): v for k, v in p["u"].items()}
+        return model
+
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @classmethod
+    def load(cls, path: str) -> FellegiSunterModel:
+        import json
+
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
 
     def predict(
         self,
@@ -373,6 +470,11 @@ class FellegiSunterModel:
             df, self.blocking_rules, self.comparisons, self.unique_id,
             right_df=right_df,
         )
+        if any(c.tf_adjustment for c in self.comparisons):
+            tf_base = df if right_df is None else df.unionByName(
+                right_df.select(*df.columns)
+            )
+            pairs = self._attach_term_frequencies(pairs, tf_base)
         scored = pairs.select("*", *self._score_columns(prior))
         if threshold > 0.0:
             scored = scored.where(F.col("match_probability") >= threshold)

@@ -79,6 +79,35 @@ def drop_views(spark: SparkSession, pattern: str) -> int:
     return len(names)
 
 
+# ----------------------------------------------------------------- sinks
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: list[str], *, mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink — downstream scans partition-prune on the
+    partition columns for free."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: later equi-joins/aggregations on the
+    bucket columns co-locate WITHOUT a shuffle — the storage-side answer
+    to repeated blocking joins on the same keys. Requires a warehouse
+    (session catalog); bucketing cannot target a bare path."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_by)
+        .sortBy(*bucket_by)
+        .saveAsTable(table)
+    )
+
+
 # ------------------------------------------------------------ run logging
 class RunLog:
     """Minimal run logger (S5 stand-in for the MLflow sink): one JSON file

@@ -107,3 +107,40 @@ def test_end_to_end_dedup_recovers_entities(spark, people):
     prf = pairwise_prf(clusters, "recid")
     assert prf["recall"] >= 0.8, prf
     assert prf["precision"] >= 0.8, prf
+
+
+def test_tf_adjustment_rare_values_score_higher(spark):
+    """Agreeing on a rare surname must outscore agreeing on a common one
+    when tf_adjustment is on; without it they tie."""
+    rows = [(str(i), "smith", "2000") for i in range(20)] + [
+        ("100", "zyzmalski", "2000"),
+        ("101", "zyzmalski", "2000"),
+    ]
+    df = spark.createDataFrame(rows, "unique_id string, surname string, pc string")
+
+    def probs(tf):
+        comps = [Comparison("surname", "levenshtein", 2, tf_adjustment=tf)]
+        model = FellegiSunterModel(comps, [("pc",)], prior=0.01)
+        got = {}
+        for r in model.predict(df).collect():
+            if r["surname_l"] != r["surname_r"]:
+                continue  # cross pairs (gamma 0) aren't the comparison
+            key = "rare" if r["surname_l"] == "zyzmalski" else "common"
+            got[key] = r["match_probability"]
+        return got
+
+    base = probs(False)
+    adj = probs(True)
+    assert base["rare"] == base["common"]
+    assert adj["rare"] > adj["common"]
+    # common values are clamped at the global exact-u: never score below
+    # the fuzzy level's evidence direction
+    assert adj["common"] <= base["common"] + 1e-9
+
+
+def test_model_roundtrip_preserves_tf_flag(tmp_path):
+    comps = [Comparison("a", "exact", 0, tf_adjustment=True)]
+    model = FellegiSunterModel(comps, [("a",)])
+    path = str(tmp_path / "m.json")
+    model.save(path)
+    assert FellegiSunterModel.load(path).comparisons[0].tf_adjustment is True
