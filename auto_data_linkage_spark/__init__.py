@@ -34,18 +34,49 @@ express the semantics (jaro-winkler, embedding kernels).
 
 __version__ = "0.1.0"
 
-from auto_data_linkage_spark.cleaning import clean_columns, ensure_unique_id, null_sentinel
-from auto_data_linkage_spark.cluster import connected_components, cluster_at_threshold
-from auto_data_linkage_spark.model import FellegiSunterModel
 from auto_data_linkage_spark.autolink import AutoLinker
+from auto_data_linkage_spark.blocking import (
+    RuleEstimate,
+    cap_block_size,
+    generate_blocking_rules,
+    salt_hot_keys,
+)
+from auto_data_linkage_spark.cleaning import (
+    clean_columns,
+    ensure_unique_id,
+    null_sentinel,
+)
+from auto_data_linkage_spark.cluster import (
+    cluster_at_threshold,
+    connected_components,
+)
+from auto_data_linkage_spark.compare import Comparison
+from auto_data_linkage_spark.linking import align_for_linking, column_correspondence
+from auto_data_linkage_spark.metrics import (
+    clustering_scores,
+    information_gain_power_ratio,
+    pairwise_prf,
+)
+from auto_data_linkage_spark.model import BlockingRule, FellegiSunterModel
 
 __all__ = [
-    "clean_columns",
-    "ensure_unique_id",
-    "null_sentinel",
-    "connected_components",
-    "cluster_at_threshold",
-    "FellegiSunterModel",
     "AutoLinker",
+    "BlockingRule",
+    "Comparison",
+    "FellegiSunterModel",
+    "RuleEstimate",
+    "align_for_linking",
+    "cap_block_size",
+    "clean_columns",
+    "cluster_at_threshold",
+    "clustering_scores",
+    "column_correspondence",
+    "connected_components",
+    "ensure_unique_id",
+    "generate_blocking_rules",
+    "information_gain_power_ratio",
+    "null_sentinel",
+    "pairwise_prf",
+    "salt_hot_keys",
     "__version__",
 ]
