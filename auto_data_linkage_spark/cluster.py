@@ -97,16 +97,22 @@ def connected_components(
     paths produce identical output.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = _symmetrize(e).localCheckpoint(eager=True)
 
+    # fast path first: union-find tolerates duplicate/directed edges, so
+    # the raw edge list collects without the symmetrize+distinct shuffle
     n_edges = e.count()
     if n_edges <= driver_threshold:
-        rows = [(r["src"], r["dst"]) for r in e.collect()]
+        rows = [
+            (r["src"], r["dst"])
+            for r in e.where(F.col("src") != F.col("dst")).collect()
+        ]
         if not rows:
-            return e.select(
+            return e.limit(0).select(
                 F.col("src").alias("node"), F.col("dst").alias("component")
             )
         return _union_find_components(rows, edges.sparkSession)
+
+    e = _symmetrize(e).localCheckpoint(eager=True)
 
     prev_sig = None
     for _ in range(max_iterations):

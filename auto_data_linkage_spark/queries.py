@@ -48,6 +48,9 @@ def register(name: str, sql: str | None, survey: str = ""):
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    # the driver runs these with ITS session: pin UTC so timestamp
+    # literals/strings agree with DuckDB's timezone-naive values
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return [
         spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names
     ]

@@ -32,6 +32,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond-truncated timestamp. Oracles apply the same µs truncation
     via CAST(ts AS TIMESTAMP) (DuckDB TIMESTAMP_NS → TIMESTAMP)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         # integer div — float division loses sub-µs bits at ns magnitudes
