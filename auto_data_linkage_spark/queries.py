@@ -350,7 +350,7 @@ def theta_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT 'c_mktsegment' AS rule,
            COUNT(*) AS n_blocks,
-           SUM(cnt * cnt) AS squared_count,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS squared_count,
            SUM(cnt * (cnt - 1) / 2) AS est_pairs
     FROM (SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY c_mktsegment)
     """,

@@ -575,10 +575,10 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM lagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
