@@ -188,6 +188,99 @@ def ivf_topk(
     )
 
 
+# ----------------------------------------- random-hyperplane LSH (cosine)
+def _hyperplane(plane: int, dim: int, seed: int = 0) -> list[float]:
+    """Deterministic ±1 hyperplane from md5 bits — reproducible across
+    runs/processes without shipping a plane matrix."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{seed}|{plane}|{d}".encode()).digest()[0]
+        out.append(1.0 if h & 1 else -1.0)
+    return out
+
+
+def signature_expr(vec: Column, dim: int, n_planes: int = 16, seed: int = 0) -> Column:
+    """Sign-of-dot-product bit signature packed into one integer: vectors
+    with high cosine similarity agree on most bits (SimHash for cosine —
+    public construction). Pure column arithmetic, codegen'd."""
+    acc = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        plane = _hyperplane(p, dim, seed)
+        dot = None
+        for d, w in enumerate(plane):
+            term = vec.getItem(d).cast("double") * F.lit(w)
+            dot = term if dot is None else dot + term
+        acc = acc + F.when(dot > 0, F.lit(1 << p).cast("bigint")).otherwise(0)
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    dim: int,
+    n_planes: int = 12,
+    band_bits: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH: candidates are
+    corpus rows sharing at least one signature band with the query, scored
+    exactly and ranked. The candidate join is equi on (band, band value) —
+    the corpus scan prunes to matching buckets instead of a full sweep.
+
+    Recall rises with fewer bits per band / more bands (here 2 bands of
+    ``band_bits``). Deterministic given ``seed`` in the signature."""
+    from auto_data_linkage_spark.operators.text import ensure_parallelism
+
+    n_bands = max(1, n_planes // band_bits)
+
+    def banded(df: DataFrame, id_alias: str) -> DataFrame:
+        sig = signature_expr(F.col(vec_col), dim, n_planes)
+        with_sig = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(f"__vec_{id_alias}"),
+            sig.alias("__sig"),
+        )
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("__sig"), b * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .alias("val"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return with_sig.select(
+            id_alias, f"__vec_{id_alias}", F.explode(bands).alias("b")
+        ).select(id_alias, f"__vec_{id_alias}", "b.band", "b.val")
+
+    c = banded(ensure_parallelism(corpus), "neighbor_id")
+    q = banded(queries, "query_id")
+    cands = (
+        c.join(F.broadcast(q), ["band", "val"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__vec_query_id", "__vec_neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_expr(F.col("__vec_query_id"), F.col("__vec_neighbor_id")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 # ------------------------------------------------- vectorized numpy path
 def topk_pandas(
     corpus: DataFrame,

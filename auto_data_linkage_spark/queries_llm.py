@@ -409,6 +409,17 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, k=5, nprobe=3)
 
 
+@register(
+    "lsh_topk",
+    None,  # md5-derived hyperplanes; approximate — driver records rows-only
+    survey="LLM similarity: random-hyperplane LSH ANN (scale path)",
+)
+def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.lsh_topk(emb, queries, k=5, dim=64, n_planes=12, band_bits=6)
+
+
 # --------------------------------------------------------------------------
 # W2 + A6 — trimmed-mean squared block sizes per blocking rule, using a
 # windowed EXACT percentile (cross-engine reproducible)

@@ -107,3 +107,40 @@ def test_pandas_topk_matches_fold_path(spark, emb):
     sa = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in a.collect())
     sb = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in b.collect())
     assert sa == sb
+
+
+def test_lsh_topk_recall_on_clustered_data(spark):
+    """Hyperplane LSH must recover most true neighbors on clustered
+    vectors (near-identical vectors share signature bands)."""
+    import random
+
+    from auto_data_linkage_spark.operators.similarity import lsh_topk
+
+    rng = random.Random(3)
+    rows = []
+    vid = 0
+    for cluster in range(8):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for _ in range(15):
+            rows.append((vid, [c + rng.gauss(0, 0.02) for c in center], cluster))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = df.where(F.col("vec_id") % 15 == 0)
+    exact = brute_force_topk(df, queries, k=5)
+    approx = lsh_topk(df, queries, k=5, dim=16, n_planes=12, band_bits=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+
+
+def test_lsh_signature_deterministic(spark):
+    from auto_data_linkage_spark.operators.similarity import signature_expr
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, [-0.5] * 8)], "vec_id long, embedding array<float>"
+    )
+    a = [r["s"] for r in df.select(signature_expr(F.col("embedding"), 8).alias("s")).collect()]
+    b = [r["s"] for r in df.select(signature_expr(F.col("embedding"), 8).alias("s")).collect()]
+    assert a == b
+    assert a[0] != a[1]  # opposite vectors -> complementary signs
