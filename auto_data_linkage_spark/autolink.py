@@ -257,8 +257,8 @@ class AutoLinker:
             score=um.information_gain_power_ratio,
             model=model,
             metrics={
+                "scaled_gain": um.scaled_gain,
                 "adjusted_gain": um.adjusted_gain,
-                "standardized_gain": um.standardized_gain,
             },
         )
         if self.true_label and self.true_label in df.columns:

@@ -20,6 +20,8 @@ minimum member id (deterministic).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -98,23 +100,31 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
 
-    # fast path first: union-find tolerates duplicate/directed edges, so
-    # the raw edge list collects without the symmetrize+distinct shuffle
+    # fast path first: union-find tolerates duplicate/directed/self-loop
+    # edges, so the raw edge list collects without the symmetrize+distinct
+    # shuffle (self-loops register the node, then union is a no-op — the
+    # node still comes out as a singleton component)
     n_edges = e.count()
     if n_edges <= driver_threshold:
-        rows = [
-            (r["src"], r["dst"])
-            for r in e.where(F.col("src") != F.col("dst")).collect()
-        ]
+        rows = [(r["src"], r["dst"]) for r in e.collect()]
         if not rows:
             return e.limit(0).select(
                 F.col("src").alias("node"), F.col("dst").alias("component")
             )
         return _union_find_components(rows, edges.sparkSession)
 
+    # nodes appearing ONLY in self-loop edges vanish from the symmetrized
+    # edge set; remember every node so they come back as singletons
+    nodes = (
+        e.select("src")
+        .unionByName(e.select(F.col("dst").alias("src")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e = _symmetrize(e).localCheckpoint(eager=True)
 
     prev_sig = None
+    converged = False
     for _ in range(max_iterations):
         e = _star_round(_symmetrize(e), large=True)
         e = _star_round(_symmetrize(e), large=False)
@@ -126,13 +136,24 @@ def connected_components(
         ).collect()[0]
         cur_sig = (sig["n"], sig["h"])
         if cur_sig == prev_sig:
+            converged = True
             break
         prev_sig = cur_sig
+    if not converged:
+        warnings.warn(
+            "connected_components: edge-set signature did not stabilize "
+            f"within max_iterations={max_iterations}; components may be "
+            "split — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
-    # converged edge set is a star forest: src → root
+    # converged edge set is a star forest: src → root; union in every input
+    # node as its own candidate root so isolated nodes survive
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
-    return members.unionByName(roots).groupBy("node").agg(
+    selves = nodes.select(F.col("src").alias("node"), F.col("src").alias("component"))
+    return members.unionByName(roots).unionByName(selves).groupBy("node").agg(
         F.min("component").alias("component")
     )
 
@@ -148,14 +169,16 @@ def cluster_at_threshold(
     run connected components, join ``cluster_id`` back onto the records.
     Singletons get their own id as cluster_id.
 
-    The components table is tiny relative to the input (≤ one row per
-    matched record) — the join back is broadcast-able and marked as such.
+    The components table has one row per matched record — near |records|
+    when duplicate rates are high — so the join back is left to AQE/size
+    thresholds rather than force-broadcast (a forced broadcast OOMs the
+    driver at high match rates on big inputs).
     """
     edges = predictions.where(F.col("match_probability") >= threshold).select(
         F.col(f"{unique_id}_l").alias("src"), F.col(f"{unique_id}_r").alias("dst")
     )
     comp = connected_components(edges).withColumnRenamed("node", unique_id)
-    joined = records.join(F.broadcast(comp), unique_id, "left")
+    joined = records.join(comp, unique_id, "left")
     return joined.withColumn(
         "cluster_id", F.coalesce(F.col("component"), F.col(unique_id))
     ).drop("component")

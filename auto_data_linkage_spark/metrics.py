@@ -18,9 +18,17 @@ from auto_data_linkage_spark.profile import column_entropies
 
 @dataclass
 class UnsupervisedMetrics:
+    # reference naming (autolinker.py:160-185): "scaled" = log base c
+    # (#multi-record clusters), "adjusted" = log base u (max #distinct
+    # values of any attribute column in the original data)
+    scaled_gain: float
     adjusted_gain: float
-    standardized_gain: float
     information_gain_power_ratio: float
+
+    # backward-compat alias (pre-round-2 field name)
+    @property
+    def standardized_gain(self) -> float:
+        return self.adjusted_gain
 
 
 def information_gain_power_ratio(
@@ -34,72 +42,102 @@ def information_gain_power_ratio(
     """The reference's unsupervised objective
     (``_calculate_unsupervised_metrics``, autolinker.py:149-223).
 
-    Let H(data) be per-column entropy over the whole table and H(within) the
-    mean per-cluster entropy over records in multi-record clusters. The
-    *information gain* of the clustering is the entropy drop; the reference
-    scales two variants (adjusted = log base c = #multi-clusters;
-    standardized = log base u = max distinct values in any column) and
-    combines them as ``I_s ** I_a`` (autolinker.py:212-217).
+    Both entropy terms are computed over the **matched subset** (records in
+    multi-record clusters, autolinker.py:202-206): per-column entropy of
+    that subset minus the mean per-cluster entropy, **summed** over columns
+    (np.sum, autolinker.py:213-214), once in log base ``c`` (#multi-record
+    clusters → scaled gain I_s) and once in log base ``u`` (max distinct
+    count of any attribute column in the *original* data, evaluate_linker
+    autolinker.py:596-602 → adjusted gain I_a). The objective is
+    ``I_s ** I_a`` (autolinker.py:217).
+
+    Implementation note: entropies in any base are the natural-log entropy
+    divided by ``ln(base)``, so one melt + two aggregations produce both
+    bases — the reference runs four separate entropy-agg jobs.
     """
     counts = clusters.groupBy("cluster_id").count()
     multi = counts.where(F.col("count") > 1)
     c = multi.count()
     if c == 0:
         return UnsupervisedMetrics(0.0, 0.0, 0.0)
-    clustered = clusters.join(
-        F.broadcast(multi.select("cluster_id")), "cluster_id", "inner"
+    matched = clusters.join(
+        F.broadcast(multi.withColumnRenamed("count", "_csize")),
+        "cluster_id",
+        "inner",
     )
 
     if base_u is None:
-        # max distinct-value count across attribute columns (A8,
-        # autolinker.py:597-602) — one job via a single agg
+        # max distinct-value count across attribute columns of the ORIGINAL
+        # data (A8, autolinker.py:596-602) — one job via a single agg
         row = data.agg(
             *[F.countDistinct(col).alias(col) for col in attribute_columns]
         ).collect()[0]
         base_u = max(max(row[col] for col in attribute_columns), 2)
     base_c = max(c, 2)
 
-    def mean_entropy(df: DataFrame, base: float) -> float:
-        ents = column_entropies(df, attribute_columns, base=base)
-        return sum(ents.values()) / len(attribute_columns)
+    # one melt pass over the matched subset; value counts per
+    # (cluster, column, value) feed both entropy terms
+    melted = matched.select(
+        "cluster_id",
+        "_csize",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(col).alias("col"),
+                        F.coalesce(
+                            F.col(col).cast("string"), F.lit("null_")
+                        ).alias("val"),
+                    )
+                    for col in attribute_columns
+                ]
+            )
+        ).alias("kv"),
+    ).select("cluster_id", "_csize", "kv.col", "kv.val")
+    vc = melted.groupBy("cluster_id", "_csize", "col", "val").count().cache()
 
-    def mean_within_entropy(base: float) -> float:
-        # per-cluster per-column entropy, averaged — computed with ONE
-        # melt + two-level aggregation, not one job per cluster
-        melted = clustered.select(
-            "cluster_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(col).alias("col"),
-                            F.col(col).cast("string").alias("val"),
-                        )
-                        for col in attribute_columns
-                    ]
-                )
-            ).alias("kv"),
-        ).select("cluster_id", "kv.col", "kv.val")
-        vc = melted.groupBy("cluster_id", "col", "val").count()
-        tot = Window.partitionBy("cluster_id", "col")
-        p = F.col("count") / F.sum("count").over(tot)
-        ent = vc.select(
-            "cluster_id",
+    # natural-log entropy of each column over the whole matched subset
+    n_matched = matched.count()
+    overall = (
+        vc.groupBy("col", "val")
+        .agg(F.sum("count").alias("n"))
+        .select(
             "col",
-            (-p * F.log(float(base), p)).alias("term"),
-        ).groupBy("cluster_id", "col").agg(F.sum("term").alias("h"))
-        row = ent.groupBy().agg(F.avg("h").alias("mh")).collect()[0]
-        return float(row["mh"] or 0.0)
+            (
+                -(F.col("n") / F.lit(float(n_matched)))
+                * F.log(F.col("n") / F.lit(float(n_matched)))
+            ).alias("term"),
+        )
+        .groupBy("col")
+        .agg(F.sum("term").alias("h"))
+    )
+    h_matched = {r["col"]: float(r["h"] or 0.0) for r in overall.collect()}
 
-    adj_gain = mean_entropy(data, base_c) - mean_within_entropy(base_c)
-    std_gain = mean_entropy(data, base_u) - mean_within_entropy(base_u)
-    adj_gain = max(adj_gain, 0.0)
-    std_gain = max(std_gain, 0.0)
+    # natural-log per-cluster entropy, then per-column mean over clusters
+    p = F.col("count") / F.col("_csize")
+    within = (
+        vc.select("cluster_id", "col", (-p * F.log(p)).alias("term"))
+        .groupBy("cluster_id", "col")
+        .agg(F.sum("term").alias("h"))
+        .groupBy("col")
+        .agg(F.avg("h").alias("mh"))
+    )
+    h_within = {r["col"]: float(r["mh"] or 0.0) for r in within.collect()}
+    vc.unpersist()
+
+    gain_nat = sum(
+        h_matched.get(col, 0.0) - h_within.get(col, 0.0)
+        for col in attribute_columns
+    )
+    scaled_gain = gain_nat / math.log(base_c)
+    adjusted_gain = gain_nat / math.log(base_u)
     return UnsupervisedMetrics(
-        adjusted_gain=adj_gain,
-        standardized_gain=std_gain,
-        information_gain_power_ratio=math.pow(std_gain, adj_gain)
-        if std_gain > 0
+        scaled_gain=scaled_gain,
+        adjusted_gain=adjusted_gain,
+        # pow(I_s, I_a), autolinker.py:217; guard the negative-base /
+        # fractional-exponent domain error the reference would hit
+        information_gain_power_ratio=math.pow(scaled_gain, adjusted_gain)
+        if scaled_gain > 0
         else 0.0,
     )
 

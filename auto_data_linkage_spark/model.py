@@ -113,7 +113,13 @@ def candidate_pairs(
             cond = cond & (F.col(f"l.{unique_id}") < F.col(f"r.{unique_id}"))
         if deduplicate_across_rules:
             for prev in rules[:i]:
-                cond = cond & ~prev.join_condition()
+                # null-safe negation: if a prior rule's column is NULL the
+                # raw negation is NULL and AND would silently drop the pair
+                # even though the prior rule never produced it (Splink wraps
+                # exclusions in coalesce(..., false) for the same reason)
+                cond = cond & ~F.coalesce(
+                    prev.join_condition(), F.lit(False)
+                )
         pair = left.join(right, cond, "inner").select(
             F.col(f"l.{unique_id}").alias(f"{unique_id}_l"),
             F.col(f"r.{unique_id}").alias(f"{unique_id}_r"),
@@ -349,9 +355,11 @@ class FellegiSunterModel:
             g = F.col(comp.gamma_name)
             if comp.tf_adjustment:
                 # exact-match u replaced by the value's relative frequency
-                # (joined on as __tf_<col> by predict); clamp to the global
-                # u as a ceiling so common values never score BELOW the
-                # untuned model
+                # (joined on as __tf_<col> by predict); NULL tf (value not
+                # in the frequency table) falls back to the global u. Common
+                # values (tf > u) intentionally score below the untuned
+                # model and rare values above it — Splink tf-adjustment
+                # semantics
                 tf = F.coalesce(
                     F.col(f"__tf_{comp.column}"),
                     F.lit(max(p.u.get(EXACT_LEVEL, 1e-9), 1e-9)),

@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark 4 rejects parquet TIMESTAMP(NANOS) outright; read the raw
+        # int64 and let loaders rebuild µs timestamps (see load_tables)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # Iterative algorithms (connected components, EM) checkpoint to
@@ -73,9 +76,17 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_
     Returns a dict name -> DataFrame. Parquet scans get predicate pushdown
     and column pruning from Catalyst for free.
     """
+    # sessions not built by get_spark() would reject TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # nanos-as-long → µs-truncated timestamp; integer div keeps
+            # the sub-µs bits from corrupting the result
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -32,8 +32,59 @@ def test_information_gain_positive_for_true_clusters(spark, people):
     um = information_gain_power_ratio(
         people, clusters, ["given_name", "surname", "suburb", "postcode"]
     )
+    assert um.scaled_gain > 0
     assert um.adjusted_gain > 0
-    assert um.standardized_gain > 0
+    assert um.information_gain_power_ratio > 0
+
+
+def test_information_gain_matches_reference_formula(spark):
+    """Golden test against the reference math (autolinker.py:149-223):
+    entropies over the matched subset, per-column gains SUMMED, result
+    pow(gain_base_c, gain_base_u)."""
+    import math
+    from collections import Counter
+
+    rows = [
+        ("1", "x", "p", "c1"),
+        ("2", "x", "q", "c1"),
+        ("3", "y", "p", "c1"),
+        ("4", "z", "r", "c2"),
+        ("5", "z", "r", "c2"),
+        ("6", "w", "s", "s6"),  # singleton cluster — excluded from matched
+    ]
+    data = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows], "unique_id string, a string, b string"
+    )
+    clusters = spark.createDataFrame(
+        rows, "unique_id string, a string, b string, cluster_id string"
+    )
+    um = information_gain_power_ratio(data, clusters, ["a", "b"])
+
+    def entropy(vals, base):
+        n = len(vals)
+        return -sum(
+            (c / n) * math.log(c / n, base) for c in Counter(vals).values()
+        )
+
+    matched = [r for r in rows if r[3] in ("c1", "c2")]
+    base_c = 2  # two multi-record clusters
+    base_u = 4  # max distinct values of any column in the ORIGINAL data
+    expected = {}
+    for base in (base_c, base_u):
+        gain = 0.0
+        for col in (1, 2):
+            h_matched = entropy([r[col] for r in matched], base)
+            per_cluster = [
+                entropy([r[col] for r in matched if r[3] == cid], base)
+                for cid in ("c1", "c2")
+            ]
+            gain += h_matched - sum(per_cluster) / len(per_cluster)
+        expected[base] = gain
+    assert um.scaled_gain == pytest.approx(expected[base_c], rel=1e-9)
+    assert um.adjusted_gain == pytest.approx(expected[base_u], rel=1e-9)
+    assert um.information_gain_power_ratio == pytest.approx(
+        math.pow(expected[base_c], expected[base_u]), rel=1e-9
+    )
 
 
 @pytest.mark.slow

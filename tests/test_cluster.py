@@ -49,6 +49,16 @@ def test_cc_component_id_is_min(spark, threshold):
     assert {r["component"] for r in rows} == {"a"}
 
 
+@pytest.mark.parametrize("threshold", THRESHOLDS)
+def test_cc_self_loop_only_node_is_singleton(spark, threshold):
+    # a node appearing ONLY in self-loop edges must still come out as its
+    # own singleton component (round-1 advice: it was dropped entirely)
+    comps = _components(
+        spark, [("a", "b"), ("z", "z"), ("a", "a")], threshold
+    )
+    assert comps == sorted([frozenset({"a", "b"}), frozenset({"z"})])
+
+
 def test_cluster_at_threshold_singletons(spark):
     records = spark.createDataFrame(
         [("1", "x"), ("2", "y"), ("3", "z")], "unique_id string, v string"

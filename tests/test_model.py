@@ -46,6 +46,20 @@ def test_candidate_pairs_disjoint_across_rules(spark):
     assert pairs.count() == 3  # no duplicate pair rows
 
 
+def test_candidate_pairs_null_blocking_col_not_dropped(spark):
+    # rows 1/2 match rule 2 (postcode) but have NULL surname: the negation
+    # of rule 1 (surname) must be null-safe or the pair silently vanishes
+    df = spark.createDataFrame(
+        [("1", None, "2000"), ("2", None, "2000"), ("3", "jones", "9999")],
+        "unique_id string, surname string, postcode string",
+    )
+    comps = [Comparison("postcode", "levenshtein", 1)]
+    rules = [BlockingRule(("surname",)), BlockingRule(("postcode",))]
+    pairs = candidate_pairs(df, rules, comps)
+    keyed = {(r["unique_id_l"], r["unique_id_r"]) for r in pairs.collect()}
+    assert keyed == {("1", "2")}
+
+
 def test_scores_monotone_in_agreement(spark, people):
     df = null_sentinel(people)
     comps = [
