@@ -158,7 +158,11 @@ def ivf_topk(
             "query_id",
             "__qvec",
             F.col("cell"),
-            cosine_expr(F.col("__qvec"), F.col("centroid")).alias("cell_sim"),
+            # rounded so probe routing is reproducible across engines /
+            # summation orders (ties then break on the cell id)
+            F.round(
+                cosine_expr(F.col("__qvec"), F.col("centroid")), 6
+            ).alias("cell_sim"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))

@@ -736,13 +736,35 @@ def fs_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# L6 — connected components (iterative; not SQL-expressible → rows-only).
-# Edges: suppliers in the same nation chained by adjacent suppkey.
+# L6 — connected components. Edges: all same-nation supplier pairs. The
+# oracle computes true graph connectivity via a recursive-CTE transitive
+# closure (DuckDB), then takes the minimum reachable node — NOT the
+# nation shortcut — so it validates the algorithm, not the fixture shape.
 # --------------------------------------------------------------------------
 @register(
     "connected_components",
-    None,  # iterative algorithm; driver records rows-only check
-    survey="L6 (connected components)",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT CAST(l.s_suppkey AS VARCHAR) AS src,
+               CAST(r.s_suppkey AS VARCHAR) AS dst
+        FROM supplier l JOIN supplier r
+          ON l.s_nationkey = r.s_nationkey AND l.s_suppkey < r.s_suppkey
+    ),
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    reach(node, other) AS (
+        SELECT src AS node, src AS other FROM sym
+        UNION
+        SELECT s.src AS node, reach.other
+        FROM sym s JOIN reach ON s.dst = reach.node
+    )
+    SELECT node, MIN(other) AS component
+    FROM reach GROUP BY node
+    """,
+    survey="L6 (connected components; oracle = recursive transitive closure)",
 )
 def connected_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_linkage_spark.cluster import connected_components

@@ -398,9 +398,61 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=5)
 
 
+# IVF is deterministic end-to-end (label-mean centroids, rounded routing
+# similarities, rounded final cosines, id tie-breaks) — so the approximate
+# search has an exact DuckDB twin
+_IVF_SQL = """
+    WITH cents AS (
+        SELECT label AS cell, LIST(m ORDER BY pos) AS centroid FROM (
+            SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM (
+                SELECT label, UNNEST(embedding) AS v,
+                       GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos
+                FROM embeddings
+            ) GROUP BY label, pos
+        ) GROUP BY label
+    ),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    routed AS (
+        SELECT q.query_id, q.qv, c.cell,
+               ROUND(
+                 list_dot_product(q.qv, c.centroid)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.centroid, c.centroid))),
+                 6) AS cell_sim
+        FROM q, cents c
+    ),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cell_sim DESC, cell
+            ) AS cr FROM routed
+        ) WHERE cr <= 3
+    ),
+    scored AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id,
+               ROUND(
+                 list_dot_product(p.qv, CAST(e.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(p.qv, p.qv))
+                    * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))),
+                 6) AS cosine
+        FROM embeddings e JOIN probes p ON e.label = p.cell
+        WHERE e.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+"""
+
+
 @register(
     "ivf_topk",
-    None,  # approximate + iterative routing; driver records rows-only
+    _IVF_SQL,
     survey="LLM similarity: IVF-bucketed ANN (scale path)",
 )
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,15 +461,105 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, k=5, nprobe=3)
 
 
+# The ±1 hyperplanes come from md5("seed|plane|dim") first-byte parity
+# (similarity._hyperplane) — reproducible in SQL, so the whole LSH pipeline
+# (signature → 2 bands of 6 bits → bucket join → exact re-score) oracles
+_LSH_SQL = """
+    WITH planes AS (
+        SELECT p.p AS plane, d.d AS pos,
+               CASE WHEN (CAST(CONCAT('0x',
+                    SUBSTR(md5(CONCAT('0|', p.p, '|', d.d)), 1, 2)) AS INT)
+                    & 1) = 1
+                    THEN 1.0 ELSE -1.0 END AS w
+        FROM range(12) p(p), range(64) d(d)
+    ),
+    elems AS (
+        SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+               GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos
+        FROM embeddings
+    ),
+    dots AS (
+        SELECT e.vec_id, pl.plane, SUM(e.x * pl.w) AS dot
+        FROM elems e JOIN planes pl ON e.pos = pl.pos
+        GROUP BY 1, 2
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dot > 0 THEN (1 << plane) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM dots GROUP BY 1
+    ),
+    bands AS (
+        SELECT vec_id, b.b AS band, (sig >> (b.b * 6)) & 63 AS val
+        FROM sigs, range(2) b(b)
+    ),
+    cands AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM bands qb JOIN bands cb
+          ON qb.band = cb.band AND qb.val = cb.val
+        WHERE qb.vec_id % 100 = 0 AND cb.vec_id <> qb.vec_id
+    ),
+    vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND(
+                 list_dot_product(qv.v, nv.v)
+                 / (sqrt(list_dot_product(qv.v, qv.v))
+                    * sqrt(list_dot_product(nv.v, nv.v))),
+                 6) AS cosine
+        FROM cands c
+        JOIN vecs qv ON qv.vec_id = c.query_id
+        JOIN vecs nv ON nv.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+"""
+
+
 @register(
     "lsh_topk",
-    None,  # md5-derived hyperplanes; approximate — driver records rows-only
+    _LSH_SQL,
     survey="LLM similarity: random-hyperplane LSH ANN (scale path)",
 )
 def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return S.lsh_topk(emb, queries, k=5, dim=64, n_planes=12, band_bits=6)
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    )
+    SELECT l.vec_id AS vec_id_l, r.vec_id AS vec_id_r,
+           ROUND(
+             list_dot_product(l.v, r.v)
+             / (sqrt(list_dot_product(l.v, l.v))
+                * sqrt(list_dot_product(r.v, r.v))),
+             6) AS cosine
+    FROM vecs l JOIN vecs r
+      ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE ROUND(
+             list_dot_product(l.v, r.v)
+             / (sqrt(list_dot_product(l.v, l.v))
+                * sqrt(list_dot_product(r.v, r.v))),
+             6) >= 0.3
+    """,
+    survey="LLM dedup: embedding-cosine near-duplicate pairs",
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.dedup import embedding_dup_pairs
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.3)
 
 
 # --------------------------------------------------------------------------
