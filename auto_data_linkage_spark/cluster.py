@@ -75,8 +75,15 @@ def _union_find_components(edge_rows, spark) -> DataFrame:
             # union by MIN id so the representative is the component min
             lo, hi = (rs, rd) if rs < rd else (rd, rs)
             parent[hi] = lo
+    import pandas as pd
+
     rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, ["node", "component"])
+    # Arrow-backed creation: a plain-list createDataFrame goes through the
+    # pickle/RDD path (schema inference + one task per default-parallelism
+    # slice — ~1.4 s of overhead for a 1000-row result)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["node", "component"])
+    )
 
 
 def connected_components(
@@ -103,10 +110,12 @@ def connected_components(
     # fast path first: union-find tolerates duplicate/directed/self-loop
     # edges, so the raw edge list collects without the symmetrize+distinct
     # shuffle (self-loops register the node, then union is a no-op — the
-    # node still comes out as a singleton component)
-    n_edges = e.count()
-    if n_edges <= driver_threshold:
-        rows = [(r["src"], r["dst"]) for r in e.collect()]
+    # node still comes out as a singleton component). take(threshold+1)
+    # probes size and fetches the edges in ONE job: if it comes back short,
+    # those rows already ARE the full edge list.
+    probe = e.take(driver_threshold + 1)
+    if len(probe) <= driver_threshold:
+        rows = [(r["src"], r["dst"]) for r in probe]
         if not rows:
             return e.limit(0).select(
                 F.col("src").alias("node"), F.col("dst").alias("component")

@@ -306,9 +306,12 @@ def embedding_dup_pairs(
     """Near-duplicate pairs by embedding cosine ≥ threshold, blocked by a
     coarse bucket (cluster label / IVF cell) so the self-join is per-bucket
     instead of n². Dot products run as codegen'd array folds in double."""
-    from auto_data_linkage_spark.operators.similarity import cosine_expr
+    from auto_data_linkage_spark.operators.similarity import (
+        cosine_from_norms,
+        norm_expr,
+    )
 
-    cols = [F.col(id_col), F.col(vec_col)]
+    cols = [F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("__n")]
     if bucket_col:
         cols.append(F.col(bucket_col))
     base = df.select(*cols)
@@ -317,7 +320,10 @@ def embedding_dup_pairs(
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     if bucket_col:
         cond = (F.col(f"l.{bucket_col}") == F.col(f"r.{bucket_col}")) & cond
-    cos = cosine_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+    cos = cosine_from_norms(
+        F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
+        F.col("l.__n"), F.col("r.__n"),
+    )
     return (
         left.join(right, cond)
         .select(

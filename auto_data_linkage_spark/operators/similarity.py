@@ -29,7 +29,12 @@ from pyspark.sql import types as T
 
 
 def dot_expr(a: Column, b: Column) -> Column:
-    """Σ a_i·b_i in double precision as a codegen'd array fold."""
+    """Σ a_i·b_i in double precision as an array fold.
+
+    (A statically-unrolled getItem sum was benchmarked and LOST: ~190-node
+    expression trees fall out of whole-stage codegen into interpreted
+    eval, which is slower than the native fold over the array data.)
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -48,8 +53,21 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0.0 when either vector has zero norm."""
+    """Cosine similarity; 0.0 when either vector has zero norm.
+
+    For pair joins prefer :func:`cosine_from_norms` with per-vector norms
+    precomputed BEFORE the join — norms are O(n) while pairs are O(n·q),
+    so inlining them in the pair expression triples the hot-path work.
+    """
     denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with precomputed norms; same operation order as
+    :func:`cosine_expr` (dot / (norm_a * norm_b)), so values are bitwise
+    identical — only the evaluation site of the norms moves."""
+    denom = na * nb
     return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
 
 
@@ -72,19 +90,27 @@ def brute_force_topk(
 
     qid = query_id_col or id_col
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
     )
     c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("__qvec"), F.col("__cvec")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                cosine_from_norms(
+                    F.col("__qvec"), F.col("__cvec"),
+                    F.col("__qn"), F.col("__cn"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -150,13 +176,16 @@ def ivf_topk(
         corpus, vec_col=vec_col, cell_col=cell_col
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
     )
     routed = (
         q.join(F.broadcast(cents))
         .select(
             "query_id",
             "__qvec",
+            "__qn",
             F.col("cell"),
             # rounded so probe routing is reproducible across engines /
             # summation orders (ties then break on the cell id)
@@ -168,11 +197,12 @@ def ivf_topk(
     wq = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
     probes = routed.withColumn("cr", F.row_number().over(wq)).where(
         F.col("cr") <= nprobe
-    ).select("query_id", "__qvec", "cell")
+    ).select("query_id", "__qvec", "__qn", "cell")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
         F.col(cell_col).alias("cell"),
     )
     scored = (
@@ -181,9 +211,13 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("__qvec"), F.col("__cvec")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                cosine_from_norms(
+                    F.col("__qvec"), F.col("__cvec"),
+                    F.col("__qn"), F.col("__cn"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -247,6 +281,7 @@ def lsh_topk(
         with_sig = df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(f"__vec_{id_alias}"),
+            norm_expr(F.col(vec_col)).alias(f"__n_{id_alias}"),
             sig.alias("__sig"),
         )
         bands = F.array(
@@ -261,22 +296,35 @@ def lsh_topk(
             ]
         )
         return with_sig.select(
-            id_alias, f"__vec_{id_alias}", F.explode(bands).alias("b")
-        ).select(id_alias, f"__vec_{id_alias}", "b.band", "b.val")
+            id_alias,
+            f"__vec_{id_alias}",
+            f"__n_{id_alias}",
+            F.explode(bands).alias("b"),
+        ).select(
+            id_alias, f"__vec_{id_alias}", f"__n_{id_alias}", "b.band", "b.val"
+        )
 
     c = banded(ensure_parallelism(corpus), "neighbor_id")
     q = banded(queries, "query_id")
     cands = (
         c.join(F.broadcast(q), ["band", "val"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__vec_query_id", "__vec_neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            "__vec_query_id", "__vec_neighbor_id",
+            "__n_query_id", "__n_neighbor_id",
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine_expr(F.col("__vec_query_id"), F.col("__vec_neighbor_id")), 6
+            cosine_from_norms(
+                F.col("__vec_query_id"), F.col("__vec_neighbor_id"),
+                F.col("__n_query_id"), F.col("__n_neighbor_id"),
+            ),
+            6,
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
