@@ -66,10 +66,53 @@ def exact_dedup(
 
 
 # --------------------------------------------------------------- minhash
-def _hasher(seed: int):
-    # one-arg lambda: F.transform inspects arity, and a default-arg seed
-    # would be misread as the array-index parameter
-    return lambda s: md5_hash64(s, seed=seed)
+# Universal-hash MinHash (Broder): ONE md5 per shingle gives a 31-bit
+# base value x; hash i is the affine map (a_i·x + b_i) mod p with
+# p = 2^31 − 1. Products stay under 2^62, so bigint arithmetic never
+# overflows (Spark 4 ANSI mode and DuckDB both error on overflow).
+# The a/b constants are md5-derived so both engines can reproduce them.
+MH_PRIME = 2_147_483_647
+MH_BASE_MASK = 0x7FFFFFFF
+
+
+def mh_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash function i: a ∈ [1, p−1], b ∈ [0, p−1]."""
+    import hashlib
+
+    a = (
+        int.from_bytes(hashlib.md5(f"mh_a|{i}".encode()).digest()[:8], "big")
+        % (MH_PRIME - 1)
+        + 1
+    )
+    b = (
+        int.from_bytes(hashlib.md5(f"mh_b|{i}".encode()).digest()[:8], "big")
+        % MH_PRIME
+    )
+    return a, b
+
+
+def minhash_base_hashes(sh: Column) -> Column:
+    """Per-shingle 31-bit base hash array — the single md5 pass."""
+    return F.transform(
+        sh, lambda s: md5_hash64(s).bitwiseAND(F.lit(MH_BASE_MASK))
+    )
+
+
+def _affine(i: int):
+    a, b = mh_params(i)
+    # closure, not default arg: F.transform inspects lambda arity, and a
+    # default-arg would be misread as the array-index parameter
+    return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MH_PRIME)
+
+
+def minhash_from_base(base: Column, num_hashes: int = 16) -> Column:
+    """Signature from a *materialized* base-hash array column: per hash i,
+    min over shingles of the affine map — cheap codegen arithmetic, no
+    further md5 work."""
+    mins = [
+        F.array_min(F.transform(base, _affine(i))) for i in range(num_hashes)
+    ]
+    return F.array(*mins)
 
 
 def minhash_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
@@ -77,11 +120,10 @@ def minhash_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
 
     Feed this a *column reference* (two-phase projection), not the shingle
     expression itself — otherwise the shingle subtree is re-evaluated once
-    per hash seed inside the same projection."""
-    mins = [
-        F.array_min(F.transform(sh, _hasher(i))) for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+    per hash seed inside the same projection. Hot paths should materialize
+    :func:`minhash_base_hashes` first and call :func:`minhash_from_base`,
+    which runs the md5 pass exactly once instead of once per hash."""
+    return minhash_from_base(minhash_base_hashes(sh), num_hashes)
 
 
 def minhash_signature(
@@ -132,13 +174,15 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // num_bands
     df = ensure_parallelism(df)
-    # three-phase projection: shingles → signature → bands, each referencing
-    # the previous phase's column once (the md5 work runs exactly once per
-    # doc, not once per seed)
+    # four-phase projection: shingles → base hashes → signature → bands,
+    # each referencing the previous phase's column once (the md5 pass runs
+    # exactly once per shingle, not once per hash function)
     sig = df.select(
         F.col(id_col), shingles(text_col, shingle_k).alias("__sh")
     ).select(
-        F.col(id_col), minhash_from_shingles(F.col("__sh"), num_hashes).alias("sig")
+        F.col(id_col), minhash_base_hashes(F.col("__sh")).alias("__bh")
+    ).select(
+        F.col(id_col), minhash_from_base(F.col("__bh"), num_hashes).alias("sig")
     )
     banded = sig.select(
         id_col, F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
@@ -237,7 +281,11 @@ def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """(id, simhash) with the two-phase projection: tokenize+hash once,
-    then the per-bit folds read the materialized array."""
+    then the per-bit folds read the materialized array.
+
+    (An explode + grouped bit-vote-sum variant was benchmarked and lost
+    3×: the md5 token hashing — shared by both — dominates, and the
+    explode adds a |tokens|-row shuffle the folds avoid.)"""
     df = ensure_parallelism(df)
     return df.select(
         F.col(id_col), token_hashes(text_col).alias("__h")

@@ -243,13 +243,25 @@ def _sql_shingle_cte() -> str:
 
 
 def _minhash_sql() -> str:
-    mins = ", ".join(
-        f"list_min(list_transform(sh, s -> {_sql_hash64('s', seed=i)})) AS h{i}"
-        for i in range(_MH_HASHES)
-    )
+    # DuckDB twin of dedup.minhash_base_hashes + minhash_from_base: one
+    # md5-derived 31-bit base per shingle, then per-hash affine maps
+    # (a_i·x + b_i) mod 2^31−1 with the same md5-derived constants
+    mins = []
+    for i in range(_MH_HASHES):
+        a, b = D.mh_params(i)
+        mins.append(
+            f"list_min(list_transform(bh, x -> "
+            f"(({a} * x + {b}) % {D.MH_PRIME}))) AS h{i}"
+        )
     return f"""
-    WITH {_sql_shingle_cte()}
-    SELECT doc_id, {mins} FROM shingled
+    WITH {_sql_shingle_cte()},
+    based AS (
+        SELECT doc_id,
+               list_transform(sh, s -> ({_sql_hash64('s')} & {D.MH_BASE_MASK}))
+                   AS bh
+        FROM shingled
+    )
+    SELECT doc_id, {', '.join(mins)} FROM based
     """
 
 
@@ -260,11 +272,16 @@ def _minhash_sql() -> str:
 )
 def minhash_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sig = D.minhash_from_shingles(F.col("__sh"), _MH_HASHES)
-    return docs.select(
+    sig = docs.select(
         "doc_id", X.shingles("text", _SHINGLE_K).alias("__sh")
     ).select(
-        "doc_id", *[sig.getItem(i).alias(f"h{i}") for i in range(_MH_HASHES)]
+        "doc_id", D.minhash_base_hashes(F.col("__sh")).alias("__bh")
+    ).select(
+        "doc_id", D.minhash_from_base(F.col("__bh"), _MH_HASHES).alias("__sig")
+    )
+    return sig.select(
+        "doc_id",
+        *[F.col("__sig").getItem(i).alias(f"h{i}") for i in range(_MH_HASHES)],
     )
 
 
