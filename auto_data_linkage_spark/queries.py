@@ -902,6 +902,88 @@ def canonical_pair_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+# --------------------------------------------------------------------------
+# J2 — link-mode column-correspondence probe. The reference runs one
+# inner join per (colA, colB) pair (autolinker.py:994-1003); we melt both
+# schemas to (column, value) long form and count every pairing's
+# distinct-value overlap in ONE value-keyed join (linking.py).
+# --------------------------------------------------------------------------
+@register(
+    "link_column_probe",
+    """
+    WITH lm AS (
+        SELECT DISTINCT 'o_orderstatus' AS col_a, o_orderstatus AS val FROM orders
+        UNION
+        SELECT DISTINCT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    rm AS (
+        SELECT DISTINCT 'l_returnflag' AS col_b, l_returnflag AS val FROM lineitem
+        UNION
+        SELECT DISTINCT 'l_linestatus', l_linestatus FROM lineitem
+    )
+    SELECT col_a, col_b, COUNT(*) AS overlap
+    FROM lm JOIN rm USING (val)
+    GROUP BY col_a, col_b
+    """,
+    survey="J2 (cross-schema correspondence probe, melted to one join)",
+)
+def link_column_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.profile import melt
+
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    lm = (
+        melt(orders, ["o_orderstatus", "o_orderpriority"])
+        .distinct()
+        .withColumnRenamed("col", "col_a")
+    )
+    rm = (
+        melt(lineitem, ["l_returnflag", "l_linestatus"])
+        .distinct()
+        .withColumnRenamed("col", "col_b")
+    )
+    return (
+        lm.join(rm, "val")
+        .groupBy("col_a", "col_b")
+        .agg(F.count("*").alias("overlap"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL surface — the exact same ANSI text runs through spark.sql AND the
+# oracle: a TPC-H Q3-style shipping-priority join-aggregate.
+# --------------------------------------------------------------------------
+_SQL_SHARED_Q3 = """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS STRING) AS orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@register(
+    "sql_shared_q3",
+    _SQL_SHARED_Q3,
+    survey="SQL entry point (spark.sql == oracle text, TPC-H Q3 shape)",
+)
+def sql_shared_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # register the views, then run the LITERAL oracle text through
+    # spark.sql — demonstrating the shared ANSI surface end-to-end
+    _t(spark, sf_dir, "customer", "orders", "lineitem")
+    for name in ("customer", "orders", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(
+            name
+        )
+    return spark.sql(_SQL_SHARED_Q3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
     return {name: spec.fn for name, spec in REGISTRY.items()}
