@@ -333,6 +333,167 @@ def lsh_topk(
     )
 
 
+# ------------------------------------------------------- k-means (Lloyd)
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Attach the nearest-centroid index as ``cell_col``.
+
+    The centroid matrix is tiny (k×d) and ships inside the closure; each
+    Arrow batch computes all similarities as one BLAS matmul
+    (``mapInPandas``) — the canonical "Python only where vectorized"
+    escape hatch. Ties break toward the lower cell index (argmax).
+    """
+    cmat = np.asarray(centroids, dtype=np.float64)
+    if metric == "cosine":
+        norms = np.linalg.norm(cmat, axis=1)
+        norms[norms == 0] = 1.0
+        cmat_n = cmat / norms[:, None]
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(cell_col, T.IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if metric == "cosine":
+                vn = np.linalg.norm(mat, axis=1)
+                vn[vn == 0] = 1.0
+                sims = (mat / vn[:, None]) @ cmat_n.T
+                cells = np.argmax(sims, axis=1)
+            else:  # euclidean
+                d2 = (
+                    (mat**2).sum(1)[:, None]
+                    - 2 * mat @ cmat.T
+                    + (cmat**2).sum(1)[None, :]
+                )
+                cells = np.argmin(d2, axis=1)
+            pdf = pdf.copy()
+            pdf[cell_col] = cells.astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    k: int = 16,
+    max_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+    metric: str = "cosine",
+    tol: float = 1e-6,
+) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column, one Spark job per
+    iteration (assign → per-cell element-wise mean), centroids collected
+    to the driver each round (k×d doubles — tiny).
+
+    Deterministic: initialization is a farthest-first traversal over a
+    hash-ordered driver sample (seeded ``xxhash64`` draw, so the sample is
+    reproducible across cluster layouts) — the spread-maximizing variant
+    of k-means++ that avoids two seeds landing in one tight cluster.
+    Empty cells keep their previous centroid. Returns the centroid list;
+    feed :func:`assign_cells` + :func:`ivf_topk`
+    (``cell_col``/``centroids``) for the full ANN pipeline.
+    """
+    init_sample = max(k * 32, 1024)
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(init_sample)
+        .collect()
+    )
+    smat = np.asarray([list(r[vec_col]) for r in sample], dtype=np.float64)
+    if metric == "cosine":
+        norms = np.linalg.norm(smat, axis=1)
+        norms[norms == 0] = 1.0
+        pts = smat / norms[:, None]
+    else:
+        pts = smat
+    chosen = [0]
+    d = np.linalg.norm(pts - pts[0], axis=1)
+    while len(chosen) < min(k, len(pts)):
+        nxt = int(np.argmax(d))  # ties -> lowest index (deterministic)
+        chosen.append(nxt)
+        d = np.minimum(d, np.linalg.norm(pts - pts[nxt], axis=1))
+    cents = [[float(x) for x in smat[i]] for i in chosen]
+    base = corpus.select(id_col, vec_col)
+    for _ in range(max_iter):
+        assigned = assign_cells(base, cents, vec_col=vec_col, metric=metric)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        per_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            per_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, dims in per_cell.items():
+            new_cents[cell] = [dims[p] for p in sorted(dims)]
+        shift = max(
+            max((abs(a - b) for a, b in zip(old, new)), default=0.0)
+            for old, new in zip(cents, new_cents)
+        )
+        cents = new_cents
+        if shift <= tol:
+            break
+    return cents
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    max_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+) -> DataFrame:
+    """IVF ANN with learned k-means cells: train centroids, label the
+    corpus, then run :func:`ivf_topk` routing on the trained centroids.
+    The corpus labeling and search are lazy DataFrames; only centroid
+    training runs jobs eagerly (max_iter rounds)."""
+    cents = kmeans_centroids(
+        corpus,
+        k=n_cells,
+        max_iter=max_iter,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+    )
+    labeled = assign_cells(corpus, cents, vec_col=vec_col, cell_col="__cell")
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"cell": list(range(len(cents))), "centroid": cents}
+        )
+    )
+    return ivf_topk(
+        labeled,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        vec_col=vec_col,
+        id_col=id_col,
+        cell_col="__cell",
+        centroids=cent_df,
+    )
+
+
 # ------------------------------------------------- vectorized numpy path
 def topk_pandas(
     corpus: DataFrame,

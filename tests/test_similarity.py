@@ -134,6 +134,61 @@ def test_lsh_topk_recall_on_clustered_data(spark):
     assert recall >= 0.9, recall
 
 
+def _clustered_df(spark, n_clusters=6, per_cluster=20, dim=16, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows, vid = [], 0
+    for _ in range(n_clusters):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(per_cluster):
+            rows.append((vid, [c + rng.gauss(0, 0.02) for c in center]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_centroids_recover_clusters(spark):
+    from auto_data_linkage_spark.operators.similarity import (
+        assign_cells,
+        kmeans_centroids,
+    )
+
+    df = _clustered_df(spark)
+    cents = kmeans_centroids(df, k=6, max_iter=8, seed=1)
+    assert len(cents) == 6 and all(len(c) == 16 for c in cents)
+    labeled = assign_cells(df, cents)
+    # every planted cluster (20 consecutive ids) should map to ONE cell
+    sizes = (
+        labeled.groupBy((F.col("vec_id") / 20).cast("int").alias("g"))
+        .agg(F.countDistinct("cell").alias("cells"))
+        .collect()
+    )
+    assert all(r["cells"] == 1 for r in sizes), sizes
+
+
+def test_kmeans_deterministic(spark):
+    from auto_data_linkage_spark.operators.similarity import kmeans_centroids
+
+    df = _clustered_df(spark)
+    a = kmeans_centroids(df, k=4, max_iter=3, seed=5)
+    b = kmeans_centroids(df, k=4, max_iter=3, seed=5)
+    assert a == b
+
+
+def test_ivf_kmeans_topk_exact_on_tight_clusters(spark):
+    from auto_data_linkage_spark.operators.similarity import ivf_kmeans_topk
+
+    df = _clustered_df(spark)
+    queries = df.where(F.col("vec_id") % 20 == 0)
+    exact = brute_force_topk(df, queries, k=5)
+    approx = ivf_kmeans_topk(
+        df, queries, k=5, n_cells=6, nprobe=1, max_iter=8, seed=1
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) == 1.0
+
+
 def test_lsh_signature_deterministic(spark):
     from auto_data_linkage_spark.operators.similarity import signature_expr
 
