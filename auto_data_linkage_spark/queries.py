@@ -736,6 +736,82 @@ def fs_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L5 + tf — Fellegi–Sunter scoring with term-frequency adjustment: on an
+# exact match the generic u is replaced by the matched VALUE's relative
+# frequency, so agreeing on a rare segment scores higher than agreeing on
+# a common one (Splink tf-adjustment semantics; model.py:350-362)
+# --------------------------------------------------------------------------
+_TF_PRIOR = 0.001
+_TF_M_EXACT, _TF_M_ELSE, _TF_U_ELSE = 0.9, 0.02, 0.95
+
+
+def _fs_tf_sql() -> str:
+    prior_odds = math.log2(_TF_PRIOR / (1 - _TF_PRIOR))
+    bf_else = math.log2(_TF_M_ELSE / _TF_U_ELSE)
+    return f"""
+    WITH tf AS (
+        SELECT c_mktsegment AS seg,
+               COUNT(*) * 1.0 / (SELECT COUNT(*) FROM customer) AS tf
+        FROM customer GROUP BY 1
+    ),
+    pairs AS (
+        SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+               l.c_mktsegment AS seg_l,
+               CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END
+                   AS gamma_seg
+        FROM customer l JOIN customer r
+          ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+    )
+    SELECT custkey_l, custkey_r, gamma_seg,
+           ROUND(({prior_odds!r}) + CASE WHEN gamma_seg = 1
+                THEN log2({_TF_M_EXACT!r} / GREATEST(tf, 1e-9))
+                ELSE {bf_else!r} END, 6) AS match_weight
+    FROM pairs JOIN tf ON pairs.seg_l = tf.seg
+    """
+
+
+@register(
+    "fs_score_tf",
+    _fs_tf_sql(),
+    survey="L5 + tf-adjustment (value-frequency Bayes factors)",
+)
+def fs_score_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    n = cust.count()
+    tf = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        (F.count("*") * F.lit(1.0) / F.lit(float(n))).alias("tf")
+    )
+    left = cust.alias("l")
+    right = cust.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.c_nationkey") == F.col("r.c_nationkey"))
+        & (F.col("l.c_custkey") < F.col("r.c_custkey")),
+    ).select(
+        F.col("l.c_custkey").alias("custkey_l"),
+        F.col("r.c_custkey").alias("custkey_r"),
+        F.col("l.c_mktsegment").alias("seg_l"),
+        F.when(F.col("l.c_mktsegment") == F.col("r.c_mktsegment"), 1)
+        .otherwise(0)
+        .alias("gamma_seg"),
+    )
+    prior_odds = math.log2(_TF_PRIOR / (1 - _TF_PRIOR))
+    bf = F.when(
+        F.col("gamma_seg") == 1,
+        F.log2(F.lit(_TF_M_EXACT) / F.greatest(F.col("tf"), F.lit(1e-9))),
+    ).otherwise(F.lit(math.log2(_TF_M_ELSE / _TF_U_ELSE)))
+    return (
+        pairs.join(F.broadcast(tf), pairs["seg_l"] == tf["seg"])
+        .select(
+            "custkey_l",
+            "custkey_r",
+            "gamma_seg",
+            F.round(F.lit(prior_odds) + bf, 6).alias("match_weight"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # L6 — connected components. Edges: all same-nation supplier pairs. The
 # oracle computes true graph connectivity via a recursive-CTE transitive
 # closure (DuckDB), then takes the minimum reachable node — NOT the

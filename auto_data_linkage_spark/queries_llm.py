@@ -727,6 +727,50 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Events: sliding-window aggregation (batch twin of F.window with slide <
+# width: every event lands in exactly width/slide windows; the oracle
+# unnests the two aligned starts per event)
+# --------------------------------------------------------------------------
+@register(
+    "sliding_window_agg",
+    f"""
+    WITH {_EV_CTE},
+    expanded AS (
+        SELECT UNNEST([date_trunc('minute', ts),
+                       date_trunc('minute', ts) - INTERVAL 1 MINUTE])
+                   AS window_start,
+               event_type, value
+        FROM ev
+    )
+    SELECT CAST(window_start AS VARCHAR) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    survey="Streaming (batch twin): sliding window agg (width 2m, slide 1m)",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.window("ts", "2 minutes", "1 minute").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Events: sessionization (gap > 30 min starts a new session)
 # --------------------------------------------------------------------------
 @register(
