@@ -17,6 +17,11 @@ Two tiers:
 A vectorized pandas-UDF path (numpy matmul per Arrow batch) is provided
 for wide corpora where the per-element fold dominates; semantics are
 identical, so tests pin them to each other.
+
+Unlike the shingling/hashing dedup ops, these paths do NOT pre-repartition
+small scans (``ensure_parallelism``): a cosine costs the same order of
+work as shuffling the vector row itself, so the repartition can never pay
+for itself here — measured, it doubled the warm query time at bench scale.
 """
 
 from __future__ import annotations
@@ -86,15 +91,13 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cosine, rank). Queries are broadcast —
     the corpus never shuffles. Ties break by neighbor id (deterministic).
     """
-    from auto_data_linkage_spark.operators.text import ensure_parallelism
-
     qid = query_id_col or id_col
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         norm_expr(F.col(vec_col)).alias("__qn"),
     )
-    c = ensure_parallelism(corpus).select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         norm_expr(F.col(vec_col)).alias("__cn"),
@@ -128,25 +131,23 @@ def build_centroids(
     *,
     vec_col: str = "embedding",
     cell_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Per-cell mean vector via element-wise aggregation: explode the
-    vector with its position, average per (cell, pos), reassemble. One
-    shuffle keyed on (cell, pos) — scales to any corpus size."""
-    d = corpus.select(
-        F.col(cell_col).alias("cell"),
-        F.posexplode(F.col(vec_col)).alias("pos", "v"),
-    )
-    agg = d.groupBy("cell", "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
-    return (
-        agg.groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                ),
-                lambda s: s["m"],
-            ).alias("centroid")
-        )
+    """Per-cell mean vector as ``dim`` per-index ``avg`` aggregates in ONE
+    groupBy — partial aggregation ships k×dim doubles per map task instead
+    of n×dim exploded rows, and the whole expression stays inside
+    whole-stage codegen. ``dim`` is probed from the first row when not
+    given (embedding columns are fixed-width)."""
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"]) if first is not None else 0
+    return corpus.groupBy(F.col(cell_col).alias("cell")).agg(
+        F.array(
+            *[
+                F.avg(F.col(vec_col)[i].cast("double"))
+                for i in range(dim)
+            ]
+        ).alias("centroid")
     )
 
 
@@ -169,9 +170,6 @@ def ivf_topk(
     of scanning fully. Recall < 1 when a true neighbor lives outside the
     probed cells — the standard IVF trade, tested explicitly.
     """
-    from auto_data_linkage_spark.operators.text import ensure_parallelism
-
-    corpus = ensure_parallelism(corpus)
     cents = centroids if centroids is not None else build_centroids(
         corpus, vec_col=vec_col, cell_col=cell_col
     )
@@ -272,8 +270,6 @@ def lsh_topk(
 
     Recall rises with fewer bits per band / more bands (here 2 bands of
     ``band_bits``). Deterministic given ``seed`` in the signature."""
-    from auto_data_linkage_spark.operators.text import ensure_parallelism
-
     n_bands = max(1, n_planes // band_bits)
 
     def banded(df: DataFrame, id_alias: str) -> DataFrame:
@@ -304,7 +300,7 @@ def lsh_topk(
             id_alias, f"__vec_{id_alias}", f"__n_{id_alias}", "b.band", "b.val"
         )
 
-    c = banded(ensure_parallelism(corpus), "neighbor_id")
+    c = banded(corpus, "neighbor_id")
     q = banded(queries, "query_id")
     cands = (
         c.join(F.broadcast(q), ["band", "val"])
@@ -427,20 +423,22 @@ def kmeans_centroids(
         d = np.minimum(d, np.linalg.norm(pts - pts[nxt], axis=1))
     cents = [[float(x) for x in smat[i]] for i in chosen]
     base = corpus.select(id_col, vec_col)
+    dim = smat.shape[1]
     for _ in range(max_iter):
         assigned = assign_cells(base, cents, vec_col=vec_col, metric=metric)
         means = (
-            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
             .collect()
         )
         new_cents = [list(c) for c in cents]
-        per_cell: dict[int, dict[int, float]] = {}
         for r in means:
-            per_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
-        for cell, dims in per_cell.items():
-            new_cents[cell] = [dims[p] for p in sorted(dims)]
+            new_cents[r["cell"]] = [r[f"m{i}"] for i in range(dim)]
         shift = max(
             max((abs(a - b) for a, b in zip(old, new)), default=0.0)
             for old, new in zip(cents, new_cents)
