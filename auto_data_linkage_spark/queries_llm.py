@@ -850,3 +850,38 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("string").alias("ts"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal: Arrow-batched decode plumbing over binary media columns
+# --------------------------------------------------------------------------
+@register(
+    "media_decode_stats",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(length(text) % 640 + 32 AS BIGINT) AS width
+    FROM documents
+    """,
+    survey="Multimodal: binary columns + mapInPandas feature extraction",
+)
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal plumbing end-to-end as a catalog query: documents
+    become a media-shaped table (UTF-8 payload as the opaque blob + typed
+    metadata struct), the Arrow-batched ``mapInPandas`` decode stand-in
+    extracts per-blob features, and only the features — never the blobs —
+    are projected out. The oracle recomputes byte count / sha256 / width
+    from the same payload in DuckDB, so the whole UDF path (batch shape,
+    schema, binary round-trip) is value-checked, not just smoke-tested."""
+    from auto_data_linkage_spark.operators import multimodal as M
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = M.synthesize_media_table(spark, docs, id_col="doc_id", payload_col="text")
+    stats = M.fake_decode_stats(media)
+    return stats.select(
+        "media_id",
+        "n_bytes",
+        F.col("sha256"),
+        F.col("width").cast("long").alias("width"),
+    )
