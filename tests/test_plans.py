@@ -53,3 +53,27 @@ def test_blocking_join_is_broadcast_with_pushdown(spark, sf_dir):
     df = entry_mod.queries()["blocking_self_join"](spark, sf_dir)
     assert uses_broadcast_join(df)
     assert has_pushed_filter(df, "c_nationkey")
+
+
+def test_centroid_build_single_exchange_no_explode(spark, sf_dir):
+    """build_centroids must be ONE hash aggregate (per-index avgs), not a
+    posexplode: the exploded form shuffles n*dim rows, the agg form ships
+    k*dim partial aggregates per map task."""
+    from auto_data_linkage_spark.operators.similarity import build_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = build_centroids(emb, dim=64)
+    assert count_exchanges(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode in the centroid path
+
+
+def test_lsh_signature_stays_in_codegen(spark, sf_dir):
+    """The banded signature projection must not fall out of whole-stage
+    codegen (the unrolled dot-product form did, and shipped multi-MB task
+    binaries)."""
+    from auto_data_linkage_spark.operators.similarity import signature_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.select(signature_expr(F.col("embedding"), 64, 12).alias("sig"))
+    assert codegen_stage_count(df) >= 1
