@@ -73,6 +73,7 @@ class AutoLinker:
         unique_id: str = "unique_id",
         random_seed: int = 42,
         attribute_columns: list[str] | None = None,
+        max_block_size: int | None = None,
     ):
         self.comparison_size_limit = comparison_size_limit
         self.max_evals = max_evals
@@ -82,6 +83,7 @@ class AutoLinker:
         self.unique_id = unique_id
         self.random_seed = random_seed
         self.attribute_columns = attribute_columns
+        self.max_block_size = max_block_size
         self.trials: list[Trial] = []
         self._link_frames: tuple[DataFrame, DataFrame] | None = None
         self.best_trial: Trial | None = None
@@ -241,6 +243,7 @@ class AutoLinker:
             comps,
             rule.to_blocking_rules(),
             unique_id=self.unique_id,
+            max_block_size=self.max_block_size,
         )
         model.estimate_u(df, target_pairs=100_000, seed=self.random_seed)
         if training_rule is not None:

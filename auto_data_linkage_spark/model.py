@@ -83,6 +83,7 @@ def candidate_pairs(
     *,
     right_df: DataFrame | None = None,
     deduplicate_across_rules: bool = True,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Generate candidate pairs via blocking self-join (J5) and attach
     gamma columns.
@@ -94,6 +95,18 @@ def candidate_pairs(
     join carries ``NOT(rule_j)`` for all ``j < i`` so the union is
     disjoint — no distinct/dropDuplicates shuffle over the (potentially
     enormous) pair table.
+
+    ``max_block_size`` caps individual blocks: rows whose blocking-key
+    value appears more than this many times (on either side) are excluded
+    from that rule's join. The reference only budgets at RULE granularity
+    (autolinker.py:293 filters on the rule's estimated pair count), so one
+    hot value inside an otherwise-fine rule — the null sentinel over a
+    mostly-null column, "smith" in a surname block — still yields count²
+    pairs; at 100 TB that single block is the job-killer. Hot keys are few
+    by definition (count > cap), so the exclusion list stays tiny and
+    broadcast; the extra per-rule count aggregation is narrow (key columns
+    only, map-side partials). A documented recall trade, like the
+    reference's rule-level budget, and off by default.
     """
     cols = sorted({c.column for c in comparisons})
     rule_cols = sorted({c for r in rules for c in r.columns})
@@ -104,10 +117,25 @@ def candidate_pairs(
     left_base = df.select(*sel)
     right_base = (right_df.select(*sel) if link_mode else left_base)
 
+    def _drop_hot_blocks(base: DataFrame, rule: BlockingRule) -> DataFrame:
+        key = list(rule.columns)
+        hot = (
+            base.groupBy(*key)
+            .count()
+            .where(F.col("count") > max_block_size)
+            .select(*key)
+        )
+        return base.join(F.broadcast(hot), on=key, how="left_anti")
+
     parts = []
     for i, rule in enumerate(rules):
-        left = left_base.alias("l")
-        right = right_base.alias("r")
+        if max_block_size is not None:
+            lf = _drop_hot_blocks(left_base, rule)
+            rf = _drop_hot_blocks(right_base, rule) if link_mode else lf
+            left, right = lf.alias("l"), rf.alias("r")
+        else:
+            left = left_base.alias("l")
+            right = right_base.alias("r")
         cond = rule.join_condition()
         if not link_mode:
             cond = cond & (F.col(f"l.{unique_id}") < F.col(f"r.{unique_id}"))
@@ -172,6 +200,7 @@ class FellegiSunterModel:
         prior: float | None = None,
         em_convergence: float = 0.01,
         max_em_iterations: int = 60,
+        max_block_size: int | None = None,
     ):
         self.comparisons = comparisons
         self.blocking_rules = [BlockingRule.parse(r) for r in blocking_rules]
@@ -179,6 +208,7 @@ class FellegiSunterModel:
         self.prior = prior
         self.em_convergence = em_convergence
         self.max_em_iterations = max_em_iterations
+        self.max_block_size = max_block_size
         self.params: dict[str, ComparisonParams] = {
             c.column: ComparisonParams(c, dict(_DEFAULT_M), dict(_DEFAULT_U))
             for c in comparisons
@@ -476,7 +506,7 @@ class FellegiSunterModel:
         prior = self.prior if self.prior is not None else 1.0 / max(n, 2)
         pairs = candidate_pairs(
             df, self.blocking_rules, self.comparisons, self.unique_id,
-            right_df=right_df,
+            right_df=right_df, max_block_size=self.max_block_size,
         )
         if any(c.tf_adjustment for c in self.comparisons):
             tf_base = df if right_df is None else df.unionByName(

@@ -158,3 +158,39 @@ def test_model_roundtrip_preserves_tf_flag(tmp_path):
     path = str(tmp_path / "m.json")
     model.save(path)
     assert FellegiSunterModel.load(path).comparisons[0].tf_adjustment is True
+
+
+def test_candidate_pairs_max_block_size_drops_hot_key(spark):
+    # "smith" block has 4 rows (6 pairs); "jones" has 2 (1 pair). Cap 3
+    # excludes the hot block entirely, leaves the small one untouched.
+    rows = [(str(i), "smith", "2000") for i in range(1, 5)]
+    rows += [("8", "jones", "2000"), ("9", "jones", "2000")]
+    df = spark.createDataFrame(
+        rows, "unique_id string, surname string, postcode string"
+    )
+    comps = [Comparison("surname", "levenshtein", 2)]
+    rule = BlockingRule(("surname",))
+    full = candidate_pairs(df, [rule], comps)
+    assert full.count() == 7
+    capped = candidate_pairs(df, [rule], comps, max_block_size=3)
+    got = {(r["unique_id_l"], r["unique_id_r"]) for r in capped.collect()}
+    assert got == {("8", "9")}
+
+
+def test_candidate_pairs_max_block_size_link_mode(spark):
+    left = spark.createDataFrame(
+        [("l1", "smith"), ("l2", "smith"), ("l3", "jones")],
+        "unique_id string, surname string",
+    )
+    right = spark.createDataFrame(
+        [("r1", "smith"), ("r2", "jones")],
+        "unique_id string, surname string",
+    )
+    comps = [Comparison("surname", "levenshtein", 2)]
+    rule = BlockingRule(("surname",))
+    capped = candidate_pairs(
+        left, [rule], comps, right_df=right, max_block_size=1
+    )
+    got = {(r["unique_id_l"], r["unique_id_r"]) for r in capped.collect()}
+    # smith exceeds the cap on the left side; only jones×jones survives
+    assert got == {("l3", "r2")}
