@@ -885,3 +885,36 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sha256"),
         F.col("width").cast("long").alias("width"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing-style document fingerprints (rolling smallest shingle hashes)
+# --------------------------------------------------------------------------
+def _winnow_sql() -> str:
+    return f"""
+    WITH {_sql_shingle_cte()},
+    hashed AS (
+        SELECT doc_id,
+               list_sort(list_transform(sh, s ->
+                   ({_sql_hash64('s')}))) AS hs
+        FROM shingled
+    )
+    SELECT doc_id, unnest(hs[1:4]) AS fp FROM hashed
+    """
+
+
+@register(
+    "winnow_fingerprints",
+    _winnow_sql(),
+    survey="LLM text analysis: winnowing signature (k smallest shingle hashes)",
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's 4 smallest shingle hashes — a deterministic
+    signature subset near-identical documents share (winnowing idea).
+    Pure built-ins: shingle → md5-derived 60-bit hash → array_sort →
+    slice → explode."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.explode(X.rolling_fingerprints("text", k=3, keep=4)).alias("fp"),
+    )
