@@ -84,6 +84,7 @@ def candidate_pairs(
     right_df: DataFrame | None = None,
     deduplicate_across_rules: bool = True,
     max_block_size: int | None = None,
+    block_cap_mode: str = "drop",
 ) -> DataFrame:
     """Generate candidate pairs via blocking self-join (J5) and attach
     gamma columns.
@@ -96,17 +97,24 @@ def candidate_pairs(
     disjoint — no distinct/dropDuplicates shuffle over the (potentially
     enormous) pair table.
 
-    ``max_block_size`` caps individual blocks: rows whose blocking-key
-    value appears more than this many times (on either side) are excluded
-    from that rule's join. The reference only budgets at RULE granularity
-    (autolinker.py:293 filters on the rule's estimated pair count), so one
-    hot value inside an otherwise-fine rule — the null sentinel over a
-    mostly-null column, "smith" in a surname block — still yields count²
-    pairs; at 100 TB that single block is the job-killer. Hot keys are few
-    by definition (count > cap), so the exclusion list stays tiny and
-    broadcast; the extra per-rule count aggregation is narrow (key columns
-    only, map-side partials). A documented recall trade, like the
-    reference's rule-level budget, and off by default.
+    ``max_block_size`` caps individual blocks. The reference only budgets
+    at RULE granularity (autolinker.py:293 filters on the rule's estimated
+    pair count), so one hot value inside an otherwise-fine rule — the null
+    sentinel over a mostly-null column, "smith" in a surname block — still
+    yields count² pairs; at 100 TB that single block is the job-killer.
+    Two modes (both a documented recall trade, off by default):
+
+    - ``block_cap_mode="drop"``: exclude blocks over the cap entirely.
+      Hot keys are few by definition (count > cap), so the exclusion list
+      stays tiny and broadcasts; the per-rule count aggregation is narrow
+      (key columns only, map-side partials). Zero pairs from hot blocks.
+    - ``block_cap_mode="trim"``: keep a deterministic subset of ``cap``
+      rows per block (:func:`blocking.cap_block_size`) — every block
+      contributes ≤ cap²/2 pairs but hot blocks still participate. The
+      window shuffle it costs is on the block key the join needs anyway.
+
+    For bounding TASK size (not output size) under skew without losing
+    pairs, see :func:`blocking.salt_hot_keys`.
     """
     cols = sorted({c.column for c in comparisons})
     rule_cols = sorted({c for r in rules for c in r.columns})
@@ -117,8 +125,17 @@ def candidate_pairs(
     left_base = df.select(*sel)
     right_base = (right_df.select(*sel) if link_mode else left_base)
 
-    def _drop_hot_blocks(base: DataFrame, rule: BlockingRule) -> DataFrame:
+    if block_cap_mode not in ("drop", "trim"):
+        raise ValueError(f"unknown block_cap_mode {block_cap_mode!r}")
+
+    def _cap_blocks(base: DataFrame, rule: BlockingRule) -> DataFrame:
         key = list(rule.columns)
+        if block_cap_mode == "trim":
+            from auto_data_linkage_spark.blocking import cap_block_size
+
+            return cap_block_size(
+                base, key, max_block_size, id_column=unique_id
+            )
         hot = (
             base.groupBy(*key)
             .count()
@@ -130,8 +147,8 @@ def candidate_pairs(
     parts = []
     for i, rule in enumerate(rules):
         if max_block_size is not None:
-            lf = _drop_hot_blocks(left_base, rule)
-            rf = _drop_hot_blocks(right_base, rule) if link_mode else lf
+            lf = _cap_blocks(left_base, rule)
+            rf = _cap_blocks(right_base, rule) if link_mode else lf
             left, right = lf.alias("l"), rf.alias("r")
         else:
             left = left_base.alias("l")

@@ -194,3 +194,23 @@ def test_candidate_pairs_max_block_size_link_mode(spark):
     got = {(r["unique_id_l"], r["unique_id_r"]) for r in capped.collect()}
     # smith exceeds the cap on the left side; only jones×jones survives
     assert got == {("l3", "r2")}
+
+
+def test_candidate_pairs_block_cap_trim_bounds_pairs(spark):
+    rows = [(str(i), "smith", "2000") for i in range(1, 7)]
+    df = spark.createDataFrame(
+        rows, "unique_id string, surname string, postcode string"
+    )
+    comps = [Comparison("surname", "levenshtein", 2)]
+    rule = BlockingRule(("surname",))
+    trimmed = candidate_pairs(
+        df, [rule], comps, max_block_size=3, block_cap_mode="trim"
+    )
+    # 6-row block trimmed to a deterministic 3-row subset -> C(3,2) pairs
+    assert trimmed.count() == 3
+    again = candidate_pairs(
+        df, [rule], comps, max_block_size=3, block_cap_mode="trim"
+    )
+    assert sorted(map(tuple, trimmed.collect())) == sorted(
+        map(tuple, again.collect())
+    )
