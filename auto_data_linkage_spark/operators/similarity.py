@@ -144,7 +144,10 @@ def build_centroids(
     return corpus.groupBy(F.col(cell_col).alias("cell")).agg(
         F.array(
             *[
-                F.avg(F.col(vec_col)[i].cast("double"))
+                # F.get (not [i]): NULL past the end of a short vector —
+                # avg skips nulls, matching the old posexplode semantics;
+                # ANSI mode makes [i] THROW on ragged inputs
+                F.avg(F.get(F.col(vec_col), i).cast("double"))
                 for i in range(dim)
             ]
         ).alias("centroid")
@@ -441,7 +444,7 @@ def kmeans_centroids(
             assigned.groupBy("cell")
             .agg(
                 *[
-                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
+                    F.avg(F.get(F.col(vec_col), i).cast("double")).alias(f"m{i}")
                     for i in range(dim)
                 ]
             )
