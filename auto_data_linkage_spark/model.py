@@ -128,42 +128,72 @@ def candidate_pairs(
     if block_cap_mode not in ("drop", "trim"):
         raise ValueError(f"unknown block_cap_mode {block_cap_mode!r}")
 
-    def _cap_blocks(base: DataFrame, rule: BlockingRule) -> DataFrame:
-        key = list(rule.columns)
-        if block_cap_mode == "trim":
-            from auto_data_linkage_spark.blocking import cap_block_size
+    def _with_surv_flags(base: DataFrame) -> DataFrame:
+        """Attach one ``__surv_{j}`` boolean per rule: does this row
+        participate in rule j's join under the block cap? Flags (not
+        pre-filtered frames) let the cross-rule negation reason about
+        what a CAPPED prior rule actually produced — negating the raw
+        prior condition would also drop pairs the prior rule lost to its
+        cap, compounding the recall trade across rules."""
+        out = base
+        for j, rule in enumerate(rules):
+            key = list(rule.columns)
+            if block_cap_mode == "trim":
+                from pyspark.sql import Window
 
-            return cap_block_size(
-                base, key, max_block_size, id_column=unique_id
-            )
-        hot = (
-            base.groupBy(*key)
-            .count()
-            .where(F.col("count") > max_block_size)
-            .select(*key)
+                w = Window.partitionBy(*[F.col(c) for c in key]).orderBy(
+                    F.xxhash64(F.col(unique_id)), F.col(unique_id)
+                )
+                out = out.withColumn(
+                    f"__surv_{j}", F.row_number().over(w) <= max_block_size
+                )
+            else:
+                hot = (
+                    base.groupBy(*key)
+                    .count()
+                    .where(F.col("count") > max_block_size)
+                    .select(*key, F.lit(True).alias("__hot"))
+                )
+                out = (
+                    out.join(F.broadcast(hot), on=key, how="left")
+                    .withColumn(f"__surv_{j}", F.col("__hot").isNull())
+                    .drop("__hot")
+                )
+        return out
+
+    if max_block_size is not None:
+        left_base = _with_surv_flags(left_base)
+        right_base = (
+            _with_surv_flags(right_base) if link_mode else left_base
         )
-        return base.join(F.broadcast(hot), on=key, how="left_anti")
+
+    def _produced_by(rule_idx: int, rule: BlockingRule):
+        """Join condition under which ``rule`` emits a pair, including its
+        block cap when one is set."""
+        cond = rule.join_condition()
+        if max_block_size is not None:
+            cond = (
+                cond
+                & F.col(f"l.__surv_{rule_idx}")
+                & F.col(f"r.__surv_{rule_idx}")
+            )
+        return cond
 
     parts = []
     for i, rule in enumerate(rules):
-        if max_block_size is not None:
-            lf = _cap_blocks(left_base, rule)
-            rf = _cap_blocks(right_base, rule) if link_mode else lf
-            left, right = lf.alias("l"), rf.alias("r")
-        else:
-            left = left_base.alias("l")
-            right = right_base.alias("r")
-        cond = rule.join_condition()
+        left = left_base.alias("l")
+        right = right_base.alias("r")
+        cond = _produced_by(i, rule)
         if not link_mode:
             cond = cond & (F.col(f"l.{unique_id}") < F.col(f"r.{unique_id}"))
         if deduplicate_across_rules:
-            for prev in rules[:i]:
+            for j, prev in enumerate(rules[:i]):
                 # null-safe negation: if a prior rule's column is NULL the
                 # raw negation is NULL and AND would silently drop the pair
                 # even though the prior rule never produced it (Splink wraps
                 # exclusions in coalesce(..., false) for the same reason)
                 cond = cond & ~F.coalesce(
-                    prev.join_condition(), F.lit(False)
+                    _produced_by(j, prev), F.lit(False)
                 )
         pair = left.join(right, cond, "inner").select(
             F.col(f"l.{unique_id}").alias(f"{unique_id}_l"),

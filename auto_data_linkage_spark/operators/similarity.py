@@ -139,8 +139,17 @@ def build_centroids(
     whole-stage codegen. ``dim`` is probed from the first row when not
     given (embedding columns are fixed-width)."""
     if dim is None:
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(first["d"]) if first is not None else 0
+        # max (not first-row) size: a short or NULL first vector would
+        # silently truncate every centroid and make the output depend on
+        # scan order
+        row = corpus.select(F.max(F.size(F.col(vec_col))).alias("d")).first()
+        d = row["d"] if row is not None else None
+        if d is None:
+            raise ValueError(
+                "cannot infer vector dim from an empty/all-null corpus; "
+                "pass dim= explicitly"
+            )
+        dim = int(d)
     return corpus.groupBy(F.col(cell_col).alias("cell")).agg(
         F.array(
             *[
@@ -418,10 +427,13 @@ def kmeans_centroids(
     init_sample = max(k * 32, 1024)
     sample = (
         corpus.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
         .limit(init_sample)
         .collect()
     )
+    if not sample:
+        raise ValueError("kmeans_centroids: corpus has no non-null vectors")
     smat = np.asarray([list(r[vec_col]) for r in sample], dtype=np.float64)
     if metric == "cosine":
         norms = np.linalg.norm(smat, axis=1)
@@ -452,7 +464,12 @@ def kmeans_centroids(
         )
         new_cents = [list(c) for c in cents]
         for r in means:
-            new_cents[r["cell"]] = [r[f"m{i}"] for i in range(dim)]
+            # a NULL per-index mean (cell whose vectors are all shorter
+            # than dim) keeps the previous centroid component
+            new_cents[r["cell"]] = [
+                r[f"m{i}"] if r[f"m{i}"] is not None else cents[r["cell"]][i]
+                for i in range(dim)
+            ]
         shift = max(
             max((abs(a - b) for a, b in zip(old, new)), default=0.0)
             for old, new in zip(cents, new_cents)

@@ -31,13 +31,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark 4 rejects natively: read nanos as long and rebuild a
     microsecond-truncated timestamp. Oracles apply the same µs truncation
     via CAST(ts AS TIMESTAMP) (DuckDB TIMESTAMP_NS → TIMESTAMP)."""
+    from auto_data_linkage_spark.session import rebuild_nanos_timestamps
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        # integer div — float division loses sub-µs bits at ns magnitudes
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return rebuild_nanos_timestamps(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
 
 
 # DuckDB-side: events with µs-truncated timestamps (matches _events)

@@ -81,12 +81,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_
     out = {}
     for name in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # nanos-as-long → µs-truncated timestamp; integer div keeps
-            # the sub-µs bits from corrupting the result
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = rebuild_nanos_timestamps(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def rebuild_nanos_timestamps(df, cols=("ts",)):
+    """Rebuild TIMESTAMP(NANOS) columns read as long under
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (Spark 4 rejects nanos
+    natively). Applies to each named column that surfaced as bigint;
+    integer div keeps the sub-µs bits from corrupting the value (float
+    division loses precision at ns magnitudes). Shared by load_tables and
+    the event-stream query loaders."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df

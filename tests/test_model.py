@@ -214,3 +214,25 @@ def test_candidate_pairs_block_cap_trim_bounds_pairs(spark):
     assert sorted(map(tuple, trimmed.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_block_cap_negation_sees_capped_prior_rule(spark):
+    # Rows 1,2 live in a hot surname block (4 rows > cap 3) AND share a
+    # small postcode block. The surname rule's cap drops them, so the
+    # postcode rule's cross-rule negation must NOT exclude the pair —
+    # negating the raw prior condition would lose it entirely.
+    rows = [(str(i), "smith", f"{2000 + i}") for i in range(3, 7)]
+    rows += [("1", "smith", "9999"), ("2", "smith", "9999")]
+    df = spark.createDataFrame(
+        rows, "unique_id string, surname string, postcode string"
+    )
+    comps = [Comparison("surname", "levenshtein", 2)]
+    rules = [BlockingRule(("surname",)), BlockingRule(("postcode",))]
+    # surname block now has 6 rows (> cap), postcode 9999 has 2 (<= cap)
+    capped = candidate_pairs(df, rules, comps, max_block_size=3)
+    got = {(r["unique_id_l"], r["unique_id_r"]) for r in capped.collect()}
+    assert ("1", "2") in got
+    # and nothing from the hot surname block via the surname rule
+    assert all(
+        not (l in "3456" and r in "3456") for l, r in got
+    ), got
