@@ -105,10 +105,19 @@ def entropy_df(df: DataFrame, columns: Sequence[str], base: float = math.e) -> D
     )
 
 
-def max_distinct_count(df: DataFrame, columns: Sequence[str]) -> int:
+def max_distinct_count(
+    df: DataFrame, columns: Sequence[str], *, exact: bool = True
+) -> int:
     """Max #distinct values of any attribute column (A8,
-    autolinker.py:597-602) — single agg job, not one per column."""
-    row = df.agg(*[F.countDistinct(c).alias(c) for c in columns]).collect()[0]
+    autolinker.py:597-602) — single agg job, not one per column.
+
+    ``exact=True`` (default) matches the reference bit-for-bit; note Spark
+    rewrites multi-column exact distincts with an Expand (one data copy
+    per column). ``exact=False`` uses HLL ``approx_count_distinct`` —
+    one pass, no Expand, ±2.3% — the right choice at 100 TB when the
+    count only seeds a log base."""
+    agg_fn = F.countDistinct if exact else F.approx_count_distinct
+    row = df.agg(*[agg_fn(c).alias(c) for c in columns]).collect()[0]
     return max(int(row[c]) for c in columns)
 
 
