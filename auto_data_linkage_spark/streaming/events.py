@@ -122,6 +122,21 @@ def stream_dedup(
     return events.withWatermark("ts", watermark).dropDuplicates(list(keys))
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static enrichment join: attach dimension attributes to each
+    event. Stateless — Spark re-plans the static side per micro-batch, so
+    a small dim broadcasts (no shuffle of the stream) and dim updates
+    between batches are picked up. Use left join to keep events whose key
+    is missing from the dim (inner silently drops them)."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
 _RUNNING_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from auto_data_linkage_spark.streaming.events import (
+    enrich_stream,
     read_event_stream,
     run_to_memory,
     running_user_totals,
@@ -104,3 +105,17 @@ def test_parquet_sink_checkpointed(spark, stream, tmp_path_factory):
     assert set(written.columns) == {
         "window_start", "event_type", "n_events", "total_value",
     }
+
+
+def test_enrich_stream_matches_batch_join(spark, stream, events_batch):
+    dim = spark.createDataFrame(
+        [(int(r["user_id"]), f"seg{int(r['user_id']) % 3}")
+         for r in events_batch.select("user_id").distinct().collect()],
+        "user_id long, segment string",
+    )
+    run_to_memory(enrich_stream(stream, dim, "user_id"), "enriched_q")
+    got = (
+        spark.table("enriched_q").groupBy("segment").count().collect()
+    )
+    want = events_batch.join(dim, "user_id").groupBy("segment").count().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
