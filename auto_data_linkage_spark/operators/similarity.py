@@ -136,8 +136,8 @@ def build_centroids(
     """Per-cell mean vector as ``dim`` per-index ``avg`` aggregates in ONE
     groupBy — partial aggregation ships k×dim doubles per map task instead
     of n×dim exploded rows, and the whole expression stays inside
-    whole-stage codegen. ``dim`` is probed from the first row when not
-    given (embedding columns are fixed-width)."""
+    whole-stage codegen. ``dim`` is probed as the max vector size when
+    not given."""
     if dim is None:
         # max (not first-row) size: a short or NULL first vector would
         # silently truncate every centroid and make the output depend on
@@ -173,6 +173,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     cell_col: str = "label",
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: route each query to its ``nprobe`` closest
     cells (by centroid cosine), then brute-force only within those cells.
@@ -183,7 +184,7 @@ def ivf_topk(
     probed cells — the standard IVF trade, tested explicitly.
     """
     cents = centroids if centroids is not None else build_centroids(
-        corpus, vec_col=vec_col, cell_col=cell_col
+        corpus, vec_col=vec_col, cell_col=cell_col, dim=dim
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

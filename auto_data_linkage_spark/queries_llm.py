@@ -475,7 +475,7 @@ _IVF_SQL = """
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    return S.ivf_topk(emb, queries, k=5, nprobe=3)
+    return S.ivf_topk(emb, queries, k=5, nprobe=3, dim=64)
 
 
 # The ±1 hyperplanes come from md5("seed|plane|dim") first-byte parity
