@@ -447,11 +447,21 @@ class FellegiSunterModel:
                 )
             else:
                 exact_bf = F.lit(math.log2(p.bayes_factor(EXACT_LEVEL)))
-            bf = (
-                F.when(g == NULL_LEVEL, F.lit(0.0))
-                .when(g == EXACT_LEVEL, exact_bf)
-                .when(g == FUZZY_LEVEL, F.lit(math.log2(p.bayes_factor(FUZZY_LEVEL))))
-                .otherwise(F.lit(math.log2(p.bayes_factor(ELSE_LEVEL))))
+            # array lookup, NOT a when()-ladder: a ladder references the
+            # gamma column once per level, and when the threshold filter
+            # is pushed through the projection each reference inlines the
+            # full gamma expression (levenshtein & co.) — measured 3x the
+            # per-pair cost. element_at references gamma exactly once.
+            # Index = gamma + 2: NULL(-1)->1, ELSE(0)->2, FUZZY(1)->3,
+            # EXACT(2)->4 (element_at is 1-based).
+            bf = F.element_at(
+                F.array(
+                    F.lit(0.0),
+                    F.lit(math.log2(p.bayes_factor(ELSE_LEVEL))),
+                    F.lit(math.log2(p.bayes_factor(FUZZY_LEVEL))),
+                    exact_bf,
+                ),
+                g.cast("int") + F.lit(2),
             )
             weight = weight + bf
         prob = F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -weight))

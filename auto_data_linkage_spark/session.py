@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # limit/take probes start at ONE partition and scale up 4x per
+        # round — over an expensive lineage (e.g. the CC size probe on a
+        # blocking-join edge list) the early low-parallelism rounds cost
+        # 20x a full parallel scan. Start at the core count instead.
+        .config("spark.sql.limit.initialNumPartitions", str(cpus))
         # Spark 4 rejects parquet TIMESTAMP(NANOS) outright; read the raw
         # int64 and let loaders rebuild µs timestamps (see load_tables)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
