@@ -57,7 +57,11 @@ from auto_data_linkage_spark.metrics import (
     information_gain_power_ratio,
     pairwise_prf,
 )
-from auto_data_linkage_spark.model import BlockingRule, FellegiSunterModel
+from auto_data_linkage_spark.model import (
+    BlockingRule,
+    FellegiSunterModel,
+    candidate_pairs,
+)
 
 __all__ = [
     "AutoLinker",
@@ -66,6 +70,7 @@ __all__ = [
     "FellegiSunterModel",
     "RuleEstimate",
     "align_for_linking",
+    "candidate_pairs",
     "cap_block_size",
     "clean_columns",
     "cluster_at_threshold",
