@@ -77,3 +77,25 @@ def test_lsh_signature_stays_in_codegen(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     df = emb.select(signature_expr(F.col("embedding"), 64, 12).alias("sig"))
     assert codegen_stage_count(df) >= 1
+
+
+def test_score_filter_does_not_multiply_comparisons(spark):
+    """A threshold filter pushed through the score projection must not
+    inline the gamma expression once per when()-level — the Bayes factors
+    are a constant-array lookup referencing each gamma exactly once, so
+    the physical plan carries at most 2 levenshtein calls per comparison
+    (one in the filter condition, one in the projection)."""
+    from auto_data_linkage_spark.compare import Comparison
+    from auto_data_linkage_spark.model import BlockingRule, FellegiSunterModel
+
+    df = spark.createDataFrame(
+        [("1", "smith", "a"), ("2", "smith", "b")],
+        "unique_id string, surname string, other string",
+    )
+    m = FellegiSunterModel(
+        [Comparison("surname", "levenshtein", 2)],
+        [BlockingRule(("other",))],
+    )
+    scored = m.predict(df).where(F.col("match_probability") >= 0.9)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("levenshtein") <= 2, plan
