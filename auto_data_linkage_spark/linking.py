@@ -30,10 +30,17 @@ def column_correspondence(
     exclude: tuple[str, ...] = (),
     sample_rows: int | None = 10_000,
     seed: int = 42,
+    distinct_values: bool = True,
 ) -> list[tuple[str, str, int]]:
     """Infer which column of ``right`` corresponds to each column of
-    ``left`` by distinct-value overlap. Returns greedy best pairings
+    ``left`` by value overlap. Returns greedy best pairings
     ``(left_col, right_col, overlap)`` sorted by overlap descending.
+
+    ``distinct_values=True`` (default) counts overlapping DISTINCT values —
+    scale-safe (the value join cannot blow up on repeated values).
+    ``False`` reproduces the reference's row-level inner-join match counts
+    (autolinker.py:994-1003) exactly, including their multiplicity
+    blow-up on hot values; both rank the true correspondence first.
     """
     lcols = [c for c in string_columns(left) if c not in exclude]
     rcols = [c for c in string_columns(right) if c not in exclude]
@@ -45,9 +52,10 @@ def column_correspondence(
         if sample_rows is not None and n > sample_rows:
             df = df.sample(fraction=sample_rows / n, seed=seed)
         cleaned = clean_columns(df.select(*cols), cols)
-        return melt(cleaned, cols).where(
+        melted = melt(cleaned, cols).where(
             F.col("val").isNotNull() & (F.col("val") != "")
-        ).distinct()
+        )
+        return melted.distinct() if distinct_values else melted
 
     lm = prep(left, lcols).withColumnRenamed("col", "col_a")
     rm = prep(right, rcols).withColumnRenamed("col", "col_b")

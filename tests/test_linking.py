@@ -65,3 +65,24 @@ def test_auto_link_link_mode_cross_table_only(spark, people):
     # surface as high-probability cross-table links
     top = scores.where(F.col("match_probability") > 0.5).count()
     assert top >= 1
+
+
+def test_column_correspondence_row_level_mode(spark):
+    # reference-exact mode: multiplicity-weighted counts still rank the
+    # true correspondence first
+    from auto_data_linkage_spark.linking import column_correspondence
+
+    left = spark.createDataFrame(
+        [("smith", "nsw"), ("smith", "vic"), ("jones", "nsw")],
+        "surname string, state string",
+    )
+    right = spark.createDataFrame(
+        [("smith", "x"), ("smith", "y"), ("brown", "z")],
+        "family string, junk string",
+    )
+    pairs = column_correspondence(
+        left, right, distinct_values=False, sample_rows=None
+    )
+    assert pairs[0][:2] == ("surname", "family")
+    # 2 smith rows left x 2 smith rows right = 4 row-level matches
+    assert pairs[0][2] == 4
