@@ -74,6 +74,7 @@ class AutoLinker:
         random_seed: int = 42,
         attribute_columns: list[str] | None = None,
         max_block_size: int | None = None,
+        block_cap_mode: str = "drop",
     ):
         self.comparison_size_limit = comparison_size_limit
         self.max_evals = max_evals
@@ -84,6 +85,7 @@ class AutoLinker:
         self.random_seed = random_seed
         self.attribute_columns = attribute_columns
         self.max_block_size = max_block_size
+        self.block_cap_mode = block_cap_mode
         self.trials: list[Trial] = []
         self._link_frames: tuple[DataFrame, DataFrame] | None = None
         self.best_trial: Trial | None = None
@@ -244,6 +246,7 @@ class AutoLinker:
             rule.to_blocking_rules(),
             unique_id=self.unique_id,
             max_block_size=self.max_block_size,
+            block_cap_mode=self.block_cap_mode,
         )
         model.estimate_u(df, target_pairs=100_000, seed=self.random_seed)
         if training_rule is not None:

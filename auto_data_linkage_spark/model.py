@@ -16,9 +16,11 @@ Spark-first design decisions:
   per-row EM but with exactly one Spark job per training session instead of
   two per iteration. At 100 TB this is the difference between minutes and
   hours.
-- **Scoring is a codegen'd projection**: per-column Bayes factors become a
-  ``when()`` ladder, ``match_weight = log2(prior odds) + Σ log2(m/u)``,
-  probability via the logistic in base 2. No UDFs.
+- **Scoring is a codegen'd projection**: per-column Bayes factors are a
+  constant-array lookup indexed by the gamma level (each gamma referenced
+  exactly once — a when() ladder triples the cost when a threshold filter
+  pushes through the projection), ``match_weight = log2(prior odds) +
+  Σ log2(m/u)``, probability via the logistic in base 2. No UDFs.
 
 Reference drive points: python/arc/autolinker/autolinker.py:538-566 (settings,
 prior 1/N, u-estimation, per-rule EM, predict).
@@ -248,6 +250,7 @@ class FellegiSunterModel:
         em_convergence: float = 0.01,
         max_em_iterations: int = 60,
         max_block_size: int | None = None,
+        block_cap_mode: str = "drop",
     ):
         self.comparisons = comparisons
         self.blocking_rules = [BlockingRule.parse(r) for r in blocking_rules]
@@ -256,6 +259,7 @@ class FellegiSunterModel:
         self.em_convergence = em_convergence
         self.max_em_iterations = max_em_iterations
         self.max_block_size = max_block_size
+        self.block_cap_mode = block_cap_mode
         self.params: dict[str, ComparisonParams] = {
             c.column: ComparisonParams(c, dict(_DEFAULT_M), dict(_DEFAULT_U))
             for c in comparisons
@@ -564,6 +568,7 @@ class FellegiSunterModel:
         pairs = candidate_pairs(
             df, self.blocking_rules, self.comparisons, self.unique_id,
             right_df=right_df, max_block_size=self.max_block_size,
+            block_cap_mode=self.block_cap_mode,
         )
         if any(c.tf_adjustment for c in self.comparisons):
             tf_base = df if right_df is None else df.unionByName(
