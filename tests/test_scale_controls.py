@@ -74,3 +74,29 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert back.count() == orders.where(F.col("o_orderstatus") == "F").count()
     # partition pruning: the scan must not read all partitions
     assert "PartitionFilters" in physical_plan(back)
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Co-located storage: two tables bucketed on the join key sort-merge
+    join with ZERO exchanges — the storage-side answer to repeated
+    blocking joins on the same keys."""
+    from auto_data_linkage_spark.plans.explain import count_exchanges
+    from auto_data_linkage_spark.sources.catalog import write_bucketed
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(
+        cust.select("c_custkey", "c_name"), "b_left", ["c_custkey"], 4
+    )
+    write_bucketed(
+        cust.select("c_custkey", "c_mktsegment"), "b_right", ["c_custkey"], 4
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_left").join(spark.table("b_right"), "c_custkey")
+        assert count_exchanges(joined) == 0
+        assert joined.count() == cust.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
