@@ -236,3 +236,41 @@ def test_block_cap_negation_sees_capped_prior_rule(spark):
     assert all(
         not (l in "3456" and r in "3456") for l, r in got
     ), got
+
+
+def test_match_key_dedup_equals_dropduplicates(spark):
+    # Invariant: the no-shuffle match-key negation and the dropDuplicates
+    # path must produce the same pair set, whatever the rule overlap.
+    import random
+
+    rng = random.Random(7)
+    for case in range(3):
+        rows = [
+            (
+                str(i),
+                rng.choice(["a", "b", "c", None]),
+                rng.choice(["x", "y", None]),
+                rng.choice(["p", "q", "r"]),
+            )
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "unique_id string, s string, t string, u string"
+        )
+        comps = [Comparison("u", "levenshtein", 1)]
+        rules = [
+            BlockingRule(("s",)),
+            BlockingRule(("t",)),
+            BlockingRule(("s", "t")),
+        ]
+        a = {
+            (r["unique_id_l"], r["unique_id_r"])
+            for r in candidate_pairs(df, rules, comps).collect()
+        }
+        b = {
+            (r["unique_id_l"], r["unique_id_r"])
+            for r in candidate_pairs(
+                df, rules, comps, deduplicate_across_rules=False
+            ).collect()
+        }
+        assert a == b, f"case {case}: {a ^ b}"
