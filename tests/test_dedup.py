@@ -106,3 +106,41 @@ def test_exact_dedup_on_documents_table(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # testdata has no exact dups; dedup must be a no-op
     assert exact_dedup(docs).count() == docs.count()
+
+
+def test_text_ops_edge_inputs(spark):
+    # empty, whitespace, unicode, single char, long token, null — no
+    # crashes, sane ranges
+    from auto_data_linkage_spark.operators import text as X
+
+    rows = [
+        (1, ""),
+        (2, "   \t\n "),
+        (3, "héllo wörld héllo"),
+        (4, "x"),
+        (5, "a" * 5000),
+        (6, None),
+        (7, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        X.token_count("text").alias("n_tok"),
+        X.quality_score("text").alias("q"),
+        X.lang_id("text").alias("lang"),
+        X.doc_fingerprint("text").alias("fp"),
+        X.rolling_fingerprints("text", 3, 4).alias("winnow"),
+        X.shingles("text", 3).alias("sh"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_tok"] == 0 and by_id[2]["n_tok"] == 0
+    assert by_id[7]["lang"] == "en"
+    for r in out:
+        if r["q"] is not None:
+            assert 0.0 <= r["q"] <= 1.0, r
+    # null text propagates null features, never errors
+    assert by_id[6]["fp"] is None
+    # identical normalized text -> identical fingerprint
+    fp = spark.createDataFrame([("A  b",), ("a b",)], "text string").select(
+        X.doc_fingerprint("text").alias("fp")).collect()
+    assert fp[0]["fp"] == fp[1]["fp"]
