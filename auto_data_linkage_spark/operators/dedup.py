@@ -307,6 +307,71 @@ def simhash_duplicates(
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance: band the
+    signature into ``n_bands`` chunks, self-join on any shared chunk,
+    then verify with the exact popcount of the XOR.
+
+    Pigeonhole guarantee: any pair within hamming < ``n_bands`` differs
+    in fewer bits than there are bands, so at least one band matches —
+    candidate generation is exact for ``max_hamming < n_bands``. The
+    join shuffles only (band, value, id, sig) — never the text — and
+    pair cost is Σ bucket², proportional to actual signature similarity.
+
+    Output: (doc_id_l, doc_id_r, hamming), each unordered pair once.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(got {n_bands}) for exact candidate generation"
+        )
+    band_bits = bits // n_bands
+    sig = simhash_table(df, text_col, id_col, bits)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        id_col, "simhash", F.explode(bands).alias("b")
+    ).select(id_col, "simhash", "b.band", "b.val")
+    left = banded.select(
+        F.col(id_col).alias("id_l"), F.col("simhash").alias("sig_l"),
+        "band", "val",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_r"), F.col("simhash").alias("sig_r"),
+        "band", "val",
+    )
+    return (
+        left.join(right, ["band", "val"])
+        .where(F.col("id_l") < F.col("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+        .select(
+            F.col("id_l").alias(f"{id_col}_l"),
+            F.col("id_r").alias(f"{id_col}_r"),
+            F.bit_count(
+                F.col("sig_l").bitwiseXOR(F.col("sig_r"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 # --------------------------------------------- n-gram jaccard (blocked)
 def ngram_jaccard_pairs(
     df: DataFrame,

@@ -918,3 +918,40 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(X.rolling_fingerprints("text", k=3, keep=4)).alias("fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs: banded LSH candidates + exact hamming verify
+# --------------------------------------------------------------------------
+def _simhash_near_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+    band_bits = _SIMHASH_BITS // n_bands
+    sig = _simhash_sql().strip()
+    bands = ", ".join(
+        f"((simhash >> {b * band_bits}) & {(1 << band_bits) - 1})"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sig AS ({sig}),
+    banded AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * {band_bits})) & {(1 << band_bits) - 1} AS val
+        FROM sig, UNNEST(range({n_bands})) AS t(band)
+    )
+    SELECT DISTINCT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+           bit_count(xor(l.simhash, r.simhash)) AS hamming
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+    """
+
+
+@register(
+    "simhash_near_pairs",
+    _simhash_near_sql(),
+    survey="LLM dedup: SimHash hamming-k near-dups (banded LSH + popcount verify)",
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.simhash_near_pairs(
+        docs, bits=_SIMHASH_BITS, max_hamming=3, n_bands=4
+    )

@@ -144,3 +144,45 @@ def test_text_ops_edge_inputs(spark):
     fp = spark.createDataFrame([("A  b",), ("a b",)], "text string").select(
         X.doc_fingerprint("text").alias("fp")).collect()
     assert fp[0]["fp"] == fp[1]["fp"]
+
+
+def test_simhash_near_pairs_exact_vs_bruteforce(spark):
+    # banded candidates must find EVERY pair within max_hamming < n_bands
+    # (pigeonhole) — compare against the brute-force cross join
+    from auto_data_linkage_spark.operators import dedup as D
+
+    # long docs: one changed token out of 60 flips ~1 signature bit
+    base = " ".join(f"token{i}" for i in range(60))
+    texts = [
+        (1, base),
+        (2, base.replace("token30", "changed")),  # hamming 1 from 1
+        (3, base.replace("token10", "altered")),  # hamming 1 from 1
+        (4, " ".join(f"other{i}" for i in range(60))),  # hamming ~17
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_id_l"], r["doc_id_r"])
+        for r in D.simhash_near_pairs(df, max_hamming=3, n_bands=4).collect()
+    }
+    sig = D.simhash_table(df)
+    from pyspark.sql import functions as F
+
+    l = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    r = sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    brute = {
+        (x["a"], x["b"])
+        for x in l.join(r, F.col("a") < F.col("b"))
+        .where(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .collect()
+    }
+    assert got == brute
+    assert brute, "fixture should contain at least one near pair"
+
+
+def test_simhash_near_pairs_rejects_bad_bands():
+    from auto_data_linkage_spark.operators import dedup as D
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        D.simhash_near_pairs(None, max_hamming=4, n_bands=4)
