@@ -315,6 +315,7 @@ def simhash_near_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance: band the
     signature into ``n_bands`` chunks, self-join on any shared chunk,
@@ -325,6 +326,11 @@ def simhash_near_pairs(
     candidate generation is exact for ``max_hamming < n_bands``. The
     join shuffles only (band, value, id, sig) — never the text — and
     pair cost is Σ bucket², proportional to actual signature similarity.
+
+    ``max_bucket`` drops (band, value) buckets with more members than the
+    cap before the join — a degenerate band value (short/template docs)
+    otherwise contributes bucket² pairs on its own; dropped buckets trade
+    recall for a hard output bound, like the blocking-side per-block caps.
 
     Output: (doc_id_l, doc_id_r, hamming), each unordered pair once.
     """
@@ -349,6 +355,16 @@ def simhash_near_pairs(
     banded = sig.select(
         id_col, "simhash", F.explode(bands).alias("b")
     ).select(id_col, "simhash", "b.band", "b.val")
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "val")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("band", "val")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band", "val"], "left_anti"
+        )
     left = banded.select(
         F.col(id_col).alias("id_l"), F.col("simhash").alias("sig_l"),
         "band", "val",

@@ -186,3 +186,23 @@ def test_simhash_near_pairs_rejects_bad_bands():
 
     with pytest.raises(ValueError):
         D.simhash_near_pairs(None, max_hamming=4, n_bands=4)
+
+
+def test_simhash_near_pairs_bucket_cap(spark):
+    from auto_data_linkage_spark.operators import dedup as D
+
+    base = " ".join(f"token{i}" for i in range(60))
+    # 6 near-identical docs -> every band bucket has ~6 members
+    texts = [(i, base.replace("token30", f"w{i}")) for i in range(1, 7)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = lambda **kw: {
+        (r["doc_id_l"], r["doc_id_r"])
+        for r in D.simhash_near_pairs(df, max_hamming=3, n_bands=4, **kw).collect()
+    }
+    full = pairs()
+    capped = pairs(max_bucket=3)
+    assert len(full) == 15     # C(6,2) — all near each other
+    # the three identical-value band buckets (6 members) are dropped;
+    # pairs may still collide via the differing band's small buckets,
+    # so the capped result is a strict subset, never a superset
+    assert capped < full
