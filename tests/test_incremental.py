@@ -1,0 +1,124 @@
+"""Incremental entity resolution: contraction-based batch folding must
+reproduce full re-clustering exactly (labels included, under the min-id
+convention), and merge events must surface cluster merges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.cluster import cluster_at_threshold
+from auto_data_linkage_spark.compare import Comparison
+from auto_data_linkage_spark.incremental import (
+    apply_increment,
+    incremental_assign,
+    incremental_components,
+)
+from auto_data_linkage_spark.model import BlockingRule, FellegiSunterModel
+from febrl_fixture import make_people
+
+PEOPLE_SCHEMA = (
+    "unique_id string, given_name string, surname string, suburb string, "
+    "postcode string, state string, date_of_birth string, recid string"
+)
+
+
+def _assignments(df, uid="unique_id", cl="cluster_id"):
+    return {
+        r[uid]: r[cl]
+        for r in df.select(
+            F.col(uid).cast("string").alias(uid),
+            F.col(cl).cast("string").alias(cl),
+        ).collect()
+    }
+
+
+def test_incremental_components_joins_existing_cluster(spark):
+    base = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c")], "node string, component string"
+    )
+    delta = spark.createDataFrame(
+        [("x", "a"), ("x", "y")], "src string, dst string"
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in incremental_components(base, delta).collect()
+    }
+    # x bridges into cluster a and pulls y along; cluster id stays "a"
+    assert out == {"c:a": "a", "r:x": "a", "r:y": "a"}
+
+
+def test_incremental_components_merges_two_clusters(spark):
+    base = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")],
+        "node string, component string",
+    )
+    delta = spark.createDataFrame(
+        [("x", "a"), ("x", "c")], "src string, dst string"
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in incremental_components(base, delta).collect()
+    }
+    # bridging record merges clusters a and c under the min id
+    assert out == {"c:a": "a", "c:c": "a", "r:x": "a"}
+
+
+@pytest.fixture(scope="module")
+def trained_model():
+    return FellegiSunterModel(
+        comparisons=[
+            Comparison("given_name", "levenshtein", 2),
+            Comparison("surname", "levenshtein", 2),
+            Comparison("suburb", "levenshtein", 2),
+            Comparison("postcode", "levenshtein", 1),
+        ],
+        blocking_rules=[("surname",), ("postcode",)],
+        # fixed prior: incremental scoring must not depend on batch size
+        prior=1.0 / 500,
+    )
+
+
+def _people_split(spark, n=150, seed=11):
+    rows = make_people(n_entities=n, dup_fraction=0.5, seed=seed)
+    df = spark.createDataFrame(rows, PEOPLE_SCHEMA)
+    # split so duplicate pairs straddle the boundary: every 3rd row is new
+    new = df.where(F.col("unique_id").cast("long") % 3 == 0)
+    base = df.where(F.col("unique_id").cast("long") % 3 != 0)
+    return df, base, new
+
+
+def test_incremental_equals_full_reclustering(spark, trained_model):
+    threshold = 0.9
+    full_df, base, new = _people_split(spark)
+
+    full = cluster_at_threshold(
+        full_df, trained_model.predict(full_df), threshold
+    )
+    base_clusters = cluster_at_threshold(
+        base, trained_model.predict(base), threshold
+    )
+    inc = incremental_assign(
+        trained_model, base_clusters, new, threshold=threshold
+    )
+    merged = apply_increment(base_clusters, new, inc)
+
+    assert _assignments(merged) == _assignments(full)
+    # every new record got an assignment exactly once
+    assert inc.assignments.count() == new.count()
+
+
+def test_incremental_singletons_keep_own_id(spark, trained_model):
+    _, base, _ = _people_split(spark)
+    base_clusters = cluster_at_threshold(
+        base, trained_model.predict(base), 0.9
+    )
+    loners = spark.createDataFrame(
+        [
+            ("90001", "zzyzx", "qwertyu", "nowhere", "0000", "xx", "19000101", "x1"),
+            ("90002", "vvvvv", "mnbvcx", "noplace", "0001", "yy", "19000102", "x2"),
+        ],
+        PEOPLE_SCHEMA,
+    )
+    inc = incremental_assign(trained_model, base_clusters, loners, threshold=0.9)
+    got = _assignments(inc.assignments)
+    assert got == {"90001": "90001", "90002": "90002"}
+    assert inc.merges.count() == 0
