@@ -25,7 +25,9 @@ Layers (see SURVEY.md §7):
   pipeline operators: dedup family, similarity search, text analysis,
   multimodal plumbing
 - :mod:`~auto_data_linkage_spark.streaming`  — Structured Streaming operators
-  over event streams
+  over event streams, plus continuous linkage (``streaming.linkage``)
+- :mod:`~auto_data_linkage_spark.incremental` — fold new record batches into
+  an existing clustering with delta-sized work (cluster contraction)
 
 Design stance: pure PySpark, zero JVM code, DataFrame/SQL plans that keep
 whole-stage codegen; Pandas UDFs only where built-ins genuinely cannot
@@ -51,6 +53,12 @@ from auto_data_linkage_spark.cluster import (
     connected_components,
 )
 from auto_data_linkage_spark.compare import Comparison
+from auto_data_linkage_spark.incremental import (
+    Increment,
+    apply_increment,
+    incremental_assign,
+    incremental_components,
+)
 from auto_data_linkage_spark.linking import align_for_linking, column_correspondence
 from auto_data_linkage_spark.metrics import (
     clustering_scores,
@@ -68,8 +76,10 @@ __all__ = [
     "BlockingRule",
     "Comparison",
     "FellegiSunterModel",
+    "Increment",
     "RuleEstimate",
     "align_for_linking",
+    "apply_increment",
     "candidate_pairs",
     "cap_block_size",
     "clean_columns",
@@ -79,6 +89,8 @@ __all__ = [
     "connected_components",
     "ensure_unique_id",
     "generate_blocking_rules",
+    "incremental_assign",
+    "incremental_components",
     "information_gain_power_ratio",
     "null_sentinel",
     "pairwise_prf",

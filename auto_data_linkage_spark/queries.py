@@ -860,6 +860,79 @@ def connected_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental clustering — fold a batch into an existing clustering via
+# cluster contraction (incremental.py). Base = suppliers with suppkey % 4
+# != 0, clustered by same-nation CC; batch = the rest. The oracle computes
+# full-graph connectivity over base ∪ batch with a recursive CTE, so it
+# checks the contraction invariant CC(E_base ∪ E_delta) ≡
+# expand(CC(contract(E_delta))) — labels included (min-id convention).
+# --------------------------------------------------------------------------
+@register(
+    "incremental_cluster",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT CAST(l.s_suppkey AS VARCHAR) AS src,
+               CAST(r.s_suppkey AS VARCHAR) AS dst
+        FROM supplier l JOIN supplier r
+          ON l.s_nationkey = r.s_nationkey AND l.s_suppkey < r.s_suppkey
+    ),
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    reach(node, other) AS (
+        SELECT src AS node, src AS other FROM sym
+        UNION
+        SELECT s.src AS node, reach.other
+        FROM sym s JOIN reach ON s.dst = reach.node
+    ),
+    cc AS (SELECT node, MIN(other) AS component FROM reach GROUP BY node)
+    SELECT CAST(n.s_suppkey AS VARCHAR) AS node,
+           COALESCE(cc.component, CAST(n.s_suppkey AS VARCHAR)) AS component
+    FROM supplier n LEFT JOIN cc ON CAST(n.s_suppkey AS VARCHAR) = cc.node
+    WHERE n.s_suppkey % 4 = 0
+    """,
+    survey="Incremental clustering (contraction; oracle = full-graph closure)",
+)
+def incremental_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.cluster import connected_components
+    from auto_data_linkage_spark.incremental import incremental_components
+
+    (supp,) = _t(spark, sf_dir, "supplier")
+    s = supp.select(
+        F.col("s_suppkey").cast("string").alias("id"), "s_nationkey"
+    )
+    base = s.where(F.col("id").cast("long") % 4 != 0)
+    batch = s.where(F.col("id").cast("long") % 4 == 0)
+
+    def nation_edges(left: DataFrame, right: DataFrame) -> DataFrame:
+        l, r = left.alias("l"), right.alias("r")
+        return l.join(
+            r,
+            (F.col("l.s_nationkey") == F.col("r.s_nationkey"))
+            & (F.col("l.id") != F.col("r.id")),
+        ).select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
+
+    base_assign = connected_components(
+        nation_edges(base, base).where(F.col("src") < F.col("dst"))
+    )
+    delta = nation_edges(batch, base).unionByName(
+        nation_edges(batch, batch).where(F.col("src") < F.col("dst"))
+    )
+    comp = incremental_components(base_assign, delta)
+    assigned = comp.where(F.col("node").startswith("r:")).select(
+        F.col("node").substr(F.lit(3), F.length("node")).alias("node"),
+        "component",
+    )
+    return batch.select(F.col("id").alias("node")).join(
+        assigned, "node", "left"
+    ).select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
+
+
+# --------------------------------------------------------------------------
 # A3 auto-base mode — entropy with per-column distinct-count log base
 # (the reference's base-0 mode, ARC_EntropyAggExpression.scala:57-63)
 # --------------------------------------------------------------------------

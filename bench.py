@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "union_distinct",
     "fs_score_fixed",
     "connected_components",
+    "incremental_cluster",
     # LLM-pipeline operators
     "text_features",
     "quality_score",
