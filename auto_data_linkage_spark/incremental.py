@@ -162,7 +162,11 @@ def incremental_assign(
     nn_edges = nn.select(
         F.col(f"{unique_id}_l").alias("src"), F.col(f"{unique_id}_r").alias("dst")
     )
-    delta = nb_edges.unionByName(nn_edges)
+    # cache the (delta-sized) edge list: its lineage is two blocking-join
+    # scoring plans over the base, and downstream consumers (CC size probe,
+    # contraction joins, assignment/merge branches) would re-run that
+    # lineage once each — measured 2-3x the whole incremental cost
+    delta = nb_edges.unionByName(nn_edges).cache()
 
     base_assign = base_clusters.select(
         F.col(unique_id).alias("node"), F.col(cluster_col).alias("component")
