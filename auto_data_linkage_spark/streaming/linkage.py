@@ -50,11 +50,16 @@ class StreamingLinker:
         *,
         threshold: float = 0.8,
         unique_id: str = "unique_id",
+        retain_versions: int = 3,
     ):
         self.model = model
         self.state_dir = state_dir
         self.threshold = threshold
         self.unique_id = unique_id
+        # snapshots to keep. ≥2 is required for crash replay (a replayed
+        # batch folds into the snapshot BEFORE its own); more buys manual
+        # time travel at the cost of disk
+        self.retain_versions = max(2, retain_versions)
 
     # ---------------------------------------------------------- state io
     def _versions(self) -> list[int]:
@@ -96,6 +101,24 @@ class StreamingLinker:
         df.write.mode("overwrite").parquet(
             f"{self.state_dir}/batch={batch_id}"
         )
+        self._prune(keep_latest=batch_id)
+
+    def _prune(self, keep_latest: int) -> None:
+        """Drop snapshots beyond ``retain_versions``, never the one just
+        written nor the ``retain_versions - 1`` before it."""
+        import shutil
+
+        keep = set(
+            sorted(v for v in self._versions() if v <= keep_latest)[
+                -self.retain_versions:
+            ]
+        )
+        keep.add(keep_latest)
+        for v in self._versions():
+            if v not in keep and v < keep_latest:
+                shutil.rmtree(
+                    f"{self.state_dir}/batch={v}", ignore_errors=True
+                )
 
     # ------------------------------------------------------------- logic
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:

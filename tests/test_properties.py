@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis). Driver-side algorithms get many
+examples (no Spark in the loop); Spark-backed operators get a few
+randomized batches evaluated in ONE job per example set.
+
+Properties pinned:
+- union-find components = min reachable node under BFS, any edge soup
+- Jaro–Winkler: bounds, symmetry, identity (the one per-row-Python kernel)
+- token/char-ngram Jaccard: bounds, identity, symmetry (array built-ins)
+- simhash: deterministic, equal inputs ⇒ equal hashes, 32-bit range
+- BlockingRule string parse/render roundtrip
+"""
+
+from collections import deque
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.cluster import _union_find_components
+from auto_data_linkage_spark.compare import _jw_one
+from auto_data_linkage_spark.model import BlockingRule
+
+# ---------------------------------------------------------- driver-side
+
+node_ids = st.integers(min_value=0, max_value=40)
+edge_lists = st.lists(st.tuples(node_ids, node_ids), min_size=0, max_size=120)
+
+
+def _bfs_components(edges):
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out = {}
+    for start in adj:
+        if start in out:
+            continue
+        seen = {start}
+        q = deque([start])
+        while q:
+            cur = q.popleft()
+            for nxt in adj[cur]:
+                if nxt not in seen:
+                    seen.add(nxt)
+                    q.append(nxt)
+        rep = min(seen)
+        for n in seen:
+            out[n] = rep
+    return out
+
+
+@given(edge_lists)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_union_find_equals_bfs(spark, edges):
+    if not edges:
+        return
+    got = {
+        r["node"]: r["component"]
+        for r in _union_find_components(edges, spark).collect()
+    }
+    assert got == _bfs_components(edges)
+
+
+texts = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"), max_codepoint=0x2FF),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(texts, texts)
+@settings(max_examples=200, deadline=None)
+def test_jaro_winkler_properties(a, b):
+    s = _jw_one(a, b)
+    assert 0.0 <= s <= 1.0
+    assert _jw_one(b, a) == s  # symmetry
+    if a:
+        assert _jw_one(a, a) == 1.0  # identity
+    if a and b and not set(a) & set(b):
+        assert s == 0.0  # no common characters
+
+
+cols = st.lists(
+    st.text(alphabet="abcdefgh_", min_size=1, max_size=8).filter(
+        lambda s: not s.startswith("_")
+    ),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+
+
+@given(cols)
+@settings(max_examples=100, deadline=None)
+def test_blocking_rule_roundtrip(columns):
+    rule = BlockingRule(tuple(columns))
+    assert BlockingRule.parse(rule.to_sql()).columns == rule.columns
+
+
+# ---------------------------------------------------------- Spark-backed
+
+word = st.text(alphabet="abcdef", min_size=1, max_size=5)
+sentences = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+
+@given(st.lists(st.tuples(sentences, sentences), min_size=1, max_size=8))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_jaccard_and_simhash_properties(spark, pairs):
+    from auto_data_linkage_spark.compare import ngram_jaccard, token_jaccard
+    from auto_data_linkage_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select(
+        token_jaccard(F.col("a"), F.col("b")).alias("tj_ab"),
+        token_jaccard(F.col("b"), F.col("a")).alias("tj_ba"),
+        token_jaccard(F.col("a"), F.col("a")).alias("tj_aa"),
+        ngram_jaccard(F.col("a"), F.col("b")).alias("nj_ab"),
+        ngram_jaccard(F.col("b"), F.col("a")).alias("nj_ba"),
+        simhash(F.col("a")).alias("sh_a1"),
+        simhash(F.col("a")).alias("sh_a2"),
+        simhash(F.col("b")).alias("sh_b"),
+    ).collect()
+    for r, (a, b) in zip(rows, pairs):
+        for v in (r["tj_ab"], r["nj_ab"]):
+            assert 0.0 <= v <= 1.0
+        assert r["tj_ab"] == r["tj_ba"]  # symmetry
+        assert r["nj_ab"] == r["nj_ba"]
+        assert r["tj_aa"] == 1.0  # identity (sentences are non-empty)
+        assert r["sh_a1"] == r["sh_a2"]  # deterministic
+        assert 0 <= r["sh_a1"] < (1 << 32)
+        if a == b:
+            assert r["sh_a1"] == r["sh_b"]

@@ -104,3 +104,21 @@ def test_streaming_linker_replay_is_idempotent(
     linker.process_batch(b1, 1)
     assert _assignments(linker.current_clusters(spark)) == after_first
     assert linker.current_clusters(spark).count() == n_rows
+
+
+def test_streaming_linker_prunes_old_snapshots(
+    spark, people_batches, tmp_path_factory
+):
+    root = tmp_path_factory.mktemp("slink_prune")
+    state = str(root / "state")
+    _, (b0, b1, b2) = people_batches
+    linker = StreamingLinker(
+        _model(), state, threshold=THRESHOLD, retain_versions=2
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        linker.process_batch(b, i)
+    assert linker._versions() == [1, 2]
+    # pruned history doesn't break the state or a replay of the LAST batch
+    n = linker.current_clusters(spark).count()
+    linker.process_batch(b2, 2)
+    assert linker.current_clusters(spark).count() == n
