@@ -99,3 +99,50 @@ def test_score_filter_does_not_multiply_comparisons(spark):
     scored = m.predict(df).where(F.col("match_probability") >= 0.9)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("levenshtein") <= 2, plan
+
+
+def test_incremental_relabel_join_broadcasts_merges(spark):
+    """apply_increment relabels the (huge) base cluster table by joining
+    the (delta-sized) merge map — that join must broadcast the merges, not
+    shuffle the base."""
+    from auto_data_linkage_spark.incremental import Increment, apply_increment
+
+    base = spark.createDataFrame(
+        [("1", "x", "1"), ("2", "x", "1"), ("3", "y", "3")],
+        "unique_id string, attr string, cluster_id string",
+    )
+    batch = spark.createDataFrame(
+        [("9", "y")], "unique_id string, attr string"
+    )
+    inc = Increment(
+        assignments=spark.createDataFrame(
+            [("9", "3")], "unique_id string, cluster_id string"
+        ),
+        merges=spark.createDataFrame(
+            [("3", "1")], "old_cluster_id string, new_cluster_id string"
+        ),
+    )
+    out = apply_increment(base, batch, inc)
+    assert uses_broadcast_join(out)
+
+
+def test_incremental_components_no_base_scan_blowup(spark, sf_dir):
+    """The contraction graph must stay delta-sized: the exchanges in the
+    incremental_components plan are joins of the delta edges against the
+    base ASSIGNMENT projection (2 contraction joins + the final min join),
+    never a base×base self-join. Exchange count is the proxy — bounded
+    regardless of base size."""
+    from auto_data_linkage_spark.incremental import incremental_components
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    base_assign = supp.select(
+        F.col("s_suppkey").cast("string").alias("node"),
+        F.col("s_nationkey").cast("string").alias("component"),
+    )
+    delta = spark.createDataFrame(
+        [("a", "1"), ("a", "b")], "src string, dst string"
+    )
+    out = incremental_components(base_assign, delta)
+    assert count_exchanges(out) <= 6
+    # base scan reads only the two assignment columns
+    assert set(scan_columns(out)) <= {"s_suppkey", "s_nationkey"}
