@@ -820,6 +820,71 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Events: AS-OF JOIN — each click picks the latest view (same user, view
+# ts <= click ts). Spark has no asof builtin; operators/asof.py composes
+# it as union + one partitioned window (single shuffle, no range-join
+# explosion). The oracle is DuckDB's NATIVE ASOF JOIN, so the custom
+# operator is checked against an independent first-class implementation.
+# Views are pre-deduplicated per (user, ts) — every engine's as-of is
+# arbitrary on exact-(key,ts) ties.
+# --------------------------------------------------------------------------
+@register(
+    "asof_join_events",
+    f"""
+    WITH {_EV_CTE},
+    clicks AS (
+        SELECT user_id, ts, MAX(event_id) AS click_event_id
+        FROM ev WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM ev
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts,
+           ROUND(p.value, 2) AS value,
+           c.click_event_id,
+           CAST(c.ts AS VARCHAR) AS click_ts
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    survey="As-of join (custom op; oracle = DuckDB native ASOF JOIN)",
+)
+def asof_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .withColumn("click_ts", F.col("ts").cast("string"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_event_id", "click_ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        "value",
+        "click_event_id",
+        "click_ts",
+    )
+
+
+# --------------------------------------------------------------------------
 # Events: first-event-per-key dedup (batch twin of dropDuplicates state)
 # --------------------------------------------------------------------------
 @register(

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "ivf_topk",
     "tumbling_window_agg",
     "sessionize",
+    "asof_join_events",
 ]
 
 
