@@ -173,6 +173,7 @@ class AutoLinker:
             df = data
 
         attrs = self.attribute_columns or self._infer_attributes(df)
+        self._attrs = attrs
         keep = attrs + ([self.true_label] if self.true_label else [])
         keep += ["__src"] if link_mode else []
         df = ensure_unique_id(df.select(*keep, *(
@@ -271,12 +272,82 @@ class AutoLinker:
             trial.metrics.update(pairwise_prf(clusters, self.true_label))
         return trial
 
+    # ------------------------------------------------- incremental fold
+    def incremental_update(self, new_records: DataFrame, threshold: float = 0.8):
+        """Fold a batch of new records into the best model's clustering at
+        ``threshold`` with delta-sized work (:mod:`incremental` —
+        the base table never self-joins again). Dedup mode only.
+
+        The batch is cleaned with the same pipeline as ``auto_link`` and
+        must carry a ``unique_id`` column that does not collide with the
+        base ids. Returns the :class:`~auto_data_linkage_spark.incremental.
+        Increment`; the engine's state (clean data, memoized clustering at
+        ``threshold``) is advanced to include the batch, so repeated calls
+        keep folding.
+        """
+        from auto_data_linkage_spark.incremental import (
+            apply_increment,
+            incremental_assign,
+        )
+
+        if self.best_trial is None or self.clean_data is None:
+            raise RuntimeError("call auto_link first")
+        if self._link_frames is not None:
+            raise NotImplementedError(
+                "incremental_update supports dedup mode only"
+            )
+        if self.unique_id not in new_records.columns:
+            raise ValueError(
+                f"new_records must carry a non-colliding {self.unique_id!r} "
+                "column (auto-generated ids could collide with the base)"
+            )
+        attrs = self._attrs
+        batch = new_records.select(
+            self.unique_id,
+            *[c for c in attrs if c in new_records.columns],
+            *(
+                [self.true_label]
+                if self.true_label and self.true_label in new_records.columns
+                else []
+            ),
+        )
+        batch = null_sentinel(clean_columns(batch, attrs), attrs)
+        for col in self.clean_data.columns:
+            if col not in batch.columns:
+                batch = batch.withColumn(col, F.lit(None).cast("string"))
+        batch = batch.select(*self.clean_data.columns).cache()
+
+        model = self.best_trial.model
+        if model.prior is None:
+            # pin the prior once: incremental scoring must not drift with
+            # the batch size the way a per-call 1/N prior would
+            model.prior = 1.0 / max(self.clean_data.count(), 2)
+        base = self.best_clusters_at_threshold(threshold)
+        inc = incremental_assign(
+            model, base, batch, threshold=threshold, unique_id=self.unique_id
+        )
+        merged = apply_increment(
+            base, batch, inc, unique_id=self.unique_id
+        ).localCheckpoint(eager=True)
+
+        self.clean_data = self.clean_data.withColumn(
+            self.unique_id, F.col(self.unique_id).cast("string")
+        ).unionByName(batch).cache()
+        # predictions/clusterings other than `threshold` predate the batch
+        self.best_predictions = None
+        self._cluster_cache = {threshold: merged}
+        return inc
+
     # ------------------------------------------------------------ output
     def best_clusters_at_threshold(self, threshold: float = 0.8) -> DataFrame:
         """Memoized clustering of the best model's predictions (reference
         autolinker.py:1069-1094)."""
-        if self.best_predictions is None or self.clean_data is None:
+        if self.best_trial is None or self.clean_data is None:
             raise RuntimeError("call auto_link first")
+        if self.best_predictions is None:
+            # re-predict over the current data (incremental_update advances
+            # clean_data past the cached predictions)
+            self.best_predictions = self._predict(self.best_trial.model).cache()
         if threshold not in self._cluster_cache:
             self._cluster_cache[threshold] = cluster_at_threshold(
                 self.clean_data, self.best_predictions, threshold, self.unique_id
@@ -288,8 +359,10 @@ class AutoLinker:
         was configured, both sides' labels are joined on as
         ``{label}_l`` / ``{label}_r`` (reference ``get_scores_df``,
         autolinker.py:1155-1162)."""
-        if self.best_predictions is None or self.clean_data is None:
+        if self.best_trial is None or self.clean_data is None:
             raise RuntimeError("call auto_link first")
+        if self.best_predictions is None:
+            self.best_predictions = self._predict(self.best_trial.model).cache()
         scores = self.best_predictions
         if self.true_label and self.true_label in self.clean_data.columns:
             labels = self.clean_data.select(self.unique_id, self.true_label)

@@ -885,6 +885,62 @@ def asof_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Events: INTERVAL (range) JOIN — clicks within the hour before an
+# error of the same user (attribution shape; 60-min window). operators/
+# interval.py uses
+# the bucket-explode technique: intervals explode to covered time
+# buckets, the join is EQUI on (user, bucket) + exact range filter — no
+# per-key points×intervals candidate blowup. Oracle: plain SQL range join.
+# --------------------------------------------------------------------------
+@register(
+    "interval_join_events",
+    f"""
+    WITH {_EV_CTE}
+    SELECT c.event_id AS click_id, c.user_id,
+           CAST(c.ts AS VARCHAR) AS click_ts,
+           e.event_id AS error_id,
+           CAST(e.ts AS VARCHAR) AS error_ts
+    FROM ev c JOIN ev e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND c.ts BETWEEN e.ts - INTERVAL 60 MINUTE AND e.ts
+    """,
+    survey="Interval/range join (custom op; bucket-explode equi plan)",
+)
+def interval_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.interval import interval_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").cast("string").alias("error_ts"),
+        (F.col("ts").cast("double") - 3600.0).alias("__start"),
+        F.col("ts").cast("double").alias("__end"),
+    )
+    out = interval_join(
+        clicks,
+        errors,
+        on="user_id",
+        point_ts="ts",
+        start_ts="__start",
+        end_ts="__end",
+        granularity_seconds=3600,
+        value_cols=["error_id", "error_ts"],
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("ts").cast("string").alias("click_ts"),
+        "error_id",
+        "error_ts",
+    )
+
+
+# --------------------------------------------------------------------------
 # Events: first-event-per-key dedup (batch twin of dropDuplicates state)
 # --------------------------------------------------------------------------
 @register(

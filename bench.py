@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "tumbling_window_agg",
     "sessionize",
     "asof_join_events",
+    "interval_join_events",
 ]
 
 

@@ -106,6 +106,39 @@ def test_incremental_equals_full_reclustering(spark, trained_model):
     assert inc.assignments.count() == new.count()
 
 
+def test_autolinker_incremental_update(spark):
+    """AutoLinker.incremental_update folds a batch with the searched best
+    model; result must equal full re-clustering of base ∪ batch with that
+    model (labels included), and a later different-threshold query must
+    re-predict over the advanced data instead of the stale base."""
+    from auto_data_linkage_spark.autolink import AutoLinker
+    from auto_data_linkage_spark.cluster import cluster_at_threshold
+
+    full_df, base, new = _people_split(spark, n=120, seed=3)
+    linker = AutoLinker(
+        max_evals=2, comparison_size_limit=100_000, random_seed=7
+    )
+    linker.auto_link(base)
+    threshold = 0.85
+    base_clusters = linker.best_clusters_at_threshold(threshold)
+    inc = linker.incremental_update(new, threshold=threshold)
+    merged = linker.best_clusters_at_threshold(threshold)
+
+    # expected: the best model re-run over the SAME cleaned union the
+    # linker now holds (prior pinned by incremental_update)
+    model = linker.best_trial.model
+    clean_union = linker.clean_data
+    expected = cluster_at_threshold(
+        clean_union, model.predict(clean_union), threshold
+    )
+    assert _assignments(merged) == _assignments(expected)
+    assert inc.assignments.count() == new.count()
+    assert merged.count() == base_clusters.count() + new.count()
+    # a different threshold re-predicts over base ∪ batch without raising
+    other = linker.best_clusters_at_threshold(0.95)
+    assert other.count() == merged.count()
+
+
 def test_incremental_singletons_keep_own_id(spark, trained_model):
     _, base, _ = _people_split(spark)
     base_clusters = cluster_at_threshold(
