@@ -137,6 +137,49 @@ def enrich_stream(
     return events.join(F.broadcast(dim), on=on, how=how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "60 minutes",
+    watermark: str = "30 minutes",
+    prefix: tuple[str, str] = ("l_", "r_"),
+) -> DataFrame:
+    """Stream–stream interval join: each left event pairs with the right
+    events of the same key whose ``ts_col`` falls within ``[left ts -
+    lookback, left ts]`` (the interval-join shape of
+    ``operators/interval.py``, in streaming form).
+
+    Both sides MUST be watermarked and the join MUST carry a time-range
+    condition — that is what lets Spark bound each side's buffered state
+    (right rows older than the watermark minus ``lookback`` can never
+    match again and are evicted; an unconstrained stream–stream join
+    buffers forever). Non-key columns are prefixed per side, so the output
+    schema is collision-free: key, ``l_*``, ``r_*``.
+
+    State per key ≈ rows within the (watermark + lookback) horizon; the
+    shuffle is the usual hash exchange on the key, one per side.
+    """
+    lp, rp = prefix
+    l_ts, r_ts = f"{lp}{ts_col}", f"{rp}{ts_col}"
+    l = left.select(
+        F.col(on),
+        *[F.col(c).alias(f"{lp}{c}") for c in left.columns if c != on],
+    ).withWatermark(l_ts, watermark)
+    r = right.select(
+        F.col(on).alias(f"{rp}{on}"),
+        *[F.col(c).alias(f"{rp}{c}") for c in right.columns if c != on],
+    ).withWatermark(r_ts, watermark)
+    cond = (
+        (F.col(on) == F.col(f"{rp}{on}"))
+        & (F.col(r_ts) >= F.col(l_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(r_ts) <= F.col(l_ts))
+    )
+    return l.join(r, cond, "inner").drop(f"{rp}{on}")
+
+
 _RUNNING_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),

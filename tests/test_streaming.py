@@ -13,6 +13,7 @@ from auto_data_linkage_spark.streaming.events import (
     running_user_totals,
     session_counts,
     stream_dedup,
+    stream_stream_join,
     windowed_counts,
     write_parquet_stream,
 )
@@ -119,3 +120,51 @@ def test_enrich_stream_matches_batch_join(spark, stream, events_batch):
     )
     want = events_batch.join(dim, "user_id").groupBy("segment").count().collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_stream_stream_join_matches_batch_interval_join(
+    spark, stream, events_batch
+):
+    """Purchases joined to same-user clicks within the prior 60 minutes,
+    streaming vs the batch interval join on identical data."""
+    purchases = stream.where(F.col("event_type") == "purchase")
+    clicks = stream.where(F.col("event_type") == "click")
+    joined = stream_stream_join(
+        purchases,
+        clicks,
+        on="user_id",
+        lookback="60 minutes",
+        watermark="30 minutes",
+    )
+    run_to_memory(
+        joined.select(
+            "user_id",
+            F.col("l_event_id").alias("purchase_id"),
+            F.col("r_event_id").alias("click_id"),
+        ),
+        "ss_join_q",
+    )
+    got = {
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in spark.table("ss_join_q").collect()
+    }
+
+    p = events_batch.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    c = events_batch.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 60 minutes"))
+            & (F.col("c_ts") <= F.col("ts")),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
