@@ -312,6 +312,63 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Composed near-dedup pipeline: MinHash LSH candidate pairs → connected
+# components → keep the min doc per duplicate cluster (the full "dedup
+# this corpus" flow in one query). Oracle: the same pair SQL + a
+# recursive-CTE transitive closure, so the END-TO-END composition is
+# value-checked, not just each stage.
+# --------------------------------------------------------------------------
+def _near_dedup_sql() -> str:
+    band_eq = " OR ".join(f"l.h{i} = r.h{i}" for i in range(_MH_HASHES))
+    return f"""
+    WITH RECURSIVE sig AS ({_minhash_sql().strip()}),
+    pairs AS (
+        SELECT l.doc_id AS src, r.doc_id AS dst
+        FROM sig l JOIN sig r ON l.doc_id < r.doc_id AND ({band_eq})
+    ),
+    sym AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ),
+    reach(node, other) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, reach.other FROM sym s JOIN reach ON s.dst = reach.node
+    ),
+    cc AS (SELECT node, MIN(other) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    WHERE COALESCE(cc.component, d.doc_id) = d.doc_id
+    """
+
+
+@register(
+    "near_dedup_keep",
+    _near_dedup_sql(),
+    survey="LLM dedup: composed pipeline (LSH pairs → CC → survivor per cluster)",
+)
+def near_dedup_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.cluster import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_candidates(
+        docs, num_hashes=_MH_HASHES, num_bands=_MH_HASHES, shingle_k=_SHINGLE_K
+    )
+    edges = pairs.select(
+        F.col("doc_id_l").alias("src"), F.col("doc_id_r").alias("dst")
+    )
+    # ids stay BIGINT: components compare numerically, like the oracle
+    comp = connected_components(edges)
+    survivors = (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(comp, "node", "left")
+        .where(
+            F.coalesce(F.col("component"), F.col("node")) == F.col("node")
+        )
+    )
+    return survivors.select(F.col("node").alias("doc_id"))
+
+
+# --------------------------------------------------------------------------
 # SimHash (32-bit, portable) — value per document
 # --------------------------------------------------------------------------
 _SIMHASH_BITS = 32
