@@ -314,8 +314,28 @@ class AutoLinker:
         batch = null_sentinel(clean_columns(batch, attrs), attrs)
         for col in self.clean_data.columns:
             if col not in batch.columns:
-                batch = batch.withColumn(col, F.lit(None).cast("string"))
+                batch = batch.withColumn(
+                    col, F.lit(None).cast(self.clean_data.schema[col].dataType)
+                )
         batch = batch.select(*self.clean_data.columns).cache()
+        # actually enforce the non-collision contract (a colliding id would
+        # contract to a cluster super-node and silently come back as a
+        # bogus singleton) — one delta-sized semi-join
+        collisions = (
+            batch.select(self.unique_id)
+            .join(
+                self.clean_data.select(self.unique_id),
+                self.unique_id,
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        )
+        if collisions:
+            raise ValueError(
+                "new_records contains unique_id values already present in "
+                "the base — incremental_update requires disjoint ids"
+            )
 
         model = self.best_trial.model
         if model.prior is None:
@@ -330,9 +350,9 @@ class AutoLinker:
             base, batch, inc, unique_id=self.unique_id
         ).localCheckpoint(eager=True)
 
-        self.clean_data = self.clean_data.withColumn(
-            self.unique_id, F.col(self.unique_id).cast("string")
-        ).unionByName(batch).cache()
+        # ids keep their native type (batch uid was selected as-is, so the
+        # union does not coerce)
+        self.clean_data = self.clean_data.unionByName(batch).cache()
         # predictions/clusterings other than `threshold` predate the batch
         self.best_predictions = None
         self._cluster_cache = {threshold: merged}
@@ -344,11 +364,13 @@ class AutoLinker:
         autolinker.py:1069-1094)."""
         if self.best_trial is None or self.clean_data is None:
             raise RuntimeError("call auto_link first")
-        if self.best_predictions is None:
-            # re-predict over the current data (incremental_update advances
-            # clean_data past the cached predictions)
-            self.best_predictions = self._predict(self.best_trial.model).cache()
         if threshold not in self._cluster_cache:
+            if self.best_predictions is None:
+                # re-predict over the current data (incremental_update
+                # advances clean_data past the cached predictions)
+                self.best_predictions = self._predict(
+                    self.best_trial.model
+                ).cache()
             self._cluster_cache[threshold] = cluster_at_threshold(
                 self.clean_data, self.best_predictions, threshold, self.unique_id
             )

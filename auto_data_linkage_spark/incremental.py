@@ -77,11 +77,16 @@ def incremental_components(
     ASSIGNMENTS (node → component) and the delta edges, via cluster
     contraction. Returns (node, component) for every node touched by a
     delta edge plus every member cluster id, where ``component`` is the
-    minimum id (cluster ids and new node ids compared as strings).
+    minimum member id.
 
-    All ids are compared as strings; callers cast consistently. The CC
-    input is the contracted delta graph — size O(|delta|), never O(base).
+    Ids are namespaced as strings inside the contracted graph, but the
+    component MINIMUM is computed in the base assignment's ORIGINAL
+    component type — numeric ids compare numerically, matching what a
+    full re-clustering over the same ids would label (a lexicographic min
+    would relabel cluster 9 to "100"). The CC input is the contracted
+    delta graph — size O(|delta|), never O(base).
     """
+    id_type = base_assignments.schema[component_col].dataType
     base = base_assignments.select(
         F.col(node_col).cast("string").alias("node"),
         F.col(component_col).cast("string").alias("component"),
@@ -113,12 +118,13 @@ def incremental_components(
     edges = contract("dst")
 
     cc = connected_components(edges)
-    # a component's final id is the min RAW id over members: contracted
-    # cluster nodes contribute their cluster id, record nodes their own id
+    # a component's final id is the min RAW id over members (in the
+    # ORIGINAL id type): contracted cluster nodes contribute their cluster
+    # id, record nodes their own id
     stripped = cc.select(
         "node",
         "component",
-        F.expr("substring(node, 3)").alias("raw"),
+        F.expr("substring(node, 3)").cast(id_type).alias("raw"),
     )
     comp_min = stripped.groupBy("component").agg(
         F.min("raw").alias("cluster_id")
@@ -145,12 +151,15 @@ def incremental_assign(
 
     ``base_clusters`` is the engine's cluster table: the base records'
     attribute columns plus ``cluster_col`` (``cluster_at_threshold``
-    output). Unique ids must be distinct across base and batch.
+    output). Unique ids must be distinct across base and batch, and ids
+    keep their ORIGINAL type end-to-end — numeric ids pick numeric
+    component minima, exactly like a full re-clustering.
 
     Runs TWO scoring passes, both delta-sized: batch↔base (link mode — the
     batch broadcasts against the partitioned base) and batch↔batch (dedup
     mode). The base never self-joins again.
     """
+    id_type = base_clusters.schema[cluster_col].dataType
     base_records = base_clusters.drop(cluster_col)
     # batch ↔ base evidence (link mode: no l<r filter, left = batch)
     nb = model.predict(new_records, right_df=base_records, threshold=threshold)
@@ -171,28 +180,41 @@ def incremental_assign(
     base_assign = base_clusters.select(
         F.col(unique_id).alias("node"), F.col(cluster_col).alias("component")
     )
-    comp = incremental_components(base_assign, delta).cache()
+    # eager localCheckpoint materializes the contracted-CC result ONCE and
+    # lets the delta cache go immediately — a plain .cache() here pinned
+    # two plans in the CacheManager per call, a storage leak under
+    # StreamingLinker's one-call-per-micro-batch usage (checkpoint RDDs
+    # are released by the ContextCleaner when the Increment is dropped)
+    comp = incremental_components(base_assign, delta).localCheckpoint(
+        eager=True
+    )
+    delta.unpersist()
 
-    new_ids = new_records.select(F.col(unique_id).cast("string").alias(unique_id))
+    new_ids = new_records.select(unique_id)
     matched = comp.where(
         F.col("node").startswith(_RECORD_PREFIX)
     ).select(
-        F.col("node").substr(F.lit(3), F.length("node")).alias(unique_id),
+        F.col("node")
+        .substr(F.lit(3), F.length("node"))
+        .cast(base_clusters.schema[unique_id].dataType)
+        .alias(unique_id),
         F.col("component").alias(cluster_col),
     )
     assignments = (
         new_ids.join(matched, unique_id, "left")
         .withColumn(
-            cluster_col, F.coalesce(F.col(cluster_col), F.col(unique_id))
+            cluster_col,
+            F.coalesce(F.col(cluster_col), F.col(unique_id).cast(id_type)),
         )
     )
 
     merges = (
         comp.where(F.col("node").startswith(_CLUSTER_PREFIX))
         .select(
-            F.col("node").substr(F.lit(3), F.length("node")).alias(
-                "old_cluster_id"
-            ),
+            F.col("node")
+            .substr(F.lit(3), F.length("node"))
+            .cast(id_type)
+            .alias("old_cluster_id"),
             F.col("component").alias("new_cluster_id"),
         )
         .where(F.col("old_cluster_id") != F.col("new_cluster_id"))
@@ -215,10 +237,7 @@ def apply_increment(
     ``base_clusters`` and equals a full re-clustering of base ∪ batch
     under the min-id labeling convention."""
     relabeled = (
-        base_clusters.withColumn(
-            cluster_col, F.col(cluster_col).cast("string")
-        )
-        .join(
+        base_clusters.join(
             F.broadcast(
                 increment.merges.withColumnRenamed("old_cluster_id", cluster_col)
             ),
@@ -231,7 +250,5 @@ def apply_increment(
         )
         .drop("new_cluster_id")
     )
-    batch = new_records.withColumn(
-        unique_id, F.col(unique_id).cast("string")
-    ).join(increment.assignments, unique_id, "left")
+    batch = new_records.join(increment.assignments, unique_id, "left")
     return relabeled.unionByName(batch.select(*relabeled.columns))

@@ -59,7 +59,15 @@ def asof_join(
     # could otherwise stitch values from different rows when a right
     # value is legitimately NULL)
     payload = "__asof_payload"
-    r = right.select(
+    # ASOF semantics (DuckDB/kdb): NULL never matches — a right row with a
+    # NULL timestamp or NULL key must not be picked (NULLs sort first in
+    # ascending order, so an unfiltered NULL-ts right row would sit at the
+    # head of EVERY backward frame and match left rows with no real
+    # predecessor)
+    r_valid = right.where(F.col(right_ts).isNotNull())
+    for k in keys:
+        r_valid = r_valid.where(F.col(k).isNotNull())
+    r = r_valid.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias(left_ts),
         F.struct(*[F.col(v) for v in value_cols]).alias(payload),
@@ -95,7 +103,11 @@ def asof_join(
         picked = F.first(F.col(payload), ignorenulls=True).over(w)
 
     carried = unioned.select("*", picked.alias("__asof_picked"))
+    # a left row with a NULL timestamp matches nothing either (it sorts
+    # before everything, so the forward frame would otherwise hand it the
+    # earliest right row)
+    keep = F.when(F.col(left_ts).isNotNull(), F.col("__asof_picked"))
     return carried.where(F.col(_TAG)).select(
         *[F.col(c) for c in left.columns],
-        *[F.col("__asof_picked").getField(v).alias(v) for v in value_cols],
+        *[keep.getField(v).alias(v) for v in value_cols],
     )

@@ -66,7 +66,13 @@ def interval_join(
     p = points.withColumn(
         "__bucket", F.floor(secs(point_ts) / F.lit(g)).cast("long")
     )
-    i = intervals.withColumn(
+    # guard malformed intervals BEFORE the explode: end < start makes
+    # F.sequence step backwards across the whole gap (one corrupt row with
+    # a zero-sentinel end would emit millions of bucket rows, all filtered
+    # later — or fail the job on sequence length). Such rows can never
+    # match, so dropping them preserves semantics. NULL bounds yield a
+    # NULL sequence, which explode already drops.
+    i = intervals.where(secs(end_ts) >= secs(start_ts)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -80,7 +86,6 @@ def interval_join(
     cond = F.col("p.__bucket") == F.col("i.__bucket")
     for k in keys:
         cond = cond & (F.col(f"p.{k}") == F.col(f"i.{k}"))
-
     joined = pa.join(ia, cond, "inner").where(
         _range_pred(point_ts, start_ts, end_ts, closed)
     )

@@ -24,7 +24,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from auto_data_linkage_spark.cluster import cluster_at_threshold
 from auto_data_linkage_spark.incremental import (
@@ -126,7 +125,7 @@ class StreamingLinker:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        uid, cl = self.unique_id, "cluster_id"
+        uid = self.unique_id
         base = self._state_before(spark, batch_id)
         if base is None:
             scored = self.model.predict(batch_df)
@@ -142,10 +141,10 @@ class StreamingLinker:
                 unique_id=uid,
             )
             clustered = apply_increment(base, batch_df, inc, unique_id=uid)
-        # ids as strings so every snapshot (first or incremental) has one
-        # stable schema
-        clustered = clustered.withColumn(uid, F.col(uid).cast("string")
-        ).withColumn(cl, F.col(cl).cast("string"))
+        # ids keep their native type end-to-end: cluster_at_threshold and
+        # incremental_assign both label components by the same typed
+        # minimum, so every snapshot has one stable schema and numeric ids
+        # never fall into lexicographic ordering
         self._write_state(clustered, batch_id)
 
     def attach(self, stream_df: DataFrame, checkpoint: str):

@@ -91,6 +91,33 @@ def test_payload_not_stitched_across_rows(spark, trades, quotes):
     assert _rows(out)[("a", 25)] == (2.0, None)
 
 
+def test_null_never_matches(spark):
+    """ASOF semantics: NULL timestamps and NULL keys never match —
+    a NULL-ts right row must not become everyone's predecessor, a NULL-ts
+    left row matches nothing (even forward), NULL keys don't pair up."""
+    quotes = spark.createDataFrame(
+        [("a", None, 99.0, "bad"), ("a", 10, 1.0, "ten"),
+         (None, 5, 7.0, "nullkey")],
+        "key string, qts long, px double, note string",
+    )
+    trades = spark.createDataFrame(
+        [("a", 5), ("a", None), (None, 50)], "key string, ts long"
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            trades, quotes, on="key", left_ts="ts", right_ts="qts",
+            value_cols=["px", "note"], direction=direction,
+        )
+        rows = {(r["key"], r["ts"]): (r["px"], r["note"]) for r in out.collect()}
+        assert rows[("a", None)] == (None, None)
+        assert rows[(None, 50)] == (None, None)
+        if direction == "backward":
+            assert rows[("a", 5)] == (None, None)  # not the NULL-ts quote
+        else:
+            assert rows[("a", 5)] == (1.0, "ten")
+        assert out.count() == 3  # left rows all retained
+
+
 def test_value_col_collision_raises(spark, trades, quotes):
     with pytest.raises(ValueError, match="collide"):
         asof_join(

@@ -106,6 +106,46 @@ def test_incremental_equals_full_reclustering(spark, trained_model):
     assert inc.assignments.count() == new.count()
 
 
+def test_incremental_numeric_ids_use_numeric_minima(spark):
+    """Long ids must pick NUMERIC component minima: base cluster {9,10}
+    is labeled 9; folding record 100 into it must keep label 9 (a
+    lexicographic min would relabel to 100 and emit a phantom merge)."""
+    base = spark.createDataFrame(
+        [(9, 9), (10, 9), (50, 50)], "node long, component long"
+    )
+    delta = spark.createDataFrame([(100, 9)], "src long, dst long")
+    out = {
+        r["node"]: r["component"]
+        for r in incremental_components(base, delta).collect()
+    }
+    assert out == {"c:9": 9, "r:100": 9}
+    assert isinstance(next(iter(out.values())), int)
+
+
+def test_incremental_assign_preserves_long_id_type(spark, trained_model):
+    """End-to-end with LONG unique ids: labels equal full re-clustering
+    (which picks numeric minima), and output columns keep the long type."""
+    threshold = 0.9
+    full_df, base, new = _people_split(spark)
+    to_long = lambda d: d.withColumn(  # noqa: E731
+        "unique_id", F.col("unique_id").cast("long")
+    )
+    full_df, base, new = to_long(full_df), to_long(base), to_long(new)
+
+    full = cluster_at_threshold(
+        full_df, trained_model.predict(full_df), threshold
+    )
+    base_clusters = cluster_at_threshold(
+        base, trained_model.predict(base), threshold
+    )
+    inc = incremental_assign(
+        trained_model, base_clusters, new, threshold=threshold
+    )
+    merged = apply_increment(base_clusters, new, inc)
+    assert dict(merged.dtypes)["cluster_id"] == "bigint"
+    assert _assignments(merged) == _assignments(full)
+
+
 def test_autolinker_incremental_update(spark):
     """AutoLinker.incremental_update folds a batch with the searched best
     model; result must equal full re-clustering of base ∪ batch with that
@@ -137,6 +177,9 @@ def test_autolinker_incremental_update(spark):
     # a different threshold re-predicts over base ∪ batch without raising
     other = linker.best_clusters_at_threshold(0.95)
     assert other.count() == merged.count()
+    # colliding ids are rejected, not silently absorbed
+    with pytest.raises(ValueError, match="disjoint ids"):
+        linker.incremental_update(new, threshold=threshold)
 
 
 def test_incremental_singletons_keep_own_id(spark, trained_model):

@@ -85,6 +85,22 @@ def test_interval_join_multi_key_and_defaults(spark):
     assert rows == {(1, "hit")}  # k2 mismatch excludes pid 2
 
 
+def test_malformed_intervals_dropped_without_blowup(spark):
+    """end < start (e.g. a zero-sentinel end on an epoch-seconds start)
+    must be dropped BEFORE the bucket explode — it would otherwise emit
+    millions of descending buckets for one corrupt row."""
+    p = spark.createDataFrame([("a", 5.0, 1)], "key string, ts double, pid long")
+    i = spark.createDataFrame(
+        [("a", 1.7e9, 0.0, 1), ("a", 0.0, 10.0, 2), ("a", None, 10.0, 3)],
+        "key string, start double, end double, iid long",
+    )
+    out = interval_join(
+        p, i, on="key", point_ts="ts", start_ts="start", end_ts="end",
+        granularity_seconds=300, value_cols=["iid"],
+    )
+    assert {r["iid"] for r in out.collect()} == {2}
+
+
 def test_interval_join_collision_raises(spark):
     p = spark.createDataFrame([("a", 1.0, 1)], "k string, ts double, tag long")
     i = spark.createDataFrame(
