@@ -167,10 +167,33 @@ def md5_hash64(col: Column, seed: int = 0) -> Column:
 
 def rolling_fingerprints(text: Column | str, k: int = 3, keep: int = 4) -> Column:
     """Winnowing-style document signature: the ``keep`` smallest shingle
-    hashes (a deterministic subset that near-identical docs share)."""
+    hashes (a deterministic subset that near-identical docs share). For
+    the positional guarantee use :func:`winnow_select`."""
     sh = shingles(text, k)
     hashed = F.transform(sh, lambda s: md5_hash64(s))
     return F.slice(F.array_sort(hashed), 1, keep)
+
+
+def winnow_select(text: Column | str, k: int = 3, w: int = 4) -> Column:
+    """True winnowing (Schleimer et al., SIGMOD'03 — public algorithm):
+    hash the POSITIONAL k-shingles (order kept, duplicates kept), slide a
+    window of ``w`` consecutive hashes, keep each window's minimum, return
+    the distinct selected hashes. Any shared token run of length ≥
+    ``w + k - 1`` between two documents is guaranteed to contribute at
+    least one shared fingerprint — the coverage property the global
+    "k smallest" subset cannot give. Pure built-ins; documents shorter
+    than one window contribute their overall minimum."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    hs = F.transform(
+        idx, lambda i: md5_hash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    wins = F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(wins, lambda j: F.array_min(F.slice(hs, j, w)))
+    )
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1099,6 +1099,55 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# True winnowing (Schleimer et al.): positional shingle hashes → sliding
+# window of w → min per window → distinct. Shared token runs ≥ w+k-1 are
+# GUARANTEED to share a fingerprint (the coverage property the global
+# k-smallest subset in winnow_fingerprints cannot give).
+# --------------------------------------------------------------------------
+_WINNOW_W = 4
+
+
+def _winnow_rolling_sql(k: int = _SHINGLE_K, w: int = _WINNOW_W) -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+    WITH pos_hashes AS (
+        SELECT doc_id,
+               list_transform(
+                 generate_series(1, GREATEST(len(toks) - {k - 1}, 1)),
+                 i -> {_sql_hash64(f"array_to_string(toks[i : i + {k} - 1], ' ')")}
+               ) AS hs
+        FROM (SELECT doc_id, {toks} AS toks FROM documents)
+    ),
+    winnowed AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   generate_series(1, GREATEST(len(hs) - {w - 1}, 1)),
+                   j -> list_min(hs[j : j + {w} - 1])
+                 )
+               ) AS fps
+        FROM pos_hashes
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM winnowed
+    """
+
+
+@register(
+    "winnow_rolling",
+    _winnow_rolling_sql(),
+    survey="LLM text analysis: true winnowing (window-min fingerprints)",
+)
+def winnow_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.explode(
+            X.winnow_select("text", k=_SHINGLE_K, w=_WINNOW_W)
+        ).alias("fp"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash near-dup pairs: banded LSH candidates + exact hamming verify
 # --------------------------------------------------------------------------
 def _simhash_near_sql(max_hamming: int = 3, n_bands: int = 4) -> str:

@@ -110,3 +110,30 @@ def test_add_text_features_on_documents(spark, sf_dir):
     assert row["n_tokens"] > 0
     assert 0.0 <= row["quality"] <= 1.0
     assert len(row["fingerprint"]) == 32
+
+
+def test_winnow_select_coverage_guarantee(spark):
+    """Winnowing property: two documents sharing a token run of length
+    >= w + k - 1 MUST share at least one selected fingerprint; the global
+    k-smallest variant has no such guarantee. Also: short docs (< one
+    window) still produce their overall-min fingerprint."""
+    from auto_data_linkage_spark.operators.text import winnow_select
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight {shared} nine ten eleven twelve"),
+            (3, "totally different words here entirely"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id", winnow_select("text", k=k, w=w).alias("fps")
+    ).collect()
+    fps = {r["doc_id"]: set(r["fps"]) for r in rows}
+    assert fps[1] & fps[2], "shared >= w+k-1 run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert len(fps[4]) == 1  # sub-window doc -> overall min
