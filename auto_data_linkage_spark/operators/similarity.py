@@ -578,3 +578,20 @@ def topk_pandas(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+# ------------------------------------------------------ int8 quantization
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Per-vector symmetric int8 quantization: ``q_i = floor(x_i * 127 /
+    max|x| + 0.5)``, returned with the scale. Cuts embedding storage 4×
+    (the 100 TB lever: a quantized corpus scan reads a quarter of the
+    bytes; re-scoring survivors in float is the standard two-phase ANN
+    recipe). ``floor(x + 0.5)`` (round-half-up) is used instead of
+    ``round`` because engines disagree on half-even vs half-away ties —
+    this form is bit-identical across Spark and DuckDB. Zero vectors get
+    scale 1.0 and all-zero codes."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    return q, scale

@@ -209,3 +209,63 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
         F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
     )
+
+
+# ------------------------------------------------------- repetition/PII
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def repetition_features(text: Column | str) -> dict[str, Column]:
+    """Repetition signals for corpus filtering (the Gopher-style
+    duplicate-content heuristics, public): distinct-token ratio, the most
+    common token's share, and the most common bigram's share. High top-*
+    shares flag template/boilerplate text. Pure array built-ins — the
+    per-row cost is O(distinct · n), fine for document-sized rows and
+    fully inside codegen (no shuffle, no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n = F.size(toks)
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct(toks)) / n
+    ).otherwise(F.lit(0.0))
+
+    def top_share(arr: Column, denom: Column) -> Column:
+        counts = F.transform(
+            F.array_distinct(arr),
+            lambda t: F.size(F.filter(arr, lambda x: x == t)),
+        )
+        return F.when(
+            denom > 0,
+            F.array_max(counts).cast("double") / denom,
+        ).otherwise(F.lit(0.0))
+
+    idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0)))
+    bigrams = F.when(n >= 2, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))
+    )).otherwise(F.array().cast("array<string>"))
+    return {
+        "distinct_ratio": distinct_ratio,
+        "top_token_share": top_share(toks, n.cast("double")),
+        "top_bigram_share": top_share(
+            bigrams, F.greatest(n - 1, F.lit(0)).cast("double")
+        ),
+    }
+
+
+def pii_scrub(text: Column | str) -> dict[str, Column]:
+    """Count and mask emails/URLs — the standard pre-training scrub pass.
+    Masking is regexp_replace with stable placeholder tokens so
+    downstream dedup/fingerprints see identical text for identical
+    non-PII content."""
+    c = F.col(text) if isinstance(text, str) else text
+    masked = F.regexp_replace(
+        F.regexp_replace(c, F.lit(EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(URL_RE),
+        F.lit("[URL]"),
+    )
+    return {
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
+        "n_urls": F.regexp_count(c, F.lit(URL_RE)),
+        "masked": masked,
+    }

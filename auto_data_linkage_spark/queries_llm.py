@@ -1148,6 +1148,159 @@ def winnow_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Repetition signals (Gopher-style duplicate-content heuristics):
+# distinct-token ratio, top-token share, top-bigram share
+# --------------------------------------------------------------------------
+def _repetition_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    top_tok = (
+        "list_max(list_transform(list_distinct(toks), "
+        "t -> len(list_filter(toks, x -> x = t))))"
+    )
+    bigrams = (
+        "list_transform(generate_series(1, len(toks) - 1), "
+        "i -> array_to_string(toks[i : i + 1], ' '))"
+    )
+    top_bg = (
+        "list_max(list_transform(list_distinct(bgs), "
+        "t -> len(list_filter(bgs, x -> x = t))))"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    b AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2 THEN {bigrams}
+                    ELSE [] END AS bgs
+        FROM t
+    )
+    SELECT doc_id,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / GREATEST(len(toks), 1), 6)              AS distinct_ratio,
+           ROUND(CAST({top_tok} AS DOUBLE)
+                 / GREATEST(len(toks), 1), 6)              AS top_token_share,
+           CASE WHEN len(toks) >= 2
+                THEN ROUND(CAST({top_bg} AS DOUBLE) / (len(toks) - 1), 6)
+                ELSE 0.0 END                               AS top_bigram_share
+    FROM b
+    """
+
+
+@register(
+    "repetition_features",
+    _repetition_sql(),
+    survey="LLM text analysis: repetition/boilerplate signals",
+)
+def repetition_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    feats = X.repetition_features("text")
+    return docs.select(
+        "doc_id",
+        F.round(feats["distinct_ratio"], 6).alias("distinct_ratio"),
+        F.round(feats["top_token_share"], 6).alias("top_token_share"),
+        F.round(feats["top_bigram_share"], 6).alias("top_bigram_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrub: count + mask emails/URLs. documents carry none, so every 5th
+# doc gets deterministic synthetic PII appended on BOTH sides first.
+# --------------------------------------------------------------------------
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_URL_SQL = "https?://[^\\s]+"
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' contact user' || doc_id ||
+                         '@example.com via http://site' || doc_id || '.test'
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL_SQL}'))  AS n_emails,
+           len(regexp_extract_all(text, '{_PII_URL_SQL}'))    AS n_urls,
+           md5(regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+               '{_PII_URL_SQL}', '[URL]', 'g'))               AS masked_md5
+    FROM dirty
+    """,
+    survey="LLM text analysis: PII count + mask (emails/URLs)",
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com via http://site"),
+                F.col("doc_id"),
+                F.lit(".test"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    s = X.pii_scrub("text")
+    return dirty.select(
+        "doc_id",
+        s["n_emails"].alias("n_emails"),
+        s["n_urls"].alias("n_urls"),
+        F.md5(s["masked"]).alias("masked_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization (4x storage cut; floor(x+0.5) so the
+# rounding is engine-identical). First 8 positions per vector.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_quantize",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS m
+        FROM v
+    ),
+    sc AS (
+        SELECT vec_id, v,
+               CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END AS scale
+        FROM s
+    )
+    SELECT vec_id, pos - 1 AS pos,
+           CAST(FLOOR(x * scale + 0.5) AS INTEGER) AS q,
+           ROUND(scale, 6) AS scale_r
+    FROM (
+        SELECT vec_id, scale, UNNEST(v) AS x,
+               GENERATE_SUBSCRIPTS(v, 1) AS pos
+        FROM sc
+    )
+    WHERE pos <= 8
+    """,
+    survey="LLM similarity: int8 embedding quantization (storage scale path)",
+)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q, scale = S.quantize_int8(F.col("embedding"))
+    quantized = emb.select(
+        "vec_id",
+        F.posexplode(q).alias("pos", "q"),
+        F.round(scale, 6).alias("scale_r"),
+    )
+    return quantized.where(F.col("pos") < 8).select(
+        "vec_id", "pos", "q", "scale_r"
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash near-dup pairs: banded LSH candidates + exact hamming verify
 # --------------------------------------------------------------------------
 def _simhash_near_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
