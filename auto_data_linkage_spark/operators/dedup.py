@@ -187,9 +187,13 @@ def minhash_lsh_candidates(
     banded = sig.select(
         id_col, F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
     ).select(id_col, "b.band", "b.band_hash")
-    # both sides of the self-join read this small (id, band, hash) table —
-    # persist so the hashing subtree isn't evaluated twice
-    banded = banded.persist()
+    # both sides of the self-join read this small (id, band, hash) table.
+    # Eager localCheckpoint materializes the hashing subtree exactly once
+    # WITHOUT pinning a CacheManager entry: a plain .persist() here leaked
+    # one pinned plan per call in long-lived sessions (checkpoint blocks
+    # are released by the ContextCleaner once the DataFrame is dropped —
+    # same lifecycle as incremental.py's contraction result)
+    banded = banded.localCheckpoint(eager=True)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = left.join(

@@ -586,16 +586,22 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l.s_suppkey AS suppkey_l, r.s_suppkey AS suppkey_r,
            levenshtein(l.s_name, r.s_name) AS lev
-    FROM supplier l JOIN supplier r ON l.s_suppkey < r.s_suppkey
+    FROM supplier l JOIN supplier r
+      ON l.s_nationkey = r.s_nationkey AND l.s_suppkey < r.s_suppkey
     """,
     survey="§2.9 levenshtein",
 )
 def levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Blocked on nationkey: the equi-key drives a shuffled hash join, so
+    # block sizes (not n²/2) bound the pair count — the plan shape you'd
+    # run at 100× scale, unlike an l<r-only BNL cross join.
     (supp,) = _t(spark, sf_dir, "supplier")
     left = supp.alias("l")
     right = supp.alias("r")
     return left.join(
-        right, F.col("l.s_suppkey") < F.col("r.s_suppkey")
+        right,
+        (F.col("l.s_nationkey") == F.col("r.s_nationkey"))
+        & (F.col("l.s_suppkey") < F.col("r.s_suppkey")),
     ).select(
         F.col("l.s_suppkey").alias("suppkey_l"),
         F.col("r.s_suppkey").alias("suppkey_r"),
@@ -649,18 +655,23 @@ def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l.s_suppkey AS suppkey_l, r.s_suppkey AS suppkey_r,
            ROUND(jaro_winkler_similarity(l.s_name, r.s_name), 6) AS jw
-    FROM supplier l JOIN supplier r ON l.s_suppkey < r.s_suppkey
+    FROM supplier l JOIN supplier r
+      ON l.s_nationkey = r.s_nationkey AND l.s_suppkey < r.s_suppkey
     """,
     survey="§2.9 jaro_winkler (pandas UDF)",
 )
 def jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_linkage_spark.compare import jaro_winkler_udf
 
+    # Same blocking rationale as levenshtein_pairs: equi-key hash join,
+    # never an n²/2 BNL cross join.
     (supp,) = _t(spark, sf_dir, "supplier")
     left = supp.alias("l")
     right = supp.alias("r")
     return left.join(
-        right, F.col("l.s_suppkey") < F.col("r.s_suppkey")
+        right,
+        (F.col("l.s_nationkey") == F.col("r.s_nationkey"))
+        & (F.col("l.s_suppkey") < F.col("r.s_suppkey")),
     ).select(
         F.col("l.s_suppkey").alias("suppkey_l"),
         F.col("r.s_suppkey").alias("suppkey_r"),
@@ -760,7 +771,10 @@ def _fs_tf_sql() -> str:
                CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END
                    AS gamma_seg
         FROM customer l JOIN customer r
-          ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+          ON l.c_nationkey = r.c_nationkey
+         AND CAST(FLOOR(l.c_acctbal / 1000.0) AS INT)
+             = CAST(FLOOR(r.c_acctbal / 1000.0) AS INT)
+         AND l.c_custkey < r.c_custkey
     )
     SELECT custkey_l, custkey_r, gamma_seg,
            ROUND(({prior_odds!r}) + CASE WHEN gamma_seg = 1
@@ -781,11 +795,18 @@ def fs_score_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
         (F.count("*") * F.lit(1.0) / F.lit(float(n))).alias("tf")
     )
+    # Two-key block (nation + acctbal-thousands bucket): sub-divides each
+    # nation block ~11× so the pair count stays bounded as blocks grow —
+    # a single linear-in-n key makes candidate pairs quadratic at scale.
     left = cust.alias("l")
     right = cust.alias("r")
     pairs = left.join(
         right,
         (F.col("l.c_nationkey") == F.col("r.c_nationkey"))
+        & (
+            F.floor(F.col("l.c_acctbal") / 1000.0).cast("int")
+            == F.floor(F.col("r.c_acctbal") / 1000.0).cast("int")
+        )
         & (F.col("l.c_custkey") < F.col("r.c_custkey")),
     ).select(
         F.col("l.c_custkey").alias("custkey_l"),

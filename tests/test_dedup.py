@@ -57,6 +57,17 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (4, 5) not in pairs  # unrelated must not
 
 
+def test_minhash_lsh_leaves_no_pinned_cache(spark, docs):
+    """The banded table is materialized via eager localCheckpoint, not
+    persist(): after the query completes, the session's CacheManager must
+    hold no more pinned entries than before the call (a .persist() here
+    leaked one entry per call in long-lived sessions)."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    minhash_lsh_candidates(docs, num_hashes=16, num_bands=8).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
+
+
 def test_minhash_verified_pairs(spark, docs):
     verified = minhash_dedup_pairs(
         docs, jaccard_threshold=0.5, num_hashes=16, num_bands=8
