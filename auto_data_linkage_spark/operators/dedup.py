@@ -189,10 +189,14 @@ def minhash_lsh_candidates(
     ).select(id_col, "b.band", "b.band_hash")
     # both sides of the self-join read this small (id, band, hash) table.
     # Eager localCheckpoint materializes the hashing subtree exactly once
-    # WITHOUT pinning a CacheManager entry: a plain .persist() here leaked
-    # one pinned plan per call in long-lived sessions (checkpoint blocks
-    # are released by the ContextCleaner once the DataFrame is dropped —
-    # same lifecycle as incremental.py's contraction result)
+    # WITHOUT pinning a SQL CacheManager entry: a plain .persist() here
+    # leaked one pinned plan per call in long-lived sessions. Its blocks
+    # DO register an RDD-level persist, released only after the DataFrame
+    # is GC'd and the ContextCleaner runs — so entries can accumulate
+    # transiently between GCs. Trade-off vs persist(): lineage is
+    # truncated, so losing an executor that held checkpoint blocks fails
+    # downstream jobs instead of recomputing — acceptable for this small
+    # intermediate; on a lossy cluster prefer reliable checkpointing.
     banded = banded.localCheckpoint(eager=True)
     left = banded.alias("l")
     right = banded.alias("r")

@@ -58,13 +58,17 @@ def interval_join(
     if closed not in ("both", "left", "right", "neither"):
         raise ValueError(f"unknown closed mode {closed!r}")
 
-    def secs(col):
-        # unix seconds for timestamps, passthrough for numerics
-        return F.col(col).cast("double")
+    p_types, i_types = dict(points.dtypes), dict(intervals.dtypes)
+
+    def p_secs(col):
+        return _secs(col, p_types[col])
+
+    def i_secs(col):
+        return _secs(col, i_types[col])
 
     g = float(granularity_seconds)
     p = points.withColumn(
-        "__bucket", F.floor(secs(point_ts) / F.lit(g)).cast("long")
+        "__bucket", F.floor(p_secs(point_ts) / F.lit(g)).cast("long")
     )
     # guard malformed intervals BEFORE the explode: end < start makes
     # F.sequence step backwards across the whole gap (one corrupt row with
@@ -72,12 +76,12 @@ def interval_join(
     # later — or fail the job on sequence length). Such rows can never
     # match, so dropping them preserves semantics. NULL bounds yield a
     # NULL sequence, which explode already drops.
-    i = intervals.where(secs(end_ts) >= secs(start_ts)).withColumn(
+    i = intervals.where(i_secs(end_ts) >= i_secs(start_ts)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(secs(start_ts) / F.lit(g)).cast("long"),
-                F.floor(secs(end_ts) / F.lit(g)).cast("long"),
+                F.floor(i_secs(start_ts) / F.lit(g)).cast("long"),
+                F.floor(i_secs(end_ts) / F.lit(g)).cast("long"),
             )
         ),
     )
@@ -86,19 +90,23 @@ def interval_join(
     cond = F.col("p.__bucket") == F.col("i.__bucket")
     for k in keys:
         cond = cond & (F.col(f"p.{k}") == F.col(f"i.{k}"))
-    joined = pa.join(ia, cond, "inner").where(
-        _range_pred(point_ts, start_ts, end_ts, closed)
-    )
+    pt = _secs(f"p.{point_ts}", p_types[point_ts])
+    st = _secs(f"i.{start_ts}", i_types[start_ts])
+    en = _secs(f"i.{end_ts}", i_types[end_ts])
+    lo = pt >= st if closed in ("both", "left") else pt > st
+    hi = pt <= en if closed in ("both", "right") else pt < en
+    joined = pa.join(ia, cond, "inner").where(lo & hi)
     return joined.select(
         *[F.col(f"p.{c}") for c in points.columns],
         *[F.col(f"i.{v}") for v in value_cols],
     )
 
 
-def _range_pred(point_ts: str, start_ts: str, end_ts: str, closed: str):
-    pt = F.col(f"p.{point_ts}").cast("double")
-    st = F.col(f"i.{start_ts}").cast("double")
-    en = F.col(f"i.{end_ts}").cast("double")
-    lo = pt >= st if closed in ("both", "left") else pt > st
-    hi = pt <= en if closed in ("both", "right") else pt < en
-    return lo & hi
+def _secs(col_ref: str, dtype: str):
+    """Epoch-seconds double: NTZ-safe timestamp path (Spark 4 forbids a
+    direct TIMESTAMP_NTZ→DOUBLE cast; the intermediate cast reinterprets
+    the wall clock in the UTC session zone), passthrough for numerics."""
+    c = F.col(col_ref)
+    if dtype.startswith("timestamp"):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")

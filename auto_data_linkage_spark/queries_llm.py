@@ -17,6 +17,7 @@ from auto_data_linkage_spark.operators import dedup as D
 from auto_data_linkage_spark.operators import similarity as S
 from auto_data_linkage_spark.operators import text as X
 from auto_data_linkage_spark.queries import register, _t
+from auto_data_linkage_spark.session import epoch_seconds as _epoch_seconds
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,9 +862,9 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # double-cast keeps sub-second precision so the strict > matches the
-    # oracle's INTERVAL comparison exactly
-    ts_s = F.col("ts").cast("double")
+    # epoch-seconds double keeps sub-second precision so the strict >
+    # matches the oracle's INTERVAL comparison exactly; NTZ-safe helper
+    ts_s = _epoch_seconds("ts")
     gap = ts_s - F.lag(ts_s).over(w)
     new_session = F.when(gap.isNull() | (gap > 30 * 60.0), 1).otherwise(0)
     sessions = events.withColumn("new_session", new_session).withColumn(
@@ -975,8 +976,8 @@ def interval_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("error_id"),
         "user_id",
         F.col("ts").cast("string").alias("error_ts"),
-        (F.col("ts").cast("double") - 3600.0).alias("__start"),
-        F.col("ts").cast("double").alias("__end"),
+        (_epoch_seconds("ts") - 3600.0).alias("__start"),
+        _epoch_seconds("ts").alias("__end"),
     )
     out = interval_join(
         clicks,

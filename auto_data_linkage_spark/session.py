@@ -92,6 +92,25 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_
     return out
 
 
+def epoch_seconds(col):
+    """Epoch seconds as DOUBLE (µs precision) for a TIMESTAMP *or*
+    TIMESTAMP_NTZ column.
+
+    Spark 4 reads the testdata's parquet ``ts`` (µs, not adjusted to UTC)
+    as TIMESTAMP_NTZ and forbids a direct NTZ→DOUBLE cast
+    (DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION). The intermediate
+    ``cast("timestamp")`` is an identity cast on TIMESTAMP and
+    reinterprets an NTZ wall clock in the session zone — which this
+    engine pins to UTC (get_spark), exactly how the DuckDB oracle's
+    ``epoch()`` treats naive timestamps. Every operator that needs
+    epoch arithmetic on an event-time column must route through this
+    helper rather than casting directly."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
 def rebuild_nanos_timestamps(df, cols=("ts",)):
     """Rebuild TIMESTAMP(NANOS) columns read as long under
     ``spark.sql.legacy.parquet.nanosAsLong=true`` (Spark 4 rejects nanos

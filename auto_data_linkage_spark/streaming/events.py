@@ -28,28 +28,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# schema of the driver's events table, with ts read as raw nanos (Spark 4
-# rejects TIMESTAMP(NANOS) parquet natively — converted in the projection)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_event_stream(
     spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source event stream with µs timestamps reconstructed from raw
-    nanos. Swap ``format("parquet")`` for Kafka + ``from_json`` in
-    production — everything downstream is source-agnostic."""
+    """File-source event stream over the events table. Swap
+    ``format("parquet")`` for Kafka + ``from_json`` in production —
+    everything downstream is source-agnostic.
+
+    File streams require an explicit schema; it is taken from a static
+    read of the same path so the stream always sees what the files
+    actually store. Writers vary: current testdata stores µs
+    TIMESTAMP_NTZ (streamed as-is), older writers stored TIMESTAMP(NANOS)
+    which Spark 4 surfaces as raw-long under ``nanosAsLong`` — rebuilt to
+    µs timestamps by the shared loader helper. Hardcoding either shape
+    silently mis-reads the other (a nanos schema applied to µs data lands
+    every event in 1970)."""
+    from auto_data_linkage_spark.session import rebuild_nanos_timestamps
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if path.endswith(".parquet"):
@@ -58,7 +56,14 @@ def read_event_stream(
         reader = reader.option("pathGlobFilter", filename)
         path = directory
     raw = reader.load(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = rebuild_nanos_timestamps(raw)
+    # EventTimeWatermark demands TIMESTAMP — TIMESTAMP_NTZ is rejected
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Under the engine's pinned UTC
+    # session zone the cast is a pure reinterpretation of the wall clock,
+    # so streaming results line up with the NTZ batch twins.
+    if dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(

@@ -59,13 +59,21 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
 
 def test_minhash_lsh_leaves_no_pinned_cache(spark, docs):
     """The banded table is materialized via eager localCheckpoint, not
-    persist(): after the query completes, the session's CacheManager must
-    hold no more pinned entries than before the call (a .persist() here
-    leaked one entry per call in long-lived sessions)."""
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    persist()/cache(): the SQL CacheManager must hold no entry afterwards
+    (a .persist() here pinned one entry per call in long-lived sessions,
+    and unpersist-on-return races lazy consumers). localCheckpoint DOES
+    register an RDD-level persist entry, but its lifecycle is GC-managed —
+    released by the ContextCleaner once the DataFrame is dropped — so the
+    RDD count is asserted as bounded (≤ before + 1), not unchanged."""
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cached_before = cache_mgr.cachedData().size()
+    rdds_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     minhash_lsh_candidates(docs, num_hashes=16, num_bands=8).collect()
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after == before
+    # no NEW SQL-level cache entry (other tests in the shared session may
+    # legitimately hold their own)
+    assert cache_mgr.cachedData().size() == cached_before
+    rdds_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert rdds_after <= rdds_before + 1
 
 
 def test_minhash_verified_pairs(spark, docs):

@@ -110,3 +110,43 @@ def test_interval_join_collision_raises(spark):
         interval_join(
             p, i, on="k", point_ts="ts", start_ts="start", end_ts="end"
         )
+
+
+def test_interval_join_on_timestamp_ntz_columns(spark, sf_dir):
+    """Regression: Spark 4 reads the testdata's parquet ``ts`` as
+    TIMESTAMP_NTZ, which forbids a direct cast to DOUBLE — the operator
+    must route timestamps through its NTZ-safe epoch helper. Joins real
+    NTZ points against NTZ intervals and checks against a naive range
+    join on the same data."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"  # env precondition
+    points = ev.limit(200).select("event_id", "user_id", "ts")
+    intervals = ev.limit(50).select(
+        F.col("user_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTE")).alias("start"),
+        F.col("ts").alias("end"),
+        F.col("event_id").alias("iid"),
+    )
+    got = interval_join(
+        points,
+        intervals,
+        on="user_id",
+        point_ts="ts",
+        start_ts="start",
+        end_ts="end",
+        granularity_seconds=900,
+        value_cols=["iid"],
+    ).select("event_id", "iid")
+    naive = (
+        points.alias("p")
+        .join(
+            intervals.alias("i"),
+            (F.col("p.user_id") == F.col("i.user_id"))
+            & (F.col("p.ts") >= F.col("i.start"))
+            & (F.col("p.ts") <= F.col("i.end")),
+        )
+        .select(F.col("p.event_id"), F.col("i.iid"))
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+    assert got.count() > 0
