@@ -42,6 +42,7 @@ from auto_data_linkage_spark.blocking import (
     cap_block_size,
     generate_blocking_rules,
     salt_hot_keys,
+    salted_self_join_pairs,
 )
 from auto_data_linkage_spark.cleaning import (
     clean_columns,
@@ -95,5 +96,6 @@ __all__ = [
     "null_sentinel",
     "pairwise_prf",
     "salt_hot_keys",
+    "salted_self_join_pairs",
     "__version__",
 ]

@@ -198,8 +198,10 @@ def salt_hot_keys(
     ``hot_threshold`` into ``salt_buckets`` sub-blocks (hash of the row
     id); small blocks get salt 0. Joining on (block cols + __salt) bounds
     any single join partition to ~hot_threshold rows at the cost of
-    missing cross-salt pairs within hot blocks — the standard skew trade
-    when AQE skew-splitting isn't enough. Deterministic."""
+    missing cross-salt pairs within hot blocks — a LOSSY sampling trade
+    acceptable only for estimation passes. For candidate-pair generation
+    use :func:`salted_self_join_pairs`, which replicates one side across
+    the salts and loses nothing. Deterministic."""
     from pyspark.sql import Window
 
     counts = df.groupBy(*[F.col(c) for c in block_columns]).agg(
@@ -211,6 +213,89 @@ def salt_hot_keys(
         F.pmod(F.xxhash64(F.col(id_column)), F.lit(salt_buckets)),
     ).otherwise(F.lit(0))
     return joined.withColumn("__salt", salt.cast("int")).drop("__bs_cnt")
+
+
+def salted_self_join_pairs(
+    df: DataFrame,
+    block_columns: tuple[str, ...] | list[str],
+    *,
+    salt_buckets: int = 8,
+    hot_threshold: int | None = None,
+    id_column: str = "unique_id",
+    select_columns: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """LOSSLESS skew-safe blocking self-join: every ``id_l < id_r`` pair
+    sharing the block key, with no block ever landing on one reducer.
+
+    This is the documented default for skewed candidate generation (AQE
+    skew-splitting handles moderate skew on its own; beyond that, salt).
+    The classic replicated-salt scheme:
+
+    - probe side: one salt per row, ``hash(id) % B`` (hot blocks only
+      when ``hot_threshold`` is set, else every block),
+    - build side: each row REPLICATED across all ``B`` salts via a
+      constant-array explode,
+    - join on (block cols, salt) + ``id_l < id_r``.
+
+    A pair (a, b) meets exactly once — at salt ``hash(a) % B``, because b
+    is present at every salt — so the pair set equals the unsalted join's
+    (property-tested), unlike :func:`salt_hot_keys` which drops cross-salt
+    pairs. Cost: the build side is shipped ``B`` times (explode happens
+    before the exchange), in return for the widest block splitting into
+    ``B`` shuffle partitions. Pick B ≈ hot-block-rows / desired-partition-
+    rows. With ``hot_threshold``, cold blocks skip replication entirely
+    (salt 0 on both sides), so the multiplier only applies to hot rows.
+    """
+    keys = list(block_columns)
+    cols = [id_column, *keys, *[c for c in select_columns if c not in keys]]
+    base = df.select(*dict.fromkeys(cols))
+    B = int(salt_buckets)
+
+    if hot_threshold is None:
+        hot = F.lit(True)
+        probe = base
+    else:
+        counts = base.groupBy(*[F.col(c) for c in keys]).agg(
+            F.count("*").alias("__bs_cnt")
+        )
+        # per-block counts are ≤ |distinct block values| rows; broadcast
+        probe = base.join(F.broadcast(counts), keys, "left")
+        hot = F.col("__bs_cnt") > hot_threshold
+    left = probe.withColumn(
+        "__salt",
+        F.when(hot, F.pmod(F.xxhash64(F.col(id_column)), F.lit(B)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    ).drop("__bs_cnt")
+
+    if hot_threshold is None:
+        right_salts = F.sequence(F.lit(0), F.lit(B - 1))
+        build = base
+    else:
+        right_salts = F.when(hot, F.sequence(F.lit(0), F.lit(B - 1))).otherwise(
+            F.array(F.lit(0))
+        )
+        build = probe
+    right = (
+        build.withColumn("__salt", F.explode(right_salts))
+        .withColumn("__salt", F.col("__salt").cast("int"))
+        .drop("__bs_cnt")
+    )
+
+    la, ra = left.alias("l"), right.alias("r")
+    cond = F.col(f"l.{id_column}") < F.col(f"r.{id_column}")
+    for k in [*keys, "__salt"]:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    out_cols = [
+        F.col(f"l.{id_column}").alias(f"{id_column}_l"),
+        F.col(f"r.{id_column}").alias(f"{id_column}_r"),
+        *[F.col(f"l.{k}").alias(k) for k in keys],
+    ]
+    for c in select_columns:
+        if c not in keys:
+            out_cols.append(F.col(f"l.{c}").alias(f"{c}_l"))
+            out_cols.append(F.col(f"r.{c}").alias(f"{c}_r"))
+    return la.join(ra, cond, "inner").select(*out_cols)
 
 
 def deterministic_rule(rules: list[RuleEstimate]) -> RuleEstimate | None:

@@ -110,12 +110,14 @@ def connected_components(
     # fast path first: union-find tolerates duplicate/directed/self-loop
     # edges, so the raw edge list collects without the symmetrize+distinct
     # shuffle (self-loops register the node, then union is a no-op — the
-    # node still comes out as a singleton component). take(threshold+1)
-    # probes size and fetches the edges in ONE job: if it comes back short,
-    # those rows already ARE the full edge list.
-    probe = e.take(driver_threshold + 1)
-    if len(probe) <= driver_threshold:
-        rows = [(r["src"], r["dst"]) for r in probe]
+    # node still comes out as a singleton component). The size probe is a
+    # bounded DISTRIBUTED count — limit(threshold+1).count() ships one
+    # long to the driver, never edge rows — so a 100M-edge graph pays no
+    # driver transfer before taking the distributed path. Only a graph
+    # that proved small is then fetched (≤ threshold rows, one job).
+    n_probe = e.limit(driver_threshold + 1).count()
+    if n_probe <= driver_threshold:
+        rows = [(r["src"], r["dst"]) for r in e.collect()]
         if not rows:
             return e.limit(0).select(
                 F.col("src").alias("node"), F.col("dst").alias("component")

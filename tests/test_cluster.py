@@ -71,3 +71,64 @@ def test_cluster_at_threshold_singletons(spark):
            cluster_at_threshold(records, preds, 0.8).collect()}
     assert out["1"] == out["2"]
     assert out["3"] == "3"  # singleton keeps own id
+
+
+def test_cc_large_graph_probe_never_ships_edge_rows(spark, monkeypatch):
+    """The size probe must be a bounded distributed count: when the graph
+    exceeds driver_threshold, no driver fetch (collect/take/tail) may
+    ever return more than threshold edge rows — the old take(threshold+1)
+    probe shipped the first threshold+1 rows even for graphs 100x larger."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    fetched = []
+    orig_collect, orig_take, orig_tail = CDF.collect, CDF.take, CDF.tail
+
+    def spy_collect(self):
+        rows = orig_collect(self)
+        fetched.append(len(rows))
+        return rows
+
+    def spy_take(self, num):
+        rows = orig_take(self, num)
+        fetched.append(len(rows))
+        return rows
+
+    def spy_tail(self, num):
+        rows = orig_tail(self, num)
+        fetched.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(CDF, "collect", spy_collect)
+    monkeypatch.setattr(CDF, "take", spy_take)
+    monkeypatch.setattr(CDF, "tail", spy_tail)
+
+    threshold = 10
+    edges = [(f"n{i}", f"n{i+1}") for i in range(200)]  # one long chain
+    df = spark.createDataFrame(edges, "src string, dst string")
+    comps = connected_components(df, driver_threshold=threshold)
+    rows = orig_collect(comps)
+    assert max(fetched, default=0) <= threshold, fetched
+    # and the distributed path still computes the single chain component
+    assert len({r["component"] for r in rows}) == 1
+    assert len(rows) == 201
+
+
+def test_cc_small_graph_fast_path_fetches_once(spark, monkeypatch):
+    """Below the threshold the edge list is fetched exactly once (the
+    bounded count probe ships no rows, then one collect)."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    calls = []
+    orig_collect = CDF.collect
+
+    def spy_collect(self):
+        rows = orig_collect(self)
+        calls.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(CDF, "collect", spy_collect)
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    out = connected_components(df, driver_threshold=100)
+    rows = orig_collect(out)
+    assert calls == [2]  # exactly one driver fetch, of the 2 edges
+    assert len({r["component"] for r in rows}) == 1

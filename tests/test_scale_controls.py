@@ -100,3 +100,61 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def _unsalted_pairs(df, key="key", id_col="unique_id"):
+    l, r = df.alias("l"), df.alias("r")
+    return {
+        (row["a"], row["b"])
+        for row in l.join(
+            r,
+            (F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("hot_threshold", [None, 20])
+def test_salted_self_join_is_lossless(spark, skewed, hot_threshold):
+    """Property (round-3 item 5): the replicated-salt join must produce
+    EXACTLY the unsalted pair set — salting redistributes work, never
+    drops cross-salt pairs (unlike salt_hot_keys' estimation-only salt)."""
+    from auto_data_linkage_spark.blocking import salted_self_join_pairs
+
+    got_df = salted_self_join_pairs(
+        skewed,
+        ["key"],
+        salt_buckets=4,
+        hot_threshold=hot_threshold,
+        id_column="unique_id",
+    )
+    got = {
+        (r["unique_id_l"], r["unique_id_r"]) for r in got_df.collect()
+    }
+    assert got_df.count() == len(got)  # no duplicate pairs either
+    assert got == _unsalted_pairs(skewed)
+
+
+def test_salted_self_join_property_random(spark):
+    """Hypothesis-style randomized check across several skew shapes."""
+    import random
+
+    from auto_data_linkage_spark.blocking import salted_self_join_pairs
+
+    rng = random.Random(7)
+    for trial in range(3):
+        rows = [
+            (i, f"k{rng.randrange(1, 4) if rng.random() < 0.7 else rng.randrange(1, 30)}")
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "unique_id long, key string")
+        got = {
+            (r["unique_id_l"], r["unique_id_r"])
+            for r in salted_self_join_pairs(
+                df, ["key"], salt_buckets=rng.choice([2, 5, 8]),
+                hot_threshold=rng.choice([None, 10]),
+            ).collect()
+        }
+        assert got == _unsalted_pairs(df), f"trial {trial}"
