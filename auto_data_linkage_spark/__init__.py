@@ -44,6 +44,7 @@ from auto_data_linkage_spark.blocking import (
     salt_hot_keys,
     salted_self_join_pairs,
 )
+from auto_data_linkage_spark.sqlext import enable_arc
 from auto_data_linkage_spark.cleaning import (
     clean_columns,
     ensure_unique_id,
@@ -88,6 +89,7 @@ __all__ = [
     "clustering_scores",
     "column_correspondence",
     "connected_components",
+    "enable_arc",
     "ensure_unique_id",
     "generate_blocking_rules",
     "incremental_assign",

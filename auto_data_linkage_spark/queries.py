@@ -682,6 +682,91 @@ def jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# §2.11 SQL-extension surface (reference enable_arc.py): the SAME query
+# text runs on both engines, with only the function NAMES swapped —
+# Spark uses the registered arc_* functions (sqlext.enable_arc), DuckDB
+# its native equivalents. Certifies the registration path end-to-end:
+# pandas-UDF jaro-winkler, declarative-SQL-UDF token jaccard + md5 hash.
+# --------------------------------------------------------------------------
+_SQL_UDF_PAIRS_TEMPLATE = """
+    SELECT l.p_partkey AS partkey_l, r.p_partkey AS partkey_r,
+           ROUND({jw}(l.p_name, r.p_name), 6)  AS name_jw,
+           ROUND({jaccard}, 6)                 AS type_jaccard,
+           {hash64}                            AS name_hash
+    FROM part l JOIN part r
+      ON l.p_brand = r.p_brand AND l.p_partkey < r.p_partkey
+"""
+
+
+@register(
+    "sql_registered_udfs",
+    _SQL_UDF_PAIRS_TEMPLATE.format(
+        jw="jaro_winkler_similarity",
+        jaccard=(
+            "len(list_intersect("
+            "  list_distinct(string_split_regex(l.p_type, '\\s+')),"
+            "  list_distinct(string_split_regex(r.p_type, '\\s+'))))"
+            " * 1.0 / len(list_distinct(list_concat("
+            "  list_distinct(string_split_regex(l.p_type, '\\s+')),"
+            "  list_distinct(string_split_regex(r.p_type, '\\s+')))))"
+        ),
+        hash64="CAST(CONCAT('0x', SUBSTR(md5(CONCAT('7|', l.p_name)), 1, 15)) AS BIGINT)",
+    ),
+    survey="§2.11 SQL registration surface (arc_* via spark.sql, shared text)",
+)
+def sql_registered_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.sqlext import enable_arc
+
+    enable_arc(spark)
+    (part,) = _t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part")
+    return spark.sql(
+        _SQL_UDF_PAIRS_TEMPLATE.format(
+            jw="arc_jaro_winkler",
+            jaccard="arc_token_jaccard(l.p_type, r.p_type)",
+            hash64="arc_md5_hash64(l.p_name, 7)",
+        )
+    )
+
+
+_SQL_ENTROPY_ORACLE = """
+    WITH b AS (SELECT p_brand AS v, COUNT(*) AS cnt FROM part GROUP BY 1),
+    t AS (SELECT p_type AS v, COUNT(*) AS cnt FROM part GROUP BY 1),
+    hb AS (SELECT SUM(-(cnt * 1.0 / (SELECT SUM(cnt) FROM b))
+                     * ln(cnt * 1.0 / (SELECT SUM(cnt) FROM b)))
+                  / ln(COUNT(*)) AS h FROM b),
+    ht AS (SELECT SUM(-(cnt * 1.0 / (SELECT SUM(cnt) FROM t))
+                     * ln(cnt * 1.0 / (SELECT SUM(cnt) FROM t)))
+                  / ln(COUNT(*)) AS h FROM t)
+    SELECT ROUND(hb.h, 6) AS brand_entropy, ROUND(ht.h, 6) AS type_entropy
+    FROM hb, ht
+"""
+
+
+@register(
+    "sql_entropy_probe",
+    _SQL_ENTROPY_ORACLE,
+    survey="§2.11 SQL registration surface (arc_entropy aggregate in SQL)",
+)
+def sql_entropy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered grouped-agg entropy (auto base = distinct count,
+    reference base-0 mode) through spark.sql text, vs an explicit
+    DuckDB formulation of the same quantity."""
+    from auto_data_linkage_spark.sqlext import enable_arc
+
+    enable_arc(spark)
+    (part,) = _t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT ROUND(arc_entropy(p_brand), 6) AS brand_entropy,
+               ROUND(arc_entropy(p_type), 6)  AS type_entropy
+        FROM part
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # L5 — Fellegi–Sunter scoring with fixed m/u as pure arithmetic
 # (the predict() math, hash-checked end-to-end against SQL)
 # --------------------------------------------------------------------------
@@ -1166,6 +1251,10 @@ def sql_shared_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ivf_centroids ⊂ ivf_topk) — all remain pytest- and
 # tools/check_oracle.py-covered.
 _DEPRIORITIZED = (
+    "jaro_winkler_pairs",  # sql_registered_udfs exercises the same pandas
+    #                        UDF through the registered-SQL surface
+    "sql_entropy_probe",  # A3 front row is `entropy`; this certifies the
+    #                       registration path via tools/check_oracle.py
     "entropy_auto_base",
     "estimate_vs_true_pairs",
     "jaccard_token_pairs",
