@@ -273,10 +273,16 @@ class AutoLinker:
         return trial
 
     # ------------------------------------------------- incremental fold
-    def incremental_update(self, new_records: DataFrame, threshold: float = 0.8):
+    def incremental_update(
+        self,
+        new_records: DataFrame,
+        threshold: float = 0.8,
+        *,
+        side: str | None = None,
+    ):
         """Fold a batch of new records into the best model's clustering at
         ``threshold`` with delta-sized work (:mod:`incremental` —
-        the base table never self-joins again). Dedup mode only.
+        the base table never self-joins again).
 
         The batch is cleaned with the same pipeline as ``auto_link`` and
         must carry a ``unique_id`` column that does not collide with the
@@ -284,6 +290,14 @@ class AutoLinker:
         Increment`; the engine's state (clean data, memoized clustering at
         ``threshold``) is advanced to include the batch, so repeated calls
         keep folding.
+
+        In link mode pass ``side`` (``"l"`` or ``"r"``): the batch joins
+        that table, its ids get the side prefix, and — link_only
+        semantics — candidate pairs form ONLY against the opposite
+        table's records (no batch↔batch pass; same-table rows never
+        pair). Batches for both sides fold as two calls: the second
+        call's cross-pairs against the first batch are found because the
+        first batch is already part of the base by then.
         """
         from auto_data_linkage_spark.incremental import (
             apply_increment,
@@ -292,10 +306,14 @@ class AutoLinker:
 
         if self.best_trial is None or self.clean_data is None:
             raise RuntimeError("call auto_link first")
-        if self._link_frames is not None:
-            raise NotImplementedError(
-                "incremental_update supports dedup mode only"
+        link_mode = self._link_frames is not None
+        if link_mode and side not in ("l", "r"):
+            raise ValueError(
+                'link mode: pass side="l" or side="r" to say which table '
+                "the batch extends"
             )
+        if not link_mode and side is not None:
+            raise ValueError("side is only meaningful in link mode")
         if self.unique_id not in new_records.columns:
             raise ValueError(
                 f"new_records must carry a non-colliding {self.unique_id!r} "
@@ -312,6 +330,13 @@ class AutoLinker:
             ),
         )
         batch = null_sentinel(clean_columns(batch, attrs), attrs)
+        if link_mode:
+            # same namespacing as auto_link: side-prefixed string ids and
+            # the source tag the link frames filter on
+            batch = batch.withColumn(
+                self.unique_id,
+                F.concat(F.lit(side), F.lit("-"), F.col(self.unique_id)),
+            ).withColumn("__src", F.lit(side))
         for col in self.clean_data.columns:
             if col not in batch.columns:
                 batch = batch.withColumn(
@@ -343,9 +368,23 @@ class AutoLinker:
             # the batch size the way a per-call 1/N prior would
             model.prior = 1.0 / max(self.clean_data.count(), 2)
         base = self.best_clusters_at_threshold(threshold)
-        inc = incremental_assign(
-            model, base, batch, threshold=threshold, unique_id=self.unique_id
-        )
+        if link_mode:
+            # link_only: the batch may pair only with the OPPOSITE table;
+            # the contraction still sees every base assignment
+            other = "r" if side == "l" else "l"
+            inc = incremental_assign(
+                model,
+                base,
+                batch,
+                threshold=threshold,
+                unique_id=self.unique_id,
+                score_base=self.clean_data.where(F.col("__src") == other),
+                within_batch=False,
+            )
+        else:
+            inc = incremental_assign(
+                model, base, batch, threshold=threshold, unique_id=self.unique_id
+            )
         merged = apply_increment(
             base, batch, inc, unique_id=self.unique_id
         ).localCheckpoint(eager=True)
@@ -353,6 +392,11 @@ class AutoLinker:
         # ids keep their native type (batch uid was selected as-is, so the
         # union does not coerce)
         self.clean_data = self.clean_data.unionByName(batch).cache()
+        if link_mode:
+            self._link_frames = (
+                self.clean_data.where(F.col("__src") == "l"),
+                self.clean_data.where(F.col("__src") == "r"),
+            )
         # predictions/clusterings other than `threshold` predate the batch
         self.best_predictions = None
         self._cluster_cache = {threshold: merged}

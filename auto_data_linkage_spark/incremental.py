@@ -145,6 +145,8 @@ def incremental_assign(
     threshold: float = 0.8,
     unique_id: str = "unique_id",
     cluster_col: str = "cluster_id",
+    score_base: DataFrame | None = None,
+    within_batch: bool = True,
 ) -> Increment:
     """Assign ``new_records`` to clusters of ``base_clusters`` using a
     trained :class:`~auto_data_linkage_spark.model.FellegiSunterModel`.
@@ -158,24 +160,38 @@ def incremental_assign(
     Runs TWO scoring passes, both delta-sized: batch↔base (link mode — the
     batch broadcasts against the partitioned base) and batch↔batch (dedup
     mode). The base never self-joins again.
+
+    Two-table linking engines restrict which pairs are legal:
+    ``score_base`` (default: all of ``base_clusters``'s records) narrows
+    the batch↔base pass to a subset — e.g. only the OPPOSITE table's rows
+    under link_only semantics — while the contraction still sees every
+    base assignment, so matches into any existing cluster relabel
+    correctly. ``within_batch=False`` skips the batch↔batch pass (a batch
+    from one side of a two-table link never pairs with itself).
     """
     id_type = base_clusters.schema[cluster_col].dataType
-    base_records = base_clusters.drop(cluster_col)
+    base_records = (
+        score_base if score_base is not None else base_clusters
+    ).drop(cluster_col)
     # batch ↔ base evidence (link mode: no l<r filter, left = batch)
     nb = model.predict(new_records, right_df=base_records, threshold=threshold)
-    nb_edges = nb.select(
+    delta = nb.select(
         F.col(f"{unique_id}_l").alias("src"), F.col(f"{unique_id}_r").alias("dst")
     )
-    # batch ↔ batch evidence (dedup mode)
-    nn = model.predict(new_records, threshold=threshold)
-    nn_edges = nn.select(
-        F.col(f"{unique_id}_l").alias("src"), F.col(f"{unique_id}_r").alias("dst")
-    )
+    if within_batch:
+        # batch ↔ batch evidence (dedup mode)
+        nn = model.predict(new_records, threshold=threshold)
+        delta = delta.unionByName(
+            nn.select(
+                F.col(f"{unique_id}_l").alias("src"),
+                F.col(f"{unique_id}_r").alias("dst"),
+            )
+        )
     # cache the (delta-sized) edge list: its lineage is two blocking-join
     # scoring plans over the base, and downstream consumers (CC size probe,
     # contraction joins, assignment/merge branches) would re-run that
     # lineage once each — measured 2-3x the whole incremental cost
-    delta = nb_edges.unionByName(nn_edges).cache()
+    delta = delta.cache()
 
     base_assign = base_clusters.select(
         F.col(unique_id).alias("node"), F.col(cluster_col).alias("component")

@@ -198,3 +198,62 @@ def test_incremental_singletons_keep_own_id(spark, trained_model):
     got = _assignments(inc.assignments)
     assert got == {"90001": "90001", "90002": "90002"}
     assert inc.merges.count() == 0
+
+
+def test_autolinker_incremental_update_link_mode(spark):
+    """Link-mode incremental fold (side="r"): the result must equal a
+    full re-link of the advanced left/right frames with the same model —
+    labels included — and same-table pairs must never form (link_only
+    semantics, asserted via cluster composition)."""
+    from auto_data_linkage_spark.autolink import AutoLinker
+    from auto_data_linkage_spark.cluster import cluster_at_threshold
+
+    rows = make_people(n_entities=100, dup_fraction=0.6, seed=5)
+    df = spark.createDataFrame(rows, PEOPLE_SCHEMA)
+    # left = one record per entity; right = the duplicates (cross-table
+    # matches); a third of the right rows arrive later as the batch
+    w = F.col("unique_id").cast("long")
+    left = df.dropDuplicates(["recid"])
+    right_all = df.join(left.select("unique_id"), "unique_id", "left_anti")
+    right = right_all.where(w % 3 != 0)
+    batch = right_all.where(w % 3 == 0)
+
+    linker = AutoLinker(
+        max_evals=2, comparison_size_limit=100_000, random_seed=7
+    )
+    linker.auto_link([left.drop("unique_id"), right.drop("unique_id")])
+    threshold = 0.85
+    base_clusters = linker.best_clusters_at_threshold(threshold)
+
+    with pytest.raises(ValueError, match="side"):
+        linker.incremental_update(batch, threshold=threshold)
+    inc = linker.incremental_update(batch, threshold=threshold, side="r")
+    merged = linker.best_clusters_at_threshold(threshold)
+
+    # expected: full re-link over the ADVANCED frames with the same model
+    model = linker.best_trial.model
+    expected = cluster_at_threshold(
+        linker.clean_data, linker._predict(model), threshold
+    )
+    assert _assignments(merged) == _assignments(expected)
+    assert inc.assignments.count() == batch.count()
+    assert merged.count() == base_clusters.count() + batch.count()
+    # link_only: no cluster may contain two same-side records unless a
+    # cross-table path connects them — with left deduped per entity, a
+    # multi-member cluster must contain at least one left record
+    multi = (
+        merged.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("__src") == "l", 1).otherwise(0)).alias("n_l"),
+        )
+        .where(F.col("n") > 1)
+    )
+    bad = multi.where(F.col("n_l") == 0).count()
+    assert bad == 0
+    # folding a second batch for the OTHER side also works
+    extra = left.limit(5).withColumn(
+        "unique_id", F.concat(F.lit("9"), F.col("unique_id"))
+    )
+    inc2 = linker.incremental_update(extra, threshold=threshold, side="l")
+    assert inc2.assignments.count() == 5
