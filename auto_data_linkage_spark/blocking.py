@@ -133,25 +133,54 @@ def generate_blocking_rules(
         return []
 
     arms_sorted = sorted(lookup)
+    seen: set[tuple[tuple[str, ...], ...]] = set()
     results: list[RuleEstimate] = []
-    # i=1: single-arm rules
-    singles = []
-    for arm in arms_sorted:
-        est = int(estimate_or_rule((arm,), lookup) * scale)
-        singles.append(RuleEstimate((arm,), est))
-    results.extend(singles)
 
-    # i>=2: extend the top single arms (by estimate, smallest first so the
-    # cheapest arms combine) — mirrors the reference's top-k expansion
-    # (ARC.scala:62-82) without materializing the full combination space.
-    cheap_arms = [
-        r.arms[0]
-        for r in sorted(singles, key=lambda r: r.estimated_pairs)[:40]
-    ]
-    for i in range(2, max_rules_per_or_rule + 1):
-        for arm_set in _combinations(cheap_arms, i):
-            est = int(estimate_or_rule(tuple(arm_set), lookup) * scale)
-            results.append(RuleEstimate(tuple(arm_set), est))
+    def add(arm_set: tuple[tuple[str, ...], ...]) -> RuleEstimate:
+        est = int(estimate_or_rule(arm_set, lookup) * scale)
+        r = RuleEstimate(arm_set, est)
+        if arm_set not in seen:
+            seen.add(arm_set)
+            results.append(r)
+        return r
+
+    # i=1: single-arm rules
+    for arm in arms_sorted:
+        add((arm,))
+
+    # i>=2: the reference's top-k re-expansion (ARC.scala:56-83 via
+    # ARC_GeneratePartialCombinations.scala:11-51): score ALL 2-arm
+    # combinations, keep the top `top_k` partials by estimate DESCENDING
+    # (richer rules first — affordability is filtered at the end, exactly
+    # like the reference's python side), then for i>2 extend each kept
+    # partial with every (i-2)-subset of the remaining arms, dedup on the
+    # sorted arm set, and keep the level's top `top_k`. All arithmetic is
+    # driver-side over the collected count lookup — the same place the
+    # reference evaluates its countMap.
+    if max_rules_per_or_rule >= 2:
+        pairs = [
+            RuleEstimate(
+                tuple(sorted(p)), int(estimate_or_rule(tuple(sorted(p)), lookup) * scale)
+            )
+            for p in _combinations(arms_sorted, 2)
+        ]
+        pairs.sort(key=lambda r: (-r.estimated_pairs, r.arms))
+        partials = [r.arms for r in pairs[:top_k]]
+        for arm_set in partials:
+            add(arm_set)
+        for i in range(3, max_rules_per_or_rule + 1):
+            level: dict[tuple, int] = {}
+            for partial in partials:
+                rest = [a for a in arms_sorted if a not in partial]
+                for ext in _combinations(rest, i - 2):
+                    arm_set = tuple(sorted((*partial, *ext)))
+                    if arm_set not in level:
+                        level[arm_set] = int(
+                            estimate_or_rule(arm_set, lookup) * scale
+                        )
+            ranked = sorted(level.items(), key=lambda kv: (-kv[1], kv[0]))
+            for arm_set, _ in ranked[:top_k]:
+                add(arm_set)
 
     affordable = [r for r in results if r.estimated_pairs < comparison_size_limit]
     affordable.sort(key=lambda r: (-r.estimated_pairs, r.arms))

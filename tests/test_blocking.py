@@ -86,3 +86,53 @@ def test_deterministic_rule_picks_largest_of_smallest():
     rules = [RuleEstimate((("a",),), e) for e in (5, 50, 500)]
     assert deterministic_rule(rules).estimated_pairs == 500
     assert deterministic_rule([]) is None
+
+
+def test_or_rule_search_covers_wide_schema_exhaustively(spark):
+    """Reference-parity breadth (ARC.scala top-1000 re-expansion): on a
+    wide schema whose combination space fits inside the beam, the search
+    must return EVERY affordable OR rule an exhaustive enumeration finds
+    — the old 40-cheapest-arm shortcut silently dropped rules whose arms
+    weren't individually cheap."""
+    import random
+    from itertools import combinations
+
+    from auto_data_linkage_spark.blocking import (
+        count_lookup,
+        estimate_or_rule,
+        generate_blocking_rules,
+    )
+
+    rng = random.Random(13)
+    n_cols = 12
+    rows = [
+        tuple(f"v{rng.randrange(2 + (c % 7))}" for c in range(n_cols))
+        for _ in range(400)
+    ]
+    cols = [f"c{i}" for i in range(n_cols)]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols))
+
+    limit = 50_000
+    got = generate_blocking_rules(
+        df,
+        cols,
+        comparison_size_limit=limit,
+        max_columns_per_and_rule=1,
+        max_rules_per_or_rule=3,
+        sample_rows=None,
+        top_k=1000,
+    )
+    got_sets = {r.arms for r in got}
+
+    lookup = count_lookup(df, cols, max_columns_per_and_rule=1)
+    arms = sorted(lookup)
+    exhaustive = set()
+    for i in (1, 2, 3):
+        for arm_set in combinations(arms, i):
+            if estimate_or_rule(arm_set, lookup) < limit:
+                exhaustive.add(arm_set)
+    # same budget (top_k=1000): every affordable exhaustive rule that fits
+    # in the final top-1000 must be present
+    missing = exhaustive - got_sets
+    assert len(exhaustive) <= 1000  # precondition: budget covers the space
+    assert not missing, sorted(missing)[:5]
