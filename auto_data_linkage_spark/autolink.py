@@ -4,8 +4,10 @@
 The reference wraps Hyperopt TPE around (blocking rule × per-column distance
 function × threshold) and scores each trial with the unsupervised
 information-gain power ratio. Hyperopt is sequential-in-driver there too
-(no SparkTrials); this implementation uses seeded random search over the
-same space — identical per-trial cost profile, no external dependency.
+(no SparkTrials); this implementation drives the SAME search with the
+dependency-free TPE in :mod:`auto_data_linkage_spark.tpe` (random
+startup trials, then l/g Parzen sampling per dimension with hyperopt's
+conditional-dimension rule) — identical space, identical per-trial cost.
 
 Per-trial pipeline (all Spark work):
   clean → unique_id → candidate blocking rules (estimated, never joined) →
@@ -14,7 +16,6 @@ Per-trial pipeline (all Spark work):
 
 from __future__ import annotations
 
-import random
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -102,42 +103,39 @@ class AutoLinker:
             raise ValueError("no string attribute columns to link on")
         return cols
 
-    def _sample_comparisons(self, rng: random.Random, attrs: list[str]) -> list[Comparison]:
-        comps = []
-        for col in attrs:
-            name, spec = rng.choice(_DISTANCE_SPACE)
-            if name == "levenshtein":
-                thr: float = rng.choice(spec)
-            else:
-                lo, hi = spec
-                thr = round(rng.uniform(lo, hi), 3)
-            comps.append(Comparison(col, name, thr))
-        return comps
+    def _build_space(self, attrs: list[str], n_rules: int) -> dict:
+        """The reference's hyperopt space (autolinker.py:338-364):
+        ``hp.choice`` over candidate blocking rules, and per column a
+        distance-function choice with a conditional threshold —
+        ``hp.quniform(1, 5, 1)`` for levenshtein, ``hp.uniform(0.7,
+        0.99)`` otherwise."""
+        from auto_data_linkage_spark.tpe import Categorical, QUniform, Uniform
 
-    def _perturb_comparisons(
-        self, rng: random.Random, comps: list[Comparison]
-    ) -> list[Comparison]:
-        """Local move around the incumbent: nudge one threshold (or swap
-        one column's distance function) while keeping the rest fixed."""
-        out = list(comps)
-        idx = rng.randrange(len(out))
-        c = out[idx]
-        if rng.random() < 0.3:
-            name, spec = rng.choice(_DISTANCE_SPACE)
-            thr = (
-                float(rng.choice(spec))
-                if name == "levenshtein"
-                else round(rng.uniform(*spec), 3)
+        space: dict = {"rule": Categorical(tuple(range(n_rules)))}
+        for col in attrs:
+            space[f"{col}|dist"] = Categorical(
+                tuple(name for name, _ in _DISTANCE_SPACE)
             )
-            out[idx] = Comparison(c.column, name, thr)
-        elif c.method == "levenshtein":
-            out[idx] = Comparison(
-                c.column, c.method, float(min(5, max(1, int(c.threshold) + rng.choice((-1, 1)))))
-            )
-        else:
-            thr = min(0.99, max(0.7, c.threshold + rng.gauss(0, 0.03)))
-            out[idx] = Comparison(c.column, c.method, round(thr, 3))
-        return out
+            space[f"{col}|levenshtein"] = QUniform(1, 5, 1)
+            space[f"{col}|jaccard"] = Uniform(0.7, 0.99)
+            space[f"{col}|jaro_winkler"] = Uniform(0.7, 0.99)
+        return space
+
+    @staticmethod
+    def _params_to_comparisons(
+        params: dict, attrs: list[str]
+    ) -> tuple[list[Comparison], dict]:
+        """Decode a TPE suggestion into comparisons + the ACTIVE subset of
+        parameters (hyperopt's conditionality: only the chosen distance
+        function's threshold dimension learns from this trial)."""
+        comps, active = [], {"rule": params["rule"]}
+        for col in attrs:
+            fn = params[f"{col}|dist"]
+            thr = round(float(params[f"{col}|{fn}"]), 3)
+            comps.append(Comparison(col, fn, thr))
+            active[f"{col}|dist"] = fn
+            active[f"{col}|{fn}"] = thr
+        return comps, active
 
     # --------------------------------------------------------------- run
     def auto_link(self, data: DataFrame | list[DataFrame]) -> Trial:
@@ -204,20 +202,23 @@ class AutoLinker:
             )
         training_rule = blocking_mod.deterministic_rule(rules)
 
-        rng = random.Random(self.random_seed)
+        from auto_data_linkage_spark.tpe import TPESampler
+
         best_score = float("-inf")
-        # explore-then-exploit (the reference uses sequential TPE; this is
-        # the dependency-free equivalent): random exploration for ~2/3 of
-        # the budget, then local perturbation of the incumbent
-        n_explore = max(1, (2 * self.max_evals + 2) // 3)
-        for i in range(self.max_evals):
-            if i < n_explore or self.best_trial is None:
-                comps = self._sample_comparisons(rng, attrs)
-                rule = rng.choice(rules[: max(1, min(len(rules), 20))])
-            else:
-                comps = self._perturb_comparisons(rng, self.best_trial.comparisons)
-                rule = self.best_trial.rule
+        # sequential TPE over the reference's space. Startup budget follows
+        # hyperopt's default shape scaled to small eval counts: ~2/3 of the
+        # budget explores randomly before the Parzen model kicks in.
+        sampler = TPESampler(
+            self._build_space(attrs, len(rules)),
+            seed=self.random_seed,
+            n_startup=min(20, max(2, (2 * self.max_evals + 2) // 3)),
+        )
+        for _ in range(self.max_evals):
+            params = sampler.suggest()
+            comps, active = self._params_to_comparisons(params, attrs)
+            rule = rules[params["rule"]]
             trial = self._run_trial(df, attrs, comps, rule, training_rule)
+            sampler.observe(active, trial.score)
             self.trials.append(trial)
             if trial.score > best_score:
                 best_score = trial.score
