@@ -421,6 +421,30 @@ class AutoLinker:
             )
         return self._cluster_cache[threshold]
 
+    def cluster_viewer(self, path: str, threshold: float = 0.8) -> str:
+        """Write the cluster-inspection HTML dashboard (reference
+        ``cluster_viewer``, autolinker.py:1097-1120 — size-band cluster
+        sampling) to ``path``; returns the path."""
+        from auto_data_linkage_spark.viz import cluster_viewer as _cv
+
+        return _cv(
+            self.best_clusters_at_threshold(threshold),
+            path,
+            unique_id=self.unique_id,
+        )
+
+    def comparison_viewer(self, path: str) -> str:
+        """Write the comparison-inspection HTML dashboard (reference
+        ``comparison_viewer``, autolinker.py:1123-1140 — score histogram
+        + strongest/weakest pairs) to ``path``; returns the path."""
+        from auto_data_linkage_spark.viz import comparison_viewer as _cmp
+
+        if self.best_trial is None or self.clean_data is None:
+            raise RuntimeError("call auto_link first")
+        if self.best_predictions is None:
+            self.best_predictions = self._predict(self.best_trial.model).cache()
+        return _cmp(self.best_predictions, path)
+
     def get_scores_df(self) -> DataFrame:
         """Pairwise predictions of the best model. When a ``true_label``
         was configured, both sides' labels are joined on as
