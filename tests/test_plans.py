@@ -146,3 +146,28 @@ def test_incremental_components_no_base_scan_blowup(spark, sf_dir):
     assert count_exchanges(out) <= 6
     # base scan reads only the two assignment columns
     assert set(scan_columns(out)) <= {"s_suppkey", "s_nationkey"}
+
+
+def test_salted_self_join_no_cartesian_bounded_exchanges(spark, sf_dir):
+    """The lossless salted join must stay an equi hash join on
+    (key, salt) — no BroadcastNestedLoop/CartesianProduct — and the
+    per-block count side must broadcast."""
+    from auto_data_linkage_spark.blocking import salted_self_join_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("unique_id"), F.col("c_nationkey").alias("key")
+    )
+    df = salted_self_join_pairs(cust, ["key"], salt_buckets=4, hot_threshold=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert uses_broadcast_join(df)  # the per-block counts side
+
+
+def test_sql_udf_query_no_python_eval(spark, sf_dir):
+    """sql_registered_udfs' declarative SQL UDF columns must inline; the
+    only Python in the plan is the single Arrow-batched jaro-winkler."""
+    df = entry_mod.queries()["sql_registered_udfs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") <= 1
+    assert "BatchEvalPython" not in plan  # never row-at-a-time
