@@ -138,3 +138,76 @@ def test_jaccard_and_simhash_properties(spark, pairs):
         assert 0 <= r["sh_a1"] < (1 << 32)
         if a == b:
             assert r["sh_a1"] == r["sh_b"]
+
+
+# ------------------------------------------- TPE sampler (driver-side)
+
+tpe_scores = st.lists(
+    st.floats(min_value=-10, max_value=10, allow_nan=False), min_size=1, max_size=40
+)
+
+
+@given(scores=tpe_scores, seed=st.integers(min_value=0, max_value=2**16))
+@settings(max_examples=60, deadline=None)
+def test_tpe_always_suggests_in_space(scores, seed):
+    """Whatever scores it observes (ties, extremes, single trial), every
+    suggestion stays inside every dimension's domain."""
+    from auto_data_linkage_spark.tpe import (
+        Categorical,
+        QUniform,
+        TPESampler,
+        Uniform,
+    )
+
+    space = {
+        "c": Categorical(("x", "y", "z")),
+        "u": Uniform(0.7, 0.99),
+        "q": QUniform(1, 5, 1),
+    }
+    s = TPESampler(space, seed=seed, n_startup=2)
+    for sc in scores:
+        p = s.suggest()
+        assert p["c"] in ("x", "y", "z")
+        assert 0.7 <= p["u"] <= 0.99
+        assert p["q"] in (1.0, 2.0, 3.0, 4.0, 5.0)
+        s.observe(p, sc)
+    p = s.suggest()
+    assert p["c"] in ("x", "y", "z") and 0.7 <= p["u"] <= 0.99
+
+
+# ------------------------------- salted self-join (one job per example)
+
+salt_rows = st.lists(
+    st.tuples(st.integers(0, 999), st.integers(0, 5)), min_size=0, max_size=60, unique_by=lambda t: t[0]
+)
+
+
+@given(rows=salt_rows, buckets=st.integers(1, 9), hot=st.one_of(st.none(), st.integers(1, 10)))
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_salted_join_lossless_property(spark, rows, buckets, hot):
+    """Pair-set equality with the unsalted join for ARBITRARY key shapes,
+    bucket counts, and hot thresholds (round-3 item 5's property, now
+    hypothesis-driven)."""
+    from auto_data_linkage_spark.blocking import salted_self_join_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"k{k}") for i, k in rows] or [(0, "k0")],
+        "unique_id long, key string",
+    )
+    got = {
+        (r["unique_id_l"], r["unique_id_r"])
+        for r in salted_self_join_pairs(
+            df, ["key"], salt_buckets=buckets, hot_threshold=hot
+        ).collect()
+    }
+    ids = {}
+    for i, k in (rows or [(0, 0)]):
+        ids.setdefault(k, []).append(i)
+    want = {
+        (a, b)
+        for members in ids.values()
+        for a in members
+        for b in members
+        if a < b
+    }
+    assert got == want
