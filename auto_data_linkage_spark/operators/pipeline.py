@@ -1,0 +1,81 @@
+"""Composed document-curation pipeline — the end-to-end pass a
+training-data pipeline runs over a raw corpus before anything else:
+
+    annotate (quality, language) → filter → exact dedup → near dedup
+
+Each stage is an existing operator (operators/text.py, operators/
+dedup.py, cluster.py); this module owns only the composition, so the
+whole flow stays one declarative DataFrame program:
+
+- annotation is pure built-in column expressions (zero UDF),
+- filters run BEFORE any dedup join, so the expensive stages see only
+  surviving rows (at 100 TB the quality/lang gate typically drops a
+  large fraction of the corpus before anything shuffles),
+- exact dedup shuffles (hash, id) pairs only — the wide text column
+  never moves — and near dedup is MinHash-LSH banding (Σ bucket² pairs,
+  never n²) followed by delta-sized connected components.
+
+The catalog query ``curate_documents`` value-checks the composition
+end-to-end against a single DuckDB SQL program (recursive-CTE closure
+for the near-dedup stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators import dedup as D
+from auto_data_linkage_spark.operators import text as X
+
+
+def curate_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    num_hashes: int = 4,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Surviving documents of the full curation pass, as
+    ``(id_col, lang_pred, quality)``.
+
+    Keeps a document iff it (a) scores ``quality >= min_quality``,
+    (b) language-IDs into ``langs``, (c) is the min-id row of its exact
+    duplicate group, and (d) is the min-id member of its near-duplicate
+    cluster (MinHash-LSH candidate graph, connected components over
+    survivors of the earlier stages only).
+    """
+    from auto_data_linkage_spark.cluster import connected_components
+
+    c = F.col(text_col)
+    annotated = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.round(X.quality_score(c), 6).alias("quality"),
+        X.lang_id(c).alias("lang_pred"),
+    )
+    kept = annotated.where(
+        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
+    )
+    exact = D.exact_dedup(kept, text_col=text_col, id_col=id_col)
+    pairs = D.minhash_lsh_candidates(
+        exact,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_k=shingle_k,
+    )
+    edges = pairs.select(
+        F.col(f"{id_col}_l").alias("src"), F.col(f"{id_col}_r").alias("dst")
+    )
+    comp = connected_components(edges)
+    survivors = (
+        exact.join(comp, exact[id_col] == comp["node"], "left")
+        .where(F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col))
+    )
+    return survivors.select(id_col, "lang_pred", "quality")

@@ -105,7 +105,9 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Language ID heuristic: stopword-hit argmax with deterministic tie-break
 # --------------------------------------------------------------------------
-def _lang_sql() -> str:
+def _lang_pred_parts() -> tuple[list[str], str]:
+    """(per-language hit-count columns, argmax CASE) — shared by the
+    distribution query and the per-doc prediction CTE."""
     langs = sorted(X.LANG_STOPWORDS)
     hit_cols = []
     for lang in langs:
@@ -119,6 +121,20 @@ def _lang_sql() -> str:
     for lang in langs:
         case += f"WHEN {lang}_hits = {mx} THEN '{lang}' "
     case += "END"
+    return hit_cols, case
+
+
+def _lang_pred_sql(src: str = "documents") -> str:
+    """Per-doc (doc_id, lang_pred)."""
+    hit_cols, case = _lang_pred_parts()
+    return f"""
+    WITH hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM {src})
+    SELECT doc_id, {case} AS lang_pred FROM hits
+    """
+
+
+def _lang_sql() -> str:
+    hit_cols, case = _lang_pred_parts()
     return f"""
     WITH hits AS (SELECT doc_id, lang, {', '.join(hit_cols)} FROM documents)
     SELECT lang, {case} AS lang_pred, COUNT(*) AS n_docs
@@ -225,9 +241,11 @@ _MH_HASHES = 4
 _SHINGLE_K = 3
 
 
-def _sql_shingle_cte() -> str:
+def _sql_shingle_cte(src: str = "documents") -> str:
     """CTE producing (doc_id, sh) with sh = distinct word-3-shingle list —
-    DuckDB twin of text.shingles (slice semantics included)."""
+    DuckDB twin of text.shingles (slice semantics included). ``src`` is
+    the table/CTE the shingles read from (the curation pipeline runs it
+    over its filtered survivor set)."""
     toks = _SQL_TOKENS.format(c="text")
     return f"""
     shingled AS (
@@ -238,12 +256,12 @@ def _sql_shingle_cte() -> str:
                    i -> array_to_string(toks[i : i + {_SHINGLE_K} - 1], ' ')
                  )
                ) AS sh
-        FROM (SELECT doc_id, {toks} AS toks FROM documents)
+        FROM (SELECT doc_id, {toks} AS toks FROM {src})
     )
     """
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(src: str = "documents") -> str:
     # DuckDB twin of dedup.minhash_base_hashes + minhash_from_base: one
     # md5-derived 31-bit base per shingle, then per-hash affine maps
     # (a_i·x + b_i) mod 2^31−1 with the same md5-derived constants
@@ -255,7 +273,7 @@ def _minhash_sql() -> str:
             f"(({a} * x + {b}) % {D.MH_PRIME}))) AS h{i}"
         )
     return f"""
-    WITH {_sql_shingle_cte()},
+    WITH {_sql_shingle_cte(src)},
     based AS (
         SELECT doc_id,
                list_transform(sh, s -> ({_sql_hash64('s')} & {D.MH_BASE_MASK}))
@@ -1335,4 +1353,73 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return D.simhash_near_pairs(
         docs, bits=_SIMHASH_BITS, max_hamming=3, n_bands=4
+    )
+
+
+# --------------------------------------------------------------------------
+# Composed curation pipeline: annotate (quality, lang) → filter → exact
+# dedup → MinHash-LSH near dedup → surviving documents. The full
+# pre-training corpus pass as ONE declarative program
+# (operators/pipeline.py); the oracle re-derives every stage in a single
+# DuckDB SQL program including the recursive-CTE transitive closure, so
+# the end-to-end composition is value-checked.
+# --------------------------------------------------------------------------
+_CURATE_MIN_QUALITY = 0.5
+
+
+def _curate_sql() -> str:
+    band_eq = " OR ".join(f"l.h{i} = r.h{i}" for i in range(_MH_HASHES))
+    return f"""
+    WITH RECURSIVE
+    qual AS ({_quality_sql().strip()}),
+    lp AS ({_lang_pred_sql().strip()}),
+    kept AS (
+        SELECT d.doc_id, d.text, lp.lang_pred, qual.quality
+        FROM documents d
+        JOIN qual ON d.doc_id = qual.doc_id
+        JOIN lp ON d.doc_id = lp.doc_id
+        WHERE qual.quality >= {_CURATE_MIN_QUALITY!r} AND lp.lang_pred IN ('en')
+    ),
+    keepx AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id,
+                     md5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+              FROM kept)
+        GROUP BY fp
+    ),
+    exact AS (SELECT k.* FROM kept k JOIN keepx USING (doc_id)),
+    sig AS ({_minhash_sql("exact").strip()}),
+    pairs AS (
+        SELECT l.doc_id AS src, r.doc_id AS dst
+        FROM sig l JOIN sig r ON l.doc_id < r.doc_id AND ({band_eq})
+    ),
+    sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    reach(node, other) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, reach.other FROM sym s JOIN reach ON s.dst = reach.node
+    ),
+    cc AS (SELECT node, MIN(other) AS component FROM reach GROUP BY node)
+    SELECT e.doc_id, e.lang_pred, e.quality
+    FROM exact e LEFT JOIN cc ON e.doc_id = cc.node
+    WHERE COALESCE(cc.component, e.doc_id) = e.doc_id
+    """
+
+
+@register(
+    "curate_documents",
+    _curate_sql(),
+    survey="LLM pipeline: composed curation (quality+lang filter → exact dedup → near dedup)",
+)
+def curate_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pipeline import curate_documents
+
+    docs = _docs(spark, sf_dir)
+    return curate_documents(
+        docs,
+        min_quality=_CURATE_MIN_QUALITY,
+        langs=("en",),
+        num_hashes=_MH_HASHES,
+        num_bands=_MH_HASHES,
+        shingle_k=_SHINGLE_K,
     )

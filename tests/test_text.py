@@ -137,3 +137,33 @@ def test_winnow_select_coverage_guarantee(spark):
     assert fps[1] & fps[2], "shared >= w+k-1 run must share a fingerprint"
     assert not (fps[1] & fps[3])
     assert len(fps[4]) == 1  # sub-window doc -> overall min
+
+
+def test_curate_documents_pipeline(spark):
+    """Composed curation: quality gate, language gate, exact-dup group
+    collapses to min id, near-dup cluster collapses to min id."""
+    from auto_data_linkage_spark.operators.pipeline import curate_documents
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "with some other common words that keep the quality score high"
+    )
+    rows = [
+        (1, base),                      # survives (cluster min)
+        (2, base),                      # exact dup of 1 -> dropped
+        (3, base + " extra tail"),      # near dup of 1 -> dropped
+        (4, "el perro y el gato y la casa y los amigos y una palabra mas"),  # not en
+        (5, "#### $$$$ %%%% 1234 5678 !!!! ???? ****"),  # low quality
+        (6, "a completely different english sentence about the weather and "
+            "the mountains with many of the usual common words in it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["lang_pred"], r["quality"])
+        for r in curate_documents(
+            df, min_quality=0.5, langs=("en",), num_hashes=4, num_bands=4
+        ).collect()
+    }
+    assert set(out) == {1, 6}
+    assert out[1][0] == "en" and out[6][0] == "en"
+    assert all(q >= 0.5 for _, q in out.values())
