@@ -32,6 +32,11 @@ from auto_data_linkage_spark.profile import (
 )
 
 
+# widest arm pool the driver-side pair enumeration will consider (cap on
+# the quadratic C(n,2) loop in generate_blocking_rules; cheapest arms kept)
+_ARM_CAP = 300
+
+
 @dataclass(frozen=True)
 class RuleEstimate:
     """An OR-of-AND blocking rule with its estimated candidate-pair count."""
@@ -156,22 +161,43 @@ def generate_blocking_rules(
     # partial with every (i-2)-subset of the remaining arms, dedup on the
     # sorted arm set, and keep the level's top `top_k`. All arithmetic is
     # driver-side over the collected count lookup — the same place the
-    # reference evaluates its countMap.
+    # reference evaluates its countMap. Two deviations from the
+    # reference, both only ADDING coverage / bounding cost:
+    # - pairing is capped at the `_ARM_CAP` cheapest arms (a very wide
+    #   schema otherwise enumerates C(5000, 2) sets in driver Python;
+    #   expensive arms only make ORs more expensive, so the cheap cap
+    #   cannot evict affordable rules),
+    # - alongside the reference's descending beam, the top_k AFFORDABLE
+    #   pairs are retained too — a desc-only beam over a space larger
+    #   than top_k would evict exactly the combinations that survive the
+    #   final comparison_size_limit filter.
     if max_rules_per_or_rule >= 2:
+        pair_arms = arms_sorted
+        if len(pair_arms) > _ARM_CAP:
+            pair_arms = sorted(
+                pair_arms, key=lambda a: (lookup[a][1], a)
+            )[:_ARM_CAP]
+            pair_arms.sort()
         pairs = [
             RuleEstimate(
                 tuple(sorted(p)), int(estimate_or_rule(tuple(sorted(p)), lookup) * scale)
             )
-            for p in _combinations(arms_sorted, 2)
+            for p in _combinations(pair_arms, 2)
         ]
         pairs.sort(key=lambda r: (-r.estimated_pairs, r.arms))
-        partials = [r.arms for r in pairs[:top_k]]
+        beam = pairs[:top_k]
+        affordable_pairs = [
+            r for r in pairs if r.estimated_pairs < comparison_size_limit
+        ][:top_k]
+        partials = list(
+            dict.fromkeys([r.arms for r in beam] + [r.arms for r in affordable_pairs])
+        )
         for arm_set in partials:
             add(arm_set)
         for i in range(3, max_rules_per_or_rule + 1):
             level: dict[tuple, int] = {}
             for partial in partials:
-                rest = [a for a in arms_sorted if a not in partial]
+                rest = [a for a in pair_arms if a not in partial]
                 for ext in _combinations(rest, i - 2):
                     arm_set = tuple(sorted((*partial, *ext)))
                     if arm_set not in level:
@@ -179,7 +205,12 @@ def generate_blocking_rules(
                             estimate_or_rule(arm_set, lookup) * scale
                         )
             ranked = sorted(level.items(), key=lambda kv: (-kv[1], kv[0]))
-            for arm_set, _ in ranked[:top_k]:
+            affordable_level = [
+                kv for kv in ranked if kv[1] < comparison_size_limit
+            ][:top_k]
+            for arm_set, _ in list(
+                dict.fromkeys(ranked[:top_k] + affordable_level)
+            ):
                 add(arm_set)
 
     affordable = [r for r in results if r.estimated_pairs < comparison_size_limit]
@@ -321,7 +352,8 @@ def salted_self_join_pairs(
         *[F.col(f"l.{k}").alias(k) for k in keys],
     ]
     for c in select_columns:
-        if c not in keys:
+        # id_column already emitted as id_l/id_r; keys emitted unsuffixed
+        if c not in keys and c != id_column:
             out_cols.append(F.col(f"l.{c}").alias(f"{c}_l"))
             out_cols.append(F.col(f"r.{c}").alias(f"{c}_r"))
     return la.join(ra, cond, "inner").select(*out_cols)

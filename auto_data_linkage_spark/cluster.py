@@ -113,11 +113,20 @@ def connected_components(
     # node still comes out as a singleton component). The size probe is a
     # bounded DISTRIBUTED count — limit(threshold+1).count() ships one
     # long to the driver, never edge rows — so a 100M-edge graph pays no
-    # driver transfer before taking the distributed path. Only a graph
-    # that proved small is then fetched (≤ threshold rows, one job).
-    n_probe = e.limit(driver_threshold + 1).count()
-    if n_probe <= driver_threshold:
-        rows = [(r["src"], r["dst"]) for r in e.collect()]
+    # driver transfer before taking the distributed path. The limited
+    # frame is persisted around the probe so the (often expensive —
+    # blocking-join + scoring) edge lineage executes ONCE: the fast
+    # path's collect reads the ≤ threshold+1 cached rows instead of
+    # recomputing the plan.
+    lim = e.limit(driver_threshold + 1).persist()
+    try:
+        n_probe = lim.count()
+        small = n_probe <= driver_threshold
+        probe_rows = lim.collect() if small else None
+    finally:
+        lim.unpersist()
+    if small:
+        rows = [(r["src"], r["dst"]) for r in probe_rows]
         if not rows:
             return e.limit(0).select(
                 F.col("src").alias("node"), F.col("dst").alias("component")

@@ -36,6 +36,7 @@ def curate_documents(
     id_col: str = "doc_id",
     min_quality: float = 0.5,
     langs: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.7,
     num_hashes: int = 4,
     num_bands: int = 4,
     shingle_k: int = 3,
@@ -46,8 +47,12 @@ def curate_documents(
     Keeps a document iff it (a) scores ``quality >= min_quality``,
     (b) language-IDs into ``langs``, (c) is the min-id row of its exact
     duplicate group, and (d) is the min-id member of its near-duplicate
-    cluster (MinHash-LSH candidate graph, connected components over
-    survivors of the earlier stages only).
+    cluster. Near-dup edges are LSH candidates VERIFIED by exact shingle
+    Jaccard ≥ ``jaccard_threshold`` (dedup.minhash_dedup_pairs) — raw
+    LSH candidates are probabilistic (with b bands of 1 hash a pair of
+    true Jaccard j collides with probability 1−(1−j)^b, so dissimilar
+    documents would chain into one transitive blob and be dropped);
+    verification touches only candidate pairs, never n².
     """
     from auto_data_linkage_spark.cluster import connected_components
 
@@ -62,10 +67,11 @@ def curate_documents(
         (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
     )
     exact = D.exact_dedup(kept, text_col=text_col, id_col=id_col)
-    pairs = D.minhash_lsh_candidates(
+    pairs = D.minhash_dedup_pairs(
         exact,
         text_col=text_col,
         id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
         num_hashes=num_hashes,
         num_bands=num_bands,
         shingle_k=shingle_k,

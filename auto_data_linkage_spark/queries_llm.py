@@ -1365,10 +1365,21 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the end-to-end composition is value-checked.
 # --------------------------------------------------------------------------
 _CURATE_MIN_QUALITY = 0.5
+_CURATE_JACCARD = 0.7
 
 
 def _curate_sql() -> str:
     band_eq = " OR ".join(f"l.h{i} = r.h{i}" for i in range(_MH_HASHES))
+    # the shingle CTE again at the OUTER level (renamed shx; the copy
+    # nested inside sig's WITH is scoped to sig) for the exact-Jaccard
+    # verification of LSH candidates
+    shx = _sql_shingle_cte("exact").strip().replace("shingled AS", "shx AS", 1)
+    jac = (
+        "CASE WHEN len(list_distinct(list_concat(sl.sh, sr.sh))) > 0 "
+        "THEN len(list_intersect(sl.sh, sr.sh)) * 1.0 "
+        "     / len(list_distinct(list_concat(sl.sh, sr.sh))) "
+        "ELSE 0.0 END"
+    )
     return f"""
     WITH RECURSIVE
     qual AS ({_quality_sql().strip()}),
@@ -1389,11 +1400,19 @@ def _curate_sql() -> str:
     ),
     exact AS (SELECT k.* FROM kept k JOIN keepx USING (doc_id)),
     sig AS ({_minhash_sql("exact").strip()}),
+    {shx},
     pairs AS (
         SELECT l.doc_id AS src, r.doc_id AS dst
         FROM sig l JOIN sig r ON l.doc_id < r.doc_id AND ({band_eq})
     ),
-    sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    verified AS (
+        SELECT p.src, p.dst
+        FROM pairs p
+        JOIN shx sl ON p.src = sl.doc_id
+        JOIN shx sr ON p.dst = sr.doc_id
+        WHERE ROUND({jac}, 6) >= {_CURATE_JACCARD!r}
+    ),
+    sym AS (SELECT src, dst FROM verified UNION SELECT dst, src FROM verified),
     reach(node, other) AS (
         SELECT src, src FROM sym
         UNION
@@ -1419,6 +1438,7 @@ def curate_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         min_quality=_CURATE_MIN_QUALITY,
         langs=("en",),
+        jaccard_threshold=_CURATE_JACCARD,
         num_hashes=_MH_HASHES,
         num_bands=_MH_HASHES,
         shingle_k=_SHINGLE_K,

@@ -28,6 +28,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# fallback stream schema when the source directory is still empty at
+# stream start (the current testdata writer's shape: µs TIMESTAMP_NTZ)
+EVENTS_FALLBACK_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def read_event_stream(
     spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -43,10 +57,19 @@ def read_event_stream(
     µs timestamps by the shared loader helper. Hardcoding either shape
     silently mis-reads the other (a nanos schema applied to µs data lands
     every event in 1970)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     from auto_data_linkage_spark.session import rebuild_nanos_timestamps
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    try:
+        schema = spark.read.parquet(path).schema
+    except AnalysisException:
+        # start-stream-before-files-arrive: an empty landing directory
+        # can't be schema-probed (UNABLE_TO_INFER_SCHEMA) — fall back to
+        # the documented events layout (µs TIMESTAMP_NTZ, the current
+        # writer's shape) so the stream starts and picks files up later
+        schema = EVENTS_FALLBACK_SCHEMA
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -130,9 +130,16 @@ def comparison_viewer(
     """Write a comparison-inspection dashboard to ``path`` and return the
     path: the score histogram (one groupBy — ``n_buckets`` rows) plus the
     strongest and weakest scoring pairs (two bounded top-k fetches)."""
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor(F.col(probability_col) * n_buckets).cast("int"),
+    # least() IGNORES nulls (least(3, NULL) = 3), so a bare least/floor
+    # bucket silently files NULL probabilities into the top bucket —
+    # keep them NULL explicitly and render them as their own row
+    bucket = F.when(
+        F.col(probability_col).isNull(), F.lit(None).cast("int")
+    ).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(F.col(probability_col) * n_buckets).cast("int"),
+        )
     )
     hist = {
         r["b"]: r["n"]
@@ -140,6 +147,10 @@ def comparison_viewer(
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    # NULL probabilities (e.g. outer-joined enrichments) land under key
+    # None — rendered as their own row, never silently folded into the
+    # bar scaling of the numeric buckets
+    n_null = hist.pop(None, 0)
     peak = max(hist.values(), default=1)
     bars = []
     for b in range(n_buckets):
@@ -150,6 +161,8 @@ def comparison_viewer(
             f"<td>{n}</td>"
             f'<td><span class="bar" style="width:{width}px"></span></td></tr>'
         )
+    if n_null:
+        bars.append(f"<tr><td>NULL</td><td>{n_null}</td><td></td></tr>")
     hist_html = (
         "<table><caption>match-probability distribution</caption>"
         "<tr><th>probability</th><th>pairs</th><th></th></tr>"

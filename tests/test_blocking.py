@@ -136,3 +136,47 @@ def test_or_rule_search_covers_wide_schema_exhaustively(spark):
     missing = exhaustive - got_sets
     assert len(exhaustive) <= 1000  # precondition: budget covers the space
     assert not missing, sorted(missing)[:5]
+
+
+def test_or_rule_search_beam_overflow_returns_true_affordable_topk(spark):
+    """Review finding: a descending-only beam over >top_k pair sets can
+    evict affordable combinations before the final limit filter. With
+    top_k far below C(n,2), the result must equal the TRUE top-k of the
+    exhaustively-enumerated affordable rule set."""
+    import random
+    from itertools import combinations
+
+    from auto_data_linkage_spark.blocking import (
+        count_lookup,
+        estimate_or_rule,
+        generate_blocking_rules,
+    )
+
+    rng = random.Random(3)
+    cols = [f"c{i}" for i in range(8)]
+    rows = [
+        tuple(f"v{rng.randrange(2 + 7 * (c % 4))}" for c in range(8))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols))
+    limit, k = 30_000, 5  # k far below C(8,2)=28 pair sets
+    got = generate_blocking_rules(
+        df,
+        cols,
+        comparison_size_limit=limit,
+        max_columns_per_and_rule=1,
+        max_rules_per_or_rule=2,
+        sample_rows=None,
+        top_k=k,
+    )
+    lookup = count_lookup(df, cols, max_columns_per_and_rule=1)
+    arms = sorted(lookup)
+    exhaustive = [
+        (tuple(sorted(s)), estimate_or_rule(tuple(sorted(s)), lookup))
+        for i in (1, 2)
+        for s in combinations(arms, i)
+    ]
+    want = sorted(
+        [x for x in exhaustive if x[1] < limit], key=lambda x: (-x[1], x[0])
+    )[:k]
+    assert [(r.arms, r.estimated_pairs) for r in got] == want

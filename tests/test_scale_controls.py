@@ -158,3 +158,16 @@ def test_salted_self_join_property_random(spark):
             ).collect()
         }
         assert got == _unsalted_pairs(df), f"trial {trial}"
+
+
+def test_salted_join_select_columns_including_id_no_duplicates(spark):
+    from auto_data_linkage_spark.blocking import salted_self_join_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y")], "unique_id long, key string, name string"
+    )
+    out = salted_self_join_pairs(
+        df, ["key"], salt_buckets=2, select_columns=("unique_id", "name")
+    )
+    assert len(out.columns) == len(set(out.columns))
+    assert {r["name_l"] for r in out.collect()} == {"x"}

@@ -168,3 +168,16 @@ def test_stream_stream_join_matches_batch_interval_join(
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_read_event_stream_empty_directory_starts(spark, tmp_path):
+    """Production pattern: the landing directory exists but is empty at
+    stream start — the source must construct (fallback schema) instead
+    of failing schema inference, and pick files up later."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    s = read_event_stream(spark, str(d))
+    assert s.isStreaming
+    assert dict(s.dtypes)["ts"] == "timestamp"  # NTZ cast for watermarks
+    q = run_to_memory(windowed_counts(s), "empty_dir_q", output_mode="complete")
+    assert spark.sql("select count(*) n from empty_dir_q").collect()[0]["n"] == 0

@@ -64,3 +64,13 @@ def test_autolinker_viewer_facade(spark, people, tmp_path):
     p2 = linker.comparison_viewer(str(tmp_path / "scv.html"))
     assert open(p1, encoding="utf-8").read().startswith("<!DOCTYPE html>")
     assert open(p2, encoding="utf-8").read().startswith("<!DOCTYPE html>")
+
+
+def test_comparison_viewer_null_probabilities_rendered(spark, tmp_path):
+    preds = spark.createDataFrame(
+        [("a", "b", 0.9), ("c", "d", None), ("e", "f", None)],
+        "unique_id_l string, unique_id_r string, match_probability double",
+    )
+    out = comparison_viewer(preds, str(tmp_path / "n.html"), n_buckets=4)
+    html = open(out, encoding="utf-8").read()
+    assert "<td>NULL</td><td>2</td>" in html
