@@ -595,3 +595,240 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(1.0))
     q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
     return q, scale
+
+
+# ------------------------------------------------- product quantization
+def pq_codebooks(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    n_codewords: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Sampled PQ codebooks: ``codebooks[j][c]`` is subspace ``j``'s
+    codeword ``c`` (a ``dim/m``-float list). Codewords are the subvectors
+    of the ``n_codewords`` corpus rows with the smallest portable
+    md5-derived id hash, ranked by (hash, id) — a deterministic sample
+    both engines can reproduce, the cheap standard stand-in for per-
+    subspace k-means when codebooks must be engine-portable (swap in
+    kmeans-learned centroids per subspace for production recall).
+
+    Driver transfer is ``n_codewords`` rows (bounded); the result is
+    meant to be folded into encode/score expressions as literals, the
+    same pattern as the LSH hyperplanes.
+    """
+    from auto_data_linkage_spark.operators.text import md5_hash64
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(md5_hash64(F.col("i").cast("string")), F.col("i"))
+        .limit(n_codewords)
+        .collect()
+    )
+    if len(rows) < n_codewords:
+        raise ValueError(
+            f"corpus has only {len(rows)} rows; need >= {n_codewords} codewords"
+        )
+    dim = len(rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d0 = dim // m
+    return [
+        [[float(x) for x in r["v"][j * d0 : (j + 1) * d0]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _pq_sub(vec: Column, j: int, d0: int) -> Column:
+    """Subvector j as double array (1-based slice)."""
+    return F.transform(
+        F.slice(vec, j * d0 + 1, d0), lambda x: x.cast("double")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes) with ``codes[j]`` = nearest codeword (squared-L2, ties
+    to the lowest code) of subvector ``j``. ``m·k`` distance folds per
+    row, all literal-codebook expressions inside codegen — 8 int codes
+    replace a 256-byte float vector (the 100 TB memory lever)."""
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+
+    def dist(j: int, w: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                _pq_sub(F.col(vec_col), j, d0),
+                F.array(*[F.lit(x) for x in w]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes = []
+    for j in range(m):
+        dists = F.array(*[dist(j, w) for w in codebooks[j]])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    m: int = 8,
+    n_codewords: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+    rerank_factor: int = 0,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    corpus rows are scored through their reconstructed codewords —
+    ``score = Σ_j q_j · codeword_{j, codes[j]}`` — normalized by the
+    true query norm and the reconstruction's norm, so the output is an
+    approximate cosine directly comparable to :func:`brute_force_topk`.
+
+    Plan shape: corpus encodes once (literal-codebook folds), queries
+    broadcast, per-row scoring is ``element_at`` into literal codeword
+    arrays + ``m`` short dot folds — no UDF, no shuffle of the corpus.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    cbs = codebooks if codebooks is not None else pq_codebooks(
+        corpus, m=m, n_codewords=n_codewords, vec_col=vec_col, id_col=id_col
+    )
+    m = len(cbs)
+    d0 = len(cbs[0][0])
+
+    coded = pq_encode(corpus, cbs, vec_col=vec_col, id_col=id_col)
+    # reconstruction norm² = Σ_j ||codeword_{j, codes[j]}||² (literal lookup)
+    recon_sq = None
+    for j in range(m):
+        norms_j = F.array(
+            *[F.lit(sum(x * x for x in w)) for w in cbs[j]]
+        )
+        term = F.element_at(norms_j, F.col("codes")[j] + 1)
+        recon_sq = term if recon_sq is None else recon_sq + term
+    coded = coded.select(
+        F.col(id_col).alias("neighbor_id"),
+        "codes",
+        F.sqrt(recon_sq).alias("__cn"),
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
+    )
+    joined = coded.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    )
+    score = None
+    for j in range(m):
+        words_j = F.array(
+            *[F.array(*[F.lit(x) for x in w]) for w in cbs[j]]
+        )
+        cw = F.element_at(words_j, F.col("codes")[j] + 1)
+        term = F.aggregate(
+            F.zip_with(
+                _pq_sub(F.col("__qvec"), j, d0), cw, lambda a, b: a * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        score = term if score is None else score + term
+    denom = F.col("__qn") * F.col("__cn")
+    cosine = F.when(denom > 0, score / denom).otherwise(F.lit(0.0))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine, 6).alias("cosine"),
+        "__qvec",
+        "__qn",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    if rerank_factor <= 0:
+        return (
+            scored.drop("__qvec", "__qn")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+    # two-phase recipe: PQ shortlists k·rerank_factor candidates per
+    # query from the 8-byte codes, then ONLY the shortlist re-scores
+    # against true vectors — exact-cosine cost drops from n·|q| to
+    # k·rerank_factor·|q| while recall approaches brute force
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id", "__qvec", "__qn")
+    )
+    truth = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm_expr(F.col(vec_col)).alias("__cn2"),
+    )
+    exact = truth.join(F.broadcast(shortlist), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_from_norms(
+                F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn2")
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def pq_codebooks_kmeans(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    n_codewords: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 5,
+    seed: int = 0,
+) -> list[list[list[float]]]:
+    """Learned PQ codebooks: per-subspace Lloyd's k-means (euclidean)
+    over the corpus' subvectors, reusing :func:`kmeans_centroids` — the
+    recall-quality path (sampled codebooks are the engine-portable
+    baseline for oracle checks). ``m`` k-means runs, each on the same
+    corpus scan count as IVF's centroid build."""
+    row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(row["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d0 = dim // m
+    books = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * d0 + 1, d0).alias(vec_col),
+        )
+        books.append(
+            kmeans_centroids(
+                sub,
+                k=n_codewords,
+                max_iter=max_iter,
+                vec_col=vec_col,
+                id_col=id_col,
+                seed=seed + j,
+                metric="euclidean",
+            )
+        )
+    return books

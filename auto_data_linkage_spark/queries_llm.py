@@ -1443,3 +1443,97 @@ def curate_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_bands=_MH_HASHES,
         shingle_k=_SHINGLE_K,
     )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (ADC): corpus encodes to m 1-byte codes
+# against sampled codebooks (deterministic portable md5-rank sample —
+# the engine-portable baseline; operators.similarity.pq_codebooks_kmeans
+# is the recall-quality path), queries score through the reconstructed
+# codewords. The whole algorithm is deterministic, so the approximate
+# search has an exact DuckDB twin (encode + reconstruction norms + ADC
+# ranking reproduced in SQL).
+# --------------------------------------------------------------------------
+_PQ_M, _PQ_NC, _PQ_K, _PQ_D0 = 8, 16, 5, 8
+
+
+def _pq_sql() -> str:
+    m, nc, k, d0 = _PQ_M, _PQ_NC, _PQ_K, _PQ_D0
+    vid_hash = _sql_hash64("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH ranked AS (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY {vid_hash}, vec_id) AS rn
+        FROM embeddings
+    ),
+    cw AS (SELECT rn - 1 AS code, embedding FROM ranked WHERE rn <= {nc}),
+    dists AS (
+        SELECT e.vec_id, t.j, c.code,
+               list_sum(list_transform(range({d0}), i ->
+                   (CAST(e.embedding[t.j * {d0} + i + 1] AS DOUBLE)
+                    - CAST(c.embedding[t.j * {d0} + i + 1] AS DOUBLE))
+                   * (CAST(e.embedding[t.j * {d0} + i + 1] AS DOUBLE)
+                      - CAST(c.embedding[t.j * {d0} + i + 1] AS DOUBLE))
+               )) AS d2
+        FROM embeddings e, range({m}) t(j), cw c
+    ),
+    codes AS (
+        SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2, code) AS rnk
+            FROM dists
+        ) WHERE rnk = 1
+    ),
+    recon AS (
+        SELECT o.vec_id,
+               SQRT(SUM(list_sum(list_transform(range({d0}), i ->
+                   CAST(c.embedding[o.j * {d0} + i + 1] AS DOUBLE)
+                   * CAST(c.embedding[o.j * {d0} + i + 1] AS DOUBLE)
+               )))) AS cn
+        FROM codes o JOIN cw c ON o.code = c.code
+        GROUP BY o.vec_id
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               SQRT(list_sum(list_transform(embedding, x ->
+                   CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    dots AS (
+        SELECT q.query_id, o.vec_id AS neighbor_id,
+               SUM(list_sum(list_transform(range({d0}), i ->
+                   CAST(q.qv[o.j * {d0} + i + 1] AS DOUBLE)
+                   * CAST(c.embedding[o.j * {d0} + i + 1] AS DOUBLE)
+               ))) AS dot,
+               ANY_VALUE(q.qn) AS qn
+        FROM q, codes o
+        JOIN cw c ON o.code = c.code
+        WHERE q.query_id <> o.vec_id
+        GROUP BY q.query_id, o.vec_id
+    ),
+    scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               ROUND(CASE WHEN d.qn * r.cn > 0
+                          THEN d.dot / (d.qn * r.cn) ELSE 0.0 END, 6) AS cosine
+        FROM dots d JOIN recon r ON d.neighbor_id = r.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "pq_topk",
+    _pq_sql(),
+    survey="LLM similarity: product-quantization ANN (ADC, 8-byte codes)",
+)
+def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.pq_topk(
+        emb, queries, k=_PQ_K, m=_PQ_M, n_codewords=_PQ_NC
+    )

@@ -18,6 +18,17 @@ def emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+@pytest.fixture(scope="module")
+def emb_small(spark, sf_dir):
+    # small deterministic slice (dim 64) for the PQ property tests
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(60)
+        .cache()
+    )
+
+
 def test_dot_and_cosine_exprs(spark):
     df = spark.createDataFrame(
         [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<float>, b array<float>"
@@ -199,3 +210,66 @@ def test_lsh_signature_deterministic(spark):
     b = [r["s"] for r in df.select(signature_expr(F.col("embedding"), 8).alias("s")).collect()]
     assert a == b
     assert a[0] != a[1]  # opposite vectors -> complementary signs
+
+
+# ------------------------------------------------- product quantization
+def test_pq_exact_when_corpus_is_codebook(spark, emb_small):
+    """Perfect-reconstruction property: with n_codewords = |corpus|,
+    every corpus vector reconstructs exactly (its own subvectors are
+    codewords), so ADC scores equal true cosines and PQ top-k equals
+    brute force, ranks included."""
+    from auto_data_linkage_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    n = emb_small.count()
+    queries = emb_small.limit(3)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in pq_topk(
+            emb_small, queries, k=5, m=4, n_codewords=n
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(emb_small, queries, k=5).collect()
+    }
+    assert got == want
+
+
+def test_pq_encode_codes_in_range_and_deterministic(spark, emb_small):
+    from auto_data_linkage_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    cbs = pq_codebooks(emb_small, m=4, n_codewords=8)
+    assert len(cbs) == 4 and all(len(b) == 8 for b in cbs)
+    out1 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb_small, cbs).collect()}
+    out2 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb_small, cbs).collect()}
+    assert out1 == out2
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in out1.values())
+
+
+def test_pq_kmeans_rerank_recall(spark, emb_small):
+    """The production recipe (learned per-subspace codebooks + exact
+    re-rank of the PQ shortlist) must recover most true neighbors."""
+    from auto_data_linkage_spark.operators.similarity import (
+        brute_force_topk,
+        pq_codebooks_kmeans,
+        pq_topk,
+    )
+
+    queries = emb_small.limit(4)
+    ex = {}
+    for r in brute_force_topk(emb_small, queries, k=5).collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    cbs = pq_codebooks_kmeans(emb_small, m=4, n_codewords=16, max_iter=6)
+    pq = {}
+    for r in pq_topk(
+        emb_small, queries, k=5, codebooks=cbs, rerank_factor=8
+    ).collect():
+        pq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ex[q] & pq[q]) / 5 for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
