@@ -1,0 +1,106 @@
+"""Sequence packing + stratified sampling — the two dataset-assembly
+operators a pre-training pipeline runs after curation:
+
+- :func:`pack_sequences` assigns documents to fixed-capacity bins
+  (context windows) so short documents share a sequence instead of
+  wasting pad tokens. The declarative streaming approximation used at
+  scale: within a hash bucket, order by (token count desc, id) and cut
+  bins wherever the running token total crosses a capacity multiple —
+  one window cumsum, no sequential driver loop. Bucketing gives
+  executor-width parallelism; each bucket's window is independent, so
+  the plan is a single hash exchange + sort, never a global single-
+  partition window. A document's bin is decided by where its FIRST
+  token lands, so a bin can overflow by at most one document — the
+  standard approximation trade (exact first-fit is inherently
+  sequential).
+- :func:`stratified_sample` keeps a deterministic hash-slice of every
+  stratum — portable (md5-derived), reproducible across engines and
+  runs, joinable (the same id always lands on the same side of the
+  cut), unlike ``sample()``'s RNG which reshuffles per execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators.text import md5_hash64
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    capacity: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Input rows + ``(bucket, bin)``: ``bin`` is the document's packed
+    sequence within its bucket (globally unique as the pair). Documents
+    longer than ``capacity`` get a bin of their own (the cumsum cut
+    isolates them). Deterministic: bucket is a portable id hash, order
+    within a bucket is (token count desc, id)."""
+    bucket = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(num_buckets))
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.desc(token_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        docs.withColumn("__bucket", bucket.cast("int"))
+        .withColumn("__cum", F.sum(token_col).over(w))
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.col("__cum") - F.col(token_col)) / F.lit(float(capacity))
+            ).cast("int"),
+        )
+    )
+    return out.withColumnRenamed("__bucket", "bucket").drop("__cum")
+
+
+def pack_stats(
+    docs: DataFrame,
+    *,
+    capacity: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Per-bin packing summary (bucket, bin, n_docs, tokens) — the
+    utilization view: tokens/capacity per bin is the packing
+    efficiency."""
+    packed = pack_sequences(
+        docs,
+        capacity=capacity,
+        token_col=token_col,
+        id_col=id_col,
+        num_buckets=num_buckets,
+    )
+    return packed.groupBy("bucket", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_col).alias("tokens"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    *,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its portable
+    id-hash lands under its stratum's slice — ``pmod(hash(id), 10000) <
+    fraction * 10000``. Sampling decisions are a pure function of the id,
+    so re-runs, engines, and incremental arrivals agree on membership
+    (``sampleBy`` re-draws per execution). Strata absent from
+    ``fractions`` fall back to ``default_fraction``."""
+    slot = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(10000))
+    rule = F.lit(int(default_fraction * 10000))
+    for value, frac in sorted(fractions.items()):
+        rule = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * 10000))
+        ).otherwise(rule)
+    return df.where(slot < rule)

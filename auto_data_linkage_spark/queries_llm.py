@@ -1537,3 +1537,94 @@ def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(
         emb, queries, k=_PQ_K, m=_PQ_M, n_codewords=_PQ_NC
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: documents → fixed-capacity context bins (window
+# cumsum per hash bucket — the declarative streaming approximation of
+# first-fit; one exchange, no sequential loop). Output is the per-bin
+# utilization summary.
+# --------------------------------------------------------------------------
+_PACK_CAPACITY, _PACK_BUCKETS = 512, 8
+
+
+def _pack_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    h = _sql_hash64("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH t AS (
+        SELECT doc_id, len({toks}) AS n_tokens,
+               CAST({h} % {_PACK_BUCKETS} AS INT) AS bucket
+        FROM documents
+    ),
+    w AS (
+        SELECT bucket, doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY n_tokens DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM t
+    )
+    SELECT bucket,
+           CAST(FLOOR((cum - n_tokens) / {float(_PACK_CAPACITY)!r}) AS INT) AS bin,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS tokens
+    FROM w GROUP BY bucket, bin
+    """
+
+
+@register(
+    "pack_sequences",
+    _pack_sql(),
+    survey="LLM pipeline: sequence packing (context-window bin assignment)",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pack import pack_stats
+
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_stats(
+        with_tokens,
+        capacity=_PACK_CAPACITY,
+        num_buckets=_PACK_BUCKETS,
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling: deterministic per-stratum hash slices (portable,
+# re-run- and engine-stable — the dataset-mixing primitive)
+# --------------------------------------------------------------------------
+_STRATA_FRACTIONS = {"en": 0.5, "de": 0.25}
+_STRATA_DEFAULT = 0.1
+
+
+def _stratified_sql() -> str:
+    h = _sql_hash64("CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN '{v}' THEN {int(f * 10000)}"
+        for v, f in sorted(_STRATA_FRACTIONS.items())
+    )
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE ({h} % 10000) <
+          CASE lang {whens} ELSE {int(_STRATA_DEFAULT * 10000)} END
+    """
+
+
+@register(
+    "stratified_sample",
+    _stratified_sql(),
+    survey="LLM pipeline: deterministic stratified sampling",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pack import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(
+        docs.select("doc_id", "lang"),
+        "lang",
+        _STRATA_FRACTIONS,
+        default_fraction=_STRATA_DEFAULT,
+    ).select("doc_id", "lang")

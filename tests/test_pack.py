@@ -1,0 +1,91 @@
+"""Sequence packing + stratified sampling operators."""
+
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators.pack import (
+    pack_sequences,
+    pack_stats,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=200, seed=9):
+    import random
+
+    rng = random.Random(seed)
+    return spark.createDataFrame(
+        [(i, rng.randrange(10, 400)) for i in range(n)],
+        "doc_id long, n_tokens long",
+    )
+
+
+def test_pack_assigns_every_doc_once(spark):
+    df = _docs(spark)
+    packed = pack_sequences(df, capacity=512, num_buckets=4)
+    assert packed.count() == 200
+    assert packed.select("doc_id").distinct().count() == 200
+    assert {c for c in ("bucket", "bin")} <= set(packed.columns)
+
+
+def test_pack_bins_overflow_by_at_most_one_doc(spark):
+    """A bin's token total may exceed capacity only by the document that
+    straddles the cut — never by two."""
+    df = _docs(spark)
+    cap = 512
+    stats = pack_stats(df, capacity=cap, num_buckets=4).collect()
+    max_doc = 400
+    for r in stats:
+        assert r["tokens"] < cap + max_doc, r
+    # and packing is efficient: full bins dominate (every non-last bin
+    # of a bucket holds > capacity - max_doc tokens by construction)
+    by_bucket = {}
+    for r in stats:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, rows in by_bucket.items():
+        rows.sort(key=lambda r: r["bin"])
+        for r in rows[:-1]:
+            assert r["tokens"] > cap - max_doc, (bucket, r)
+
+
+def test_pack_deterministic(spark):
+    df = _docs(spark)
+    a = {(r["doc_id"], r["bucket"], r["bin"])
+         for r in pack_sequences(df, capacity=256, num_buckets=8).collect()}
+    b = {(r["doc_id"], r["bucket"], r["bin"])
+         for r in pack_sequences(df, capacity=256, num_buckets=8).collect()}
+    assert a == b
+
+
+def test_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 5000), (2, 100), (3, 100)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, capacity=512, num_buckets=1).collect()
+    bins = {r["doc_id"]: r["bin"] for r in packed}
+    assert bins[1] == 0  # biggest first
+    assert bins[2] != bins[1] and bins[3] != bins[1]
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(df, "lang", {"en": 0.5, "de": 0.1})
+    rows = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in rows}
+    assert abs(counts["en"] / 1000 - 0.5) < 0.08
+    assert abs(counts["de"] / 1000 - 0.1) < 0.05
+    # deterministic membership: the same ids every run
+    again = {r["doc_id"] for r in stratified_sample(
+        df, "lang", {"en": 0.5, "de": 0.1}).select("doc_id").collect()}
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == again
+
+
+def test_stratified_sample_default_fraction(spark):
+    df = spark.createDataFrame(
+        [(i, "xx") for i in range(500)], "doc_id long, lang string"
+    )
+    assert stratified_sample(df, "lang", {"en": 0.9}).count() == 0  # default 0
+    some = stratified_sample(df, "lang", {}, default_fraction=0.3).count()
+    assert 0.2 < some / 500 < 0.4
