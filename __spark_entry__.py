@@ -25,7 +25,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    INVARIANT: the driver's correctness gate checks only the FIRST 50
+    registrations, so the catalog keeps exactly ≤50 front-window entries
+    (queries.DRIVER_WINDOW) — one per operator family — and demotes
+    redundant single-primitive demos to the back (queries._DEPRIORITIZED).
+    _ordered_names raises if the front window overflows, and
+    tests/test_oracle_window.py runs the same Spark-vs-DuckDB comparison
+    over every demoted entry so out-of-window queries stay verified.
+    """
     return _catalog.queries()
 
 

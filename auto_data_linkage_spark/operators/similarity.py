@@ -653,11 +653,14 @@ def pq_encode(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes) with ``codes[j]`` = nearest codeword (squared-L2, ties
-    to the lowest code) of subvector ``j``. ``m·k`` distance folds per
-    row, all literal-codebook expressions inside codegen — 8 int codes
-    replace a 256-byte float vector (the 100 TB memory lever)."""
+    """(id, codes[, *keep]) with ``codes[j]`` = nearest codeword
+    (squared-L2, ties to the lowest code) of subvector ``j``. ``m·k``
+    distance folds per row, all literal-codebook expressions inside
+    codegen — 8 int codes replace a 256-byte float vector (the 100 TB
+    memory lever). ``keep`` carries extra columns (e.g. the IVF cell id)
+    through the encode unchanged."""
     m = len(codebooks)
     d0 = len(codebooks[0][0])
 
@@ -678,7 +681,47 @@ def pq_encode(
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return df.select(
+        F.col(id_col), F.array(*codes).alias("codes"), *[F.col(c) for c in keep]
+    )
+
+
+def _pq_recon_norm(codebooks: list[list[list[float]]]) -> Column:
+    """sqrt(Σ_j ||codeword_{j, codes[j]}||²) — the reconstruction's norm as
+    a literal-array lookup over the ``codes`` column (no join, codegen)."""
+    recon_sq = None
+    for j in range(len(codebooks)):
+        norms_j = F.array(
+            *[F.lit(sum(x * x for x in w)) for w in codebooks[j]]
+        )
+        term = F.element_at(norms_j, F.col("codes")[j] + 1)
+        recon_sq = term if recon_sq is None else recon_sq + term
+    return F.sqrt(recon_sq)
+
+
+def _pq_adc_dot(
+    codebooks: list[list[list[float]]], qvec_col: str = "__qvec"
+) -> Column:
+    """Asymmetric distance computation: Σ_j q_j · codeword_{j, codes[j]}
+    — the query's true subvectors dotted with the corpus row's
+    reconstructed codewords, every codebook a constant-folded literal."""
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+    score = None
+    for j in range(m):
+        words_j = F.array(
+            *[F.array(*[F.lit(x) for x in w]) for w in codebooks[j]]
+        )
+        cw = F.element_at(words_j, F.col("codes")[j] + 1)
+        term = F.aggregate(
+            F.zip_with(
+                _pq_sub(F.col(qvec_col), j, d0), cw, lambda a, b: a * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        score = term if score is None else score + term
+    return score
 
 
 def pq_topk(
@@ -703,26 +746,20 @@ def pq_topk(
     broadcast, per-row scoring is ``element_at`` into literal codeword
     arrays + ``m`` short dot folds — no UDF, no shuffle of the corpus.
     Output: (query_id, neighbor_id, cosine, rank).
+
+    This is FLAT PQ: every coded row scores against every query — right
+    for small/medium indexes where the 8-byte codes already fit the scan
+    budget. At 100 TB use :func:`ivfpq_topk`, which prunes the ADC scan
+    to the ``nprobe`` IVF cells nearest each query.
     """
     cbs = codebooks if codebooks is not None else pq_codebooks(
         corpus, m=m, n_codewords=n_codewords, vec_col=vec_col, id_col=id_col
     )
-    m = len(cbs)
-    d0 = len(cbs[0][0])
 
-    coded = pq_encode(corpus, cbs, vec_col=vec_col, id_col=id_col)
-    # reconstruction norm² = Σ_j ||codeword_{j, codes[j]}||² (literal lookup)
-    recon_sq = None
-    for j in range(m):
-        norms_j = F.array(
-            *[F.lit(sum(x * x for x in w)) for w in cbs[j]]
-        )
-        term = F.element_at(norms_j, F.col("codes")[j] + 1)
-        recon_sq = term if recon_sq is None else recon_sq + term
-    coded = coded.select(
+    coded = pq_encode(corpus, cbs, vec_col=vec_col, id_col=id_col).select(
         F.col(id_col).alias("neighbor_id"),
         "codes",
-        F.sqrt(recon_sq).alias("__cn"),
+        _pq_recon_norm(cbs).alias("__cn"),
     )
 
     q = queries.select(
@@ -733,20 +770,7 @@ def pq_topk(
     joined = coded.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     )
-    score = None
-    for j in range(m):
-        words_j = F.array(
-            *[F.array(*[F.lit(x) for x in w]) for w in cbs[j]]
-        )
-        cw = F.element_at(words_j, F.col("codes")[j] + 1)
-        term = F.aggregate(
-            F.zip_with(
-                _pq_sub(F.col("__qvec"), j, d0), cw, lambda a, b: a * b
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        score = term if score is None else score + term
+    score = _pq_adc_dot(cbs, "__qvec")
     denom = F.col("__qn") * F.col("__cn")
     cosine = F.when(denom > 0, score / denom).otherwise(F.lit(0.0))
     scored = joined.select(
@@ -769,6 +793,137 @@ def pq_topk(
     # query from the 8-byte codes, then ONLY the shortlist re-scores
     # against true vectors — exact-cosine cost drops from n·|q| to
     # k·rerank_factor·|q| while recall approaches brute force
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id", "__qvec", "__qn")
+    )
+    truth = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm_expr(F.col(vec_col)).alias("__cn2"),
+    )
+    exact = truth.join(F.broadcast(shortlist), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_from_norms(
+                F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn2")
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codewords: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    centroids: DataFrame | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    dim: int | None = None,
+    rerank_factor: int = 0,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN index, composed from the
+    two halves this module already has — IVF coarse routing
+    (:func:`ivf_topk`'s probe plan) prunes WHICH rows score, PQ codes
+    (:func:`pq_encode` + ADC) shrink WHAT each row costs to score.
+
+    Plan shape (the 100 TB design): the corpus is encoded once to
+    (cell, codes, recon_norm) — 8 int codes + 1 double instead of the
+    float vector, so the resident index is ~30× smaller; each query
+    routes to its ``nprobe`` nearest cells via the broadcast centroid
+    table (queries × #cells, tiny); the probe table broadcasts into an
+    equi-join on the cell id, so the coded corpus partition-prunes to
+    probed cells — never a full scan, never a nested-loop over the
+    corpus (plan-shape-tested). ADC scoring is literal-codebook
+    ``element_at`` + ``m`` short dot folds, all inside codegen.
+
+    With ``rerank_factor > 0`` the PQ shortlist (k·factor per query)
+    re-scores against true vectors — recall approaches plain IVF at
+    exact-cosine cost proportional to the shortlist, not the cell.
+
+    Deterministic end-to-end (label-mean centroids, md5-rank sampled
+    codebooks, rounded similarities, id tie-breaks) — so the whole
+    composed index has an exact DuckDB oracle twin in the catalog.
+
+    Reference has no ANN operator (LLM-pipeline brief component); output
+    matches :func:`ivf_topk`: (query_id, neighbor_id, cosine, rank).
+    """
+    cents = centroids if centroids is not None else build_centroids(
+        corpus, vec_col=vec_col, cell_col=cell_col, dim=dim
+    )
+    cbs = codebooks if codebooks is not None else pq_codebooks(
+        corpus, m=m, n_codewords=n_codewords, vec_col=vec_col, id_col=id_col
+    )
+
+    # ---- encode once: (neighbor_id, cell, codes, recon norm) ----------
+    coded = pq_encode(
+        corpus, cbs, vec_col=vec_col, id_col=id_col, keep=(cell_col,)
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        "codes",
+        _pq_recon_norm(cbs).alias("__cn"),
+    )
+
+    # ---- route queries to nprobe nearest cells (ivf_topk's plan) ------
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
+    )
+    routed = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "__qvec",
+        "__qn",
+        F.col("cell"),
+        F.round(
+            cosine_expr(F.col("__qvec"), F.col("centroid")), 6
+        ).alias("cell_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cell_sim"), F.asc("cell")
+    )
+    probes = (
+        routed.withColumn("cr", F.row_number().over(wq))
+        .where(F.col("cr") <= nprobe)
+        .select("query_id", "__qvec", "__qn", "cell")
+    )
+
+    # ---- ADC-score only within probed cells (equi-join, prunes) -------
+    joined = coded.join(F.broadcast(probes), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    denom = F.col("__qn") * F.col("__cn")
+    score = _pq_adc_dot(cbs, "__qvec")
+    cosine = F.when(denom > 0, score / denom).otherwise(F.lit(0.0))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine, 6).alias("cosine"),
+        "__qvec",
+        "__qn",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    if rerank_factor <= 0:
+        return (
+            scored.drop("__qvec", "__qn")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k * rerank_factor)

@@ -1239,17 +1239,22 @@ def sql_shared_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_SHARED_Q3)
 
 
-# The driver's correctness gate checks the FIRST 50 registrations. These
-# entries are demoted to the back of the catalog so every operator FAMILY
-# gets a driver row: each name here duplicates a family another in-window
-# query already certifies (entropy_auto_base ≡ entropy [A3],
-# estimate_vs_true_pairs ≡ squared_count_estimate [J6],
+# The driver's correctness gate checks the FIRST 50 registrations
+# (DRIVER_WINDOW). These entries are demoted to the back of the catalog
+# so every operator FAMILY gets a driver row: each name here duplicates a
+# family another in-window query already certifies (entropy_auto_base ≡
+# entropy [A3], estimate_vs_true_pairs ≡ squared_count_estimate [J6],
 # jaccard_token_pairs ≡ ngram_jaccard_pairs [§2.9 jaccard],
 # minhash_signature ⊂ minhash_lsh_pairs, sliding ≡ tumbling window,
 # sql_shared_q3 ≡ clean_project [P3], canonical_pair_key ≡ union_distinct
 # [U2], fs_score_tf ≡ fs_score_fixed [L5], lang_id_dist ∈ text family ×3,
-# ivf_centroids ⊂ ivf_topk) — all remain pytest- and
-# tools/check_oracle.py-covered.
+# ivf_centroids ⊂ ivf_topk, conditional_projection ≡ clean_project
+# CASE/WHEN [P7], window_first ≡ window_count family [W1/W3],
+# double_sorted_pick ≡ topk_orderby_limit [T1/T2], theta_join_pairs ≡
+# blocking_self_join range predicate [J4/J5], map_value_stats'
+# map-explode ⊂ combo/profile family [A5/A7]) — all remain covered by
+# pytest (tests/test_oracle_window.py runs the SAME Spark-vs-DuckDB
+# comparison over every out-of-window entry) and tools/check_oracle.py.
 _DEPRIORITIZED = (
     "jaro_winkler_pairs",  # sql_registered_udfs exercises the same pandas
     #                        UDF through the registered-SQL surface
@@ -1265,12 +1270,34 @@ _DEPRIORITIZED = (
     "fs_score_tf",
     "lang_id_dist",
     "ivf_centroids",
+    # round-6 rotation: five single-primitive demos whose primitives stay
+    # certified by other in-window rows, displaced so the round-5/6
+    # operators (curate_documents, pq_topk, pack_sequences,
+    # stratified_sample, ivfpq_topk) get driver rows
+    "conditional_projection",
+    "window_first",
+    "double_sorted_pick",
+    "theta_join_pairs",
+    "map_value_stats",
 )
+
+# Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's
+# first-DRIVER_WINDOW correctness window — enforced by _ordered_names and
+# tests/test_entry.py, so adding a 51st front query fails fast instead of
+# silently pushing an operator family out of the driver's gate.
+DRIVER_WINDOW = 50
 
 
 def _ordered_names() -> list[str]:
     front = [n for n in REGISTRY if n not in _DEPRIORITIZED]
     back = [n for n in REGISTRY if n in _DEPRIORITIZED]
+    if len(front) > DRIVER_WINDOW:
+        raise AssertionError(
+            f"{len(front)} front-window queries exceed the driver's "
+            f"first-{DRIVER_WINDOW} correctness window; deprioritize "
+            f"{len(front) - DRIVER_WINDOW} redundant entries in "
+            "_DEPRIORITIZED so every operator family keeps a driver row"
+        )
     return front + back
 
 

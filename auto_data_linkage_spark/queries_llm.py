@@ -1540,6 +1540,133 @@ def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF-PQ ANN — the composed billion-scale index: IVF coarse routing
+# prunes WHICH rows score (equi-join on the cell id, corpus
+# partition-prunes to nprobe cells), PQ codes shrink WHAT each row costs
+# (8 ints + 1 double instead of the float vector). Deterministic end to
+# end (label-mean centroids + md5-rank codebooks + rounded sims + id
+# tie-breaks) — so the composed approximate index STILL has an exact
+# DuckDB twin.
+# --------------------------------------------------------------------------
+_IVFPQ_NPROBE = 3
+
+
+def _ivfpq_sql() -> str:
+    m, nc, k, d0 = _PQ_M, _PQ_NC, _PQ_K, _PQ_D0
+    vid_hash = _sql_hash64("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH ranked AS (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY {vid_hash}, vec_id) AS rn
+        FROM embeddings
+    ),
+    cw AS (SELECT rn - 1 AS code, embedding FROM ranked WHERE rn <= {nc}),
+    dists AS (
+        SELECT e.vec_id, t.j, c.code,
+               list_sum(list_transform(range({d0}), i ->
+                   (CAST(e.embedding[t.j * {d0} + i + 1] AS DOUBLE)
+                    - CAST(c.embedding[t.j * {d0} + i + 1] AS DOUBLE))
+                   * (CAST(e.embedding[t.j * {d0} + i + 1] AS DOUBLE)
+                      - CAST(c.embedding[t.j * {d0} + i + 1] AS DOUBLE))
+               )) AS d2
+        FROM embeddings e, range({m}) t(j), cw c
+    ),
+    codes AS (
+        SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2, code) AS rnk
+            FROM dists
+        ) WHERE rnk = 1
+    ),
+    recon AS (
+        SELECT o.vec_id,
+               SQRT(SUM(list_sum(list_transform(range({d0}), i ->
+                   CAST(c.embedding[o.j * {d0} + i + 1] AS DOUBLE)
+                   * CAST(c.embedding[o.j * {d0} + i + 1] AS DOUBLE)
+               )))) AS cn
+        FROM codes o JOIN cw c ON o.code = c.code
+        GROUP BY o.vec_id
+    ),
+    cents AS (
+        SELECT label AS cell, LIST(mm ORDER BY pos) AS centroid FROM (
+            SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS mm FROM (
+                SELECT label, UNNEST(embedding) AS v,
+                       GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos
+                FROM embeddings
+            ) GROUP BY label, pos
+        ) GROUP BY label
+    ),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+               SQRT(list_sum(list_transform(embedding, x ->
+                   CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    routed AS (
+        SELECT q.query_id, q.qv, q.qn, c.cell,
+               ROUND(
+                 list_dot_product(q.qv, c.centroid)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.centroid, c.centroid))),
+                 6) AS cell_sim
+        FROM q, cents c
+    ),
+    probes AS (
+        SELECT query_id, qv, qn, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cell_sim DESC, cell
+            ) AS cr FROM routed
+        ) WHERE cr <= {_IVFPQ_NPROBE}
+    ),
+    dots AS (
+        SELECT p.query_id, o.vec_id AS neighbor_id,
+               SUM(list_sum(list_transform(range({d0}), i ->
+                   CAST(p.qv[o.j * {d0} + i + 1] AS DOUBLE)
+                   * CAST(c.embedding[o.j * {d0} + i + 1] AS DOUBLE)
+               ))) AS dot,
+               ANY_VALUE(p.qn) AS qn
+        FROM probes p
+        JOIN embeddings e ON e.label = p.cell
+        JOIN codes o ON o.vec_id = e.vec_id
+        JOIN cw c ON o.code = c.code
+        WHERE p.query_id <> o.vec_id
+        GROUP BY p.query_id, o.vec_id
+    ),
+    scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               ROUND(CASE WHEN d.qn * r.cn > 0
+                          THEN d.dot / (d.qn * r.cn) ELSE 0.0 END, 6) AS cosine
+        FROM dots d JOIN recon r ON d.neighbor_id = r.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "ivfpq_topk",
+    _ivfpq_sql(),
+    survey="LLM similarity: IVF-PQ ANN (cell-pruned ADC — the composed scale path)",
+)
+def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.ivfpq_topk(
+        emb,
+        queries,
+        k=_PQ_K,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        n_codewords=_PQ_NC,
+        dim=64,
+    )
+
+
+# --------------------------------------------------------------------------
 # Sequence packing: documents → fixed-capacity context bins (window
 # cumsum per hash bucket — the declarative streaming approximation of
 # first-fit; one exchange, no sequential loop). Output is the per-bin

@@ -171,3 +171,19 @@ def test_sql_udf_query_no_python_eval(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") <= 1
     assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+def test_ivfpq_no_nested_loop_over_corpus(spark, sf_dir):
+    """IVF-PQ's scale contract: the ADC scan must be an equi
+    BroadcastHashJoin on the cell id (corpus prunes to probed cells) —
+    never a nested-loop over the full coded corpus (flat pq_topk's
+    shape). The ONE permitted nested-loop is the routing cross join,
+    whose build side is the broadcast centroid table (queries × #cells
+    rows — tiny by construction, same shape as ivf_topk)."""
+    df = entry_mod.queries()["ivfpq_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # routing only
+    # the corpus-side ADC join is equi on the cell id and broadcasts the
+    # probe table, so the coded corpus never feeds a nested loop
+    assert "BroadcastHashJoin [cell" in plan

@@ -273,3 +273,91 @@ def test_pq_kmeans_rerank_recall(spark, emb_small):
         pq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(ex[q] & pq[q]) / 5 for q in ex]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+# ------------------------------------------------------------- IVF-PQ
+def test_ivfpq_equals_flat_pq_when_probing_all_cells(spark, emb_small):
+    """With nprobe >= #cells, IVF routing prunes nothing, so the composed
+    index must equal flat PQ exactly (same codebooks, same ADC scores,
+    same tie-breaks) — pins the composition to its parts."""
+    from auto_data_linkage_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    cbs = pq_codebooks(emb_small, m=4, n_codewords=8)
+    queries = emb_small.limit(3)
+    n_cells = emb_small.select("label").distinct().count()
+    flat = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in pq_topk(emb_small, queries, k=5, codebooks=cbs).collect()
+    }
+    composed = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivfpq_topk(
+            emb_small, queries, k=5, nprobe=n_cells, codebooks=cbs
+        ).collect()
+    }
+    assert composed == flat
+
+
+def test_ivfpq_rerank_recall_on_clustered_data(spark):
+    """On geometry-aligned cells, IVF-PQ with perfect-reconstruction
+    codebooks and nprobe=1 must match brute force exactly (cells prune
+    to the true cluster; ADC is exact when every vector is a codeword)."""
+    import random
+
+    from auto_data_linkage_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for cluster in range(4):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for _ in range(10):
+            vec = [c + rng.gauss(0, 0.01) for c in center]
+            rows.append((vid, vec, cluster))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+    queries = df.where(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            df, queries, k=5, nprobe=1, m=4, n_codewords=40, rerank_factor=2
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) == 1.0
+
+
+def test_ivfpq_scans_fewer_coded_rows_than_flat(spark, emb):
+    """The composition's point: the ADC join touches only probed cells'
+    rows, strictly fewer than the flat scan on the multi-cell table."""
+    from auto_data_linkage_spark.operators.similarity import ivfpq_topk
+
+    queries = emb.where(F.col("vec_id") < 2)
+    out = ivfpq_topk(emb, queries, k=3, nprobe=1, m=4, n_codewords=8)
+    n_cells = emb.select("label").distinct().count()
+    assert n_cells > 1
+    # candidate pool per query ~ |corpus|/n_cells; all ranked rows must
+    # come from the single probed cell per query
+    cells = {
+        r["label"]
+        for r in out.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .select("query_id", "label")
+        .distinct()
+        .collect()
+    }
+    assert len(cells) <= queries.count()  # one probed cell per query

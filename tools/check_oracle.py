@@ -53,6 +53,43 @@ def rows_multiset(cols, rows):
     return sorted(out)
 
 
+def duckdb_connect(sf_dir):
+    """DuckDB connection with the driver's table views registered."""
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def compare_query(spark, con, fn, sql, sf_dir):
+    """Run one catalog query on Spark and its oracle on DuckDB; return a
+    list of problem strings (empty = match). Same comparison the driver's
+    correctness gate applies: row count, sorted column names,
+    order-insensitive canonicalized values."""
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    problems = []
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"columns {sorted(scols)} != {sorted(dcols)}")
+    if len(srows) != len(drows):
+        problems.append(f"rowcount {len(srows)} != {len(drows)}")
+    if not problems:
+        sm = rows_multiset(scols, srows)
+        dm = rows_multiset(dcols, drows)
+        if sm != dm:
+            diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
+            problems.append(f"values differ, first diffs: {diff}")
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -62,13 +99,7 @@ def main():
 
     spark = get_spark("oracle-check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 
-    con = duckdb.connect()
-    for t in TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
+    con = duckdb_connect(sf_dir)
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -77,45 +108,27 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
-            continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
+            try:
+                n = fn(spark, sf_dir).count()
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"FAIL  {name}: spark error: {e}")
+                continue
+            print(f"ROWS  {name}: {n} rows (no oracle) "
                   f"[{time.time() - t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            problems = compare_query(spark, con, fn, oracles[name], sf_dir)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: error: {e}")
             continue
-
-        problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"columns {sorted(scols)} != {sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount {len(srows)} != {len(drows)}")
-        if not problems:
-            sm = rows_multiset(scols, srows)
-            dm = rows_multiset(dcols, drows)
-            if sm != dm:
-                diff = [
-                    (a, b) for a, b in zip(sm, dm) if a != b
-                ][:3]
-                problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
-            print(f"OK    {name}: {len(srows)} rows [{time.time() - t0:.1f}s]")
+            print(f"OK    {name} [{time.time() - t0:.1f}s]")
 
     print()
     if failures:
