@@ -36,6 +36,17 @@ from auto_data_linkage_spark.profile import (
 # the quadratic C(n,2) loop in generate_blocking_rules; cheapest arms kept)
 _ARM_CAP = 300
 
+# extension pool per i>=3 re-expansion level: each kept partial extends
+# with (i-2)-subsets drawn from the _EXT_CAP cheapest remaining arms.
+# Without this the level loop enumerates C(_ARM_CAP, i-2) subsets PER
+# PARTIAL (~44k × 2·top_k partials at i=4 — a driver stall on wide
+# schemas). Same safety argument as _ARM_CAP: adding an expensive arm
+# only raises an OR-rule's estimate, so restricting extensions to cheap
+# arms cannot evict a rule that would have survived the final
+# comparison_size_limit filter. Worst-case level work is bounded by
+# 2·top_k · C(_EXT_CAP, max_rules_per_or_rule-2).
+_EXT_CAP = 60
+
 
 @dataclass(frozen=True)
 class RuleEstimate:
@@ -194,10 +205,16 @@ def generate_blocking_rules(
         )
         for arm_set in partials:
             add(arm_set)
+        # cheapest-first extension pool (bounds the i>=3 level loop; see
+        # _EXT_CAP note — expensive arms can't produce affordable rules)
+        ext_arms = sorted(
+            pair_arms, key=lambda a: (lookup[a][1], a)
+        )[:_EXT_CAP]
+        ext_arms.sort()
         for i in range(3, max_rules_per_or_rule + 1):
             level: dict[tuple, int] = {}
             for partial in partials:
-                rest = [a for a in pair_arms if a not in partial]
+                rest = [a for a in ext_arms if a not in partial]
                 for ext in _combinations(rest, i - 2):
                     arm_set = tuple(sorted((*partial, *ext)))
                     if arm_set not in level:

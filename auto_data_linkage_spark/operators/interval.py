@@ -105,8 +105,10 @@ def interval_join(
 def _secs(col_ref: str, dtype: str):
     """Epoch-seconds double: NTZ-safe timestamp path (Spark 4 forbids a
     direct TIMESTAMP_NTZ→DOUBLE cast; the intermediate cast reinterprets
-    the wall clock in the UTC session zone), passthrough for numerics."""
-    c = F.col(col_ref)
+    the wall clock in the UTC session zone — session.epoch_seconds
+    verifies the zone pin), passthrough for numerics."""
     if dtype.startswith("timestamp"):
-        return c.cast("timestamp").cast("double")
-    return c.cast("double")
+        from auto_data_linkage_spark.session import epoch_seconds
+
+        return epoch_seconds(col_ref)
+    return F.col(col_ref).cast("double")

@@ -104,9 +104,28 @@ def epoch_seconds(col):
     engine pins to UTC (get_spark), exactly how the DuckDB oracle's
     ``epoch()`` treats naive timestamps. Every operator that needs
     epoch arithmetic on an event-time column must route through this
-    helper rather than casting directly."""
+    helper rather than casting directly.
+
+    The UTC pin is a CORRECTNESS precondition, not a convention: on a
+    session someone else built with a non-UTC zone, the NTZ
+    reinterpretation silently shifts every event time by the zone
+    offset. So the helper verifies the active session's zone instead of
+    trusting the engine pin (raises with the fix rather than shifting
+    silently; plain-TIMESTAMP callers on a deliberately non-UTC session
+    can cast directly — they don't need this helper)."""
+    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                f"epoch_seconds requires spark.sql.session.timeZone=UTC "
+                f"(got {tz!r}): TIMESTAMP_NTZ event times would silently "
+                "shift by the zone offset. Build the session with "
+                "get_spark() or set the conf to 'UTC'."
+            )
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("timestamp").cast("double")
 

@@ -87,6 +87,12 @@ def enable_arc(spark: SparkSession) -> None:
 
     spark.udf.register("arc_jaro_winkler", jaro_winkler_udf)
 
+    # arc_entropy is an Arrow-batched grouped-agg pandas UDF — the right
+    # tool for INTERACTIVE SQL text, but each group's values ship to
+    # Python. Heavy/pipelined callers should use the pure-DataFrame
+    # equivalents (profile.column_entropies / profile.entropy_df with
+    # base="distinct"): identical semantics, one shuffle, entirely
+    # JVM-side in whole-stage codegen.
     @F.pandas_udf("double")
     def _arc_entropy(v: pd.Series) -> float:
         counts = v.dropna().value_counts()

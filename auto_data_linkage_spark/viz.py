@@ -172,15 +172,18 @@ def comparison_viewer(
     # the two interesting tails: likely-wrong strong links & weak matches
     strongest = [
         r.asDict()
-        for r in predictions.orderBy(F.col(probability_col).desc()).limit(
-            n_examples
-        ).collect()
+        for r in predictions.orderBy(
+            F.col(probability_col).desc_nulls_last()
+        ).limit(n_examples).collect()
     ]
+    # nulls_last: Spark sorts NULL first ascending, so without it a
+    # handful of NULL probabilities would fill the whole weakest table
+    # (the histogram already buckets NULLs separately)
     weakest = [
         r.asDict()
-        for r in predictions.orderBy(F.col(probability_col).asc()).limit(
-            n_examples
-        ).collect()
+        for r in predictions.orderBy(
+            F.col(probability_col).asc_nulls_last()
+        ).limit(n_examples).collect()
     ]
     body = (
         hist_html

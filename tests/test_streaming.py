@@ -181,3 +181,20 @@ def test_read_event_stream_empty_directory_starts(spark, tmp_path):
     assert dict(s.dtypes)["ts"] == "timestamp"  # NTZ cast for watermarks
     q = run_to_memory(windowed_counts(s), "empty_dir_q", output_mode="complete")
     assert spark.sql("select count(*) n from empty_dir_q").collect()[0]["n"] == 0
+
+
+def test_epoch_seconds_rejects_non_utc_session(spark):
+    """The NTZ reinterpretation is only correct under the UTC pin — a
+    foreign session zone must fail loudly, not shift event times."""
+    import pytest as _pytest
+
+    from auto_data_linkage_spark.session import epoch_seconds
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with _pytest.raises(ValueError, match="timeZone=UTC"):
+            epoch_seconds("ts")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # restored: the helper builds the cast expression again
+    epoch_seconds("ts")

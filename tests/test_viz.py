@@ -74,3 +74,22 @@ def test_comparison_viewer_null_probabilities_rendered(spark, tmp_path):
     out = comparison_viewer(preds, str(tmp_path / "n.html"), n_buckets=4)
     html = open(out, encoding="utf-8").read()
     assert "<td>NULL</td><td>2</td>" in html
+
+
+def test_comparison_viewer_weakest_pairs_skip_nulls(spark, tmp_path):
+    """NULL probabilities must not fill the weakest-pairs table (Spark
+    sorts NULL first ascending; the viewer uses asc_nulls_last and the
+    histogram buckets NULLs separately)."""
+    rows = [(f"n{i}", f"m{i}", None) for i in range(5)] + [
+        (f"a{i}", f"b{i}", 0.1 + i / 100.0) for i in range(5)
+    ]
+    preds = spark.createDataFrame(
+        rows, "unique_id_l string, unique_id_r string, match_probability double"
+    )
+    out = comparison_viewer(
+        preds, str(tmp_path / "w.html"), n_buckets=4, n_examples=3
+    )
+    html = open(out, encoding="utf-8").read()
+    weakest = html.split("Weakest pairs")[1]
+    assert "a0" in weakest and "a1" in weakest and "a2" in weakest
+    assert "n0" not in weakest
