@@ -76,7 +76,15 @@ class AutoLinker:
         attribute_columns: list[str] | None = None,
         max_block_size: int | None = None,
         block_cap_mode: str = "drop",
+        sampler: str = "tpe",
     ):
+        if sampler not in ("tpe", "random"):
+            raise ValueError(f"sampler must be 'tpe' or 'random', got {sampler!r}")
+        # "random" keeps the sampler in its startup (pure-random) phase
+        # for every trial — the A/B control arm for TPE trial-efficiency
+        # evidence (tools/tpe_ab.py; reference searches with hyperopt TPE,
+        # autolinker.py:818-825)
+        self.sampler = sampler
         self.comparison_size_limit = comparison_size_limit
         self.max_evals = max_evals
         self.threshold = threshold
@@ -208,10 +216,15 @@ class AutoLinker:
         # sequential TPE over the reference's space. Startup budget follows
         # hyperopt's default shape scaled to small eval counts: ~2/3 of the
         # budget explores randomly before the Parzen model kicks in.
+        n_startup = (
+            self.max_evals + 1  # never leaves the random phase
+            if self.sampler == "random"
+            else min(20, max(2, (2 * self.max_evals + 2) // 3))
+        )
         sampler = TPESampler(
             self._build_space(attrs, len(rules)),
             seed=self.random_seed,
-            n_startup=min(20, max(2, (2 * self.max_evals + 2) // 3)),
+            n_startup=n_startup,
         )
         for _ in range(self.max_evals):
             params = sampler.suggest()

@@ -147,3 +147,45 @@ class RunLog:
                 default=str,
             )
         return path
+
+    def to_mlflow(
+        self,
+        *,
+        experiment: str | None = None,
+        tracking_uri: str | None = None,
+    ) -> str:
+        """Mirror this run into MLflow, if installed (reference
+        splink_mlflow.py:124-173 logs the model JSON, params and metrics
+        per trial; this logs the same three surfaces from the RunLog's
+        buffers). The engine stays dependency-free: mlflow imports here,
+        at call time, and a missing install raises ImportError with the
+        remedy instead of failing at module import.
+
+        Returns the MLflow run id."""
+        try:
+            import mlflow
+        except ImportError as e:  # pragma: no cover - exercised via test
+            raise ImportError(
+                "RunLog.to_mlflow requires the optional mlflow package "
+                "(pip install mlflow); the JSON RunLog.save() sink works "
+                "without it"
+            ) from e
+        if tracking_uri:
+            mlflow.set_tracking_uri(tracking_uri)
+        if experiment:
+            mlflow.set_experiment(experiment)
+        with mlflow.start_run(run_name=self.run_name) as run:
+            if self.params:
+                mlflow.log_params(
+                    {k: str(v) for k, v in self.params.items()}
+                )
+            for k, v in self.metrics.items():
+                mlflow.log_metric(k, float(v))
+            # artifacts (e.g. the serialized FS model dict) as JSON files,
+            # the same shape splink_mlflow logs the Splink settings under
+            for name, payload in self.artifacts.items():
+                mlflow.log_dict(
+                    json.loads(json.dumps(payload, default=str)),
+                    f"{name}.json",
+                )
+            return run.info.run_id

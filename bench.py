@@ -49,6 +49,12 @@ BENCH_QUERIES = [
     "sessionize",
     "asof_join_events",
     "interval_join_events",
+    # round-6 additions: the flagship composed curation pipeline and the
+    # two PQ ANN paths (flat ADC + the composed cell-pruned IVF-PQ), so
+    # regressions in the compositions are caught by the driver bench
+    "curate_documents",
+    "pq_topk",
+    "ivfpq_topk",
 ]
 
 

@@ -36,10 +36,21 @@ def _typo(rng: random.Random, s: str) -> str:
     return s[:i] + s[i:]  # duplication (insert)
 
 
-def make_people(n_entities: int = 400, dup_fraction: float = 0.4, seed: int = 42):
+def make_people(
+    n_entities: int = 400,
+    dup_fraction: float = 0.4,
+    seed: int = 42,
+    corruptions: int = 1,
+):
     """Rows (unique_id, given_name, surname, suburb, postcode, state,
     date_of_birth, recid); ~``dup_fraction`` of entities get one corrupted
-    duplicate record. Deterministic for a given seed."""
+    duplicate record. Deterministic for a given seed.
+
+    ``corruptions`` rounds apply per duplicate: 1 (default) is the easy
+    integration fixture where any sane configuration links perfectly;
+    3+ makes distance-function/threshold choice matter, so the
+    unsupervised objective can discriminate between search trials
+    (tools/tpe_ab.py uses this)."""
     rng = random.Random(seed)
     rows = []
     uid = 0
@@ -56,17 +67,18 @@ def make_people(n_entities: int = 400, dup_fraction: float = 0.4, seed: int = 42
         rows.append((str(uid), *rec.values(), f"e{e}"))
         if rng.random() < dup_fraction:
             dup = dict(rec)
-            corruption = rng.randrange(4)
-            if corruption == 0:
-                dup["given_name"] = _typo(rng, dup["given_name"])
-            elif corruption == 1:
-                dup["surname"] = _typo(rng, dup["surname"])
-            elif corruption == 2:
-                pc = list(dup["postcode"])
-                pc[1], pc[2] = pc[2], pc[1]
-                dup["postcode"] = "".join(pc)
-            else:
-                dup["given_name"] = None  # missing field
+            for _ in range(max(1, corruptions)):
+                corruption = rng.randrange(4)
+                if corruption == 0 and dup["given_name"] is not None:
+                    dup["given_name"] = _typo(rng, dup["given_name"])
+                elif corruption == 1:
+                    dup["surname"] = _typo(rng, dup["surname"])
+                elif corruption == 2:
+                    pc = list(dup["postcode"])
+                    pc[1], pc[2] = pc[2], pc[1]
+                    dup["postcode"] = "".join(pc)
+                else:
+                    dup["given_name"] = None  # missing field
             uid += 1
             rows.append((str(uid), *dup.values(), f"e{e}"))
     return rows

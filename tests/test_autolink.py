@@ -106,3 +106,19 @@ def test_auto_link_end_to_end(spark, people):
     assert prf["precision"] >= 0.6, prf
     scores = linker.get_scores_df()
     assert {"unique_id_l", "unique_id_r", "match_probability"} <= set(scores.columns)
+
+
+def test_random_sampler_mode(spark, people):
+    """sampler="random" (the A/B control arm, tools/tpe_ab.py) must run
+    the same loop with the Parzen model disabled and still link."""
+    linker = AutoLinker(
+        max_evals=2,
+        comparison_size_limit=100_000,
+        random_seed=5,
+        sampler="random",
+    )
+    linker.auto_link(people)
+    assert linker.best_trial is not None
+    assert len(linker.trials) == 2
+    with pytest.raises(ValueError, match="sampler"):
+        AutoLinker(sampler="parzen")

@@ -51,7 +51,14 @@ def test_trained_model_dedups_febrl(spark, febrl):
 @pytest.mark.slow
 def test_autolinker_unsupervised_febrl(spark, febrl):
     """Fully unsupervised search (no labels used in training) recovers
-    most planted duplicates."""
+    most planted duplicates.
+
+    The F1 floor is the linkage-quality gate: a silent search-quality
+    regression (e.g. a TPE scoring bug) degrades the unsupervised
+    objective's correlation with truth and lands well below it. The
+    seeded 4-eval run scores F1 = 1.0 on this fixture (recorded round 6);
+    0.85 leaves margin for sampling jitter without letting a real
+    regression through."""
     linker = AutoLinker(
         comparison_size_limit=200_000,
         max_evals=4,
@@ -63,3 +70,4 @@ def test_autolinker_unsupervised_febrl(spark, febrl):
     prf = pairwise_prf(clusters, "recid")
     assert prf["recall"] >= 0.5, prf
     assert prf["precision"] >= 0.5, prf
+    assert prf["f1"] >= 0.85, prf

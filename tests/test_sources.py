@@ -1,6 +1,8 @@
 import json
 import os
 
+import pytest
+
 from auto_data_linkage_spark.sources.catalog import (
     RunLog,
     drop_views,
@@ -90,3 +92,26 @@ def test_clustering_scores_match_sklearn_if_available(spark, people):
     assert ours["homogeneity"] == __import__("pytest").approx(homogeneity_score(c, k), abs=1e-9)
     assert ours["completeness"] == __import__("pytest").approx(completeness_score(c, k), abs=1e-9)
     assert ours["adjusted_rand"] == __import__("pytest").approx(adjusted_rand_score(c, k), abs=1e-9)
+
+
+def test_runlog_to_mlflow_optional(tmp_path):
+    """to_mlflow mirrors params/metrics/artifacts when mlflow is
+    installed; without it, the error names the remedy and the JSON sink
+    keeps working (the S5 boundary: optional dependency, never a hard
+    one)."""
+    log = RunLog(str(tmp_path), "trial-ml")
+    log.log_params(rule="l.a = r.a")
+    log.log_metrics(score=0.5)
+    log.log_artifact("model", {"comparisons": []})
+    try:
+        import mlflow  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="mlflow"):
+            log.to_mlflow()
+        assert log.save()  # JSON path unaffected
+        return
+    run_id = log.to_mlflow(
+        experiment="adls-test",
+        tracking_uri=f"file://{tmp_path}/mlruns",
+    )
+    assert run_id
