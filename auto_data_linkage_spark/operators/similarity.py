@@ -264,7 +264,9 @@ def signature_expr(vec: Column, dim: int, n_planes: int = 16, seed: int = 0) -> 
     unrolled form and to the DuckDB oracle."""
     acc = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(w) for w in _hyperplane(p, dim, seed)])
+        # one array literal per plane (not one py4j-shipped literal per
+        # ±1 weight — n_planes·dim round-trips of plan-build latency)
+        plane = F.lit(_hyperplane(p, dim, seed))
         dot = F.aggregate(
             F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
@@ -647,6 +649,32 @@ def _pq_sub(vec: Column, j: int, d0: int) -> Column:
     )
 
 
+# PQ expressions are built as SQL TEXT parsed JVM-side in one call:
+# constructing the same trees through the Python Column API costs dozens
+# of py4j round-trips per higher-order function (lambda conversion) and
+# one per literal — measured 3-4 s of driver-side plan construction per
+# pq query at m=8, k=16 before any row was read. repr() floats
+# round-trip exactly through Spark's double parser, so the text form is
+# bit-identical to the Column form (oracle-checked).
+def _sql_flt(x: float) -> str:
+    return repr(float(x)) + "D"
+
+
+def _sql_arr(w) -> str:
+    return "array(" + ",".join(_sql_flt(x) for x in w) + ")"
+
+
+def _sql_mat(rows) -> str:
+    return "array(" + ",".join(_sql_arr(w) for w in rows) + ")"
+
+
+def _sql_sub(vec_col: str, j: int, d0: int) -> str:
+    return (
+        f"transform(slice({vec_col}, {j * d0 + 1}, {d0}), "
+        "x -> CAST(x AS DOUBLE))"
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -664,39 +692,54 @@ def pq_encode(
     m = len(codebooks)
     d0 = len(codebooks[0][0])
 
-    def dist(j: int, w: list[float]) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                _pq_sub(F.col(vec_col), j, d0),
-                F.array(*[F.lit(x) for x in w]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    codes = []
-    for j in range(m):
-        dists = F.array(*[dist(j, w) for w in codebooks[j]])
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return df.select(
-        F.col(id_col), F.array(*codes).alias("codes"), *[F.col(c) for c in keep]
+    # Three layers, each a SQL-text expression parsed JVM-side in one
+    # call (see _sql_flt note): (1) hoist each subvector so the k
+    # distance folds share one slice(), (2) ONE transform over the
+    # subspace's codeword MATRIX computes all k distances, (3) argmin.
+    # Evaluation order per distance is a sequential fold over
+    # d = 0..d0-1, identical to the element-wise form, so codes are
+    # bit-identical and the DuckDB oracle still matches.
+    subs = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        *[
+            F.expr(_sql_sub(vec_col, j, d0)).alias(f"__sub{j}")
+            for j in range(m)
+        ],
+    )
+    dists = subs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        *[
+            F.expr(
+                f"transform({_sql_mat(codebooks[j])}, w -> "
+                f"aggregate(zip_with(__sub{j}, w, "
+                "(a, b) -> (a - b) * (a - b)), 0.0D, "
+                "(acc, x) -> acc + x))"
+            ).alias(f"__d{j}")
+            for j in range(m)
+        ],
+    )
+    codes_sql = "array(" + ",".join(
+        f"CAST(array_position(__d{j}, array_min(__d{j})) - 1 AS INT)"
+        for j in range(m)
+    ) + ")"
+    return dists.select(
+        F.col(id_col),
+        F.expr(codes_sql).alias("codes"),
+        *[F.col(c) for c in keep],
     )
 
 
 def _pq_recon_norm(codebooks: list[list[list[float]]]) -> Column:
     """sqrt(Σ_j ||codeword_{j, codes[j]}||²) — the reconstruction's norm as
     a literal-array lookup over the ``codes`` column (no join, codegen)."""
-    recon_sq = None
-    for j in range(len(codebooks)):
-        norms_j = F.array(
-            *[F.lit(sum(x * x for x in w)) for w in codebooks[j]]
-        )
-        term = F.element_at(norms_j, F.col("codes")[j] + 1)
-        recon_sq = term if recon_sq is None else recon_sq + term
-    return F.sqrt(recon_sq)
+    terms = [
+        f"element_at({_sql_arr([sum(x * x for x in w) for w in codebooks[j]])}, "
+        f"codes[{j}] + 1)"
+        for j in range(len(codebooks))
+    ]
+    return F.expr("sqrt(" + " + ".join(terms) + ")")
 
 
 def _pq_adc_dot(
@@ -707,21 +750,13 @@ def _pq_adc_dot(
     reconstructed codewords, every codebook a constant-folded literal."""
     m = len(codebooks)
     d0 = len(codebooks[0][0])
-    score = None
-    for j in range(m):
-        words_j = F.array(
-            *[F.array(*[F.lit(x) for x in w]) for w in codebooks[j]]
-        )
-        cw = F.element_at(words_j, F.col("codes")[j] + 1)
-        term = F.aggregate(
-            F.zip_with(
-                _pq_sub(F.col(qvec_col), j, d0), cw, lambda a, b: a * b
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        score = term if score is None else score + term
-    return score
+    terms = [
+        f"aggregate(zip_with({_sql_sub(qvec_col, j, d0)}, "
+        f"element_at({_sql_mat(codebooks[j])}, codes[{j}] + 1), "
+        "(a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+        for j in range(m)
+    ]
+    return F.expr(" + ".join(terms))
 
 
 def pq_topk(
