@@ -470,3 +470,164 @@ def embedding_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------- chunk-level exact dedup
+def chunk_dedup(
+    df: DataFrame,
+    *,
+    chunk_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring deduplication at fixed-width chunk granularity
+    (the declarative analog of suffix-array exact-substring dedup, e.g.
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): split every document into consecutive ``chunk_words``-word
+    segments, keep the globally FIRST occurrence of each distinct
+    segment (ordered by ``(id, position)``), and reassemble each
+    document from its surviving segments in original order.
+
+    Returns ``(id, n_chunks, n_kept, dedup_text)`` for every input
+    document — ``dedup_text`` is ``''`` when every chunk of the document
+    appeared earlier elsewhere.
+
+    Plan shape (scale notes):
+
+    - chunking is a pure projection (``sequence``/``slice`` — stays in
+      whole-stage codegen, no UDF);
+    - the keep-decision is ONE window over ``partitionBy(chunk)`` — a
+      single hash exchange keyed by segment text. At 100 TB you would
+      key the exchange by ``md5_hash64(chunk)`` and resolve the (rare)
+      60-bit collisions in-partition; text must travel anyway for
+      reassembly, so hashing the key only narrows the sort key;
+    - reassembly is one more hash aggregate on the id. Two exchanges
+      total, both with map-side partials, nothing on the driver.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    # an empty document still yields one (empty) chunk — Spark's
+    # sequence(0, -1) would DESCEND, so the floor of 1 is load-bearing
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(chunk_words))).cast("int"), F.lit(1)
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    chunked = df.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("pos", "chunk")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk").orderBy(F.asc(id_col), F.asc("pos"))
+    kept = (
+        chunked.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    base = df.select(F.col(id_col), n_chunks.alias("n_chunks"))
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_chunks"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+    )
+
+
+# ----------------------------------------------- benchmark decontamination
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    shingle_k: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one word ``shingle_k``-gram with the benchmark /
+    holdout set (the n-gram-overlap rule used by GPT-3 / PaLM / Llama
+    data cards; 7–13 grams are the published range).
+
+    Returns ``(id, n_shared, keep)`` over ``docs`` — ``n_shared`` is the
+    count of distinct contaminated shingles, ``keep = n_shared == 0``.
+
+    Scale shape: the benchmark side (test sets) is tiny relative to the
+    corpus, so its distinct-shingle set is collected into a broadcast
+    hash relation — the corpus side is scanned ONCE, never shuffled, and
+    the join is map-side. This is the one dedup-family operator with a
+    strictly shuffle-free corpus path.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+        )
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    shared = (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+    return docs.select(F.col(id_col)).join(shared, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) == 0).alias("keep"),
+    )
+
+
+# ------------------------------------------------------- semantic dedup
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): within
+    each coarse cluster cell, link items whose embedding cosine ≥
+    ``threshold``, take connected components over those links, and keep
+    the minimum-id member of every component.
+
+    Returns the surviving ``(id)`` rows (one per kept item).
+
+    Scale shape: candidate pairs come from :func:`embedding_dup_pairs` —
+    a per-cell self-join (Σ cell², never n²; cells come from k-means /
+    IVF assignment, see similarity.assign_cells). The component step
+    reuses the engine's adaptive connected-components (driver union-find
+    under the bounded probe, Spark iteration above it), and the survivor
+    filter is a join on the component map — the same composition as the
+    MinHash ``near_dedup_keep`` pipeline, swapped onto embedding space.
+    """
+    from auto_data_linkage_spark.cluster import connected_components
+
+    pairs = embedding_dup_pairs(
+        df, vec_col=vec_col, id_col=id_col, bucket_col=cell_col,
+        threshold=threshold,
+    )
+    edges = pairs.select(
+        F.col(f"{id_col}_l").alias("src"), F.col(f"{id_col}_r").alias("dst")
+    )
+    comp = connected_components(edges)
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .where(F.coalesce(F.col("component"), F.col("node")) == F.col("node"))
+        .select(F.col("node").alias(id_col))
+    )

@@ -104,3 +104,55 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(frac * 10000))
         ).otherwise(rule)
     return df.where(slot < rule)
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    *,
+    alpha: float = 0.5,
+    target_fraction: float = 0.3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted domain mixing (the multinomial-sampling rule
+    from multilingual / multi-source pre-training, e.g. the ``p_s ∝
+    n_s^alpha`` recipe of XLM-R and the Pile): compute each stratum's
+    keep-rate so the expected sample is ``target_fraction`` of the
+    corpus with stratum mass rebalanced by ``count^alpha`` —
+    ``alpha < 1`` up-samples small sources and down-samples dominant
+    ones; ``alpha = 1`` degenerates to uniform sampling.
+
+    ``rate_s = min(1, target_fraction · total · n_s^alpha / (Σ_t
+    n_t^alpha · n_s))``; membership is the same deterministic md5
+    hash-slice as :func:`stratified_sample` (the integer-floored
+    threshold makes the cut engine-portable). Rates capped at 1 leave
+    the realized total slightly under target — the standard behavior
+    (you cannot up-sample past 1 without repetition; pair with
+    ``F.explode(F.sequence(...))`` epoch repetition if oversampling is
+    wanted).
+
+    Plan shape: one small groupBy for the per-stratum counts, one
+    single-row global aggregate, both attached back via broadcast joins
+    — the corpus itself is scanned once and never shuffled.
+    """
+    cnts = df.groupBy(strata_col).agg(F.count("*").alias("__cnt"))
+    tot = cnts.agg(
+        F.sum("__cnt").alias("__total"),
+        F.sum(F.pow("__cnt", F.lit(alpha))).alias("__wsum"),
+    )
+    rates = cnts.crossJoin(F.broadcast(tot)).select(
+        F.col(strata_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(target_fraction)
+            * F.col("__total")
+            * F.pow("__cnt", F.lit(alpha))
+            / (F.col("__wsum") * F.col("__cnt")),
+        ).alias("__rate"),
+    )
+    slot = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(10000))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(slot < F.floor(F.col("__rate") * 10000))
+        .drop("__rate")
+    )

@@ -1279,6 +1279,15 @@ _DEPRIORITIZED = (
     "double_sorted_pick",
     "theta_join_pairs",
     "map_value_stats",
+    # round-6b rotation: displaced so the five new pipeline operators
+    # (chunk_dedup, unigram_logprob, decontaminate, semantic_dedup,
+    # mixture_sample) get driver rows; each demotee's family keeps an
+    # in-window certifier:
+    "winnow_rolling",  # ⊂ winnow_fingerprints (same winnowing family)
+    "embedding_quantize",  # ⊂ pq_topk/ivfpq_topk (quantization family)
+    "deterministic_sample",  # ≡ stratified_sample / mixture_sample [P6]
+    "topk_orderby_limit",  # T1 ≡ T3 cosine_topk + row_number ladders
+    "window_count",  # W1 ≡ W2 trimmed_block_stats + sessionize windows
 )
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

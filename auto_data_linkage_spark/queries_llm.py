@@ -1755,3 +1755,218 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STRATA_FRACTIONS,
         default_fraction=_STRATA_DEFAULT,
     ).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# Round 6: chunk-level exact substring dedup (Lee et al. 2022 analog),
+# corpus unigram-LM quality scoring, benchmark decontamination,
+# SemDeDup-style semantic dedup, and temperature-weighted domain mixing
+# --------------------------------------------------------------------------
+_CHUNK_WORDS = 8
+
+
+def _chunk_dedup_sql(c: int = _CHUNK_WORDS) -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS tk FROM documents),
+    cl AS (
+        SELECT doc_id,
+               list_transform(
+                 generate_series(
+                   0,
+                   CAST(GREATEST(CEIL(len(tk) / {float(c)!r}), 1) AS BIGINT) - 1),
+                 i -> array_to_string(list_slice(tk, i*{c}+1, i*{c}+{c}), ' ')
+               ) AS chunks
+        FROM tk
+    ),
+    ex AS (
+        SELECT doc_id, UNNEST(chunks) AS chunk,
+               GENERATE_SUBSCRIPTS(chunks, 1) - 1 AS pos
+        FROM cl
+    ),
+    kept AS (
+        SELECT doc_id, pos, chunk FROM (
+            SELECT doc_id, pos, chunk,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+            FROM ex
+        ) WHERE rn = 1
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               STRING_AGG(chunk, ' ' ORDER BY pos) AS dedup_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT c.doc_id, CAST(len(c.chunks) AS INT) AS n_chunks,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.dedup_text, '') AS dedup_text
+    FROM cl c LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register(
+    "chunk_dedup",
+    _chunk_dedup_sql(),
+    survey="LLM dedup: exact substring (chunk) dedup with reassembly",
+)
+def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.chunk_dedup(docs, chunk_words=_CHUNK_WORDS)
+
+
+def _unigram_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+    WITH ex AS (
+        SELECT doc_id, UNNEST({toks}) AS token FROM documents
+    ),
+    v AS (SELECT token, COUNT(*) AS cnt FROM ex GROUP BY token),
+    t AS (SELECT SUM(cnt) AS total FROM v),
+    p AS (
+        SELECT e.doc_id, COUNT(*) AS n_tokens, AVG(LOG2(v.cnt)) AS al
+        FROM ex e JOIN v USING (token) GROUP BY e.doc_id
+    )
+    SELECT p.doc_id, p.n_tokens,
+           ROUND(LOG2(t.total) - p.al, 6) AS avg_neg_logp
+    FROM p, t
+    """
+
+
+@register(
+    "unigram_logprob",
+    _unigram_sql(),
+    survey="LLM text analysis: corpus unigram-LM quality score",
+)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.lm import unigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    return unigram_logprob(docs)
+
+
+# word n-gram width. Published data cards use 8-13; the synthetic corpus
+# draws from a ~25-word vocabulary, so 5 is the width that yields a
+# non-degenerate (small, nonzero) overlap at the test scale factors
+_DECON_K = 5
+
+
+def _decon_sql(k: int = _DECON_K) -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   generate_series(1, GREATEST(len(toks) - {k - 1}, 1)),
+                   i -> array_to_string(toks[i : i + {k} - 1], ' ')
+                 )
+               ) AS sh
+        FROM tk
+    ),
+    bench AS (SELECT DISTINCT UNNEST(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+    tr_ex AS (SELECT doc_id, UNNEST(sh) AS s FROM train),
+    shared AS (
+        SELECT t.doc_id, COUNT(DISTINCT t.s) AS n_shared
+        FROM tr_ex t JOIN bench b ON t.s = b.s GROUP BY t.doc_id
+    )
+    SELECT tr.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
+           COALESCE(s.n_shared, 0) = 0 AS keep
+    FROM train tr LEFT JOIN shared s USING (doc_id)
+    """
+
+
+@register(
+    "decontaminate",
+    _decon_sql(),
+    survey="LLM pipeline: benchmark decontamination (n-gram overlap)",
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return D.decontaminate(train, bench, shingle_k=_DECON_K)
+
+
+_SEM_TAU = 0.3  # synthetic embeddings are near-orthogonal; see near_dup
+
+
+def _semantic_dedup_sql(tau: float = _SEM_TAU) -> str:
+    cos = (
+        "ROUND(list_dot_product(l.v, r.v)"
+        " / (sqrt(list_dot_product(l.v, l.v))"
+        " * sqrt(list_dot_product(r.v, r.v))), 6)"
+    )
+    return f"""
+    WITH RECURSIVE vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT l.vec_id AS src, r.vec_id AS dst
+        FROM vecs l JOIN vecs r
+          ON l.label = r.label AND l.vec_id < r.vec_id
+        WHERE {cos} >= {tau!r}
+    ),
+    sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    reach(node, other) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, reach.other FROM sym s JOIN reach ON s.dst = reach.node
+    ),
+    cc AS (SELECT node, MIN(other) AS component FROM reach GROUP BY node)
+    SELECT e.vec_id
+    FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node
+    WHERE COALESCE(cc.component, e.vec_id) = e.vec_id
+    """
+
+
+@register(
+    "semantic_dedup",
+    _semantic_dedup_sql(),
+    survey="LLM dedup: SemDeDup (cell-blocked cosine -> CC -> survivors)",
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(emb, threshold=_SEM_TAU)
+
+
+_MIX_ALPHA = 0.5
+_MIX_TARGET = 0.4
+
+
+def _mixture_sql(alpha: float = _MIX_ALPHA, target: float = _MIX_TARGET) -> str:
+    h = _sql_hash64("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    t AS (
+        SELECT SUM(cnt) AS total, SUM(POW(cnt, {alpha!r})) AS wsum FROM c
+    ),
+    r AS (
+        SELECT source,
+               LEAST(1.0, {target!r} * t.total * POW(c.cnt, {alpha!r})
+                          / (t.wsum * c.cnt)) AS rate
+        FROM c, t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE ({h} % 10000) < CAST(FLOOR(r.rate * 10000) AS BIGINT)
+    """
+
+
+@register(
+    "mixture_sample",
+    _mixture_sql(),
+    survey="LLM pipeline: temperature-weighted domain mixture sampling",
+)
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pack import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    return mixture_sample(
+        docs.select("doc_id", "source"),
+        "source",
+        alpha=_MIX_ALPHA,
+        target_fraction=_MIX_TARGET,
+    ).select("doc_id", "source")

@@ -55,6 +55,14 @@ BENCH_QUERIES = [
     "curate_documents",
     "pq_topk",
     "ivfpq_topk",
+    # round-6 pipeline operators: chunk-level exact substring dedup,
+    # corpus unigram-LM scoring, decontamination (broadcast anti-join),
+    # SemDeDup, and temperature-weighted mixture sampling
+    "chunk_dedup",
+    "unigram_logprob",
+    "decontaminate",
+    "semantic_dedup",
+    "mixture_sample",
 ]
 
 

@@ -1,0 +1,184 @@
+"""Unit tests for the round-6 pipeline operators: chunk-level exact
+substring dedup, corpus unigram-LM scoring, benchmark decontamination,
+semantic dedup, and temperature-weighted mixture sampling.
+
+Semantics are hand-checked on tiny synthetic frames (the cross-engine
+value check lives in the catalog oracles; these pin the algorithmic
+invariants on inputs small enough to verify by eye)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators.dedup import (
+    chunk_dedup,
+    decontaminate,
+    semantic_dedup,
+)
+from auto_data_linkage_spark.operators.lm import unigram_logprob
+from auto_data_linkage_spark.operators.pack import mixture_sample
+
+
+def _rows(df, *cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+# ------------------------------------------------------------ chunk_dedup
+def test_chunk_dedup_removes_repeated_chunk_keeps_first(spark):
+    # doc 2 repeats doc 1's first 2-word chunk; doc 1 (lower id) keeps it
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "p q")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(df, chunk_words=2).collect()}
+    assert out[1]["dedup_text"] == "a b c d"
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["dedup_text"] == "x y"
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["dedup_text"] == "p q"
+
+
+def test_chunk_dedup_within_doc_repetition_collapses(spark):
+    # the same chunk repeated INSIDE one document keeps its first position
+    df = spark.createDataFrame([(7, "a b a b a b")], ["doc_id", "text"])
+    (row,) = chunk_dedup(df, chunk_words=2).collect()
+    assert row["dedup_text"] == "a b"
+    assert row["n_chunks"] == 3 and row["n_kept"] == 1
+
+
+def test_chunk_dedup_fully_duplicated_doc_empties(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(df, chunk_words=4).collect()}
+    assert out[2]["n_kept"] == 0 and out[2]["dedup_text"] == ""
+    assert out[1]["n_kept"] == 1
+
+
+def test_chunk_dedup_tail_chunk_shorter_than_width(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    (row,) = chunk_dedup(df, chunk_words=2).collect()
+    assert row["dedup_text"] == "a b c"
+    assert row["n_chunks"] == 2
+
+
+# -------------------------------------------------------- unigram_logprob
+def test_unigram_logprob_values(spark):
+    # corpus: "a a b" + "b c" → counts a:2 b:2 c:1, total 5
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # doc 1: -avg(log2(2/5), log2(2/5), log2(2/5)) = log2(5/2)
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_neg_logp"] == pytest.approx(math.log2(5 / 2), abs=1e-6)
+    # doc 2: avg over log2(5/2), log2(5/1)
+    exp2 = (math.log2(5 / 2) + math.log2(5)) / 2
+    assert out[2]["avg_neg_logp"] == pytest.approx(exp2, abs=1e-6)
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    df = spark.createDataFrame(
+        [(i, "common words here") for i in range(5)] + [(99, "zzz qqq vvv")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["avg_neg_logp"] for r in unigram_logprob(df).collect()}
+    assert out[99] > out[0]
+
+
+def test_unigram_logprob_shuffle_join_path_matches(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c d e")], ["doc_id", "text"]
+    )
+    a = {tuple(r) for r in unigram_logprob(df, broadcast_vocab=True).collect()}
+    b = {tuple(r) for r in unigram_logprob(df, broadcast_vocab=False).collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------- decontaminate
+def test_decontaminate_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over me"),  # shares 5-grams
+            (2, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, shingle_k=5).collect()}
+    assert not out[1]["keep"] and out[1]["n_shared"] >= 1
+    assert out[2]["keep"] and out[2]["n_shared"] == 0
+
+
+def test_decontaminate_short_doc_whole_text_shingle(spark):
+    # docs shorter than k contribute their whole text as one shingle
+    bench = spark.createDataFrame([(9, "tiny text")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "tiny text"), (2, "other words")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["keep"] for r in decontaminate(docs, bench, shingle_k=5).collect()}
+    assert out == {1: False, 2: True}
+
+
+# --------------------------------------------------------- semantic_dedup
+def test_semantic_dedup_keeps_min_id_per_component(spark):
+    # cell 0: vecs 1,2 identical (dup) + 3 orthogonal; cell 1: 4 alone.
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.0, 1.0], 0),
+            (4, [1.0, 0.0], 1),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    kept = {r["vec_id"] for r in semantic_dedup(df, threshold=0.9).collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_semantic_dedup_cells_block_cross_cell_pairs(spark):
+    # identical vectors in DIFFERENT cells are not compared (by design —
+    # the cell assignment is the candidate-generation boundary)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 1)],
+        ["vec_id", "embedding", "label"],
+    )
+    kept = {r["vec_id"] for r in semantic_dedup(df, threshold=0.9).collect()}
+    assert kept == {1, 2}
+
+
+# --------------------------------------------------------- mixture_sample
+def test_mixture_sample_deterministic_and_alpha_rebalances(spark):
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = mixture_sample(df, "source", alpha=0.5, target_fraction=0.3)
+    b = mixture_sample(df, "source", alpha=0.5, target_fraction=0.3)
+    sa = _rows(a, "doc_id", "source")
+    assert sa == _rows(b, "doc_id", "source")  # deterministic membership
+    counts = {r["source"]: r["n"] for r in a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # alpha=0.5 up-samples the small source relative to its 10% share
+    frac_small = counts.get("small", 0) / 100
+    frac_big = counts.get("big", 0) / 900
+    assert frac_small > frac_big
+    total = sum(counts.values())
+    assert 0.15 < total / 1000 < 0.45  # near target, hash-slice variance
+
+
+def test_mixture_sample_alpha_one_is_uniform(spark):
+    rows = [(i, "a" if i % 2 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_sample(df, "source", alpha=1.0, target_fraction=0.5)
+    # alpha=1 → every stratum gets the same rate (= target_fraction)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s in ("a", "b"):
+        assert abs(counts[s] / 200 - 0.5) < 0.15
+
+
+def test_mixture_sample_rate_caps_at_one(spark):
+    # a tiny stratum whose rebalanced rate exceeds 1 is kept whole
+    rows = [(i, "big") for i in range(990)] + [(1000 + i, "tiny") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_sample(df, "source", alpha=0.1, target_fraction=0.5)
+    kept_tiny = out.where(F.col("source") == "tiny").count()
+    assert kept_tiny == 4
