@@ -187,3 +187,48 @@ def test_ivfpq_no_nested_loop_over_corpus(spark, sf_dir):
     # the corpus-side ADC join is equi on the cell id and broadcasts the
     # probe table, so the coded corpus never feeds a nested loop
     assert "BroadcastHashJoin [cell" in plan
+
+
+def test_round6_pipeline_ops_no_smj_no_python(spark, sf_dir):
+    """The five round-6 curation operators' scale contracts: every join
+    is a broadcast (the vocab / benchmark-shingle / rate / scalar-attach
+    sides are all bounded-small by construction), no sort-merge join, no
+    Python eval node anywhere."""
+    from auto_data_linkage_spark.plans.explain import physical_plan
+
+    for name in (
+        "chunk_dedup",
+        "unigram_logprob",
+        "decontaminate",
+        "semantic_dedup",
+        "mixture_sample",
+    ):
+        df = entry_mod.queries()[name](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" not in plan, name
+        assert "Python" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_chunk_dedup_two_hash_exchanges(spark, sf_dir):
+    """chunk_dedup's contract: one hash exchange keyed by chunk (the
+    global keep-decision window) + one keyed by id (reassembly) — the
+    text never shuffles a third time. The other two exchanges in the
+    catalog query are ensure_parallelism round-robin repartitions (one
+    per scan branch of the self-referencing left join), which vanish on
+    a properly row-grouped production table."""
+    df = entry_mod.queries()["chunk_dedup"](spark, sf_dir)
+    assert count_exchanges(df) <= 4
+
+
+def test_decontaminate_corpus_never_shuffles(spark, sf_dir):
+    """Decontamination's headline property: the corpus side is scanned
+    once and joined map-side against the broadcast benchmark-shingle
+    set; the only hash exchanges are the per-doc aggregate of shared
+    counts (bounded by contaminated docs) and the benchmark distinct."""
+    from auto_data_linkage_spark.plans.explain import physical_plan
+
+    df = entry_mod.queries()["decontaminate"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
