@@ -80,3 +80,56 @@ def unigram_logprob(
             F.log2("__total") - F.col("__avg_log_cnt"), 6
         ).alias("avg_neg_logp"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document bigram conditional log-probability score:
+    ``avg over positions i>=2 of -log2 p(t_i | t_{i-1})`` with
+    ``p(cur|prev) = count(prev,cur) / count(prev,·)`` estimated from the
+    corpus itself (unsmoothed MLE — every scored bigram is observed at
+    least once by construction, so no zero mass on the diagonal use).
+
+    Returns ``(id, n_bigrams, avg_neg_logp2)`` for documents with >= 2
+    tokens (shorter documents have no bigram evidence and are omitted —
+    pair with :func:`unigram_logprob` for full coverage).
+
+    Plan shape mirrors :func:`unigram_logprob` one order up: bigrams are
+    built by zipping the token array with its own shift (``slice`` +
+    ``zip_with`` — codegen, no self-join), exploded once; the bigram and
+    prefix count tables are Heaps'-law bounded and broadcast back; the
+    per-position surprise ``log2 c(prev,·) - log2 c(prev,cur)`` averages
+    in one hash aggregate. The per-row difference (NOT the difference of
+    averages) keeps float summation order identical to the SQL oracle.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bg = docs.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        F.col(id_col), F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+    c2 = bg.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("prev").agg(F.count("*").alias("c1"))
+    if broadcast_vocab:
+        c2, c1 = F.broadcast(c2), F.broadcast(c1)
+    scored = (
+        bg.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log2("c1") - F.log2("c2")), 6
+            ).alias("avg_neg_logp2"),
+        )
+    )
+    return scored

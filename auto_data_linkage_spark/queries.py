@@ -1288,6 +1288,9 @@ _DEPRIORITIZED = (
     "deterministic_sample",  # ≡ stratified_sample / mixture_sample [P6]
     "topk_orderby_limit",  # T1 ≡ T3 cosine_topk + row_number ladders
     "window_count",  # W1 ≡ W2 trimmed_block_stats + sessionize windows
+    "bigram_logprob",  # ⊂ LM-scoring family (in-window unigram_logprob);
+    #                    still driver-identically checked by
+    #                    tests/test_oracle_window.py
 )
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

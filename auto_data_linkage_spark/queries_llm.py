@@ -1970,3 +1970,41 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=_MIX_ALPHA,
         target_fraction=_MIX_TARGET,
     ).select("doc_id", "source")
+
+
+def _bigram_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    bg AS (
+        SELECT doc_id,
+               list_extract(toks, i) AS prev,
+               list_extract(toks, i + 1) AS cur
+        FROM (
+            SELECT doc_id, toks,
+                   UNNEST(generate_series(1, len(toks) - 1)) AS i
+            FROM tk
+        )
+    ),
+    c2 AS (SELECT prev, cur, COUNT(*) AS c FROM bg GROUP BY prev, cur),
+    c1 AS (SELECT prev, COUNT(*) AS c FROM bg GROUP BY prev)
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(LOG2(c1.c) - LOG2(c2.c)), 6) AS avg_neg_logp2
+    FROM bg b
+    JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+    JOIN c1 ON b.prev = c1.prev
+    GROUP BY b.doc_id
+    """
+
+
+@register(
+    "bigram_logprob",
+    _bigram_sql(),
+    survey="LLM text analysis: bigram conditional LM score (LM family; "
+    "driver row held by unigram_logprob)",
+)
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.lm import bigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    return bigram_logprob(docs)

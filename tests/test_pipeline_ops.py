@@ -182,3 +182,31 @@ def test_mixture_sample_rate_caps_at_one(spark):
     out = mixture_sample(df, "source", alpha=0.1, target_fraction=0.5)
     kept_tiny = out.where(F.col("source") == "tiny").count()
     assert kept_tiny == 4
+
+
+# --------------------------------------------------------- bigram_logprob
+def test_bigram_logprob_values(spark):
+    from auto_data_linkage_spark.operators.lm import bigram_logprob
+
+    # corpus bigram counts: (a,b):2 (a,c):2 (b,x):1 (x,a):1; prefix
+    # counts: a:4 b:1 x:1 — so p(b|a)=p(c|a)=1/2 (1 bit surprise) and
+    # p(x|b)=p(a|x)=1 (0 bits)
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a b x a c")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["avg_neg_logp2"] == pytest.approx(1.0, abs=1e-6)
+    assert out[2]["avg_neg_logp2"] == pytest.approx(1.0, abs=1e-6)
+    assert out[3]["n_bigrams"] == 4
+    assert out[3]["avg_neg_logp2"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_bigram_logprob_short_docs_omitted(spark):
+    from auto_data_linkage_spark.operators.lm import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, "two tokens")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"] for r in bigram_logprob(df).collect()}
+    assert out == {2}
