@@ -211,3 +211,83 @@ def test_salted_join_lossless_property(spark, rows, buckets, hot):
         if a < b
     }
     assert got == want
+
+
+# ------------------------------------------------- chunk_dedup properties
+chunk_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=1,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=chunk_texts, width=st.integers(min_value=1, max_value=4))
+def test_chunk_dedup_properties(spark, texts, width):
+    """Invariants of chunk-level exact dedup, any corpus / chunk width:
+
+    1. kept chunks are GLOBALLY unique (no surviving chunk text twice);
+    2. the union of kept chunk texts equals the distinct chunk set of
+       the input corpus (nothing invented, nothing lost);
+    3. the lowest-id document keeps exactly its own distinct chunks in
+       first-occurrence order (nothing earlier exists to displace them);
+    4. per-doc, n_kept <= n_chunks and the reassembled text is a
+       subsequence of the doc's original chunk sequence.
+    """
+    from auto_data_linkage_spark.operators.dedup import chunk_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in chunk_dedup(df, chunk_words=width).collect()}
+
+    def doc_chunks(t):
+        toks = t.split()
+        return [
+            " ".join(toks[i : i + width]) for i in range(0, len(toks), width)
+        ]
+
+    all_kept = []
+    expected_distinct = set()
+    for i, t in rows:
+        orig = doc_chunks(t)
+        expected_distinct.update(orig)
+        kept = (
+            _split_chunks(out[i]["dedup_text"], orig)
+            if out[i]["dedup_text"]
+            else []
+        )
+        # (4) subsequence check: walk orig, consuming kept in order
+        it = iter(orig)
+        assert all(any(k == o for o in it) for k in kept), (i, kept, orig)
+        assert out[i]["n_kept"] <= out[i]["n_chunks"] == len(orig)
+        all_kept.extend(kept)
+    # (1) global uniqueness
+    assert len(all_kept) == len(set(all_kept))
+    # (2) coverage
+    assert set(all_kept) == expected_distinct
+    # (3) first doc keeps its own distinct chunks, first occurrences
+    first = doc_chunks(texts[0])
+    expect_first = list(dict.fromkeys(first))
+    assert out[0]["dedup_text"] == " ".join(expect_first)
+
+
+def _split_chunks(dedup_text, orig_chunks):
+    """Re-split a reassembled text into its constituent original chunks
+    (greedy longest-prefix against the doc's own chunk sequence — chunk
+    widths vary at the tail, so a plain fixed-width split is wrong)."""
+    remaining = dedup_text
+    kept = []
+    for ch in orig_chunks:
+        if remaining == ch or remaining.startswith(ch + " "):
+            kept.append(ch)
+            remaining = remaining[len(ch) :].lstrip()
+    assert remaining == "", (dedup_text, orig_chunks, remaining)
+    return kept
