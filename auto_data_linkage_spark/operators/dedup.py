@@ -156,6 +156,37 @@ def minhash_bands(
     return F.array(*bands)
 
 
+def banded_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band, band_hash) LSH band table — the joinable (and
+    persistable) state form of the MinHash index. Four-phase projection:
+    shingles → base hashes → signature → bands, each referencing the
+    previous phase's column once (the md5 pass runs exactly once per
+    shingle, not once per hash function)."""
+    rows_per_band = num_hashes // num_bands
+    df = ensure_parallelism(df)
+    sig = df.select(
+        F.col(id_col), shingles(text_col, shingle_k).alias("__sh")
+    ).select(
+        F.col(id_col), minhash_base_hashes(F.col("__sh")).alias("__bh")
+    ).select(
+        F.col(id_col), minhash_from_base(F.col("__bh"), num_hashes).alias("sig")
+    )
+    return sig.select(
+        id_col,
+        F.explode(
+            minhash_bands(F.col("sig"), num_bands, rows_per_band)
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.band_hash")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -172,21 +203,10 @@ def minhash_lsh_candidates(
     16-byte-ish bucket id, so the shuffle moves (bucket, id) pairs only;
     pair count is Σ bucket-size² over genuinely-similar buckets.
     """
-    rows_per_band = num_hashes // num_bands
-    df = ensure_parallelism(df)
-    # four-phase projection: shingles → base hashes → signature → bands,
-    # each referencing the previous phase's column once (the md5 pass runs
-    # exactly once per shingle, not once per hash function)
-    sig = df.select(
-        F.col(id_col), shingles(text_col, shingle_k).alias("__sh")
-    ).select(
-        F.col(id_col), minhash_base_hashes(F.col("__sh")).alias("__bh")
-    ).select(
-        F.col(id_col), minhash_from_base(F.col("__bh"), num_hashes).alias("sig")
+    banded = banded_table(
+        df, text_col, id_col,
+        num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
     )
-    banded = sig.select(
-        id_col, F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
-    ).select(id_col, "b.band", "b.band_hash")
     # both sides of the self-join read this small (id, band, hash) table.
     # Eager localCheckpoint materializes the hashing subtree exactly once
     # WITHOUT pinning a SQL CacheManager entry: a plain .persist() here
@@ -629,5 +649,89 @@ def semantic_dedup(
         df.select(F.col(id_col).alias("node"))
         .join(comp, "node", "left")
         .where(F.coalesce(F.col("component"), F.col("node")) == F.col("node"))
+        .select(F.col("node").alias(id_col))
+    )
+
+
+# ------------------------------------------- incremental corpus dedup
+def incremental_near_dedup(
+    existing: DataFrame,
+    new: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dedup survivors of an ARRIVING batch against an immutable,
+    already-deduplicated corpus — the daily-increment form of
+    ``near_dedup_keep`` (a 100 TB pipeline re-deduplicates the delta,
+    never the corpus).
+
+    Semantics ("existing wins"): a new document is dropped iff its
+    within-batch LSH component (band-collision edges, the same edge
+    definition as ``near_dedup_keep``) contains ANY member that
+    band-collides with an existing document, or it is not the minimum-id
+    member of its component. Existing documents are never re-judged.
+
+    Returns the surviving ``(id)`` rows of ``new``.
+
+    Scale shape: all work is delta-sized —
+
+    - the batch's band table self-joins only within the batch;
+    - the batch-vs-corpus check is an equi-join on (band, band_hash)
+      against the corpus band table. Here the corpus side is derived
+      from ``existing`` on the fly; in production persist
+      :func:`banded_table`'s output once (it IS the index state — (id,
+      band, hash) rows, no text) and hand it in via ``existing`` being
+      that table (pass ``existing_banded=True`` semantics by
+      pre-computing; the join shape is identical);
+    - connected components run over within-batch edges only (delta²
+      bounded by LSH buckets, same Σ bucket² law as the batch operator).
+    """
+    from auto_data_linkage_spark.cluster import connected_components
+
+    kw = dict(num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k)
+    bn = banded_table(new, text_col, id_col, **kw).localCheckpoint(eager=True)
+    bo = banded_table(existing, text_col, id_col, **kw).select(
+        "band", "band_hash"
+    )
+    hits = (
+        bn.join(bo, ["band", "band_hash"], "semi")
+        .select(F.col(id_col).alias("__hit_id"))
+        .distinct()
+    )
+    left, right = bn.alias("l"), bn.alias("r")
+    edges = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("src"),
+            F.col(f"r.{id_col}").alias("dst"),
+        )
+        .distinct()
+    )
+    comp = connected_components(edges)
+    assign = (
+        new.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node"),
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
+    dropped = (
+        assign.join(hits, assign["node"] == hits["__hit_id"], "semi")
+        .select("component")
+        .distinct()
+    )
+    return (
+        assign.where(F.col("node") == F.col("component"))
+        .join(dropped, "component", "anti")
         .select(F.col("node").alias(id_col))
     )

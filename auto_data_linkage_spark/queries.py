@@ -1291,6 +1291,9 @@ _DEPRIORITIZED = (
     "bigram_logprob",  # ⊂ LM-scoring family (in-window unigram_logprob);
     #                    still driver-identically checked by
     #                    tests/test_oracle_window.py
+    "simhash",  # ⊂ simhash_near_pairs (superset: signature + banding +
+    #             popcount verify stay in-window); displaced so
+    #             incremental_dedup_docs gets a driver row
 )
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

@@ -2008,3 +2008,58 @@ def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return bigram_logprob(docs)
+
+
+def _incr_dedup_sql() -> str:
+    def band_eq(a: str, b: str) -> str:
+        return " OR ".join(
+            f"{a}.h{i} = {b}.h{i}" for i in range(_MH_HASHES)
+        )
+
+    return f"""
+    WITH RECURSIVE sig AS ({_minhash_sql().strip()}),
+    nw AS (SELECT * FROM sig WHERE doc_id % 10 = 0),
+    old AS (SELECT * FROM sig WHERE doc_id % 10 <> 0),
+    hits AS (
+        SELECT DISTINCT n.doc_id FROM nw n JOIN old o ON ({band_eq("n", "o")})
+    ),
+    pairs AS (
+        SELECT l.doc_id AS src, r.doc_id AS dst
+        FROM nw l JOIN nw r ON l.doc_id < r.doc_id AND ({band_eq("l", "r")})
+    ),
+    sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    reach(node, other) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, reach.other FROM sym s JOIN reach ON s.dst = reach.node
+    ),
+    cc AS (SELECT node, MIN(other) AS component FROM reach GROUP BY node),
+    comp AS (
+        SELECT n.doc_id, COALESCE(cc.component, n.doc_id) AS component
+        FROM nw n LEFT JOIN cc ON n.doc_id = cc.node
+    ),
+    dropped AS (
+        SELECT DISTINCT c.component FROM comp c JOIN hits h ON c.doc_id = h.doc_id
+    )
+    SELECT c.doc_id FROM comp c
+    WHERE c.doc_id = c.component
+      AND c.component NOT IN (SELECT component FROM dropped)
+    """
+
+
+@register(
+    "incremental_dedup_docs",
+    _incr_dedup_sql(),
+    survey="LLM dedup: incremental (delta-vs-corpus) near-dedup survivors",
+)
+def incremental_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    return D.incremental_near_dedup(
+        old,
+        new,
+        num_hashes=_MH_HASHES,
+        num_bands=_MH_HASHES,
+        shingle_k=_SHINGLE_K,
+    )

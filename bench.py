@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "semantic_dedup",
     "mixture_sample",
+    "incremental_dedup_docs",
 ]
 
 

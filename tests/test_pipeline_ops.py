@@ -210,3 +210,67 @@ def test_bigram_logprob_short_docs_omitted(spark):
     )
     out = {r["doc_id"] for r in bigram_logprob(df).collect()}
     assert out == {2}
+
+
+# ------------------------------------------------- incremental_near_dedup
+def _inc_kw():
+    return dict(num_hashes=4, num_bands=4, shingle_k=2)
+
+
+def test_incremental_dedup_existing_wins_and_min_id(spark):
+    from auto_data_linkage_spark.operators.dedup import incremental_near_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # dup of corpus -> drop
+            (11, "totally different words here now"),  # unique -> keep
+            (12, "totally different words here now"),  # dup of 11 -> drop
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {
+        r["doc_id"]
+        for r in incremental_near_dedup(existing, new, **_inc_kw()).collect()
+    }
+    assert kept == {11}
+
+
+def test_incremental_dedup_transitive_component_drops_with_hit(spark):
+    from auto_data_linkage_spark.operators.dedup import incremental_near_dedup
+
+    # 20 collides with the corpus; 21 collides with 20 (not with the
+    # corpus directly) -> the whole component drops, "existing wins"
+    existing = spark.createDataFrame(
+        [(1, "red green blue yellow purple")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (20, "red green blue yellow purple"),
+            (21, "red green blue yellow purple"),
+            (22, "unrelated fresh content entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {
+        r["doc_id"]
+        for r in incremental_near_dedup(existing, new, **_inc_kw()).collect()
+    }
+    assert kept == {22}
+
+
+def test_incremental_dedup_empty_corpus_equals_batch_dedup(spark):
+    from auto_data_linkage_spark.operators.dedup import incremental_near_dedup
+
+    existing = spark.createDataFrame([], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two three four"), (3, "five six seven eight")],
+        ["doc_id", "text"],
+    )
+    kept = {
+        r["doc_id"]
+        for r in incremental_near_dedup(existing, new, **_inc_kw()).collect()
+    }
+    assert kept == {1, 3}
