@@ -1,0 +1,81 @@
+"""Streaming document curation: batch/stream agreement driven through
+the memory sink (same harness as test_streaming)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+)
+from auto_data_linkage_spark.streaming.documents import (
+    curate_stream,
+    read_document_stream,
+    source_quality_stats,
+)
+from auto_data_linkage_spark.streaming.events import run_to_memory
+
+
+@pytest.fixture(scope="module")
+def doc_stream(spark, sf_dir):
+    return read_document_stream(spark, f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_batch(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _batch_gate(docs_batch):
+    c = F.col("text")
+    return docs_batch.select(
+        "doc_id",
+        F.round(quality_score(c), 6).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        doc_fingerprint(c).alias("fingerprint"),
+    ).where((F.col("quality") >= 0.5) & F.col("lang_pred").isin("en"))
+
+
+def test_curate_stream_matches_batch_identity_set(spark, doc_stream, docs_batch):
+    run_to_memory(curate_stream(doc_stream), "curated_docs")
+    out = spark.sql("select * from curated_docs")
+    gate = _batch_gate(docs_batch)
+    # first-arrival dedup: which member survives is arrival-order
+    # dependent, but the surviving FINGERPRINT SET and its size are not
+    assert out.count() == gate.select("fingerprint").distinct().count()
+    got = {r["fingerprint"] for r in out.select("fingerprint").collect()}
+    want = {r["fingerprint"] for r in gate.select("fingerprint").distinct().collect()}
+    assert got == want
+    # every survivor actually passes the gate
+    bad = out.where(
+        (F.col("quality") < 0.5) | (F.col("lang_pred") != "en")
+    ).count()
+    assert bad == 0
+
+
+def test_source_quality_stats_match_batch(spark, doc_stream, docs_batch):
+    run_to_memory(
+        source_quality_stats(doc_stream), "doc_stats", output_mode="complete"
+    )
+    out = {
+        r["source"]: (r["n_docs"], r["avg_quality"], r["pass_rate"])
+        for r in spark.sql("select * from doc_stats").collect()
+    }
+    c = F.col("text")
+    want = {
+        r["source"]: (r["n_docs"], r["avg_quality"], r["pass_rate"])
+        for r in docs_batch.select(
+            "source", F.round(quality_score(c), 6).alias("quality")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(
+                F.avg((F.col("quality") >= 0.5).cast("double")), 6
+            ).alias("pass_rate"),
+        )
+        .collect()
+    }
+    assert out == want
