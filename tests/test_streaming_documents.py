@@ -79,3 +79,58 @@ def test_source_quality_stats_match_batch(spark, doc_stream, docs_batch):
         .collect()
     }
     assert out == want
+
+
+def test_foreachbatch_incremental_near_dedup_maintenance(spark, sf_dir, tmp_path):
+    """The micro-batch near-dedup maintenance loop the module docstring
+    prescribes: each arriving batch runs incremental_near_dedup against
+    the accumulated survivor corpus inside foreachBatch. Driving the
+    whole documents table through in micro-batches must reproduce the
+    'existing wins' fold: every batch's survivors are disjoint from the
+    prior corpus by LSH collision, and a re-run of the incremental
+    check of the final corpus against itself below the id range finds
+    no further drops for isolated docs."""
+    from auto_data_linkage_spark.operators.dedup import incremental_near_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state_dir = str(tmp_path / "corpus")
+    kw = dict(num_hashes=4, num_bands=4, shingle_k=3)
+
+    # seed the corpus state with the first slice (batch-deduped)
+    seed = docs.where(F.col("doc_id") % 3 == 0)
+    empty = spark.createDataFrame([], docs.schema)
+    seed_kept = seed.join(
+        incremental_near_dedup(empty, seed, **kw), "doc_id", "semi"
+    )
+    seed_kept.write.mode("overwrite").parquet(state_dir)
+
+    def fold(batch_df, batch_id):
+        corpus = spark.read.parquet(state_dir)
+        survivors = batch_df.join(
+            incremental_near_dedup(corpus, batch_df, **kw), "doc_id", "semi"
+        )
+        survivors.write.mode("append").parquet(state_dir)
+
+    stream = read_document_stream(
+        spark, f"{sf_dir}/documents.parquet", max_files_per_trigger=1
+    )
+    arriving = stream.where(F.col("doc_id") % 3 != 0)
+    q = (
+        arriving.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    corpus = spark.read.parquet(state_dir)
+    n = corpus.count()
+    assert n > 0
+    # ids unique (no doc folded twice)
+    assert corpus.select("doc_id").distinct().count() == n
+    # fold refuses everything already represented: re-running the last
+    # arrivals against the final corpus drops them all
+    again = incremental_near_dedup(
+        corpus, corpus.where(F.col("doc_id") % 3 != 0).limit(20), **kw
+    )
+    assert again.count() == 0
