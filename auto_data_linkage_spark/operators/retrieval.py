@@ -1,0 +1,199 @@
+"""Lexical retrieval over document tables: BM25 inverted-index top-k.
+
+The reference repo has no lexical retrieval (its similarity surface is
+pairwise string comparators for linkage); this operator belongs to the
+LLM-training-data-pipeline brief — query-based corpus filtering,
+retrieval-based decontamination, and "find the documents most similar to
+this probe set" triage all reduce to sparse lexical top-k at corpus
+scale.
+
+Scoring is Lucene-flavoured Okapi BM25:
+
+    score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1)
+                             / (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+    idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+
+Scale shape (the whole point — never all-pairs):
+
+- The postings list (doc_id, term, tf, dl) is built by explode +
+  hash-aggregate. The shuffle carries exactly the distinct (doc, term)
+  pairs — i.e. the postings themselves, which any inverted index must
+  materialize — and map-side partial aggregation collapses repeated
+  terms before the exchange.
+- Document-frequency / idf stats are computed only for the terms that
+  actually occur in the query set: the term-stats aggregation is
+  semi-joined down to query terms BEFORE anything heavy, and the
+  resulting (term, idf) table — |query vocabulary| rows — broadcasts.
+- The corpus-side probe is ONE broadcast hash join of the postings
+  against that query-term table: the corpus never shuffles for the
+  probe; only matched postings (postings whose term appears in some
+  query) flow into the final (query_id, doc_id) score aggregation.
+- Global N / avgdl ride along inside the broadcast side, so no scalar
+  collect happens on the driver.
+
+Everything is built-in expressions (explode / hash-agg / broadcast join /
+window) — no UDFs, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators import text as X
+
+__all__ = ["doc_postings", "bm25_topk", "query_terms_from_docs"]
+
+
+def doc_postings(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted-index postings: one row per (doc, term) with the term
+    frequency and the document length (in tokens).
+
+    ``dl`` is computed row-locally before the explode and carried through
+    the aggregation as a grouping key (it is functionally dependent on
+    the doc id, so it adds no grouping cardinality).
+    """
+    toks = X.tokens(text_col)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def query_terms_from_docs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_terms: int = 8,
+) -> DataFrame:
+    """Derive a (query_id, term) probe set from documents themselves:
+    the distinct first ``n_terms`` tokens of each document. Used by the
+    catalog query so the probe set is deterministic and oracle-twinned."""
+    toks = X.tokens(text_col)
+    return docs.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array_distinct(F.slice(toks, 1, n_terms))).alias("term"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exclude_self: bool = False,
+    materialize: bool = True,
+) -> DataFrame:
+    """Top-``k`` BM25-scored documents per query.
+
+    ``queries`` must have columns (``query_id``, ``term``) — one row per
+    query term (see :func:`query_terms_from_docs`). Duplicate (query_id,
+    term) rows are collapsed so repeated terms score once, matching the
+    set semantics of the SQL oracle.
+
+    Scores are rounded to 6 decimals BEFORE ranking and ties break on
+    doc_id, so the result is deterministic and cross-engine stable.
+
+    ``exclude_self`` drops hits where the matched doc IS the query doc —
+    for probe sets derived from the corpus itself.
+
+    Returns (query_id, doc_id, bm25, rank).
+    """
+    qterms = queries.select("query_id", "term").distinct()
+    if materialize:
+        # the query-term set is tiny but feeds three broadcast builds
+        # (qterms, qvocab, probe) — each would re-run the caller's probe
+        # derivation without this
+        qterms = qterms.localCheckpoint(eager=False)
+
+    # Tokenize the corpus ONCE. The tokenized projection feeds both the
+    # global stats aggregate and the postings build; each consumer runs
+    # as its own job (stats ride a broadcast), and without the checkpoint
+    # Catalyst re-runs the regex tokenize per consumer — measured 4 full
+    # corpus passes, ~10× the operator's wall time at bench scale. With
+    # ``materialize=False`` the plan stays fully declarative (no executor
+    # storage) for corpora too large to pin — the scan then runs once per
+    # consumer, which a 100 TB caller may well prefer to caching.
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), X.tokens(text_col).alias("tk")
+    ).withColumn("dl", F.size("tk"))
+    if materialize:
+        tk = tk.localCheckpoint(eager=False)
+
+    # Corpus-global stats; joined onto the (tiny) query-vocabulary side
+    # below so the values ride inside the broadcast, not a driver collect.
+    stats = tk.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+
+    # Query-vocabulary postings: filter exploded tokens against the
+    # broadcast vocabulary BEFORE the tf aggregate (the hash-agg only
+    # sees matching tokens), and materialize the result — it feeds both
+    # the df/idf aggregation and the probe join.
+    qvocab = qterms.select("term").distinct()
+    posts = (
+        tk.select("doc_id", "dl", F.explode("tk").alias("term"))
+        .join(F.broadcast(qvocab), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    if materialize:
+        posts = posts.localCheckpoint(eager=False)
+
+    # df/idf over the (already query-vocabulary-sized) postings. A doc
+    # appears once per distinct term in `posts`, so count(*) per term IS
+    # the document frequency.
+    dfs = (
+        posts.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "avgdl",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+
+    # One broadcast probe: (query_id, term, idf, avgdl) against postings.
+    # Both sides of this prep join are query-vocabulary-sized; hint the
+    # broadcast so it never falls to a sort-merge exchange.
+    probe = qterms.join(F.broadcast(dfs), "term")
+    matched = posts.join(F.broadcast(probe), "term")
+    if exclude_self:
+        matched = matched.where(F.col("doc_id") != F.col("query_id"))
+
+    contrib = F.col("idf") * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        matched.select("query_id", "doc_id", contrib.alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )

@@ -1294,6 +1294,10 @@ _DEPRIORITIZED = (
     "simhash",  # ⊂ simhash_near_pairs (superset: signature + banding +
     #             popcount verify stay in-window); displaced so
     #             incremental_dedup_docs gets a driver row
+    "global_agg",  # A2 ⊂ groupby_agg's hash-agg family (same partial-agg
+    #                plan minus grouping keys; entry() also smoke-runs the
+    #                family every round); displaced so bm25_topk gets a
+    #                driver row
 )
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

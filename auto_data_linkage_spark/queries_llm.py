@@ -625,6 +625,68 @@ def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5, dim=64, n_planes=12, band_bits=6)
 
 
+# Lexical retrieval: BM25 inverted-index top-k. Probe set = distinct first
+# 8 tokens of every 100th document; scores rounded to 6 decimals BEFORE
+# ranking in both engines so ties (and hashes) agree cross-engine.
+_BM25_SQL = f"""
+    WITH dls AS (
+        SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS tk,
+               len({_SQL_TOKENS.format(c='text')}) AS dl
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls),
+    posts AS (
+        SELECT doc_id, dl, UNNEST(tk) AS term FROM dls
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf FROM posts GROUP BY 1, 2, 3
+    ),
+    q AS (
+        SELECT DISTINCT doc_id AS query_id,
+               UNNEST(list_distinct(list_slice(tk, 1, 8))) AS term
+        FROM dls WHERE doc_id % 100 = 0
+    ),
+    dfs AS (
+        SELECT tf.term, COUNT(*) AS df FROM tf
+        WHERE tf.term IN (SELECT term FROM q) GROUP BY 1
+    ),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               ROUND(SUM(
+                 ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                 * tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+               ), 6) AS bm25
+        FROM q
+        JOIN tf ON tf.term = q.term
+        JOIN dfs ON dfs.term = q.term
+        CROSS JOIN stats s
+        WHERE tf.doc_id <> q.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, bm25, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register(
+    "bm25_topk",
+    _BM25_SQL,
+    survey="LLM retrieval: BM25 inverted-index top-k (lexical scale path)",
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators import retrieval as R
+
+    docs = _docs(spark, sf_dir)
+    probes = R.query_terms_from_docs(
+        docs.where(F.col("doc_id") % 100 == 0), n_terms=8
+    )
+    return R.bm25_topk(docs, probes, k=5, exclude_self=True)
+
+
 @register(
     "embedding_near_dup",
     """

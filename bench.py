@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "mixture_sample",
     "incremental_dedup_docs",
+    # lexical retrieval: BM25 broadcast-probed inverted index
+    "bm25_topk",
 ]
 
 

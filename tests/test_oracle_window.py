@@ -45,6 +45,7 @@ def test_front_window_fits_driver_gate():
         "ivfpq_topk",
         "pack_sequences",
         "stratified_sample",
+        "bm25_topk",
     ):
         assert name in front, f"{name} fell out of the driver window"
 
