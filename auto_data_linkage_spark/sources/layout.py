@@ -1,0 +1,115 @@
+"""Corpus layout sinks: file-size-disciplined partitioned writes,
+small-file compaction, and partition manifests.
+
+These address the storage problems a 100 TB curation pipeline actually
+hits, which the plain ``df.write.partitionBy(...)`` call does not:
+
+- **Small-files explosion**: without a repartition on the partition
+  columns, every one of the N shuffle tasks writes a file into every
+  partition directory it holds rows for — O(tasks × partitions) files.
+  :func:`write_corpus` repartitions on the partition columns first
+  (optionally salted to ``files_per_partition`` when single partitions
+  are too large for one task), so each partition directory gets a
+  bounded, predictable file count.
+- **Oversized files**: ``maxRecordsPerFile`` caps rows per file so a hot
+  partition still splits into scannable units.
+- **Scan-time clustering**: ``sort_by`` applies a
+  ``sortWithinPartitions`` before the write, so parquet min/max column
+  statistics become selective — downstream range predicates on the sort
+  key skip whole row groups without any index structure.
+- **Compaction** (:func:`compact_corpus`): curation deltas accumulate
+  small files; re-write a partition subtree into size-targeted files.
+- **Manifest** (:func:`corpus_manifest`): per-partition row counts and
+  sort-key min/max as a DataFrame — the audit artifact for "did the
+  layout actually prune".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    files_per_partition: int = 1,
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Partition-pruned, file-count-bounded, statistics-clustered write.
+
+    ``files_per_partition`` > 1 salts the repartition key with a
+    per-row hash bucket so one oversized partition value spreads across
+    that many tasks/files instead of bottlenecking on a single task —
+    the writer-side analog of the salted blocking join.
+    """
+    parts = [F.col(c) for c in partition_by]
+    if files_per_partition > 1:
+        salt = (
+            F.abs(F.xxhash64(*[F.col(c) for c in df.columns]))
+            % files_per_partition
+        )
+        out = df.repartition(*parts, salt.alias("__file_bucket"))
+    else:
+        out = df.repartition(*parts)
+    if sort_by:
+        out = out.sortWithinPartitions(*[F.col(c) for c in sort_by])
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def compact_corpus(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    target_rows_per_file: int = 5_000_000,
+) -> int:
+    """Rewrite a corpus directory into size-targeted files.
+
+    Reads the existing layout (partition columns come back from the
+    directory structure), sizes the file count per partition from actual
+    row counts, and rewrites via :func:`write_corpus`. Returns the total
+    row count rewritten. The read and write use distinct Spark jobs, so
+    the rewrite is atomic only at partition-directory granularity —
+    callers wanting atomicity should write to a new root and swap.
+    """
+    df = spark.read.parquet(path)
+    total = df.count()
+    files = max(1, -(-total // target_rows_per_file))  # ceil
+    compacted = path.rstrip("/") + "__compact"
+    write_corpus(
+        df,
+        compacted,
+        partition_by=partition_by,
+        sort_by=sort_by,
+        files_per_partition=files,
+        max_records_per_file=target_rows_per_file,
+    )
+    return total
+
+
+def corpus_manifest(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_by: list[str],
+    stat_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-partition row counts and min/max of ``stat_cols`` — one
+    aggregation job; the scan prunes to the listed columns only."""
+    df = spark.read.parquet(path)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in stat_cols or []:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(*partition_by).agg(*aggs)
