@@ -142,6 +142,67 @@ def ngram_jaccard(left: Column, right: Column, n: int = 3) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+# Soundex-style letter→code map (A..Z): vowels/H/W/Y → 0 (separators),
+# consonant classes 1-6 as in classic soundex.
+PHONETIC_MAP = "01230120022455012623010202"
+
+
+def phonetic_key(col: Column | str) -> Column:
+    """Soundex-style phonetic blocking key, pure built-in expressions.
+
+    Spec (deliberately backreference-free so the identical operation
+    chain runs on engines whose regex lacks ``\\1``, e.g. RE2):
+
+    1. uppercase, strip non-letters;
+    2. map every letter to its class digit via :data:`PHONETIC_MAP`;
+    3. collapse runs of each digit (seven chained ``d+ → d`` replaces —
+       equivalent to the classic adjacent-duplicate collapse);
+    4. drop the separator zeros;
+    5. key = first letter + next three class digits, zero-padded.
+
+    This is classic soundex minus the H/W bridging rule (two letters of
+    the same class separated only by H/W still code twice here). As a
+    BLOCKING key that difference only splits a handful of candidate
+    blocks; it never corrupts scoring, which happens on the raw strings.
+    Empty/non-alphabetic input yields the empty string key.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    letters = F.regexp_replace(F.upper(c), "[^A-Z]", "")
+    coded = F.translate(letters, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", PHONETIC_MAP)
+    for d in "0123456":
+        coded = F.regexp_replace(coded, f"{d}+", d)
+    digits = F.replace(coded, F.lit("0"), F.lit(""))
+    key = F.concat(
+        F.substring(letters, 1, 1), F.rpad(F.substring(digits, 2, 3), 3, "0")
+    )
+    # NULL propagates (so equi-join blocking drops unkeyed rows instead
+    # of clumping them into one mega-block); non-alphabetic input → ''.
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(F.length(letters) > 0, key)
+        .otherwise(F.lit(""))
+    )
+
+
+def phonetic_key_sql(expr: str) -> str:
+    """DuckDB twin of :func:`phonetic_key` — same operation chain, kept
+    in lockstep for the catalog oracles."""
+    letters = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    coded = (
+        f"translate({letters}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+        f"'{PHONETIC_MAP}')"
+    )
+    for d in "0123456":
+        coded = f"regexp_replace({coded}, '{d}+', '{d}', 'g')"
+    digits = f"replace({coded}, '0', '')"
+    return (
+        f"CASE WHEN {expr} IS NULL THEN NULL "
+        f"WHEN length({letters}) > 0 THEN "
+        f"concat(substr({letters}, 1, 1), rpad(substr({digits}, 2, 3), 3, '0')) "
+        f"ELSE '' END"
+    )
+
+
 @dataclass(frozen=True)
 class Comparison:
     """One attribute column's 3-level comparison (exact / fuzzy / else).

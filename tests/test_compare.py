@@ -81,3 +81,39 @@ def test_gamma_exact_method(spark):
     comp = Comparison("c", "exact", 0)
     got = [r[comp.gamma_name] for r in df.select(comp.gamma_expr()).collect()]
     assert got == [2, 0]
+
+
+def test_phonetic_key_known_values(spark):
+    from auto_data_linkage_spark.compare import phonetic_key
+
+    cases = [
+        ("Robert", "R163"),
+        ("Rupert", "R163"),      # classic soundex collision
+        ("Ashcraft", "A261"),    # no H/W bridge in this spec (vs A226/A261 variants)
+        ("honeyman", "H550"),
+        ("", ""),
+        ("123", ""),             # non-alphabetic -> empty key
+        (None, None),            # NULL propagates (drops out of equi-joins)
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = [r.k for r in df.select(phonetic_key("s").alias("k")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_phonetic_key_sql_twin_parity(spark):
+    import duckdb
+
+    from auto_data_linkage_spark.compare import phonetic_key, phonetic_key_sql
+
+    samples = [
+        "Robert", "Tymczak", "Pfister", "Washington DC", "goldenrod",
+        "lavender", "x", "LLAMA", "aeiou", "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    sp = [r.k for r in df.select(phonetic_key("s").alias("k")).collect()]
+    con = duckdb.connect()
+    dk = [
+        con.execute("SELECT " + phonetic_key_sql(f"'{s}'")).fetchone()[0]
+        for s in samples
+    ]
+    assert sp == dk

@@ -46,6 +46,7 @@ def test_front_window_fits_driver_gate():
         "pack_sequences",
         "stratified_sample",
         "bm25_topk",
+        "phonetic_blocking_pairs",
     ):
         assert name in front, f"{name} fell out of the driver window"
 
