@@ -664,6 +664,59 @@ def phonetic_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Z-order (Morton) layout clustering: per-column exact-integer scaling +
+# bit interleave (operators/zorder.py). The oracle replays the identical
+# BIGINT arithmetic, generated from the same (bits, column-order)
+# parameters, so z-values are bit-identical cross-engine.
+# --------------------------------------------------------------------------
+_Z_BITS = 8
+
+
+def _zorder_sql_entry() -> str:
+    n = 2
+    terms = " | ".join(
+        f"(((c{j} >> {i}) & 1) << {i * n + j})"
+        for i in range(_Z_BITS)
+        for j in range(n)
+    )
+    top = (1 << _Z_BITS) - 1
+    return f"""
+    WITH stats AS (
+        SELECT MIN(l_partkey) AS mn0, MAX(l_partkey) AS mx0,
+               MIN(l_suppkey) AS mn1, MAX(l_suppkey) AS mx1
+        FROM lineitem
+    ),
+    codes AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN mx0 > mn0
+                    THEN ((l_partkey - mn0) * {top}) // (mx0 - mn0)
+                    ELSE 0 END AS c0,
+               CASE WHEN mx1 > mn1
+                    THEN ((l_suppkey - mn1) * {top}) // (mx1 - mn1)
+                    ELSE 0 END AS c1
+        FROM lineitem, stats
+    )
+    SELECT l_orderkey, l_linenumber, {terms} AS zval FROM codes
+    """
+
+
+@register(
+    "zorder_values",
+    _zorder_sql_entry(),
+    survey="layout clustering: Morton z-value (multi-column scan pruning)",
+)
+def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.zorder import zvalue
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return zvalue(
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        ["l_partkey", "l_suppkey"],
+        bits=_Z_BITS,
+    ).select("l_orderkey", "l_linenumber", "zval")
+
+
+# --------------------------------------------------------------------------
 # §2.9 — token-set Jaccard via array built-ins (no UDF)
 # --------------------------------------------------------------------------
 @register(
@@ -1355,6 +1408,9 @@ _DEPRIORITIZED = (
     "events_dedup_first",  # 5th streaming-family row (tumbling, sessionize,
     #                        asof, interval stay in-window); displaced so
     #                        phonetic_blocking_pairs gets a driver row
+    "repetition_features",  # 4th text-analysis row (text_features,
+    #                         quality_score, pii_scrub stay in-window);
+    #                         displaced so zorder_values gets a driver row
 )
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's
