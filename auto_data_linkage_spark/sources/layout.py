@@ -98,6 +98,99 @@ def compact_corpus(
     return total
 
 
+def upsert_corpus(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    *,
+    key: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    max_records_per_file: int = 5_000_000,
+) -> dict:
+    """Merge a delta into a partitioned parquet corpus, rewriting ONLY
+    the partition directories the delta touches — the plain-parquet
+    equivalent of ``MERGE INTO`` with partition-granular atomicity.
+
+    Semantics: within touched partitions, a corpus row whose ``key``
+    appears in the delta is replaced; all delta rows are inserted.
+    Untouched partition directories are not read, not rewritten, and
+    keep their files byte-identical — at 100 TB the rewrite cost is
+    proportional to the delta's partition footprint, never the corpus.
+
+    Mechanics:
+
+    - the touched partition values come from one tiny distinct on the
+      delta (collected — bounded by the delta's partition fan-out, which
+      a sane ingest keeps small);
+    - only those partitions are scanned: the values become a
+      planning-time partition filter, so untouched directories are
+      pruned before any file is listed;
+    - replaced keys drop via a broadcast left-anti join on ``key``;
+    - the rewrite goes through :func:`write_corpus` into the same
+      directories with dynamic partition overwrite, so concurrent
+      readers of OTHER partitions are never disturbed.
+
+    Returns ``{"partitions": n_touched, "rows_written": n}``.
+    """
+    touched = [
+        tuple(r[c] for c in partition_by)
+        for r in delta.select(*partition_by).distinct().collect()
+    ]
+    # prune via a planning-time partition filter (isin / OR-of-ANDs)
+    # rather than hand-built directory paths — Spark then handles
+    # partition-value escaping, so no touched partition can be silently
+    # missed (which would drop its surviving rows on overwrite)
+    if len(partition_by) == 1:
+        cond = F.col(partition_by[0]).isin([v[0] for v in touched])
+    else:
+        cond = None
+        for vals in touched:
+            one = None
+            for c, v in zip(partition_by, vals):
+                expr = F.col(c) == F.lit(v)
+                one = expr if one is None else (one & expr)
+            cond = one if cond is None else (cond | one)
+
+    from pyspark.errors import AnalysisException
+
+    merged = delta
+    try:
+        old = spark.read.parquet(path).where(cond).select(*delta.columns)
+        keep = old.join(
+            F.broadcast(delta.select(key).distinct()), key, "left_anti"
+        )
+        # materialize BEFORE the overwrite: the merged plan reads the
+        # very files the write replaces (Spark rejects same-path
+        # read+overwrite, and a lazy plan would otherwise re-read
+        # post-overwrite data for any later action)
+        merged = keep.unionByName(delta).localCheckpoint(eager=True)
+    except AnalysisException as e:
+        # ONLY the first-ingest case (corpus path absent) may fall back
+        # to insert-only; any other failure must abort, or the overwrite
+        # below would silently drop the touched partitions' old rows
+        if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
+            raise
+        merged = delta
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out = merged.repartition(*[F.col(c) for c in partition_by])
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
+        (
+            out.write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    n = merged.count()  # safe: checkpointed, no file-source lineage
+    return {"partitions": len(touched), "rows_written": n}
+
+
 def corpus_manifest(
     spark: SparkSession,
     path: str,

@@ -120,3 +120,66 @@ def test_corpus_manifest_counts_and_ranges(spark, corpus, tmp_path):
     assert got == want
     for r in man:
         assert r.min_doc_id <= r.max_doc_id
+
+
+def test_upsert_corpus_merges_and_preserves_untouched(spark, corpus, tmp_path):
+    root = str(tmp_path / "upsert")
+    L.write_corpus(corpus, root, partition_by=["lang"], sort_by=["doc_id"])
+    untouched_before = {
+        f: os.path.getmtime(f)
+        for f in _parquet_files(root)
+        if "lang=en" not in f
+    }
+    en = [r.doc_id for r in corpus.where("lang = 'en'").limit(2).collect()]
+    delta = spark.createDataFrame(
+        [
+            (en[0], "replaced text", "en", "src_new"),   # update
+            (10_000_001, "brand new doc", "en", "src_new"),  # insert
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    res = L.upsert_corpus(
+        spark, root, delta, key="doc_id", partition_by=["lang"]
+    )
+    assert res["partitions"] == 1
+    back = spark.read.parquet(root)
+    assert back.count() == corpus.count() + 1
+    got = {r.doc_id: r.text for r in back.where("lang = 'en'").collect()}
+    assert got[en[0]] == "replaced text"
+    assert got[10_000_001] == "brand new doc"
+    assert en[1] in got  # survivor kept
+    # untouched partitions: same files, untouched on disk
+    untouched_after = {
+        f: os.path.getmtime(f)
+        for f in _parquet_files(root)
+        if "lang=en" not in f
+    }
+    assert untouched_after == untouched_before
+
+
+def test_upsert_corpus_first_ingest(spark, corpus, tmp_path):
+    root = str(tmp_path / "fresh")
+    delta = corpus.limit(10)
+    res = L.upsert_corpus(
+        spark, root, delta, key="doc_id", partition_by=["lang"]
+    )
+    assert res["rows_written"] == 10
+    assert spark.read.parquet(root).count() == 10
+
+
+def test_upsert_corpus_multi_partition_cols(spark, corpus, tmp_path):
+    root = str(tmp_path / "multi")
+    L.write_corpus(corpus, root, partition_by=["lang", "source"])
+    one = corpus.limit(1).collect()[0]
+    delta = spark.createDataFrame(
+        [(one.doc_id, "patched", one.lang, one.source)],
+        "doc_id long, text string, lang string, source string",
+    )
+    L.upsert_corpus(
+        spark, root, delta, key="doc_id", partition_by=["lang", "source"]
+    )
+    back = spark.read.parquet(root)
+    assert back.count() == corpus.count()
+    assert (
+        back.where(back.doc_id == one.doc_id).collect()[0].text == "patched"
+    )
