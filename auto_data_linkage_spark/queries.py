@@ -1411,6 +1411,9 @@ _DEPRIORITIZED = (
     "repetition_features",  # 4th text-analysis row (text_features,
     #                         quality_score, pii_scrub stay in-window);
     #                         displaced so zorder_values gets a driver row
+    "lsh_topk",  # 5th ANN-family row (cosine, ivf, pq, ivfpq stay
+    #              in-window); displaced so count_min_tokens — a family
+    #              with no other driver row — gets one
 )
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

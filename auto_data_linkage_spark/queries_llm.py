@@ -625,6 +625,60 @@ def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5, dim=64, n_planes=12, band_bits=6)
 
 
+# Count-min sketch over document tokens: build (depth x width cells via
+# the portable md5 hash), then point-query every distinct token. The
+# oracle replays the identical hashing/bucketing, so estimates (including
+# any collision inflation) are bit-identical cross-engine.
+_CM_W, _CM_D = 256, 3
+
+
+def _count_min_sql() -> str:
+    tok = _SQL_TOKENS.format(c="text")
+    hash_for = lambda r: (  # noqa: E731 - tiny local template
+        f"(CAST(CONCAT('0x', SUBSTR(md5(CONCAT('{r}|', term)), 1, 15)) "
+        f"AS BIGINT) % {_CM_W})"
+    )
+    cell_rows = " UNION ALL ".join(
+        f"SELECT term, {r} AS hash_row, {hash_for(r)} AS bucket FROM toks"
+        for r in range(_CM_D)
+    )
+    qcell_rows = " UNION ALL ".join(
+        f"SELECT term, {r} AS hash_row, {hash_for(r)} AS bucket FROM q"
+        for r in range(_CM_D)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT UNNEST({tok}) AS term FROM documents
+    ),
+    cells AS ({cell_rows}),
+    sketch AS (
+        SELECT hash_row, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2
+    ),
+    q AS (SELECT DISTINCT term FROM toks),
+    qcells AS ({qcell_rows})
+    SELECT qc.term, MIN(COALESCE(s.cnt, 0)) AS est
+    FROM qcells qc
+    LEFT JOIN sketch s
+      ON s.hash_row = qc.hash_row AND s.bucket = qc.bucket
+    GROUP BY qc.term
+    """
+
+
+@register(
+    "count_min_tokens",
+    _count_min_sql(),
+    survey="approximate aggregation: count-min sketch build + point query",
+)
+def count_min_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators import sketch as SK
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(X.tokens("text")).alias("term"))
+    cms = SK.count_min_build(toks, "term", width=_CM_W, depth=_CM_D)
+    items = toks.select("term").distinct()
+    return SK.count_min_query(cms, items, "term", width=_CM_W, depth=_CM_D)
+
+
 # Lexical retrieval: BM25 inverted-index top-k. Probe set = distinct first
 # 8 tokens of every 100th document; scores rounded to 6 decimals BEFORE
 # ranking in both engines so ties (and hashes) agree cross-engine.

@@ -52,6 +52,13 @@ def get_spark(
         # Iterative algorithms (connected components, EM) checkpoint to
         # truncate lineage; local dir works in local mode, DFS on a cluster.
         .config("spark.checkpoint.compress", "true")
+        # Runtime bloom-filter join pruning (off by default): when a
+        # selective join's build side is too large to broadcast — e.g.
+        # a delta-vs-corpus anti-join whose delta outgrew the broadcast
+        # threshold — the optimizer injects a bloom filter on the probe
+        # side, pruning shuffle input at the scan. Free locally, decisive
+        # at cluster scale.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -47,6 +47,8 @@ def test_front_window_fits_driver_gate():
         "stratified_sample",
         "bm25_topk",
         "phonetic_blocking_pairs",
+        "zorder_values",
+        "count_min_tokens",
     ):
         assert name in front, f"{name} fell out of the driver window"
 
