@@ -24,7 +24,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from auto_data_linkage_spark.operators.text import md5_hash64
+from auto_data_linkage_spark.operators.text import md5_hash64, tokens
+
+
+def split_chunks(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-training / retrieval-index preparation step.
+
+    One row per chunk: (doc_id, chunk_idx, chunk_text, n_tokens). Chunk
+    ``i`` starts at token ``i·(chunk_tokens − overlap)``; the final
+    chunk may be shorter; empty documents produce no chunks. Entirely
+    row-local (tokenize → sequence of starts → posexplode → slice), so
+    the operator adds NO shuffle — chunks inherit the input partitioning,
+    which is exactly what a downstream per-chunk map or dedup wants.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__tk"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    piece = F.slice(F.col("__tk"), F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
 
 
 def pack_sequences(

@@ -1414,6 +1414,10 @@ _DEPRIORITIZED = (
     "lsh_topk",  # 5th ANN-family row (cosine, ivf, pq, ivfpq stay
     #              in-window); displaced so count_min_tokens — a family
     #              with no other driver row — gets one
+    "distinct_counts",  # A8 single-primitive (max of count-distincts);
+    #                     the count family keeps combo_counts, entropy,
+    #                     count_min_tokens in-window; displaced so
+    #                     split_chunks gets a driver row
 )
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

@@ -625,6 +625,44 @@ def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5, dim=64, n_planes=12, band_bits=6)
 
 
+# Overlapping token-window chunking (chunk 32, overlap 8): row-local
+# tokenize -> start sequence -> explode -> slice; zero shuffle.
+_CHUNK_N, _CHUNK_OV = 32, 8
+
+
+def _split_chunks_sql() -> str:
+    stride = _CHUNK_N - _CHUNK_OV
+    tok = _SQL_TOKENS.format(c="text")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {tok} AS tk FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, tk,
+               UNNEST(generate_series(0, len(tk) - 1, {stride})) AS s
+        FROM base WHERE len(tk) > 0
+    )
+    SELECT doc_id,
+           s // {stride} AS chunk_idx,
+           array_to_string(list_slice(tk, s + 1, s + {_CHUNK_N}), ' ')
+               AS chunk_text,
+           len(list_slice(tk, s + 1, s + {_CHUNK_N})) AS n_tokens
+    FROM starts
+    """
+
+
+@register(
+    "split_chunks",
+    _split_chunks_sql(),
+    survey="LLM prep: overlapping token-window chunk split (row-local)",
+)
+def split_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pack import split_chunks
+
+    docs = _docs(spark, sf_dir)
+    return split_chunks(docs, chunk_tokens=_CHUNK_N, overlap=_CHUNK_OV)
+
+
 # Count-min sketch over document tokens: build (depth x width cells via
 # the portable md5 hash), then point-query every distinct token. The
 # oracle replays the identical hashing/bucketing, so estimates (including

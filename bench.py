@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "incremental_dedup_docs",
     # lexical retrieval: BM25 broadcast-probed inverted index
     "bm25_topk",
+    # round-6c: phonetic blocking, z-order clustering, count-min sketch
+    "phonetic_blocking_pairs",
+    "zorder_values",
+    "count_min_tokens",
 ]
 
 

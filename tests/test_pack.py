@@ -89,3 +89,44 @@ def test_stratified_sample_default_fraction(spark):
     assert stratified_sample(df, "lang", {"en": 0.9}).count() == 0  # default 0
     some = stratified_sample(df, "lang", {}, default_fraction=0.3).count()
     assert 0.2 < some / 500 < 0.4
+
+
+def test_split_chunks_coverage_and_overlap(spark):
+    from auto_data_linkage_spark.operators.pack import split_chunks
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        split_chunks(df, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # stride 3 over 10 tokens -> starts 0,3,6,9
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w3 w4 w5 w6"  # 1-token overlap
+    assert rows[3].chunk_text == "w9"           # short tail
+    assert [r.n_tokens for r in rows] == [4, 4, 4, 1]
+    # every token covered
+    covered = set()
+    for r in rows:
+        covered.update(r.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_split_chunks_empty_doc_and_validation(spark):
+    import pytest as _pytest
+
+    from auto_data_linkage_spark.operators.pack import split_chunks
+
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    assert split_chunks(df, chunk_tokens=4, overlap=1).count() == 0
+    with _pytest.raises(ValueError):
+        split_chunks(df, chunk_tokens=4, overlap=4)
+
+
+def test_split_chunks_adds_no_shuffle(spark):
+    from auto_data_linkage_spark.operators.pack import split_chunks
+    from auto_data_linkage_spark.plans.explain import count_exchanges
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert count_exchanges(split_chunks(df, chunk_tokens=2, overlap=0)) == 0
