@@ -134,3 +134,49 @@ def test_foreachbatch_incremental_near_dedup_maintenance(spark, sf_dir, tmp_path
         corpus, corpus.where(F.col("doc_id") % 3 != 0).limit(20), **kw
     )
     assert again.count() == 0
+
+
+def test_upsert_sink_folds_stream_into_corpus(spark, sf_dir, tmp_path):
+    """Streaming ingestion through the partition-scoped upsert sink:
+    driving the documents table in micro-batches must land every doc
+    exactly once, partitioned by lang, with re-sent keys replaced."""
+    from auto_data_linkage_spark.streaming.documents import (
+        read_document_stream,
+        upsert_sink,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = str(tmp_path / "corpus")
+    stream = read_document_stream(
+        spark, f"{sf_dir}/documents.parquet", max_files_per_trigger=1
+    ).select("doc_id", "text", "lang", "source")
+    q = (
+        stream.writeStream.foreachBatch(
+            upsert_sink(corpus, partition_by=("lang",), sort_by=("doc_id",))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    back = spark.read.parquet(corpus)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+    # a late re-send of an existing key replaces the stored row
+    one = docs.limit(1).collect()[0]
+    resend = spark.createDataFrame(
+        [(one.doc_id, "corrected text", one.lang, one.source)],
+        "doc_id long, text string, lang string, source string",
+    )
+    sink = upsert_sink(corpus, partition_by=("lang",))
+    sink(resend, batch_id=999)
+    got = spark.read.parquet(corpus)
+    assert got.count() == docs.count()
+    assert (
+        got.where(got.doc_id == one.doc_id).collect()[0].text
+        == "corrected text"
+    )
