@@ -146,6 +146,65 @@ def stratified_sample(
     return df.where(slot < rule)
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-``k`` sample per group: rank rows inside each
+    group by the portable id hash (tie-broken by id) and keep the first
+    ``k``. A reproducible, engine-portable replacement for per-group
+    reservoir sampling — membership is a pure function of the ids
+    present, so re-runs agree. One hash exchange on the group keys;
+    Spark's WindowGroupLimit pushes the ``rank <= k`` cap below the
+    exchange as a per-map-partition partial limit, so a hot group ships
+    at most ``k`` rows per map task rather than its full size.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        md5_hash64(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-``k``
+    overall): the exponential-jumps / priority-sampling key — rank by
+    ``u^(1/w)`` descending, where ``u`` is a uniform derived from the
+    portable id hash (Efraimidis & Spirakis 2006). Heavier rows win
+    proportionally more often, the pass is single-scan and fully
+    distributed (a global top-k: per-partition partial TakeOrdered, then
+    one merge of k·parts candidates), and the draw replays identically
+    across engines and re-runs.
+
+    Rows with non-positive weight never win. The selection key is
+    computed in log space (``ln(u)/w``) for numeric stability with
+    tiny weights.
+    """
+    # uniform in (0,1]: (hash+1) / (2^60) — md5_hash64 is 60-bit
+    u = (md5_hash64(F.col(id_col).cast("string")) + 1) / F.lit(float(1 << 60))
+    key = F.when(
+        F.col(weight_col) > 0, F.log(u) / F.col(weight_col)
+    ).otherwise(F.lit(float("-inf")))
+    return (
+        df.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__key")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     strata_col: str,

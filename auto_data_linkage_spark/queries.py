@@ -1418,6 +1418,11 @@ _DEPRIORITIZED = (
     #                     the count family keeps combo_counts, entropy,
     #                     count_min_tokens in-window; displaced so
     #                     split_chunks gets a driver row
+    # registered DIRECTLY into the back window (P6 sampling family's
+    # 4th/5th rows; stratified_sample + mixture_sample hold the driver
+    # rows) — test_oracle_window still runs the full driver comparison:
+    "sample_k_per_group",
+    "weighted_sample_k",
 )
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

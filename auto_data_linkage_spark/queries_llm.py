@@ -625,6 +625,60 @@ def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5, dim=64, n_planes=12, band_bits=6)
 
 
+# Deterministic fixed-k per-group sampling: rank by portable id-hash
+# inside each group. Registered into the back window (P6 family's 4th
+# row) — still driver-identically compared by tests/test_oracle_window.
+_SKPG_SQL = f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, ROW_NUMBER() OVER (
+            PARTITION BY lang
+            ORDER BY {{h}} ASC, doc_id ASC
+        ) AS rk
+        FROM documents
+    ) WHERE rk <= 20
+""".format(h=_sql_hash64("CAST(doc_id AS VARCHAR)"))
+
+
+@register(
+    "sample_k_per_group",
+    _SKPG_SQL,
+    survey="P6: deterministic fixed-k per-group sample (hash rank)",
+)
+def sample_k_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pack import sample_k_per_group
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sample_k_per_group(docs, ["lang"], 20)
+
+
+# Deterministic weighted sampling without replacement (Efraimidis-
+# Spirakis priority keys, ln(u)/w with a portable-hash uniform). Back
+# window like sample_k_per_group.
+_WSK_SQL = f"""
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               CASE WHEN n_chars > 0
+                    THEN ln(({{h}} + 1) / {float(1 << 60)}) / n_chars
+                    ELSE NULL END AS key
+        FROM documents
+    )
+    ORDER BY key DESC NULLS LAST, doc_id ASC
+    LIMIT 25
+""".format(h=_sql_hash64("CAST(doc_id AS VARCHAR)"))
+
+
+@register(
+    "weighted_sample_k",
+    _WSK_SQL,
+    survey="P6: deterministic weighted sample w/o replacement (priority keys)",
+)
+def weighted_sample_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pack import weighted_sample_k
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_sample_k(docs, "n_chars", 25)
+
+
 # Overlapping token-window chunking (chunk 32, overlap 8): row-local
 # tokenize -> start sequence -> explode -> slice; zero shuffle.
 _CHUNK_N, _CHUNK_OV = 32, 8

@@ -130,3 +130,53 @@ def test_split_chunks_adds_no_shuffle(spark):
 
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert count_exchanges(split_chunks(df, chunk_tokens=2, overlap=0)) == 0
+
+
+def test_sample_k_per_group_exact_k_and_deterministic(spark):
+    from auto_data_linkage_spark.operators.pack import sample_k_per_group
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    a = sample_k_per_group(df, ["g"], 5)
+    assert a.groupBy("g").count().collect()[0]["count"] == 5
+    assert a.count() == 15
+    b = sample_k_per_group(df, ["g"], 5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # small groups: keep everything
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, g string")
+    assert sample_k_per_group(tiny, ["g"], 5).count() == 2
+
+
+def test_sample_k_per_group_pushes_partial_limit(spark):
+    """The rank<=k filter must become a WindowGroupLimit below the
+    exchange — the hot-group bound (at most k rows per map task ship)."""
+    from auto_data_linkage_spark.operators.pack import sample_k_per_group
+    from auto_data_linkage_spark.plans.explain import physical_plan
+
+    df = spark.createDataFrame([(i, "g") for i in range(10)], "doc_id long, g string")
+    plan = physical_plan(sample_k_per_group(df, ["g"], 3))
+    assert plan.count("WindowGroupLimit") >= 2  # partial (map-side) + final
+
+
+def test_weighted_sample_k_favors_heavy_rows(spark):
+    from auto_data_linkage_spark.operators.pack import weighted_sample_k
+
+    # 10 heavy rows (w=1000) among 200 light rows (w=1): the heavy rows
+    # should essentially always all be selected into a k=20 sample
+    rows = [(i, 1000 if i < 10 else 1) for i in range(210)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r.doc_id for r in weighted_sample_k(df, "w", 20).collect()}
+    assert len(got) == 20
+    heavy_in = len([i for i in range(10) if i in got])
+    assert heavy_in >= 9  # P(all 10) ~ prod(1000/(1000+~200)) ≈ high
+
+
+def test_weighted_sample_k_deterministic_and_zero_weight_loses(spark):
+    from auto_data_linkage_spark.operators.pack import weighted_sample_k
+
+    rows = [(i, 0 if i < 5 else 1) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = {r.doc_id for r in weighted_sample_k(df, "w", 25).collect()}
+    b = {r.doc_id for r in weighted_sample_k(df, "w", 25).collect()}
+    assert a == b
+    assert a == set(range(5, 30))  # the 25 positive-weight rows win
