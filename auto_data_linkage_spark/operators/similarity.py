@@ -1022,3 +1022,103 @@ def pq_codebooks_kmeans(
             )
         )
     return books
+
+
+# ---------------------------------------------------------------------------
+# PCA projection: dimension reduction ahead of ANN / clustering
+# ---------------------------------------------------------------------------
+def covariance_stats(
+    df: DataFrame, *, vec_col: str = "embedding", dim: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(covariance d×d, mean d, n) of a vector column in ONE distributed
+    pass: each partition emits its partial (Σxxᵀ, Σx, n) — d²+d+1 doubles
+    — via an Arrow batch matmul, and the driver combines the partials.
+    Driver transfer is O(partitions · d²), independent of row count, so
+    the pass scales to any corpus (d=64 → 33 KB per partition)."""
+    part_schema = T.StructType(
+        [
+            T.StructField("xx", T.ArrayType(T.DoubleType())),
+            T.StructField("sx", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def partials(batches):
+        xx = np.zeros((dim, dim))
+        sx = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            xx += mat.T @ mat
+            sx += mat.sum(axis=0)
+            n += len(mat)
+        if n:
+            yield pd.DataFrame(
+                {"xx": [xx.ravel().tolist()], "sx": [sx.tolist()], "n": [n]}
+            )
+
+    rows = df.select(vec_col).mapInPandas(partials, part_schema).collect()
+    xx = np.zeros((dim, dim))
+    sx = np.zeros(dim)
+    n = 0
+    for r in rows:
+        xx += np.asarray(r.xx).reshape(dim, dim)
+        sx += np.asarray(r.sx)
+        n += r.n
+    mean = sx / max(n, 1)
+    cov = xx / max(n, 1) - np.outer(mean, mean)
+    return cov, mean, n
+
+
+def pca_components(
+    df: DataFrame, *, vec_col: str = "embedding", dim: int, out_dim: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top ``out_dim`` principal axes (rows) + the mean vector.
+
+    The eigendecomposition runs on the driver over the d×d covariance —
+    O(d³) with d the EMBEDDING width, never the row count. Eigenvector
+    sign is fixed deterministically (largest-|component| entry made
+    positive), so repeated fits produce identical projections."""
+    cov, mean, _ = covariance_stats(df, vec_col=vec_col, dim=dim)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:out_dim]
+    comps = vecs[:, order].T  # (out_dim, dim)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, mean
+
+
+def pca_project(
+    df: DataFrame,
+    components: np.ndarray,
+    mean: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto the fitted axes: ``(x − mean) @ componentsᵀ``
+    as an Arrow batch matmul; the (out_dim × dim) matrix ships in the
+    closure. Output replaces nothing — the projected column appends, so
+    callers can chain int8 quantization / ANN on the reduced vectors."""
+    comps = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            proj = (mat - mu) @ comps.T
+            pdf = pdf.copy()
+            pdf[out_col] = [row.astype(np.float32) for row in proj]
+            yield pdf
+
+    return df.mapInPandas(project, out_schema)

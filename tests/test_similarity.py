@@ -361,3 +361,55 @@ def test_ivfpq_scans_fewer_coded_rows_than_flat(spark, emb):
         .collect()
     }
     assert len(cells) <= queries.count()  # one probed cell per query
+
+
+def test_covariance_stats_matches_numpy(spark):
+    import numpy as np
+
+    from auto_data_linkage_spark.operators.similarity import covariance_stats
+
+    rng = np.random.RandomState(7)
+    data = rng.randn(200, 8) * np.arange(1, 9)[None, :]
+    df = spark.createDataFrame(
+        [(i, row.astype("float32").tolist()) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)
+    cov, mean, n = covariance_stats(df, dim=8)
+    assert n == 200
+    f32 = data.astype("float32").astype("float64")
+    np.testing.assert_allclose(mean, f32.mean(axis=0), atol=1e-6)
+    np.testing.assert_allclose(cov, np.cov(f32.T, bias=True), atol=1e-6)
+
+
+def test_pca_project_recovers_dominant_axes(spark):
+    import numpy as np
+
+    from auto_data_linkage_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    rng = np.random.RandomState(3)
+    # variance concentrated in the first two axes
+    base = rng.randn(300, 2) * [10.0, 5.0]
+    noise = rng.randn(300, 6) * 0.1
+    data = np.hstack([base, noise]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    comps, mean = pca_components(df, dim=8, out_dim=2)
+    # the two top axes live in the first two coordinates
+    assert np.abs(comps[:, :2]).sum() > 10 * np.abs(comps[:, 2:]).sum()
+    proj = pca_project(df, comps, mean)
+    rows = proj.orderBy("vec_id").collect()
+    got = np.asarray([r.pca for r in rows], dtype=np.float64)
+    # projected variance ordering: first component dominates
+    v = got.var(axis=0)
+    assert v[0] > v[1] > 1.0
+    # determinism: a second fit projects identically
+    comps2, mean2 = pca_components(df, dim=8, out_dim=2)
+    np.testing.assert_allclose(comps, comps2, atol=1e-12)
+    # schema: float32 array appended, original columns intact
+    assert proj.columns == ["vec_id", "embedding", "pca"]
+    assert len(rows[0].pca) == 2
