@@ -185,6 +185,80 @@ def frame_sample_plan(
     )
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize slot: decode → resample → re-encode via PIL. Raises
+    ``NotImplementedError`` without a codec (clearly-marked stub per the
+    build contract); the Arrow plumbing lives in :func:`fake_resize`."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image resize requires PIL/pillow, which is not installed in "
+            "this container; use fake_resize for the plumbing path"
+        )
+    import io  # pragma: no cover — exercised only where pillow exists
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                img = Image.open(io.BytesIO(blob)).resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                rows.append((mid, buf.getvalue(), width, height))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "width", "height"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, _RESIZE_SCHEMA)
+
+
+def fake_resize(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Deterministic resize stand-in with REAL resampling math: the blob
+    is viewed as a grayscale pixel grid of its metadata dimensions
+    (truncated/zero-padded), nearest-neighbor resampled to
+    (width, height) with the same index arithmetic a real decoder-side
+    resize performs, and re-emitted as bytes. Exercises the full
+    contract — binary in, binary out, metadata updated, blobs never
+    shuffled (narrow mapInPandas projection)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob, w, h in zip(
+                pdf["media_id"], pdf["content"], pdf["w"], pdf["h"]
+            ):
+                w = max(int(w or 1), 1)
+                h = max(int(h or 1), 1)
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                grid = np.zeros(w * h, dtype=np.uint8)
+                grid[: min(len(b), w * h)] = b[: w * h]
+                grid = grid.reshape(h, w)
+                yi = (np.arange(height) * h) // height
+                xi = (np.arange(width) * w) // width
+                resized = grid[yi][:, xi]
+                rows.append((int(mid), resized.tobytes(), width, height))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "width", "height"]
+            )
+
+    flat = df.select(
+        "media_id",
+        "content",
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+    )
+    return flat.mapInPandas(run, _RESIZE_SCHEMA)
+
+
 def dedup_media_exact(df: DataFrame) -> DataFrame:
     """Exact media dedup on content hash — same recipe as text exact dedup;
     the blob never shuffles, only (hash, id)."""

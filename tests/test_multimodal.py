@@ -70,3 +70,53 @@ def test_dedup_media_exact(spark):
     )
     kept = sorted(r["media_id"] for r in dedup_media_exact(df).collect())
     assert kept == [1, 3]
+
+
+def test_fake_resize_shapes_and_determinism(spark, sf_dir):
+    from auto_data_linkage_spark.operators.multimodal import (
+        fake_resize,
+        synthesize_media_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = synthesize_media_table(spark, docs)
+    out = fake_resize(media, 8, 6)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r.width, r.height) == (8, 6)
+        assert len(bytes(r.content)) == 8 * 6
+    again = {r.media_id: bytes(r.content) for r in fake_resize(media, 8, 6).collect()}
+    assert {r.media_id: bytes(r.content) for r in rows} == again
+
+
+def test_fake_resize_nearest_neighbor_math(spark):
+    import numpy as np
+
+    from auto_data_linkage_spark.operators.multimodal import fake_resize
+
+    # a 4x2 "image" with known bytes; downsample to 2x1
+    blob = bytes(range(8))  # grid [[0,1,2,3],[4,5,6,7]] at w=4,h=2
+    df = spark.createDataFrame(
+        [(1, bytearray(blob), ("image/fake", 4, 2, None))],
+        "media_id long, content binary, meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    out = fake_resize(df, 2, 1).collect()[0]
+    got = np.frombuffer(bytes(out.content), dtype=np.uint8)
+    # nearest-neighbor: row index (0*2)//1? -> yi=[0], xi=[0,2] -> [0,2]
+    assert got.tolist() == [0, 2]
+
+
+def test_resize_image_real_slot_gated(spark):
+    import pytest as _pytest
+
+    from auto_data_linkage_spark.operators import multimodal as M
+
+    if M._HAS_PIL:
+        _pytest.skip("pillow present; real slot exercised elsewhere")
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xx"), ("image/fake", 2, 1, None))],
+        "media_id long, content binary, meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    with _pytest.raises(NotImplementedError):
+        M.resize_image(df, 2, 2)
