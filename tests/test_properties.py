@@ -291,3 +291,62 @@ def _split_chunks(dedup_text, orig_chunks):
             remaining = remaining[len(ch) :].lstrip()
     assert remaining == "", (dedup_text, orig_chunks, remaining)
     return kept
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["apple", "banana", "cherry", "date", "elder", "fig"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    qterms=st.lists(
+        st.sampled_from(["apple", "banana", "cherry", "zzz"]),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_bm25_matches_pure_python_reference(spark, docs, qterms):
+    """bm25_topk must agree with an independent driver-side BM25 on
+    arbitrary small corpora (scores to 1e-6, same ranked sets)."""
+    import math
+
+    from auto_data_linkage_spark.operators import retrieval as R
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, t) for t in qterms], "query_id long, term string")
+    got = {
+        r.doc_id: r.bm25
+        for r in R.bm25_topk(df, q, k=len(docs), materialize=False).collect()
+    }
+
+    # independent reference
+    n = len(docs)
+    dls = [len(t) for t in docs]
+    avgdl = sum(dls) / n
+    want = {}
+    for term in set(qterms):
+        dfreq = sum(1 for t in docs if term in t)
+        if dfreq == 0:
+            continue
+        idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        for d, toks in enumerate(docs):
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            denom = tf + 1.2 * (1 - 0.75 + 0.75 * dls[d] / avgdl)
+            want[d] = want.get(d, 0.0) + idf * tf * 2.2 / denom
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert abs(got[d] - round(s, 6)) < 2e-6

@@ -74,3 +74,47 @@ def test_query_plan_broadcasts_sketch(spark, values):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_count_min_foreachbatch_maintenance(spark, sf_dir, tmp_path):
+    """The streaming-state story for the sketch: fold each arriving
+    micro-batch's partial sketch into a persisted one (union +
+    re-aggregate). Because CM is a counter array, the folded sketch must
+    equal the one built over the full corpus in a single batch."""
+    from pyspark.sql import functions as F
+
+    from auto_data_linkage_spark.operators import sketch as SK
+    from auto_data_linkage_spark.operators import text as X
+    from auto_data_linkage_spark.streaming.documents import read_document_stream
+
+    state = str(tmp_path / "sketch")
+    kw = dict(width=64, depth=3)
+
+    def fold(batch_df, batch_id):
+        toks = batch_df.select(F.explode(X.tokens("text")).alias("term"))
+        part = SK.count_min_build(toks, "term", **kw)
+        import os
+
+        if os.path.exists(state):
+            prev = spark.read.parquet(state)
+            merged = SK.count_min_merge(prev, part).localCheckpoint(eager=True)
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(state)
+
+    stream = read_document_stream(
+        spark, f"{sf_dir}/documents.parquet", max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    folded = sorted(map(tuple, spark.read.parquet(state).collect()))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(X.tokens("text")).alias("term"))
+    full = sorted(map(tuple, SK.count_min_build(toks, "term", **kw).collect()))
+    assert folded == full
