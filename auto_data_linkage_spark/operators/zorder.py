@@ -44,6 +44,11 @@ def interleave_bits(codes: list[Column], bits: int = 8) -> Column:
     codegen cliff in this repo is ~190 expression nodes).
     """
     n = len(codes)
+    if bits * n > 63:
+        raise ValueError(
+            f"bits*columns = {bits * n} exceeds the 63 usable bits of a "
+            "signed BIGINT z-value; lower bits or cluster fewer columns"
+        )
     terms = [
         F.shiftleft(
             F.shiftright(c.cast("bigint"), i).bitwiseAND(F.lit(1)),

@@ -137,6 +137,8 @@ def upsert_corpus(
         tuple(r[c] for c in partition_by)
         for r in delta.select(*partition_by).distinct().collect()
     ]
+    if not touched:  # empty delta: nothing to merge, nothing to rewrite
+        return {"partitions": 0, "rows_written": 0}
     # prune via a planning-time partition filter (isin / OR-of-ANDs)
     # rather than hand-built directory paths — Spark then handles
     # partition-value escaping, so no touched partition can be silently

@@ -183,3 +183,13 @@ def test_upsert_corpus_multi_partition_cols(spark, corpus, tmp_path):
     assert (
         back.where(back.doc_id == one.doc_id).collect()[0].text == "patched"
     )
+
+
+def test_upsert_corpus_empty_delta_is_noop(spark, corpus, tmp_path):
+    root = str(tmp_path / "noop")
+    L.write_corpus(corpus, root, partition_by=["lang"])
+    before = {f: os.path.getmtime(f) for f in _parquet_files(root)}
+    empty = corpus.limit(0)
+    res = L.upsert_corpus(spark, root, empty, key="doc_id", partition_by=["lang"])
+    assert res == {"partitions": 0, "rows_written": 0}
+    assert {f: os.path.getmtime(f) for f in _parquet_files(root)} == before

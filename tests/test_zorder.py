@@ -90,3 +90,14 @@ def test_zorder_layout_drops_or_keeps_zval(spark):
     df = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
     assert "zval" not in Z.zorder_layout(df, ["a", "b"]).columns
     assert "zval" in Z.zorder_layout(df, ["a", "b"], keep_zval=True).columns
+
+
+def test_interleave_rejects_bigint_overflow(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a long, b long, c long, d long")
+    cols = [F.col(c) for c in ("a", "b", "c", "d")]
+    with _pytest.raises(ValueError):
+        Z.interleave_bits(cols, bits=16)  # 64 positions > 63
+    # 15 bits x 4 cols = 60 positions: fine
+    assert df.select(Z.interleave_bits(cols, bits=15).alias("z")).collect()
