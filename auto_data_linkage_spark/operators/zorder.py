@@ -31,7 +31,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["interleave_bits", "zvalue", "zorder_layout"]
+__all__ = ["interleave_bits", "zvalue", "quantile_codes", "zorder_layout"]
 
 
 def interleave_bits(codes: list[Column], bits: int = 8) -> Column:
@@ -88,6 +88,38 @@ def zvalue(df: DataFrame, cols: list[str], *, bits: int = 8) -> DataFrame:
         )
     out = out.withColumn("zval", interleave_bits(codes, bits))
     return out.drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+
+
+def quantile_codes(
+    df: DataFrame,
+    col: str,
+    *,
+    bits: int = 8,
+    relative_error: float = 0.001,
+) -> Column:
+    """Skew-robust per-column code for the interleave: rank by
+    approximate quantile boundaries instead of min/max linear scaling.
+
+    ``approxQuantile`` (Greenwald–Khanna) computes the ``2^bits − 1``
+    boundaries in one pass with a bounded-size driver transfer (the
+    sketch, not the data); the code expression is then a fold over the
+    boundary-constant array — pure codegen, no join. A heavily skewed
+    column (min/max scaling would collapse most rows into one code)
+    gets ~equal-mass codes, which is what keeps z-value ranges
+    informative. Use the result as a pre-coded input column and
+    interleave with :func:`interleave_bits` directly.
+    """
+    top = (1 << bits) - 1
+    bounds = df.stat.approxQuantile(
+        col, [i / (top + 1) for i in range(1, top + 1)], relative_error
+    )
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    x = F.col(col).cast("double")
+    return F.aggregate(
+        barr,
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.when(x >= b, 1).otherwise(0),
+    )
 
 
 def zorder_layout(

@@ -101,3 +101,24 @@ def test_interleave_rejects_bigint_overflow(spark):
         Z.interleave_bits(cols, bits=16)  # 64 positions > 63
     # 15 bits x 4 cols = 60 positions: fine
     assert df.select(Z.interleave_bits(cols, bits=15).alias("z")).collect()
+
+
+def test_quantile_codes_balance_skewed_column(spark):
+    """A power-law column collapses under min/max scaling (most rows get
+    code 0) but spreads ~uniformly under quantile coding."""
+    rows = [(i, int(1.5 ** min(i % 40, 30))) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+
+    linear = Z.zvalue(df, ["v"], bits=4).select("zval")
+    lin_top = (
+        linear.groupBy("zval").count().orderBy(F.desc("count")).first()["count"]
+    )
+    assert lin_top > 1000  # min/max scaling collapses the skewed mass
+
+    coded = df.select(Z.quantile_codes(df, "v", bits=4).alias("c"))
+    counts = [r["count"] for r in coded.groupBy("c").count().collect()]
+    assert max(counts) < 1000  # quantile codes split the hot mass
+    assert len(counts) >= 8    # and use a healthy share of the 16 codes
+    # codes stay in range and are usable by interleave_bits directly
+    rng = coded.agg(F.min("c"), F.max("c")).collect()[0]
+    assert 0 <= rng[0] and rng[1] <= 15
