@@ -255,3 +255,57 @@ def mixture_sample(
         .where(slot < F.floor(F.col("__rate") * 10000))
         .drop("__rate")
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    export: ``shard = hash(id) mod n_shards`` and ``shard_order =
+    hash(id)`` (the within-shard sort key). Hashing the id breaks the
+    source/time clustering of the raw corpus — the "global shuffle"
+    pre-training wants — while staying a pure function of the id, so
+    re-runs, engines, and incremental arrivals agree on placement
+    (late-arriving documents land in their stable shard instead of
+    forcing a corpus-wide reshuffle; contrast ``orderBy(rand())``).
+    ``salt`` reshuffles every epoch deterministically.
+
+    No reference analogue (the reference exports nothing); this is the
+    LLM-pipeline dataset-export step. Adds NO shuffle itself — the
+    exchange happens (once, on ``shard``) only in :func:`write_shards`.
+    """
+    h = md5_hash64(F.col(id_col).cast("string"), seed=salt)
+    return df.withColumn(
+        "shard", F.pmod(h, F.lit(n_shards)).cast("int")
+    ).withColumn("shard_order", h)
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> str:
+    """Write the deterministically shuffled corpus as ``shard=N/``
+    parquet directories, each sorted by ``shard_order`` — a training
+    loader then streams shards sequentially and still sees a globally
+    shuffled document order. ONE hash exchange on ``shard`` (each shard
+    is built by exactly one reducer, so each directory is one sorted
+    file), then a partitioned write; at 100 TB pick ``n_shards`` so a
+    shard (~corpus/n) fits a reducer's spill budget, or raise
+    ``spark.sql.files.maxRecordsPerFile`` to split within a shard."""
+    sharded = assign_shards(df, n_shards, id_col=id_col, salt=salt)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_order")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return path

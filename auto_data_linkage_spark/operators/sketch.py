@@ -1,4 +1,5 @@
-"""Count-min sketch: mergeable frequency estimation as plain aggregation.
+"""Mergeable sketches: count-min frequency estimation as plain
+aggregation, plus HyperLogLog distinct-count sketches (end of module).
 
 The classic streaming sketch (Cormode & Muthukrishnan 2005) expressed as
 DataFrame composition — no UDF, no custom state:
@@ -26,7 +27,23 @@ from pyspark.sql import functions as F
 
 from auto_data_linkage_spark.operators.text import md5_hash64
 
-__all__ = ["cm_bucket", "count_min_build", "count_min_merge", "count_min_query"]
+__all__ = [
+    "cm_bucket",
+    "count_min_build",
+    "count_min_merge",
+    "count_min_query",
+    "hll_build",
+    "hll_merge",
+    "hll_estimate",
+    "kll_build",
+    "kll_merge",
+    "kll_quantiles",
+    "theta_build",
+    "theta_union",
+    "theta_intersect",
+    "theta_estimate",
+    "corpus_overlap",
+]
 
 
 def cm_bucket(col: Column, row: int, width: int) -> Column:
@@ -104,3 +121,219 @@ def count_min_query(
         F.broadcast(sketch), ["hash_row", "bucket"], "left"
     ).withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
     return joined.groupBy(col).agg(F.min("cnt").alias("est"))
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count sketches (Apache DataSketches via Spark's
+# hll_sketch_agg family). Unlike approx_count_distinct — whose sketch
+# never leaves the aggregation — these return the sketch BYTES, so
+# per-batch sketches can be persisted with corpus stats and merged later
+# without rescanning: distinct-token / distinct-url / distinct-ngram
+# tracking across incremental ingests at 100 TB costs one scan per NEW
+# batch plus a union of kilobyte-sized sketches (lgk=12 → 4 KiB each,
+# relative error ≈ 1.04/√2^lgk ≈ 1.6%).
+
+
+def hll_build(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    *,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group (or global) mergeable HLL sketch of distinct ``col``
+    values, as a binary ``hll`` column. Plain hash aggregation: map-side
+    partial sketches merge before the shuffle, so exchange volume is
+    ≤ one sketch per (group, partition) regardless of row count."""
+    agg = F.hll_sketch_agg(F.col(col), lgk).alias("hll")
+    return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+
+
+def hll_merge(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    *,
+    sketch_col: str = "hll",
+) -> DataFrame:
+    """Union sketches (e.g. per-ingest-batch rows) into one per group —
+    the lossless HLL merge: the union estimates exactly what a single
+    sketch over the concatenated inputs would."""
+    agg = F.hll_union_agg(F.col(sketch_col)).alias("hll")
+    return (
+        sketches.groupBy(*group_cols).agg(agg) if group_cols else sketches.agg(agg)
+    )
+
+
+def hll_estimate(df: DataFrame, *, sketch_col: str = "hll") -> DataFrame:
+    """Append ``distinct_est`` (bigint) decoded from the sketch."""
+    return df.withColumn(
+        "distinct_est",
+        F.hll_sketch_estimate(F.col(sketch_col)).cast("bigint"),
+    )
+
+# --------------------------------------------------------------------------
+# KLL quantile sketches (Karnin–Lang–Liberty 2016, via Spark's
+# kll_sketch_agg family). The quantile leg of the mergeable-sketch
+# family (count-min = frequency, HLL = distinct, theta = set algebra):
+# per-ingest-batch sketches of token counts / quality scores / doc
+# lengths persist with corpus stats and merge losslessly, so "what is
+# the p99 document length across all batches so far" never rescans old
+# batches. k=200 (the library default, ~1 KiB) gives normalized rank
+# error ~1.65%; the value returned for quantile q is an EXACT input
+# value whose rank is within ±eps·n of q·n.
+
+_KLL_TYPES = {"bigint", "double", "float"}
+
+
+def _kll_fn(name: str, dtype: str):
+    if dtype not in _KLL_TYPES:
+        raise ValueError(f"kll dtype must be one of {_KLL_TYPES}, got {dtype!r}")
+    return getattr(F, f"{name}_{dtype}")
+
+
+def kll_build(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    *,
+    dtype: str = "double",
+    k: int = 200,
+) -> DataFrame:
+    """Per-group (or global) mergeable KLL quantile sketch of ``col``
+    as a binary ``kll`` column. ``dtype`` picks the typed DataSketches
+    variant (``bigint``/``double``/``float``); the input column is cast
+    to it. Same exchange shape as :func:`hll_build`: map-side partial
+    sketches, ≤ one ~1 KiB sketch per (group, partition) shuffled."""
+    agg = _kll_fn("kll_sketch_agg", dtype)(
+        F.col(col).cast("long" if dtype == "bigint" else dtype), F.lit(k)
+    ).alias("kll")
+    return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+
+
+def kll_merge(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    *,
+    sketch_col: str = "kll",
+    dtype: str = "double",
+    k: int = 200,
+) -> DataFrame:
+    """Merge per-batch KLL sketches into one per group. The merged
+    sketch carries the same rank-error guarantee as a single sketch
+    built over the concatenated inputs."""
+    agg = _kll_fn("kll_merge_agg", dtype)(F.col(sketch_col), F.lit(k)).alias(
+        "kll"
+    )
+    return (
+        sketches.groupBy(*group_cols).agg(agg) if group_cols else sketches.agg(agg)
+    )
+
+
+def kll_quantiles(
+    df: DataFrame,
+    qs: list[float],
+    *,
+    sketch_col: str = "kll",
+    dtype: str = "double",
+    prefix: str = "q",
+) -> DataFrame:
+    """Append one column per requested quantile (``q50`` for 0.5, …)
+    decoded from the sketch, plus ``kll_n`` (the sketched row count —
+    exact, KLL tracks n losslessly)."""
+    qfn = _kll_fn("kll_sketch_get_quantile", dtype)
+    nfn = _kll_fn("kll_sketch_get_n", dtype)
+    out = df
+    for q in qs:
+        name = f"{prefix}{int(round(q * 100))}"
+        out = out.withColumn(name, qfn(F.col(sketch_col), F.lit(float(q))))
+    return out.withColumn("kll_n", nfn(F.col(sketch_col)))
+
+
+# --------------------------------------------------------------------------
+# Theta sketches (distinct-value SET ALGEBRA — the operation HLL cannot
+# do): union AND intersection AND difference of distinct sets, each
+# estimable. The 100 TB use: "how many distinct urls / fingerprints do
+# corpus A and corpus B share" without ever joining A against B — build
+# one ~32 KiB sketch per corpus (one scan each, map-side partials),
+# intersect driver-free. Also the incremental-ingest novelty metric:
+# |new batch \ everything so far| = theta_difference(batch, union-so-far).
+
+
+def theta_build(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    *,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group (or global) theta sketch of distinct ``col`` values as
+    a binary ``theta`` column (lgk=12 → ≤4096 retained hashes, relative
+    error ≈ 1.6% after set operations)."""
+    agg = F.theta_sketch_agg(F.col(col), lgk).alias("theta")
+    return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+
+
+def theta_union(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    *,
+    sketch_col: str = "theta",
+    lgk: int = 12,
+) -> DataFrame:
+    """Union sketches into one per group (the HLL-merge analog)."""
+    agg = F.theta_union_agg(F.col(sketch_col), lgk).alias("theta")
+    return (
+        sketches.groupBy(*group_cols).agg(agg) if group_cols else sketches.agg(agg)
+    )
+
+
+def theta_intersect(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    *,
+    sketch_col: str = "theta",
+) -> DataFrame:
+    """Intersect sketches within each group: the estimate of the result
+    is |∩ of the distinct sets| — overlap WITHOUT a join."""
+    agg = F.theta_intersection_agg(F.col(sketch_col)).alias("theta")
+    return (
+        sketches.groupBy(*group_cols).agg(agg) if group_cols else sketches.agg(agg)
+    )
+
+
+def theta_estimate(df: DataFrame, *, sketch_col: str = "theta") -> DataFrame:
+    """Append ``distinct_est`` (bigint) decoded from the sketch."""
+    return df.withColumn(
+        "distinct_est",
+        F.theta_sketch_estimate(F.col(sketch_col)).cast("bigint"),
+    )
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    *,
+    lgk: int = 14,
+) -> DataFrame:
+    """One-row overlap report between two corpora on distinct ``col``
+    values: ``(a_distinct, b_distinct, overlap_est, union_est,
+    jaccard_est)`` — two single scans + kilobyte-sized driver-free
+    sketch algebra, no join between a and b ever happens."""
+    sa = theta_build(a, col, lgk=lgk).select(F.col("theta").alias("ta"))
+    sb = theta_build(b, col, lgk=lgk).select(F.col("theta").alias("tb"))
+    both = sa.crossJoin(sb)  # 1 row × 1 row
+    return both.select(
+        F.theta_sketch_estimate(F.col("ta")).cast("bigint").alias("a_distinct"),
+        F.theta_sketch_estimate(F.col("tb")).cast("bigint").alias("b_distinct"),
+        F.theta_sketch_estimate(F.theta_intersection("ta", "tb"))
+        .cast("bigint")
+        .alias("overlap_est"),
+        F.theta_sketch_estimate(F.theta_union("ta", "tb"))
+        .cast("bigint")
+        .alias("union_est"),
+        (
+            F.theta_sketch_estimate(F.theta_intersection("ta", "tb"))
+            / F.theta_sketch_estimate(F.theta_union("ta", "tb"))
+        ).alias("jaccard_est"),
+    )

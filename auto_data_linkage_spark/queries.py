@@ -1423,6 +1423,20 @@ _DEPRIORITIZED = (
     # rows) — test_oracle_window still runs the full driver comparison:
     "sample_k_per_group",
     "weighted_sample_k",
+    # round-6d rotation: displaced so shard_corpus (dataset-export
+    # family's only row) and hll_distinct_check (2nd sketch-family row,
+    # certifying the HLL merge path) get driver rows:
+    "levenshtein_pairs",  # §2.9 primitive stays in-window twice
+    #                       (blocking_self_join's comparison level,
+    #                       phonetic_blocking_pairs' name_lev column)
+    "ngram_jaccard_pairs",  # ⊂ near_dedup_keep (same shingle-Jaccard
+    #                         verify inside the in-window composed
+    #                         near-dedup); dedup family keeps 8 rows
+    # registered DIRECTLY into the back window (sketch family's 3rd/4th
+    # rows; count_min_tokens + hll_distinct_check hold the driver rows)
+    # — test_oracle_window still runs the full driver comparison:
+    "kll_quantile_check",
+    "corpus_overlap_est",
 )
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

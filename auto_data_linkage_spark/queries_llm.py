@@ -2271,3 +2271,195 @@ def incremental_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_bands=_MH_HASHES,
         shingle_k=_SHINGLE_K,
     )
+
+
+# Deterministic corpus sharding for training-data export: per-shard doc
+# count, token mass, and the shard's FIRST document under the within-
+# shard order — certifying assignment AND ordering cross-engine (both
+# derive from the same portable md5 hash).
+_N_SHARDS = 8
+
+
+def _shard_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    h = _sql_hash64("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH s AS (
+        SELECT doc_id, len({toks}) AS n_tokens,
+               CAST({h} % {_N_SHARDS} AS INT) AS shard,
+               {h} AS shard_order
+        FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens,
+           MIN_BY(doc_id, shard_order) AS first_doc
+    FROM s GROUP BY shard
+    """
+
+
+@register(
+    "shard_corpus",
+    _shard_sql(),
+    survey="LLM dataset export: deterministic global shuffle + sharding "
+    "(pack.assign_shards / write_shards)",
+)
+def shard_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pack import assign_shards
+
+    docs = _docs(spark, sf_dir)
+    sharded = assign_shards(
+        docs.select("doc_id", F.size(X.tokens("text")).alias("n_tokens")),
+        _N_SHARDS,
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.min_by("doc_id", "shard_order").alias("first_doc"),
+    )
+
+
+# Mergeable HLL distinct sketches: per-(lang, half) sketches of document
+# fingerprints are UNIONED per lang (exercising the incremental-ingest
+# merge path), then the estimate is checked against the exact distinct
+# count computable in both engines. The oracle row carries the exact
+# counts plus `est_ok` (TRUE); a broken sketch/merge/estimate path flips
+# est_ok and fails the hash compare. lgk=12 → RSE ≈ 1.6%, tolerance 5%.
+_HLL_SQL = """
+    SELECT lang, COUNT(DISTINCT md5(text)) AS exact_distinct,
+           TRUE AS est_ok
+    FROM documents GROUP BY lang
+"""
+
+
+@register(
+    "hll_distinct_check",
+    _HLL_SQL,
+    survey="approximate aggregation: mergeable HyperLogLog distinct "
+    "sketches (sketch.hll_build/hll_merge/hll_estimate)",
+)
+def hll_distinct_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators import sketch as SK
+
+    docs = _docs(spark, sf_dir).select(
+        "lang",
+        F.md5("text").alias("fp"),
+        (F.col("doc_id") % 2).alias("half"),
+    )
+    per_batch = SK.hll_build(docs, "fp", ["lang", "half"], lgk=12)
+    merged = SK.hll_estimate(SK.hll_merge(per_batch, ["lang"]))
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("fp").alias("exact_distinct")
+    )
+    return exact.join(merged.select("lang", "distinct_est"), "lang").select(
+        "lang",
+        "exact_distinct",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("est_ok"),
+    )
+
+
+# Mergeable KLL quantile sketches: per-(lang, half) sketches of token
+# counts merged per lang (the incremental-ingest path), median decoded
+# from the merged sketch and checked against the exact p40/p60 band —
+# the KLL guarantee is on RANK (±1.65% at k=200), so the band check is
+# the contract, not value equality. kll_n is exact by construction and
+# must equal the group count. Oracle carries the exact count + TRUE.
+_KLL_SQL = f"""
+    SELECT lang, COUNT(*) AS n_docs, TRUE AS med_ok
+    FROM documents GROUP BY lang
+"""
+
+
+@register(
+    "kll_quantile_check",
+    _KLL_SQL,
+    survey="approximate aggregation: mergeable KLL quantile sketches "
+    "(sketch.kll_build/kll_merge/kll_quantiles)",
+)
+def kll_quantile_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators import sketch as SK
+
+    docs = _docs(spark, sf_dir).select(
+        "lang",
+        (F.col("doc_id") % 2).alias("half"),
+        F.size(X.tokens("text")).alias("n_tokens"),
+    )
+    per_batch = SK.kll_build(docs, "n_tokens", ["lang", "half"], dtype="bigint")
+    med = SK.kll_quantiles(
+        SK.kll_merge(per_batch, ["lang"], dtype="bigint"), [0.5], dtype="bigint"
+    )
+    exact = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(n_tokens, array(0.40, 0.60))").alias("band"),
+    )
+    return exact.join(med.select("lang", "q50", "kll_n"), "lang").select(
+        "lang",
+        "n_docs",
+        (
+            (F.col("kll_n") == F.col("n_docs"))
+            & (F.col("q50") >= F.floor(F.col("band")[0]))
+            & (F.col("q50") <= F.ceil(F.col("band")[1]))
+        ).alias("med_ok"),
+    )
+
+
+# Theta-sketch corpus overlap: |A ∩ B| over distinct ids WITHOUT a
+# join — two overlapping doc_id%3 slices of the corpus, sketched
+# independently (one scan each), overlap/union/jaccard decoded from
+# kilobyte sketch algebra. Exact counts are computable in both engines
+# (the slices share exactly the doc_id%3==1 stratum); the sketch
+# estimates gate the *_ok flags (lgk=14 → RSE<1%, 10%/0.05 tolerance).
+_THETA_SQL = """
+    SELECT
+        COUNT(DISTINCT CASE WHEN doc_id % 3 IN (0, 1) THEN doc_id END) AS a_exact,
+        COUNT(DISTINCT CASE WHEN doc_id % 3 IN (1, 2) THEN doc_id END) AS b_exact,
+        COUNT(DISTINCT CASE WHEN doc_id % 3 = 1 THEN doc_id END) AS overlap_exact,
+        TRUE AS overlap_ok, TRUE AS jaccard_ok
+    FROM documents
+"""
+
+
+@register(
+    "corpus_overlap_est",
+    _THETA_SQL,
+    survey="approximate aggregation: theta-sketch distinct set algebra "
+    "(sketch.theta_build/theta_union/theta_intersect, corpus_overlap)",
+)
+def corpus_overlap_est_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.sketch import corpus_overlap
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("doc_id").cast("string").alias("v")
+    )
+    a = docs.where(F.col("doc_id") % 3 < 2)
+    b = docs.where(F.col("doc_id") % 3 >= 1)
+    est = corpus_overlap(a, b, "v", lgk=14)
+    exact = docs.agg(
+        F.count_distinct(
+            F.when(F.col("doc_id") % 3 < 2, F.col("doc_id"))
+        ).alias("a_exact"),
+        F.count_distinct(
+            F.when(F.col("doc_id") % 3 >= 1, F.col("doc_id"))
+        ).alias("b_exact"),
+        F.count_distinct(
+            F.when(F.col("doc_id") % 3 == 1, F.col("doc_id"))
+        ).alias("overlap_exact"),
+    )
+    return exact.crossJoin(est).select(
+        "a_exact",
+        "b_exact",
+        "overlap_exact",
+        (
+            F.abs(F.col("overlap_est") - F.col("overlap_exact"))
+            <= 0.10 * F.col("overlap_exact")
+        ).alias("overlap_ok"),
+        (
+            F.abs(
+                F.col("jaccard_est")
+                - F.col("overlap_exact")
+                / (F.col("a_exact") + F.col("b_exact") - F.col("overlap_exact"))
+            )
+            <= F.lit(0.05)
+        ).alias("jaccard_ok"),
+    )

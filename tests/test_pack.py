@@ -180,3 +180,57 @@ def test_weighted_sample_k_deterministic_and_zero_weight_loses(spark):
     b = {r.doc_id for r in weighted_sample_k(df, "w", 25).collect()}
     assert a == b
     assert a == set(range(5, 30))  # the 25 positive-weight rows win
+
+
+def test_assign_shards_deterministic_and_stable(spark):
+    from auto_data_linkage_spark.operators.pack import assign_shards
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r.doc_id: (r.shard, r.shard_order) for r in assign_shards(df, 8).collect()}
+    b = {r.doc_id: (r.shard, r.shard_order) for r in assign_shards(df, 8).collect()}
+    assert a == b
+    assert set(s for s, _ in a.values()) == set(range(8))  # all shards hit
+    # incremental stability: a subset's assignments match the full run's
+    sub = assign_shards(df.where(F.col("doc_id") < 100), 8).collect()
+    assert all(a[r.doc_id] == (r.shard, r.shard_order) for r in sub)
+    # salt reshuffles
+    salted = {r.doc_id: r.shard for r in assign_shards(df, 8, salt=1).collect()}
+    assert any(salted[i] != a[i][0] for i in range(500))
+
+
+def test_assign_shards_balance(spark):
+    from auto_data_linkage_spark.operators.pack import assign_shards
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    sizes = (
+        assign_shards(df, 8).groupBy("shard").count().orderBy("shard").collect()
+    )
+    for r in sizes:  # md5 is uniform: each shard ~500 ± a loose 20%
+        assert 380 <= r["count"] <= 620
+
+
+def test_write_shards_layout_and_order(spark, tmp_path):
+    from auto_data_linkage_spark.operators.pack import assign_shards, write_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    write_shards(df, out, 4)
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    # within each shard directory, file order == shard_order ascending
+    for i in range(4):
+        part = spark.read.parquet(f"{out}/shard={i}")
+        got = [r.doc_id for r in part.select("doc_id", "shard_order").collect()]
+        want = [
+            r.doc_id
+            for r in part.select("doc_id", "shard_order")
+            .orderBy("shard_order")
+            .collect()
+        ]
+        assert got == want

@@ -118,3 +118,105 @@ def test_count_min_foreachbatch_maintenance(spark, sf_dir, tmp_path):
     toks = docs.select(F.explode(X.tokens("text")).alias("term"))
     full = sorted(map(tuple, SK.count_min_build(toks, "term", **kw).collect()))
     assert folded == full
+
+
+# ---------------------------------------------------------------- HLL
+
+
+@pytest.fixture(scope="module")
+def many(spark):
+    return spark.range(0, 5000).select(
+        (F.col("id") % 2).alias("half"),
+        F.concat(F.lit("v"), (F.col("id") % 1200).cast("string")).alias("v"),
+    )
+
+
+def test_hll_estimate_within_tolerance(spark, many):
+    est = SK.hll_estimate(SK.hll_build(many, "v", lgk=12)).collect()[0]
+    assert abs(est.distinct_est - 1200) <= 0.05 * 1200
+
+
+def test_hll_merge_matches_whole(spark, many):
+    """Union of per-half sketches estimates the same as one sketch over
+    the whole input (the HLL merge is lossless w.r.t. the sketch)."""
+    whole = SK.hll_estimate(SK.hll_build(many, "v", lgk=12)).collect()[0]
+    per = SK.hll_build(many, "v", ["half"], lgk=12)
+    merged = SK.hll_estimate(SK.hll_merge(per)).collect()[0]
+    assert merged.distinct_est == whole.distinct_est
+
+
+def test_hll_grouped(spark, many):
+    out = SK.hll_estimate(SK.hll_build(many, "v", ["half"], lgk=12))
+    got = {r.half: r.distinct_est for r in out.collect()}
+    # each half holds 600 + 600 overlapping ids -> still <=1200 distinct
+    for half, exact in ((0, 600), (1, 600)):
+        assert abs(got[half] - exact) <= 0.05 * exact
+
+
+def test_hll_sketch_is_small(spark, many):
+    rows = SK.hll_build(many, "v", ["half"], lgk=12).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert len(r.hll) <= (1 << 12) + 64  # ~4 KiB + header
+
+
+# ---------------------------------------------------------------- KLL
+
+
+def test_kll_quantiles_within_rank_tolerance(spark, many):
+    """The value KLL returns for q is an input value whose RANK is
+    within ±eps of q — check rank, not value (values 'v0'..'v1199' are
+    strings; use a numeric column instead)."""
+    df = spark.range(0, 10_000).select((F.col("id") % 1000).alias("x"))
+    out = SK.kll_quantiles(
+        SK.kll_build(df, "x", dtype="bigint"), [0.5, 0.9], dtype="bigint"
+    ).collect()[0]
+    assert out.kll_n == 10_000
+    # x is uniform over 0..999: exact p50=~500, p90=~900; eps(k=200)=1.65%
+    assert abs(out.q50 - 500) <= 0.03 * 1000
+    assert abs(out.q90 - 900) <= 0.03 * 1000
+
+
+def test_kll_merge_matches_whole_guarantee(spark):
+    df = spark.range(0, 8_000).select(
+        (F.col("id") % 2).alias("half"), (F.col("id") % 500).cast("double").alias("x")
+    )
+    per = SK.kll_build(df, "x", ["half"])
+    merged = SK.kll_quantiles(SK.kll_merge(per), [0.5]).collect()[0]
+    assert merged.kll_n == 8_000
+    assert abs(merged.q50 - 250) <= 0.03 * 500
+
+
+def test_kll_bad_dtype_raises(spark):
+    df = spark.range(5).select(F.col("id").alias("x"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        SK.kll_build(df, "x", dtype="decimal")
+
+
+# -------------------------------------------------------------- theta
+
+
+def test_theta_union_and_intersect(spark):
+    # A = 0..5999, B = 4000..9999 -> overlap 2000, union 10000
+    a = spark.range(0, 6000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(4000, 10_000).select(F.col("id").cast("string").alias("v"))
+    sk = SK.theta_build(a, "v", lgk=14).withColumn("g", F.lit(1)).unionByName(
+        SK.theta_build(b, "v", lgk=14).withColumn("g", F.lit(1))
+    )
+    uni = SK.theta_estimate(SK.theta_union(sk, ["g"])).collect()[0]
+    inter = SK.theta_estimate(SK.theta_intersect(sk, ["g"])).collect()[0]
+    assert abs(uni.distinct_est - 10_000) <= 0.05 * 10_000
+    assert abs(inter.distinct_est - 2_000) <= 0.08 * 2_000
+
+
+def test_corpus_overlap_report(spark):
+    a = spark.range(0, 6000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(4000, 10_000).select(F.col("id").cast("string").alias("v"))
+    r = SK.corpus_overlap(a, b, "v").collect()[0]
+    assert abs(r.a_distinct - 6000) <= 0.05 * 6000
+    assert abs(r.b_distinct - 6000) <= 0.05 * 6000
+    assert abs(r.overlap_est - 2000) <= 0.08 * 2000
+    assert abs(r.union_est - 10_000) <= 0.05 * 10_000
+    assert abs(r.jaccard_est - 0.2) <= 0.05
