@@ -1,0 +1,140 @@
+"""Corpus ingest front door: schema-enforced JSONL/CSV reads with
+corrupt-record quarantine and content-derived document ids.
+
+The reference only ever reads trusted tables (Spark/pandas DataFrames
+handed to AutoLinker, autolinker.py:688 — no raw-file ingest surface);
+a 100 TB training-data pipeline, by contrast, starts from crawl-shaped
+JSONL where some fraction of lines is malformed. The Spark-first shape:
+
+- read in PERMISSIVE mode with an explicit schema + a corrupt-record
+  column — ONE scan classifies every line (FAILFAST would abort the
+  job on the first bad line; DROPMALFORMED silently destroys evidence);
+- split the result into (clean, quarantine) once, from a cached
+  classification pass — the quarantine keeps the raw line for replay;
+- derive ids from content hashes, not row numbers: stable across
+  re-ingest, partitioning, and engine, and exactly what incremental
+  dedup / upsert keys need.
+
+Scale notes: the quarantine split is a cached boolean filter, not a
+second parse; `bad_record_path`-style side outputs are a sink choice
+(write the quarantine DataFrame wherever evidence should live). The
+content-id hash is one md5 over the text column — scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "CORRUPT_COL",
+    "read_jsonl_corpus",
+    "read_csv_corpus",
+    "split_quarantine",
+    "with_content_id",
+    "ingest_report",
+]
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: T.StructType | str) -> T.StructType:
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+) -> DataFrame:
+    """PERMISSIVE JSONL scan: well-formed lines parse into ``schema``,
+    malformed lines land whole in ``_corrupt_record`` (added to the
+    schema automatically) with every data column null. One pass; no
+    inference; bad lines cannot abort the job."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    header: bool = True,
+) -> DataFrame:
+    """PERMISSIVE CSV scan with the same quarantine contract as
+    :func:`read_jsonl_corpus` (malformed rows → ``_corrupt_record``)."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def split_quarantine(
+    df: DataFrame,
+    required: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split a permissive read into ``(clean, quarantine)``:
+    quarantine = parse failures (``_corrupt_record`` set) plus rows
+    missing any ``required`` column. ``clean`` drops the corrupt column.
+
+    The input is cached first — Spark refuses a filter that references
+    ONLY the internal corrupt-record column of a live JSON scan (the
+    parser would have to re-run per filter), and one classification
+    pass feeding both branches is what we want anyway. Call
+    ``clean.unpersist()``'s parent when both branches are consumed, or
+    write both sides in the same job."""
+    df = df.cache()
+    bad = F.col(CORRUPT_COL).isNotNull()
+    for c in required or []:
+        bad = bad | F.col(c).isNull()
+    return (
+        df.where(~bad).drop(CORRUPT_COL),
+        df.where(bad),
+    )
+
+
+def with_content_id(
+    df: DataFrame,
+    cols: list[str] | str = "text",
+    *,
+    id_col: str = "content_id",
+) -> DataFrame:
+    """Append a deterministic 128-bit content id: md5 over the
+    ``\\x1f``-joined columns. Stable across re-ingest, engines, and
+    partitioning (unlike row numbers / monotonically_increasing_id),
+    so it is the natural key for incremental upsert and exact dedup —
+    two byte-identical documents get the SAME id by construction."""
+    cols = [cols] if isinstance(cols, str) else cols
+    joined = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    return df.withColumn(id_col, F.md5(joined))
+
+
+def ingest_report(clean: DataFrame, quarantine: DataFrame) -> DataFrame:
+    """One-row ingest summary: clean/quarantine row counts and the
+    quarantine's parse-failure vs missing-required breakdown."""
+    c = clean.agg(F.count("*").alias("clean_rows"))
+    q = quarantine.agg(
+        F.count("*").alias("quarantine_rows"),
+        F.count(F.col(CORRUPT_COL)).alias("parse_failures"),
+    )
+    return c.crossJoin(q).select(
+        "clean_rows",
+        "quarantine_rows",
+        "parse_failures",
+        (F.col("quarantine_rows") - F.col("parse_failures")).alias(
+            "missing_required"
+        ),
+    )

@@ -1,0 +1,90 @@
+"""Corpus ingest: permissive JSONL/CSV reads, quarantine split,
+content-derived ids."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.sources import ingest as I
+
+SCHEMA = "doc_id long, text string, lang string"
+
+
+@pytest.fixture()
+def jsonl_path(tmp_path):
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}',
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}',
+        "{not json at all",
+        '{"doc_id": 4, "lang": "en"}',  # parses, but text is missing
+        '{"doc_id": 5, "text": "ok", "lang": "en"}',
+    ]
+    p = tmp_path / "corpus.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_jsonl_quarantine_split(spark, jsonl_path):
+    raw = I.read_jsonl_corpus(spark, jsonl_path, SCHEMA)
+    clean, quarantine = I.split_quarantine(raw, required=["text"])
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2, 5]
+    assert I.CORRUPT_COL not in clean.columns
+    q = quarantine.collect()
+    assert len(q) == 2
+    # the parse failure keeps the raw line for replay
+    raw_lines = [getattr(r, I.CORRUPT_COL) for r in q if getattr(r, I.CORRUPT_COL)]
+    assert raw_lines == ["{not json at all"]
+
+
+def test_ingest_report(spark, jsonl_path):
+    raw = I.read_jsonl_corpus(spark, jsonl_path, SCHEMA)
+    clean, quarantine = I.split_quarantine(raw, required=["text"])
+    r = I.ingest_report(clean, quarantine).collect()[0]
+    assert (r.clean_rows, r.quarantine_rows, r.parse_failures, r.missing_required) == (
+        3,
+        2,
+        1,
+        1,
+    )
+
+
+def test_csv_quarantine(spark, tmp_path):
+    p = tmp_path / "corpus.csv"
+    p.write_text("doc_id,text,lang\n1,hello,en\nnot_a_long,x,en\n3,ok,fr\n")
+    raw = I.read_csv_corpus(spark, str(p), SCHEMA)
+    clean, quarantine = I.split_quarantine(raw)
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 3]
+    assert quarantine.count() == 1
+
+
+def test_content_id_stable_and_collision_free(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = I.with_content_id(df).collect()
+    ids = {r.doc_id: r.content_id for r in out}
+    assert ids[1] == ids[2]  # byte-identical docs share the id
+    assert ids[1] != ids[3]
+    # multi-column separator prevents boundary collisions: ("ab","c")
+    # must differ from ("a","bc")
+    two = spark.createDataFrame(
+        [("ab", "c"), ("a", "bc")], "x string, y string"
+    )
+    got = [r.content_id for r in I.with_content_id(two, ["x", "y"]).collect()]
+    assert got[0] != got[1]
+
+
+def test_roundtrip_documents_through_jsonl(spark, sf_dir, tmp_path):
+    """Parquet documents -> jsonl -> permissive ingest == original."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    docs.write.json(out)
+    back, quarantine = I.split_quarantine(
+        I.read_jsonl_corpus(spark, out, SCHEMA), required=["doc_id", "text"]
+    )
+    assert quarantine.count() == 0
+    assert back.count() == docs.count()
+    assert (
+        back.exceptAll(docs).count() == 0 and docs.exceptAll(back).count() == 0
+    )
