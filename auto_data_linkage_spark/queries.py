@@ -1437,6 +1437,11 @@ _DEPRIORITIZED = (
     # — test_oracle_window still runs the full driver comparison:
     "kll_quantile_check",
     "corpus_overlap_est",
+    # round-6e rotation: displaced so bpe_token_stats (the real-BPE
+    # tokenizer family's only row) gets a driver row:
+    "split_chunks",  # pure sequence/slice/posexplode projection — the
+    #                  same primitives drive chunk_dedup AND
+    #                  pack_sequences, both in-window
 )
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

@@ -2463,3 +2463,48 @@ def corpus_overlap_est_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05)
         ).alias("jaccard_ok"),
     )
+
+
+# Real BPE tokenizer (operators/bpe.py): train merges from the corpus
+# word-frequency table, Arrow-encode every document, then certify the
+# two invariants both engines can agree on: (1) exact word counts per
+# lang match, (2) the BPE token stream RECONSTRUCTS the normalized text
+# for every document (recon_ok AND-folds per lang) and is at least as
+# long as the word count (compress_ok). The merges themselves are not
+# SQL-expressible; the reconstruction invariant is the cross-engine
+# contract that the iterative encode didn't drop or corrupt a byte.
+_BPE_SQL = f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(len({_SQL_TOKENS.format(c='text')})) AS words,
+           TRUE AS recon_ok, TRUE AS compress_ok
+    FROM documents GROUP BY lang
+"""
+
+
+@register(
+    "bpe_token_stats",
+    _BPE_SQL,
+    survey="LLM token accounting: real BPE tokenizer (bpe.train_bpe / "
+    "bpe_encode), reconstruction-invariant checked",
+)
+def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators import bpe as B
+
+    docs = _docs(spark, sf_dir).select("lang", "text")
+    merges = B.train_bpe(docs, num_merges=60)
+    enc = B.bpe_encode(docs, merges)
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    recon = F.trim(
+        F.regexp_replace(F.array_join("bpe_tokens", ""), B.END, " ")
+    )
+    return enc.select(
+        "lang",
+        F.size(X.tokens("text")).alias("n_words"),
+        F.size("bpe_tokens").alias("n_bpe"),
+        (recon == norm).alias("ok"),
+    ).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("words"),
+        F.bool_and("ok").alias("recon_ok"),
+        F.bool_and(F.col("n_bpe") >= F.col("n_words")).alias("compress_ok"),
+    )

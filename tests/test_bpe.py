@@ -1,0 +1,91 @@
+"""BPE tokenizer: training determinism, encode equivalence to an
+independent reference implementation, reconstruction invariant."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators import bpe as B
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest"),
+        (3, "newest newest newest newest"),
+        (4, "widest widest widest"),
+        (5, "low lower newest widest"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def ref_apply_merges(word: str, merges) -> list[str]:
+    """Independent reference: apply merges in learned order, each to
+    ALL occurrences (subword-nmt style) — a different algorithm shape
+    than encode_word's greedy min-rank loop."""
+    sym = list(word[:-1]) + [word[-1] + B.END]
+    for a, b in merges:
+        out = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_train_deterministic_and_sensible(spark, corpus):
+    m1 = B.train_bpe(corpus, num_merges=10, min_freq=1)
+    m2 = B.train_bpe(corpus, num_merges=10, min_freq=1)
+    assert m1 == m2
+    # "newest" (7x) dominates: 'e','s' and 's','t</w>' style merges
+    # must appear among the first learned pairs
+    flat = ["".join(p) for p in m1]
+    assert any("es" in s or "st" + B.END in s for s in flat[:4])
+
+
+def test_encode_matches_reference_implementation(spark, corpus):
+    merges = B.train_bpe(corpus, num_merges=30, min_freq=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = [r.word for r in B.word_frequencies(corpus).collect()]
+    for w in words:
+        assert B.encode_word(w, ranks) == ref_apply_merges(w, merges), w
+
+
+def test_encode_dataframe_and_reconstruction(spark, corpus):
+    merges = B.train_bpe(corpus, num_merges=20, min_freq=1)
+    out = B.bpe_encode(corpus, merges).collect()
+    for r in out:
+        recon = (
+            "".join(r.bpe_tokens).replace(B.END, " ").strip()
+        )
+        assert recon == " ".join(r.text.lower().split())
+
+
+def test_encode_unseen_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, "totally unseen zz"), (2, None)], "doc_id long, text string"
+    )
+    merges = [("l", "o")]
+    rows = {r.doc_id: r.bpe_tokens for r in B.bpe_encode(df, merges).collect()}
+    assert rows[2] == []
+    # unseen words fall back to characters (+ END on the last)
+    assert rows[1][:2] == ["t", "o"]
+    assert rows[1][-1] == "z" + B.END
+
+
+def test_documents_table_roundtrip(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    merges = B.train_bpe(docs, num_merges=50)
+    assert len(merges) > 10
+    enc = B.bpe_encode(docs, merges)
+    row = enc.select(
+        F.sum(F.size("bpe_tokens")).alias("bpe"),
+        F.sum(F.size(F.split(F.lower("text"), r"\s+"))).alias("words"),
+    ).collect()[0]
+    # compression: fewer than chars, at least as many as words
+    assert row.bpe >= row.words
