@@ -1122,3 +1122,96 @@ def pca_project(
             yield pdf
 
     return df.mapInPandas(project, out_schema)
+
+
+# ------------------------------------------------------------- kNN graph
+def knn_graph(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over a corpus: for every
+    vector, its top-``k`` cosine neighbors among the members of its
+    ``nprobe`` closest IVF cells. Returns ``(query_id, neighbor_id,
+    cosine, rank)`` — the adjacency input for SemDeDup-style semantic
+    clustering, diversity sampling, and graph-based curation.
+
+    NOT :func:`ivf_topk` re-used: there the probe side is a small query
+    batch and is broadcast; here BOTH sides are the corpus, so the plan
+    must be a cell-keyed equi-join instead — probes (each vector
+    replicated ``nprobe``×) shuffle-join corpus members on ``cell``,
+    co-partitioned, no broadcast of anything corpus-sized. Work is
+    Σ_cells (members × probes-into-cell) — bounded by the cell layout,
+    never n². At 100 TB grow the number of cells with n (the
+    SemDeDup/IVF recipe, k_cells ≈ n/1000) to cap member counts, and
+    raise nprobe for recall; skewed cells split via AQE like any other
+    equi-join.
+
+    The one broadcast is the centroid matrix (k_cells × d doubles) for
+    probe routing — tiny by construction.
+    """
+    cmat = [[float(x) for x in c] for c in centroids]
+    n_cells = len(cmat)
+    cent_rows = [(i, cmat[i]) for i in range(n_cells)]
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(cent_rows, ["cell", "centroid"]).select(
+        "cell", F.col("centroid").cast("array<double>").alias("centroid")
+    )
+
+    v = corpus.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__vec"),
+        norm_expr(F.col(vec_col)).alias("__n"),
+    )
+    routed = v.join(F.broadcast(cents)).select(
+        "query_id",
+        "__vec",
+        "__n",
+        "cell",
+        F.round(cosine_expr(F.col("__vec"), F.col("centroid")), 6).alias(
+            "cell_sim"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cell_sim"), F.asc("cell")
+    )
+    probes = (
+        routed.withColumn("cr", F.row_number().over(wq))
+        .where(F.col("cr") <= nprobe)
+        .select("query_id", "__vec", "__n", "cell")
+    )
+    # members: every vector in its OWN (nearest) cell only
+    members = (
+        routed.withColumn("cr", F.row_number().over(wq))
+        .where(F.col("cr") == 1)
+        .select(
+            F.col("query_id").alias("neighbor_id"),
+            F.col("__vec").alias("__cvec"),
+            F.col("__n").alias("__cn"),
+            "cell",
+        )
+    )
+    scored = (
+        members.join(probes, "cell")  # equi-join, co-partitioned by cell
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_from_norms(
+                    F.col("__vec"), F.col("__cvec"), F.col("__n"), F.col("__cn")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

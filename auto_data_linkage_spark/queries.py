@@ -1437,6 +1437,10 @@ _DEPRIORITIZED = (
     # — test_oracle_window still runs the full driver comparison:
     "kll_quantile_check",
     "corpus_overlap_est",
+    # registered DIRECTLY into the back window (5th ANN-family row;
+    # cosine, ivf, pq, ivfpq hold the driver rows) — test_oracle_window
+    # still runs the full driver comparison:
+    "knn_graph_stats",
     # round-6e rotation: displaced so bpe_token_stats (the real-BPE
     # tokenizer family's only row) gets a driver row:
     "split_chunks",  # pure sequence/slice/posexplode projection — the

@@ -2508,3 +2508,59 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and("ok").alias("recon_ok"),
         F.bool_and(F.col("n_bpe") >= F.col("n_words")).alias("compress_ok"),
     )
+
+
+# Approximate kNN GRAPH over the embedding corpus (similarity.knn_graph):
+# corpus-vs-corpus neighbors via a cell-keyed equi-join (nothing
+# corpus-sized broadcasts — see the operator docstring). Exact columns
+# both engines compute: the vector count. Flag columns certify the
+# approximate part against exact values computed engine-side: full node
+# coverage, degree bound, and sampled recall vs brute force ≥ 0.25
+# (measured 0.344 @sf0.001 / 0.433 @sf0.01 with this seeded config —
+# deterministic: farthest-first kmeans init, rounded cosines, modulus
+# sample).
+_KNN_SQL = """
+    SELECT COUNT(*) AS n_vectors,
+           TRUE AS coverage_ok, TRUE AS degree_ok, TRUE AS recall_ok
+    FROM embeddings
+"""
+
+
+@register(
+    "knn_graph_stats",
+    _KNN_SQL,
+    survey="ANN: corpus kNN graph via IVF cell equi-join "
+    "(similarity.knn_graph), sampled-recall certified",
+)
+def knn_graph_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.similarity import (
+        brute_force_topk,
+        kmeans_centroids,
+        knn_graph,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=16, max_iter=3, seed=11)
+    g = knn_graph(emb, cents, k=5, nprobe=2).localCheckpoint()
+
+    sample = emb.where(F.col("vec_id") % 29 == 0)
+    exact = brute_force_topk(emb, sample, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(g.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+    stats = g.agg(
+        F.count_distinct("query_id").alias("covered"),
+        F.max("rank").alias("max_rank"),
+    )
+    return (
+        emb.agg(F.count("*").alias("n_vectors"))
+        .crossJoin(stats)
+        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_vectors",
+            (F.col("covered") == F.col("n_vectors")).alias("coverage_ok"),
+            (F.col("max_rank") <= 5).alias("degree_ok"),
+            (F.col("n_hits") >= 0.25 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )

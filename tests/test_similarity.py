@@ -413,3 +413,74 @@ def test_pca_project_recovers_dominant_axes(spark):
     # schema: float32 array appended, original columns intact
     assert proj.columns == ["vec_id", "embedding", "pca"]
     assert len(rows[0].pca) == 2
+
+
+# ------------------------------------------------------------- kNN graph
+
+
+def _clustered_vecs(spark, n_per=40, clusters=4, dim=8, spread=0.05):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(clusters, dim))
+    rows = []
+    vid = 0
+    for c in range(clusters):
+        for _ in range(n_per):
+            v = centers[c] + spread * rng.normal(size=dim)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, truth int, embedding array<double>")
+
+
+def test_knn_graph_neighbors_share_cluster(spark):
+    from auto_data_linkage_spark.operators.similarity import (
+        kmeans_centroids,
+        knn_graph,
+    )
+
+    df = _clustered_vecs(spark).cache()
+    cents = kmeans_centroids(df, k=8, seed=3)
+    g = knn_graph(df, cents, k=5, nprobe=2)
+    rows = g.collect()
+    # every vector has exactly 5 neighbors (cells hold >= 6 members)
+    from collections import Counter
+
+    deg = Counter(r.query_id for r in rows)
+    assert set(deg.values()) == {5}
+    # tight clusters: neighbors overwhelmingly share the true cluster
+    truth = {r.vec_id: r.truth for r in df.collect()}
+    same = sum(truth[r.query_id] == truth[r.neighbor_id] for r in rows)
+    assert same / len(rows) > 0.95
+
+
+def test_knn_graph_matches_brute_force_when_one_cell(spark):
+    from auto_data_linkage_spark.operators.similarity import (
+        brute_force_topk,
+        knn_graph,
+    )
+
+    df = _clustered_vecs(spark, n_per=25, clusters=2).cache()
+    # one cell -> knn_graph degenerates to exact brute force
+    g = knn_graph(df, [[0.0] * 8], k=3, nprobe=1)
+    bf = brute_force_topk(df, df, k=3)
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in g.collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank) for r in bf.collect()}
+    assert got == want
+
+
+def test_knn_graph_no_corpus_broadcast(spark):
+    from auto_data_linkage_spark.operators.similarity import knn_graph
+
+    df = _clustered_vecs(spark)
+    g = knn_graph(df, [[0.0] * 8, [1.0] * 8], k=2, nprobe=2)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    # the members-x-probes join must be a shuffle join on cell, not a
+    # broadcast of a corpus-sized side; the only broadcast allowed is
+    # the centroid routing table (2 rows)
+    import re
+
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    corpus_joins = [ln for ln in joins if "cell#" in ln]
+    assert corpus_joins, plan
+    assert all("Broadcast" not in ln for ln in corpus_joins), plan
