@@ -43,6 +43,9 @@ __all__ = [
     "train_bpe",
     "bpe_encode",
     "encode_word",
+    "UNK",
+    "bpe_vocab",
+    "bpe_encode_ids",
 ]
 
 END = "</w>"  # end-of-word sentinel: lets merges distinguish suffixes
@@ -175,6 +178,74 @@ def bpe_encode(
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, ranks)
+                out.extend(got)
+            return out
+
+        return pd.Series([run(t) for t in texts])
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+UNK = "<unk>"
+
+
+def bpe_vocab(
+    df: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> list[str]:
+    """Deterministic vocabulary for a merge list: ``[<unk>] + sorted
+    corpus alphabet (chars and char</w> variants, one distributed
+    distinct pass) + merge products in rank order``. Index IS the token
+    id — stable across engines and re-runs for the same corpus+merges."""
+    alpha_rows = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .select(F.explode(F.split("w", "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    alphabet = sorted({r.ch for r in alpha_rows} | {r.ch + END for r in alpha_rows})
+    products = [a + b for a, b in merges]
+    seen = set(alphabet)
+    out = [UNK] + alphabet
+    for p in products:
+        if p not in seen:
+            seen.add(p)
+            out.append(p)
+    return out
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: list[str],
+    text_col: str = "text",
+    *,
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Append ``out_col: array<int>`` — the model-ready id stream.
+    Same Arrow-batched greedy encode as :func:`bpe_encode`, mapping
+    each token through the vocab in the closure (symbols outside the
+    vocab — e.g. characters unseen at vocab-build time — map to id 0,
+    ``<unk>``)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    ids = {tok: i for i, tok in enumerate(vocab)}
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(texts):
+        import pandas as pd
+
+        cache: dict[str, list[int]] = {}
+
+        def run(text):
+            if text is None:
+                return []
+            out: list[int] = []
+            for w in text.lower().split():
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = [
+                        ids.get(t, 0) for t in encode_word(w, ranks)
+                    ]
                 out.extend(got)
             return out
 

@@ -89,3 +89,26 @@ def test_documents_table_roundtrip(spark, sf_dir):
     ).collect()[0]
     # compression: fewer than chars, at least as many as words
     assert row.bpe >= row.words
+
+
+def test_vocab_and_id_roundtrip(spark, corpus):
+    merges = B.train_bpe(corpus, num_merges=20, min_freq=1)
+    vocab = B.bpe_vocab(corpus, merges)
+    assert vocab[0] == B.UNK
+    assert vocab == B.bpe_vocab(corpus, merges)  # deterministic
+    toks = {r.doc_id: r.bpe_tokens for r in B.bpe_encode(corpus, merges).collect()}
+    ids = {
+        r.doc_id: r.token_ids
+        for r in B.bpe_encode_ids(corpus, merges, vocab).collect()
+    }
+    for d, tok_list in toks.items():
+        assert [vocab[i] for i in ids[d]] == tok_list  # ids decode to tokens
+        assert 0 not in ids[d]  # in-corpus text never hits <unk>
+
+
+def test_ids_unknown_maps_to_unk(spark, corpus):
+    merges = B.train_bpe(corpus, num_merges=5, min_freq=1)
+    vocab = B.bpe_vocab(corpus, merges)
+    other = spark.createDataFrame([(1, "Ωmega")], "doc_id long, text string")
+    row = B.bpe_encode_ids(other, merges, vocab).collect()[0]
+    assert row.token_ids[0] == 0  # 'ω' not in the training alphabet
