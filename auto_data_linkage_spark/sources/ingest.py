@@ -34,6 +34,8 @@ __all__ = [
     "split_quarantine",
     "with_content_id",
     "ingest_report",
+    "stream_read_jsonl",
+    "stream_ingest",
 ]
 
 CORRUPT_COL = "_corrupt_record"
@@ -138,3 +140,58 @@ def ingest_report(clean: DataFrame, quarantine: DataFrame) -> DataFrame:
             "missing_required"
         ),
     )
+
+
+def stream_read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl_corpus`: a file-source
+    ``readStream`` over a landing directory with the same PERMISSIVE +
+    corrupt-record contract. New files become micro-batches; the
+    checkpoint (set on the sink) guarantees each file is ingested
+    exactly once across restarts."""
+    reader = (
+        spark.readStream.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def stream_ingest(
+    stream: DataFrame,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    *,
+    required: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Fold a streaming permissive read into TWO parquet sinks — clean
+    appends to the corpus, failures append to a replayable quarantine —
+    via ``foreachBatch`` (a micro-batch is a plain DataFrame, so the
+    batch :func:`split_quarantine` — one cached classification pass
+    feeding both writes — applies unchanged; a streaming filter on the
+    corrupt column alone would be rejected by Spark). ``availableNow``
+    drains the backlog and stops — the cron-style incremental ingest;
+    pass ``available_now=False`` for a continuous daemon. Returns the
+    started query (caller awaits/stops)."""
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        clean, quarantine = split_quarantine(batch, required)
+        clean.write.mode("append").parquet(clean_path)
+        quarantine.write.mode("append").parquet(quarantine_path)
+        batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -88,3 +88,34 @@ def test_roundtrip_documents_through_jsonl(spark, sf_dir, tmp_path):
     assert (
         back.exceptAll(docs).count() == 0 and docs.exceptAll(back).count() == 0
     )
+
+
+def test_stream_ingest_exactly_once(spark, tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        '{"doc_id": 1, "text": "a", "lang": "en"}\n{broken\n'
+    )
+    clean_p = str(tmp_path / "clean")
+    quar_p = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = I.stream_read_jsonl(spark, str(src), SCHEMA)
+    assert stream.isStreaming
+    q = I.stream_ingest(stream, clean_p, quar_p, ckpt, required=["text"])
+    q.awaitTermination(120)
+    assert [r.doc_id for r in spark.read.parquet(clean_p).collect()] == [1]
+    assert spark.read.parquet(quar_p).count() == 1
+
+    # second batch arrives; restart drains ONLY the new file
+    (src / "b2.jsonl").write_text('{"doc_id": 2, "text": "b", "lang": "fr"}\n')
+    q2 = I.stream_ingest(
+        I.stream_read_jsonl(spark, str(src), SCHEMA),
+        clean_p,
+        quar_p,
+        ckpt,
+        required=["text"],
+    )
+    q2.awaitTermination(120)
+    assert sorted(r.doc_id for r in spark.read.parquet(clean_p).collect()) == [1, 2]
+    assert spark.read.parquet(quar_p).count() == 1  # not re-ingested
