@@ -1441,6 +1441,9 @@ _DEPRIORITIZED = (
     # cosine, ivf, pq, ivfpq hold the driver rows) — test_oracle_window
     # still runs the full driver comparison:
     "knn_graph_stats",
+    # back-window: corpus_report composes ONLY already-in-window-
+    # certified primitives (counts, entropy, percentile, md5 distinct):
+    "corpus_report",
     # round-6e rotation: displaced so bpe_token_stats (the real-BPE
     # tokenizer family's only row) gets a driver row:
     "split_chunks",  # pure sequence/slice/posexplode projection — the

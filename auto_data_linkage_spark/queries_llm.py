@@ -2564,3 +2564,37 @@ def knn_graph_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") >= 0.25 * F.col("n_exact")).alias("recall_ok"),
         )
     )
+
+
+# Dataset-card corpus report (operators/report.py): every column exact
+# and hash-matched against DuckDB — no tolerance flags.
+_REPORT_SQL = f"""
+    WITH b AS (
+        SELECT md5(text) AS fp, len({_SQL_TOKENS.format(c='text')}) AS nw, lang
+        FROM documents
+    ), e AS (
+        SELECT ROUND(SUM(-(cnt / tot) * LN(cnt / tot)), 6) AS lang_entropy
+        FROM (SELECT lang, COUNT(*) AS cnt, SUM(COUNT(*)) OVER () AS tot
+              FROM b GROUP BY lang)
+    )
+    SELECT COUNT(*) AS n_docs,
+           SUM(nw) AS total_words,
+           COUNT(DISTINCT lang) AS n_langs,
+           (SELECT lang_entropy FROM e) AS lang_entropy,
+           ROUND(1 - COUNT(DISTINCT fp) / COUNT(*)::DOUBLE, 6) AS exact_dup_rate,
+           ROUND(quantile_cont(nw, 0.5), 6) AS p50_words,
+           ROUND(quantile_cont(nw, 0.95), 6) AS p95_words
+    FROM b
+"""
+
+
+@register(
+    "corpus_report",
+    _REPORT_SQL,
+    survey="dataset-card corpus report: counts, token mass, language "
+    "entropy, dup rate, length quantiles (operators/report.py)",
+)
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.report import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
