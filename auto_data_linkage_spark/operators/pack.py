@@ -309,3 +309,54 @@ def write_shards(
         .parquet(path)
     )
     return path
+
+
+def epoch_repeat(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+) -> DataFrame:
+    """Oversampling companion to :func:`mixture_sample`: realize
+    per-stratum rates that may EXCEED 1 by repetition — ``floor(rate)``
+    full copies of every row plus one more for the deterministic
+    hash-slice of rows covering the fractional remainder (e.g. rate
+    2.3 → every row twice, 30% of rows a third time). The standard
+    up-weighting for scarce high-quality sources (textbooks/wiki
+    repeated 2–5× in published data recipes) where a keep-rate sampler
+    cannot go above 1.
+
+    Adds a ``copy`` column (0-based) so downstream shuffling/sharding
+    can spread repeats (:func:`assign_shards` hashes ``(id, copy)``
+    naturally via a composite key). ``epoch`` shifts the fractional
+    slice so different epochs repeat DIFFERENT residual rows.
+
+    Plan: rates become a broadcast map; the repeat is one
+    ``explode(sequence(...))`` projection — no shuffle, no driver loop,
+    output size = Σ n_s·rate_s by construction.
+    """
+    spark = df.sparkSession
+    rate_rows = [(k, float(v)) for k, v in sorted(rates.items())]
+    rdf = spark.createDataFrame(rate_rows, [strata_col, "__rate"])
+    slot = F.pmod(
+        md5_hash64(
+            F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(epoch)))
+        ),
+        F.lit(10000),
+    )
+    n_copies = (
+        F.floor("__rate")
+        + (slot < F.floor((F.col("__rate") % 1) * 10000)).cast("int")
+    ).cast("int")
+    # sequence(0, -1) DESCENDS in Spark, so n_copies = 0 must produce an
+    # EMPTY array (row dropped by explode), not [0, -1]
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.join(F.broadcast(rdf), strata_col)
+        .withColumn("copy", F.explode(copies))
+        .drop("__rate")
+    )

@@ -203,3 +203,30 @@ def rule_block_stats(
         F.count("*").alias("n_blocks"),
         F.floor(F.avg("k")).alias("avg_squared"),
     )
+
+
+def skew_report(
+    df: DataFrame, columns: Sequence[str], *, top: int = 10
+) -> DataFrame:
+    """Shuffle-key skew diagnostic: for each candidate key column, its
+    ``top`` heaviest values with count, share of rows, and the
+    column-level max-share — the number that predicts whether a
+    groupBy/join keyed on it needs AQE skew handling or salting
+    (share ≈ 1/partitions is balanced; share ≫ that means one reducer
+    owns the key). One melt + hash-agg pass for ALL columns (the same
+    plan shape as :func:`value_counts`), a |values|-sized window for
+    ranking — row data never shuffles, only (col, val, cnt) triples.
+
+    Returns ``(col, val, cnt, share, rank, max_share)`` rows, ``rank``
+    1-based by (cnt desc, val asc) for deterministic cross-engine ties.
+    """
+    vc = value_counts(df, columns)
+    w = Window.partitionBy("col").orderBy(F.desc("cnt"), F.asc("val"))
+    tot = Window.partitionBy("col")
+    return (
+        vc.withColumn("rank", F.row_number().over(w))
+        .withColumn("share", F.round(F.col("cnt") / F.sum("cnt").over(tot), 6))
+        .withColumn("max_share", F.max("share").over(tot))
+        .where(F.col("rank") <= top)
+        .select("col", "val", "cnt", "share", "rank", "max_share")
+    )

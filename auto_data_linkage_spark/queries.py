@@ -1444,6 +1444,9 @@ _DEPRIORITIZED = (
     # back-window: corpus_report composes ONLY already-in-window-
     # certified primitives (counts, entropy, percentile, md5 distinct):
     "corpus_report",
+    # back-window: skew_report is the same melt+window family as
+    # value_counts/entropy (A3/A5 rows in-window):
+    "skew_report",
     # round-6e rotation: displaced so bpe_token_stats (the real-BPE
     # tokenizer family's only row) gets a driver row:
     "split_chunks",  # pure sequence/slice/posexplode projection — the

@@ -2598,3 +2598,37 @@ def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_linkage_spark.operators.report import corpus_report
 
     return corpus_report(_docs(spark, sf_dir))
+
+
+# Shuffle-key skew diagnostic (profile.skew_report): exact, fully
+# SQL-expressible — the ops-side answer to "can I key a join on this".
+_SKEW_SQL = """
+    WITH m AS (
+        SELECT 'lang' AS col, lang AS val FROM documents
+        UNION ALL
+        SELECT 'source' AS col, source AS val FROM documents
+    ), vc AS (
+        SELECT col, val, COUNT(*) AS cnt FROM m GROUP BY col, val
+    ), r AS (
+        SELECT col, val, cnt,
+               ROUND(cnt / SUM(cnt) OVER (PARTITION BY col), 6) AS share,
+               ROW_NUMBER() OVER (PARTITION BY col ORDER BY cnt DESC, val ASC)
+                   AS rank
+        FROM vc
+    )
+    SELECT col, val, cnt, share, rank,
+           MAX(share) OVER (PARTITION BY col) AS max_share
+    FROM r WHERE rank <= 5
+"""
+
+
+@register(
+    "skew_report",
+    _SKEW_SQL,
+    survey="profiling: shuffle-key skew diagnostic — per-key heavy "
+    "values, share, max-share (profile.skew_report)",
+)
+def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.profile import skew_report
+
+    return skew_report(_docs(spark, sf_dir), ["lang", "source"], top=5)

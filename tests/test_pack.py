@@ -234,3 +234,39 @@ def test_write_shards_layout_and_order(spark, tmp_path):
             .collect()
         ]
         assert got == want
+
+
+def test_epoch_repeat_rates(spark):
+    from auto_data_linkage_spark.operators.pack import epoch_repeat
+
+    df = spark.createDataFrame(
+        [(i, "wiki" if i < 1000 else "web") for i in range(3000)],
+        "doc_id long, src string",
+    )
+    out = epoch_repeat(df, "src", {"wiki": 2.5, "web": 0.5}, epoch=0)
+    counts = {r.src: r["count"] for r in out.groupBy("src").count().collect()}
+    assert abs(counts["wiki"] - 2500) <= 150  # 1000 * 2.5, hash-slice jitter
+    assert abs(counts["web"] - 1000) <= 150  # 2000 * 0.5
+    # every wiki row appears at least twice (integer part), copy is 0-based
+    per = out.where(F.col("src") == "wiki").groupBy("doc_id").count().collect()
+    assert all(r["count"] in (2, 3) for r in per)
+    assert out.agg(F.min("copy"), F.max("copy")).collect()[0] == (0, 2)
+
+
+def test_epoch_repeat_deterministic_but_epoch_shifts(spark):
+    from auto_data_linkage_spark.operators.pack import epoch_repeat
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(400)], "doc_id long, src string"
+    )
+    a = sorted((r.doc_id, r.copy) for r in epoch_repeat(df, "src", {"s": 1.5}).collect())
+    b = sorted((r.doc_id, r.copy) for r in epoch_repeat(df, "src", {"s": 1.5}).collect())
+    assert a == b
+    c = sorted(
+        (r.doc_id, r.copy)
+        for r in epoch_repeat(df, "src", {"s": 1.5}, epoch=1).collect()
+    )
+    assert a != c  # different epochs repeat different residual rows
+    # zero-rate stratum vanishes entirely
+    z = epoch_repeat(df, "src", {"s": 0.0})
+    assert z.count() == 0

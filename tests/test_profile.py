@@ -116,3 +116,14 @@ def test_rule_block_stats_untrimmed(spark, golden):
 
 def test_max_distinct_count(spark, golden):
     assert max_distinct_count(golden, ["a", "b", "c", "d"]) == 6
+
+
+def test_skew_report_hand_values(spark):
+    from auto_data_linkage_spark.profile import skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, ["k"], top=2).collect()
+    assert [(r.val, r.cnt, r.rank) for r in out] == [("a", 6, 1), ("b", 3, 2)]
+    assert out[0].share == 0.6
+    assert all(r.max_share == 0.6 for r in out)
