@@ -70,6 +70,18 @@ BENCH_QUERIES = [
     "phonetic_blocking_pairs",
     "zorder_values",
     "count_min_tokens",
+    # round-6d/e: dataset export, mergeable sketch family, real BPE,
+    # dataset card, skew diagnostic (steady states 0.5-1.2 s each at
+    # sf0.1 — see SCALE.md; knn_graph_stats stays out of the headline:
+    # its local cost is per-job overhead of the iterative kmeans, not
+    # data work, and would only measure scheduler latency here)
+    "shard_corpus",
+    "hll_distinct_check",
+    "kll_quantile_check",
+    "corpus_overlap_est",
+    "bpe_token_stats",
+    "corpus_report",
+    "skew_report",
 ]
 
 
