@@ -735,3 +735,123 @@ def incremental_near_dedup(
         .join(dropped, "component", "anti")
         .select(F.col("node").alias(id_col))
     )
+
+
+# ------------------------------------------------- boilerplate stripping
+def _chunk_array(text_col: Column, chunk_words: int) -> Column:
+    """Consecutive ``chunk_words``-token segments of a document as an
+    array<string> — the same pure projection :func:`chunk_dedup` uses
+    (sequence/slice, whole-stage codegen, no UDF)."""
+    toks = tokens(text_col)
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(chunk_words))).cast("int"), F.lit(1)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " "),
+    )
+
+
+def boilerplate_chunks(
+    df: DataFrame,
+    *,
+    chunk_words: int = 8,
+    min_doc_frac: float = 0.05,
+    max_terms: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunks whose DOCUMENT frequency exceeds ``min_doc_frac`` of the
+    corpus — the CCNet/RefinedWeb boilerplate signal (headers, cookie
+    banners, navigation): content repeated across many documents, found
+    by frequency, not by first-occurrence order (contrast
+    :func:`chunk_dedup`). Returns ``(chunk, doc_freq)``, heaviest
+    first, capped at ``max_terms``.
+
+    One distinct + hash-agg pass over (id, chunk) pairs — map-side
+    partials; document text never shuffles, only chunk strings."""
+    n_docs = df.count()
+    floor = max(2, int(n_docs * min_doc_frac))
+    chunks = df.select(
+        F.col(id_col), F.explode(_chunk_array(F.col(text_col), chunk_words)).alias("chunk")
+    ).dropDuplicates([id_col, "chunk"])
+    return (
+        chunks.groupBy("chunk")
+        .agg(F.count("*").alias("doc_freq"))
+        .where(F.col("doc_freq") >= floor)
+        .orderBy(F.desc("doc_freq"), F.asc("chunk"))
+        .limit(max_terms)
+    )
+
+
+_BOILER_LITERAL_MAX = 512
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    *,
+    chunk_words: int = 8,
+    min_doc_frac: float = 0.05,
+    max_terms: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove boilerplate chunks from every document, preserving the
+    order of what survives. Returns ``(id, n_chunks, n_removed,
+    clean_text)``.
+
+    Plan shape: the boilerplate set is BOUNDED (≤ max_terms) by
+    construction, so removal never shuffles the corpus —
+
+    - ≤ 512 terms: the set folds into the plan as an array literal
+      and removal is a pure ``filter``/``array_join`` projection
+      (zero exchanges on the corpus);
+    - larger sets: explode + broadcast LEFT-ANTI join on the chunk,
+      then one hash-agg reassembly keyed by id — the single exchange
+      carries surviving chunk strings, never raw documents.
+    """
+    bl_rows = boilerplate_chunks(
+        df,
+        chunk_words=chunk_words,
+        min_doc_frac=min_doc_frac,
+        max_terms=max_terms,
+        text_col=text_col,
+        id_col=id_col,
+    ).collect()
+    bl = [r.chunk for r in bl_rows]
+    chunk_arr = _chunk_array(F.col(text_col), chunk_words)
+
+    if len(bl) <= _BOILER_LITERAL_MAX:
+        kept = F.filter(chunk_arr, lambda c: ~c.isin(*bl) if bl else F.lit(True))
+        return df.select(
+            F.col(id_col),
+            F.size(chunk_arr).alias("n_chunks"),
+            (F.size(chunk_arr) - F.size(kept)).alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+
+    spark = df.sparkSession
+    bl_df = spark.createDataFrame([(c,) for c in bl], ["chunk"])
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("pos", "chunk")
+    )
+    survived = exploded.join(F.broadcast(bl_df), "chunk", "left_anti")
+    agg = survived.groupBy(id_col).agg(
+        F.count("*").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = df.select(F.col(id_col), F.size(chunk_arr).alias("n_chunks"))
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        "n_chunks",
+        (F.col("n_chunks") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

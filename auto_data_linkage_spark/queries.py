@@ -1447,6 +1447,9 @@ _DEPRIORITIZED = (
     # back-window: skew_report is the same melt+window family as
     # value_counts/entropy (A3/A5 rows in-window):
     "skew_report",
+    # back-window: strip_boilerplate shares the chunk projection +
+    # reassembly machinery certified in-window by chunk_dedup:
+    "strip_boilerplate",
     # round-6e rotation: displaced so bpe_token_stats (the real-BPE
     # tokenizer family's only row) gets a driver row:
     "split_chunks",  # pure sequence/slice/posexplode projection — the

@@ -2632,3 +2632,68 @@ def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_linkage_spark.profile import skew_report
 
     return skew_report(_docs(spark, sf_dir), ["lang", "source"], top=5)
+
+
+# CCNet/RefinedWeb-style boilerplate stripping: chunks whose DOCUMENT
+# frequency exceeds 5% of the corpus are removed everywhere, survivors
+# reassembled in order. Frequency-based (vs chunk_dedup's
+# first-occurrence rule); the boilerplate set is bounded, so the Spark
+# plan removes via an array-literal filter projection — zero corpus
+# exchanges (see strip_boilerplate docstring). 2-token chunks because
+# the synthetic corpus repeats short phrases, not long passages.
+def _boiler_sql(c: int = 2) -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS tk FROM documents),
+    cl AS (
+        SELECT doc_id,
+               list_transform(
+                 generate_series(
+                   0,
+                   CAST(GREATEST(CEIL(len(tk) / {float(c)!r}), 1) AS BIGINT) - 1),
+                 i -> array_to_string(list_slice(tk, i*{c}+1, i*{c}+{c}), ' ')
+               ) AS chunks
+        FROM tk
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ex AS (SELECT DISTINCT doc_id, UNNEST(chunks) AS chunk FROM cl),
+    bl AS (
+        SELECT chunk FROM ex, n GROUP BY chunk, n.n_docs
+        HAVING COUNT(*) >= GREATEST(2, CAST(FLOOR(n.n_docs * 0.05) AS BIGINT))
+    ),
+    pos AS (
+        SELECT doc_id, UNNEST(chunks) AS chunk,
+               GENERATE_SUBSCRIPTS(chunks, 1) AS pos
+        FROM cl
+    ),
+    kept AS (
+        SELECT doc_id, pos, chunk FROM pos
+        WHERE chunk NOT IN (SELECT chunk FROM bl)
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               STRING_AGG(chunk, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT c.doc_id, CAST(len(c.chunks) AS INT) AS n_chunks,
+           CAST(len(c.chunks) - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM cl c LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register(
+    "strip_boilerplate",
+    _boiler_sql(),
+    survey="LLM curation: frequency-based boilerplate chunk removal "
+    "(dedup.strip_boilerplate / boilerplate_chunks)",
+)
+def strip_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = D.strip_boilerplate(docs, chunk_words=2, min_doc_frac=0.05)
+    return out.select(
+        "doc_id",
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        "clean_text",
+    )

@@ -225,3 +225,54 @@ def test_simhash_near_pairs_bucket_cap(spark):
     # pairs may still collide via the differing band's small buckets,
     # so the capped result is a strict subset, never a superset
     assert capped < full
+
+
+# ---------------------------------------------------- boilerplate strip
+
+
+def test_strip_boilerplate_literal_path(spark):
+    from auto_data_linkage_spark.operators.dedup import strip_boilerplate
+
+    boiler = "accept all cookies"
+    rows = [(i, f"{boiler} unique words {i} here now") for i in range(20)]
+    rows += [(100, "no banner at all in this one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in strip_boilerplate(
+            df, chunk_words=3, min_doc_frac=0.5
+        ).collect()
+    }
+    # BOTH corpus-wide chunks ("accept all cookies", "here now") are
+    # boilerplate; the per-doc middle chunk survives
+    assert out[0].n_removed == 2
+    assert out[0].clean_text == "unique words 0"
+    assert out[100].n_removed == 0
+    assert out[100].clean_text == "no banner at all in this one"
+
+
+def test_strip_boilerplate_join_path_matches_literal(spark):
+    from auto_data_linkage_spark.operators import dedup as D
+
+    rows = [(i, f"shared prefix tokens doc {i} tail") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lit = D.strip_boilerplate(df, chunk_words=2, min_doc_frac=0.5)
+    old = D._BOILER_LITERAL_MAX
+    try:
+        D._BOILER_LITERAL_MAX = 0  # force the broadcast-anti-join path
+        joined = D.strip_boilerplate(df, chunk_words=2, min_doc_frac=0.5)
+    finally:
+        D._BOILER_LITERAL_MAX = old
+    a = sorted(map(tuple, lit.collect()))
+    b = sorted(map(tuple, joined.collect()))
+    assert a == b
+    assert any(r[2] > 0 for r in a)  # something was actually removed
+
+
+def test_boilerplate_chunks_threshold(spark):
+    from auto_data_linkage_spark.operators.dedup import boilerplate_chunks
+
+    rows = [(i, "common pair " + f"x{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bl = boilerplate_chunks(df, chunk_words=2, min_doc_frac=0.5).collect()
+    assert [(r.chunk, r.doc_freq) for r in bl] == [("common pair", 10)]
