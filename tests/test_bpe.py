@@ -112,3 +112,32 @@ def test_ids_unknown_maps_to_unk(spark, corpus):
     other = spark.createDataFrame([(1, "Ωmega")], "doc_id long, text string")
     row = B.bpe_encode_ids(other, merges, vocab).collect()[0]
     assert row.token_ids[0] == 0  # 'ω' not in the training alphabet
+
+
+# ------------------------------------------------- property (hypothesis)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=12)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    corpus_words=st.lists(_word, min_size=3, max_size=30),
+    probe_words=st.lists(_word, min_size=1, max_size=10),
+)
+def test_encode_equivalence_property(spark, corpus_words, probe_words):
+    """For any TRAINED merge list (training guarantees merges that
+    create a symbol precede merges consuming it), greedy min-rank
+    encoding equals apply-in-learned-order encoding — on seen AND
+    unseen words — and always reconstructs the word."""
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(corpus_words)], "doc_id long, text string"
+    )
+    merges = B.train_bpe(df, num_merges=25, min_freq=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in corpus_words + probe_words:
+        got = B.encode_word(w, ranks)
+        assert got == ref_apply_merges(w, merges), (w, merges)
+        assert "".join(got) == w + B.END

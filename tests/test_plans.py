@@ -232,3 +232,21 @@ def test_decontaminate_corpus_never_shuffles(spark, sf_dir):
     plan = physical_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_strip_boilerplate_literal_path_zero_exchanges(spark, sf_dir):
+    """With a bounded boilerplate set the removal is a pure projection:
+    the corpus-side plan must contain NO exchange at all (the set folds
+    in as an array literal)."""
+    from auto_data_linkage_spark.operators.dedup import strip_boilerplate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = strip_boilerplate(docs, chunk_words=2, min_doc_frac=0.05)
+    assert count_exchanges(out) == 0
+
+
+def test_assign_shards_no_shuffle_write_shards_one(spark, sf_dir):
+    from auto_data_linkage_spark.operators.pack import assign_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert count_exchanges(assign_shards(docs, 8)) == 0
