@@ -855,3 +855,54 @@ def strip_boilerplate(
         ),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+# -------------------------------------------- semantic decontamination
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of :func:`decontaminate` (which catches verbatim n-gram
+    overlap; paraphrased test questions need this one). Flags every
+    corpus vector whose cosine to ANY benchmark vector reaches
+    ``threshold``. Returns ``(id, max_bench_cosine, keep)``.
+
+    Scale shape mirrors the n-gram variant: benchmark embeddings are
+    tiny relative to the corpus, so they BROADCAST and the corpus is
+    scanned once, never shuffled — one projection computing a max over
+    the broadcast side per corpus row (the aggregate is map-side; no
+    per-pair materialization survives the plan)."""
+    from auto_data_linkage_spark.operators.similarity import (
+        cosine_from_norms,
+        norm_expr,
+    )
+
+    b = benchmark.select(
+        F.col(vec_col).alias("__bvec"),
+        norm_expr(F.col(vec_col)).alias("__bn"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
+    )
+    scored = c.join(F.broadcast(b)).groupBy(id_col).agg(
+        F.round(
+            F.max(
+                cosine_from_norms(
+                    F.col("__cvec"), F.col("__bvec"), F.col("__cn"), F.col("__bn")
+                )
+            ),
+            6,
+        ).alias("max_bench_cosine")
+    )
+    return scored.select(
+        F.col(id_col),
+        "max_bench_cosine",
+        (F.col("max_bench_cosine") < threshold).alias("keep"),
+    )

@@ -1450,6 +1450,9 @@ _DEPRIORITIZED = (
     # back-window: strip_boilerplate shares the chunk projection +
     # reassembly machinery certified in-window by chunk_dedup:
     "strip_boilerplate",
+    # back-window: semantic_decontaminate is the broadcast-probe cosine
+    # family (cosine_topk, embedding_near_dup in-window):
+    "semantic_decontaminate",
     # round-6e rotation: displaced so bpe_token_stats (the real-BPE
     # tokenizer family's only row) gets a driver row:
     "split_chunks",  # pure sequence/slice/posexplode projection — the

@@ -2697,3 +2697,43 @@ def strip_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed").cast("int").alias("n_removed"),
         "clean_text",
     )
+
+
+# Semantic decontamination: corpus vectors too close (cosine >= 0.98)
+# to a held-out "benchmark" slice (vec_id % 50 == 0) are flagged.
+# Exact and fully SQL-expressible — hash-matched, no tolerance flags.
+_SEMDECON_SQL = """
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id % 50 <> 0
+    )
+    SELECT c.vec_id,
+           ROUND(MAX(
+             list_dot_product(c.cv, b.bv)
+             / (sqrt(list_dot_product(c.cv, c.cv))
+                * sqrt(list_dot_product(b.bv, b.bv)))), 6)
+               AS max_bench_cosine,
+           ROUND(MAX(
+             list_dot_product(c.cv, b.bv)
+             / (sqrt(list_dot_product(c.cv, c.cv))
+                * sqrt(list_dot_product(b.bv, b.bv)))), 6) < 0.98 AS keep
+    FROM c, b
+    GROUP BY c.vec_id
+"""
+
+
+@register(
+    "semantic_decontaminate",
+    _SEMDECON_SQL,
+    survey="LLM curation: embedding-space benchmark decontamination "
+    "(dedup.semantic_decontaminate) — broadcast benchmark, one corpus scan",
+)
+def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.where(F.col("vec_id") % 50 == 0)
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    return D.semantic_decontaminate(corpus, bench, threshold=0.98)

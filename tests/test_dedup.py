@@ -276,3 +276,43 @@ def test_boilerplate_chunks_threshold(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     bl = boilerplate_chunks(df, chunk_words=2, min_doc_frac=0.5).collect()
     assert [(r.chunk, r.doc_freq) for r in bl] == [("common pair", 10)]
+
+
+def test_semantic_decontaminate_flags_planted_copy(spark):
+    from auto_data_linkage_spark.operators.dedup import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(1000, [1.0, 0.0, 0.0]), (1001, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01, 0.0]),  # near-copy of bench 1000
+            (2, [0.0, 0.0, 1.0]),  # orthogonal to both
+            (3, [2.0, 0.0, 0.0]),  # scaled copy: cosine exactly 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in semantic_decontaminate(corpus, bench).collect()}
+    assert not out[1].keep and out[1].max_bench_cosine > 0.99
+    assert out[2].keep and out[2].max_bench_cosine == 0.0
+    assert not out[3].keep and out[3].max_bench_cosine == 1.0
+
+
+def test_semantic_decontaminate_broadcasts_benchmark(spark):
+    from auto_data_linkage_spark.operators.dedup import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 50)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        semantic_decontaminate(corpus, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
