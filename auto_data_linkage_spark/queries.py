@@ -1453,6 +1453,10 @@ _DEPRIORITIZED = (
     # back-window: semantic_decontaminate is the broadcast-probe cosine
     # family (cosine_topk, embedding_near_dup in-window):
     "semantic_decontaminate",
+    # back-window: quality_classifier's exact columns reuse certified
+    # count/percentile primitives; the IRLS fit itself is pinned by
+    # tests/test_classify.py against an independent local reference:
+    "quality_classifier",
     # round-6e rotation: displaced so bpe_token_stats (the real-BPE
     # tokenizer family's only row) gets a driver row:
     "split_chunks",  # pure sequence/slice/posexplode projection — the

@@ -2737,3 +2737,64 @@ def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = emb.where(F.col("vec_id") % 50 == 0)
     corpus = emb.where(F.col("vec_id") % 50 != 0)
     return D.semantic_decontaminate(corpus, bench, threshold=0.98)
+
+
+# Trainable quality classifier (operators/classify.py): IRLS logistic
+# regression where each Newton pass is ONE DataFrame aggregation.
+# Deterministic demo: label = (n_chars >= corpus median), features =
+# token count + mean token length — learnable by construction, so the
+# seeded fit must reach 0.9 accuracy. Oracle carries the exact corpus
+# counts (n_docs, n_pos — including the engine-matched exact median)
+# plus TRUE flags; a broken fit/score path flips acc_ok.
+_CLS_SQL = """
+    WITH b AS (
+        SELECT n_chars,
+               quantile_cont(n_chars, 0.5) OVER () AS med
+        FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           SUM(CASE WHEN n_chars >= med THEN 1 ELSE 0 END) AS n_pos,
+           TRUE AS acc_ok
+    FROM b
+"""
+
+
+@register(
+    "quality_classifier",
+    _CLS_SQL,
+    survey="trainable curation: IRLS logistic regression as DataFrame "
+    "aggregation (classify.logreg_fit/logreg_score)",
+)
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.classify import (
+        logreg_fit,
+        logreg_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    med = docs.agg(F.expr("percentile(n_chars, 0.5)").alias("m")).collect()[0].m
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("__nc"),
+        F.size(X.tokens("text")).cast("double").alias("f_tokens"),
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(F.size(X.tokens("text")), F.lit(1)).cast("double")
+        ).alias("f_tok_len"),
+        (F.col("n_chars") >= F.lit(med)).cast("double").alias("y"),
+    ).localCheckpoint()
+    w = logreg_fit(feats, ["f_tokens", "f_tok_len"], "y", ridge=1e-4)
+    scored = logreg_score(feats, ["f_tokens", "f_tok_len"], w)
+    return scored.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("y").cast("bigint")).alias("n_pos"),
+        (
+            F.avg(
+                (
+                    (F.col("p_quality") >= 0.5).cast("int")
+                    == F.col("y").cast("int")
+                ).cast("double")
+            )
+            >= 0.9
+        ).alias("acc_ok"),
+    )
