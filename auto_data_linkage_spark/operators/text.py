@@ -269,3 +269,48 @@ def pii_scrub(text: Column | str) -> dict[str, Column]:
         "n_urls": F.regexp_count(c, F.lit(URL_RE)),
         "masked": masked,
     }
+
+
+def normalize_text(
+    df,
+    text_col: str = "text",
+    *,
+    form: str = "NFC",
+    lowercase: bool = False,
+    collapse_ws: bool = True,
+    strip_controls: bool = True,
+    out_col: str = "norm_text",
+):
+    """Unicode normalization for ingest-time canonicalization: apply the
+    chosen normal form (NFC/NFKC/NFD/NFKD), optionally strip C0/C1
+    control characters, collapse whitespace runs, and lowercase.
+    Composed vs decomposed encodings of the same glyph ("é" as one
+    codepoint vs "e"+combining-accent) otherwise defeat exact dedup,
+    content-hash ids, and shingle matching.
+
+    The normal form itself has no Spark built-in, so that one step is an
+    Arrow-batched pandas UDF over Python's unicodedata (batch transfer,
+    not per-row py4j); the cheap cleanups stay declarative around it.
+    ASCII-only corpora short-circuit inside unicodedata (NFC of ASCII is
+    the identity) — the UDF cost is the Arrow copy, ~scan-bound."""
+    from pyspark.sql import types as T_
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normal form {form!r}")
+
+    @F.pandas_udf(T_.StringType())
+    def norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    c = norm(F.col(text_col))
+    if strip_controls:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "")
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out_col, c)

@@ -1457,6 +1457,9 @@ _DEPRIORITIZED = (
     # count/percentile primitives; the IRLS fit itself is pinned by
     # tests/test_classify.py against an independent local reference:
     "quality_classifier",
+    # back-window: normalize_text is P2-family cleaning (clean_project
+    # in-window); its Arrow NFC step is string-identical cross-engine:
+    "normalize_text",
     # round-6e rotation: displaced so bpe_token_stats (the real-BPE
     # tokenizer family's only row) gets a driver row:
     "split_chunks",  # pure sequence/slice/posexplode projection — the

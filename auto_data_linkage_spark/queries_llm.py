@@ -2798,3 +2798,32 @@ def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.9
         ).alias("acc_ok"),
     )
+
+
+# Unicode NFC canonicalization: the Arrow-UDF normal form plus the
+# declarative cleanups, hash-compared per document against DuckDB's
+# native nfc_normalize with the same regex pipeline — exact, the only
+# Arrow-UDF output in the catalog that is string-identical cross-engine.
+_NORM_SQL = r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(
+               nfc_normalize(text),
+               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'),
+               '\s+', ' ', 'g'))) AS norm_hash
+    FROM documents
+"""
+
+
+@register(
+    "normalize_text",
+    _NORM_SQL,
+    survey="ingest canonicalization: Unicode NFC + control-strip + "
+    "whitespace collapse (text.normalize_text)",
+)
+def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.text import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    return normalize_text(docs).select(
+        "doc_id", F.md5("norm_text").alias("norm_hash")
+    )

@@ -167,3 +167,39 @@ def test_curate_documents_pipeline(spark):
     assert set(out) == {1, 6}
     assert out[1][0] == "en" and out[6][0] == "en"
     assert all(q >= 0.5 for _, q in out.values())
+
+
+def test_normalize_text_nfc_and_cleanups(spark):
+    from auto_data_linkage_spark.operators.text import normalize_text
+
+    decomposed = "Café  du\tmonde"  # e + combining acute, messy ws
+    composed = "Café du monde"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, "ctrl\x00char"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
+    assert out[1] == composed  # NFC composes, whitespace collapses
+    assert out[2] == composed
+    assert out[3] == "ctrlchar"
+    assert out[4] is None
+    # the canonicalization goal: both spellings now share a content hash
+    from pyspark.sql import functions as F
+
+    hashes = (
+        normalize_text(df.where(F.col("doc_id") <= 2))
+        .select(F.md5("norm_text").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert hashes == 1
+
+
+def test_normalize_text_bad_form_raises(spark):
+    from auto_data_linkage_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        normalize_text(df, form="NFX")
