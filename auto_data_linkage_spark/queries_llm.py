@@ -1903,8 +1903,9 @@ def _pack_sql() -> str:
     SELECT bucket,
            CAST(FLOOR((cum - n_tokens) / {float(_PACK_CAPACITY)!r}) AS INT) AS bin,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens
     FROM w GROUP BY bucket, bin
+    ORDER BY bucket, bin
     """
 
 
@@ -1924,7 +1925,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_tokens,
         capacity=_PACK_CAPACITY,
         num_buckets=_PACK_BUCKETS,
-    )
+    ).orderBy("bucket", "bin")
 
 
 # --------------------------------------------------------------------------
@@ -2290,9 +2291,11 @@ def _shard_sql() -> str:
                {h} AS shard_order
         FROM documents
     )
-    SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens,
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
            MIN_BY(doc_id, shard_order) AS first_doc
     FROM s GROUP BY shard
+    ORDER BY shard
     """
 
 
@@ -2310,10 +2313,14 @@ def shard_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.size(X.tokens("text")).alias("n_tokens")),
         _N_SHARDS,
     )
-    return sharded.groupBy("shard").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("tokens"),
-        F.min_by("doc_id", "shard_order").alias("first_doc"),
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.min_by("doc_id", "shard_order").alias("first_doc"),
+        )
+        .orderBy("shard")
     )
 
 
@@ -2475,9 +2482,10 @@ def corpus_overlap_est_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract that the iterative encode didn't drop or corrupt a byte.
 _BPE_SQL = f"""
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(len({_SQL_TOKENS.format(c='text')})) AS words,
+           CAST(SUM(len({_SQL_TOKENS.format(c='text')})) AS BIGINT) AS words,
            TRUE AS recon_ok, TRUE AS compress_ok
     FROM documents GROUP BY lang
+    ORDER BY lang
 """
 
 
@@ -2507,7 +2515,7 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("words"),
         F.bool_and("ok").alias("recon_ok"),
         F.bool_and(F.col("n_bpe") >= F.col("n_words")).alias("compress_ok"),
-    )
+    ).orderBy("lang")
 
 
 # Approximate kNN GRAPH over the embedding corpus (similarity.knn_graph):
@@ -2578,7 +2586,7 @@ _REPORT_SQL = f"""
               FROM b GROUP BY lang)
     )
     SELECT COUNT(*) AS n_docs,
-           SUM(nw) AS total_words,
+           CAST(SUM(nw) AS BIGINT) AS total_words,
            COUNT(DISTINCT lang) AS n_langs,
            (SELECT lang_entropy FROM e) AS lang_entropy,
            ROUND(1 - COUNT(DISTINCT fp) / COUNT(*)::DOUBLE, 6) AS exact_dup_rate,
@@ -2753,7 +2761,8 @@ _CLS_SQL = """
         FROM documents
     )
     SELECT COUNT(*) AS n_docs,
-           SUM(CASE WHEN n_chars >= med THEN 1 ELSE 0 END) AS n_pos,
+           CAST(SUM(CASE WHEN n_chars >= med THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos,
            TRUE AS acc_ok
     FROM b
 """

@@ -59,6 +59,30 @@ def test_deprioritized_names_exist():
     assert not missing, f"_DEPRIORITIZED names not registered: {missing}"
 
 
+def test_no_oracle_sql_yields_hugeint(sf_dir):
+    """Round 6 lost 3 driver hash rows to DuckDB ``SUM(BIGINT)`` widening
+    to HUGEINT: the repo replica fetches via ``fetchall()`` (HUGEINT →
+    Python int, hashes equal) while the driver materializes through
+    pandas/Arrow where HUGEINT renders as float/decimal — invisible
+    locally, red on the driver. Guard: no oracle SQL may emit a HUGEINT
+    column; wrap integer SUMs in ``CAST(... AS BIGINT)``."""
+    catalog._load_extensions()
+    con = duckdb_connect(sf_dir)
+    offenders = {}
+    for name, entry in catalog.REGISTRY.items():
+        if entry.sql is None:
+            continue
+        rel = con.sql(f"SELECT * FROM ({entry.sql}) LIMIT 0")
+        bad = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"HUGEINT oracle columns (driver-red risk): {offenders}"
+
+
 @pytest.mark.parametrize("name", _window_split()[1])
 def test_out_of_window_query_matches_oracle(spark, sf_dir, name):
     catalog._load_extensions()
