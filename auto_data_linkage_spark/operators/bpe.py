@@ -39,6 +39,7 @@ from auto_data_linkage_spark.operators.text import tokens
 
 __all__ = [
     "END",
+    "split_words",
     "word_frequencies",
     "train_bpe",
     "bpe_encode",
@@ -49,6 +50,26 @@ __all__ = [
 ]
 
 END = "</w>"  # end-of-word sentinel: lets merges distinguish suffixes
+
+# Training tokenizes JVM-side with text.tokens() — Java regex ``\s+``,
+# which is ASCII whitespace only ([ \t\n\x0B\f\r], no NBSP/\x85/…).
+# Python ``str.split()`` splits on UNICODE whitespace, so the encode
+# UDFs must NOT use it: they would see words training never counted and
+# flip the reconstruction invariant on non-ASCII corpora. This regex is
+# the exact Python mirror of Java ``\s``; both sides lowercase (F.lower
+# and str.lower agree on the simple case mappings these tokens hit —
+# locale-special forms like Turkish dotted-I are out of scope and
+# documented here rather than handled).
+import re as _re
+
+_JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def split_words(text: str, lowercase: bool = True) -> list[str]:
+    """Python-side word split matching :func:`text.tokens` exactly:
+    Java-``\\s`` whitespace classes only, lowercased, empties dropped."""
+    t = text.lower() if lowercase else text
+    return [w for w in _JAVA_WS.split(t) if w]
 
 
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -173,8 +194,7 @@ def bpe_encode(
             if text is None:
                 return []
             out: list[str] = []
-            t = text.lower() if lowercase else text
-            for w in t.split():
+            for w in split_words(text, lowercase):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, ranks)
@@ -240,7 +260,7 @@ def bpe_encode_ids(
             if text is None:
                 return []
             out: list[int] = []
-            for w in text.lower().split():
+            for w in split_words(text):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = [

@@ -70,6 +70,9 @@ def logreg_fit(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(label_col).cast("double").alias("__y"),
     )
+    # each IRLS pass is one agg over `base`; without caching, every pass
+    # would silently recompute the caller's full upstream lineage
+    base = base.cache()
 
     for _ in range(max_iter):
         z = _z_expr(feature_cols, w)
@@ -100,6 +103,7 @@ def logreg_fit(
         w = [float(x) for x in new_w]
         if shift <= tol:
             break
+    base.unpersist()
     return w
 
 

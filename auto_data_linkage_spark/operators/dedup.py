@@ -891,6 +891,15 @@ def semantic_decontaminate(
         F.col(vec_col).alias("__cvec"),
         norm_expr(F.col(vec_col)).alias("__cn"),
     )
+    if b.isEmpty():
+        # the inner join below would drop EVERY corpus row — an
+        # accidentally-empty benchmark must read as "nothing flagged",
+        # not as a fully-flagged (empty) result
+        return c.select(
+            F.col(id_col),
+            F.lit(0.0).alias("max_bench_cosine"),
+            F.lit(True).alias("keep"),
+        )
     scored = c.join(F.broadcast(b)).groupBy(id_col).agg(
         F.round(
             F.max(

@@ -261,7 +261,7 @@ def assign_shards(
     df: DataFrame,
     n_shards: int,
     *,
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
     salt: int = 0,
 ) -> DataFrame:
     """Deterministic global shuffle + shard assignment for training-data
@@ -274,11 +274,24 @@ def assign_shards(
     forcing a corpus-wide reshuffle; contrast ``orderBy(rand())``).
     ``salt`` reshuffles every epoch deterministically.
 
+    ``id_col`` may be a list for a composite key — required when the
+    input carries repeated rows distinguished only by another column
+    (e.g. :func:`epoch_repeat`'s ``copy``): pass
+    ``id_col=["doc_id", "copy"]`` so each repeat hashes independently
+    and copies of the same document scatter across shards instead of
+    landing adjacent in one.
+
     No reference analogue (the reference exports nothing); this is the
     LLM-pipeline dataset-export step. Adds NO shuffle itself — the
     exchange happens (once, on ``shard``) only in :func:`write_shards`.
     """
-    h = md5_hash64(F.col(id_col).cast("string"), seed=salt)
+    cols = [id_col] if isinstance(id_col, str) else list(id_col)
+    key = (
+        F.col(cols[0]).cast("string")
+        if len(cols) == 1
+        else F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    )
+    h = md5_hash64(key, seed=salt)
     return df.withColumn(
         "shard", F.pmod(h, F.lit(n_shards)).cast("int")
     ).withColumn("shard_order", h)
@@ -289,7 +302,7 @@ def write_shards(
     path: str,
     n_shards: int,
     *,
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
     salt: int = 0,
 ) -> str:
     """Write the deterministically shuffled corpus as ``shard=N/``
@@ -329,8 +342,11 @@ def epoch_repeat(
     cannot go above 1.
 
     Adds a ``copy`` column (0-based) so downstream shuffling/sharding
-    can spread repeats (:func:`assign_shards` hashes ``(id, copy)``
-    naturally via a composite key). ``epoch`` shifts the fractional
+    can spread repeats — pass ``id_col=["doc_id", "copy"]`` to
+    :func:`assign_shards` / :func:`write_shards` so each repeat hashes
+    independently (sharding on ``doc_id`` alone would place all copies
+    of a document adjacent in the same shard, defeating the global
+    shuffle for oversampled rows). ``epoch`` shifts the fractional
     slice so different epochs repeat DIFFERENT residual rows.
 
     Plan: rates become a broadcast map; the repeat is one

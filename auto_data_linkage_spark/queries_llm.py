@@ -2666,8 +2666,13 @@ def _boiler_sql(c: int = 2) -> str:
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     ex AS (SELECT DISTINCT doc_id, UNNEST(chunks) AS chunk FROM cl),
     bl AS (
+        -- mirror the Spark path's max_terms cap (boilerplate_chunks
+        -- keeps the top-10000 by doc_freq desc, chunk asc) so the
+        -- cross-engine contract holds when many chunks clear the floor
         SELECT chunk FROM ex, n GROUP BY chunk, n.n_docs
         HAVING COUNT(*) >= GREATEST(2, CAST(FLOOR(n.n_docs * 0.05) AS BIGINT))
+        ORDER BY COUNT(*) DESC, chunk ASC
+        LIMIT 10000
     ),
     pos AS (
         SELECT doc_id, UNNEST(chunks) AS chunk,

@@ -141,3 +141,45 @@ def test_encode_equivalence_property(spark, corpus_words, probe_words):
         got = B.encode_word(w, ranks)
         assert got == ref_apply_merges(w, merges), (w, merges)
         assert "".join(got) == w + B.END
+
+
+def test_unicode_whitespace_train_encode_agreement(spark):
+    """Training splits JVM-side with Java \\s+ (ASCII whitespace only);
+    the encode UDF must split identically. A document with NBSP /
+    NEL-joined words must hash to the SAME word list on both sides —
+    Python str.split() would split them apart and encode words training
+    never counted."""
+    # Java \s does NOT split NBSP ( ) or NEL (\x85); Python
+    # str.split() splits both
+    nbsp_doc = "alpha beta alpha beta gamma\x85delta"
+    rows = [(1, nbsp_doc), (2, "alpha beta plain words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # 1. split_words mirrors tokens() exactly on these corpora
+    spark_words = sorted(
+        r.w
+        for r in df.select(
+            F.explode(B.tokens(F.col("text"))).alias("w")
+        ).collect()
+    )
+    py_words = sorted(
+        w for (_, t) in rows for w in B.split_words(t)
+    )
+    assert spark_words == py_words
+    assert "alpha beta" in py_words  # NBSP word stays whole
+
+    # 2. the full train->encode path sees only trained words, so the
+    # reconstruction invariant holds on the non-ASCII corpus
+    merges = B.train_bpe(df, num_merges=20, min_freq=1)
+    enc = B.bpe_encode(df, merges)
+    got = enc.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.array_join("bpe_tokens", ""), B.END, " ")
+        ).alias("recon"),
+        F.trim(
+            F.regexp_replace(F.lower("text"), r"\s+", " ")
+        ).alias("norm"),
+    ).collect()
+    for r in got:
+        assert r.recon == r.norm, r.doc_id

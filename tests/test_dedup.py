@@ -316,3 +316,21 @@ def test_semantic_decontaminate_broadcasts_benchmark(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_decontaminate_empty_benchmark_keeps_everything(spark):
+    """An accidentally-empty benchmark must read as "nothing flagged"
+    (every corpus row kept, cosine 0.0) — the inner broadcast join
+    would otherwise silently drop every corpus row."""
+    from auto_data_linkage_spark.operators.dedup import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    bench = corpus.where(F.col("vec_id") < 0)  # empty slice
+    out = sorted(
+        (r.vec_id, r.max_bench_cosine, r.keep)
+        for r in semantic_decontaminate(corpus, bench).collect()
+    )
+    assert out == [(1, 0.0, True), (2, 0.0, True)]

@@ -270,3 +270,44 @@ def test_epoch_repeat_deterministic_but_epoch_shifts(spark):
     # zero-rate stratum vanishes entirely
     z = epoch_repeat(df, "src", {"s": 0.0})
     assert z.count() == 0
+
+
+def test_assign_shards_composite_key_spreads_repeats(spark):
+    """epoch_repeat copies carry only (doc_id, copy) as identity; a
+    composite shard key must scatter the copies of one document across
+    shards instead of stacking them adjacent in a single shard."""
+    from auto_data_linkage_spark.operators.pack import assign_shards, epoch_repeat
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(300)], "doc_id long, src string"
+    )
+    rep = epoch_repeat(df, "src", {"s": 3.0})
+
+    single = assign_shards(rep, 8, id_col="doc_id")
+    rows = single.select("doc_id", "copy", "shard", "shard_order").collect()
+    by_doc: dict[int, set] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add((r.shard, r.shard_order))
+    # single-column key: all 3 copies collide on (shard, shard_order)
+    assert all(len(v) == 1 for v in by_doc.values())
+
+    comp = assign_shards(rep, 8, id_col=["doc_id", "copy"])
+    rows = comp.select("doc_id", "copy", "shard", "shard_order").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add((r.shard, r.shard_order))
+    # composite key: every copy gets its own order, most docs span shards
+    assert all(len(v) == 3 for v in by_doc.values())
+    multi = sum(1 for v in by_doc.values() if len({s for s, _ in v}) > 1)
+    assert multi > 200  # P(all 3 in one of 8 shards) ≈ 1.6%
+
+    # single-column path unchanged: composite([c]) == single(c)
+    a = sorted(
+        (r.doc_id, r.shard, r.shard_order)
+        for r in assign_shards(df, 8, id_col="doc_id").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.shard, r.shard_order)
+        for r in assign_shards(df, 8, id_col=["doc_id"]).collect()
+    )
+    assert a == b
