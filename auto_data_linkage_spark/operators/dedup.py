@@ -567,6 +567,79 @@ def chunk_dedup(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    *,
+    min_span_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """OFFSET-ROBUST exact substring deduplication — the recall
+    completion of :func:`chunk_dedup` (whose fixed-width aligned chunks
+    miss a duplicated span that starts at a different word offset in
+    each document; the suffix-array method of Lee et al. 2022 catches
+    those, and so does this). Every word position starts a sliding
+    ``min_span_words``-gram, so a repeated run of ≥ ``min_span_words``
+    words is detected at ANY alignment: the globally FIRST occurrence
+    of each distinct gram (ordered by ``(id, position)``) is kept; every
+    later occurrence marks its ``min_span_words``-token span as
+    duplicated, and a token is removed iff some duplicated span covers
+    it. Returns ``(id, n_tokens, n_removed, dedup_text)`` per document
+    (documents shorter than ``min_span_words`` words are kept whole —
+    no gram, no span, matching Lee'22's minimum-match-length floor).
+
+    Plan shape (scale notes):
+
+    - gram construction is a pure ``sequence``/``slice`` projection
+      (whole-stage codegen, no UDF) — k× more exchange rows than the
+      aligned chunking, the price of offset robustness;
+    - the keep-decision is ONE window over ``partitionBy(gram)``; at
+      100 TB key the exchange by ``md5_hash64(gram)`` instead of the
+      gram text (duplicate POSITIONS, not text, flow back) and resolve
+      rare 60-bit collisions in-partition;
+    - duplicated starts aggregate per doc (bounded by doc length), and
+      the cover test is an ``exists`` over that array in one final
+      projection — no per-token join, no driver work.
+    """
+    k = int(min_span_words)
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__tk"))
+    n = F.size("__tk")
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice("__tk", i + 1, k), " "),
+    )
+    sh = base.where(n >= k).select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gram").orderBy(F.asc(id_col), F.asc("pos"))
+    dup_starts = (
+        sh.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__dups"))
+    )
+    joined = base.join(dup_starts, id_col, "left")
+    dups = F.coalesce(F.col("__dups"), F.array().cast("array<int>"))
+    positions = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept_pos = F.filter(
+        positions,
+        lambda p: ~F.exists(dups, lambda s: (s <= p) & (p < s + k)),
+    )
+    return joined.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        (n - F.size(kept_pos)).cast("int").alias("n_removed"),
+        F.array_join(
+            F.transform(kept_pos, lambda p: F.get("__tk", p)), " "
+        ).alias("dedup_text"),
+    )
+
+
 # ----------------------------------------------- benchmark decontamination
 def decontaminate(
     docs: DataFrame,

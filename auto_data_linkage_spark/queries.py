@@ -1465,6 +1465,12 @@ _DEPRIORITIZED = (
     "split_chunks",  # pure sequence/slice/posexplode projection — the
     #                  same primitives drive chunk_dedup AND
     #                  pack_sequences, both in-window
+    # round-7 rotation: displaced so span_dedup (offset-robust sliding-
+    # gram substring dedup — the Lee'22 recall completion) holds the
+    # exact-substring family's driver row; chunk_dedup shares the same
+    # chunk projection + first-occurrence window + reassembly machinery
+    # and stays driver-identically checked by tests/test_oracle_window.py:
+    "chunk_dedup",
 )
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

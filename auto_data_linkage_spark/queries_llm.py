@@ -2013,6 +2013,68 @@ def _chunk_dedup_sql(c: int = _CHUNK_WORDS) -> str:
     """
 
 
+# Offset-robust exact substring dedup (dedup.span_dedup): sliding
+# k-grams instead of aligned chunks, so a duplicated span is caught at
+# ANY word offset (the Lee'22 recall gap chunk_dedup leaves open).
+# 5-word grams because the synthetic corpus repeats short phrases.
+_SPAN_WORDS = 5
+
+
+def _span_dedup_sql(k: int = _SPAN_WORDS) -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(tk, i, i + {k - 1}), ' ') AS gram
+        FROM tk, UNNEST(generate_series(1, len(tk) - {k} + 1)) AS u(i)
+        WHERE len(tk) >= {k}
+    ),
+    r AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM sh
+    ),
+    ds AS (
+        SELECT doc_id, LIST(pos) AS dups FROM r WHERE rn > 1
+        GROUP BY doc_id
+    ),
+    fin AS (
+        SELECT t.doc_id, t.tk,
+               COALESCE(d.dups, []) AS dups,
+               -- generate_series(0, -1) is NULL in DuckDB (empty doc),
+               -- so coalesce to [] to match Spark's empty-string text
+               list_filter(
+                   COALESCE(generate_series(0, len(t.tk) - 1), []),
+                   p -> len(list_filter(
+                            COALESCE(d.dups, []),
+                            s -> s <= p AND p < s + {k})) = 0
+               ) AS kept
+        FROM tk t LEFT JOIN ds d USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS INT) AS n_tokens,
+           CAST(len(tk) - len(kept) AS INT) AS n_removed,
+           COALESCE(
+               array_to_string(list_transform(kept, p -> tk[p + 1]), ' '),
+               '') AS dedup_text
+    FROM fin
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "span_dedup",
+    _span_dedup_sql(),
+    survey="LLM dedup: offset-robust exact substring dedup "
+    "(sliding-gram spans, Lee'22-style recall; dedup.span_dedup)",
+)
+def span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.span_dedup(docs, min_span_words=_SPAN_WORDS).orderBy("doc_id")
+
+
 @register(
     "chunk_dedup",
     _chunk_dedup_sql(),

@@ -334,3 +334,55 @@ def test_semantic_decontaminate_empty_benchmark_keeps_everything(spark):
         for r in semantic_decontaminate(corpus, bench).collect()
     )
     assert out == [(1, 0.0, True), (2, 0.0, True)]
+
+
+def test_span_dedup_catches_arbitrary_offset_duplicates(spark):
+    """The recall property chunk_dedup lacks: a duplicated span is
+    removed from the later document at EVERY (offset_a, offset_b)
+    alignment, including ones that straddle fixed chunk boundaries."""
+    from auto_data_linkage_spark.operators.dedup import span_dedup
+
+    cases = []
+    # sweep misalignments 0..4 on each side (25 alignments, one pass);
+    # each case gets its OWN span so cases don't dedup against each other
+    cid = 0
+    for off_a in range(5):
+        for off_b in range(5):
+            span = [f"s{cid}x{i}" for i in range(6)]
+            pre_a = [f"a{cid}w{j}" for j in range(off_a)]
+            pre_b = [f"b{cid}w{j}" for j in range(off_b)]
+            post_b = [f"c{cid}w{j}" for j in range(3)]
+            cases.append(
+                (cid * 2, cid * 2 + 1,
+                 " ".join(pre_a + span + [f"t{cid}"]),
+                 " ".join(pre_b + span + post_b))
+            )
+            cid += 1
+    rows = []
+    for ida, idb, ta, tb in cases:
+        rows.append((ida, ta))
+        rows.append((idb, tb))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_dedup(df, min_span_words=6).collect()}
+    for ida, idb, _, _ in cases:
+        # first occurrence (lower doc_id) intact
+        assert out[ida].n_removed == 0, (ida, out[ida])
+        # later occurrence: exactly the 6 span tokens removed
+        assert out[idb].n_removed == 6, (idb, out[idb])
+        assert not any(w.startswith("s") for w in out[idb].dedup_text.split())
+
+
+def test_span_dedup_overlapping_self_repetition(spark):
+    """In-document repetition: 'p q r p q r p q r' with k=3 keeps only
+    the first period of the cycle (every later 3-gram occurrence marks
+    its span; overlapping spans union)."""
+    from auto_data_linkage_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "p q r p q r p q r"), (2, "x y z w")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(df, min_span_words=3).collect()}
+    assert out[1].dedup_text == "p q r"
+    assert out[1].n_removed == 6
+    assert out[2].n_removed == 0 and out[2].dedup_text == "x y z w"
