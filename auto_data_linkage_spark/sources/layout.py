@@ -98,47 +98,24 @@ def compact_corpus(
     return total
 
 
-def upsert_corpus(
+def _merge_touched(
     spark: SparkSession,
     path: str,
     delta: DataFrame,
-    *,
     key: str,
     partition_by: list[str],
-    sort_by: list[str] | None = None,
-    max_records_per_file: int = 5_000_000,
-) -> dict:
-    """Merge a delta into a partitioned parquet corpus, rewriting ONLY
-    the partition directories the delta touches — the plain-parquet
-    equivalent of ``MERGE INTO`` with partition-granular atomicity.
-
-    Semantics: within touched partitions, a corpus row whose ``key``
-    appears in the delta is replaced; all delta rows are inserted.
-    Untouched partition directories are not read, not rewritten, and
-    keep their files byte-identical — at 100 TB the rewrite cost is
-    proportional to the delta's partition footprint, never the corpus.
-
-    Mechanics:
-
-    - the touched partition values come from one tiny distinct on the
-      delta (collected — bounded by the delta's partition fan-out, which
-      a sane ingest keeps small);
-    - only those partitions are scanned: the values become a
-      planning-time partition filter, so untouched directories are
-      pruned before any file is listed;
-    - replaced keys drop via a broadcast left-anti join on ``key``;
-    - the rewrite goes through :func:`write_corpus` into the same
-      directories with dynamic partition overwrite, so concurrent
-      readers of OTHER partitions are never disturbed.
-
-    Returns ``{"partitions": n_touched, "rows_written": n}``.
-    """
+):
+    """The read/merge phase shared by :func:`upsert_corpus` and
+    :func:`upsert_corpus_versioned`: returns ``(touched, merged)`` where
+    ``touched`` is the delta's distinct partition-value tuples and
+    ``merged`` the eagerly-materialized replacement rows for exactly
+    those partitions (surviving old rows + all delta rows)."""
     touched = [
         tuple(r[c] for c in partition_by)
         for r in delta.select(*partition_by).distinct().collect()
     ]
-    if not touched:  # empty delta: nothing to merge, nothing to rewrite
-        return {"partitions": 0, "rows_written": 0}
+    if not touched:
+        return [], delta
     # prune via a planning-time partition filter (isin / OR-of-ANDs)
     # rather than hand-built directory paths — Spark then handles
     # partition-value escaping, so no touched partition can be silently
@@ -174,7 +151,62 @@ def upsert_corpus(
         if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
             raise
         merged = delta
+    return touched, merged
 
+
+def upsert_corpus(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    *,
+    key: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    max_records_per_file: int = 5_000_000,
+) -> dict:
+    """Merge a delta into a partitioned parquet corpus, rewriting ONLY
+    the partition directories the delta touches — the plain-parquet
+    equivalent of ``MERGE INTO`` with partition-granular atomicity.
+
+    Semantics: within touched partitions, a corpus row whose ``key``
+    appears in the delta is replaced; all delta rows are inserted.
+    Untouched partition directories are not read, not rewritten, and
+    keep their files byte-identical — at 100 TB the rewrite cost is
+    proportional to the delta's partition footprint, never the corpus.
+
+    Mechanics:
+
+    - the touched partition values come from one tiny distinct on the
+      delta (collected — bounded by the delta's partition fan-out, which
+      a sane ingest keeps small);
+    - only those partitions are scanned: the values become a
+      planning-time partition filter, so untouched directories are
+      pruned before any file is listed;
+    - replaced keys drop via a broadcast left-anti join on ``key``;
+    - the rewrite goes through :func:`write_corpus` into the same
+      directories with dynamic partition overwrite, so concurrent
+      readers of OTHER partitions are never disturbed.
+
+    Returns ``{"partitions": n_touched, "rows_written": n}``.
+    """
+    touched, merged = _merge_touched(spark, path, delta, key, partition_by)
+    if not touched:  # empty delta: nothing to merge, nothing to rewrite
+        return {"partitions": 0, "rows_written": 0}
+    _overwrite_touched(
+        spark, path, merged, partition_by, sort_by, max_records_per_file
+    )
+    n = merged.count()  # safe: checkpointed, no file-source lineage
+    return {"partitions": len(touched), "rows_written": n}
+
+
+def _overwrite_touched(
+    spark: SparkSession,
+    path: str,
+    merged: DataFrame,
+    partition_by: list[str],
+    sort_by: list[str] | None,
+    max_records_per_file: int,
+) -> None:
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -189,8 +221,188 @@ def upsert_corpus(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    n = merged.count()  # safe: checkpointed, no file-source lineage
-    return {"partitions": len(touched), "rows_written": n}
+
+
+class CommitConflictError(RuntimeError):
+    """Raised when :func:`upsert_corpus_versioned` exhausts its retries
+    against concurrent writers touching the same partitions."""
+
+
+def _commit_log_dir(path: str) -> str:
+    import os
+
+    local = path[7:] if path.startswith("file://") else path
+    if "://" in local:
+        raise ValueError(
+            "upsert_corpus_versioned's optimistic commit log needs an "
+            "atomic create-if-absent primitive; only local/file: paths "
+            "provide one here. For object stores use a transactional "
+            f"table format (Delta/Iceberg MERGE). Got: {path}"
+        )
+    return os.path.join(local, "_commits")
+
+
+def _read_commits(log_dir: str) -> list[dict]:
+    import json
+    import os
+
+    if not os.path.isdir(log_dir):
+        return []
+    out = []
+    for name in os.listdir(log_dir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                with open(os.path.join(log_dir, name)) as f:
+                    out.append(json.load(f))
+            except (OSError, ValueError):
+                # a token mid-write by its owner: treat as pending with
+                # unknown footprint — conservatively conflicting
+                out.append({"version": int(name[1:-5]), "partitions": None})
+    return sorted(out, key=lambda c: c["version"])
+
+
+def upsert_corpus_versioned(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    *,
+    key: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    max_records_per_file: int = 5_000_000,
+    writer_id: str | None = None,
+    max_retries: int = 3,
+    conflict_wait_s: float = 60.0,
+) -> dict:
+    """:func:`upsert_corpus` with OPTIMISTIC CONCURRENCY against other
+    writers of the same corpus — the lost-update scenario plain
+    dynamic-partition-overwrite cannot see: writer B reads a partition,
+    writer A rewrites it, writer B's overwrite then silently discards
+    A's merge.
+
+    Protocol (Delta-style linear version history on a ``_commits/``
+    log under the corpus root):
+
+    1. observe the current committed version V (and wait for any
+       still-pending commit ≤ V to finish);
+    2. run the read/merge phase against that snapshot;
+    3. ACQUIRE version V+1 by atomically creating ``_commits/v{V+1}.json``
+       (``O_CREAT|O_EXCL`` — exactly one writer can win a version).
+       Success proves no commit intervened between the read and the
+       acquisition, so the merge is based on the latest state and the
+       partition overwrite proceeds; the token then records the touched
+       partitions and flips to ``state: committed``.
+    4. losing the race means a concurrent commit landed first: the
+       merge may be stale, so re-read and retry (``max_retries`` times,
+       waiting up to ``conflict_wait_s`` for the winner's data files to
+       land), then raise :class:`CommitConflictError` loudly rather
+       than overwrite on a stale snapshot.
+
+    A writer that acquires a version and DIES before committing leaves
+    a pending token; later writers fail after ``conflict_wait_s`` with
+    a :class:`CommitConflictError` naming the stuck version (manual
+    cleanup — the honest failure mode without a heartbeat, stated
+    rather than hidden).
+
+    Requires an atomic create-if-absent primitive, i.e. a local/POSIX
+    corpus path (asserted). On object stores use a transactional table
+    format — this function is the single-cluster stand-in for a
+    Delta/Iceberg MERGE, not a replacement.
+
+    Returns ``{"partitions": n, "rows_written": n, "version": V+1}``.
+    """
+    import json
+    import os
+    import time
+    import uuid
+
+    log_dir = _commit_log_dir(path)
+    wid = writer_id or uuid.uuid4().hex[:12]
+
+    def _wait_pending(upto: float) -> None:
+        while True:
+            pending = [
+                c
+                for c in _read_commits(log_dir)
+                if c.get("state") != "committed"
+            ]
+            if not pending:
+                return
+            if time.monotonic() > upto:
+                raise CommitConflictError(
+                    "commit(s) still pending after "
+                    f"{conflict_wait_s}s: versions "
+                    f"{[c['version'] for c in pending]} — a writer died "
+                    "mid-commit or is stuck; inspect "
+                    f"{log_dir} and remove the stale token(s)"
+                )
+            time.sleep(0.1)
+
+    for _attempt in range(max_retries + 1):
+        deadline = time.monotonic() + conflict_wait_s
+        _wait_pending(deadline)
+        commits = _read_commits(log_dir)
+        version = commits[-1]["version"] if commits else 0
+
+        touched, merged = _merge_touched(
+            spark, path, delta, key, partition_by
+        )
+        if not touched:
+            return {"partitions": 0, "rows_written": 0, "version": version}
+
+        os.makedirs(log_dir, exist_ok=True)
+        token_path = os.path.join(log_dir, f"v{version + 1}.json")
+        try:
+            fd = os.open(token_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # lost the race — the merge may be stale; re-read and retry
+            continue
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {
+                        "version": version + 1,
+                        "writer": wid,
+                        "partitions": [list(t) for t in touched],
+                        "state": "pending",
+                    },
+                    f,
+                )
+            _overwrite_touched(
+                spark, path, merged, partition_by, sort_by,
+                max_records_per_file,
+            )
+        except BaseException:
+            # failed before commit: withdraw the token so other writers
+            # aren't stuck waiting on a corpse
+            try:
+                os.remove(token_path)
+            except OSError:
+                pass
+            raise
+        tmp = token_path + f".{wid}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version + 1,
+                    "writer": wid,
+                    "partitions": [list(t) for t in touched],
+                    "state": "committed",
+                },
+                f,
+            )
+        os.replace(tmp, token_path)  # atomic state flip
+        n = merged.count()
+        return {
+            "partitions": len(touched),
+            "rows_written": n,
+            "version": version + 1,
+        }
+    raise CommitConflictError(
+        f"lost the commit race {max_retries + 1} times on {path}; "
+        "concurrent writers are saturating this corpus — serialize "
+        "them or move to a transactional table format"
+    )
 
 
 def corpus_manifest(
