@@ -267,3 +267,115 @@ def dedup_media_exact(df: DataFrame) -> DataFrame:
     )
     keep = hashed.groupBy("sha256").agg(F.min("media_id").alias("media_id"))
     return df.join(keep.select("media_id"), "media_id", "left_semi")
+
+
+# ------------------------------------------- media → vector family wiring
+_EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def byte_histogram_embedder(dim: int = 64):
+    """The deterministic FAKE embedder (test/oracle slot): embeds a blob
+    as its byte-value histogram folded into ``dim`` buckets
+    (``count of bytes b with b % dim == i``). Fully reproducible, exactly
+    mirrorable in SQL, and similarity-meaningful enough for tests:
+    identical blobs → identical vectors (cosine 1), near-identical blobs
+    → near-identical histograms."""
+
+    def emb(blobs: list[bytes]) -> np.ndarray:
+        rows = []
+        for blob in blobs:
+            b = np.frombuffer(bytes(blob), dtype=np.uint8)
+            rows.append(
+                np.bincount(b % dim, minlength=dim).astype(np.float64)
+            )
+        return np.stack(rows) if rows else np.zeros((0, dim))
+
+    return emb
+
+
+def embed_media(
+    df: DataFrame,
+    embedder=None,
+    *,
+    dim: int = 64,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Pluggable Arrow-batched media-embedding hook — the bridge from
+    multimodal blobs into the vector operator family (ANN search via
+    ``similarity.ivf_topk``/``ivfpq_topk``, near-dup via
+    ``dedup.embedding_dup_pairs``, semantic dedup, decontamination).
+
+    ``embedder`` is the REAL-MODEL slot: any callable
+    ``list[bytes] -> np.ndarray[n, dim]`` — e.g. a CLIP image encoder
+    (decode via PIL, batch through the model) plugged in unchanged;
+    the default is :func:`byte_histogram_embedder`, the deterministic
+    fake this container can run and DuckDB can mirror exactly.
+
+    Plan shape: one narrow ``mapInPandas`` projection — blobs never
+    shuffle; only ``(id, dim-float vector)`` rows leave the scan, so
+    everything downstream shuffles vectors, not media bytes. Batch size
+    is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set
+    it low for multi-MB blobs).
+    """
+    fn = embedder or byte_histogram_embedder(dim)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [bytes(b) for b in pdf[content_col]]
+            mat = fn(blobs)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "embedding": [list(map(float, row)) for row in mat],
+                }
+            )
+
+    return df.select(
+        F.col(id_col), F.col(content_col)
+    ).mapInPandas(run, _EMBED_SCHEMA)
+
+
+def media_near_dup(
+    df: DataFrame,
+    embedder=None,
+    *,
+    dim: int = 64,
+    threshold: float = 0.95,
+    band_col: str | None = None,
+) -> DataFrame:
+    """Image/media near-duplicate pairs: embed (pluggable hook above),
+    band, then cosine-verify within bands — the CLIP-style near-dup
+    composition over multimodal columns. Returns
+    ``(media_id_l, media_id_r, cosine)`` with ``cosine ≥ threshold``.
+
+    Banding: ``band_col`` defaults to the blob byte length — exact for
+    identical blobs and cheap to compute without decoding; for real
+    embeddings at scale pass an IVF cell label
+    (``similarity.kmeans_centroids`` + cell assignment) so the pair
+    space is Σ cell², the same contract as
+    :func:`dedup.embedding_dup_pairs`.
+    """
+    from auto_data_linkage_spark.operators.dedup import embedding_dup_pairs
+
+    base = df.select(
+        "media_id", "content", F.length("content").alias("__band")
+    )
+    vecs = embed_media(base, embedder, dim=dim).join(
+        base.select("media_id", "__band"), "media_id"
+    )
+    bucket = band_col if band_col is not None else "__band"
+    return embedding_dup_pairs(
+        vecs,
+        vec_col="embedding",
+        id_col="media_id",
+        bucket_col=bucket,
+        threshold=threshold,
+    ).select(
+        F.col("media_id_l"), F.col("media_id_r"), F.col("cosine")
+    )

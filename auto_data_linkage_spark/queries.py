@@ -1471,6 +1471,12 @@ _DEPRIORITIZED = (
     # chunk projection + first-occurrence window + reassembly machinery
     # and stays driver-identically checked by tests/test_oracle_window.py:
     "chunk_dedup",
+    # round-7 rotation: displaced so media_near_dup holds the driver row
+    # — it drives the SAME embedding_dup_pairs banded-cosine join, now
+    # through the multimodal embed hook (strictly more machinery under
+    # the same check); the vector family keeps cosine/ivf/pq/ivfpq +
+    # semantic_dedup in-window:
+    "embedding_near_dup",
 )
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

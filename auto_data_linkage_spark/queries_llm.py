@@ -863,6 +863,71 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(emb, threshold=0.3)
 
 
+# Image/media near-dup through the pluggable embedding hook
+# (multimodal.embed_media → dedup.embedding_dup_pairs): blobs are
+# synthesized from ASCII-stripped document text so DuckDB can mirror the
+# byte-histogram fake embedder EXACTLY (bytes == characters); the real-
+# model slot (CLIP et al.) plugs into the same hook unchanged. Oracle:
+# per-doc byte histograms folded mod 64 as sparse vectors, banded by
+# byte length, cosine via a bucket equi-join — hash-matched, exact.
+_MEDIA_DIM = 64
+_MEDIA_TAU = 0.95
+
+_MEDIA_DUP_SQL = f"""
+    WITH a AS (
+        SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, ord(c) % {_MEDIA_DIM} AS b
+        FROM a, UNNEST(string_split(t, '')) AS u(c)
+        WHERE t <> '' AND c <> ''
+    ),
+    hist AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM ch GROUP BY doc_id, b
+    ),
+    nrm AS (
+        SELECT h.doc_id, SQRT(SUM(h.cnt * h.cnt)) AS nn, LEN(a.t) AS band
+        FROM hist h JOIN a USING (doc_id) GROUP BY h.doc_id, a.t
+    ),
+    dots AS (
+        SELECT hl.doc_id AS id_l, hr.doc_id AS id_r,
+               SUM(hl.cnt * hr.cnt) AS dot
+        FROM hist hl JOIN hist hr ON hl.b = hr.b AND hl.doc_id < hr.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d.id_l AS media_id_l, d.id_r AS media_id_r,
+           ROUND(d.dot / (nl.nn * nr.nn), 6) AS cosine
+    FROM dots d
+    JOIN nrm nl ON nl.doc_id = d.id_l
+    JOIN nrm nr ON nr.doc_id = d.id_r
+    WHERE nl.band = nr.band
+      AND ROUND(d.dot / (nl.nn * nr.nn), 6) >= {_MEDIA_TAU!r}
+    ORDER BY media_id_l, media_id_r
+"""
+
+
+@register(
+    "media_near_dup",
+    _MEDIA_DUP_SQL,
+    survey="multimodal → vector family: image near-dup via the pluggable "
+    "Arrow embed hook (multimodal.embed_media + embedding_dup_pairs)",
+)
+def media_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.encode(
+            F.regexp_replace("text", r"[^\x20-\x7e]", ""), "UTF-8"
+        ).alias("content"),
+    )
+    return M.media_near_dup(
+        docs, dim=_MEDIA_DIM, threshold=_MEDIA_TAU
+    ).orderBy("media_id_l", "media_id_r")
+
+
 # --------------------------------------------------------------------------
 # W2 + A6 — trimmed-mean squared block sizes per blocking rule, using a
 # windowed EXACT percentile (cross-engine reproducible)

@@ -120,3 +120,68 @@ def test_resize_image_real_slot_gated(spark):
     )
     with _pytest.raises(NotImplementedError):
         M.resize_image(df, 2, 2)
+
+
+def test_embed_media_fake_and_pluggable(spark):
+    import numpy as np
+
+    from auto_data_linkage_spark.operators import multimodal as M
+
+    rows = [(1, "hello world"), (2, "hello world"), (3, "zzz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = M.synthesize_media_table(spark, df)
+
+    vecs = {r.media_id: r.embedding for r in M.embed_media(media).collect()}
+    assert len(vecs) == 3 and len(vecs[1]) == 64
+    assert vecs[1] == vecs[2]  # identical blobs → identical vectors
+    assert vecs[1] != vecs[3]
+    assert sum(vecs[1]) == len("hello world")  # histogram mass = n_bytes
+
+    # real-model slot: any list[bytes] -> [n, dim] callable plugs in
+    def constant_embedder(blobs):
+        return np.ones((len(blobs), 4))
+
+    out = M.embed_media(media, constant_embedder, dim=4).collect()
+    assert all(r.embedding == [1.0, 1.0, 1.0, 1.0] for r in out)
+
+
+def test_media_near_dup_finds_identical_blobs_only(spark):
+    from auto_data_linkage_spark.operators import multimodal as M
+
+    rows = [(1, "same payload"), (2, "same payload"), (3, "other thing")]
+    media = M.synthesize_media_table(
+        spark, spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got = [
+        (r.media_id_l, r.media_id_r, r.cosine)
+        for r in M.media_near_dup(media, threshold=0.95).collect()
+    ]
+    assert got == [(1, 2, 1.0)]
+
+
+def test_embed_media_feeds_vector_ann(spark):
+    """The composition the hook exists for: media blobs → embeddings →
+    IVF ANN over the media corpus (same operators the text embedding
+    family uses, no adaptation layer)."""
+    from pyspark.sql import functions as F
+
+    from auto_data_linkage_spark.operators import multimodal as M
+    from auto_data_linkage_spark.operators import similarity as S
+
+    rows = [(i, f"document payload number {i % 7} repeated") for i in range(40)]
+    media = M.synthesize_media_table(
+        spark, spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    vecs = M.embed_media(media).withColumnRenamed("media_id", "vec_id")
+    cents = S.kmeans_centroids(vecs, k=4, max_iter=2, seed=3)
+    labeled = S.assign_cells(vecs, cents, cell_col="label")
+    out = S.ivf_topk(
+        labeled, labeled.where(F.col("vec_id") < 5),
+        k=3, nprobe=2, dim=64,
+    )
+    got = out.groupBy("query_id").count().collect()
+    assert len(got) == 5
+    # i % 7 duplicates embed identically, so every query's top hit is
+    # an exact copy at cosine 1
+    top = {r.query_id: r.cosine for r in out.where(F.col("rank") == 1).collect()}
+    assert all(abs(c - 1.0) < 1e-9 for c in top.values())
