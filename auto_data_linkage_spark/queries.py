@@ -1394,7 +1394,9 @@ _DEPRIORITIZED = (
     "embedding_quantize",  # ⊂ pq_topk/ivfpq_topk (quantization family)
     "deterministic_sample",  # ≡ stratified_sample / mixture_sample [P6]
     "topk_orderby_limit",  # T1 ≡ T3 cosine_topk + row_number ladders
-    "window_count",  # W1 ≡ W2 trimmed_block_stats + sessionize windows
+    # (r7: window_count promoted back — the FAMILIES invariant requires
+    # the window-rank family to hold its own driver row; quality_score
+    # demoted in exchange, text-analysis keeps 2 front rows)
     "bigram_logprob",  # ⊂ LM-scoring family (in-window unigram_logprob);
     #                    still driver-identically checked by
     #                    tests/test_oracle_window.py
@@ -1426,9 +1428,10 @@ _DEPRIORITIZED = (
     # round-6d rotation: displaced so shard_corpus (dataset-export
     # family's only row) and hll_distinct_check (2nd sketch-family row,
     # certifying the HLL merge path) get driver rows:
-    "levenshtein_pairs",  # §2.9 primitive stays in-window twice
-    #                       (blocking_self_join's comparison level,
-    #                       phonetic_blocking_pairs' name_lev column)
+    # (r7: levenshtein_pairs promoted back — the FAMILIES invariant
+    # requires the string-similarity family to hold its own driver row,
+    # not ride inside blocking gammas; pq_topk demoted in exchange,
+    # ivfpq_topk keeps the PQ machinery's driver row as its superset)
     "ngram_jaccard_pairs",  # ⊂ near_dedup_keep (same shingle-Jaccard
     #                         verify inside the in-window composed
     #                         near-dedup); dedup family keeps 8 rows
@@ -1477,7 +1480,77 @@ _DEPRIORITIZED = (
     # the same check); the vector family keeps cosine/ivf/pq/ivfpq +
     # semantic_dedup in-window:
     "embedding_near_dup",
+    # round-7 exchanges for the FAMILIES invariant promotions above:
+    "quality_score",  # text-analysis keeps text_features + pii_scrub
+    #                   front; windows family regains window_count
+    "pq_topk",  # flat-ADC small-index path ⊂ ivfpq_topk (front), which
+    #             runs the same codebook/ADC machinery cell-pruned;
+    #             string-similarity regains levenshtein_pairs
 )
+
+# --------------------------------------------------------------------------
+# Operator families — the machine-checked window invariant. Every
+# registered catalog query belongs to exactly one family, and EVERY
+# family must keep ≥1 member inside the driver's front correctness
+# window (tests/test_oracle_window.py::test_every_family_holds_a_driver_row).
+# Adding a query without a family, or rotating a family's last member
+# into the back window, fails CI loudly instead of silently trading an
+# operator family's hard driver signal for a pytest-only check.
+# --------------------------------------------------------------------------
+FAMILIES: dict[str, tuple[str, ...]] = {
+    "agg-groupby": ("groupby_agg", "global_agg", "combo_counts",
+                    "distinct_counts", "map_value_stats"),
+    "projection-cleaning": ("clean_project", "synthetic_id",
+                            "conditional_projection", "sql_shared_q3",
+                            "normalize_text"),
+    "join-equi": ("join_left_counts", "join_inner_multi",
+                  "link_column_probe", "theta_join_pairs",
+                  "canonical_pair_key"),
+    "blocking": ("blocking_self_join", "phonetic_blocking_pairs",
+                 "squared_count_estimate", "estimate_vs_true_pairs"),
+    "entropy-profile": ("entropy", "sql_entropy_probe", "entropy_auto_base",
+                        "trimmed_block_stats", "skew_report",
+                        "corpus_report"),
+    "set-ops": ("union_distinct",),
+    "window-rank": ("window_count", "window_first", "topk_orderby_limit",
+                    "double_sorted_pick"),
+    "string-similarity": ("levenshtein_pairs", "jaccard_token_pairs",
+                          "jaro_winkler_pairs", "ngram_jaccard_pairs"),
+    "udf-surface": ("sql_registered_udfs",),
+    "linkage-pipeline": ("fs_score_fixed", "fs_score_tf",
+                         "connected_components", "incremental_cluster"),
+    "sampling": ("stratified_sample", "mixture_sample",
+                 "deterministic_sample", "sample_k_per_group",
+                 "weighted_sample_k"),
+    "text-analysis": ("text_features", "quality_score", "pii_scrub",
+                      "lang_id_dist", "repetition_features",
+                      "quality_classifier"),
+    "exact-dedup": ("exact_dedup",),
+    "minhash-lsh": ("minhash_lsh_pairs", "near_dedup_keep",
+                    "minhash_signature", "incremental_dedup_docs"),
+    "simhash": ("simhash_near_pairs", "simhash"),
+    "substring-dedup": ("span_dedup", "chunk_dedup", "split_chunks",
+                        "strip_boilerplate"),
+    "embedding-dedup": ("media_near_dup", "embedding_near_dup",
+                        "semantic_dedup", "semantic_decontaminate"),
+    "decontamination": ("decontaminate",),
+    "ann-search": ("cosine_topk", "ivf_topk", "pq_topk", "ivfpq_topk",
+                   "lsh_topk", "ivf_centroids", "embedding_quantize",
+                   "knn_graph_stats"),
+    "lexical-retrieval": ("bm25_topk",),
+    "fingerprinting": ("winnow_fingerprints", "winnow_rolling"),
+    "lm-scoring": ("unigram_logprob", "bigram_logprob"),
+    "tokenizer": ("bpe_token_stats",),
+    "packing-export": ("pack_sequences", "shard_corpus"),
+    "sketches": ("count_min_tokens", "hll_distinct_check",
+                 "kll_quantile_check", "corpus_overlap_est"),
+    "layout": ("zorder_values",),
+    "multimodal": ("media_decode_stats",),
+    "streaming-events": ("tumbling_window_agg", "sessionize",
+                         "sliding_window_agg", "events_dedup_first"),
+    "temporal-joins": ("asof_join_events", "interval_join_events"),
+    "curation-pipeline": ("curate_documents",),
+}
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's
 # first-DRIVER_WINDOW correctness window — enforced by _ordered_names and

@@ -38,10 +38,11 @@ def _window_split():
 def test_front_window_fits_driver_gate():
     front, back = _window_split()
     assert len(front) <= catalog.DRIVER_WINDOW
-    # every operator newly added in rounds 5-6 must hold a driver row
+    # every operator newly added in rounds 5-7 must hold a driver row
+    # (pq_topk rotated back in r7 — ivfpq_topk is its superset; the
+    # generalized guarantee now lives in test_every_family_holds_a_driver_row)
     for name in (
         "curate_documents",
-        "pq_topk",
         "ivfpq_topk",
         "pack_sequences",
         "stratified_sample",
@@ -49,6 +50,10 @@ def test_front_window_fits_driver_gate():
         "phonetic_blocking_pairs",
         "zorder_values",
         "count_min_tokens",
+        "span_dedup",
+        "media_near_dup",
+        "window_count",
+        "levenshtein_pairs",
     ):
         assert name in front, f"{name} fell out of the driver window"
 
@@ -57,6 +62,40 @@ def test_deprioritized_names_exist():
     catalog._load_extensions()
     missing = [n for n in catalog._DEPRIORITIZED if n not in catalog.REGISTRY]
     assert not missing, f"_DEPRIORITIZED names not registered: {missing}"
+
+
+def test_every_family_holds_a_driver_row():
+    """The generalized window invariant (VERDICT r6 #7): every operator
+    family keeps ≥1 query inside the driver's front correctness window,
+    every registered query belongs to exactly one family, and FAMILIES
+    names no unregistered query. A future addition that lands without a
+    family, or a rotation that pushes a family's last member back-window,
+    fails here instead of silently downgrading that family's hard
+    driver signal."""
+    front, _back = _window_split()
+    front_set = set(front)
+    all_named = [n for members in catalog.FAMILIES.values() for n in members]
+    # no typos: every FAMILIES name is a registered query
+    unknown = [n for n in all_named if n not in catalog.REGISTRY]
+    assert not unknown, f"FAMILIES names unregistered queries: {unknown}"
+    # exactly one family per query
+    dupes = {n for n in all_named if all_named.count(n) > 1}
+    assert not dupes, f"queries in multiple families: {dupes}"
+    unassigned = [n for n in catalog.REGISTRY if n not in set(all_named)]
+    assert not unassigned, (
+        f"registered queries with no family: {unassigned} — add each to "
+        "queries.FAMILIES so the window invariant covers it"
+    )
+    # the invariant itself: each family has a front-window member
+    orphaned = {
+        fam: members
+        for fam, members in catalog.FAMILIES.items()
+        if not front_set.intersection(members)
+    }
+    assert not orphaned, (
+        f"families with NO driver-window row: {orphaned} — rotate one "
+        "member back into the front window"
+    )
 
 
 def test_no_oracle_sql_yields_hugeint(sf_dir):
