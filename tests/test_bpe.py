@@ -183,3 +183,41 @@ def test_unicode_whitespace_train_encode_agreement(spark):
     ).collect()
     for r in got:
         assert r.recon == r.norm, r.doc_id
+
+
+def test_tokenizer_json_round_trip(spark, corpus, tmp_path):
+    """Export the trained artifact in the standard tokenizer-JSON shape,
+    re-import it, and require id-stream equality — the interop contract
+    a downstream training stack depends on."""
+    import json
+
+    merges = B.train_bpe(corpus, num_merges=25, min_freq=1)
+    vocab = B.bpe_vocab(corpus, merges)
+    path = str(tmp_path / "tokenizer.json")
+    doc = B.export_tokenizer_json(merges, vocab, path)
+
+    # standard shape: model.type/vocab/merges + the sentinel declared
+    on_disk = json.load(open(path))
+    assert on_disk == json.loads(json.dumps(doc))
+    assert on_disk["model"]["type"] == "BPE"
+    assert on_disk["model"]["unk_token"] == B.UNK
+    assert on_disk["model"]["end_of_word_suffix"] == B.END
+    assert on_disk["model"]["vocab"][B.UNK] == 0
+    assert all(isinstance(m, str) and " " in m
+               for m in on_disk["model"]["merges"])
+
+    m2, v2 = B.load_tokenizer_json(path)
+    assert m2 == merges and v2 == vocab
+
+    a = B.bpe_encode_ids(corpus, merges, vocab).select("doc_id", "token_ids")
+    b = B.bpe_encode_ids(corpus, m2, v2).select("doc_id", "token_ids")
+    got_a = {r.doc_id: r.token_ids for r in a.collect()}
+    got_b = {r.doc_id: r.token_ids for r in b.collect()}
+    assert got_a == got_b and all(len(v) > 0 for v in got_a.values())
+
+
+def test_tokenizer_json_rejects_non_bpe(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a BPE"):
+        B.load_tokenizer_json({"model": {"type": "WordPiece"}})
