@@ -314,3 +314,81 @@ def normalize_text(
     if lowercase:
         c = F.lower(c)
     return df.withColumn(out_col, c)
+
+
+def gopher_rules(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021, public
+    recipe) as one codegen projection — the standard pre-training corpus
+    gate, complementing the soft :func:`quality_score`:
+
+    - word count in ``[min_words, max_words]``;
+    - mean word length in [3, 10] characters;
+    - symbol-to-word ratio ('#' occurrences + ellipses) ≤ 0.1;
+    - ≤ 10% of lines start with a bullet; ≤ 30% end with an ellipsis;
+    - ≥ 80% of words contain an alphabetic character;
+    - ≥ 2 distinct words from the required-stopword set
+      {the, be, to, of, and, that, have, with}.
+
+    Returns ``(id, n_words, <rule booleans>, keep)``. Every threshold is
+    evaluated in INTEGER arithmetic (``10·symbols ≤ n_words`` instead of
+    ``symbols/n_words ≤ 0.1``), so the booleans are bit-exact across
+    engines and floating-point-free. One scan, zero shuffles, zero UDFs.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    total_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    n_symbols = F.regexp_count(c, F.lit("#")) + F.regexp_count(
+        c, F.lit(r"(\.\.\.|…)")
+    )
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[•\-\*]"))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    required = F.array(
+        *[F.lit(w) for w in
+          ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    n_req = F.size(F.array_intersect(F.array_distinct(toks), required))
+
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    mean_len_ok = (total_chars >= 3 * n_words) & (total_chars <= 10 * n_words)
+    symbol_ok = 10 * n_symbols <= n_words
+    bullet_ok = 10 * n_bullet <= n_lines
+    ellipsis_ok = 10 * n_ellipsis <= 3 * n_lines
+    alpha_ok = 5 * n_alpha >= 4 * n_words
+    stopword_ok = n_req >= 2
+
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+    )
+    keep = (
+        F.col("word_count_ok")
+        & F.col("mean_len_ok")
+        & F.col("symbol_ok")
+        & F.col("bullet_ok")
+        & F.col("ellipsis_ok")
+        & F.col("alpha_ok")
+        & F.col("stopword_ok")
+    )
+    return out.withColumn("keep", keep)

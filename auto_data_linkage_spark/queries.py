@@ -1486,6 +1486,10 @@ _DEPRIORITIZED = (
     "pq_topk",  # flat-ADC small-index path ⊂ ivfpq_topk (front), which
     #             runs the same codebook/ADC machinery cell-pruned;
     #             string-similarity regains levenshtein_pairs
+    # registered DIRECTLY into the back window (text-analysis holds
+    # text_features + pii_scrub driver rows); integer-exact booleans,
+    # driver-identically checked by tests/test_oracle_window.py:
+    "gopher_quality_filter",
 )
 
 # --------------------------------------------------------------------------
@@ -1524,7 +1528,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                  "weighted_sample_k"),
     "text-analysis": ("text_features", "quality_score", "pii_scrub",
                       "lang_id_dist", "repetition_features",
-                      "quality_classifier"),
+                      "quality_classifier", "gopher_quality_filter"),
     "exact-dedup": ("exact_dedup",),
     "minhash-lsh": ("minhash_lsh_pairs", "near_dedup_keep",
                     "minhash_signature", "incremental_dedup_docs"),

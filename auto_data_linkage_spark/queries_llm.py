@@ -201,6 +201,83 @@ def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher document-level rules (Rae et al. 2021): every threshold in
+# INTEGER arithmetic on both engines, so the booleans are bit-exact —
+# no float-ratio comparisons anywhere. min_words=10 (not the paper's 50)
+# because the synthetic docs are short; the rule STRUCTURE is the test.
+_GOPHER_MIN_WORDS = 10
+_GOPHER_MAX_WORDS = 100_000
+
+
+def _gopher_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    req = ", ".join(
+        f"'{w}'"
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    return f"""
+    WITH f AS (
+        SELECT doc_id, {toks} AS toks,
+               len(regexp_extract_all(text, '#')) +
+               len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS n_symbols,
+               list_filter(string_split(text, chr(10)),
+                           l -> trim(l) <> '') AS lines
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_words,
+               COALESCE(list_sum(list_transform(toks, t -> len(t))), 0)
+                   AS total_chars,
+               n_symbols,
+               len(lines) AS n_lines,
+               len(list_filter(lines,
+                   l -> regexp_matches(trim(l), '^[•\\-\\*]'))) AS n_bullet,
+               len(list_filter(lines,
+                   l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                   AS n_ellipsis,
+               len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                   AS n_alpha,
+               len(list_intersect(list_distinct(toks), [{req}])) AS n_req
+        FROM f
+    )
+    SELECT doc_id, n_words,
+           n_words >= {_GOPHER_MIN_WORDS}
+               AND n_words <= {_GOPHER_MAX_WORDS} AS word_count_ok,
+           total_chars >= 3 * n_words
+               AND total_chars <= 10 * n_words AS mean_len_ok,
+           10 * n_symbols <= n_words AS symbol_ok,
+           10 * n_bullet <= n_lines AS bullet_ok,
+           10 * n_ellipsis <= 3 * n_lines AS ellipsis_ok,
+           5 * n_alpha >= 4 * n_words AS alpha_ok,
+           n_req >= 2 AS stopword_ok,
+           (n_words >= {_GOPHER_MIN_WORDS}
+               AND n_words <= {_GOPHER_MAX_WORDS})
+               AND (total_chars >= 3 * n_words
+                    AND total_chars <= 10 * n_words)
+               AND 10 * n_symbols <= n_words
+               AND 10 * n_bullet <= n_lines
+               AND 10 * n_ellipsis <= 3 * n_lines
+               AND 5 * n_alpha >= 4 * n_words
+               AND n_req >= 2 AS keep
+    FROM g
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "gopher_quality_filter",
+    _gopher_sql(),
+    survey="LLM curation: Gopher document-level rule filter "
+    "(text.gopher_rules) — integer-exact thresholds",
+)
+def gopher_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return X.gopher_rules(
+        docs, min_words=_GOPHER_MIN_WORDS, max_words=_GOPHER_MAX_WORDS
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Exact dedup over a table WITH planted duplicates (documents has none, so
 # both sides re-add every 10th doc under a shifted id — deterministic)

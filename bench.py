@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "bpe_token_stats",
     "corpus_report",
     "skew_report",
+    # round-7: offset-robust substring dedup (sliding grams — the
+    # heaviest dedup exchange) and the multimodal-embed near-dup path
+    "span_dedup",
+    "media_near_dup",
 ]
 
 

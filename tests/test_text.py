@@ -203,3 +203,30 @@ def test_normalize_text_bad_form_raises(spark):
 
     with _pt.raises(ValueError):
         normalize_text(df, form="NFX")
+
+
+def test_gopher_rules_each_gate(spark):
+    from auto_data_linkage_spark.operators.text import gopher_rules
+
+    good = ("the quick brown fox jumps over that lazy dog and then "
+            "writers have fun with lots of words to fill the page nicely")
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "too few words"),                        # word_count fails
+        (3, "the of and to " + "supercalifragilistic " * 20),  # mean len
+        (4, good + " " + "# " * 40),                 # symbol ratio fails
+        (5, good.replace(" ", "\n- ")),              # bullet lines fail
+        (6, good + " 111 222 333 444 555 666 777 888 999 000 "
+              "111 222 333 444 555 666"),            # alpha frac fails
+        (7, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii"),
+        #                                            # stopwords fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df, min_words=10).collect()}
+    assert out[1].keep
+    assert not out[2].word_count_ok and not out[2].keep
+    assert not out[3].mean_len_ok and not out[3].keep
+    assert not out[4].symbol_ok and not out[4].keep
+    assert not out[5].bullet_ok and not out[5].keep
+    assert not out[6].alpha_ok and not out[6].keep
+    assert not out[7].stopword_ok and not out[7].keep
