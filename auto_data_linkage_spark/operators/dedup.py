@@ -573,6 +573,7 @@ def span_dedup(
     min_span_words: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_key: bool = False,
 ) -> DataFrame:
     """OFFSET-ROBUST exact substring deduplication — the recall
     completion of :func:`chunk_dedup` (whose fixed-width aligned chunks
@@ -594,9 +595,13 @@ def span_dedup(
       (whole-stage codegen, no UDF) — k× more exchange rows than the
       aligned chunking, the price of offset robustness;
     - the keep-decision is ONE window over ``partitionBy(gram)``; at
-      100 TB key the exchange by ``md5_hash64(gram)`` instead of the
-      gram text (duplicate POSITIONS, not text, flow back) and resolve
-      rare 60-bit collisions in-partition;
+      100 TB pass ``hash_key=True``: the exchange then carries
+      ``(md5_hash64(gram), id, pos)`` — 8-byte keys instead of k-word
+      strings, shrinking the shuffle ~10× for k=8. A 60-bit hash
+      collision mis-marks a span with probability ≈ n²/2⁶¹ (the
+      standard fingerprint-dedup trade, cf. Lee'22's 64-bit variant);
+      property-tested equivalent to the text-keyed path on real
+      corpora, and the text-keyed path remains the exact mode;
     - duplicated starts aggregate per doc (bounded by doc length), and
       the cover test is an ``exists`` over that array in one final
       projection — no per-token join, no driver work.
@@ -609,6 +614,8 @@ def span_dedup(
         F.sequence(F.lit(0), n - k),
         lambda i: F.array_join(F.slice("__tk", i + 1, k), " "),
     )
+    if hash_key:
+        grams = F.transform(grams, lambda g: md5_hash64(g))
     sh = base.where(n >= k).select(
         F.col(id_col), F.posexplode(grams).alias("pos", "gram")
     )

@@ -386,3 +386,22 @@ def test_span_dedup_overlapping_self_repetition(spark):
     assert out[1].dedup_text == "p q r"
     assert out[1].n_removed == 6
     assert out[2].n_removed == 0 and out[2].dedup_text == "x y z w"
+
+
+def test_span_dedup_hash_key_equivalent(spark, sf_dir):
+    """The scale path (8-byte md5 gram keys in the exchange) must give
+    identical results to the exact text-keyed mode on a real corpus."""
+    from auto_data_linkage_spark.operators.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.dedup_text)
+        for r in span_dedup(docs, min_span_words=5).collect()
+    }
+    b = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.dedup_text)
+        for r in span_dedup(docs, min_span_words=5, hash_key=True).collect()
+    }
+    assert a == b and len(a) > 0
