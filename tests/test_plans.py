@@ -250,3 +250,45 @@ def test_assign_shards_no_shuffle_write_shards_one(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert count_exchanges(assign_shards(docs, 8)) == 0
+
+
+def test_span_dedup_exchange_budget(spark, sf_dir):
+    """span_dedup's scale contract: gram keep-decision is ONE window
+    exchange, duplicate-start aggregation ONE more, plus the final
+    id-keyed join — bounded exchanges, no Generate after the window
+    (the cover test is an array exists, not a second explode)."""
+    from auto_data_linkage_spark.operators.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = span_dedup(docs, min_span_words=5)
+    assert count_exchanges(df) <= 5
+    df_hashed = span_dedup(docs, min_span_words=5, hash_key=True)
+    plan = df_hashed._jdf.queryExecution().executedPlan().toString()
+    # the hash-keyed exchange must partition on the 60-bit gram hash,
+    # never the gram text: no string gram column survives to the window
+    assert "hashpartitioning(gram" in plan
+
+
+def test_media_near_dup_blobs_never_shuffle(spark, sf_dir):
+    """The multimodal contract: media bytes stay in the scan-side
+    projection; every exchange below the pair join carries (id, vector,
+    band) rows only — no binary 'content' column crosses a shuffle."""
+    from auto_data_linkage_spark.operators import multimodal as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = M.synthesize_media_table(spark, docs)
+    df = M.media_near_dup(media, threshold=0.95)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "content" not in m.group(1), m.group(0)
+
+
+def test_gopher_rules_zero_exchanges(spark, sf_dir):
+    from auto_data_linkage_spark.operators.text import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = gopher_rules(docs)
+    assert count_exchanges(df) == 0
+    assert codegen_stage_count(df) >= 1
