@@ -98,3 +98,138 @@ def curate_documents(
         .where(F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col))
     )
     return survivors.select(id_col, "lang_pred", "quality")
+
+
+def prepare_training_set(
+    docs: DataFrame,
+    out_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    gopher_min_words: int = 10,
+    span_words: int = 8,
+    span_hash_key: bool = True,
+    num_merges: int = 200,
+    capacity: int = 2048,
+    n_shards: int = 8,
+    jaccard_threshold: float = 0.7,
+) -> dict:
+    """The COMPLETE corpus → training-set pass, every stage an existing
+    oracle-checked operator, composed in the order a production recipe
+    runs them (filter early, dedup before tokenize, tokenize before
+    pack):
+
+    1. :func:`curate_documents` — quality + language gate, exact dedup,
+       verified MinHash near-dedup (survivor ids);
+    2. :func:`text.gopher_rules` — the hard document-level rule gate;
+    3. :func:`dedup.span_dedup` — offset-robust duplicated-span removal
+       (the text that survives is the text that trains);
+    4. :func:`bpe.train_bpe` + :func:`bpe.bpe_encode_ids` — tokenizer
+       trained on exactly the surviving corpus, artifact exported in
+       the standard tokenizer-JSON shape next to the shards;
+    5. :func:`pack.pack_sequences` — context-window bin assignment;
+    6. :func:`pack.write_shards` — deterministic hash-shuffled
+       ``shard=N/`` parquet export a training loader streams directly.
+
+    Returns a report dict (per-stage survivor counts, token totals,
+    packing fill, artifact paths). Writes ``tokenizer.json`` and the
+    shard directories under ``out_path`` (local/POSIX path — the same
+    contract as the versioned upsert; object stores go through a real
+    table format).
+
+    Scale posture: stages 1–3 shuffle ids/hashes (never full text except
+    the one gram-keyed exchange inside span_dedup — 8-byte keys when
+    ``span_hash_key``); stage 4's driver transfer is the bounded
+    word-frequency table; stages 5–6 are one window + one hash exchange.
+    Each stage gate drops rows BEFORE the next stage pays for them.
+    """
+    import os
+
+    from auto_data_linkage_spark.operators import bpe as B
+    from auto_data_linkage_spark.operators.pack import (
+        pack_sequences,
+        write_shards,
+    )
+
+    n_input = docs.count()
+
+    # 1. curation gate (quality/lang/exact/near-dup survivors)
+    survivors = curate_documents(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        min_quality=min_quality,
+        langs=langs,
+        jaccard_threshold=jaccard_threshold,
+    ).select(id_col)
+    curated = docs.join(survivors, id_col, "left_semi")
+    n_curated = curated.count()
+
+    # 2. Gopher hard rules
+    rules = X.gopher_rules(
+        curated, text_col=text_col, id_col=id_col,
+        min_words=gopher_min_words,
+    )
+    gated = curated.join(
+        rules.where(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+    n_gated = gated.count()
+
+    # 3. offset-robust span dedup; the deduplicated text becomes the
+    # training text (drop documents whose every span was seen earlier)
+    spanned = D.span_dedup(
+        gated,
+        min_span_words=span_words,
+        text_col=text_col,
+        id_col=id_col,
+        hash_key=span_hash_key,
+    )
+    clean = (
+        spanned.where(F.col("dedup_text") != "")
+        .select(F.col(id_col), F.col("dedup_text").alias(text_col))
+        .localCheckpoint(eager=True)  # feeds BPE train AND encode
+    )
+    n_clean = clean.count()
+
+    # 4. tokenizer trained on the surviving corpus; artifact exported
+    merges = B.train_bpe(clean, text_col, num_merges=num_merges, min_freq=1)
+    vocab = B.bpe_vocab(clean, merges, text_col)
+    local_out = out_path[7:] if out_path.startswith("file://") else out_path
+    os.makedirs(local_out, exist_ok=True)
+    tok_path = os.path.join(local_out, "tokenizer.json")
+    B.export_tokenizer_json(merges, vocab, tok_path)
+    encoded = B.bpe_encode_ids(clean, merges, vocab, text_col).select(
+        id_col, "token_ids", F.size("token_ids").alias("n_tokens")
+    )
+
+    # 5. context-window packing
+    packed = pack_sequences(encoded, capacity=capacity)
+
+    # 6. deterministic shard export
+    shards_path = os.path.join(local_out, "shards")
+    write_shards(packed, shards_path, n_shards, id_col=id_col)
+
+    stats = packed.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count_distinct("bucket", "bin").alias("n_bins"),
+    ).collect()[0]
+    total_tokens = stats.total_tokens or 0
+    n_bins = stats.n_bins or 0
+    return {
+        "n_input": n_input,
+        "n_curated": n_curated,
+        "n_gopher_kept": n_gated,
+        "n_span_kept": n_clean,
+        "total_tokens": int(total_tokens),
+        "n_bins": int(n_bins),
+        "packing_fill": (
+            round(total_tokens / (n_bins * capacity), 4) if n_bins else 0.0
+        ),
+        "vocab_size": len(vocab),
+        "n_merges": len(merges),
+        "tokenizer_path": tok_path,
+        "shards_path": shards_path,
+        "n_shards": n_shards,
+    }

@@ -274,3 +274,62 @@ def test_incremental_dedup_empty_corpus_equals_batch_dedup(spark):
         for r in incremental_near_dedup(existing, new, **_inc_kw()).collect()
     }
     assert kept == {1, 3}
+
+
+def test_prepare_training_set_end_to_end(spark, tmp_path):
+    """The capstone composition: raw corpus → curated → Gopher-gated →
+    span-deduped → BPE-tokenized → packed → sharded export, with the
+    per-stage report and on-disk artifacts all checked."""
+    import json
+    import os
+
+    from auto_data_linkage_spark.operators.bpe import load_tokenizer_json
+    from auto_data_linkage_spark.operators.pipeline import prepare_training_set
+
+    good = ("the quick brown fox jumps over that lazy dog and all of "
+            "the words here have to be sensible because this text must "
+            "pass every quality gate with room to spare today")
+    span = ("an exactly repeated span of nine whole words appears here "
+            "somewhere")
+    rows = []
+    for i in range(30):
+        rows.append((i, f"{good} variant token{i} plus {span}"))
+    rows.append((100, rows[0][1]))                 # exact duplicate
+    rows.append((101, "zz qq ww"))                 # fails gates
+    rows.append((102, "la de el en un es se no que y " * 6))  # non-en
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = str(tmp_path / "trainset")
+    report = prepare_training_set(
+        docs, out,
+        min_quality=0.4, gopher_min_words=10,
+        span_words=9, num_merges=30, capacity=256, n_shards=4,
+    )
+    assert report["n_input"] == 33
+    assert report["n_curated"] <= 31           # exact dup + gates drop
+    assert report["n_gopher_kept"] <= report["n_curated"]
+    assert 0 < report["n_span_kept"] <= report["n_gopher_kept"]
+    assert report["total_tokens"] > 0 and report["n_bins"] > 0
+    assert 0 < report["packing_fill"] <= 1.0
+
+    # tokenizer artifact round-trips
+    merges, vocab = load_tokenizer_json(report["tokenizer_path"])
+    assert len(merges) == report["n_merges"]
+    assert len(vocab) == report["vocab_size"]
+    doc = json.load(open(report["tokenizer_path"]))
+    assert doc["model"]["type"] == "BPE"
+
+    # shards: every kept doc exactly once, loader-readable, ids valid
+    shard_dirs = [
+        d for d in os.listdir(report["shards_path"]) if d.startswith("shard=")
+    ]
+    assert 1 <= len(shard_dirs) <= 4
+    loaded = spark.read.parquet(report["shards_path"])
+    assert loaded.count() == report["n_span_kept"]
+    assert loaded.select("doc_id").distinct().count() == report["n_span_kept"]
+    first = loaded.where(F.size("token_ids") > 0).count()
+    assert first == report["n_span_kept"]
+    # the duplicated span survives in exactly ONE document's token text
+    assert {"token_ids", "n_tokens", "bucket", "bin", "shard_order"} <= set(
+        loaded.columns
+    )
