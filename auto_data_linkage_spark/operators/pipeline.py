@@ -109,6 +109,7 @@ def prepare_training_set(
     langs: tuple[str, ...] = ("en",),
     min_quality: float = 0.5,
     gopher_min_words: int = 10,
+    gopher_required_stopwords: tuple[str, ...] | None = None,
     span_words: int = 8,
     span_hash_key: bool = True,
     num_merges: int = 200,
@@ -167,10 +168,16 @@ def prepare_training_set(
     curated = docs.join(survivors, id_col, "left_semi")
     n_curated = curated.count()
 
-    # 2. Gopher hard rules
+    # 2. Gopher hard rules (pass a corpus-appropriate required-word
+    # inventory for non-English / non-prose corpora)
+    gopher_kwargs = (
+        {"required_stopwords": gopher_required_stopwords}
+        if gopher_required_stopwords is not None
+        else {}
+    )
     rules = X.gopher_rules(
         curated, text_col=text_col, id_col=id_col,
-        min_words=gopher_min_words,
+        min_words=gopher_min_words, **gopher_kwargs,
     )
     gated = curated.join(
         rules.where(F.col("keep")).select(id_col), id_col, "left_semi"

@@ -323,6 +323,10 @@ def gopher_rules(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    required_stopwords: tuple[str, ...] = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+    min_required: int = 2,
 ) -> DataFrame:
     """Gopher document-level quality rules (Rae et al. 2021, public
     recipe) as one codegen projection — the standard pre-training corpus
@@ -333,8 +337,10 @@ def gopher_rules(
     - symbol-to-word ratio ('#' occurrences + ellipses) ≤ 0.1;
     - ≤ 10% of lines start with a bullet; ≤ 30% end with an ellipsis;
     - ≥ 80% of words contain an alphabetic character;
-    - ≥ 2 distinct words from the required-stopword set
-      {the, be, to, of, and, that, have, with}.
+    - ≥ ``min_required`` distinct words from ``required_stopwords``
+      (the paper's English set by default — swap the inventory for
+      other languages or non-prose corpora; the rule STRUCTURE is
+      language-independent, the word list is not).
 
     Returns ``(id, n_words, <rule booleans>, keep)``. Every threshold is
     evaluated in INTEGER arithmetic (``10·symbols ≤ n_words`` instead of
@@ -357,10 +363,7 @@ def gopher_rules(
         F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
     )
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    required = F.array(
-        *[F.lit(w) for w in
-          ("the", "be", "to", "of", "and", "that", "have", "with")]
-    )
+    required = F.array(*[F.lit(w) for w in required_stopwords])
     n_req = F.size(F.array_intersect(F.array_distinct(toks), required))
 
     word_count_ok = (n_words >= min_words) & (n_words <= max_words)
@@ -369,7 +372,7 @@ def gopher_rules(
     bullet_ok = 10 * n_bullet <= n_lines
     ellipsis_ok = 10 * n_ellipsis <= 3 * n_lines
     alpha_ok = 5 * n_alpha >= 4 * n_words
-    stopword_ok = n_req >= 2
+    stopword_ok = n_req >= min_required
 
     out = df.select(
         F.col(id_col),

@@ -204,17 +204,17 @@ def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gopher document-level rules (Rae et al. 2021): every threshold in
 # INTEGER arithmetic on both engines, so the booleans are bit-exact —
 # no float-ratio comparisons anywhere. min_words=10 (not the paper's 50)
-# because the synthetic docs are short; the rule STRUCTURE is the test.
+# and a corpus-appropriate required-word inventory because the synthetic
+# docs are short keyword soup; the rule STRUCTURE is the test, and with
+# this inventory `keep` genuinely varies across the table.
 _GOPHER_MIN_WORDS = 10
 _GOPHER_MAX_WORDS = 100_000
+_GOPHER_REQUIRED = ("the", "a", "key", "value", "table", "row")
 
 
 def _gopher_sql() -> str:
     toks = _SQL_TOKENS.format(c="text")
-    req = ", ".join(
-        f"'{w}'"
-        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
-    )
+    req = ", ".join(f"'{w}'" for w in _GOPHER_REQUIRED)
     return f"""
     WITH f AS (
         SELECT doc_id, {toks} AS toks,
@@ -274,7 +274,10 @@ def _gopher_sql() -> str:
 def gopher_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return X.gopher_rules(
-        docs, min_words=_GOPHER_MIN_WORDS, max_words=_GOPHER_MAX_WORDS
+        docs,
+        min_words=_GOPHER_MIN_WORDS,
+        max_words=_GOPHER_MAX_WORDS,
+        required_stopwords=_GOPHER_REQUIRED,
     ).orderBy("doc_id")
 
 
