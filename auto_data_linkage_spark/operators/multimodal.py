@@ -305,6 +305,7 @@ def embed_media(
     dim: int = 64,
     id_col: str = "media_id",
     content_col: str = "content",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Pluggable Arrow-batched media-embedding hook — the bridge from
     multimodal blobs into the vector operator family (ANN search via
@@ -321,24 +322,31 @@ def embed_media(
     shuffle; only ``(id, dim-float vector)`` rows leave the scan, so
     everything downstream shuffles vectors, not media bytes. Batch size
     is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set
-    it low for multi-MB blobs).
+    it low for multi-MB blobs). ``passthrough`` columns ride the batch
+    through unchanged — a join-free way to keep scan-computed metadata
+    (bands, labels) attached to the vectors.
     """
     fn = embedder or byte_histogram_embedder(dim)
+    extra = list(passthrough)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = [bytes(b) for b in pdf[content_col]]
             mat = fn(blobs)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].astype("int64"),
-                    "embedding": [list(map(float, row)) for row in mat],
-                }
-            )
+            out = {
+                "media_id": pdf[id_col].astype("int64"),
+                "embedding": [list(map(float, row)) for row in mat],
+            }
+            for c in extra:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.select(
-        F.col(id_col), F.col(content_col)
-    ).mapInPandas(run, _EMBED_SCHEMA)
+    in_cols = [F.col(id_col), F.col(content_col)] + [F.col(c) for c in extra]
+    schema = T.StructType(
+        list(_EMBED_SCHEMA.fields)
+        + [df.schema[c] for c in extra]
+    )
+    return df.select(*in_cols).mapInPandas(run, schema)
 
 
 def media_near_dup(
@@ -366,9 +374,9 @@ def media_near_dup(
     base = df.select(
         "media_id", "content", F.length("content").alias("__band")
     )
-    vecs = embed_media(base, embedder, dim=dim).join(
-        base.select("media_id", "__band"), "media_id"
-    )
+    # the band rides THROUGH the embed batch (passthrough) instead of
+    # joining back on media_id afterwards — one hash exchange fewer
+    vecs = embed_media(base, embedder, dim=dim, passthrough=("__band",))
     bucket = band_col if band_col is not None else "__band"
     return embedding_dup_pairs(
         vecs,
