@@ -350,3 +350,54 @@ def test_bm25_matches_pure_python_reference(spark, docs, qterms):
     assert set(got) == set(want)
     for d, s in want.items():
         assert abs(got[d] - round(s, 6)) < 2e-6
+
+
+# ------------------------------------------- span_dedup vs a reference
+def _span_dedup_reference(docs, k):
+    """Independent pure-Python implementation of the span_dedup
+    semantics: global first occurrence of each k-gram by (id, pos);
+    later occurrences mark [pos, pos+k); token removed iff covered."""
+    seen = {}
+    marks = {}
+    for doc_id in sorted(docs):
+        toks = docs[doc_id].lower().split()
+        marks[doc_id] = [False] * len(toks)
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            if g in seen:
+                for j in range(i, i + k):
+                    marks[doc_id][j] = True
+            else:
+                seen[g] = (doc_id, i)
+    out = {}
+    for doc_id in docs:
+        toks = docs[doc_id].lower().split()
+        kept = [t for t, m in zip(toks, marks[doc_id]) if not m]
+        out[doc_id] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return out
+
+
+# small vocabulary forces heavy gram collisions across documents
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc_texts = st.lists(_words, min_size=0, max_size=18).map(" ".join)
+_corpora = st.lists(_doc_texts, min_size=1, max_size=8)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_corpora, st.integers(min_value=2, max_value=4))
+def test_span_dedup_matches_python_reference(spark, texts, k):
+    from auto_data_linkage_spark.operators.dedup import span_dedup
+
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.dedup_text)
+        for r in span_dedup(df, min_span_words=k).collect()
+    }
+    assert got == _span_dedup_reference(docs, k)
