@@ -647,6 +647,67 @@ def span_dedup(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 4,
+) -> DataFrame:
+    """Exact LINE-level deduplication (the RefinedWeb/CCNet rule that
+    precedes fuzzy dedup in published curation recipes): the globally
+    FIRST occurrence of each normalized line — by ``(id, position)`` —
+    survives; every later copy, within or across documents, is removed;
+    documents reassemble from surviving lines in order. Lines shorter
+    than ``min_chars`` characters are kept unconditionally (bullets,
+    separators — structure, not content, and deduping them would gut
+    formatting). Blank lines are dropped.
+
+    Complements the segment operators: :func:`chunk_dedup` /
+    :func:`span_dedup` work on word windows irrespective of layout;
+    this works on the document's NATURAL units, catching repeated
+    boilerplate lines ("subscribe to our newsletter") that word
+    windows straddle.
+
+    Same two-exchange plan as chunk_dedup: one window keyed by the
+    normalized line (short lines skip the window via a disjunction, so
+    they never shuffle as keys), one reassembly aggregate on the id.
+    Returns ``(id, n_lines, n_kept, dedup_text)``.
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    ).withColumn("__key", F.lower(F.col("line")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__key").orderBy(F.asc(id_col), F.asc("pos"))
+    ranked = exploded.withColumn("__rn", F.row_number().over(w))
+    kept = ranked.where(
+        (F.length("__key") < min_chars) | (F.col("__rn") == 1)
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("dedup_text"),
+    )
+    base = df.select(F.col(id_col), F.size(lines).alias("n_lines"))
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+    )
+
+
 # ----------------------------------------------- benchmark decontamination
 def decontaminate(
     docs: DataFrame,

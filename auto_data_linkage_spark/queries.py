@@ -1490,6 +1490,9 @@ _DEPRIORITIZED = (
     # text_features + pii_scrub driver rows); integer-exact booleans,
     # driver-identically checked by tests/test_oracle_window.py:
     "gopher_quality_filter",
+    # registered DIRECTLY into the back window (substring-dedup family
+    # holds span_dedup's driver row; same window+reassembly machinery):
+    "line_dedup",
 )
 
 # --------------------------------------------------------------------------
@@ -1534,7 +1537,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                     "minhash_signature", "incremental_dedup_docs"),
     "simhash": ("simhash_near_pairs", "simhash"),
     "substring-dedup": ("span_dedup", "chunk_dedup", "split_chunks",
-                        "strip_boilerplate"),
+                        "strip_boilerplate", "line_dedup"),
     "embedding-dedup": ("media_near_dup", "embedding_near_dup",
                         "semantic_dedup", "semantic_decontaminate"),
     "decontamination": ("decontaminate",),

@@ -2158,6 +2158,74 @@ def _chunk_dedup_sql(c: int = _CHUNK_WORDS) -> str:
     """
 
 
+# Exact line-level dedup (dedup.line_dedup, RefinedWeb/CCNet rule):
+# the synthetic docs are single-line, so both engines plant the same
+# boilerplate lines ("subscribe..." on every doc, "all rights..." on
+# every 3rd) — the dedup must keep each planted line exactly once
+# (min doc_id) and short structural lines unconditionally.
+_LINE_DEDUP_SQL = """
+    WITH d AS (
+        SELECT doc_id,
+               text || chr(10) || 'Subscribe to our newsletter' ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN chr(10) || 'all rights reserved' ELSE '' END
+               AS text
+        FROM documents
+    ),
+    lf AS (
+        SELECT doc_id,
+               list_filter(
+                 list_transform(string_split(text, chr(10)), l -> trim(l)),
+                 l -> l <> '') AS lines
+        FROM d
+    ),
+    ex AS (
+        SELECT doc_id, UNNEST(lines) AS line,
+               GENERATE_SUBSCRIPTS(lines, 1) - 1 AS pos
+        FROM lf
+    ),
+    r AS (
+        SELECT doc_id, pos, line,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lower(line) ORDER BY doc_id, pos) AS rn
+        FROM ex
+    ),
+    kept AS (
+        SELECT doc_id, pos, line FROM r
+        WHERE len(lower(line)) < 4 OR rn = 1
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               STRING_AGG(line, chr(10) ORDER BY pos) AS dedup_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT l.doc_id, CAST(len(l.lines) AS INT) AS n_lines,
+           CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
+           COALESCE(a.dedup_text, '') AS dedup_text
+    FROM lf l LEFT JOIN agg a USING (doc_id)
+    ORDER BY l.doc_id
+"""
+
+
+@register(
+    "line_dedup",
+    _LINE_DEDUP_SQL,
+    survey="LLM dedup: exact line-level dedup with structural-line "
+    "exemption (dedup.line_dedup, RefinedWeb/CCNet rule)",
+)
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nall rights reserved"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return D.line_dedup(docs).orderBy("doc_id")
+
+
 # Offset-robust exact substring dedup (dedup.span_dedup): sliding
 # k-grams instead of aligned chunks, so a duplicated span is caught at
 # ANY word offset (the Lee'22 recall gap chunk_dedup leaves open).

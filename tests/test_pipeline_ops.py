@@ -333,3 +333,23 @@ def test_prepare_training_set_end_to_end(spark, tmp_path):
     assert {"token_ids", "n_tokens", "bucket", "bin", "shard_order"} <= set(
         loaded.columns
     )
+
+
+def test_line_dedup_semantics(spark):
+    from auto_data_linkage_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "unique first line\nsubscribe to our newsletter\n- \nmore words"),
+        (2, "different opening\nsubscribe to our newsletter\n- \nclosing"),
+        (3, "subscribe to our newsletter"),   # fully duplicated → empty
+        (4, ""),                              # empty stays empty
+        (5, "Subscribe To Our Newsletter"),   # case-insensitive key
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert out[1].n_kept == 4                       # first copy survives
+    assert out[2].n_kept == 3                       # loses the dup line
+    assert "-" in out[2].dedup_text.split("\n")     # short line exempt
+    assert out[3].n_kept == 0 and out[3].dedup_text == ""
+    assert out[4].n_lines == 0 and out[4].dedup_text == ""
+    assert out[5].n_kept == 0                       # dedup key is lowered
