@@ -133,3 +133,69 @@ def bigram_logprob(
         )
     )
     return scored
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    head_pct: int = 33,
+    tail_pct: int = 33,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    recipe): score every document with the corpus LM
+    (:func:`unigram_logprob`) and split the corpus into ``head`` (the
+    lowest-perplexity ``head_pct`` percent, the cleanest text), ``tail``
+    (the highest ``tail_pct``), and ``middle`` — the standard
+    stratification for mixing or for dropping the tail. CCNet buckets
+    per language: pass ``group_col="lang"``; ``None`` buckets globally.
+
+    Bucket membership is RANK-based, not value-threshold-based:
+    ``head = the floor(n·head_pct/100) lowest-scored documents`` under
+    the total order ``(avg_neg_logp asc, id asc)``, with all arithmetic
+    in integers — so the split is bit-exact across engines and re-runs
+    (a value cut point from an interpolated percentile can flip a
+    boundary document on a last-ulp difference; a rank cannot).
+
+    Returns ``(id[, group], n_tokens, avg_neg_logp, bucket)``.
+
+    Plan: scoring is unigram_logprob's pass (explode + hash-agg +
+    broadcast vocab join); ranking is one window over the SCORED rows
+    (doc-count-sized, not token-sized).
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(
+        docs, text_col=text_col, id_col=id_col,
+        broadcast_vocab=broadcast_vocab,
+    )
+    if group_col:
+        scored = scored.join(
+            docs.select(F.col(id_col), F.col(group_col)).distinct(), id_col
+        )
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.asc("avg_neg_logp"), F.asc(id_col)
+    )
+    wn = Window.partitionBy(*part)
+    rn = F.row_number().over(w)
+    n = F.count("*").over(wn)
+    # floor(n*pct/100) in pure integer arithmetic (no double division)
+    head_n = ((n * head_pct) - F.pmod(n * head_pct, F.lit(100))) / 100
+    head_n = head_n.cast("bigint")
+    tail_n = ((n * tail_pct) - F.pmod(n * tail_pct, F.lit(100))) / 100
+    tail_n = tail_n.cast("bigint")
+    bucket = (
+        F.when(rn <= head_n, "head")
+        .when(rn > n - tail_n, "tail")
+        .otherwise("middle")
+    )
+    cols = [F.col(id_col)]
+    if group_col:
+        cols.append(F.col(group_col))
+    return scored.select(
+        *cols, "n_tokens", "avg_neg_logp", bucket.alias("bucket")
+    )

@@ -1493,6 +1493,9 @@ _DEPRIORITIZED = (
     # registered DIRECTLY into the back window (substring-dedup family
     # holds span_dedup's driver row; same window+reassembly machinery):
     "line_dedup",
+    # registered DIRECTLY into the back window (lm-scoring family holds
+    # unigram_logprob's driver row; same scoring pass + one rank window):
+    "perplexity_buckets",
 )
 
 # --------------------------------------------------------------------------
@@ -1546,7 +1549,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "knn_graph_stats"),
     "lexical-retrieval": ("bm25_topk",),
     "fingerprinting": ("winnow_fingerprints", "winnow_rolling"),
-    "lm-scoring": ("unigram_logprob", "bigram_logprob"),
+    "lm-scoring": ("unigram_logprob", "bigram_logprob",
+                   "perplexity_buckets"),
     "tokenizer": ("bpe_token_stats",),
     "packing-export": ("pack_sequences", "shard_corpus"),
     "sketches": ("count_min_tokens", "hll_distinct_check",

@@ -2328,6 +2328,56 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+# CCNet perplexity bucketing (per-lang head/middle/tail thirds): the
+# bucket is RANK-based under (avg_neg_logp, doc_id) with integer-only
+# cutoff arithmetic, so both engines agree bit-exactly (a value
+# cutpoint from an interpolated percentile could flip a boundary doc
+# on a last-ulp difference; a rank cannot).
+_PPLBUCKET_SQL = f"""
+    WITH ex AS (
+        SELECT doc_id, UNNEST({_SQL_TOKENS.format(c='text')}) AS token
+        FROM documents
+    ),
+    v AS (SELECT token, COUNT(*) AS cnt FROM ex GROUP BY token),
+    t AS (SELECT SUM(cnt) AS total FROM v),
+    p AS (
+        SELECT e.doc_id, COUNT(*) AS n_tokens, AVG(LOG2(v.cnt)) AS al
+        FROM ex e JOIN v USING (token) GROUP BY e.doc_id
+    ),
+    s AS (
+        SELECT p.doc_id, d.lang, p.n_tokens,
+               ROUND(LOG2(t.total) - p.al, 6) AS avg_neg_logp
+        FROM p, t JOIN documents d ON d.doc_id = p.doc_id
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY avg_neg_logp, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM s
+    )
+    SELECT doc_id, lang, n_tokens, avg_neg_logp,
+           CASE WHEN rn <= (n * 33 - (n * 33) % 100) / 100 THEN 'head'
+                WHEN rn > n - (n * 33 - (n * 33) % 100) / 100 THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM r
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "perplexity_buckets",
+    _PPLBUCKET_SQL,
+    survey="LLM curation: CCNet perplexity head/middle/tail bucketing "
+    "(lm.perplexity_buckets), rank-based integer-exact split",
+)
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.lm import perplexity_buckets
+
+    docs = _docs(spark, sf_dir)
+    return perplexity_buckets(docs, group_col="lang").orderBy("doc_id")
+
+
 # word n-gram width. Published data cards use 8-13; the synthetic corpus
 # draws from a ~25-word vocabulary, so 5 is the width that yields a
 # non-degenerate (small, nonzero) overlap at the test scale factors

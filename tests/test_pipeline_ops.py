@@ -353,3 +353,32 @@ def test_line_dedup_semantics(spark):
     assert out[3].n_kept == 0 and out[3].dedup_text == ""
     assert out[4].n_lines == 0 and out[4].dedup_text == ""
     assert out[5].n_kept == 0                       # dedup key is lowered
+
+
+def test_perplexity_buckets_fractions_and_order(spark):
+    from auto_data_linkage_spark.operators.lm import perplexity_buckets
+
+    # 30 docs: clean docs repeat common words (low neg-logp), noisy docs
+    # use rare words (high neg-logp)
+    rows = []
+    for i in range(20):
+        rows.append((i, "en", "common words common words common words"))
+    for i in range(20, 30):
+        rows.append((i, "en", f"rare{i}a rare{i}b rare{i}c rare{i}d"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = perplexity_buckets(df, group_col="lang").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    # floor(30*33/100) = 9 in head and tail, 12 in middle
+    assert len(by_bucket["head"]) == 9
+    assert len(by_bucket["tail"]) == 9
+    assert len(by_bucket["middle"]) == 12
+    # ordering: every head score <= every middle score <= every tail
+    hmax = max(r.avg_neg_logp for r in by_bucket["head"])
+    mmin = min(r.avg_neg_logp for r in by_bucket["middle"])
+    mmax = max(r.avg_neg_logp for r in by_bucket["middle"])
+    tmin = min(r.avg_neg_logp for r in by_bucket["tail"])
+    assert hmax <= mmin and mmax <= tmin
+    # the common-word docs are the cleanest: all 9 head docs are common
+    assert all(r.doc_id < 20 for r in by_bucket["head"])
