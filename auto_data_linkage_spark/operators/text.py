@@ -395,3 +395,56 @@ def gopher_rules(
         & F.col("stopword_ok")
     )
     return out.withColumn("keep", keep)
+
+
+def c4_clean(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, public recipe) as one
+    codegen projection — the line-and-page gate applied to Common
+    Crawl before T5 training:
+
+    - keep only lines that end in terminal punctuation
+      (``. ! ? "`` or the closing curly quote);
+    - drop lines with fewer than ``min_line_words`` words;
+    - drop lines containing the word "javascript" (case-insensitive);
+    - drop the whole page if it contains "lorem ipsum" or a curly
+      brace ``{`` anywhere, or if fewer than ``min_kept_lines`` lines
+      survive.
+
+    Returns ``(id, n_lines, n_kept, clean_text, keep)`` — surviving
+    lines reassembled in order; ``keep`` is the page-level verdict.
+    Deduplication (C4's three-sentence-span rule) is NOT here — compose
+    with :func:`dedup.span_dedup` / :func:`dedup.line_dedup`, which
+    implement it corpus-wide. Zero shuffles, zero UDFs; all counting in
+    integers.
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    good = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"”]$')
+        & (F.size(F.split(l, r"\s+")) >= min_line_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    n_kept = F.size(good)
+    page_ok = (
+        ~F.lower(c).contains("lorem ipsum")
+        & ~c.contains("{")
+        & (n_kept >= min_kept_lines)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept"),
+        F.array_join(good, "\n").alias("clean_text"),
+        page_ok.alias("keep"),
+    )

@@ -1496,6 +1496,9 @@ _DEPRIORITIZED = (
     # registered DIRECTLY into the back window (lm-scoring family holds
     # unigram_logprob's driver row; same scoring pass + one rank window):
     "perplexity_buckets",
+    # registered DIRECTLY into the back window (text-analysis holds
+    # text_features + pii_scrub driver rows; zero-shuffle projection):
+    "c4_clean",
 )
 
 # --------------------------------------------------------------------------
@@ -1534,7 +1537,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                  "weighted_sample_k"),
     "text-analysis": ("text_features", "quality_score", "pii_scrub",
                       "lang_id_dist", "repetition_features",
-                      "quality_classifier", "gopher_quality_filter"),
+                      "quality_classifier", "gopher_quality_filter",
+                      "c4_clean"),
     "exact-dedup": ("exact_dedup",),
     "minhash-lsh": ("minhash_lsh_pairs", "near_dedup_keep",
                     "minhash_signature", "incremental_dedup_docs"),

@@ -2226,6 +2226,74 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.line_dedup(docs).orderBy("doc_id")
 
 
+# C4 cleaning rules (text.c4_clean, Raffel et al. 2020): the synthetic
+# docs are single-line without terminal punctuation, so both engines
+# build the same 4-line pages exercising every gate — a good sentence,
+# a too-short line, a javascript line, and (every 4th doc) a
+# curly-brace line that drops the whole page.
+_C4_SQL = """
+    WITH pages AS (
+        SELECT doc_id,
+               text || ' and so it ends.' || chr(10) ||
+               'short.' || chr(10) ||
+               'Enable javascript to continue browsing here today.' ||
+               chr(10) ||
+               CASE WHEN doc_id % 4 = 0 THEN 'if (x) { y }'
+                    ELSE 'Another proper sentence survives the gate easily.'
+               END AS text
+        FROM documents
+    ),
+    lf AS (
+        SELECT doc_id, text,
+               list_filter(
+                 list_transform(string_split(text, chr(10)), l -> trim(l)),
+                 l -> l <> '') AS lines
+        FROM pages
+    ),
+    g AS (
+        SELECT doc_id, text, lines,
+               list_filter(lines, l ->
+                   regexp_matches(l, '[.!?"”]$')
+                   AND len(list_filter(string_split_regex(l, '\\s+'),
+                                       w -> w <> '')) >= 5
+                   AND NOT contains(lower(l), 'javascript')) AS good
+        FROM lf
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(good) AS INT) AS n_kept,
+           COALESCE(array_to_string(good, chr(10)), '') AS clean_text,
+           (NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')
+            AND len(good) >= 2) AS keep
+    FROM g
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "c4_clean",
+    _C4_SQL,
+    survey="LLM curation: C4 line/page cleaning rules (text.c4_clean)",
+)
+def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(" and so it ends.")),
+            F.lit("short."),
+            F.lit("Enable javascript to continue browsing here today."),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("if (x) { y }")
+            ).otherwise(
+                F.lit("Another proper sentence survives the gate easily.")
+            ),
+        ).alias("text"),
+    )
+    return X.c4_clean(pages, min_kept_lines=2).orderBy("doc_id")
+
+
 # Offset-robust exact substring dedup (dedup.span_dedup): sliding
 # k-grams instead of aligned chunks, so a duplicated span is caught at
 # ANY word offset (the Lee'22 recall gap chunk_dedup leaves open).

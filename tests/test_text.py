@@ -230,3 +230,31 @@ def test_gopher_rules_each_gate(spark):
     assert not out[5].bullet_ok and not out[5].keep
     assert not out[6].alpha_ok and not out[6].keep
     assert not out[7].stopword_ok and not out[7].keep
+
+
+def test_c4_clean_gates(spark):
+    from auto_data_linkage_spark.operators.text import c4_clean
+
+    rows = [
+        (1, "This is a good long sentence that ends properly.\n"
+            "Another fine sentence with enough words here.\n"
+            "And a third complete sentence for the page quota.\n"
+            "short.\nno terminal punct here at all"),
+        (2, "Enable javascript to view this page properly please.\n"
+            "Only one good sentence survives on this page today."),
+        (3, "A fine sentence that would normally be kept here.\n"
+            "But the page contains lorem ipsum filler text.\n"
+            "So the whole page must be dropped by the gate."),
+        (4, "function() { return 1; }\n"
+            "A perfectly good sentence that ends with a period.\n"
+            "Another good sentence that also ends with a period.\n"
+            "Third sentence is here to cross the line quota."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_clean(df).collect()}
+    assert out[1].keep and out[1].n_kept == 3
+    assert "short." not in out[1].clean_text          # <5 words dropped
+    assert not out[2].keep and out[2].n_kept == 1     # javascript + quota
+    assert not out[3].keep                            # lorem ipsum page
+    assert not out[4].keep                            # curly brace page
+    assert out[4].n_kept == 3                         # lines still clean
