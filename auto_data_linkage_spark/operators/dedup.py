@@ -594,14 +594,24 @@ def span_dedup(
     - gram construction is a pure ``sequence``/``slice`` projection
       (whole-stage codegen, no UDF) — k× more exchange rows than the
       aligned chunking, the price of offset robustness;
-    - the keep-decision is ONE window over ``partitionBy(gram)``; at
-      100 TB pass ``hash_key=True``: the exchange then carries
-      ``(md5_hash64(gram), id, pos)`` — 8-byte keys instead of k-word
-      strings, shrinking the shuffle ~10× for k=8. A 60-bit hash
-      collision mis-marks a span with probability ≈ n²/2⁶¹ (the
-      standard fingerprint-dedup trade, cf. Lee'22's 64-bit variant);
-      property-tested equivalent to the text-keyed path on real
-      corpora, and the text-keyed path remains the exact mode;
+    - the keep-decision is SKEW-SAFE BY CONSTRUCTION: NOT a
+      ``row_number`` window over ``partitionBy(gram)`` — an
+      unbounded-rank filter (``rn > 1``) gets no ``WindowGroupLimit``,
+      so a boilerplate 8-gram repeated 10⁷–10⁹× in a web corpus would
+      sort on a single task. Instead the global first occurrence per
+      gram is ``groupBy(gram).agg(min(struct(id, pos)))`` — partial
+      (map-side) aggregation bounds any hot gram to one row per map
+      task before the exchange — and each occurrence joins back on the
+      gram to test ``(id, pos) != keeper``. The join fan-out on a hot
+      gram is AQE-skew-splittable (a window sort is not);
+    - at 100 TB pass ``hash_key=True``: both the aggregate and the
+      join then carry ``(md5_hash64(gram), id, pos)`` — 8-byte keys
+      instead of k-word strings, shrinking the shuffle ~10× for k=8.
+      A 60-bit hash collision mis-marks a span with probability
+      ≈ n²/2⁶¹ (the standard fingerprint-dedup trade, cf. Lee'22's
+      64-bit variant); property-tested equivalent to the text-keyed
+      path on real corpora, and the text-keyed path remains the exact
+      mode;
     - duplicated starts aggregate per doc (bounded by doc length), and
       the cover test is an ``exists`` over that array in one final
       projection — no per-token join, no driver work.
@@ -619,12 +629,20 @@ def span_dedup(
     sh = base.where(n >= k).select(
         F.col(id_col), F.posexplode(grams).alias("pos", "gram")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("gram").orderBy(F.asc(id_col), F.asc("pos"))
+    # Global first occurrence per gram via min(struct) — struct ordering
+    # is field-by-field, identical to ORDER BY (id, pos) — then join
+    # back and mark every non-keeper occurrence as a duplicated start.
+    keeper = sh.groupBy("gram").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))
+        ).alias("__keep")
+    )
     dup_starts = (
-        sh.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") > 1)
+        sh.join(keeper, "gram")
+        .where(
+            (F.col(id_col) != F.col("__keep.kid"))
+            | (F.col("pos") != F.col("__keep.kpos"))
+        )
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("__dups"))
     )
@@ -669,9 +687,14 @@ def line_dedup(
     boilerplate lines ("subscribe to our newsletter") that word
     windows straddle.
 
-    Same two-exchange plan as chunk_dedup: one window keyed by the
-    normalized line (short lines skip the window via a disjunction, so
-    they never shuffle as keys), one reassembly aggregate on the id.
+    Skew-safe plan: short lines are routed AROUND the window by a
+    pre-window filter (they truly never shuffle as keys — bullets and
+    separators are exactly the hottest keys) and unioned back; the
+    remaining window keeps only ``rn == 1``, a bounded-rank filter
+    Spark rewrites with ``WindowGroupLimit`` (each map task emits at
+    most one candidate per hot line before the exchange — the same
+    green pattern as :func:`chunk_dedup`, plan-tested). One window
+    keyed by the normalized line, one reassembly aggregate on the id.
     Returns ``(id, n_lines, n_kept, dedup_text)``.
     """
     c = F.col(text_col)
@@ -684,10 +707,16 @@ def line_dedup(
     ).withColumn("__key", F.lower(F.col("line")))
     from pyspark.sql import Window
 
+    short = exploded.where(F.length("__key") < min_chars).select(
+        F.col(id_col), "pos", "line"
+    )
     w = Window.partitionBy("__key").orderBy(F.asc(id_col), F.asc("pos"))
-    ranked = exploded.withColumn("__rn", F.row_number().over(w))
-    kept = ranked.where(
-        (F.length("__key") < min_chars) | (F.col("__rn") == 1)
+    kept = (
+        exploded.where(F.length("__key") >= min_chars)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), "pos", "line")
+        .unionByName(short)
     )
     agg = kept.groupBy(id_col).agg(
         F.count("*").alias("n_kept"),
