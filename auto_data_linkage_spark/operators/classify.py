@@ -71,9 +71,27 @@ def logreg_fit(
         F.col(label_col).cast("double").alias("__y"),
     )
     # each IRLS pass is one agg over `base`; without caching, every pass
-    # would silently recompute the caller's full upstream lineage
+    # would silently recompute the caller's full upstream lineage; the
+    # try/finally keeps a failed pass (job cancellation, executor loss)
+    # from leaking the cached blocks for the session lifetime
     base = base.cache()
+    try:
+        w = _irls_loop(base, feature_cols, w, max_iter, ridge, tol)
+    finally:
+        base.unpersist()
+    return w
 
+
+def _irls_loop(
+    base: DataFrame,
+    feature_cols: list[str],
+    w: list[float],
+    max_iter: int,
+    ridge: float,
+    tol: float,
+) -> list[float]:
+    d = len(feature_cols)
+    xs = ["__one"] + feature_cols
     for _ in range(max_iter):
         z = _z_expr(feature_cols, w)
         p = F.greatest(
@@ -103,7 +121,6 @@ def logreg_fit(
         w = [float(x) for x in new_w]
         if shift <= tol:
             break
-    base.unpersist()
     return w
 
 

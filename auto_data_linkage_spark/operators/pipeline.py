@@ -131,8 +131,11 @@ def prepare_training_set(
        trained on exactly the surviving corpus, artifact exported in
        the standard tokenizer-JSON shape next to the shards;
     5. :func:`pack.pack_sequences` — context-window bin assignment;
-    6. :func:`pack.write_shards` — deterministic hash-shuffled
-       ``shard=N/`` parquet export a training loader streams directly.
+    6. packed-sequence materialization + :func:`pack.write_shards` —
+       one row per (bucket, bin) with the members' token ids
+       concatenated in packing order, hash-sharded by the SEQUENCE key
+       so bins stay whole within a shard directory and a training
+       loader streams shards directly.
 
     Returns a report dict (per-stage survivor counts, token totals,
     packing fill, artifact paths). Writes ``tokenizer.json`` and the
@@ -214,9 +217,40 @@ def prepare_training_set(
     # 5. context-window packing
     packed = pack_sequences(encoded, capacity=capacity)
 
-    # 6. deterministic shard export
+    # 6. deterministic shard export — ONE ROW PER PACKED SEQUENCE.
+    # Sharding the per-document rows by doc_id would scatter members of
+    # the same (bucket, bin) across shard directories, so a loader
+    # streaming one shard could never reassemble any packed sequence
+    # (the round-7 ADVICE finding). Instead the bin is materialized
+    # first: members concatenate in the packing order (n_tokens desc,
+    # id asc — pack_sequences' window order), and the SEQUENCE hashes
+    # to a shard via the composite (bucket, bin) key, so bins stay
+    # whole and a shard is directly trainable.
+    members = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("n_tokens")).alias("o"),
+                F.col(id_col).alias("i"),
+                F.col("token_ids").alias("t"),
+            )
+        )
+    )
+    seqs = (
+        packed.groupBy("bucket", "bin")
+        .agg(members.alias("__m"))
+        .select(
+            "bucket",
+            "bin",
+            F.transform("__m", lambda m: m["i"]).alias("doc_ids"),
+            F.flatten(F.transform("__m", lambda m: m["t"])).alias(
+                "token_ids"
+            ),
+        )
+        .withColumn("n_tokens", F.size("token_ids"))
+        .withColumn("n_docs", F.size("doc_ids"))
+    )
     shards_path = os.path.join(local_out, "shards")
-    write_shards(packed, shards_path, n_shards, id_col=id_col)
+    write_shards(seqs, shards_path, n_shards, id_col=["bucket", "bin"])
 
     stats = packed.agg(
         F.sum("n_tokens").alias("total_tokens"),

@@ -335,7 +335,9 @@ def gopher_rules(
     - word count in ``[min_words, max_words]``;
     - mean word length in [3, 10] characters;
     - symbol-to-word ratio ('#' occurrences + ellipses) ≤ 0.1;
-    - ≤ 10% of lines start with a bullet; ≤ 30% end with an ellipsis;
+    - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis
+      (the paper's thresholds — DataTrove/Dolma/NeMo reimplementations
+      use the same 0.9 / 0.3 constants);
     - ≥ 80% of words contain an alphabetic character;
     - ≥ ``min_required`` distinct words from ``required_stopwords``
       (the paper's English set by default — swap the inventory for
@@ -369,7 +371,7 @@ def gopher_rules(
     word_count_ok = (n_words >= min_words) & (n_words <= max_words)
     mean_len_ok = (total_chars >= 3 * n_words) & (total_chars <= 10 * n_words)
     symbol_ok = 10 * n_symbols <= n_words
-    bullet_ok = 10 * n_bullet <= n_lines
+    bullet_ok = 10 * n_bullet <= 9 * n_lines
     ellipsis_ok = 10 * n_ellipsis <= 3 * n_lines
     alpha_ok = 5 * n_alpha >= 4 * n_words
     stopword_ok = n_req >= min_required

@@ -247,7 +247,7 @@ def _gopher_sql() -> str:
            total_chars >= 3 * n_words
                AND total_chars <= 10 * n_words AS mean_len_ok,
            10 * n_symbols <= n_words AS symbol_ok,
-           10 * n_bullet <= n_lines AS bullet_ok,
+           10 * n_bullet <= 9 * n_lines AS bullet_ok,
            10 * n_ellipsis <= 3 * n_lines AS ellipsis_ok,
            5 * n_alpha >= 4 * n_words AS alpha_ok,
            n_req >= 2 AS stopword_ok,
@@ -256,7 +256,7 @@ def _gopher_sql() -> str:
                AND (total_chars >= 3 * n_words
                     AND total_chars <= 10 * n_words)
                AND 10 * n_symbols <= n_words
-               AND 10 * n_bullet <= n_lines
+               AND 10 * n_bullet <= 9 * n_lines
                AND 10 * n_ellipsis <= 3 * n_lines
                AND 5 * n_alpha >= 4 * n_words
                AND n_req >= 2 AS keep

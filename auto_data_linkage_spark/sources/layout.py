@@ -228,37 +228,184 @@ class CommitConflictError(RuntimeError):
     against concurrent writers touching the same partitions."""
 
 
+class CommitStore:
+    """The ONE storage primitive the optimistic-commit protocol needs:
+    atomic create-if-absent of a named record (exactly one writer can
+    win a version), plus atomic replace, remove, and listing. The
+    protocol itself (:func:`upsert_corpus_versioned`) is
+    backend-agnostic — anything that can conditionally create an
+    object can host the commit log:
+
+    - :class:`PosixCommitStore` — ``O_CREAT|O_EXCL`` + ``os.replace``
+      on a local/NFS directory (the single-cluster default);
+    - :class:`MemoryCommitStore` — an in-process conditional-put map,
+      proving the protocol needs no POSIX semantics and standing in
+      for an object-store backend in tests;
+    - an object store maps 1:1: create-if-absent is S3
+      ``PutObject`` + ``If-None-Match: *`` or GCS
+      ``x-goog-if-generation-match: 0`` (both public, documented
+      preconditions); replace is an unconditional put (last-writer-wins
+      on a token only its owner rewrites); listing is a prefix list.
+      At real 100 TB scale prefer a transactional table format
+      (Delta/Iceberg MERGE) — this protocol is the minimal stand-in,
+      not a replacement.
+    """
+
+    def create_exclusive(self, name: str, record: dict) -> bool:
+        """Atomically create ``name`` iff absent. True on win."""
+        raise NotImplementedError
+
+    def replace(self, name: str, record: dict) -> None:
+        """Atomically overwrite an existing record (owner-only)."""
+        raise NotImplementedError
+
+    def remove(self, name: str) -> None:
+        raise NotImplementedError
+
+    def list_records(self) -> dict[str, "dict | None"]:
+        """name -> parsed record (None = unreadable/mid-write)."""
+        raise NotImplementedError
+
+
+class PosixCommitStore(CommitStore):
+    """O_CREAT|O_EXCL-based commit log under ``<dir>/``."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def create_exclusive(self, name: str, record: dict) -> bool:
+        import json
+        import os
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        try:
+            fd = os.open(
+                os.path.join(self.log_dir, name),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            json.dump(record, f)
+        return True
+
+    def replace(self, name: str, record: dict) -> None:
+        import json
+        import os
+
+        target = os.path.join(self.log_dir, name)
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, target)  # atomic state flip
+
+    def remove(self, name: str) -> None:
+        import os
+
+        try:
+            os.remove(os.path.join(self.log_dir, name))
+        except OSError:
+            pass
+
+    def list_records(self) -> dict[str, "dict | None"]:
+        import json
+        import os
+
+        if not os.path.isdir(self.log_dir):
+            return {}
+        out: dict[str, dict | None] = {}
+        for name in os.listdir(self.log_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    with open(os.path.join(self.log_dir, name)) as f:
+                        out[name] = json.load(f)
+                except (OSError, ValueError):
+                    out[name] = None  # mid-write by its owner
+        return out
+
+
+class MemoryCommitStore(CommitStore):
+    """In-process conditional-put map — the object-store semantics
+    (create-if-absent precondition, unconditional replace) without any
+    filesystem, usable to run the full protocol in tests."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._data: dict[str, dict] = {}
+
+    def create_exclusive(self, name: str, record: dict) -> bool:
+        with self._lock:
+            if name in self._data:
+                return False
+            self._data[name] = dict(record)
+            return True
+
+    def replace(self, name: str, record: dict) -> None:
+        with self._lock:
+            self._data[name] = dict(record)
+
+    def remove(self, name: str) -> None:
+        with self._lock:
+            self._data.pop(name, None)
+
+    def list_records(self) -> dict[str, "dict | None"]:
+        with self._lock:
+            return {k: dict(v) for k, v in self._data.items()}
+
+
 def _commit_log_dir(path: str) -> str:
     import os
 
     local = path[7:] if path.startswith("file://") else path
     if "://" in local:
         raise ValueError(
-            "upsert_corpus_versioned's optimistic commit log needs an "
-            "atomic create-if-absent primitive; only local/file: paths "
-            "provide one here. For object stores use a transactional "
-            f"table format (Delta/Iceberg MERGE). Got: {path}"
+            "upsert_corpus_versioned's default commit log needs a "
+            "local/file: path for its POSIX atomic-create; for object "
+            "stores pass a CommitStore backed by a conditional put "
+            "(S3 If-None-Match / GCS generation-match preconditions) "
+            "or use a transactional table format (Delta/Iceberg "
+            f"MERGE). Got: {path}"
         )
     return os.path.join(local, "_commits")
 
 
-def _read_commits(log_dir: str) -> list[dict]:
-    import json
-    import os
-
-    if not os.path.isdir(log_dir):
-        return []
+def _read_commits(store: CommitStore) -> list[dict]:
     out = []
-    for name in os.listdir(log_dir):
-        if name.startswith("v") and name.endswith(".json"):
-            try:
-                with open(os.path.join(log_dir, name)) as f:
-                    out.append(json.load(f))
-            except (OSError, ValueError):
-                # a token mid-write by its owner: treat as pending with
-                # unknown footprint — conservatively conflicting
-                out.append({"version": int(name[1:-5]), "partitions": None})
+    for name, rec in store.list_records().items():
+        if rec is None:
+            # a token mid-write by its owner: treat as pending with
+            # unknown footprint — conservatively conflicting
+            out.append({"version": int(name[1:-5]), "partitions": None})
+        else:
+            out.append(rec)
     return sorted(out, key=lambda c: c["version"])
+
+
+def failed_commits(
+    path: str | None = None, *, store: CommitStore | None = None
+) -> list[dict]:
+    """Failed-commit tokens whose touched partitions are NOT yet covered
+    by a later committed version — i.e. partitions that may still hold
+    torn data from a mid-overwrite death and need repair (re-run the
+    failed upsert, or any upsert touching those partitions)."""
+    store = store or PosixCommitStore(_commit_log_dir(path))
+    commits = _read_commits(store)
+    out = []
+    for c in commits:
+        if c.get("state") != "failed":
+            continue
+        torn = {tuple(t) for t in (c.get("partitions") or [])}
+        for later in commits:
+            if (
+                later.get("state") == "committed"
+                and later["version"] > c["version"]
+            ):
+                torn -= {tuple(t) for t in (later.get("partitions") or [])}
+        if torn:
+            out.append({**c, "unrepaired": sorted(torn)})
+    return out
 
 
 def upsert_corpus_versioned(
@@ -273,6 +420,7 @@ def upsert_corpus_versioned(
     writer_id: str | None = None,
     max_retries: int = 3,
     conflict_wait_s: float = 60.0,
+    store: CommitStore | None = None,
 ) -> dict:
     """:func:`upsert_corpus` with OPTIMISTIC CONCURRENCY against other
     writers of the same corpus — the lost-update scenario plain
@@ -302,29 +450,33 @@ def upsert_corpus_versioned(
     a pending token; later writers fail after ``conflict_wait_s`` with
     a :class:`CommitConflictError` naming the stuck version (manual
     cleanup — the honest failure mode without a heartbeat, stated
-    rather than hidden).
+    rather than hidden). A writer whose OVERWRITE raises (dynamic
+    partition overwrite is not atomic — an executor loss can leave
+    some partition directories replaced and others not) flips its
+    token to ``state: failed`` KEEPING the touched-partition list, so
+    the torn partitions are discoverable (:func:`failed_commits`)
+    instead of hidden behind a clean-looking history; any later
+    committed upsert covering those partitions repairs them.
 
-    Requires an atomic create-if-absent primitive, i.e. a local/POSIX
-    corpus path (asserted). On object stores use a transactional table
-    format — this function is the single-cluster stand-in for a
-    Delta/Iceberg MERGE, not a replacement.
+    The commit log lives behind :class:`CommitStore` — POSIX
+    ``O_CREAT|O_EXCL`` by default (local/file: paths, asserted); pass
+    ``store=`` for any backend with a conditional-put primitive (see
+    :class:`CommitStore` for the S3/GCS mapping).
 
     Returns ``{"partitions": n, "rows_written": n, "version": V+1}``.
     """
-    import json
-    import os
     import time
     import uuid
 
-    log_dir = _commit_log_dir(path)
+    store = store or PosixCommitStore(_commit_log_dir(path))
     wid = writer_id or uuid.uuid4().hex[:12]
 
     def _wait_pending(upto: float) -> None:
         while True:
             pending = [
                 c
-                for c in _read_commits(log_dir)
-                if c.get("state") != "committed"
+                for c in _read_commits(store)
+                if c.get("state") not in ("committed", "failed")
             ]
             if not pending:
                 return
@@ -333,15 +485,15 @@ def upsert_corpus_versioned(
                     "commit(s) still pending after "
                     f"{conflict_wait_s}s: versions "
                     f"{[c['version'] for c in pending]} — a writer died "
-                    "mid-commit or is stuck; inspect "
-                    f"{log_dir} and remove the stale token(s)"
+                    "mid-commit or is stuck; inspect the commit store "
+                    "and remove the stale token(s)"
                 )
             time.sleep(0.1)
 
     for _attempt in range(max_retries + 1):
         deadline = time.monotonic() + conflict_wait_s
         _wait_pending(deadline)
-        commits = _read_commits(log_dir)
+        commits = _read_commits(store)
         version = commits[-1]["version"] if commits else 0
 
         touched, merged = _merge_touched(
@@ -350,48 +502,33 @@ def upsert_corpus_versioned(
         if not touched:
             return {"partitions": 0, "rows_written": 0, "version": version}
 
-        os.makedirs(log_dir, exist_ok=True)
-        token_path = os.path.join(log_dir, f"v{version + 1}.json")
-        try:
-            fd = os.open(token_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        token_name = f"v{version + 1}.json"
+        record = {
+            "version": version + 1,
+            "writer": wid,
+            "partitions": [list(t) for t in touched],
+            "state": "pending",
+        }
+        if not store.create_exclusive(token_name, record):
             # lost the race — the merge may be stale; re-read and retry
             continue
         try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(
-                    {
-                        "version": version + 1,
-                        "writer": wid,
-                        "partitions": [list(t) for t in touched],
-                        "state": "pending",
-                    },
-                    f,
-                )
             _overwrite_touched(
                 spark, path, merged, partition_by, sort_by,
                 max_records_per_file,
             )
         except BaseException:
-            # failed before commit: withdraw the token so other writers
-            # aren't stuck waiting on a corpse
+            # the overwrite is NOT atomic: some partitions may already
+            # be replaced. Record the failure with its footprint so
+            # later writers/readers can detect and repair the torn
+            # partitions — deleting the token would show a clean
+            # history over inconsistent data.
             try:
-                os.remove(token_path)
-            except OSError:
+                store.replace(token_name, {**record, "state": "failed"})
+            except Exception:
                 pass
             raise
-        tmp = token_path + f".{wid}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": version + 1,
-                    "writer": wid,
-                    "partitions": [list(t) for t in touched],
-                    "state": "committed",
-                },
-                f,
-            )
-        os.replace(tmp, token_path)  # atomic state flip
+        store.replace(token_name, {**record, "state": "committed"})
         n = merged.count()
         return {
             "partitions": len(touched),

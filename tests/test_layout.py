@@ -308,3 +308,99 @@ def test_upsert_versioned_rejects_object_store_paths(spark):
             _mk(spark, [(1, "en", "a")]),
             key="doc_id", partition_by=["lang"],
         )
+
+
+# ---------------------------------------------------------- CommitStore
+# The protocol tests below run against BOTH backends: the POSIX
+# O_CREAT|O_EXCL impl and the in-memory conditional-put impl (the
+# object-store stand-in) — proving upsert_corpus_versioned needs only
+# the CommitStore primitive, not POSIX semantics.
+
+
+@pytest.fixture(params=["posix", "memory"])
+def commit_store(request, tmp_path):
+    if request.param == "posix":
+        return L.PosixCommitStore(str(tmp_path / "log"))
+    return L.MemoryCommitStore()
+
+
+def test_commit_store_create_exclusive_once(commit_store):
+    assert commit_store.create_exclusive("v1.json", {"version": 1})
+    assert not commit_store.create_exclusive("v1.json", {"version": 1})
+    assert commit_store.list_records()["v1.json"]["version"] == 1
+
+
+def test_commit_store_replace_and_remove(commit_store):
+    commit_store.create_exclusive("v1.json", {"version": 1, "state": "pending"})
+    commit_store.replace("v1.json", {"version": 1, "state": "committed"})
+    assert commit_store.list_records()["v1.json"]["state"] == "committed"
+    commit_store.remove("v1.json")
+    assert "v1.json" not in commit_store.list_records()
+
+
+def test_upsert_versioned_runs_on_memory_store(spark, tmp_path):
+    """Full protocol through the conditional-put backend: the data files
+    still land under the corpus path, the versions still linearize."""
+    root = str(tmp_path / "memstore")
+    store = L.MemoryCommitStore()
+    r1 = L.upsert_corpus_versioned(
+        spark, root, _mk(spark, [(1, "en", "a"), (2, "de", "b")]),
+        key="doc_id", partition_by=["lang"], store=store,
+    )
+    r2 = L.upsert_corpus_versioned(
+        spark, root, _mk(spark, [(1, "en", "A2")]),
+        key="doc_id", partition_by=["lang"], store=store,
+    )
+    assert (r1["version"], r2["version"]) == (1, 2)
+    loaded = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(root).select("doc_id", "text").collect()
+    }
+    assert loaded == {1: "A2", 2: "b"}
+    states = [c["state"] for c in L._read_commits(store)]
+    assert states == ["committed", "committed"]
+    assert not os.path.isdir(os.path.join(root, "_commits"))
+
+
+def test_upsert_versioned_failed_overwrite_leaves_failed_token(
+    spark, tmp_path, monkeypatch
+):
+    """A mid-overwrite death must NOT show a clean history: the token
+    flips to state=failed keeping the touched-partition list,
+    failed_commits() surfaces the torn partitions, later writers are
+    not blocked, and a committed upsert covering those partitions
+    clears the repair report."""
+    root = str(tmp_path / "torn")
+    L.upsert_corpus_versioned(
+        spark, root, _mk(spark, [(1, "en", "a"), (2, "de", "b")]),
+        key="doc_id", partition_by=["lang"],
+    )
+
+    real = L._overwrite_touched
+
+    def boom(*a, **k):
+        raise RuntimeError("executor lost mid-overwrite")
+
+    monkeypatch.setattr(L, "_overwrite_touched", boom)
+    with pytest.raises(RuntimeError, match="mid-overwrite"):
+        L.upsert_corpus_versioned(
+            spark, root, _mk(spark, [(3, "en", "c")]),
+            key="doc_id", partition_by=["lang"],
+        )
+    failed = L.failed_commits(root)
+    assert len(failed) == 1
+    assert failed[0]["version"] == 2
+    assert failed[0]["unrepaired"] == [("en",)]
+
+    # later writers see the failed token as terminal, not pending —
+    # version numbering continues past it
+    monkeypatch.setattr(L, "_overwrite_touched", real)
+    r3 = L.upsert_corpus_versioned(
+        spark, root, _mk(spark, [(3, "en", "c")]),
+        key="doc_id", partition_by=["lang"], conflict_wait_s=2.0,
+    )
+    assert r3["version"] == 3
+    # the committed v3 touched the torn partition: repaired
+    assert L.failed_commits(root) == []
+    loaded = {r.doc_id for r in spark.read.parquet(root).collect()}
+    assert loaded == {1, 2, 3}

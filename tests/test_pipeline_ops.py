@@ -319,19 +319,29 @@ def test_prepare_training_set_end_to_end(spark, tmp_path):
     doc = json.load(open(report["tokenizer_path"]))
     assert doc["model"]["type"] == "BPE"
 
-    # shards: every kept doc exactly once, loader-readable, ids valid
+    # shards hold ONE ROW PER PACKED SEQUENCE (bucket, bin) — members
+    # concatenated in packing order, bins never split across shards —
+    # so a loader streaming one shard trains directly on its rows
     shard_dirs = [
         d for d in os.listdir(report["shards_path"]) if d.startswith("shard=")
     ]
     assert 1 <= len(shard_dirs) <= 4
     loaded = spark.read.parquet(report["shards_path"])
-    assert loaded.count() == report["n_span_kept"]
-    assert loaded.select("doc_id").distinct().count() == report["n_span_kept"]
-    first = loaded.where(F.size("token_ids") > 0).count()
-    assert first == report["n_span_kept"]
-    # the duplicated span survives in exactly ONE document's token text
-    assert {"token_ids", "n_tokens", "bucket", "bin", "shard_order"} <= set(
-        loaded.columns
+    assert loaded.count() == report["n_bins"]
+    assert {"token_ids", "n_tokens", "doc_ids", "n_docs", "bucket", "bin",
+            "shard_order"} <= set(loaded.columns)
+    ids = loaded.select(F.explode("doc_ids").alias("doc_id"))
+    assert ids.count() == report["n_span_kept"]
+    assert ids.distinct().count() == report["n_span_kept"]
+    # every sequence's token_ids length is consistent and non-empty
+    bad = loaded.where(
+        (F.size("token_ids") != F.col("n_tokens")) | (F.col("n_tokens") <= 0)
+    ).count()
+    assert bad == 0
+    # no (bucket, bin) appears in more than one shard directory
+    assert (
+        loaded.groupBy("bucket", "bin").count().where("count > 1").count()
+        == 0
     )
 
 

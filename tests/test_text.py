@@ -220,10 +220,19 @@ def test_gopher_rules_each_gate(spark):
               "111 222 333 444 555 666"),            # alpha frac fails
         (7, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii"),
         #                                            # stopwords fail
+        # list-heavy but legitimate: 50% bullet lines must PASS — the
+        # Gopher threshold is >90% bullet lines (Rae'21 / DataTrove 0.9),
+        # not >10% (the round-7 ADVICE over-filtering bug)
+        (8, "\n".join(
+            line for pair in zip(
+                [good] * 6, [f"- item number {i} of the list" for i in range(6)]
+            ) for line in pair
+        )),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in gopher_rules(df, min_words=10).collect()}
     assert out[1].keep
+    assert out[8].bullet_ok and out[8].keep
     assert not out[2].word_count_ok and not out[2].keep
     assert not out[3].mean_len_ok and not out[3].keep
     assert not out[4].symbol_ok and not out[4].keep
