@@ -1490,15 +1490,16 @@ _DEPRIORITIZED = (
     # text_features + pii_scrub driver rows); integer-exact booleans,
     # driver-identically checked by tests/test_oracle_window.py:
     "gopher_quality_filter",
-    # registered DIRECTLY into the back window (substring-dedup family
-    # holds span_dedup's driver row; same window+reassembly machinery):
-    "line_dedup",
-    # registered DIRECTLY into the back window (lm-scoring family holds
-    # unigram_logprob's driver row; same scoring pass + one rank window):
-    "perplexity_buckets",
-    # registered DIRECTLY into the back window (text-analysis holds
-    # text_features + pii_scrub driver rows; zero-shuffle projection):
-    "c4_clean",
+    # round-8 rotation: line_dedup, c4_clean, perplexity_buckets
+    # (back-window-only since r7) and the new url_curation promoted to
+    # driver rows; four redundant front rows demoted in exchange, each
+    # family keeping ≥1 driver row (machine-checked):
+    "join_inner_multi",  # join-equi keeps join_left_counts +
+    #                      link_column_probe in-window
+    "squared_count_estimate",  # blocking keeps blocking_self_join +
+    #                            phonetic_blocking_pairs in-window
+    "mixture_sample",  # sampling keeps stratified_sample in-window
+    "hll_distinct_check",  # sketches keep count_min_tokens in-window
 )
 
 # --------------------------------------------------------------------------
@@ -1565,6 +1566,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                          "sliding_window_agg", "events_dedup_first"),
     "temporal-joins": ("asof_join_events", "interval_join_events"),
     "curation-pipeline": ("curate_documents",),
+    "url-curation": ("url_curation",),
 }
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

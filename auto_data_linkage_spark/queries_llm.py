@@ -3234,3 +3234,158 @@ def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs).select(
         "doc_id", F.md5("norm_text").alias("norm_hash")
     )
+
+
+# --------------------------------------------------------------------------
+# URL/domain curation — the web-corpus front door (operators/urls.py).
+# The documents table has no URL column, so one is SYNTHESIZED
+# deterministically from (doc_id, source) in BOTH engines: mixed-case
+# schemes, www prefixes, two TLD families (.com / .co.uk), explicit
+# :443 ports, tracking query params, and fragments — every branch of
+# the normalizer fires — and the path is doc_id % 300, so ids 300
+# apart yield DIFFERENT raw urls that NORMALIZE identically (the
+# url-dedup stage has real work). Pipeline: normalize → host →
+# registered domain → blocklist (src3.com, src7.co.uk) → exact
+# normalized-url dedup → 8-per-domain quota.
+# --------------------------------------------------------------------------
+def _url_curation_sql() -> str:
+    from auto_data_linkage_spark.operators.urls import (
+        DEFAULT_TWO_LEVEL_SUFFIXES,
+    )
+
+    sfx = ", ".join(f"'{s}'" for s in DEFAULT_TWO_LEVEL_SUFFIXES)
+    h = _sql_hash64("CAST(doc_id AS VARCHAR)")
+    return rf"""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END
+               || '://'
+               || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+               || source
+               || CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END
+               || CASE WHEN doc_id % 10 = 1 THEN ':443' ELSE '' END
+               || '/docs/' || CAST(doc_id % 300 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '?utm_source=feed&utm_campaign=c'
+                            || CAST(doc_id % 7 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 6 = 0
+                       THEN '#s' || CAST(doc_id % 9 AS VARCHAR)
+                       ELSE '' END AS url
+        FROM documents
+    ),
+    split1 AS (
+        SELECT doc_id,
+               LOWER(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) AS head0,
+               regexp_replace(regexp_replace(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                   '#.*$', '') AS tail0
+        FROM raw
+    ),
+    split2 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(head0,
+                   '^(http://[^/?#]*):80$', '\1'),
+                   '^(https://[^/?#]*):443$', '\1') AS head,
+               regexp_replace(tail0, '\?.*$', '') AS base,
+               list_filter(string_split(
+                       regexp_extract(tail0, '\?(.*)$', 1), '&'),
+                   p -> p <> '' AND NOT regexp_matches(p,
+                       '^(utm_[a-z]+|gclid|fbclid|ref)=')) AS params
+        FROM split1
+    ),
+    normed AS (
+        SELECT doc_id,
+               head || base ||
+               CASE WHEN len(params) > 0
+                    THEN '?' || array_to_string(params, '&')
+                    ELSE '' END AS url_norm
+        FROM split2
+    ),
+    hosted AS (
+        SELECT doc_id, url_norm,
+               LOWER(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_extract(url_norm,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                   '^[^@]*@', ''), ':[0-9]+$', '')) AS host
+        FROM normed
+    ),
+    domained AS (
+        SELECT doc_id, url_norm, host,
+               CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+                    WHEN len(string_split(host, '.')) >= 3
+                         AND (string_split(host, '.')[-2] || '.' ||
+                              string_split(host, '.')[-1]) IN ({sfx})
+                    THEN string_split(host, '.')[-3] || '.' ||
+                         string_split(host, '.')[-2] || '.' ||
+                         string_split(host, '.')[-1]
+                    ELSE string_split(host, '.')[-2] || '.' ||
+                         string_split(host, '.')[-1]
+               END AS domain
+        FROM hosted
+    ),
+    unblocked AS (
+        SELECT * FROM domained
+        WHERE domain NOT IN ('src3.com', 'src7.co.uk')
+    ),
+    deduped AS (
+        SELECT doc_id, url_norm, host, domain
+        FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY url_norm) AS keep
+              FROM unblocked)
+        WHERE doc_id = keep
+    ),
+    ranked AS (
+        SELECT doc_id, url_norm, host, domain,
+               ROW_NUMBER() OVER (PARTITION BY domain
+                                  ORDER BY {h} ASC, doc_id ASC) AS rn
+        FROM deduped
+    )
+    SELECT doc_id, url_norm, host, domain
+    FROM ranked WHERE rn <= 8
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "url_curation",
+    _url_curation_sql(),
+    survey="LLM curation front door: URL normalize + host/registered-"
+    "domain + broadcast blocklist + exact url dedup + per-domain quota "
+    "(operators/urls.py)",
+)
+def url_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators import urls as U
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(d % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.when(d % 10 == 1, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (d % 300).cast("string"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=c"),
+                (d % 7).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 6 == 0, F.concat(F.lit("#s"), (d % 9).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    return (
+        U.curate_urls(
+            docs.select("doc_id", url.alias("url")),
+            blocked_domains=["src3.com", "src7.co.uk"],
+            max_per_domain=8,
+        )
+        .select("doc_id", "url_norm", "host", "domain")
+        .orderBy("doc_id")
+    )

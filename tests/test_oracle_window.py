@@ -54,6 +54,12 @@ def test_front_window_fits_driver_gate():
         "media_near_dup",
         "window_count",
         "levenshtein_pairs",
+        # round-8 promotions: the three r7 back-window-only additions
+        # plus the new URL front door
+        "url_curation",
+        "line_dedup",
+        "c4_clean",
+        "perplexity_buckets",
     ):
         assert name in front, f"{name} fell out of the driver window"
 
