@@ -110,6 +110,7 @@ def prepare_training_set(
     min_quality: float = 0.5,
     gopher_min_words: int = 10,
     gopher_required_stopwords: tuple[str, ...] | None = None,
+    gopher_repetition: bool = True,
     span_words: int = 8,
     span_hash_key: bool = True,
     num_merges: int = 200,
@@ -124,7 +125,10 @@ def prepare_training_set(
 
     1. :func:`curate_documents` — quality + language gate, exact dedup,
        verified MinHash near-dedup (survivor ids);
-    2. :func:`text.gopher_rules` — the hard document-level rule gate;
+    2. :func:`text.gopher_rules` AND
+       :func:`text.gopher_repetition_rules` — the FULL Rae'21 gate
+       (document rules + repetition rules; ``gopher_repetition=False``
+       reverts to the document-rule half only);
     3. :func:`dedup.span_dedup` — offset-robust duplicated-span removal
        (the text that survives is the text that trains);
     4. :func:`bpe.train_bpe` + :func:`bpe.bpe_encode_ids` — tokenizer
@@ -185,6 +189,13 @@ def prepare_training_set(
     gated = curated.join(
         rules.where(F.col("keep")).select(id_col), id_col, "left_semi"
     )
+    if gopher_repetition:
+        rep = X.gopher_repetition_rules(
+            gated, text_col=text_col, id_col=id_col
+        )
+        gated = gated.join(
+            rep.where(F.col("keep")).select(id_col), id_col, "left_semi"
+        )
     n_gated = gated.count()
 
     # 3. offset-robust span dedup; the deduplicated text becomes the

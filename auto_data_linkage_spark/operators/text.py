@@ -450,3 +450,160 @@ def c4_clean(
         F.array_join(good, "\n").alias("clean_text"),
         page_ok.alias("keep"),
     )
+
+
+# --------------------------------------------- Gopher repetition rules
+def _run_char_stats(sorted_arr: Column, overhead: int) -> Column:
+    """Over a SORTED string array, one pass computing
+    ``(top, dup)``: ``top`` = max over distinct values OCCURRING AT
+    LEAST TWICE of (occurrences × char length) — a unique value is not
+    repetition, and without the ≥2 floor any short document whose top
+    n-gram alone exceeds the threshold fraction of its characters
+    (i.e. most short documents) would be removed; ``dup`` = total char
+    length of every occurrence BEYOND the first of its value.
+    ``overhead`` chars per element (the join separators) are excluded
+    from lengths. A single ``F.aggregate`` with a struct accumulator —
+    O(m) after the O(m log m) sort, all inside codegen, no shuffle, no
+    explode."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        glen = (F.length(g) - overhead).cast("long")
+        same = acc["prev"] == g
+        run = F.when(same, acc["run"] + glen).otherwise(glen)
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            # runs of length 1 never reach `top`: the max only updates
+            # on a repeat step, where `run` already covers >= 2 copies
+            F.when(same, F.greatest(acc["top"], run))
+            .otherwise(acc["top"])
+            .alias("top"),
+            (acc["dup"] + F.when(same, glen).otherwise(F.lit(0))).alias(
+                "dup"
+            ),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        step,
+        lambda acc: F.struct(acc["top"].alias("top"), acc["dup"].alias("dup")),
+    )
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams; empty array when the document has
+    fewer than ``n`` tokens (no partial grams — Rae'21's convention)."""
+    size = F.size(toks)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition_rules(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REPETITION half of the Gopher quality recipe (Rae et al.
+    2021 Table A1 — :func:`gopher_rules` is the document-rule half;
+    compose both for the full "Gopher-filtered" gate). A document is
+    removed when any of:
+
+    - duplicate line / paragraph fraction > 0.30;
+    - duplicate line / paragraph CHARACTER fraction > 0.20
+      (characters in occurrences beyond the first — the DataTrove /
+      Dolma reading of the paper's definition);
+    - top 2- / 3- / 4-gram character fraction > 0.20 / 0.18 / 0.16
+      (all occurrences of the most frequent n-gram, counted only when
+      it occurs at least twice — the Dolma reading: a unique n-gram is
+      not repetition, and counting it would auto-remove short
+      documents whose top gram alone exceeds the fraction);
+    - duplicated 5-…10-gram character fraction > 0.15 / 0.14 / 0.13 /
+      0.12 / 0.11 / 0.10 (occurrences beyond the first).
+
+    Character fractions are over token characters (separator chars
+    excluded) so the ratios are integer-exact: every threshold is
+    evaluated as ``a·x ≤ b·total`` in BIGINT arithmetic — bit-equal
+    across engines, no floating point anywhere. Returns ``(id,
+    <rule booleans>, keep)``.
+
+    Plan shape: one projection per document — n-gram construction is
+    ``sequence``/``slice``, the per-n statistics are one sorted-array
+    aggregate each (:func:`_run_char_stats`) — zero shuffles, zero
+    UDFs, zero explodes; the whole gate rides the corpus scan.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    paras = F.filter(
+        F.transform(F.split(c, r"\n{2,}"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+
+    out = df.select(
+        F.col(id_col),
+        total_chars.alias("__tc"),
+        F.size(lines).cast("long").alias("__nl"),
+        F.size(F.array_distinct(lines)).cast("long").alias("__ndl"),
+        F.aggregate(
+            lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+        ).alias("__lc"),
+        _run_char_stats(F.array_sort(lines), 0).alias("__ls"),
+        F.size(paras).cast("long").alias("__np"),
+        F.size(F.array_distinct(paras)).cast("long").alias("__ndp"),
+        F.aggregate(
+            paras, F.lit(0).cast("long"), lambda a, p: a + F.length(p)
+        ).alias("__pc"),
+        _run_char_stats(F.array_sort(paras), 0).alias("__ps"),
+        *[
+            _run_char_stats(F.array_sort(_ngrams(toks, n)), n - 1).alias(
+                f"__g{n}"
+            )
+            for n in range(2, 11)
+        ],
+    )
+
+    # integer-exact threshold forms: frac(x/t) <= p/q  ⇔  q·x <= p·t
+    rules = {
+        "dup_line_ok": 10 * (F.col("__nl") - F.col("__ndl"))
+        <= 3 * F.col("__nl"),
+        "dup_para_ok": 10 * (F.col("__np") - F.col("__ndp"))
+        <= 3 * F.col("__np"),
+        "dup_line_char_ok": 5 * F.col("__ls.dup") <= F.col("__lc"),
+        "dup_para_char_ok": 5 * F.col("__ps.dup") <= F.col("__pc"),
+        "top_2gram_ok": 5 * F.col("__g2.top") <= F.col("__tc"),
+        "top_3gram_ok": 50 * F.col("__g3.top") <= 9 * F.col("__tc"),
+        "top_4gram_ok": 25 * F.col("__g4.top") <= 4 * F.col("__tc"),
+        "dup_5gram_ok": 20 * F.col("__g5.dup") <= 3 * F.col("__tc"),
+        "dup_6gram_ok": 50 * F.col("__g6.dup") <= 7 * F.col("__tc"),
+        "dup_7gram_ok": 100 * F.col("__g7.dup") <= 13 * F.col("__tc"),
+        "dup_8gram_ok": 25 * F.col("__g8.dup") <= 3 * F.col("__tc"),
+        "dup_9gram_ok": 100 * F.col("__g9.dup") <= 11 * F.col("__tc"),
+        "dup_10gram_ok": 10 * F.col("__g10.dup") <= F.col("__tc"),
+    }
+    out = out.select(
+        F.col(id_col), *[expr.alias(name) for name, expr in rules.items()]
+    )
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)

@@ -1490,6 +1490,11 @@ _DEPRIORITIZED = (
     # text_features + pii_scrub driver rows); integer-exact booleans,
     # driver-identically checked by tests/test_oracle_window.py:
     "gopher_quality_filter",
+    # registered DIRECTLY into the back window (same family/machinery
+    # class as gopher_quality_filter — integer-exact per-doc booleans,
+    # bit-parity-tested vs an independent Python reference AND the
+    # DuckDB oracle via tests/test_oracle_window.py):
+    "gopher_repetition_filter",
     # round-8 rotation: line_dedup, c4_clean, perplexity_buckets
     # (back-window-only since r7) and the new url_curation promoted to
     # driver rows; four redundant front rows demoted in exchange, each
@@ -1539,7 +1544,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "text-analysis": ("text_features", "quality_score", "pii_scrub",
                       "lang_id_dist", "repetition_features",
                       "quality_classifier", "gopher_quality_filter",
-                      "c4_clean"),
+                      "gopher_repetition_filter", "c4_clean"),
     "exact-dedup": ("exact_dedup",),
     "minhash-lsh": ("minhash_lsh_pairs", "near_dedup_keep",
                     "minhash_signature", "incremental_dedup_docs"),

@@ -3389,3 +3389,116 @@ def url_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "url_norm", "host", "domain")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher REPETITION rules (text.gopher_repetition_rules) — the other half
+# of the Rae'21 recipe. The oracle rebuilds every per-document statistic
+# with DuckDB list functions (sorted-adjacency for duplicate chars,
+# distinct×count for top-gram chars) and compares all 13 integer-exact
+# booleans.
+# --------------------------------------------------------------------------
+def _rep_dup_sql(sorted_expr: str, overhead: int) -> str:
+    """Chars in occurrences beyond the first, over a SORTED list."""
+    return (
+        f"COALESCE(list_sum(list_transform(generate_series(2, "
+        f"len({sorted_expr})), i -> CASE WHEN {sorted_expr}[i] = "
+        f"{sorted_expr}[i-1] THEN len({sorted_expr}[i]) - {overhead} "
+        f"ELSE 0 END)), 0)"
+    )
+
+
+def _rep_top_sql(arr_expr: str, overhead: int) -> str:
+    """Max over distinct values occurring >= 2 times of occurrences ×
+    char length (the >= 2 floor mirrors text._run_char_stats: a unique
+    n-gram is not repetition)."""
+    return (
+        f"COALESCE(list_max(list_transform(list_distinct({arr_expr}), "
+        f"g -> CASE WHEN len(list_filter({arr_expr}, x -> x = g)) >= 2 "
+        f"THEN len(list_filter({arr_expr}, x -> x = g)) * "
+        f"(len(g) - {overhead}) ELSE 0 END)), 0)"
+    )
+
+
+def _gopher_repetition_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    gram_cols = []
+    for n in range(2, 11):
+        gram_cols.append(
+            f"CASE WHEN len(toks) >= {n} THEN list_sort(list_transform("
+            f"generate_series(1, len(toks) - {n} + 1), "
+            f"i -> array_to_string(toks[i:i+{n - 1}], ' '))) "
+            f"ELSE CAST([] AS VARCHAR[]) END AS g{n}"
+        )
+    grams = ",\n               ".join(gram_cols)
+    stats = [
+        "len(lines) AS nl",
+        "len(list_distinct(lines)) AS ndl",
+        "COALESCE(list_sum(list_transform(lines, l -> len(l))), 0) AS lc",
+        f"{_rep_dup_sql('list_sort(lines)', 0)} AS dup_l",
+        "len(paras) AS np",
+        "len(list_distinct(paras)) AS ndp",
+        "COALESCE(list_sum(list_transform(paras, p -> len(p))), 0) AS pc",
+        f"{_rep_dup_sql('list_sort(paras)', 0)} AS dup_p",
+        "COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) AS tc",
+    ]
+    for n in (2, 3, 4):
+        stats.append(f"{_rep_top_sql(f'g{n}', n - 1)} AS top{n}")
+    for n in range(5, 11):
+        stats.append(f"{_rep_dup_sql(f'g{n}', n - 1)} AS dup{n}")
+    stat_sql = ",\n               ".join(stats)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {toks} AS toks,
+               list_filter(list_transform(string_split(text, chr(10)),
+                   l -> trim(l)), l -> l <> '') AS lines,
+               list_filter(list_transform(regexp_split_to_array(text,
+                   '\\n{{2,}}'), p -> trim(p)), p -> p <> '') AS paras
+        FROM documents
+    ),
+    listed AS (
+        SELECT doc_id, toks, lines, paras,
+               {grams}
+        FROM base
+    ),
+    stats AS (
+        SELECT doc_id,
+               {stat_sql}
+        FROM listed
+    )
+    SELECT doc_id,
+           10 * (nl - ndl) <= 3 * nl  AS dup_line_ok,
+           10 * (np - ndp) <= 3 * np  AS dup_para_ok,
+           5 * dup_l <= lc            AS dup_line_char_ok,
+           5 * dup_p <= pc            AS dup_para_char_ok,
+           5 * top2 <= tc             AS top_2gram_ok,
+           50 * top3 <= 9 * tc        AS top_3gram_ok,
+           25 * top4 <= 4 * tc        AS top_4gram_ok,
+           20 * dup5 <= 3 * tc        AS dup_5gram_ok,
+           50 * dup6 <= 7 * tc        AS dup_6gram_ok,
+           100 * dup7 <= 13 * tc      AS dup_7gram_ok,
+           25 * dup8 <= 3 * tc        AS dup_8gram_ok,
+           100 * dup9 <= 11 * tc      AS dup_9gram_ok,
+           10 * dup10 <= tc           AS dup_10gram_ok,
+           (10 * (nl - ndl) <= 3 * nl) AND (10 * (np - ndp) <= 3 * np)
+           AND (5 * dup_l <= lc) AND (5 * dup_p <= pc)
+           AND (5 * top2 <= tc) AND (50 * top3 <= 9 * tc)
+           AND (25 * top4 <= 4 * tc) AND (20 * dup5 <= 3 * tc)
+           AND (50 * dup6 <= 7 * tc) AND (100 * dup7 <= 13 * tc)
+           AND (25 * dup8 <= 3 * tc) AND (100 * dup9 <= 11 * tc)
+           AND (10 * dup10 <= tc)     AS keep
+    FROM stats
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "gopher_repetition_filter",
+    _gopher_repetition_sql(),
+    survey="LLM curation: Gopher repetition-rule gate (dup line/para "
+    "fraction + char fraction, top 2-4-gram char share, dup 5-10-gram "
+    "char share; text.gopher_repetition_rules) — integer-exact",
+)
+def gopher_repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return X.gopher_repetition_rules(docs).orderBy("doc_id")

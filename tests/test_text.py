@@ -267,3 +267,123 @@ def test_c4_clean_gates(spark):
     assert not out[3].keep                            # lorem ipsum page
     assert not out[4].keep                            # curly brace page
     assert out[4].n_kept == 3                         # lines still clean
+
+
+def _rep_ref(text):
+    """Independent Python reference of gopher_repetition_rules."""
+    import re
+    from collections import Counter
+
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    total = sum(len(t) for t in toks)
+    lines = [s for s in (l.strip(" ") for l in text.split("\n")) if s != ""]
+    paras = [s for s in (p.strip(" ") for p in re.split(r"\n{2,}", text))
+             if s != ""]
+
+    def stats(vals, overhead):
+        cnt = Counter(vals)
+        top = max((m * (len(v) - overhead) for v, m in cnt.items()
+                   if m >= 2), default=0)
+        dup = sum((m - 1) * (len(v) - overhead) for v, m in cnt.items())
+        return top, dup
+
+    def grams(n):
+        if len(toks) < n:
+            return []
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    _, dup_l = stats(lines, 0)
+    _, dup_p = stats(paras, 0)
+    lc = sum(len(l) for l in lines)
+    pc = sum(len(p) for p in paras)
+    g = {n: stats(grams(n), n - 1) for n in range(2, 11)}
+    return {
+        "dup_line_ok": 10 * (len(lines) - len(set(lines))) <= 3 * len(lines),
+        "dup_para_ok": 10 * (len(paras) - len(set(paras))) <= 3 * len(paras),
+        "dup_line_char_ok": 5 * dup_l <= lc,
+        "dup_para_char_ok": 5 * dup_p <= pc,
+        "top_2gram_ok": 5 * g[2][0] <= total,
+        "top_3gram_ok": 50 * g[3][0] <= 9 * total,
+        "top_4gram_ok": 25 * g[4][0] <= 4 * total,
+        "dup_5gram_ok": 20 * g[5][1] <= 3 * total,
+        "dup_6gram_ok": 50 * g[6][1] <= 7 * total,
+        "dup_7gram_ok": 100 * g[7][1] <= 13 * total,
+        "dup_8gram_ok": 25 * g[8][1] <= 3 * total,
+        "dup_9gram_ok": 100 * g[9][1] <= 11 * total,
+        "dup_10gram_ok": 10 * g[10][1] <= total,
+    }
+
+
+def test_gopher_repetition_rules_flip_each_class(spark):
+    from auto_data_linkage_spark.operators.text import gopher_repetition_rules
+
+    import random
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def sent(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    clean = "\n".join(sent(12) for _ in range(10))
+    dup_lines = "\n".join([sent(8)] * 5 + [sent(8) for _ in range(5)])
+    p = sent(30)
+    dup_paras = "\n\n".join([p, p, sent(30)])
+    top2 = " ".join(["alpha beta"] * 30) + " " + sent(60)
+    span10 = sent(10)
+    dup10 = " ".join([span10] * 5) + " " + sent(20)
+
+    rows = [(1, clean), (2, dup_lines), (3, dup_paras), (4, top2),
+            (5, dup10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in gopher_repetition_rules(df).collect()}
+
+    for doc_id, text in rows:
+        ref = _rep_ref(text)
+        got = {k: v for k, v in out[doc_id].items()
+               if k not in ("doc_id", "keep")}
+        assert got == ref, f"doc {doc_id}: {got} != {ref}"
+
+    assert out[1]["keep"]
+    assert not out[2]["dup_line_ok"]
+    assert not out[3]["dup_para_ok"]
+    assert not out[4]["top_2gram_ok"]
+    assert not out[5]["dup_10gram_ok"] and not out[5]["dup_5gram_ok"]
+    for d in (2, 3, 4, 5):
+        assert not out[d]["keep"]
+
+
+def test_gopher_repetition_rules_random_parity(spark):
+    """30 random docs (mixed repetition levels) — every boolean matches
+    the independent Python reference bit-for-bit."""
+    from auto_data_linkage_spark.operators.text import gopher_repetition_rules
+
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(50)]
+    docs = []
+    for i in range(30):
+        parts = []
+        for _ in range(rng.randint(1, 8)):
+            words = [rng.choice(vocab) for _ in range(rng.randint(1, 25))]
+            line = " ".join(words)
+            parts.extend([line] * rng.randint(1, 3))
+        sep = "\n\n" if i % 2 else "\n"
+        docs.append((i, sep.join(parts)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in gopher_repetition_rules(df).collect()}
+    for i, text in docs:
+        ref = _rep_ref(text)
+        got = {k: v for k, v in out[i].items() if k not in ("doc_id", "keep")}
+        assert got == ref, f"doc {i}"
+
+
+def test_gopher_repetition_rules_zero_exchanges(spark, sf_dir):
+    from auto_data_linkage_spark.operators.text import gopher_repetition_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = gopher_repetition_rules(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
