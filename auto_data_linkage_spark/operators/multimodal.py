@@ -355,31 +355,74 @@ def media_near_dup(
     *,
     dim: int = 64,
     threshold: float = 0.95,
-    band_col: str | None = None,
+    band: str = "cell",
+    n_cells: int = 16,
+    kmeans_iter: int = 3,
+    seed: int = 0,
 ) -> DataFrame:
     """Image/media near-duplicate pairs: embed (pluggable hook above),
     band, then cosine-verify within bands — the CLIP-style near-dup
     composition over multimodal columns. Returns
     ``(media_id_l, media_id_r, cosine)`` with ``cosine ≥ threshold``.
 
-    Banding: ``band_col`` defaults to the blob byte length — exact for
-    identical blobs and cheap to compute without decoding; for real
-    embeddings at scale pass an IVF cell label
-    (``similarity.kmeans_centroids`` + cell assignment) so the pair
-    space is Σ cell², the same contract as
-    :func:`dedup.embedding_dup_pairs`.
+    Banding (``band``):
+
+    - ``"cell"`` (default): IVF cells over the EMBEDDING
+      (:func:`similarity.kmeans_centroids` + cell assignment) — real
+      near-duplicate images almost never share a byte length (any
+      re-encode/resize/metadata change shifts it), so similarity-space
+      cells are the banding that actually recalls them; pair space is
+      Σ cell², the :func:`dedup.embedding_dup_pairs` contract. A pair
+      straddling a cell boundary is missed — the standard IVF recall
+      trade; raise ``n_cells`` quality via ``kmeans_iter``/``seed`` or
+      band on a coarser label. Embeddings are materialized once
+      (``localCheckpoint``) so the k-means passes never re-read blobs;
+      at 100 TB persist the embedding table explicitly instead.
+    - ``"length"``: blob byte length — zero extra passes, exact-dup
+      recall only; the cheap fast path (and the SQL-expressible one
+      the DuckDB oracle pins).
+    - any other string: a column of ``df`` to band on (labels, source
+      buckets, a precomputed cell id).
     """
     from auto_data_linkage_spark.operators.dedup import embedding_dup_pairs
 
-    base = df.select(
-        "media_id", "content", F.length("content").alias("__band")
-    )
-    # the band rides THROUGH the embed batch (passthrough) instead of
-    # joining back on media_id afterwards — one hash exchange fewer
-    vecs = embed_media(base, embedder, dim=dim, passthrough=("__band",))
-    bucket = band_col if band_col is not None else "__band"
+    if band == "cell":
+        from auto_data_linkage_spark.operators.similarity import (
+            assign_cells,
+            kmeans_centroids,
+        )
+
+        vecs = embed_media(
+            df.select("media_id", "content"), embedder, dim=dim
+        ).localCheckpoint(eager=True)
+        cents = kmeans_centroids(
+            vecs,
+            k=n_cells,
+            max_iter=kmeans_iter,
+            vec_col="embedding",
+            id_col="media_id",
+            seed=seed,
+        )
+        banded = assign_cells(
+            vecs, cents, vec_col="embedding", cell_col="__band"
+        )
+        bucket = "__band"
+    elif band == "length":
+        base = df.select(
+            "media_id", "content", F.length("content").alias("__band")
+        )
+        # the band rides THROUGH the embed batch (passthrough) instead
+        # of joining back on media_id afterwards — one exchange fewer
+        banded = embed_media(base, embedder, dim=dim, passthrough=("__band",))
+        bucket = "__band"
+    else:
+        banded = embed_media(
+            df.select("media_id", "content", band), embedder, dim=dim,
+            passthrough=(band,),
+        )
+        bucket = band
     return embedding_dup_pairs(
-        vecs,
+        banded,
         vec_col="embedding",
         id_col="media_id",
         bucket_col=bucket,

@@ -117,12 +117,21 @@ def prepare_training_set(
     capacity: int = 2048,
     n_shards: int = 8,
     jaccard_threshold: float = 0.7,
+    resume: bool = True,
+    url_col: str | None = None,
+    blocked_domains: list[str] | None = None,
+    max_per_domain: int | None = None,
 ) -> dict:
     """The COMPLETE corpus → training-set pass, every stage an existing
     oracle-checked operator, composed in the order a production recipe
     runs them (filter early, dedup before tokenize, tokenize before
     pack):
 
+    0. (when ``url_col`` is given) :func:`urls.curate_urls` — the URL
+       front door every published web recipe runs FIRST: normalize,
+       blocklist (``blocked_domains``), exact normalized-URL dedup,
+       per-domain quota (``max_per_domain``) — cheapest gate, so it
+       drops rows before any text operator pays for them;
     1. :func:`curate_documents` — quality + language gate, exact dedup,
        verified MinHash near-dedup (survivor ids);
     2. :func:`text.gopher_rules` AND
@@ -152,8 +161,22 @@ def prepare_training_set(
     ``span_hash_key``); stage 4's driver transfer is the bounded
     word-frequency table; stages 5–6 are one window + one hash exchange.
     Each stage gate drops rows BEFORE the next stage pays for them.
+
+    CHECKPOINT/RESUME: each heavy stage persists its survivor table
+    under ``out_path/_stages/`` (ids for the gates, the deduplicated
+    text for stage 3, the token ids for stage 4) — a 6-stage pass over
+    100 TB cannot restart from zero on a stage-5 failure. A rerun with
+    ``resume=True`` (default) skips every COMPLETE stage byte-
+    identically and recomputes from the first missing one. The stage
+    store is invalidated — everything recomputed — when the pipeline
+    PARAMETERS or the input row count change (a params+input
+    fingerprint in ``_stages/manifest.json``); pass ``resume=False``
+    to force a clean run (e.g. same-count input with different
+    contents, which the fingerprint cannot see).
     """
+    import json
     import os
+    import shutil
 
     from auto_data_linkage_spark.operators import bpe as B
     from auto_data_linkage_spark.operators.pack import (
@@ -161,69 +184,163 @@ def prepare_training_set(
         write_shards,
     )
 
+    spark = docs.sparkSession
     n_input = docs.count()
+    local_out = out_path[7:] if out_path.startswith("file://") else out_path
+    os.makedirs(local_out, exist_ok=True)
+    stages_dir = os.path.join(local_out, "_stages")
 
-    # 1. curation gate (quality/lang/exact/near-dup survivors)
-    survivors = curate_documents(
-        docs,
-        text_col=text_col,
-        id_col=id_col,
-        min_quality=min_quality,
-        langs=langs,
-        jaccard_threshold=jaccard_threshold,
-    ).select(id_col)
+    fingerprint = {
+        "n_input": n_input,
+        "text_col": text_col,
+        "id_col": id_col,
+        "langs": list(langs),
+        "min_quality": min_quality,
+        "gopher_min_words": gopher_min_words,
+        "gopher_required_stopwords": (
+            list(gopher_required_stopwords)
+            if gopher_required_stopwords is not None
+            else None
+        ),
+        "gopher_repetition": gopher_repetition,
+        "span_words": span_words,
+        "span_hash_key": span_hash_key,
+        "num_merges": num_merges,
+        "jaccard_threshold": jaccard_threshold,
+        "url_col": url_col,
+        "blocked_domains": sorted(blocked_domains or []),
+        "max_per_domain": max_per_domain,
+    }
+    manifest_path = os.path.join(stages_dir, "manifest.json")
+    if resume and os.path.isfile(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                resume = json.load(f) == fingerprint
+        except (OSError, ValueError):
+            resume = False
+    else:
+        resume = False
+    if not resume and os.path.isdir(stages_dir):
+        shutil.rmtree(stages_dir)
+    os.makedirs(stages_dir, exist_ok=True)
+    with open(manifest_path, "w") as f:
+        json.dump(fingerprint, f)
+
+    def _stage(name: str, compute):
+        """Load the stage's parquet if complete, else compute + persist.
+        Reading back the persisted table (instead of reusing the
+        in-memory plan) makes rerun and first-run lineage identical."""
+        path = os.path.join(stages_dir, name)
+        if not (
+            resume
+            and os.path.isdir(path)
+            and os.path.isfile(os.path.join(path, "_SUCCESS"))
+        ):
+            compute().write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    # 0. URL front door (cheapest gate first; only when a URL column
+    # exists — plain-document corpora skip straight to stage 1)
+    n_url_kept = None
+    if url_col is not None:
+        from auto_data_linkage_spark.operators.urls import curate_urls
+
+        url_ids = _stage(
+            "s0_url_ids",
+            lambda: curate_urls(
+                docs.select(id_col, F.col(url_col).alias("url")),
+                id_col=id_col,
+                blocked_domains=blocked_domains,
+                max_per_domain=max_per_domain,
+            ).select(id_col),
+        )
+        docs = docs.join(url_ids, id_col, "left_semi")
+        n_url_kept = url_ids.count()
+
+    # 1. curation gate (quality/lang/exact/near-dup survivor ids)
+    survivors = _stage(
+        "s1_curated_ids",
+        lambda: curate_documents(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            min_quality=min_quality,
+            langs=langs,
+            jaccard_threshold=jaccard_threshold,
+        ).select(id_col),
+    )
     curated = docs.join(survivors, id_col, "left_semi")
-    n_curated = curated.count()
+    n_curated = survivors.count()
 
     # 2. Gopher hard rules (pass a corpus-appropriate required-word
     # inventory for non-English / non-prose corpora)
-    gopher_kwargs = (
-        {"required_stopwords": gopher_required_stopwords}
-        if gopher_required_stopwords is not None
-        else {}
-    )
-    rules = X.gopher_rules(
-        curated, text_col=text_col, id_col=id_col,
-        min_words=gopher_min_words, **gopher_kwargs,
-    )
-    gated = curated.join(
-        rules.where(F.col("keep")).select(id_col), id_col, "left_semi"
-    )
-    if gopher_repetition:
-        rep = X.gopher_repetition_rules(
-            gated, text_col=text_col, id_col=id_col
+    def _gate_ids():
+        gopher_kwargs = (
+            {"required_stopwords": gopher_required_stopwords}
+            if gopher_required_stopwords is not None
+            else {}
         )
-        gated = gated.join(
-            rep.where(F.col("keep")).select(id_col), id_col, "left_semi"
+        rules = X.gopher_rules(
+            curated, text_col=text_col, id_col=id_col,
+            min_words=gopher_min_words, **gopher_kwargs,
         )
-    n_gated = gated.count()
+        gated_ = curated.join(
+            rules.where(F.col("keep")).select(id_col), id_col, "left_semi"
+        )
+        if gopher_repetition:
+            rep = X.gopher_repetition_rules(
+                gated_, text_col=text_col, id_col=id_col
+            )
+            gated_ = gated_.join(
+                rep.where(F.col("keep")).select(id_col), id_col, "left_semi"
+            )
+        return gated_.select(id_col)
+
+    gated_ids = _stage("s2_gated_ids", _gate_ids)
+    gated = curated.join(gated_ids, id_col, "left_semi")
+    n_gated = gated_ids.count()
 
     # 3. offset-robust span dedup; the deduplicated text becomes the
-    # training text (drop documents whose every span was seen earlier)
-    spanned = D.span_dedup(
-        gated,
-        min_span_words=span_words,
-        text_col=text_col,
-        id_col=id_col,
-        hash_key=span_hash_key,
-    )
-    clean = (
-        spanned.where(F.col("dedup_text") != "")
-        .select(F.col(id_col), F.col("dedup_text").alias(text_col))
-        .localCheckpoint(eager=True)  # feeds BPE train AND encode
+    # training text (drop documents whose every span was seen earlier).
+    # The persisted stage table replaces the old localCheckpoint — it
+    # feeds BPE train AND encode, and survives a driver restart.
+    clean = _stage(
+        "s3_clean_text",
+        lambda: D.span_dedup(
+            gated,
+            min_span_words=span_words,
+            text_col=text_col,
+            id_col=id_col,
+            hash_key=span_hash_key,
+        )
+        .where(F.col("dedup_text") != "")
+        .select(F.col(id_col), F.col("dedup_text").alias(text_col)),
     )
     n_clean = clean.count()
 
-    # 4. tokenizer trained on the surviving corpus; artifact exported
-    merges = B.train_bpe(clean, text_col, num_merges=num_merges, min_freq=1)
-    vocab = B.bpe_vocab(clean, merges, text_col)
-    local_out = out_path[7:] if out_path.startswith("file://") else out_path
-    os.makedirs(local_out, exist_ok=True)
+    # 4. tokenizer trained on the surviving corpus; artifact exported.
+    # Stage-complete = encoded parquet + tokenizer.json both present
+    # (the artifact is rewritten whenever the encode recomputes).
     tok_path = os.path.join(local_out, "tokenizer.json")
-    B.export_tokenizer_json(merges, vocab, tok_path)
-    encoded = B.bpe_encode_ids(clean, merges, vocab, text_col).select(
-        id_col, "token_ids", F.size("token_ids").alias("n_tokens")
-    )
+
+    def _encode():
+        merges_ = B.train_bpe(
+            clean, text_col, num_merges=num_merges, min_freq=1
+        )
+        vocab_ = B.bpe_vocab(clean, merges_, text_col)
+        B.export_tokenizer_json(merges_, vocab_, tok_path)
+        return B.bpe_encode_ids(clean, merges_, vocab_, text_col).select(
+            id_col, "token_ids", F.size("token_ids").alias("n_tokens")
+        )
+
+    if not os.path.isfile(tok_path):
+        # a torn stage-4 (encoded parquet without the artifact) must
+        # recompute: drop the stage dir so _stage reruns _encode
+        shutil.rmtree(
+            os.path.join(stages_dir, "s4_encoded"), ignore_errors=True
+        )
+    encoded = _stage("s4_encoded", _encode)
+    merges, vocab = B.load_tokenizer_json(tok_path)
 
     # 5. context-window packing
     packed = pack_sequences(encoded, capacity=capacity)
@@ -271,6 +388,7 @@ def prepare_training_set(
     n_bins = stats.n_bins or 0
     return {
         "n_input": n_input,
+        "n_url_kept": n_url_kept,
         "n_curated": n_curated,
         "n_gopher_kept": n_gated,
         "n_span_kept": n_clean,

@@ -455,24 +455,25 @@ def kmeans_centroids(
     cents = [[float(x) for x in smat[i]] for i in chosen]
     base = corpus.select(id_col, vec_col)
     dim = smat.shape[1]
+    # ONE SQL-text aggregate instead of dim py4j Column constructions
+    # per Lloyd iteration — the same driver-side plan-build fix as
+    # build_centroids (commit d43cec0; ~0.5 s/iteration at dim=64
+    # measured there); try_element_at so a ragged vector yields NULL
+    # (avg skips it) instead of an ANSI error
+    avgs = ", ".join(
+        f"avg(cast(try_element_at(`{vec_col}`, {i + 1}) as double))"
+        for i in range(dim)
+    )
+    mean_expr = F.expr(f"array({avgs})").alias("m")
     for _ in range(max_iter):
         assigned = assign_cells(base, cents, vec_col=vec_col, metric=metric)
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.get(F.col(vec_col), i).cast("double")).alias(f"m{i}")
-                    for i in range(dim)
-                ]
-            )
-            .collect()
-        )
+        means = assigned.groupBy("cell").agg(mean_expr).collect()
         new_cents = [list(c) for c in cents]
         for r in means:
             # a NULL per-index mean (cell whose vectors are all shorter
             # than dim) keeps the previous centroid component
             new_cents[r["cell"]] = [
-                r[f"m{i}"] if r[f"m{i}"] is not None else cents[r["cell"]][i]
+                r["m"][i] if r["m"][i] is not None else cents[r["cell"]][i]
                 for i in range(dim)
             ]
         shift = max(

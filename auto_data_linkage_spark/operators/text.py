@@ -453,61 +453,51 @@ def c4_clean(
 
 
 # --------------------------------------------- Gopher repetition rules
-def _run_char_stats(sorted_arr: Column, overhead: int) -> Column:
-    """Over a SORTED string array, one pass computing
-    ``(top, dup)``: ``top`` = max over distinct values OCCURRING AT
-    LEAST TWICE of (occurrences × char length) — a unique value is not
-    repetition, and without the ≥2 floor any short document whose top
-    n-gram alone exceeds the threshold fraction of its characters
-    (i.e. most short documents) would be removed; ``dup`` = total char
-    length of every occurrence BEYOND the first of its value.
-    ``overhead`` chars per element (the join separators) are excluded
-    from lengths. A single ``F.aggregate`` with a struct accumulator —
-    O(m) after the O(m log m) sort, all inside codegen, no shuffle, no
-    explode."""
-    init = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("top"),
-        F.lit(0).cast("long").alias("dup"),
+def _run_char_stats(sorted_expr: str, overhead: int) -> Column:
+    """Over a SORTED string array (given as a SQL expression string),
+    one pass computing ``(top, dup)``: ``top`` = max over distinct
+    values OCCURRING AT LEAST TWICE of (occurrences × char length) — a
+    unique value is not repetition, and without the ≥2 floor any short
+    document whose top n-gram alone exceeds the threshold fraction of
+    its characters (i.e. most short documents) would be removed;
+    ``dup`` = total char length of every occurrence BEYOND the first
+    of its value. ``overhead`` chars per element (the join separators)
+    are excluded from lengths. A single SQL-text ``aggregate`` with a
+    struct accumulator — O(m) after the O(m log m) sort, all inside
+    codegen, no shuffle, no explode. SQL text rather than Python
+    lambdas: thirteen of these in one projection cost ~2.7 s of py4j
+    Column construction per invocation in lambda form (measured — the
+    same plan-build tax as the centroid aggregates, commit d43cec0)
+    and ~0.1 s as strings."""
+    glen = f"CAST(length(g) - {overhead} AS BIGINT)"
+    return F.expr(f"""
+        aggregate(
+            {sorted_expr},
+            named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+                         'top', CAST(0 AS BIGINT), 'dup', CAST(0 AS BIGINT)),
+            (acc, g) -> named_struct(
+                'prev', g,
+                'run', CASE WHEN acc.prev = g THEN acc.run + {glen}
+                            ELSE {glen} END,
+                'top', CASE WHEN acc.prev = g
+                            THEN greatest(acc.top, acc.run + {glen})
+                            ELSE acc.top END,
+                'dup', acc.dup + CASE WHEN acc.prev = g THEN {glen}
+                                      ELSE CAST(0 AS BIGINT) END),
+            acc -> named_struct('top', acc.top, 'dup', acc.dup))
+    """)
+
+
+def _ngrams(toks_expr: str, n: int) -> str:
+    """SQL expression string: space-joined word n-grams; empty array
+    when the document has fewer than ``n`` tokens (no partial grams —
+    Rae'21's convention)."""
+    return (
+        f"CASE WHEN size({toks_expr}) >= {n} THEN "
+        f"transform(sequence(0, size({toks_expr}) - {n}), "
+        f"i -> array_join(slice({toks_expr}, i + 1, {n}), ' ')) "
+        f"ELSE array() END"
     )
-
-    def step(acc: Column, g: Column) -> Column:
-        glen = (F.length(g) - overhead).cast("long")
-        same = acc["prev"] == g
-        run = F.when(same, acc["run"] + glen).otherwise(glen)
-        return F.struct(
-            g.alias("prev"),
-            run.alias("run"),
-            # runs of length 1 never reach `top`: the max only updates
-            # on a repeat step, where `run` already covers >= 2 copies
-            F.when(same, F.greatest(acc["top"], run))
-            .otherwise(acc["top"])
-            .alias("top"),
-            (acc["dup"] + F.when(same, glen).otherwise(F.lit(0))).alias(
-                "dup"
-            ),
-        )
-
-    return F.aggregate(
-        sorted_arr,
-        init,
-        step,
-        lambda acc: F.struct(acc["top"].alias("top"), acc["dup"].alias("dup")),
-    )
-
-
-def _ngrams(toks: Column, n: int) -> Column:
-    """Space-joined word n-grams; empty array when the document has
-    fewer than ``n`` tokens (no partial grams — Rae'21's convention)."""
-    size = F.size(toks)
-    return F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(0), size - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def gopher_repetition_rules(
@@ -545,39 +535,44 @@ def gopher_repetition_rules(
     UDFs, zero explodes; the whole gate rides the corpus scan.
     """
     c = F.col(text_col)
-    toks = tokens(c)
-    total_chars = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-    )
-
-    lines = F.filter(
-        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
-        lambda l: l != "",
-    )
-    paras = F.filter(
-        F.transform(F.split(c, r"\n{2,}"), lambda p: F.trim(p)),
-        lambda p: p != "",
-    )
-
-    out = df.select(
+    # tokenize/split ONCE in a first projection: embedding the regex
+    # split into all nine gram builders would duplicate the expression
+    # tree ~10× — runtime CSE aside, the optimizer/codegen cost of the
+    # duplicated lambdas dominated the first invocation (measured ~3×
+    # the steady-state run time)
+    pre = df.select(
         F.col(id_col),
-        total_chars.alias("__tc"),
-        F.size(lines).cast("long").alias("__nl"),
-        F.size(F.array_distinct(lines)).cast("long").alias("__ndl"),
-        F.aggregate(
-            lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
-        ).alias("__lc"),
-        _run_char_stats(F.array_sort(lines), 0).alias("__ls"),
-        F.size(paras).cast("long").alias("__np"),
-        F.size(F.array_distinct(paras)).cast("long").alias("__ndp"),
-        F.aggregate(
-            paras, F.lit(0).cast("long"), lambda a, p: a + F.length(p)
-        ).alias("__pc"),
-        _run_char_stats(F.array_sort(paras), 0).alias("__ps"),
+        tokens(c).alias("__toks"),
+        F.filter(
+            F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ).alias("__lines"),
+        F.filter(
+            F.transform(F.split(c, r"\n{2,}"), lambda p: F.trim(p)),
+            lambda p: p != "",
+        ).alias("__paras"),
+    )
+    def _charsum(expr: str) -> Column:
+        return F.expr(
+            f"aggregate({expr}, CAST(0 AS BIGINT), "
+            f"(a, x) -> a + length(x))"
+        )
+
+    out = pre.select(
+        F.col(id_col),
+        _charsum("__toks").alias("__tc"),
+        F.size("__lines").cast("long").alias("__nl"),
+        F.size(F.array_distinct("__lines")).cast("long").alias("__ndl"),
+        _charsum("__lines").alias("__lc"),
+        _run_char_stats("array_sort(__lines)", 0).alias("__ls"),
+        F.size("__paras").cast("long").alias("__np"),
+        F.size(F.array_distinct("__paras")).cast("long").alias("__ndp"),
+        _charsum("__paras").alias("__pc"),
+        _run_char_stats("array_sort(__paras)", 0).alias("__ps"),
         *[
-            _run_char_stats(F.array_sort(_ngrams(toks, n)), n - 1).alias(
-                f"__g{n}"
-            )
+            _run_char_stats(
+                f"array_sort({_ngrams('__toks', n)})", n - 1
+            ).alias(f"__g{n}")
             for n in range(2, 11)
         ],
     )

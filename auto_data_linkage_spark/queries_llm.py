@@ -1003,8 +1003,12 @@ def media_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", r"[^\x20-\x7e]", ""), "UTF-8"
         ).alias("content"),
     )
+    # band="length" pins the SQL-expressible fast path: the DEFAULT
+    # banding is k-means IVF cells over the embedding (better recall on
+    # real re-encoded images), but a k-means assignment has no exact
+    # DuckDB twin; tests/test_multimodal.py covers the default's recall
     return M.media_near_dup(
-        docs, dim=_MEDIA_DIM, threshold=_MEDIA_TAU
+        docs, dim=_MEDIA_DIM, threshold=_MEDIA_TAU, band="length"
     ).orderBy("media_id_l", "media_id_r")
 
 

@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     # heaviest dedup exchange) and the multimodal-embed near-dup path
     "span_dedup",
     "media_near_dup",
+    # round-8: line-level dedup (now WindowGroupLimit-bounded), the URL
+    # curation front door, and the Gopher repetition gate (13 sorted-
+    # array folds per doc — the heaviest pure-projection pass)
+    "line_dedup",
+    "url_curation",
+    "gopher_repetition_filter",
 ]
 
 

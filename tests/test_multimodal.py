@@ -185,3 +185,32 @@ def test_embed_media_feeds_vector_ann(spark):
     # an exact copy at cosine 1
     top = {r.query_id: r.cosine for r in out.where(F.col("rank") == 1).collect()}
     assert all(abs(c - 1.0) < 1e-9 for c in top.values())
+
+
+def test_media_near_dup_cell_banding_recalls_different_lengths(spark):
+    """The default (IVF-cell) banding's reason to exist: two perturbed
+    blobs with DIFFERENT byte lengths but close embeddings are found —
+    the byte-length fast path structurally cannot pair them."""
+    from auto_data_linkage_spark.operators import multimodal as M
+
+    base = "the same repeated visual payload content " * 5
+    rows = [
+        (1, base),
+        (2, base + "x"),  # one extra byte: near-identical histogram
+        (3, "completely different bytes entirely unlike the others ### "
+            "1234567890 @@@@ wholly distinct distribution zzzzzz qqqqqq"),
+    ]
+    media = M.synthesize_media_table(
+        spark, spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got_cell = {
+        (r.media_id_l, r.media_id_r)
+        for r in M.media_near_dup(media, threshold=0.95, n_cells=2).collect()
+    }
+    assert (1, 2) in got_cell
+    assert not any(3 in p for p in got_cell)
+    got_len = {
+        (r.media_id_l, r.media_id_r)
+        for r in M.media_near_dup(media, threshold=0.95, band="length").collect()
+    }
+    assert (1, 2) not in got_len  # lengths differ -> fast path misses it

@@ -392,3 +392,88 @@ def test_perplexity_buckets_fractions_and_order(spark):
     assert hmax <= mmin and mmax <= tmin
     # the common-word docs are the cleanest: all 9 head docs are common
     assert all(r.doc_id < 20 for r in by_bucket["head"])
+
+
+def test_prepare_training_set_resume_after_stage3_failure(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the run after stage 3 (BPE training raises), rerun, and
+    verify the resume skips stages 1-3 byte-identically (the persisted
+    stage parquet files are NOT rewritten) while the report comes out
+    complete. A changed parameter then invalidates the whole store."""
+    import glob
+    import os
+
+    from auto_data_linkage_spark.operators import bpe as B
+    from auto_data_linkage_spark.operators import pipeline as P
+
+    good = ("the quick brown fox jumps over that lazy dog and all of "
+            "the words here have to be sensible because this text must "
+            "pass every quality gate with room to spare today")
+    rows = [(i, f"{good} variant token{i} number {i * 17}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "resume")
+    kwargs = dict(
+        min_quality=0.4, gopher_min_words=10, span_words=9,
+        num_merges=20, capacity=256, n_shards=2, jaccard_threshold=0.95,
+    )
+
+    real_train = B.train_bpe
+
+    def boom(*a, **k):
+        raise RuntimeError("driver lost in stage 4")
+
+    monkeypatch.setattr(B, "train_bpe", boom)
+    with pytest.raises(RuntimeError, match="stage 4"):
+        P.prepare_training_set(docs, out, **kwargs)
+
+    stage_files = sorted(
+        glob.glob(os.path.join(out, "_stages", "s[123]*", "*.parquet"))
+    )
+    assert stage_files, "stages 1-3 must have persisted before the crash"
+    before = {p: (os.path.getmtime(p), os.path.getsize(p)) for p in stage_files}
+
+    monkeypatch.setattr(B, "train_bpe", real_train)
+    report = P.prepare_training_set(docs, out, **kwargs)
+    assert report["n_span_kept"] > 0 and report["total_tokens"] > 0
+
+    after = {p: (os.path.getmtime(p), os.path.getsize(p)) for p in stage_files}
+    assert before == after, "resume must not rewrite completed stages"
+
+    # parameter change -> fingerprint mismatch -> full recompute
+    report2 = P.prepare_training_set(
+        docs, out, **{**kwargs, "num_merges": 10}
+    )
+    assert report2["n_merges"] == 10
+    stage_files2 = sorted(
+        glob.glob(os.path.join(out, "_stages", "s[123]*", "*.parquet"))
+    )
+    rewritten = {
+        p: (os.path.getmtime(p), os.path.getsize(p)) for p in stage_files2
+    }
+    assert rewritten != before, "changed params must invalidate the store"
+
+
+def test_prepare_training_set_url_front_door(spark, tmp_path):
+    """Stage 0: blocklisted-domain docs and URL duplicates are gone
+    before any text stage runs; corpora without a url column skip it."""
+    from auto_data_linkage_spark.operators import pipeline as P
+
+    good = ("the quick brown fox jumps over that lazy dog and all of "
+            "the words here have to be sensible because this text must "
+            "pass every quality gate with room to spare today")
+    rows = [
+        (1, f"{good} unique one", "https://keep.com/a"),
+        (2, f"{good} unique two", "https://keep.com/b?utm_source=x"),
+        (3, f"{good} unique three", "https://keep.com/b"),   # url dup of 2
+        (4, f"{good} unique four", "https://spam.com/c"),    # blocklisted
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    report = P.prepare_training_set(
+        docs, str(tmp_path / "urlset"),
+        min_quality=0.3, gopher_min_words=10, span_words=20,
+        num_merges=10, capacity=256, n_shards=2, jaccard_threshold=0.99,
+        url_col="url", blocked_domains=["spam.com"],
+    )
+    assert report["n_url_kept"] == 2          # dup + blocked removed
+    assert report["n_curated"] <= 2
