@@ -280,6 +280,8 @@ def export_tokenizer_json(
     merges: list[tuple[str, str]],
     vocab: list[str],
     path: str | None = None,
+    *,
+    special_tokens: tuple[str, ...] = (),
 ) -> dict:
     """Export vocab + merges in the standard tokenizer-JSON shape
     (the ``tokenizers``-library file format: ``model.type = "BPE"``,
@@ -287,17 +289,28 @@ def export_tokenizer_json(
     order, ``unk_token``), so downstream training stacks consume the
     trained artifact directly. The repo's ``</w>`` end-of-word sentinel
     is declared as ``end_of_word_suffix`` — the field the reference
-    format defines for exactly this convention. Writes to ``path``
-    when given; returns the dict either way."""
+    format defines for exactly this convention.
+
+    ``special_tokens`` (e.g. ``("<|endoftext|>",)``) append to the END
+    of the vocabulary — base-token ids are unchanged, so artifacts
+    with and without specials encode ordinary text identically — and
+    are recorded in the format's ``added_tokens`` list, the field
+    training stacks read for BOS/EOS/PAD ids. Writes to ``path`` when
+    given; returns the dict either way."""
+    full = list(vocab) + [t for t in special_tokens if t not in vocab]
     doc = {
         "version": "1.0",
         "model": {
             "type": "BPE",
             "unk_token": UNK,
             "end_of_word_suffix": END,
-            "vocab": {tok: i for i, tok in enumerate(vocab)},
+            "vocab": {tok: i for i, tok in enumerate(full)},
             "merges": [f"{a} {b}" for a, b in merges],
         },
+        "added_tokens": [
+            {"id": full.index(t), "content": t, "special": True}
+            for t in special_tokens
+        ],
     }
     if path is not None:
         import json
@@ -305,6 +318,17 @@ def export_tokenizer_json(
         with open(path, "w") as f:
             json.dump(doc, f, indent=1, sort_keys=True)
     return doc
+
+
+def special_token_ids(src: str | dict) -> dict[str, int]:
+    """``content -> id`` for the artifact's ``added_tokens`` (empty for
+    artifacts exported without specials)."""
+    if isinstance(src, str):
+        import json
+
+        with open(src) as f:
+            src = json.load(f)
+    return {t["content"]: t["id"] for t in src.get("added_tokens", [])}
 
 
 def load_tokenizer_json(src: str | dict) -> tuple[list[tuple[str, str]], list[str]]:

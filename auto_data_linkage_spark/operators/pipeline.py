@@ -121,6 +121,7 @@ def prepare_training_set(
     url_col: str | None = None,
     blocked_domains: list[str] | None = None,
     max_per_domain: int | None = None,
+    eos_token: str | None = None,
 ) -> dict:
     """The COMPLETE corpus → training-set pass, every stage an existing
     oracle-checked operator, composed in the order a production recipe
@@ -142,7 +143,11 @@ def prepare_training_set(
        (the text that survives is the text that trains);
     4. :func:`bpe.train_bpe` + :func:`bpe.bpe_encode_ids` — tokenizer
        trained on exactly the surviving corpus, artifact exported in
-       the standard tokenizer-JSON shape next to the shards;
+       the standard tokenizer-JSON shape next to the shards; when
+       ``eos_token`` is given it is appended to the vocabulary as a
+       special token AND to every document's token ids, so packed
+       sequences carry the document boundary the trainer's loss
+       masking needs (the standard pre-training convention);
     5. :func:`pack.pack_sequences` — context-window bin assignment;
     6. packed-sequence materialization + :func:`pack.write_shards` —
        one row per (bucket, bin) with the members' token ids
@@ -210,6 +215,7 @@ def prepare_training_set(
         "url_col": url_col,
         "blocked_domains": sorted(blocked_domains or []),
         "max_per_domain": max_per_domain,
+        "eos_token": eos_token,
     }
     manifest_path = os.path.join(stages_dir, "manifest.json")
     if resume and os.path.isfile(manifest_path):
@@ -328,8 +334,20 @@ def prepare_training_set(
             clean, text_col, num_merges=num_merges, min_freq=1
         )
         vocab_ = B.bpe_vocab(clean, merges_, text_col)
-        B.export_tokenizer_json(merges_, vocab_, tok_path)
-        return B.bpe_encode_ids(clean, merges_, vocab_, text_col).select(
+        specials = (eos_token,) if eos_token is not None else ()
+        doc = B.export_tokenizer_json(
+            merges_, vocab_, tok_path, special_tokens=specials
+        )
+        ids = B.bpe_encode_ids(clean, merges_, vocab_, text_col)
+        if eos_token is not None:
+            eos_id = B.special_token_ids(doc)[eos_token]
+            ids = ids.withColumn(
+                "token_ids",
+                F.concat(
+                    F.col("token_ids"), F.array(F.lit(eos_id).cast("int"))
+                ),
+            )
+        return ids.select(
             id_col, "token_ids", F.size("token_ids").alias("n_tokens")
         )
 
@@ -399,6 +417,11 @@ def prepare_training_set(
         ),
         "vocab_size": len(vocab),
         "n_merges": len(merges),
+        "eos_id": (
+            B.special_token_ids(tok_path).get(eos_token)
+            if eos_token is not None
+            else None
+        ),
         "tokenizer_path": tok_path,
         "shards_path": shards_path,
         "n_shards": n_shards,

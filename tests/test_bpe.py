@@ -221,3 +221,30 @@ def test_tokenizer_json_rejects_non_bpe(tmp_path):
 
     with _pytest.raises(ValueError, match="not a BPE"):
         B.load_tokenizer_json({"model": {"type": "WordPiece"}})
+
+
+def test_export_special_tokens_appended_and_loadable(tmp_path):
+    from auto_data_linkage_spark.operators.bpe import (
+        export_tokenizer_json,
+        load_tokenizer_json,
+        special_token_ids,
+    )
+
+    vocab = ["a", "b", "ab</w>"]
+    merges = [("a", "b</w>")]
+    path = str(tmp_path / "tok.json")
+    doc = export_tokenizer_json(
+        merges, vocab, path, special_tokens=("<|endoftext|>", "<|pad|>")
+    )
+    # base ids unchanged; specials appended in order
+    assert doc["model"]["vocab"]["a"] == 0
+    assert doc["model"]["vocab"]["<|endoftext|>"] == 3
+    assert doc["model"]["vocab"]["<|pad|>"] == 4
+    assert special_token_ids(path) == {"<|endoftext|>": 3, "<|pad|>": 4}
+    merges2, vocab2 = load_tokenizer_json(path)
+    assert vocab2[:3] == vocab and len(vocab2) == 5
+    assert merges2 == merges
+    # no-specials artifact: empty map, same base ids
+    doc0 = export_tokenizer_json(merges, vocab)
+    assert special_token_ids(doc0) == {}
+    assert doc0["model"]["vocab"] == {v: i for i, v in enumerate(vocab)}

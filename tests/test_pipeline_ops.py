@@ -477,3 +477,39 @@ def test_prepare_training_set_url_front_door(spark, tmp_path):
     )
     assert report["n_url_kept"] == 2          # dup + blocked removed
     assert report["n_curated"] <= 2
+
+
+def test_prepare_training_set_eos_token(spark, tmp_path):
+    """eos_token: appended to the vocab as a special token and to every
+    document's ids, so every doc boundary inside a packed sequence is
+    marked; total_tokens grows by exactly one per surviving doc."""
+    from auto_data_linkage_spark.operators import pipeline as P
+    from auto_data_linkage_spark.operators.bpe import special_token_ids
+
+    good = ("the quick brown fox jumps over that lazy dog and all of "
+            "the words here have to be sensible because this text must "
+            "pass every quality gate with room to spare today")
+    rows = [(i, f"{good} variant token{i} number {i * 31}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kwargs = dict(
+        min_quality=0.4, gopher_min_words=10, span_words=30,
+        num_merges=15, capacity=512, n_shards=2, jaccard_threshold=0.99,
+    )
+    base = P.prepare_training_set(docs, str(tmp_path / "noeos"), **kwargs)
+    eos = P.prepare_training_set(
+        docs, str(tmp_path / "eos"), eos_token="<|endoftext|>", **kwargs
+    )
+    assert base["eos_id"] is None
+    assert eos["eos_id"] == eos["vocab_size"] - 1
+    assert eos["vocab_size"] == base["vocab_size"] + 1
+    assert eos["n_span_kept"] == base["n_span_kept"]
+    assert eos["total_tokens"] == base["total_tokens"] + eos["n_span_kept"]
+    assert special_token_ids(eos["tokenizer_path"]) == {
+        "<|endoftext|>": eos["eos_id"]
+    }
+    # every packed sequence ends with EOS (last doc's trailing marker)
+    loaded = spark.read.parquet(eos["shards_path"])
+    bad = loaded.where(
+        F.element_at("token_ids", -1) != F.lit(eos["eos_id"])
+    ).count()
+    assert bad == 0
