@@ -92,19 +92,44 @@ def curate_stream(
     text_col: str = "text",
     ts_col: str | None = None,
     watermark: str = "10 minutes",
+    url_col: str | None = None,
+    blocked_domains: list[str] | None = None,
 ) -> DataFrame:
     """Quality/language gate + first-arrival exact dedup, as one
     append-mode stream. With ``ts_col`` the dedup state is bounded by
     ``watermark`` (windowed identity); without it the state is the
-    global fingerprint set (see module docstring)."""
+    global fingerprint set (see module docstring).
+
+    With ``url_col`` the batch pipeline's URL front door runs first,
+    streaming-native: the blocklist is a stateless broadcast anti-join
+    (``blocked_domains``), and first-arrival NORMALIZED-URL dedup
+    shares the dedup state machinery — a re-crawl of the same page
+    under different tracking tags is dropped before its text is ever
+    scored. (Per-domain quotas are inherently cross-batch global state
+    — run :func:`operators.urls.domain_quota_sample` in the batch
+    compaction pass instead.)"""
+    if url_col is not None:
+        from auto_data_linkage_spark.operators.urls import (
+            blocklist_filter,
+            url_normalize,
+        )
+
+        if blocked_domains:
+            docs = blocklist_filter(
+                docs, blocked_domains, url_col=url_col
+            )
+        docs = docs.withColumn("url_norm", url_normalize(F.col(url_col)))
     annotated = annotate_stream(docs, text_col)
     kept = annotated.where(
         (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
     )
     if ts_col is not None:
-        return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            ["fingerprint"]
-        )
+        kept = kept.withWatermark(ts_col, watermark)
+        if url_col is not None:
+            kept = kept.dropDuplicatesWithinWatermark(["url_norm"])
+        return kept.dropDuplicatesWithinWatermark(["fingerprint"])
+    if url_col is not None:
+        kept = kept.dropDuplicates(["url_norm"])
     return kept.dropDuplicates(["fingerprint"])
 
 

@@ -180,3 +180,49 @@ def test_upsert_sink_folds_stream_into_corpus(spark, sf_dir, tmp_path):
         got.where(got.doc_id == one.doc_id).collect()[0].text
         == "corrected text"
     )
+
+
+def test_curate_stream_url_front_door(spark, sf_dir, doc_stream, docs_batch):
+    """URL gate, streaming-native: blocklisted domains never reach the
+    quality scorer, and a re-crawl of the same normalized URL is
+    first-arrival-deduped. URLs derive deterministically from (source,
+    doc_id % 4), one registered domain per source, so every source has
+    exactly 4 pages crawled repeatedly
+    under rotating tracking tags."""
+    from pyspark.sql import functions as F
+
+    def with_url(df):
+        return df.withColumn(
+            "url",
+            F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.lit("-site.com/p"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit("?utm_source=crawl&utm_run="),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+
+    run_to_memory(
+        curate_stream(
+            with_url(doc_stream),
+            url_col="url",
+            blocked_domains=["src0-site.com", "src1-site.com"],
+        ),
+        "curated_url_docs",
+    )
+    out = spark.sql("select * from curated_url_docs")
+    rows = out.collect()
+    assert rows, "stream produced no survivors"
+    assert all(not r.url.startswith("https://www.src0-") for r in rows)
+    assert all(not r.url.startswith("https://www.src1-") for r in rows)
+    # url_norm stripped the tracking tags and is duplicate-free
+    norms = [r.url_norm for r in rows]
+    assert all("utm" not in n for n in norms)
+    assert len(norms) == len(set(norms))
+    # the url dedup ran BEFORE fingerprint dedup: at most 4 pages per
+    # unblocked source survive
+    per_source = {}
+    for r in rows:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert max(per_source.values()) <= 4

@@ -146,3 +146,38 @@ def test_curate_urls_composition(spark):
     doms = {r.domain for r in got}
     assert doms == {"keep.com", "other.org"}
     assert all(r.host == "www.keep.com" for r in got if r.doc_id < 50)
+
+
+# ------------------------------------------------------ property tests
+def test_url_normalize_idempotent_randomized(spark):
+    """normalize(normalize(u)) == normalize(u) and host/domain are
+    stable under normalization — over a randomized URL soup covering
+    every branch (case, userinfo, ports, params, fragments)."""
+    import random
+
+    rng = random.Random(88)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["Ex.COM", "www.Foo.co.uk", "a.b.C.org", "localhost",
+             "user:pw@Site.net", "x.io:8080", "y.com:443", "z.com:80"]
+    paths = ["", "/", "/A/b", "/p%20q", "/x/y/z.html"]
+    queries = ["", "?a=1", "?utm_source=x", "?utm_a=1&b=2&gclid=z",
+               "?ref=h&c=3", "?utm_x=1&utm_y=2"]
+    frags = ["", "#f", "#Sec-2"]
+    urls = [
+        f"{rng.choice(schemes)}://{rng.choice(hosts)}"
+        f"{rng.choice(paths)}{rng.choice(queries)}{rng.choice(frags)}"
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        U.url_normalize("url").alias("n1"),
+        U.url_normalize(U.url_normalize("url")).alias("n2"),
+        U.url_host("url").alias("h1"),
+        U.url_host(U.url_normalize("url")).alias("h2"),
+        U.registered_domain(U.url_host("url")).alias("d1"),
+        U.registered_domain(U.url_host(U.url_normalize("url"))).alias("d2"),
+    ).collect()
+    for r in out:
+        assert r.n1 == r.n2, f"not idempotent: {r.n1!r} -> {r.n2!r}"
+        assert r.h1 == r.h2
+        assert r.d1 == r.d2
