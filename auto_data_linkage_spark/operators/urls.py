@@ -198,15 +198,20 @@ def url_dedup(
     url_col: str = "url",
     id_col: str = "doc_id",
     tracking_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS,
+    hash_key: bool = False,
 ) -> DataFrame:
     """Keep the min-id row of each NORMALIZED-URL group (two crawls of
     the same page under different tracking tags collapse to one).
     GroupBy + semi-join on the normalized url — the window-free
     :func:`dedup.exact_dedup` pattern: only (url, id) pairs shuffle,
     never the document text, and the min() partial aggregation is
-    skew-immune."""
+    skew-immune. ``hash_key=True`` shuffles the 60-bit md5 of the
+    normalized url instead of the string (~10× smaller exchange at
+    web-crawl URL lengths; collision odds ≈ n²/2⁶¹ — the span_dedup
+    trade, exact mode remains the default)."""
     norm = url_normalize(F.col(url_col), tracking_params=tracking_params)
-    keyed = df.withColumn("__nurl", norm)
+    key = md5_hash64(norm) if hash_key else norm
+    keyed = df.withColumn("__nurl", key)
     keep = keyed.groupBy("__nurl").agg(F.min(id_col).alias(id_col))
     return keyed.join(keep, ["__nurl", id_col], "left_semi").drop("__nurl")
 
@@ -221,6 +226,7 @@ def curate_urls(
     salt: int = 0,
     tracking_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS,
     two_level_suffixes: tuple[str, ...] = DEFAULT_TWO_LEVEL_SUFFIXES,
+    hash_key: bool = False,
 ) -> DataFrame:
     """The composed URL gate, cheapest-first: normalize + annotate →
     blocklist (broadcast anti-join) → exact normalized-URL dedup →
@@ -248,9 +254,15 @@ def curate_urls(
         out = out.join(
             F.broadcast(bl), F.col("domain") == F.col("__blocked"), "left_anti"
         )
-    # exact dedup on the already-computed normalized url
-    keep = out.groupBy("url_norm").agg(F.min(id_col).alias(id_col))
-    out = out.join(keep, ["url_norm", id_col], "left_semi")
+    # exact dedup on the already-computed normalized url; hash_key
+    # shrinks the dedup exchange to 8-byte keys (url_dedup's trade)
+    if hash_key:
+        out = out.withColumn("__ukey", md5_hash64(F.col("url_norm")))
+        keep = out.groupBy("__ukey").agg(F.min(id_col).alias(id_col))
+        out = out.join(keep, ["__ukey", id_col], "left_semi").drop("__ukey")
+    else:
+        keep = out.groupBy("url_norm").agg(F.min(id_col).alias(id_col))
+        out = out.join(keep, ["url_norm", id_col], "left_semi")
     if max_per_domain is not None:
         from pyspark.sql import Window
 

@@ -181,3 +181,30 @@ def test_url_normalize_idempotent_randomized(spark):
         assert r.n1 == r.n2, f"not idempotent: {r.n1!r} -> {r.n2!r}"
         assert r.h1 == r.h2
         assert r.d1 == r.d2
+
+
+def test_url_dedup_hash_key_equivalent(spark):
+    """hash_key=True (8-byte dedup exchange) keeps exactly the same
+    survivors as the exact string-keyed mode."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(300):
+        page = rng.randrange(40)
+        rows.append(
+            (i, f"https://s{page % 7}.com/p{page}?utm_run={i}#f{i % 3}")
+        )
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    exact = {r.doc_id for r in U.url_dedup(df).collect()}
+    hashed = {r.doc_id for r in U.url_dedup(df, hash_key=True).collect()}
+    assert exact == hashed
+    c_exact = {
+        r.doc_id
+        for r in U.curate_urls(df, max_per_domain=3).collect()
+    }
+    c_hashed = {
+        r.doc_id
+        for r in U.curate_urls(df, max_per_domain=3, hash_key=True).collect()
+    }
+    assert c_exact == c_hashed
