@@ -376,3 +376,54 @@ def epoch_repeat(
         .withColumn("copy", F.explode(copies))
         .drop("__rate")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    *,
+    weights: dict[str, float] | None = None,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment with a LEAKAGE
+    GUARD: when ``group_col`` is given (a registered domain from
+    :func:`urls.registered_domain`, a source, a dedup cluster id),
+    every row of a group lands in the SAME split — near-duplicates and
+    same-site boilerplate cannot straddle train and eval, the
+    held-out-contamination failure mode a plain row-hash split has.
+
+    Assignment is the portable 60-bit md5 hash of the group key (or
+    the id) mod 1e6 against cumulative weight thresholds — a pure
+    projection: re-runs, engines, and INCREMENTAL ARRIVALS agree (a
+    late-crawled page of a test-split domain joins the test split
+    instead of leaking into train), ``salt`` re-draws. Weights
+    normalize to 1; default 98/1/1.
+
+    Plan: zero shuffles, zero UDFs — one withColumn. Compose with
+    :func:`dedup` (exact/near) BEFORE splitting for the full
+    leakage story, or decontaminate train against the resulting
+    eval splits."""
+    from auto_data_linkage_spark.operators.text import md5_hash64
+
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = float(sum(weights.values()))
+    key_col = F.col(group_col) if group_col is not None else F.col(id_col)
+    slot = F.pmod(
+        md5_hash64(key_col.cast("string"), seed=salt), F.lit(1_000_000)
+    )
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        cond = slot < int(round(cum * 1_000_000))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)

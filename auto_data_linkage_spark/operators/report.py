@@ -84,3 +84,49 @@ def corpus_report(
         "p50_words",
         "p95_words",
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Version-over-version corpus audit: per-id status ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` between two corpus
+    snapshots, by the whitespace-normalized content fingerprint
+    (:func:`text.doc_fingerprint` — cosmetic whitespace shifts are not
+    "changes"). The companion to the versioned upsert: diff version
+    V-1 against V to see exactly what a delta did.
+
+    Plan: each side reduces to ``(id, fingerprint)`` in its scan
+    projection — the wide text column never shuffles — then ONE full
+    outer equi-join on the id. Returns ``(id, status, fingerprint_old,
+    fingerprint_new)``."""
+    from pyspark.sql import functions as F
+
+    from auto_data_linkage_spark.operators.text import doc_fingerprint
+
+    o = old.select(
+        F.col(id_col), doc_fingerprint(text_col).alias("fingerprint_old")
+    )
+    n = new.select(
+        F.col(id_col), doc_fingerprint(text_col).alias("fingerprint_new")
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("fingerprint_old").isNull(), F.lit("added"))
+        .when(F.col("fingerprint_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("fingerprint_old") == F.col("fingerprint_new"),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col(id_col),
+        status.alias("status"),
+        "fingerprint_old",
+        "fingerprint_new",
+    )

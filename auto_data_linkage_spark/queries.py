@@ -1505,6 +1505,14 @@ _DEPRIORITIZED = (
     #                            phonetic_blocking_pairs in-window
     "mixture_sample",  # sampling keeps stratified_sample in-window
     "hll_distinct_check",  # sketches keep count_min_tokens in-window
+    # registered DIRECTLY into the back window (sampling family holds
+    # stratified_sample's driver row; the split is the same portable-
+    # hash-threshold machinery, group-keyed):
+    "train_val_split",
+    # registered DIRECTLY into the back window (profile/audit family
+    # holds entropy + trimmed_block_stats driver rows; the diff is one
+    # fingerprint projection + full outer equi-join):
+    "corpus_diff",
 )
 
 # --------------------------------------------------------------------------
@@ -1529,7 +1537,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                  "squared_count_estimate", "estimate_vs_true_pairs"),
     "entropy-profile": ("entropy", "sql_entropy_probe", "entropy_auto_base",
                         "trimmed_block_stats", "skew_report",
-                        "corpus_report"),
+                        "corpus_report", "corpus_diff"),
     "set-ops": ("union_distinct",),
     "window-rank": ("window_count", "window_first", "topk_orderby_limit",
                     "double_sorted_pick"),
@@ -1540,7 +1548,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                          "connected_components", "incremental_cluster"),
     "sampling": ("stratified_sample", "mixture_sample",
                  "deterministic_sample", "sample_k_per_group",
-                 "weighted_sample_k"),
+                 "weighted_sample_k", "train_val_split"),
     "text-analysis": ("text_features", "quality_score", "pii_scrub",
                       "lang_id_dist", "repetition_features",
                       "quality_classifier", "gopher_quality_filter",

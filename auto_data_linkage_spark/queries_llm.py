@@ -3506,3 +3506,95 @@ def _gopher_repetition_sql() -> str:
 def gopher_repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return X.gopher_repetition_rules(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe split (pack.leakage_safe_split) — group-keyed (source)
+# deterministic train/val/test assignment; the oracle replays the hash
+# thresholds bit-identically.
+# --------------------------------------------------------------------------
+@register(
+    "train_val_split",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN ({_sql_hash64('source')} % 1000000) < 980000
+                THEN 'train'
+                WHEN ({_sql_hash64('source')} % 1000000) < 990000
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey="dataset assembly: leakage-safe deterministic train/val/test "
+    "split — group-keyed so near-dups/same-site rows cannot straddle "
+    "train and eval (pack.leakage_safe_split)",
+)
+def train_val_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pack import leakage_safe_split
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return leakage_safe_split(docs, group_col="source").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Corpus version diff (report.corpus_diff) — the audit companion to the
+# versioned upsert. The "new" snapshot is synthesized deterministically:
+# every 17th doc removed, every 13th changed (tail appended), every 19th
+# re-added under a shifted id.
+# --------------------------------------------------------------------------
+_FP_SQL = "md5(trim(regexp_replace(lower({c}), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "corpus_diff",
+    f"""
+    WITH old AS (
+        SELECT doc_id, {_FP_SQL.format(c='text')} AS fingerprint_old
+        FROM documents
+    ),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0
+                    THEN {_FP_SQL.format(c="text || ' revised tail'")}
+                    ELSE {_FP_SQL.format(c='text')} END AS fingerprint_new
+        FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000,
+               {_FP_SQL.format(c='text')} AS fingerprint_new
+        FROM documents WHERE doc_id % 19 = 0
+    )
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN fingerprint_old = fingerprint_new THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           fingerprint_old, fingerprint_new
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    ORDER BY doc_id
+    """,
+    survey="corpus audit: version-over-version diff by content "
+    "fingerprint — added/removed/changed/unchanged per id "
+    "(report.corpus_diff)",
+)
+def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.report import corpus_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    new = (
+        docs.where(d % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                d % 13 == 0, F.concat(F.col("text"), F.lit(" revised tail"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(d % 19 == 0).select(
+                (d + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(docs, new).orderBy("doc_id")

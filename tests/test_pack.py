@@ -311,3 +311,53 @@ def test_assign_shards_composite_key_spreads_repeats(spark):
         for r in assign_shards(df, 8, id_col=["doc_id"]).collect()
     )
     assert a == b
+
+
+def test_leakage_safe_split_group_integrity_and_proportions(spark):
+    from auto_data_linkage_spark.operators.pack import leakage_safe_split
+
+    rows = [(i, f"dom{i % 200}.com") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = leakage_safe_split(
+        df, weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="domain",
+    )
+    # leakage guard: every domain lives in exactly one split
+    multi = (
+        out.groupBy("domain")
+        .agg(F.count_distinct("split").alias("k"))
+        .where("k > 1")
+        .count()
+    )
+    assert multi == 0
+    # proportions near the weights (group granularity: 200 domains)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert 0.7 < counts["train"] / 4000 < 0.9
+    assert 0 < counts.get("val", 0) and 0 < counts.get("test", 0)
+    # deterministic + incremental-arrival stable: a new row of a known
+    # domain gets that domain's split
+    one = leakage_safe_split(
+        spark.createDataFrame([(99999, "dom7.com")], "doc_id long, domain string"),
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="domain",
+    ).collect()[0].split
+    known = out.where(F.col("domain") == "dom7.com").select("split").distinct().collect()
+    assert [r.split for r in known] == [one]
+    # salt re-draws
+    out2 = leakage_safe_split(
+        df, weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="domain", salt=3,
+    )
+    diff = out.alias("a").join(out2.alias("b"), "doc_id").where(
+        F.col("a.split") != F.col("b.split")
+    ).count()
+    assert diff > 0
+
+
+def test_leakage_safe_split_zero_exchanges(spark, sf_dir):
+    from auto_data_linkage_spark.operators.pack import leakage_safe_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = leakage_safe_split(docs, group_col="source")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

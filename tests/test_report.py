@@ -32,3 +32,35 @@ def test_corpus_report_documents(spark, sf_dir):
     assert r.n_docs == docs.count()
     assert 0 <= r.exact_dup_rate < 1
     assert r.p50_words <= r.p95_words
+
+
+def test_corpus_diff_statuses(spark):
+    from auto_data_linkage_spark.operators.report import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "gamma text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha   text"),   # whitespace-only change -> unchanged
+            (2, "beta text revised"),
+            (4, "delta text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_diff_text_never_shuffles(spark, sf_dir):
+    """Scale contract: the join exchanges carry (id, 32-char md5) only."""
+    import re
+
+    from auto_data_linkage_spark.operators.report import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = corpus_diff(docs, docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)

@@ -226,3 +226,32 @@ def test_curate_stream_url_front_door(spark, sf_dir, doc_stream, docs_batch):
     for r in rows:
         per_source[r.source] = per_source.get(r.source, 0) + 1
     assert max(per_source.values()) <= 4
+
+
+def test_curate_stream_url_gate_watermarked(spark, doc_stream):
+    """The watermark-bounded variant with the URL gate: two chained
+    dropDuplicatesWithinWatermark operators (url_norm, then
+    fingerprint) must run as one append-mode query."""
+    from pyspark.sql import functions as F
+
+    stream = doc_stream.withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") % 600)
+    ).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit("-site.com/p"),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit("#frag"), F.col("doc_id").cast("string"),
+        ),
+    )
+    run_to_memory(
+        curate_stream(
+            stream, url_col="url", ts_col="ts", watermark="10 minutes"
+        ),
+        "curated_url_wm",
+    )
+    rows = spark.sql("select * from curated_url_wm").collect()
+    assert rows
+    norms = [r.url_norm for r in rows]
+    assert len(norms) == len(set(norms))  # url-deduped within watermark
+    assert all("#" not in n for n in norms)
