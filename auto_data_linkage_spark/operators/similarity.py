@@ -915,6 +915,38 @@ def ivfpq_topk(
         _pq_recon_norm(cbs).alias("__cn"),
     )
 
+    return _ivfpq_score(
+        coded,
+        cents,
+        cbs,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        vec_col=vec_col,
+        id_col=id_col,
+        rerank_factor=rerank_factor,
+        corpus=corpus,
+    )
+
+
+def _ivfpq_score(
+    coded: DataFrame,
+    cents: DataFrame,
+    cbs: list[list[list[float]]],
+    queries: DataFrame,
+    *,
+    k: int,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+    rerank_factor: int = 0,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """The probe half of :func:`ivfpq_topk` over an ALREADY-CODED
+    corpus ``(neighbor_id, cell, codes, __cn)`` — shared by the inline
+    path and the persisted-index path (:mod:`.annindex`), so both run
+    the identical plan. ``corpus`` (true vectors) is required only
+    when ``rerank_factor > 0``."""
     # ---- route queries to nprobe nearest cells (ivf_topk's plan) ------
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -961,6 +993,11 @@ def ivfpq_topk(
             scored.drop("__qvec", "__qn")
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
+        )
+    if corpus is None:
+        raise ValueError(
+            "rerank_factor > 0 needs the true-vector corpus; the PQ "
+            "index alone cannot re-rank exactly"
         )
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,78 @@
+"""Persisted ANN index: build/load round-trip, result parity with the
+inline ivfpq path, and on-disk partition pruning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators import annindex as A
+from auto_data_linkage_spark.operators.similarity import ivfpq_topk
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.select("vec_id", "embedding", "label")
+
+
+def test_build_load_roundtrip_matches_inline(spark, vecs, tmp_path):
+    out = str(tmp_path / "annidx")
+    meta = A.build_ann_index(vecs, out, m=4, n_codewords=8)
+    assert meta["n_rows"] == vecs.count()
+    assert meta["n_cells"] >= 1
+
+    idx = A.load_ann_index(spark, out)
+    assert idx.meta["m"] == 4
+
+    queries = vecs.orderBy("vec_id").limit(5)
+    got = A.ann_index_topk(idx, queries, k=5, nprobe=2)
+    want = ivfpq_topk(vecs, queries, k=5, nprobe=2, m=4, n_codewords=8)
+    as_set = lambda df: {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+
+
+def test_served_rerank_matches_inline(spark, vecs, tmp_path):
+    out = str(tmp_path / "annidx_rr")
+    A.build_ann_index(vecs, out, m=4, n_codewords=8)
+    idx = A.load_ann_index(spark, out)
+    queries = vecs.orderBy("vec_id").limit(3)
+    got = A.ann_index_topk(
+        idx, queries, k=3, nprobe=2, rerank_factor=3, corpus=vecs
+    )
+    want = ivfpq_topk(
+        vecs, queries, k=3, nprobe=2, m=4, n_codewords=8, rerank_factor=3
+    )
+    as_set = lambda df: {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+    with pytest.raises(ValueError, match="true-vector corpus"):
+        A.ann_index_topk(idx, queries, k=3, rerank_factor=2)
+
+
+def test_coded_scan_partition_prunes(spark, vecs, tmp_path):
+    """The on-disk contract: probing a cell subset must prune the
+    coded parquet scan to the matching cell=N/ directories."""
+    out = str(tmp_path / "annidx_pp")
+    A.build_ann_index(vecs, out, m=4, n_codewords=8)
+    idx = A.load_ann_index(spark, out)
+    one_cell = idx.coded.where(F.col("cell") == 0)
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan.replace("#", "") or (
+        "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:120]
+    )
+
+
+def test_version_guard(spark, vecs, tmp_path):
+    import json
+    import os
+
+    out = str(tmp_path / "annidx_v")
+    A.build_ann_index(vecs, out, m=4, n_codewords=8)
+    p = os.path.join(out, "index.json")
+    meta = json.load(open(p))
+    meta["version"] = 99
+    json.dump(meta, open(p, "w"))
+    with pytest.raises(ValueError, match="version"):
+        A.load_ann_index(spark, out)
