@@ -122,6 +122,8 @@ def prepare_training_set(
     blocked_domains: list[str] | None = None,
     max_per_domain: int | None = None,
     eos_token: str | None = None,
+    benchmark: DataFrame | None = None,
+    benchmark_shingle_k: int = 7,
 ) -> dict:
     """The COMPLETE corpus → training-set pass, every stage an existing
     oracle-checked operator, composed in the order a production recipe
@@ -139,6 +141,10 @@ def prepare_training_set(
        :func:`text.gopher_repetition_rules` — the FULL Rae'21 gate
        (document rules + repetition rules; ``gopher_repetition=False``
        reverts to the document-rule half only);
+    2b. (when ``benchmark`` is given) :func:`dedup.decontaminate` —
+       drop every document sharing a ``benchmark_shingle_k``-gram with
+       the held-out evaluation set (the GPT-3/PaLM data-card rule);
+       broadcast semi-join, the corpus never shuffles for it;
     3. :func:`dedup.span_dedup` — offset-robust duplicated-span removal
        (the text that survives is the text that trains);
     4. :func:`bpe.train_bpe` + :func:`bpe.bpe_encode_ids` — tokenizer
@@ -216,6 +222,12 @@ def prepare_training_set(
         "blocked_domains": sorted(blocked_domains or []),
         "max_per_domain": max_per_domain,
         "eos_token": eos_token,
+        # the benchmark is identified by row count in the fingerprint —
+        # a same-size different-content benchmark needs resume=False
+        "benchmark_rows": (
+            benchmark.count() if benchmark is not None else None
+        ),
+        "benchmark_shingle_k": benchmark_shingle_k,
     }
     manifest_path = os.path.join(stages_dir, "manifest.json")
     if resume and os.path.isfile(manifest_path):
@@ -305,6 +317,24 @@ def prepare_training_set(
     gated_ids = _stage("s2_gated_ids", _gate_ids)
     gated = curated.join(gated_ids, id_col, "left_semi")
     n_gated = gated_ids.count()
+
+    # 2b. benchmark decontamination (held-out n-gram overlap)
+    n_decontaminated = None
+    if benchmark is not None:
+        decon_ids = _stage(
+            "s2b_decontaminated_ids",
+            lambda: D.decontaminate(
+                gated,
+                benchmark,
+                shingle_k=benchmark_shingle_k,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            .where(F.col("keep"))
+            .select(id_col),
+        )
+        gated = gated.join(decon_ids, id_col, "left_semi")
+        n_decontaminated = decon_ids.count()
 
     # 3. offset-robust span dedup; the deduplicated text becomes the
     # training text (drop documents whose every span was seen earlier).
@@ -408,6 +438,7 @@ def prepare_training_set(
         "n_input": n_input,
         "n_url_kept": n_url_kept,
         "n_curated": n_curated,
+        "n_decontaminated": n_decontaminated,
         "n_gopher_kept": n_gated,
         "n_span_kept": n_clean,
         "total_tokens": int(total_tokens),

@@ -3249,7 +3249,7 @@ def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the normalizer fires — and the path is doc_id % 300, so ids 300
 # apart yield DIFFERENT raw urls that NORMALIZE identically (the
 # url-dedup stage has real work). Pipeline: normalize → host →
-# registered domain → blocklist (src3.com, src7.co.uk) → exact
+# registered domain → blocklist (src3.com, src4.co.uk) → exact
 # normalized-url dedup → 8-per-domain quota.
 # --------------------------------------------------------------------------
 def _url_curation_sql() -> str:
@@ -3332,7 +3332,7 @@ def _url_curation_sql() -> str:
     ),
     unblocked AS (
         SELECT * FROM domained
-        WHERE domain NOT IN ('src3.com', 'src7.co.uk')
+        WHERE domain NOT IN ('src3.com', 'src4.co.uk')
     ),
     deduped AS (
         SELECT doc_id, url_norm, host, domain
@@ -3387,7 +3387,7 @@ def url_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         U.curate_urls(
             docs.select("doc_id", url.alias("url")),
-            blocked_domains=["src3.com", "src7.co.uk"],
+            blocked_domains=["src3.com", "src4.co.uk"],
             max_per_domain=8,
         )
         .select("doc_id", "url_norm", "host", "domain")

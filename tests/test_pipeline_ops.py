@@ -513,3 +513,30 @@ def test_prepare_training_set_eos_token(spark, tmp_path):
         F.element_at("token_ids", -1) != F.lit(eos["eos_id"])
     ).count()
     assert bad == 0
+
+
+def test_prepare_training_set_decontaminates_benchmark(spark, tmp_path):
+    """Stage 2b: a training doc sharing a 7-gram with the held-out
+    benchmark never reaches the tokenizer."""
+    from auto_data_linkage_spark.operators import pipeline as P
+
+    good = ("the quick brown fox jumps over that lazy dog and all of "
+            "the words here have to be sensible because this text must "
+            "pass every quality gate with room to spare today")
+    leak = "exactly seven shared words appear in this benchmark question"
+    rows = [
+        (1, f"{good} unique one"),
+        (2, f"{good} unique two plus {leak} embedded"),   # contaminated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    report = P.prepare_training_set(
+        docs, str(tmp_path / "decon"),
+        min_quality=0.3, gopher_min_words=10, span_words=40,
+        num_merges=10, capacity=256, n_shards=2, jaccard_threshold=0.99,
+        benchmark=bench, benchmark_shingle_k=7,
+    )
+    assert report["n_decontaminated"] == 1
+    loaded = spark.read.parquet(report["shards_path"])
+    ids = {r[0] for r in loaded.select(F.explode("doc_ids")).collect()}
+    assert ids == {1}
