@@ -112,6 +112,60 @@ def build_ann_index(
     return meta
 
 
+def append_ann_index(delta: DataFrame, path: str) -> dict:
+    """Incremental index growth: encode ONLY the delta with the STORED
+    codebooks and append its coded rows to ``coded/`` — new corpus
+    batches join the index without re-encoding what's already there
+    (the same delta-only contract as ``incremental_dedup_docs`` /
+    ``incremental_update``). Cells and codebooks stay fixed: a delta
+    that shifts the embedding distribution degrades recall gradually
+    (standard IVF practice — monitor and rebuild when cell sizes
+    skew); the routing table still covers every cell, so correctness
+    of the ADC scores is unaffected. Delta rows must carry the same
+    ``vec_col``/``id_col``/``cell_col`` columns the index was built
+    with; ids are NOT dedup-checked against the stored rows (dedup
+    upstream). Returns the updated metadata."""
+    from auto_data_linkage_spark.operators.similarity import (
+        _pq_recon_norm,
+        pq_encode,
+    )
+
+    local = path[7:] if path.startswith("file://") else path
+    meta_path = os.path.join(local, "index.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("version") != _VERSION:
+        raise ValueError(
+            f"unsupported ann-index version {meta.get('version')!r}"
+        )
+    cbs = meta["codebooks"]
+    coded = pq_encode(
+        delta,
+        cbs,
+        vec_col=meta["vec_col"],
+        id_col=meta["id_col"],
+        keep=(meta["cell_col"],),
+    ).select(
+        F.col(meta["id_col"]).alias("neighbor_id"),
+        F.col(meta["cell_col"]).alias("cell"),
+        "codes",
+        _pq_recon_norm(cbs).alias("__cn"),
+    )
+    coded.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(local, "coded")
+    )
+    spark = delta.sparkSession
+    n_rows, n_cells = (
+        spark.read.parquet(os.path.join(local, "coded"))
+        .agg(F.count("*"), F.count_distinct("cell"))
+        .first()
+    )
+    meta["n_rows"], meta["n_cells"] = int(n_rows), int(n_cells)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
 def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     local = path[7:] if path.startswith("file://") else path
     with open(os.path.join(local, "index.json")) as f:

@@ -76,3 +76,38 @@ def test_version_guard(spark, vecs, tmp_path):
     json.dump(meta, open(p, "w"))
     with pytest.raises(ValueError, match="version"):
         A.load_ann_index(spark, out)
+
+
+def test_append_delta_joins_search_results(spark, vecs, tmp_path):
+    """Delta-only growth: append new vectors encoded with the STORED
+    codebooks; a reload serves them alongside the original rows, and
+    appending equals having built the index on the union."""
+    out = str(tmp_path / "annidx_app")
+    base = vecs.where(F.col("vec_id") < 400)
+    delta = vecs.where(F.col("vec_id") >= 400)
+    meta0 = A.build_ann_index(base, out, m=4, n_codewords=8)
+    meta1 = A.append_ann_index(delta, out)
+    assert meta1["n_rows"] == vecs.count() > meta0["n_rows"]
+
+    idx = A.load_ann_index(spark, out)
+    queries = vecs.orderBy("vec_id").limit(5)
+    got = A.ann_index_topk(idx, queries, k=5, nprobe=3)
+    # union-built reference with the SAME codebooks/centroids: train
+    # artifacts on base (as the incremental path did), score the union
+    from auto_data_linkage_spark.operators.similarity import (
+        build_centroids,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    cents = build_centroids(base, vec_col="embedding", cell_col="label")
+    cbs = pq_codebooks(base, m=4, n_codewords=8)
+    want = ivfpq_topk(
+        vecs, queries, k=5, nprobe=3, centroids=cents, codebooks=cbs
+    )
+    as_set = lambda df: {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+    # appended ids actually appear somewhere in results
+    assert any(r.neighbor_id >= 400 for r in got.collect())
