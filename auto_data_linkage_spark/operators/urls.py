@@ -97,7 +97,10 @@ def url_normalize(
       it is significant on most servers);
     - fragment (``#...``) stripped — never sent to the server;
     - tracking query parameters stripped (``tracking_params`` are
-      regex alternatives matched against the parameter NAME);
+      regex alternatives matched against the parameter NAME) and the
+      SURVIVORS SORTED — ``?a=1&b=2`` and ``?b=2&a=1`` are the same
+      page to virtually every server, and canonical ordering is what
+      lets the dedup/quota keys see that;
     - default ports ``http://…:80`` / ``https://…:443`` stripped;
     - a query string emptied by parameter stripping loses its ``?``.
 
@@ -113,9 +116,11 @@ def url_normalize(
     base = F.regexp_replace(tail, r"\?.*$", "")
     q = F.regexp_extract(tail, r"\?(.*)$", 1)
     name_re = "^(" + "|".join(tracking_params) + ")="
-    params = F.filter(
-        F.split(q, "&"),
-        lambda p: (p != "") & ~p.rlike(name_re),
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike(name_re),
+        )
     )
     rebuilt = F.when(
         F.size(params) > 0,

@@ -3293,10 +3293,10 @@ def _url_curation_sql() -> str:
                    '^(http://[^/?#]*):80$', '\1'),
                    '^(https://[^/?#]*):443$', '\1') AS head,
                regexp_replace(tail0, '\?.*$', '') AS base,
-               list_filter(string_split(
+               list_sort(list_filter(string_split(
                        regexp_extract(tail0, '\?(.*)$', 1), '&'),
                    p -> p <> '' AND NOT regexp_matches(p,
-                       '^(utm_[a-z]+|gclid|fbclid|ref)=')) AS params
+                       '^(utm_[a-z]+|gclid|fbclid|ref)='))) AS params
         FROM split1
     ),
     normed AS (

@@ -208,3 +208,9 @@ def test_url_dedup_hash_key_equivalent(spark):
         for r in U.curate_urls(df, max_per_domain=3, hash_key=True).collect()
     }
     assert c_exact == c_hashed
+
+
+def test_url_normalize_sorts_query_params(spark):
+    a = _one(spark, "https://ex.com/a?b=2&a=1", U.url_normalize("url"))
+    b = _one(spark, "https://ex.com/a?a=1&b=2", U.url_normalize("url"))
+    assert a == b == "https://ex.com/a?a=1&b=2"
