@@ -166,6 +166,30 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
     return meta
 
 
+def ann_index_sink(path: str):
+    """``foreachBatch`` sink folding each micro-batch of vectors into
+    the persisted index via :func:`append_ann_index` — continuous
+    embedding ingestion (the streaming analog of
+    ``streaming.documents.upsert_sink``). The index must already exist
+    (:func:`build_ann_index` on the initial corpus). Replays of a
+    micro-batch after a failure append duplicate coded rows — point a
+    checkpointLocation at the query and dedup ids upstream, the same
+    caveat as every append-mode foreachBatch sink.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(ann_index_sink("/idx"))
+              .option("checkpointLocation", ckpt).start()
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ann_index(batch_df, path)
+
+    return _sink
+
+
 def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     local = path[7:] if path.startswith("file://") else path
     with open(os.path.join(local, "index.json")) as f:

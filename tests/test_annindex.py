@@ -111,3 +111,37 @@ def test_append_delta_joins_search_results(spark, vecs, tmp_path):
     assert as_set(got) == as_set(want)
     # appended ids actually appear somewhere in results
     assert any(r.neighbor_id >= 400 for r in got.collect())
+
+
+def test_ann_index_sink_streams_vectors_into_index(spark, vecs, tmp_path):
+    """Continuous ingestion: a rate-limited vector stream appends into
+    the persisted index via foreachBatch; after the stream drains, a
+    reload serves the streamed vectors."""
+    import os
+
+    out = str(tmp_path / "annidx_stream")
+    base = vecs.where(F.col("vec_id") < 450)
+    delta = vecs.where(F.col("vec_id") >= 450)
+    A.build_ann_index(base, out, m=4, n_codewords=8)
+
+    src_dir = str(tmp_path / "incoming")
+    delta.write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(A.ann_index_sink(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    idx = A.load_ann_index(spark, out)
+    assert idx.meta["n_rows"] == vecs.count()
+    queries = vecs.where(F.col("vec_id") >= 450).limit(2)
+    got = A.ann_index_topk(idx, queries, k=3, nprobe=3).collect()
+    assert got and any(r.neighbor_id >= 450 for r in got)
