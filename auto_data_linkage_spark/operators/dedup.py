@@ -156,6 +156,17 @@ def minhash_bands(
     return F.array(*bands)
 
 
+#: Default hot-bucket cap for MinHash LSH pair generation. A (band,
+#: band_hash) bucket with more members than this is dropped before the
+#: self-join: pair cost is Σ bucket², so one degenerate bucket of 10⁸
+#: short/template docs would otherwise emit 10¹⁶ candidate pairs and
+#: serialize the whole job. 1000 keeps ≤ ~5·10⁵ pairs per bucket —
+#: bounded work — while being far above any genuine near-dup cluster at
+#: the scales the oracles run (so cap semantics are value-checked by
+#: construction: the DuckDB oracles model the identical HAVING cap).
+DEFAULT_MAX_BUCKET = 1000
+
+
 def banded_table(
     df: DataFrame,
     text_col: str = "text",
@@ -164,14 +175,29 @@ def banded_table(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_k: int = 3,
+    route_short: bool = True,
 ) -> DataFrame:
     """(id, band, band_hash) LSH band table — the joinable (and
     persistable) state form of the MinHash index. Four-phase projection:
     shingles → base hashes → signature → bands, each referencing the
     previous phase's column once (the md5 pass runs exactly once per
-    shingle, not once per hash function)."""
+    shingle, not once per hash function).
+
+    ``route_short`` (default on) excludes documents with fewer than
+    ``shingle_k`` whitespace tokens from the band table entirely. Such a
+    document's shingle set is the singleton {its whole text} (the
+    ``sequence(0, greatest(n-k, 0))`` floor in :func:`..text.shingles`),
+    so every empty doc and every short template doc lands in the SAME
+    (band, band_hash) bucket in EVERY band — at web scale one mega-bucket
+    of 10⁸ short docs would emit bucket² pairs. Routing them around
+    banding loses nothing: a singleton shingle set can only reach
+    Jaccard ≥ t against an identical singleton, i.e. an exact duplicate,
+    which :func:`exact_dedup` already catches without any self-join.
+    """
     rows_per_band = num_hashes // num_bands
     df = ensure_parallelism(df)
+    if route_short:
+        df = df.where(F.size(tokens(text_col)) >= shingle_k)
     sig = df.select(
         F.col(id_col), shingles(text_col, shingle_k).alias("__sh")
     ).select(
@@ -195,6 +221,8 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_k: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    route_short: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -202,10 +230,22 @@ def minhash_lsh_candidates(
     (band, band_hash) with id_l < id_r → distinct pair. The join key is a
     16-byte-ish bucket id, so the shuffle moves (bucket, id) pairs only;
     pair count is Σ bucket-size² over genuinely-similar buckets.
+
+    Two scale guards (both on by default):
+
+    - ``route_short`` keeps sub-``shingle_k``-token docs out of banding
+      (see :func:`banded_table` — they form one global mega-bucket and
+      can only ever be exact dups, which :func:`exact_dedup` owns);
+    - ``max_bucket`` drops (band, band_hash) buckets with more members
+      than the cap before the self-join — the same broadcast-anti-join
+      hot-bucket drop :func:`simhash_near_pairs` uses. A dropped bucket
+      trades recall on degenerate template clusters for a hard
+      O(cap²)-per-bucket output bound; pass ``None`` to disable.
     """
     banded = banded_table(
         df, text_col, id_col,
         num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
+        route_short=route_short,
     )
     # both sides of the self-join read this small (id, band, hash) table.
     # Eager localCheckpoint materializes the hashing subtree exactly once
@@ -218,6 +258,19 @@ def minhash_lsh_candidates(
     # downstream jobs instead of recomputing — acceptable for this small
     # intermediate; on a lossy cluster prefer reliable checkpointing.
     banded = banded.localCheckpoint(eager=True)
+    if max_bucket is not None:
+        # hot-bucket drop reads the checkpointed band table (cheap second
+        # pass over (id, band, hash) rows, never the text); the hot set is
+        # tiny by construction (≤ n/cap buckets) so it broadcasts.
+        hot = (
+            banded.groupBy("band", "band_hash")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band", "band_hash"], "left_anti"
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = left.join(
@@ -241,13 +294,17 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_k: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    route_short: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard ≥ threshold.
     The exact check touches only candidate pairs (the LSH output), never
-    the full n² space."""
+    the full n² space. ``max_bucket`` / ``route_short`` are the scale
+    guards of :func:`minhash_lsh_candidates`."""
     cands = minhash_lsh_candidates(
         df, text_col, id_col,
         num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
+        max_bucket=max_bucket, route_short=route_short,
     )
     sh = ensure_parallelism(df).select(
         F.col(id_col), shingles(text_col, shingle_k).alias("sh")
@@ -833,6 +890,7 @@ def incremental_near_dedup(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_k: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dedup survivors of an ARRIVING batch against an immutable,
     already-deduplicated corpus — the daily-increment form of
@@ -864,6 +922,18 @@ def incremental_near_dedup(
 
     kw = dict(num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k)
     bn = banded_table(new, text_col, id_col, **kw).localCheckpoint(eager=True)
+    if max_bucket is not None:
+        # same hot-bucket drop as minhash_lsh_candidates, applied to the
+        # batch side (the only side that self-joins); short docs are
+        # already routed out by banded_table and survive unconditionally
+        # (they only ever reach `assign` below, built from `new` itself).
+        hot = (
+            bn.groupBy("band", "band_hash")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("band", "band_hash")
+        )
+        bn = bn.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
     bo = banded_table(existing, text_col, id_col, **kw).select(
         "band", "band_hash"
     )

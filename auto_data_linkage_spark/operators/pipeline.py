@@ -40,6 +40,7 @@ def curate_documents(
     num_hashes: int = 4,
     num_bands: int = 4,
     shingle_k: int = 3,
+    max_bucket: int | None = D.DEFAULT_MAX_BUCKET,
     reuse_filtered: bool = True,
 ) -> DataFrame:
     """Surviving documents of the full curation pass, as
@@ -88,6 +89,7 @@ def curate_documents(
         num_hashes=num_hashes,
         num_bands=num_bands,
         shingle_k=shingle_k,
+        max_bucket=max_bucket,
     )
     edges = pairs.select(
         F.col(f"{id_col}_l").alias("src"), F.col(f"{id_col}_r").alias("dst")
@@ -117,6 +119,7 @@ def prepare_training_set(
     capacity: int = 2048,
     n_shards: int = 8,
     jaccard_threshold: float = 0.7,
+    max_bucket: int | None = D.DEFAULT_MAX_BUCKET,
     resume: bool = True,
     url_col: str | None = None,
     blocked_domains: list[str] | None = None,
@@ -218,6 +221,7 @@ def prepare_training_set(
         "span_hash_key": span_hash_key,
         "num_merges": num_merges,
         "jaccard_threshold": jaccard_threshold,
+        "max_bucket": max_bucket,
         "url_col": url_col,
         "blocked_domains": sorted(blocked_domains or []),
         "max_per_domain": max_per_domain,
@@ -285,6 +289,7 @@ def prepare_training_set(
             min_quality=min_quality,
             langs=langs,
             jaccard_threshold=jaccard_threshold,
+            max_bucket=max_bucket,
         ).select(id_col),
     )
     curated = docs.join(survivors, id_col, "left_semi")

@@ -384,13 +384,62 @@ def minhash_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pairs_sql() -> str:
-    band_eq = " OR ".join(f"l.h{i} = r.h{i}" for i in range(_MH_HASHES))
-    sig = _minhash_sql().strip()
+_MH_MAX_BUCKET = D.DEFAULT_MAX_BUCKET
+
+
+def _minhash_long_cte(src: str = "documents") -> str:
+    """CTE ``longb`` — the long-form (doc_id, band, bh) band table with
+    the short-doc routing filter applied (DuckDB twin of
+    dedup.banded_table with ``route_short=True``). Expects a ``sig`` CTE
+    in scope; ``src`` must expose (doc_id, text)."""
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, h{i} AS bh FROM sig"
+        for i in range(_MH_HASHES)
+    )
+    toks = _SQL_TOKENS.format(c="text")
     return f"""
-    WITH sig AS ({sig})
-    SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r
-    FROM sig l JOIN sig r ON l.doc_id < r.doc_id AND ({band_eq})
+    longb AS (
+        SELECT b.doc_id, b.band, b.bh
+        FROM ({bands_union}) b
+        JOIN (SELECT doc_id FROM {src}
+              WHERE len({toks}) >= {_SHINGLE_K}) rt USING (doc_id)
+    )
+    """.strip()
+
+
+def _minhash_pair_ctes(src: str = "documents") -> str:
+    """CTE chain ``longb → okb → keptb → prs`` mirroring the Spark LSH
+    pair-generation guards exactly: documents with fewer than
+    ``_SHINGLE_K`` tokens are routed around banding
+    (dedup.banded_table ``route_short``) and (band, bucket) groups with
+    more than ``_MH_MAX_BUCKET`` members are dropped before the
+    self-join (dedup.minhash_lsh_candidates ``max_bucket``). With one
+    hash row per band, band i's bucket key is ``h_i`` — the same doc
+    partition Spark's md5 band_hash keys induce, so the HAVING cap
+    counts identical groups. Expects a ``sig`` CTE in scope; ``src``
+    must expose (doc_id, text) for the token-count routing filter."""
+    return f"""
+    {_minhash_long_cte(src)},
+    okb AS (
+        SELECT band, bh FROM longb
+        GROUP BY band, bh HAVING COUNT(*) <= {_MH_MAX_BUCKET}
+    ),
+    keptb AS (
+        SELECT l.doc_id, l.band, l.bh FROM longb l JOIN okb USING (band, bh)
+    ),
+    prs AS (
+        SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+        FROM keptb l JOIN keptb r
+          ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    )
+    """
+
+
+def _minhash_pairs_sql() -> str:
+    return f"""
+    WITH sig AS ({_minhash_sql().strip()}),
+    {_minhash_pair_ctes()}
+    SELECT src AS doc_id_l, dst AS doc_id_r FROM prs
     """
 
 
@@ -418,15 +467,11 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value-checked, not just each stage.
 # --------------------------------------------------------------------------
 def _near_dedup_sql() -> str:
-    band_eq = " OR ".join(f"l.h{i} = r.h{i}" for i in range(_MH_HASHES))
     return f"""
     WITH RECURSIVE sig AS ({_minhash_sql().strip()}),
-    pairs AS (
-        SELECT l.doc_id AS src, r.doc_id AS dst
-        FROM sig l JOIN sig r ON l.doc_id < r.doc_id AND ({band_eq})
-    ),
+    {_minhash_pair_ctes()},
     sym AS (
-        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+        SELECT src, dst FROM prs UNION SELECT dst, src FROM prs
     ),
     reach(node, other) AS (
         SELECT src, src FROM sym
@@ -1726,7 +1771,6 @@ _CURATE_JACCARD = 0.7
 
 
 def _curate_sql() -> str:
-    band_eq = " OR ".join(f"l.h{i} = r.h{i}" for i in range(_MH_HASHES))
     # the shingle CTE again at the OUTER level (renamed shx; the copy
     # nested inside sig's WITH is scoped to sig) for the exact-Jaccard
     # verification of LSH candidates
@@ -1758,13 +1802,10 @@ def _curate_sql() -> str:
     exact AS (SELECT k.* FROM kept k JOIN keepx USING (doc_id)),
     sig AS ({_minhash_sql("exact").strip()}),
     {shx},
-    pairs AS (
-        SELECT l.doc_id AS src, r.doc_id AS dst
-        FROM sig l JOIN sig r ON l.doc_id < r.doc_id AND ({band_eq})
-    ),
+    {_minhash_pair_ctes("exact")},
     verified AS (
         SELECT p.src, p.dst
-        FROM pairs p
+        FROM prs p
         JOIN shx sl ON p.src = sl.doc_id
         JOIN shx sr ON p.dst = sr.doc_id
         WHERE ROUND({jac}, 6) >= {_CURATE_JACCARD!r}
@@ -2617,21 +2658,30 @@ def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incr_dedup_sql() -> str:
-    def band_eq(a: str, b: str) -> str:
-        return " OR ".join(
-            f"{a}.h{i} = {b}.h{i}" for i in range(_MH_HASHES)
-        )
-
+    # longb/okb mirror dedup.incremental_near_dedup's guards: routing
+    # excludes sub-shingle-length docs from BOTH band tables
+    # (banded_table route_short) and the hot-bucket cap applies to the
+    # batch side only (the only side that self-joins). Survivor base is
+    # ALL new docs — routed-out short docs survive unconditionally, like
+    # Spark's `assign` built from `new` itself.
     return f"""
     WITH RECURSIVE sig AS ({_minhash_sql().strip()}),
-    nw AS (SELECT * FROM sig WHERE doc_id % 10 = 0),
-    old AS (SELECT * FROM sig WHERE doc_id % 10 <> 0),
+    {_minhash_long_cte()},
+    nwb AS (SELECT * FROM longb WHERE doc_id % 10 = 0),
+    oldb AS (SELECT * FROM longb WHERE doc_id % 10 <> 0),
+    okn AS (
+        SELECT band, bh FROM nwb
+        GROUP BY band, bh HAVING COUNT(*) <= {_MH_MAX_BUCKET}
+    ),
+    nwk AS (SELECT n.* FROM nwb n JOIN okn USING (band, bh)),
     hits AS (
-        SELECT DISTINCT n.doc_id FROM nw n JOIN old o ON ({band_eq("n", "o")})
+        SELECT DISTINCT n.doc_id
+        FROM nwk n JOIN oldb o ON n.band = o.band AND n.bh = o.bh
     ),
     pairs AS (
         SELECT l.doc_id AS src, r.doc_id AS dst
-        FROM nw l JOIN nw r ON l.doc_id < r.doc_id AND ({band_eq("l", "r")})
+        FROM nwk l JOIN nwk r
+          ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
     ),
     sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
     reach(node, other) AS (
@@ -2642,7 +2692,8 @@ def _incr_dedup_sql() -> str:
     cc AS (SELECT node, MIN(other) AS component FROM reach GROUP BY node),
     comp AS (
         SELECT n.doc_id, COALESCE(cc.component, n.doc_id) AS component
-        FROM nw n LEFT JOIN cc ON n.doc_id = cc.node
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) n
+        LEFT JOIN cc ON n.doc_id = cc.node
     ),
     dropped AS (
         SELECT DISTINCT c.component FROM comp c JOIN hits h ON c.doc_id = h.doc_id

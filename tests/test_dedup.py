@@ -405,3 +405,99 @@ def test_span_dedup_hash_key_equivalent(spark, sf_dir):
         for r in span_dedup(docs, min_span_words=5, hash_key=True).collect()
     }
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------- minhash LSH scale guards
+
+
+def test_minhash_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    """A constructed mega-bucket (one template repeated 400×, plus 800
+    short/empty docs) must produce O(cap²) candidates, never O(n²):
+    short docs are routed around banding entirely, and the over-cap
+    template bucket is dropped by the broadcast anti-join."""
+    template = " ".join(f"tok{i}" for i in range(20))
+    rows = [(i, template) for i in range(400)]          # template mega-bucket
+    rows += [(1000 + i, "hi") for i in range(400)]      # sub-shingle-length
+    rows += [(2000 + i, "") for i in range(400)]        # empty
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # routing alone: the 800 short/empty docs never band, so the
+    # uncapped pair count is C(400,2) (template docs only), not C(1200,2)
+    n_uncapped = minhash_lsh_candidates(
+        df, num_hashes=8, num_bands=4, max_bucket=None
+    ).count()
+    assert n_uncapped == 400 * 399 // 2
+    # the cap then drops the 400-member template bucket outright
+    assert (
+        minhash_lsh_candidates(
+            df, num_hashes=8, num_bands=4, max_bucket=50
+        ).count()
+        == 0
+    )
+
+
+def test_minhash_short_doc_routing_vs_exact_dedup(spark):
+    """Sub-shingle-length docs can only be exact duplicates (their
+    shingle set is the singleton {whole text}); routing them out of
+    banding loses nothing because exact_dedup owns them."""
+    rows = [
+        (1, ""), (2, ""),                     # empty pair
+        (3, "a b"), (4, "a b"),               # 2-token exact pair
+        (5, "the quick brown fox jumps"),
+        (6, "the quick brown fox jumps!"),    # genuine near-dup, 5 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_id_l"], r["doc_id_r"])
+        for r in minhash_lsh_candidates(df, num_hashes=16, num_bands=8).collect()
+    }
+    assert all(p[0] >= 5 for p in pairs), pairs   # short docs never band
+    assert (5, 6) in pairs                        # long near-dups still found
+    # legacy behavior reachable: route_short=False re-admits them
+    legacy = {
+        (r["doc_id_l"], r["doc_id_r"])
+        for r in minhash_lsh_candidates(
+            df, num_hashes=16, num_bands=8, route_short=False
+        ).collect()
+    }
+    assert (1, 2) in legacy and (3, 4) in legacy
+    # and exact_dedup catches exactly those routed-out duplicates
+    kept = {r["doc_id"] for r in exact_dedup(df).collect()}
+    assert 2 not in kept and 4 not in kept and {1, 3, 5, 6} <= kept
+
+
+def test_minhash_guards_are_noop_on_normal_corpus(spark, docs):
+    """Default guards must not change recall when no bucket is hot and
+    no doc is sub-shingle-length."""
+    kw = dict(num_hashes=16, num_bands=8)
+    guarded = {
+        (r["doc_id_l"], r["doc_id_r"])
+        for r in minhash_lsh_candidates(docs, **kw).collect()
+    }
+    raw = {
+        (r["doc_id_l"], r["doc_id_r"])
+        for r in minhash_lsh_candidates(
+            docs, max_bucket=None, route_short=False, **kw
+        ).collect()
+    }
+    assert guarded == raw and len(guarded) > 0
+
+
+def test_incremental_near_dedup_caps_hot_batch_bucket(spark):
+    """The batch-side self-join in incremental_near_dedup honours
+    max_bucket: an over-cap template cluster in the delta produces no
+    within-batch edges, so every template doc survives independently
+    (bounded work; recall traded exactly like the batch operator)."""
+    from auto_data_linkage_spark.operators.dedup import incremental_near_dedup
+
+    template = " ".join(f"tok{i}" for i in range(20))
+    existing = spark.createDataFrame(
+        [(10_000, "some unrelated corpus document entirely")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, template) for i in range(100)], "doc_id long, text string"
+    )
+    capped = incremental_near_dedup(existing, new, max_bucket=10)
+    assert capped.count() == 100           # bucket dropped → no edges
+    full = incremental_near_dedup(existing, new, max_bucket=None)
+    assert full.count() == 1               # one survivor per component
