@@ -683,6 +683,15 @@ def span_dedup(
     )
     if hash_key:
         grams = F.transform(grams, lambda g: md5_hash64(g))
+    # the exploded gram table feeds BOTH the keeper aggregate and the
+    # join probe below, so its projection is deliberately computed
+    # twice. An eager localCheckpoint here (the LSH banding pattern)
+    # was measured SLOWER — 0.71 vs 0.51 s min over 8 warm sf0.1 runs —
+    # because the materialized table is ~k× the corpus text (one k-word
+    # string gram per token position), so writing + twice reading it
+    # exceeds re-running a whole-stage-codegen projection over the
+    # columnar scan; at 100 TB it would additionally pin k× corpus
+    # bytes in executor block storage. Recompute wins on both axes.
     sh = base.where(n >= k).select(
         F.col(id_col), F.posexplode(grams).alias("pos", "gram")
     )
