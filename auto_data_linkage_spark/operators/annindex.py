@@ -37,6 +37,25 @@ from pyspark.sql import functions as F
 _VERSION = 1
 
 
+def _local(path: str) -> str:
+    return path[7:] if path.startswith("file://") else path
+
+
+def _write_meta(local: str, meta: dict) -> None:
+    """Atomic index.json update: write a temp file and os.replace() it
+    (the PosixCommitStore.replace pattern — sources/layout.py). A crash
+    mid-write, or a concurrent load_ann_index / ann_index_sink reader,
+    therefore always sees either the old or the new complete JSON,
+    never a torn/empty file. ``generation`` increments on every edit so
+    readers can detect staleness cheaply."""
+    meta["generation"] = int(meta.get("generation", 0)) + 1
+    target = os.path.join(local, "index.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, target)
+
+
 @dataclass
 class AnnIndex:
     """Handle to a loaded index: lazy DataFrames + literal codebooks."""
@@ -70,7 +89,7 @@ def build_ann_index(
         pq_encode,
     )
 
-    local = path[7:] if path.startswith("file://") else path
+    local = _local(path)
     os.makedirs(local, exist_ok=True)
 
     cents = build_centroids(corpus, vec_col=vec_col, cell_col=cell_col, dim=dim)
@@ -91,9 +110,9 @@ def build_ann_index(
     cents.write.mode("overwrite").parquet(os.path.join(local, "centroids"))
 
     spark = corpus.sparkSession
-    n_rows, n_cells = (
+    n_rows, cells = (
         spark.read.parquet(os.path.join(local, "coded"))
-        .agg(F.count("*"), F.count_distinct("cell"))
+        .agg(F.count("*"), F.collect_set("cell"))
         .first()
     )
     meta = {
@@ -105,10 +124,13 @@ def build_ann_index(
         "cell_col": cell_col,
         "codebooks": cbs,
         "n_rows": int(n_rows),
-        "n_cells": int(n_cells),
+        "n_cells": len(cells),
+        # occupied-cell inventory: lets append_ann_index maintain
+        # n_rows/n_cells from the DELTA alone instead of rescanning the
+        # whole coded/ tree per append (O(delta), not O(index))
+        "cells": sorted(cells),
     }
-    with open(os.path.join(local, "index.json"), "w") as f:
-        json.dump(meta, f)
+    _write_meta(local, meta)
     return meta
 
 
@@ -124,49 +146,178 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
     of the ADC scores is unaffected. Delta rows must carry the same
     ``vec_col``/``id_col``/``cell_col`` columns the index was built
     with; ids are NOT dedup-checked against the stored rows (dedup
-    upstream). Returns the updated metadata."""
+    upstream). Delta cell labels ARE validated against the stored
+    ``centroids/`` routing table — a row carrying an unknown cell would
+    be appended but never probed (silently unreachable in every future
+    search), so unknown cells raise. Returns the updated metadata.
+
+    Cost is O(delta): row/cell counts update from one aggregate over
+    the delta plus the occupied-cell inventory kept in ``index.json``
+    — the full ``coded/`` tree is never rescanned (it used to be, which
+    made the streaming sink pay an O(index) scan per micro-batch)."""
     from auto_data_linkage_spark.operators.similarity import (
         _pq_recon_norm,
         pq_encode,
     )
 
-    local = path[7:] if path.startswith("file://") else path
-    meta_path = os.path.join(local, "index.json")
-    with open(meta_path) as f:
+    local = _local(path)
+    with open(os.path.join(local, "index.json")) as f:
         meta = json.load(f)
     if meta.get("version") != _VERSION:
         raise ValueError(
             f"unsupported ann-index version {meta.get('version')!r}"
         )
     cbs = meta["codebooks"]
+    cell_col = meta["cell_col"]
+
+    spark = delta.sparkSession
+    n_delta, delta_cells = delta.agg(
+        F.count("*"), F.collect_set(cell_col)
+    ).first()
+    if n_delta == 0:
+        return meta
+    routed = {
+        r["cell"]
+        for r in spark.read.parquet(os.path.join(local, "centroids"))
+        .select("cell")
+        .collect()
+    }
+    unknown = sorted(set(delta_cells) - routed)
+    if unknown:
+        raise ValueError(
+            f"delta carries {len(unknown)} cell label(s) absent from the "
+            f"index routing table (first few: {unknown[:5]}); such rows "
+            "could never be probed — re-assign cells against the stored "
+            "centroids (similarity.assign_cells) or rebuild the index"
+        )
+
     coded = pq_encode(
         delta,
         cbs,
         vec_col=meta["vec_col"],
         id_col=meta["id_col"],
-        keep=(meta["cell_col"],),
+        keep=(cell_col,),
     ).select(
         F.col(meta["id_col"]).alias("neighbor_id"),
-        F.col(meta["cell_col"]).alias("cell"),
+        F.col(cell_col).alias("cell"),
         "codes",
         _pq_recon_norm(cbs).alias("__cn"),
     )
     coded.write.mode("append").partitionBy("cell").parquet(
         os.path.join(local, "coded")
     )
-    spark = delta.sparkSession
-    n_rows, n_cells = (
-        spark.read.parquet(os.path.join(local, "coded"))
-        .agg(F.count("*"), F.count_distinct("cell"))
-        .first()
-    )
-    meta["n_rows"], meta["n_cells"] = int(n_rows), int(n_cells)
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
+    if "cells" not in meta:
+        # index written by a pre-inventory build: seed the occupied-cell
+        # list with one full scan (once), then stay O(delta) forever
+        meta["cells"] = [
+            r["cell"]
+            for r in spark.read.parquet(os.path.join(local, "coded"))
+            .select("cell")
+            .distinct()
+            .collect()
+        ]
+        delta_cells = []
+    cells = sorted(set(meta["cells"]) | set(delta_cells))
+    meta["n_rows"] = int(meta["n_rows"]) + int(n_delta)
+    meta["cells"] = cells
+    meta["n_cells"] = len(cells)
+    _write_meta(local, meta)
     return meta
 
 
-def ann_index_sink(path: str):
+def _cell_file_counts(local: str) -> dict[str, int]:
+    """Parquet data-file count per ``cell=*/`` directory of ``coded/``."""
+    coded = os.path.join(local, "coded")
+    out: dict[str, int] = {}
+    for entry in os.listdir(coded):
+        cell_dir = os.path.join(coded, entry)
+        if not (entry.startswith("cell=") and os.path.isdir(cell_dir)):
+            continue
+        out[entry] = sum(
+            1 for f in os.listdir(cell_dir) if f.endswith(".parquet")
+        )
+    return out
+
+
+def compact_ann_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_cell: int = 8,
+    target_rows_per_file: int = 5_000_000,
+) -> dict:
+    """Rewrite over-fragmented cell directories of ``coded/`` into few
+    large files — the index-side mirror of
+    :func:`..sources.layout.compact_corpus`. Streaming ingestion via
+    :func:`ann_index_sink` appends one small parquet file per cell per
+    micro-batch, so without maintenance a long-running stream degrades
+    every probe-time scan into thousands-of-tiny-files I/O.
+
+    Only cells whose data-file count exceeds ``max_files_per_cell`` are
+    rewritten (a cell-targeted parquet read; untouched cells are never
+    scanned). Results are written to a sibling temp tree, then each
+    rewritten cell directory is swapped in with two renames — atomic at
+    cell granularity, the same contract compact_corpus documents.
+    Codebooks and centroids are untouched; ``index.json`` is rewritten
+    atomically with a bumped ``generation``. Returns a summary dict
+    ``{cells_rewritten, files_before, files_after, rows_rewritten}``.
+    """
+    import shutil
+
+    local = _local(path)
+    with open(os.path.join(local, "index.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _VERSION:
+        raise ValueError(
+            f"unsupported ann-index version {meta.get('version')!r}"
+        )
+    counts = _cell_file_counts(local)
+    hot = sorted(e for e, n in counts.items() if n > max_files_per_cell)
+    if not hot:
+        return {
+            "cells_rewritten": 0,
+            "files_before": sum(counts.values()),
+            "files_after": sum(counts.values()),
+            "rows_rewritten": 0,
+        }
+    coded_dir = os.path.join(local, "coded")
+    tmp_root = os.path.join(local, "coded__compact")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+    # read ONLY the hot cell directories (path-targeted scan; the cell
+    # partition value comes back via basePath) and rewrite size-targeted
+    df = (
+        spark.read.option("basePath", coded_dir)
+        .parquet(*[os.path.join(coded_dir, e) for e in hot])
+    )
+    rows = df.count()
+    files = max(1, -(-rows // target_rows_per_file))  # ceil
+    (
+        df.repartition(files, "cell")
+        .sortWithinPartitions("cell", "neighbor_id")
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy("cell")
+        .parquet(tmp_root)
+    )
+    for entry in hot:
+        new_dir = os.path.join(tmp_root, entry)
+        cur_dir = os.path.join(coded_dir, entry)
+        old_dir = cur_dir + "__old"
+        os.rename(cur_dir, old_dir)
+        os.rename(new_dir, cur_dir)
+        shutil.rmtree(old_dir)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    _write_meta(local, meta)
+    after = _cell_file_counts(local)
+    return {
+        "cells_rewritten": len(hot),
+        "files_before": sum(counts.values()),
+        "files_after": sum(after.values()),
+        "rows_rewritten": int(rows),
+    }
+
+
+def ann_index_sink(path: str, *, compact_over: int | None = None):
     """``foreachBatch`` sink folding each micro-batch of vectors into
     the persisted index via :func:`append_ann_index` — continuous
     embedding ingestion (the streaming analog of
@@ -175,6 +326,12 @@ def ann_index_sink(path: str):
     micro-batch after a failure append duplicate coded rows — point a
     checkpointLocation at the query and dedup ids upstream, the same
     caveat as every append-mode foreachBatch sink.
+
+    ``compact_over`` enables inline maintenance: after each append, any
+    cell directory holding more than that many parquet files is
+    rewritten via :func:`compact_ann_index` (each micro-batch appends
+    one small file per touched cell, so a long-running stream otherwise
+    fragments probe-time scans without bound).
 
     Usage::
 
@@ -186,12 +343,16 @@ def ann_index_sink(path: str):
         if batch_df.isEmpty():
             return
         append_ann_index(batch_df, path)
+        if compact_over is not None:
+            compact_ann_index(
+                batch_df.sparkSession, path, max_files_per_cell=compact_over
+            )
 
     return _sink
 
 
 def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
-    local = path[7:] if path.startswith("file://") else path
+    local = _local(path)
     with open(os.path.join(local, "index.json")) as f:
         meta = json.load(f)
     if meta.get("version") != _VERSION:
@@ -213,11 +374,19 @@ def ann_index_topk(
     nprobe: int = 2,
     rerank_factor: int = 0,
     corpus: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k from the STORED index — identical plan (and results) to
     the inline :func:`similarity.ivfpq_topk`, except the coded side is
     the partition-pruned parquet scan instead of a fresh encode. Pass
-    ``corpus`` (true vectors) to enable ``rerank_factor``."""
+    ``corpus`` (true vectors) to enable ``rerank_factor``.
+
+    ``exclude_self`` (default True, inline-path parity) drops hits with
+    ``query_id == neighbor_id`` — correct when queries ARE corpus rows
+    (self-search). Pass ``False`` when serving external queries whose
+    id space is unrelated to the corpus ids: both are typically small
+    integers, and a coincidental id collision would otherwise silently
+    lose that neighbor."""
     from auto_data_linkage_spark.operators.similarity import _ivfpq_score
 
     return _ivfpq_score(
@@ -231,4 +400,5 @@ def ann_index_topk(
         id_col=index.meta["id_col"],
         rerank_factor=rerank_factor,
         corpus=corpus,
+        exclude_self=exclude_self,
     )

@@ -941,12 +941,18 @@ def _ivfpq_score(
     id_col: str,
     rerank_factor: int = 0,
     corpus: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The probe half of :func:`ivfpq_topk` over an ALREADY-CODED
     corpus ``(neighbor_id, cell, codes, __cn)`` — shared by the inline
     path and the persisted-index path (:mod:`.annindex`), so both run
     the identical plan. ``corpus`` (true vectors) is required only
-    when ``rerank_factor > 0``."""
+    when ``rerank_factor > 0``. ``exclude_self`` drops hits where
+    ``query_id == neighbor_id`` — right for self-search over one id
+    space (the inline path); pass ``False`` when serving EXTERNAL
+    queries from a persisted index, where an id-value coincidence
+    between the two unrelated id spaces would silently lose a true
+    neighbor."""
     # ---- route queries to nprobe nearest cells (ivf_topk's plan) ------
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -972,9 +978,9 @@ def _ivfpq_score(
     )
 
     # ---- ADC-score only within probed cells (equi-join, prunes) -------
-    joined = coded.join(F.broadcast(probes), "cell").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    joined = coded.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     denom = F.col("__qn") * F.col("__cn")
     score = _pq_adc_dot(cbs, "__qvec")
     cosine = F.when(denom > 0, score / denom).otherwise(F.lit(0.0))

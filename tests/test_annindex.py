@@ -145,3 +145,85 @@ def test_ann_index_sink_streams_vectors_into_index(spark, vecs, tmp_path):
     queries = vecs.where(F.col("vec_id") >= 450).limit(2)
     got = A.ann_index_topk(idx, queries, k=3, nprobe=3).collect()
     assert got and any(r.neighbor_id >= 450 for r in got)
+
+
+def test_compact_ann_index_shrinks_files_same_results(spark, vecs, tmp_path):
+    """N appends fragment cell dirs into one file per append; compaction
+    must drop the file count and leave ann_index_topk bit-identical."""
+    import os
+
+    out = str(tmp_path / "annidx_cmp")
+    base = vecs.where(F.col("vec_id") < 300)
+    A.build_ann_index(base, out, m=4, n_codewords=8)
+    for lo, hi in [(300, 350), (350, 400), (400, 450), (450, 10**9)]:
+        A.append_ann_index(
+            vecs.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), out
+        )
+    queries = vecs.orderBy("vec_id").limit(5)
+    before = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in A.ann_index_topk(
+            A.load_ann_index(spark, out), queries, k=5, nprobe=3
+        ).collect()
+    }
+    n_before = sum(A._cell_file_counts(out).values())
+    report = A.compact_ann_index(spark, out, max_files_per_cell=2)
+    assert report["cells_rewritten"] >= 1
+    assert report["files_after"] < n_before == report["files_before"]
+    # every cell now within the threshold
+    assert max(A._cell_file_counts(out).values()) <= 2
+    after = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in A.ann_index_topk(
+            A.load_ann_index(spark, out), queries, k=5, nprobe=3
+        ).collect()
+    }
+    assert before == after
+    # metadata survives with counts intact and a bumped generation
+    idx = A.load_ann_index(spark, out)
+    assert idx.meta["n_rows"] == vecs.count()
+    # idempotent: nothing left over the threshold → no-op
+    again = A.compact_ann_index(spark, out, max_files_per_cell=2)
+    assert again["cells_rewritten"] == 0
+
+
+def test_append_rejects_unknown_cells(spark, vecs, tmp_path):
+    out = str(tmp_path / "annidx_badcell")
+    A.build_ann_index(vecs, out, m=4, n_codewords=8)
+    bad = vecs.limit(3).withColumn("label", F.lit(987654))
+    with pytest.raises(ValueError, match="absent from the index routing"):
+        A.append_ann_index(bad, out)
+
+
+def test_append_updates_meta_incrementally_and_atomically(spark, vecs, tmp_path):
+    import json
+    import os
+
+    out = str(tmp_path / "annidx_meta")
+    base = vecs.where(F.col("vec_id") < 400)
+    m0 = A.build_ann_index(base, out, m=4, n_codewords=8)
+    m1 = A.append_ann_index(vecs.where(F.col("vec_id") >= 400), out)
+    assert m1["generation"] > m0["generation"]
+    assert m1["n_rows"] == vecs.count()
+    assert set(m1["cells"]) >= set(m0["cells"])
+    assert m1["n_cells"] == len(m1["cells"])
+    # no torn temp file left behind
+    assert not os.path.exists(os.path.join(out, "index.json.tmp"))
+    on_disk = json.load(open(os.path.join(out, "index.json")))
+    assert on_disk["n_rows"] == m1["n_rows"]
+
+
+def test_served_topk_exclude_self_flag(spark, vecs, tmp_path):
+    """External-query serving: with exclude_self=False an id-value
+    coincidence between query and corpus id spaces keeps the neighbor
+    (typically the vector itself at cosine 1.0)."""
+    out = str(tmp_path / "annidx_self")
+    A.build_ann_index(vecs, out, m=4, n_codewords=8)
+    idx = A.load_ann_index(spark, out)
+    queries = vecs.orderBy("vec_id").limit(3)
+    dropped = A.ann_index_topk(idx, queries, k=5, nprobe=3).collect()
+    assert all(r.query_id != r.neighbor_id for r in dropped)
+    kept = A.ann_index_topk(
+        idx, queries, k=5, nprobe=3, exclude_self=False
+    ).collect()
+    assert any(r.query_id == r.neighbor_id for r in kept)
