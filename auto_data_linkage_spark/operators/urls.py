@@ -147,7 +147,12 @@ def blocklist_filter(
     to every task."""
     spark = df.sparkSession
     if isinstance(blocked_domains, DataFrame):
-        bl = blocked_domains.toDF("__blocked")
+        # lowercase the DataFrame branch too: the join key (registered
+        # domain) is always lowercased, so a mixed-case blocklist entry
+        # would otherwise silently block nothing
+        bl = blocked_domains.toDF("__blocked").select(
+            F.lower(F.col("__blocked")).alias("__blocked")
+        )
     else:
         bl = spark.createDataFrame(
             [(d.lower(),) for d in blocked_domains], ["__blocked"]
@@ -251,7 +256,9 @@ def curate_urls(
     if blocked_domains is not None:
         spark = df.sparkSession
         if isinstance(blocked_domains, DataFrame):
-            bl = blocked_domains.toDF("__blocked")
+            bl = blocked_domains.toDF("__blocked").select(
+                F.lower(F.col("__blocked")).alias("__blocked")
+            )
         else:
             bl = spark.createDataFrame(
                 [(d.lower(),) for d in blocked_domains], ["__blocked"]

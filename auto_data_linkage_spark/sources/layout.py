@@ -389,7 +389,16 @@ def failed_commits(
     """Failed-commit tokens whose touched partitions are NOT yet covered
     by a later committed version — i.e. partitions that may still hold
     torn data from a mid-overwrite death and need repair (re-run the
-    failed upsert, or any upsert touching those partitions)."""
+    failed upsert, or any upsert touching those partitions).
+
+    The torn list is an OVER-approximation: a writer that died after
+    winning its version token but before replacing any partition
+    directory still records ``state: failed`` with its full intended
+    partition list, so healthy partitions can be reported as torn.
+    Repairing (re-upserting) a healthy partition is a harmless rewrite
+    — the conservative direction for a durability check."""
+    if store is None and path is None:
+        raise ValueError("failed_commits needs either path= or store=")
     store = store or PosixCommitStore(_commit_log_dir(path))
     commits = _read_commits(store)
     out = []

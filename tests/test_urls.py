@@ -77,6 +77,24 @@ def test_blocklist_filter_blocks_subdomains(spark):
     assert {r.doc_id for r in out.collect()} == {3, 4}
 
 
+def test_blocklist_filter_dataframe_branch_case_insensitive(spark):
+    """A DataFrame-typed blocklist with mixed-case entries must block
+    the same rows as the lowercased list form (the join key is always
+    the lowercased registered domain)."""
+    rows = [
+        (1, "https://www.spam.com/a"),
+        (2, "https://cdn.Spam.COM/b"),
+        (3, "https://fine.org/c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("Spam.COM",)], "domain string")
+    out = U.blocklist_filter(df, bl)
+    assert {r.doc_id for r in out.collect()} == {3}
+    # composed path takes the same DataFrame branch
+    cur = U.curate_urls(df, blocked_domains=bl)
+    assert {r.doc_id for r in cur.collect()} == {3}
+
+
 def test_blocklist_filter_is_broadcast_anti(spark):
     df = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
     plan = (
