@@ -1490,11 +1490,14 @@ _DEPRIORITIZED = (
     # text_features + pii_scrub driver rows); integer-exact booleans,
     # driver-identically checked by tests/test_oracle_window.py:
     "gopher_quality_filter",
-    # registered DIRECTLY into the back window (same family/machinery
-    # class as gopher_quality_filter — integer-exact per-doc booleans,
-    # bit-parity-tested vs an independent Python reference AND the
-    # DuckDB oracle via tests/test_oracle_window.py):
-    "gopher_repetition_filter",
+    # round-9 rotation: gopher_repetition_filter PROMOTED to the driver
+    # window (the standing rule — the newest nontrivial text operator
+    # holds a hard driver row); synthetic_id demoted in exchange: a
+    # single-primitive deterministic row_number projection whose window
+    # machinery window_count certifies and whose family keeps
+    # clean_project in-window. It stays driver-identically checked by
+    # tests/test_oracle_window.py:
+    "synthetic_id",
     # round-8 rotation: line_dedup, c4_clean, perplexity_buckets
     # (back-window-only since r7) and the new url_curation promoted to
     # driver rows; four redundant front rows demoted in exchange, each
