@@ -104,6 +104,19 @@ def connected_components(
     overhead — a 10^5-edge graph finishes in milliseconds on the driver).
     Larger graphs run the O(log n)-round distributed star algorithm. Both
     paths produce identical output.
+
+    Memory math for ``driver_threshold`` (the only driver-side state):
+    the probe collects at most ``threshold + 1`` edge Rows (~200 B each
+    incl. Python object overhead → ~200 MB transient at the default
+    10⁶), and the union-find holds one int→int dict entry per distinct
+    node (≤ 2 per edge; CPython dict + boxed ints ≈ 100 B/entry →
+    ≤ ~200 MB at the default). So the default fits comfortably in a
+    couple-GB driver; lower it on thin drivers, raise it only with
+    driver memory to spare. Above the threshold NO edge rows ever reach
+    the driver: the size probe is ``limit(threshold+1).count()`` — one
+    long — and the star rounds exchange edges among executors only
+    (pinned by tests/test_cluster.py::
+    test_over_threshold_takes_distributed_path_without_edge_collect).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
 

@@ -132,3 +132,31 @@ def test_cc_small_graph_fast_path_fetches_once(spark, monkeypatch):
     rows = orig_collect(out)
     assert calls == [2]  # exactly one driver fetch, of the 2 edges
     assert len({r["component"] for r in rows}) == 1
+
+
+def test_over_threshold_takes_distributed_path_without_edge_collect(
+    spark, monkeypatch
+):
+    """Over driver_threshold the star-rounds path must run: the driver
+    union-find is never invoked (monkeypatched to raise), and the
+    result is identical to the driver path's output on the same graph."""
+    import auto_data_linkage_spark.cluster as C
+
+    edges = [(i, i + 1) for i in range(0, 60, 2)]  # 30 two-node comps
+    edges += [(100, 101), (101, 102), (102, 100)]  # one triangle
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(df, driver_threshold=10_000).collect()
+    }
+
+    def boom(*a, **k):
+        raise AssertionError("driver union-find ran on an over-threshold graph")
+
+    monkeypatch.setattr(C, "_union_find_components", boom)
+    got = {
+        (r["node"], r["component"])
+        for r in C.connected_components(df, driver_threshold=5).collect()
+    }
+    assert got == want
