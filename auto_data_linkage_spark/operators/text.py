@@ -33,12 +33,29 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 # mirrors the common GPT-2-style pre-tokenizer split (public regex idea).
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
-# small stopword inventories for the language-ID heuristic (public lists)
+# Small stopword inventories for the language-ID heuristic — the top-10
+# function words of each language from the standard public stopword
+# lists (NLTK/ISO-639 collections). 15 languages; ties in the argmax
+# break toward the alphabetically-earlier code, so overlapping Romance/
+# Germanic function words ("de", "la", "en", "in") resolve
+# deterministically. zh entries are pinyin romanizations because the
+# heuristic is whitespace-token based (matches the synthetic corpus;
+# real Chinese text needs a segmenter upstream).
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
     "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
     "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
     "fr": ("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"),
-    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "dalam"),
+    "it": ("di", "che", "la", "il", "un", "per", "una", "sono", "non", "con"),
+    "nl": ("de", "het", "een", "van", "en", "dat", "op", "te", "niet", "zijn"),
+    "pl": ("się", "nie", "na", "jest", "do", "to", "że", "z", "co", "jak"),
+    "pt": ("de", "que", "o", "do", "da", "em", "um", "para", "não", "com"),
+    "ro": ("și", "de", "la", "în", "să", "cu", "pe", "nu", "este", "care"),
+    "ru": ("и", "в", "не", "на", "что", "он", "как", "это", "по", "но"),
+    "sv": ("och", "det", "att", "i", "en", "som", "på", "är", "av", "för"),
+    "tr": ("bir", "ve", "bu", "için", "ile", "ama", "çok", "gibi", "daha", "ben"),
+    "vi": ("là", "và", "của", "có", "không", "được", "một", "người", "trong", "cho"),
     "zh": ("de", "shi", "le", "bu", "wo", "you", "zai", "ta", "men", "zhe"),
 }
 
@@ -116,9 +133,16 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     return out
 
 
-def lang_id(text: Column | str) -> Column:
-    """Predicted language = argmax stopword hits, ``und`` when no evidence.
-    Ties break by language code order (deterministic)."""
+def lang_id(text: Column | str, *, min_hits: int = 1) -> Column:
+    """Predicted language = argmax stopword hits, ``und`` when the best
+    language scores fewer than ``min_hits`` hits. Ties break by language
+    code order (deterministic; overlapping function words like "de"/"la"
+    resolve to the alphabetically-earlier code).
+
+    ``min_hits`` is the evidence floor: at the default 1 any single
+    function-word hit labels the document; raise it (2–3) for corpora of
+    short snippets where one incidental token ("a", "in") otherwise
+    over-commits — below the floor the honest answer is ``und``."""
     scores = lang_scores(text)
     pairs = F.array(
         *[
@@ -128,7 +152,7 @@ def lang_id(text: Column | str) -> Column:
     )
     best = F.aggregate(
         pairs,
-        F.struct(F.lit("und").alias("lang"), F.lit(0).alias("hits")),
+        F.struct(F.lit("und").alias("lang"), F.lit(int(min_hits) - 1).alias("hits")),
         lambda acc, x: F.when(x["hits"] > acc["hits"], x).otherwise(acc),
     )
     return best["lang"]

@@ -105,9 +105,11 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Language ID heuristic: stopword-hit argmax with deterministic tie-break
 # --------------------------------------------------------------------------
-def _lang_pred_parts() -> tuple[list[str], str]:
+def _lang_pred_parts(min_hits: int = 1) -> tuple[list[str], str]:
     """(per-language hit-count columns, argmax CASE) — shared by the
-    distribution query and the per-doc prediction CTE."""
+    distribution query and the per-doc prediction CTE. ``min_hits``
+    mirrors text.lang_id's evidence floor (best language below the
+    floor → 'und')."""
     langs = sorted(X.LANG_STOPWORDS)
     hit_cols = []
     for lang in langs:
@@ -117,7 +119,7 @@ def _lang_pred_parts() -> tuple[list[str], str]:
             f"t -> list_contains([{arr}], t))) AS {lang}_hits"
         )
     mx = "GREATEST(" + ", ".join(f"{lang}_hits" for lang in langs) + ")"
-    case = "CASE WHEN " + mx + " = 0 THEN 'und' "
+    case = f"CASE WHEN {mx} < {int(min_hits)} THEN 'und' "
     for lang in langs:
         case += f"WHEN {lang}_hits = {mx} THEN '{lang}' "
     case += "END"

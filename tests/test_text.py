@@ -55,6 +55,51 @@ def test_lang_id(spark):
         assert r["got"] == r["expected"], r
 
 
+def test_lang_id_fifteen_language_matrix(spark):
+    """Short snippets in each supported language must classify to their
+    own code — the multilingual coverage the curation claim rests on."""
+    snippets = [
+        ("en", "the house and the garden of a king"),
+        ("es", "el perro y la casa que no se ve"),
+        ("fr", "le chien est dans la maison pour une nuit"),
+        ("de", "der hund und die katze ist ein tier"),
+        ("it", "il cane che sono una bestia non per caso con"),
+        ("pt", "o cachorro não está em um lugar para do da"),
+        ("nl", "de hond en het huis van een dat niet zijn"),
+        ("sv", "hunden och huset är som en katt på av för"),
+        ("pl", "pies się nie na to że jest do jak"),
+        ("ru", "и собака не на это как он что по"),
+        ("tr", "bir köpek ve bu ev için ile çok"),
+        ("id", "anjing yang dan di itu dengan untuk ini"),
+        ("vi", "con chó là và của có không một"),
+        ("ro", "câinele și de la în să cu este"),
+        ("zh", "wo de gou shi zai ta men zhe"),
+    ]
+    df = spark.createDataFrame(snippets, "expected string, text string")
+    rows = df.select("expected", lang_id("text").alias("got")).collect()
+    misses = [(r["expected"], r["got"]) for r in rows if r["got"] != r["expected"]]
+    assert not misses, misses
+
+
+def test_lang_id_min_hits_floor(spark):
+    """One incidental function word must not commit a language once the
+    evidence floor is raised: below min_hits the answer is und."""
+    df = spark.createDataFrame(
+        [(1, "a zebra"), (2, "the cat and the dog is in a house")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["d1"], r["d2"])
+        for r in df.select(
+            "doc_id",
+            lang_id("text").alias("d1"),
+            lang_id("text", min_hits=2).alias("d2"),
+        ).collect()
+    }
+    assert rows[1] == ("en", "und")   # single "a" hit drops below the floor
+    assert rows[2] == ("en", "en")    # well-evidenced doc unaffected
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [("A  cat\tsat",), ("a cat sat",), ("a cat stood",)], "text string"
