@@ -227,3 +227,36 @@ def test_served_topk_exclude_self_flag(spark, vecs, tmp_path):
         idx, queries, k=5, nprobe=3, exclude_self=False
     ).collect()
     assert any(r.query_id == r.neighbor_id for r in kept)
+
+
+def test_ann_index_sink_inline_compaction(spark, vecs, tmp_path):
+    """compact_over: after the stream drains, no cell directory holds
+    more parquet files than the threshold, and results still match a
+    fresh load over the full vector set."""
+    out = str(tmp_path / "annidx_stream_cmp")
+    base = vecs.where(F.col("vec_id") < 400)
+    delta = vecs.where(F.col("vec_id") >= 400).repartition(6)
+    A.build_ann_index(base, out, m=4, n_codewords=8)
+
+    src_dir = str(tmp_path / "incoming_cmp")
+    delta.write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(A.ann_index_sink(out, compact_over=2))
+        .option("checkpointLocation", str(tmp_path / "ckpt_cmp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert max(A._cell_file_counts(out).values()) <= 2
+    idx = A.load_ann_index(spark, out)
+    assert idx.meta["n_rows"] == vecs.count()
+    got = A.ann_index_topk(
+        idx, vecs.orderBy("vec_id").limit(3), k=3, nprobe=3
+    ).collect()
+    assert got and len({r.query_id for r in got}) == 3
