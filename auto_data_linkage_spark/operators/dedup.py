@@ -847,6 +847,75 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    shingle_k: int = 7,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`decontaminate` with the benchmark side compressed into a
+    Bloom filter — the 100 TB variant for LARGE holdout sets.
+
+    The exact operator broadcasts the benchmark's distinct-shingle set
+    as a hash relation: fine for test suites, but a 10⁸-gram holdout is
+    a multi-GB broadcast shipped to every task. Here the grams fold into
+    an ``m_bits``-bit filter (128 KB at the default 2²⁰) that rides into
+    the corpus projection as ONE array literal — the corpus path has
+    ZERO joins and one shuffle (the per-doc count aggregate), identical
+    plan shape at any benchmark size.
+
+    Returns ``(id, n_flagged, keep)``; ``n_flagged`` counts the doc's
+    distinct shingles the filter flags — a deterministic SUPERSET of the
+    true overlap count: never false negatives, so ``keep`` errs in the
+    safe direction for decontamination. Per-gram false-positive rate is
+    the standard (1 − e^{−kn/m})^k (n = benchmark's distinct grams):
+    ~2·10⁻⁶ at n = 10⁴ with the defaults, ~1% at n = 10⁵ — size
+    ``m_bits`` ≈ 32× n for ~2·10⁻⁴. Note the PER-DOCUMENT keep flip
+    probability is ≈ grams-per-doc × per-gram rate, so pick m for the
+    corpus's tolerable over-drop, not just the per-gram rate. The
+    md5-derived bit arithmetic replays bit-identically on DuckDB, false
+    positives included, so the operator stays oracle-checkable.
+    """
+    from auto_data_linkage_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    bench_sh = benchmark.select(
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+    ).distinct()
+    words = bloom_build(
+        bench_sh, "sh", m_bits=m_bits, n_hashes=n_hashes
+    )
+    # shingles() is array_distinct, so each exploded gram is distinct
+    # within its doc — summing hit booleans counts distinct flagged grams
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    flagged = (
+        doc_sh.select(
+            F.col(id_col),
+            bloom_contains(
+                F.col("sh"), words, m_bits=m_bits, n_hashes=n_hashes
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("hit").alias("n_flagged"))
+    )
+    return docs.select(F.col(id_col)).join(flagged, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_flagged"), F.lit(0)).cast("bigint").alias("n_flagged"),
+        (F.coalesce(F.col("n_flagged"), F.lit(0)) == 0).alias("keep"),
+    )
+
+
 # ------------------------------------------------------- semantic dedup
 def semantic_dedup(
     df: DataFrame,

@@ -43,6 +43,9 @@ __all__ = [
     "theta_intersect",
     "theta_estimate",
     "corpus_overlap",
+    "bloom_positions",
+    "bloom_build",
+    "bloom_contains",
 ]
 
 
@@ -336,4 +339,96 @@ def corpus_overlap(
             F.theta_sketch_estimate(F.theta_intersection("ta", "tb"))
             / F.theta_sketch_estimate(F.theta_union("ta", "tb"))
         ).alias("jaccard_est"),
+    )
+
+
+# ------------------------------------------------------------- bloom
+# Portable Bloom filter (Bloom 1970): k md5-derived bit positions per
+# value over an m-bit filter stored as ceil(m/63) bigint words. 63
+# usable bits per word — the sign bit stays clear, so the identical
+# 1 << bit arithmetic runs on DuckDB (which overflow-checks bigint
+# shifts) and under Spark ANSI mode. Deterministic by construction:
+# membership tests replay bit-identically cross-engine, false positives
+# included, which is what makes bloom-backed operators oracle-checkable.
+BLOOM_SEED = 7000
+BLOOM_WORD_BITS = 63
+
+
+def bloom_positions(col: Column, *, m_bits: int, n_hashes: int) -> Column:
+    """The value's ``n_hashes`` bit positions in ``[0, m_bits)``."""
+    return F.array(
+        *[
+            F.pmod(md5_hash64(col, seed=BLOOM_SEED + i), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    *,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> list[int]:
+    """Build the filter over ``df[col]``'s values and return it as the
+    dense word list (length ``ceil(m_bits / 63)``) — the whole sketch is
+    ~``m_bits/8`` bytes (128 KB at the default 2²⁰), which is the point:
+    it rides into any downstream projection as ONE array literal, so
+    membership probes cost zero joins and zero shuffles regardless of
+    how many values were inserted.
+
+    Distributed build: explode positions → per-word ``bit_or`` of masks
+    — map-side partial aggregation bounds the exchange at the sketch
+    size per partition, the same scaling law as the count-min build.
+    """
+    n_words = -(-m_bits // BLOOM_WORD_BITS)
+    rows = (
+        df.select(
+            F.explode(
+                bloom_positions(F.col(col), m_bits=m_bits, n_hashes=n_hashes)
+            ).alias("p")
+        )
+        .select(
+            F.floor(F.col("p") / BLOOM_WORD_BITS).cast("bigint").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                F.pmod(F.col("p"), F.lit(BLOOM_WORD_BITS)).cast("int"),
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[int(r["w"])] = int(r["bits"])
+    return words
+
+
+def bloom_contains(
+    col: Column,
+    words: list[int],
+    *,
+    m_bits: int,
+    n_hashes: int,
+) -> Column:
+    """Boolean membership probe against a built filter — a pure codegen
+    projection (array literal + element_at + shift), no join. False
+    positives at the standard rate ≈ (1 − e^{−kn/m})^k; never false
+    negatives."""
+    lit = F.lit(words)
+
+    def _ok(p: Column) -> Column:
+        word = F.element_at(
+            lit, F.floor(p / BLOOM_WORD_BITS).cast("int") + 1
+        )
+        bit = F.pmod(p, F.lit(BLOOM_WORD_BITS)).cast("int")
+        return (
+            F.call_function("shiftright", word, bit).bitwiseAND(F.lit(1)) == 1
+        )
+
+    return F.forall(
+        bloom_positions(col, m_bits=m_bits, n_hashes=n_hashes), _ok
     )

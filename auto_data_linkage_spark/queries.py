@@ -1516,6 +1516,12 @@ _DEPRIORITIZED = (
     # holds entropy + trimmed_block_stats driver rows; the diff is one
     # fingerprint projection + full outer equi-join):
     "corpus_diff",
+    # registered DIRECTLY into the back window (decontamination family
+    # holds decontaminate's driver row; the bloom variant runs the same
+    # gram explode with the filter probe as a literal projection — its
+    # deterministic FP arithmetic is value-checked by the back-window
+    # oracle via tests/test_oracle_window.py):
+    "bloom_decontaminate",
 )
 
 # --------------------------------------------------------------------------
@@ -1564,7 +1570,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                         "strip_boilerplate", "line_dedup"),
     "embedding-dedup": ("media_near_dup", "embedding_near_dup",
                         "semantic_dedup", "semantic_decontaminate"),
-    "decontamination": ("decontaminate",),
+    "decontamination": ("decontaminate", "bloom_decontaminate"),
     "ann-search": ("cosine_topk", "ivf_topk", "pq_topk", "ivfpq_topk",
                    "lsh_topk", "ivf_centroids", "embedding_quantize",
                    "knn_graph_stats"),

@@ -2538,6 +2538,81 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate(train, bench, shingle_k=_DECON_K)
 
 
+# Bloom-filter decontamination: small filter so the oracle SQL stays
+# compact; the operator default is 2^20 bits. 4096 bits over the ~2.5k
+# benchmark grams at sf0.01 gives a real (deterministic) false-positive
+# rate, so the oracle also certifies the FP arithmetic, not just hits.
+_BLOOM_M, _BLOOM_NH = 1 << 12, 3
+
+
+def _bloom_decon_sql(k: int = _DECON_K, m: int = _BLOOM_M, nh: int = _BLOOM_NH) -> str:
+    from auto_data_linkage_spark.operators.sketch import BLOOM_SEED
+
+    toks = _SQL_TOKENS.format(c="text")
+    bh = " UNION ALL ".join(
+        f"SELECT ({_sql_hash64('s', BLOOM_SEED + i)}) % {m} AS p FROM bsh"
+        for i in range(nh)
+    )
+    th = " UNION ALL ".join(
+        f"SELECT doc_id, s, ({_sql_hash64('s', BLOOM_SEED + i)}) % {m} AS p "
+        "FROM tex"
+        for i in range(nh)
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   generate_series(1, GREATEST(len(toks) - {k - 1}, 1)),
+                   i -> array_to_string(toks[i : i + {k} - 1], ' ')
+                 )
+               ) AS sh
+        FROM tk
+    ),
+    bsh AS (SELECT DISTINCT UNNEST(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+    bp AS (SELECT DISTINCT p FROM ({bh})),
+    words AS (
+        SELECT CAST(FLOOR(p / 63) AS BIGINT) AS w,
+               bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+        FROM bp GROUP BY 1
+    ),
+    tex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh WHERE doc_id % 97 <> 0),
+    tpos AS ({th}),
+    probe AS (
+        SELECT t.doc_id, t.s,
+               COALESCE((w.bits >> CAST(t.p % 63 AS INT)) & 1, 0) = 1 AS ok
+        FROM tpos t
+        LEFT JOIN words w ON CAST(FLOOR(t.p / 63) AS BIGINT) = w.w
+    ),
+    gram AS (SELECT doc_id, s, bool_and(ok) AS hit FROM probe GROUP BY doc_id, s),
+    flagged AS (
+        SELECT doc_id, COUNT(*) FILTER (WHERE hit) AS n_flagged
+        FROM gram GROUP BY doc_id
+    )
+    SELECT tr.doc_id,
+           CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+           COALESCE(f.n_flagged, 0) = 0 AS keep
+    FROM (SELECT doc_id FROM sh WHERE doc_id % 97 <> 0) tr
+    LEFT JOIN flagged f USING (doc_id)
+    """
+
+
+@register(
+    "bloom_decontaminate",
+    _bloom_decon_sql(),
+    survey="LLM pipeline: Bloom-filter decontamination (constant-size "
+    "broadcast; deterministic FP arithmetic oracle-checked)",
+)
+def bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return D.bloom_decontaminate(
+        train, bench, shingle_k=_DECON_K, m_bits=_BLOOM_M, n_hashes=_BLOOM_NH
+    )
+
+
 _SEM_TAU = 0.3  # synthetic embeddings are near-orthogonal; see near_dup
 
 

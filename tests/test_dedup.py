@@ -501,3 +501,57 @@ def test_incremental_near_dedup_caps_hot_batch_bucket(spark):
     assert capped.count() == 100           # bucket dropped → no edges
     full = incremental_near_dedup(existing, new, max_bucket=None)
     assert full.count() == 1               # one survivor per component
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """Bloom flags are a superset of the exact operator's (never a false
+    negative): every doc the exact n-gram overlap drops must also be
+    dropped by the bloom variant, and n_flagged >= n_shared per doc."""
+    from auto_data_linkage_spark.operators.dedup import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # ~17 bench docs → ~8k distinct grams; m = 2^20 puts the per-gram
+    # FP rate near 1e-6 so keep-flag flips are genuinely rare
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    train = docs.where(F.col("doc_id") % 29 != 0)
+    exact = {
+        r["doc_id"]: r["n_shared"]
+        for r in decontaminate(train, bench, shingle_k=5).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in bloom_decontaminate(
+            train, bench, shingle_k=5, m_bits=1 << 20, n_hashes=4
+        ).collect()
+    }
+    assert set(exact) == set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n, (d, n, bloom[d])
+    # at this filter size the FP load is tiny: the keep sets agree on
+    # the overwhelming majority of documents
+    disagree = sum(1 for d in exact if (exact[d] == 0) != (bloom[d] == 0))
+    assert disagree <= max(2, len(exact) // 100), disagree
+
+
+def test_bloom_decontaminate_corpus_path_is_joinefree(spark):
+    """The corpus probe must be a literal projection: the only join in
+    the plan is the final per-doc count join-back — no benchmark-side
+    relation is joined or broadcast into the gram path."""
+    from auto_data_linkage_spark.operators.dedup import bloom_decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma delta epsilon zeta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    out = bloom_decontaminate(docs, bench, shingle_k=3, m_bits=4096, n_hashes=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") <= 2, plan  # one id join-back (+ AQE reuse)

@@ -220,3 +220,44 @@ def test_corpus_overlap_report(spark):
     assert abs(r.overlap_est - 2000) <= 0.08 * 2000
     assert abs(r.union_est - 10_000) <= 0.05 * 10_000
     assert abs(r.jaccard_est - 0.2) <= 0.05
+
+
+# ------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from auto_data_linkage_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+    )
+    from pyspark.sql import functions as F
+
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(500)], "v string"
+    )
+    words = bloom_build(members, "v", m_bits=1 << 14, n_hashes=4)
+    assert len(words) == -(-(1 << 14) // 63)
+    probe = spark.createDataFrame(
+        [(f"member-{i}", True) for i in range(500)]
+        + [(f"other-{i}", False) for i in range(2000)],
+        "v string, expected boolean",
+    )
+    rows = probe.select(
+        "expected",
+        bloom_contains(F.col("v"), words, m_bits=1 << 14, n_hashes=4).alias(
+            "got"
+        ),
+    ).collect()
+    # every member hits (no false negatives, the Bloom guarantee)
+    assert all(r["got"] for r in rows if r["expected"])
+    # false positives stay near the analytic rate (~2% at this load);
+    # generous bound so the test is not flaky on hash luck
+    fp = sum(1 for r in rows if r["got"] and not r["expected"])
+    assert fp / 2000 < 0.10, fp
+
+
+def test_bloom_build_is_deterministic(spark):
+    from auto_data_linkage_spark.operators.sketch import bloom_build
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(100)], "v string")
+    a = bloom_build(df, "v", m_bits=4096, n_hashes=3)
+    b = bloom_build(df, "v", m_bits=4096, n_hashes=3)
+    assert a == b and any(a)
