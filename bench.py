@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "line_dedup",
     "url_curation",
     "gopher_repetition_filter",
+    # round-9: Bloom-filter decontamination — the constant-size-broadcast
+    # scale variant (filter build + join-free literal-probe corpus pass)
+    "bloom_decontaminate",
 ]
 
 
