@@ -327,3 +327,38 @@ def test_gopher_rules_zero_exchanges(spark, sf_dir):
     df = gopher_rules(docs)
     assert count_exchanges(df) == 0
     assert codegen_stage_count(df) >= 1
+
+
+def test_minhash_hot_bucket_drop_is_broadcast_anti(spark, sf_dir):
+    """The r9 scale guard's plan shape: the over-cap bucket drop is a
+    broadcast LEFT ANTI join against the tiny hot-bucket set (≤ n/cap
+    rows) — the band table itself is never shuffled for the drop, and
+    no sort-merge join appears anywhere in the pair generation."""
+    from auto_data_linkage_spark.plans.explain import physical_plan
+
+    df = entry_mod.queries()["minhash_lsh_pairs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_decontaminate_no_benchmark_join_on_corpus_path(spark, sf_dir):
+    """The bloom variant's headline property: the benchmark reaches the
+    corpus only as an array literal inside the probe projection — the
+    executed plan carries no broadcast of a benchmark-gram relation and
+    no sort-merge join; the only joins are the per-doc count join-back."""
+    from auto_data_linkage_spark.plans.explain import physical_plan
+
+    df = entry_mod.queries()["bloom_decontaminate"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    # exact decontaminate needs >= 2 broadcast joins (benchmark set +
+    # join-back); here only the join-back remains.  Count plan NODES
+    # (detail-section lines), not raw substring hits — the formatted
+    # plan prints every node twice (tree + detail).
+    bhj_nodes = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "BroadcastHashJoin" in line
+    )
+    assert bhj_nodes <= 1
