@@ -916,6 +916,51 @@ def bloom_decontaminate(
     )
 
 
+def decontaminate_attribution(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    shingle_k: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """WHICH benchmark document contaminated each training document —
+    the audit trail behind :func:`decontaminate`'s boolean.
+
+    A data card that says "N docs dropped for benchmark overlap" needs
+    the attribution to be reviewable: was the leak GSM8K or a Wikipedia
+    paragraph both sets quote? Returns one row per contaminated
+    ``(doc_id, bench_id)`` pair with ``n_shared`` = the count of
+    distinct word ``shingle_k``-grams the pair shares; clean documents
+    produce no rows (filter the boolean operator for the keep set).
+
+    Scale shape: the benchmark side keeps its ids (unlike
+    :func:`decontaminate`, which collapses to a gram set) but is still
+    the tiny side — its exploded ``(bench_id, gram)`` pairs broadcast,
+    the corpus is scanned once and never shuffled on the probe, and the
+    only exchange aggregates the *contaminated* join output, which is
+    bounded by true-overlap volume, not corpus size.
+    """
+    bid = bench_id_col or id_col
+    bench_sh = benchmark.select(
+        F.col(bid).alias("bench_id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    # shingles() is array_distinct per doc, so (id, sh) and (bench_id,
+    # sh) are already distinct — count(*) per pair counts distinct
+    # shared grams without a count_distinct shuffle.
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 # ------------------------------------------------------- semantic dedup
 def semantic_dedup(
     df: DataFrame,

@@ -257,6 +257,77 @@ def mixture_sample(
     )
 
 
+def epoch_mixture(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict,
+    *,
+    token_budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    max_repeat: float = 16.0,
+) -> DataFrame:
+    """Domain mixing WITH up-sampling: repeat each domain so the output
+    hits ``token_budget`` tokens at the target ``weights`` mixture —
+    the epoch-repetition recipe of Llama / Gopher / DoReMi data cards,
+    where small high-value domains (wiki, books, code) run for several
+    epochs while the dominant web crawl runs < 1.
+
+    Each domain ``d`` gets repeat factor ``r_d = token_budget ·
+    weights[d] / tokens_d`` (capped at ``max_repeat`` — unbounded
+    repetition of a tiny domain hurts more than missing its weight).
+    Every document is emitted ``floor(r_d)`` times; a deterministic
+    ``frac(r_d)`` hash-slice of the domain's documents (same md5 slice
+    rule as :func:`stratified_sample`) gets one extra copy, so the
+    expected token total matches the budget share exactly. Output rows
+    carry ``epoch`` (1-based copy index) — downstream shuffling/packing
+    treats copies as distinct rows. Domains absent from ``weights``
+    get weight 0 and are dropped.
+
+    Plan shape: one small per-domain token aggregate joined back via
+    broadcast, then a row-local ``explode(sequence(1, n_copies))`` —
+    the corpus is scanned once and never shuffled; output size is the
+    budgeted corpus, which is the irreducible cost of repetition.
+
+    Relation to :func:`epoch_repeat`: that operator REALIZES caller-
+    supplied per-stratum rates (0-based ``copy``, epoch-shiftable
+    residual slice); this one PLANS the rates from a token budget and
+    target weights, entirely declaratively (the per-domain token totals
+    never round-trip through the driver), and emits a 1-based ``epoch``
+    index. Collect this operator's implied rates and hand them to
+    :func:`epoch_repeat` when you need per-epoch residual rotation.
+    """
+    toks = df.groupBy(strata_col).agg(
+        F.sum(token_col).cast("double").alias("__tok")
+    )
+    w = F.lit(0.0)
+    for value, wgt in sorted(weights.items()):
+        w = F.when(F.col(strata_col) == value, F.lit(float(wgt))).otherwise(w)
+    rates = toks.select(
+        F.col(strata_col),
+        F.least(
+            F.lit(float(max_repeat)),
+            F.lit(float(token_budget)) * w / F.col("__tok"),
+        ).alias("__r"),
+    )
+    slot = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(10000))
+    n_full = F.floor(F.col("__r")).cast("bigint")
+    extra_slots = F.floor((F.col("__r") - F.floor(F.col("__r"))) * 10000)
+    n_copies = n_full + F.when(slot < extra_slots, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .withColumn("__n_copies", n_copies)
+        .where(F.col("__n_copies") >= 1)  # sequence(1, 0) would descend
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("__n_copies"))),
+        )
+        .drop("__r", "__n_copies")
+    )
+
+
 def assign_shards(
     df: DataFrame,
     n_shards: int,

@@ -197,3 +197,90 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "bm25", "rank")
     )
+
+
+def rrf_fuse(
+    *ranked: DataFrame,
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two or more
+    ranked retrieval lists — the standard hybrid-search combiner for
+    lexical (:func:`bm25_topk`) + dense (similarity.brute_force_topk /
+    ann) results, robust to incomparable score scales because it uses
+    only ranks: ``rrf(d) = Σ_systems 1 / (k0 + rank_system(d))``.
+
+    Each input needs ``(query_id, <id_col>, rank)``; extra columns are
+    ignored. A document absent from a system contributes nothing for
+    it (the usual convention). Scores are rounded to 6 decimals BEFORE
+    the final ranking and ties break on id, so the fused list is
+    deterministic and cross-engine stable.
+
+    Scale shape: the inputs are already top-k lists (queries × k rows),
+    so this is small-data by construction — one union, one hash
+    aggregate on (query_id, id), one ``rank <= k`` window that Spark's
+    WindowGroupLimit caps per map partition. No corpus-sized relation
+    ever reaches this operator.
+    """
+    if len(ranked) < 2:
+        raise ValueError("rrf_fuse needs at least two ranked lists")
+    contrib = F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))
+    tagged = [
+        r.select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            contrib.alias("__c"),
+        )
+        for r in ranked
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    scored = u.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("__c"), 6).alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf", "rank")
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    query_vectors: DataFrame,
+    *,
+    k: int = 5,
+    fetch_k: int | None = None,
+    k0: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Hybrid lexical + dense retrieval: BM25 over ``docs`` and cosine
+    over ``embeddings`` (sharing one id space), fused with
+    :func:`rrf_fuse`. ``queries`` is the (query_id, term) set for the
+    lexical side; ``query_vectors`` the (id, vector) set for the dense
+    side — derive both from the same probe documents for end-to-end
+    hybrid search.
+
+    ``fetch_k`` (default ``4·k``) is how deep each system retrieves
+    before fusion — fusing deeper than you return is what lets a doc
+    ranked 7th by both systems beat one ranked 1st by a single system.
+    """
+    from auto_data_linkage_spark.operators import similarity as S
+
+    deep = fetch_k or 4 * k
+    lex = bm25_topk(
+        docs, queries, k=deep, id_col=id_col, exclude_self=exclude_self
+    )
+    dense = S.brute_force_topk(
+        embeddings, query_vectors, k=deep, id_col=vec_id_col
+    ).withColumnRenamed("neighbor_id", "doc_id")
+    return rrf_fuse(lex, dense, k=k, k0=k0)

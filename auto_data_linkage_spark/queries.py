@@ -1522,6 +1522,16 @@ _DEPRIORITIZED = (
     # deterministic FP arithmetic is value-checked by the back-window
     # oracle via tests/test_oracle_window.py):
     "bloom_decontaminate",
+    # round-9 rotation: the three new operators (decontaminate_attribution,
+    # epoch_mixture, hybrid_topk) promoted to driver rows per the
+    # every-new-operator-holds-a-driver-row rule; three redundant
+    # single-primitive rows demoted in exchange, each family keeping ≥1
+    # driver row (machine-checked):
+    "text_features",  # text-analysis keeps pii_scrub + c4_clean +
+    #                   gopher_repetition_filter in-window
+    "combo_counts",  # agg-groupby keeps groupby_agg in-window
+    "cosine_topk",  # ann-search keeps ivf_topk + ivfpq_topk in-window
+    #                 (both run the same rounded-cosine scoring path)
 )
 
 # --------------------------------------------------------------------------
@@ -1557,7 +1567,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                          "connected_components", "incremental_cluster"),
     "sampling": ("stratified_sample", "mixture_sample",
                  "deterministic_sample", "sample_k_per_group",
-                 "weighted_sample_k", "train_val_split"),
+                 "weighted_sample_k", "train_val_split",
+                 "epoch_mixture"),
     "text-analysis": ("text_features", "quality_score", "pii_scrub",
                       "lang_id_dist", "repetition_features",
                       "quality_classifier", "gopher_quality_filter",
@@ -1570,11 +1581,13 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                         "strip_boilerplate", "line_dedup"),
     "embedding-dedup": ("media_near_dup", "embedding_near_dup",
                         "semantic_dedup", "semantic_decontaminate"),
-    "decontamination": ("decontaminate", "bloom_decontaminate"),
+    "decontamination": ("decontaminate", "bloom_decontaminate",
+                        "decontaminate_attribution"),
     "ann-search": ("cosine_topk", "ivf_topk", "pq_topk", "ivfpq_topk",
                    "lsh_topk", "ivf_centroids", "embedding_quantize",
                    "knn_graph_stats"),
     "lexical-retrieval": ("bm25_topk",),
+    "hybrid-retrieval": ("hybrid_topk",),
     "fingerprinting": ("winnow_fingerprints", "winnow_rolling"),
     "lm-scoring": ("unigram_logprob", "bigram_logprob",
                    "perplexity_buckets"),

@@ -3726,3 +3726,172 @@ def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus_diff(docs, new).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Decontamination attribution: WHICH benchmark doc contaminated each
+# training doc (the reviewable audit trail behind decontaminate's boolean)
+# --------------------------------------------------------------------------
+def _decon_attr_sql(k: int = _DECON_K) -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   generate_series(1, GREATEST(len(toks) - {k - 1}, 1)),
+                   i -> array_to_string(toks[i : i + {k} - 1], ' ')
+                 )
+               ) AS sh
+        FROM tk
+    ),
+    bench AS (
+        SELECT doc_id AS bench_id, UNNEST(sh) AS s FROM sh
+        WHERE doc_id % 97 = 0
+    ),
+    train AS (
+        SELECT doc_id, UNNEST(sh) AS s FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT t.doc_id, b.bench_id, COUNT(*) AS n_shared
+    FROM train t JOIN bench b ON t.s = b.s
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "decontaminate_attribution",
+    _decon_attr_sql(),
+    survey="LLM pipeline: decontamination attribution — per "
+    "(train doc, benchmark doc) shared-gram counts for data-card audit",
+)
+def decontaminate_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return D.decontaminate_attribution(train, bench, shingle_k=_DECON_K)
+
+
+# --------------------------------------------------------------------------
+# Epoch mixture: domain up-sampling with repeat factors to hit a token
+# budget at target weights (the Llama/Gopher data-card epoch recipe)
+# --------------------------------------------------------------------------
+_EPOCH_WEIGHTS = {"en": 0.5, "de": 0.3, "fr": 0.2}
+_EPOCH_BUDGET = 2_000_000
+_EPOCH_MAX_REPEAT = 16.0
+
+
+def _epoch_mixture_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    h = _sql_hash64("CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN '{v}' THEN {float(w)!r}"
+        for v, w in sorted(_EPOCH_WEIGHTS.items())
+    )
+    return f"""
+    WITH wt AS (
+        SELECT doc_id, lang, len({toks}) AS n_tokens FROM documents
+    ),
+    tot AS (
+        SELECT lang, CAST(SUM(n_tokens) AS DOUBLE) AS tok
+        FROM wt GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang,
+               LEAST({_EPOCH_MAX_REPEAT!r},
+                     {float(_EPOCH_BUDGET)!r}
+                     * (CASE lang {whens} ELSE 0.0 END) / tok) AS r
+        FROM tot
+    ),
+    base AS (
+        SELECT w.doc_id, w.lang, w.n_tokens,
+               CAST(FLOOR(r.r) AS BIGINT)
+               + CASE WHEN ({h} % 10000)
+                      < CAST(FLOOR((r.r - FLOOR(r.r)) * 10000) AS BIGINT)
+                 THEN 1 ELSE 0 END AS n_copies
+        FROM wt w JOIN rates r USING (lang)
+    )
+    SELECT lang, doc_id, n_tokens,
+           UNNEST(generate_series(1, n_copies)) AS epoch
+    FROM base WHERE n_copies >= 1
+    """
+
+
+@register(
+    "epoch_mixture",
+    _epoch_mixture_sql(),
+    survey="LLM pipeline: epoch-repetition domain mixing — per-domain "
+    "repeat factors to hit a token budget at target mixture weights",
+)
+def epoch_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pack import epoch_mixture
+
+    docs = _docs(spark, sf_dir)
+    wt = docs.select(
+        "doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return epoch_mixture(
+        wt,
+        "lang",
+        _EPOCH_WEIGHTS,
+        token_budget=_EPOCH_BUDGET,
+        max_repeat=_EPOCH_MAX_REPEAT,
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine fused by reciprocal-rank fusion.
+# Both systems fetch depth-20 lists (fetch_k = 4·k) before fusing to 5.
+# --------------------------------------------------------------------------
+_HYBRID_K, _HYBRID_DEEP, _HYBRID_K0 = 5, 20, 60
+
+
+def _deepened(sql: str, depth: int) -> str:
+    """Re-derive a published top-5 oracle at a deeper fetch depth — the
+    fused systems retrieve depth-`depth` lists before fusion."""
+    assert sql.count("WHERE rank <= 5") == 1
+    return sql.replace("WHERE rank <= 5", f"WHERE rank <= {depth}")
+
+
+def _hybrid_sql() -> str:
+    return f"""
+    WITH lex AS ({_deepened(_BM25_SQL, _HYBRID_DEEP)}),
+    den AS ({_deepened(_COS_SQL, _HYBRID_DEEP)}),
+    u AS (
+        SELECT query_id, doc_id, 1.0 / ({_HYBRID_K0} + rank) AS c FROM lex
+        UNION ALL
+        SELECT query_id, neighbor_id AS doc_id,
+               1.0 / ({_HYBRID_K0} + rank) AS c
+        FROM den
+    ),
+    scored AS (
+        SELECT query_id, doc_id, ROUND(SUM(c), 6) AS rrf
+        FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, doc_id
+        ) AS rank FROM scored
+    ) WHERE rank <= {_HYBRID_K}
+    """
+
+
+@register(
+    "hybrid_topk",
+    _hybrid_sql(),
+    survey="LLM retrieval: hybrid lexical+dense search — BM25 and "
+    "cosine lists fused by reciprocal-rank fusion (rank-only combiner)",
+)
+def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators import retrieval as R
+
+    docs = _docs(spark, sf_dir)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    probes = R.query_terms_from_docs(
+        docs.where(F.col("doc_id") % 100 == 0), n_terms=8
+    )
+    qv = emb.where(F.col("vec_id") % 100 == 0)
+    return R.hybrid_topk(
+        docs, emb, probes, qv,
+        k=_HYBRID_K, fetch_k=_HYBRID_DEEP, k0=_HYBRID_K0,
+    )

@@ -95,6 +95,13 @@ BENCH_QUERIES = [
     # round-9: Bloom-filter decontamination — the constant-size-broadcast
     # scale variant (filter build + join-free literal-probe corpus pass)
     "bloom_decontaminate",
+    # round-9b: decontamination attribution (benchmark ids ride the
+    # broadcast), epoch-repetition mixing (broadcast rates + explode),
+    # and hybrid BM25+dense RRF fusion (two retrieval subplans + a
+    # top-k-sized fusion aggregate)
+    "decontaminate_attribution",
+    "epoch_mixture",
+    "hybrid_topk",
 ]
 
 

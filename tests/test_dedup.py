@@ -555,3 +555,69 @@ def test_bloom_decontaminate_corpus_path_is_joinefree(spark):
     out = bloom_decontaminate(docs, bench, shingle_k=3, m_bits=4096, n_hashes=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Join") <= 2, plan  # one id join-back (+ AQE reuse)
+
+
+def test_decontaminate_attribution_matches_boolean_operator(spark, sf_dir):
+    """Attribution's contaminated-doc set equals decontaminate's, and a
+    doc's distinct shared-gram count is bounded by its per-pair sums."""
+    from auto_data_linkage_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_attribution,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    att = decontaminate_attribution(train, bench, shingle_k=5).collect()
+    dec = decontaminate(train, bench, shingle_k=5).collect()
+
+    att_docs = {r.doc_id for r in att}
+    dec_docs = {r.doc_id for r in dec if not r.keep}
+    assert att_docs == dec_docs
+    assert all(r.n_shared >= 1 for r in att)
+    # a gram shared with two bench docs counts once in decontaminate but
+    # once PER PAIR in attribution: per-doc pair-sum >= distinct count
+    per_doc = {}
+    for r in att:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_shared
+    dec_n = {r.doc_id: r.n_shared for r in dec}
+    assert all(per_doc[d] >= dec_n[d] for d in att_docs)
+
+
+def test_decontaminate_attribution_hand_built(spark):
+    """Known tiny corpus: exact (doc, bench, n_shared) triples."""
+    from auto_data_linkage_spark.operators.dedup import (
+        decontaminate_attribution,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all"),
+            (3, "quick brown fox jumps high and the lazy dog sleeps"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "a quick brown fox jumps over fences"),
+            (200, "the lazy dog sleeps all day long"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in decontaminate_attribution(train, bench, shingle_k=3).collect()
+    }
+    # doc 1 / bench 100: "quick brown fox", "brown fox jumps",
+    # "fox jumps over"
+    assert out[(1, 100)] == 3
+    # doc 1 / bench 200: "the lazy dog"
+    assert out[(1, 200)] == 1
+    # doc 3 / bench 100: "quick brown fox", "brown fox jumps";
+    # doc 3 / bench 200: "the lazy dog", "lazy dog sleeps"
+    assert out[(3, 100)] == 2
+    assert out[(3, 200)] == 2
+    # doc 2 is clean — no rows at all
+    assert all(d != 2 for d, _ in out)
+    assert len(out) == 4

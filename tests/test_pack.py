@@ -361,3 +361,71 @@ def test_leakage_safe_split_zero_exchanges(spark, sf_dir):
     out = leakage_safe_split(docs, group_col="source")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_epoch_mixture_hits_budget_shares(spark):
+    from auto_data_linkage_spark.operators.pack import epoch_mixture
+
+    df = spark.createDataFrame(
+        [
+            (i, "wiki" if i < 500 else "web", 100 if i < 500 else 200)
+            for i in range(3000)
+        ],
+        "doc_id long, src string, n_tokens long",
+    )
+    # wiki: 500 docs x 100 tok = 50k; web: 2500 x 200 = 500k
+    out = epoch_mixture(
+        df, "src", {"wiki": 0.4, "web": 0.6}, token_budget=1_000_000
+    )
+    tok = {
+        r.src: r.tok
+        for r in out.groupBy("src").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    # wiki repeat factor 400k/50k = 8.0 exactly; web 600k/500k = 1.2
+    assert tok["wiki"] == 400_000
+    assert abs(tok["web"] - 600_000) / 600_000 < 0.05  # hash-slice jitter
+    # epoch index is contiguous 1..n per doc
+    per = (
+        out.where(F.col("src") == "wiki")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.min("epoch").alias("lo"),
+             F.max("epoch").alias("hi"))
+        .collect()
+    )
+    assert all(r.n == 8 and r.lo == 1 and r.hi == 8 for r in per)
+
+
+def test_epoch_mixture_cap_and_missing_domain(spark):
+    from auto_data_linkage_spark.operators.pack import epoch_mixture
+
+    df = spark.createDataFrame(
+        [(i, "tiny" if i < 10 else "big", 10) for i in range(1000)],
+        "doc_id long, src string, n_tokens long",
+    )
+    # tiny: 100 tokens; uncapped factor would be 500_00 / 100 huge
+    out = epoch_mixture(
+        df, "src", {"tiny": 0.5}, token_budget=100_000, max_repeat=4.0
+    )
+    # cap: every tiny doc exactly 4 copies; 'big' absent from weights -> dropped
+    assert out.where(F.col("src") == "big").count() == 0
+    per = out.groupBy("doc_id").count().collect()
+    assert len(per) == 10 and all(r["count"] == 4 for r in per)
+
+
+def test_epoch_mixture_deterministic(spark):
+    from auto_data_linkage_spark.operators.pack import epoch_mixture
+
+    df = spark.createDataFrame(
+        [(i, "s", 7) for i in range(400)],
+        "doc_id long, src string, n_tokens long",
+    )
+    kw = dict(token_budget=4000, max_repeat=8.0)
+    a = sorted(
+        (r.doc_id, r.epoch)
+        for r in epoch_mixture(df, "src", {"s": 1.0}, **kw).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.epoch)
+        for r in epoch_mixture(df, "src", {"s": 1.0}, **kw).collect()
+    )
+    assert a == b and len(a) > 400  # factor 4000/2800 ≈ 1.43 -> repeats exist

@@ -362,3 +362,46 @@ def test_bloom_decontaminate_no_benchmark_join_on_corpus_path(spark, sf_dir):
         if line.strip().startswith("(") and "BroadcastHashJoin" in line
     )
     assert bhj_nodes <= 1
+
+
+def test_decontaminate_attribution_benchmark_side_broadcasts(spark, sf_dir):
+    """Attribution keeps benchmark ids but must keep decontaminate's
+    plan shape: the (bench_id, gram) relation broadcasts, the corpus is
+    probed map-side, and no sort-merge join appears — the only hash
+    exchange aggregates the contaminated join output."""
+    from auto_data_linkage_spark.plans.explain import physical_plan
+
+    df = entry_mod.queries()["decontaminate_attribution"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_epoch_mixture_corpus_never_shuffles(spark, sf_dir):
+    """The repeat factors ride a broadcast join; the corpus-side path is
+    scan -> broadcast join -> explode projection. The only hash
+    exchanges belong to the tiny per-domain token aggregate (partial
+    map-side combine), never the corpus."""
+    from auto_data_linkage_spark.plans.explain import physical_plan
+
+    df = entry_mod.queries()["epoch_mixture"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # per-domain aggregate = 1 exchange; ensure_parallelism round-robin
+    # repartitions of the single-row-group test parquet add at most 2
+    assert count_exchanges(df) <= 3
+
+
+def test_rrf_fusion_operates_on_topk_sized_data_only(spark, sf_dir):
+    """Fusion's inputs are top-k lists: the fused plan may shuffle those
+    (queries x fetch_k rows) but must never sort-merge-join or shuffle a
+    corpus-sized relation on the fusion path — the corpus-heavy work
+    stays inside the bm25/cosine subplans, whose own shapes are pinned
+    by their operators' tests."""
+    from auto_data_linkage_spark.plans.explain import physical_plan
+
+    df = entry_mod.queries()["hybrid_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -117,3 +117,68 @@ def test_bm25_plan_shape(spark, docs):
     # the only nested-loop allowed is the 1-row stats attach on the
     # broadcast (query-vocabulary) side
     assert nodes("BroadcastNestedLoopJoin") <= 1
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from auto_data_linkage_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    den = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2), (1, 10, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    out = {r.doc_id: (r.rrf, r.rank) for r in rrf_fuse(lex, den, k=4).collect()}
+    # doc 20: 1/62 + 1/61 ; doc 10: 1/61 + 1/63 ; doc 30: 1/63 ; doc 40: 1/62
+    assert out[20][1] == 1 and out[10][1] == 2
+    assert out[30][1] == 4 and out[40][1] == 3
+    assert out[20][0] == round(1 / 62 + 1 / 61, 6)
+    assert out[10][0] == round(1 / 61 + 1 / 63, 6)
+
+
+def test_rrf_fuse_requires_two_lists(spark):
+    import pytest as _pytest
+
+    from auto_data_linkage_spark.operators.retrieval import rrf_fuse
+
+    lst = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, doc_id long, rank int"
+    )
+    with _pytest.raises(ValueError):
+        rrf_fuse(lst)
+
+
+def test_hybrid_topk_contains_both_modalities(spark, sf_dir):
+    """A doc ranked top-1 by BOTH systems must win fusion; the fused
+    list is deterministic across runs."""
+    from auto_data_linkage_spark.operators import retrieval as R
+    from auto_data_linkage_spark.operators import similarity as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = R.query_terms_from_docs(
+        docs.where(F.col("doc_id") % 100 == 0), n_terms=8
+    )
+    qv = emb.where(F.col("vec_id") % 100 == 0)
+    out = R.hybrid_topk(docs, emb, probes, qv, k=5, fetch_k=20)
+    rows = out.collect()
+    assert set(out.columns) == {"query_id", "doc_id", "rrf", "rank"}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    lex = R.bm25_topk(docs, probes, k=20, exclude_self=True)
+    dense = S.brute_force_topk(emb, qv, k=20)
+    lex1 = {(r.query_id, r.doc_id) for r in lex.collect() if r.rank == 1}
+    den1 = {
+        (r.query_id, r.neighbor_id) for r in dense.collect() if r.rank == 1
+    }
+    for q, d in lex1 & den1:
+        top = [r.doc_id for r in by_q[q] if r.rank == 1]
+        assert top == [d]
+    again = sorted(
+        (r.query_id, r.doc_id, r.rrf, r.rank)
+        for r in R.hybrid_topk(docs, emb, probes, qv, k=5, fetch_k=20).collect()
+    )
+    assert again == sorted((r.query_id, r.doc_id, r.rrf, r.rank) for r in rows)
