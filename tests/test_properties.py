@@ -401,3 +401,98 @@ def test_span_dedup_matches_python_reference(spark, texts, k):
         for r in span_dedup(df, min_span_words=k).collect()
     }
     assert got == _span_dedup_reference(docs, k)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # domain
+            st.integers(min_value=1, max_value=50),  # n_tokens
+        ),
+        min_size=3,
+        max_size=30,
+    ),
+    w=st.tuples(
+        st.floats(min_value=0.1, max_value=1.0),
+        st.floats(min_value=0.0, max_value=1.0),
+    ),
+    budget=st.integers(min_value=100, max_value=5000),
+)
+def test_epoch_mixture_matches_pure_python_reference(spark, rows, w, budget):
+    """epoch_mixture must replay an independent Python implementation of
+    the repeat rule bit-for-bit: per-domain factor, floor copies, md5
+    fractional slice, 1-based epoch indices."""
+    import hashlib
+    import math
+
+    from auto_data_linkage_spark.operators.pack import epoch_mixture
+
+    weights = {"a": w[0], "b": w[1]}  # 'c' deliberately unlisted
+    data = [(i, d, t) for i, (d, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id long, src string, n_tokens long"
+    )
+    got = sorted(
+        (r.doc_id, r.epoch)
+        for r in epoch_mixture(
+            df, "src", weights, token_budget=budget, max_repeat=16.0
+        ).collect()
+    )
+
+    # independent reference
+    tok = {}
+    for _i, d, t in data:
+        tok[d] = tok.get(d, 0) + t
+    want = []
+    for i, d, _t in data:
+        rate = min(16.0, float(budget) * weights.get(d, 0.0) / float(tok[d]))
+        slot = (
+            int(hashlib.md5(f"0|{i}".encode()).hexdigest()[:15], 16) % 10000
+        )
+        n = math.floor(rate) + (
+            1 if slot < math.floor((rate - math.floor(rate)) * 10000) else 0
+        )
+        want.extend((i, e) for e in range(1, int(n) + 1))
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lex=st.lists(st.integers(0, 20), min_size=1, max_size=8, unique=True),
+    den=st.lists(st.integers(0, 20), min_size=1, max_size=8, unique=True),
+    k0=st.integers(min_value=1, max_value=100),
+)
+def test_rrf_fuse_matches_pure_python_reference(spark, lex, den, k0):
+    """rrf_fuse equals the textbook formula on arbitrary rank lists."""
+    from auto_data_linkage_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, d, r + 1) for r, d in enumerate(lex)],
+        "query_id long, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, d, r + 1) for r, d in enumerate(den)],
+        "query_id long, doc_id long, rank int",
+    )
+    got = {
+        r.doc_id: (r.rrf, r.rank)
+        for r in rrf_fuse(a, b, k=50, k0=k0).collect()
+    }
+
+    score = {}
+    for r, d in enumerate(lex):
+        score[d] = score.get(d, 0.0) + 1.0 / (k0 + r + 1)
+    for r, d in enumerate(den):
+        score[d] = score.get(d, 0.0) + 1.0 / (k0 + r + 1)
+    order = sorted(score, key=lambda d: (-round(score[d], 6), d))
+    for rank, d in enumerate(order, 1):
+        assert got[d] == (round(score[d], 6), rank)
