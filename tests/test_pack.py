@@ -429,3 +429,32 @@ def test_epoch_mixture_deterministic(spark):
         for r in epoch_mixture(df, "src", {"s": 1.0}, **kw).collect()
     )
     assert a == b and len(a) > 400  # factor 4000/2800 ≈ 1.43 -> repeats exist
+
+
+def test_epoch_mixture_copies_spread_across_shards(spark, tmp_path):
+    """SCALE.md composition claim: sharding the mixed corpus on
+    (doc_id, epoch) spreads a document's repeats across shards instead
+    of packing all copies into one."""
+    from auto_data_linkage_spark.operators.pack import (
+        epoch_mixture,
+        write_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s", 10) for i in range(200)],
+        "doc_id long, src string, n_tokens long",
+    )
+    mixed = epoch_mixture(df, "src", {"s": 1.0}, token_budget=8000)
+    # factor 4.0: every doc has 4 epochs
+    path = str(tmp_path / "shards")
+    write_shards(mixed, path, 8, id_col=["doc_id", "epoch"])
+    back = spark.read.parquet(path)
+    spread = (
+        back.groupBy("doc_id")
+        .agg(F.countDistinct("shard").alias("n_shards"))
+        .agg(F.avg("n_shards").alias("avg"))
+        .collect()[0]["avg"]
+    )
+    # 4 copies over 8 shards: hashing on (doc_id, epoch) must place a
+    # doc's copies in >1 shard on average (id-only hashing gives 1.0)
+    assert spread > 2.0

@@ -182,3 +182,33 @@ def test_hybrid_topk_contains_both_modalities(spark, sf_dir):
         for r in R.hybrid_topk(docs, emb, probes, qv, k=5, fetch_k=20).collect()
     )
     assert again == sorted((r.query_id, r.doc_id, r.rrf, r.rank) for r in rows)
+
+
+def test_rrf_fuse_accepts_ann_index_lists(spark, sf_dir, tmp_path):
+    """The SCALE.md claim made real: a persisted-index ANN list fuses
+    through rrf_fuse unchanged (same (query_id, id, rank) contract as
+    the brute-force path)."""
+    from auto_data_linkage_spark.operators import retrieval as R
+    from auto_data_linkage_spark.operators.annindex import (
+        ann_index_topk,
+        build_ann_index,
+        load_ann_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    build_ann_index(emb, path, m=8, n_codewords=8)
+    idx = load_ann_index(spark, path)
+    qv = emb.where(F.col("vec_id") % 100 == 0)
+    ann = ann_index_topk(idx, qv, k=12, nprobe=2)
+    probes = R.query_terms_from_docs(
+        docs.where(F.col("doc_id") % 100 == 0), n_terms=8
+    )
+    lex = R.bm25_topk(docs, probes, k=12, exclude_self=True)
+    fused = R.rrf_fuse(
+        lex, ann.withColumnRenamed("neighbor_id", "doc_id"), k=5
+    )
+    rows = fused.collect()
+    assert rows and set(fused.columns) == {"query_id", "doc_id", "rrf", "rank"}
+    assert all(1 <= r.rank <= 5 for r in rows)
