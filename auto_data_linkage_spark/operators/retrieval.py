@@ -284,3 +284,51 @@ def hybrid_topk(
         embeddings, query_vectors, k=deep, id_col=vec_id_col
     ).withColumnRenamed("neighbor_id", "doc_id")
     return rrf_fuse(lex, dense, k=k, k0=k0)
+
+
+def hard_negatives(
+    ranked: DataFrame,
+    positives: DataFrame,
+    *,
+    k: int = 5,
+    score_col: str = "bm25",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: from a
+    ranked candidate list, the top-``k`` documents per query that are
+    NOT labeled positive — the highest-scoring confusable candidates,
+    which train a far sharper embedding model than random negatives
+    (the standard DPR / sentence-transformers recipe).
+
+    Modality-agnostic: ``ranked`` is any (query_id, <id_col>,
+    <score_col>) list — :func:`bm25_topk` output, a dense
+    ``brute_force_topk`` / ``ann_index_topk`` list (rename
+    ``neighbor_id``), or an :func:`rrf_fuse` result. Retrieve DEEPER
+    than ``k`` (fetch k + expected positives per query, at least) or
+    queries whose positives crowd the list return fewer than ``k``
+    negatives. ``positives`` needs (query_id, <id_col>).
+
+    Returns (query_id, <id_col>, <score_col>, neg_rank) with
+    ``neg_rank`` re-numbered 1..k after the positive drop; scores are
+    assumed pre-rounded by the producing operator, ties break on id.
+
+    Scale shape: inputs are top-k-sized (queries × depth); the positive
+    drop is a broadcast left-anti join on (query_id, id) and the
+    re-rank is one WindowGroupLimit-capped window — nothing
+    corpus-sized is touched.
+    """
+    pos = positives.select("query_id", F.col(id_col).alias("__pid")).distinct()
+    neg = ranked.join(
+        F.broadcast(pos),
+        (ranked["query_id"] == pos["query_id"])
+        & (ranked[id_col] == pos["__pid"]),
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select("query_id", id_col, score_col, "neg_rank")
+    )

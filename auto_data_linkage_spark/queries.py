@@ -1532,6 +1532,9 @@ _DEPRIORITIZED = (
     "combo_counts",  # agg-groupby keeps groupby_agg in-window
     "cosine_topk",  # ann-search keeps ivf_topk + ivfpq_topk in-window
     #                 (both run the same rounded-cosine scoring path)
+    "pii_scrub",  # text-analysis keeps c4_clean +
+    #               gopher_repetition_filter in-window (hard_negatives
+    #               takes the slot)
 )
 
 # --------------------------------------------------------------------------
@@ -1588,6 +1591,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "knn_graph_stats"),
     "lexical-retrieval": ("bm25_topk",),
     "hybrid-retrieval": ("hybrid_topk",),
+    "contrastive-mining": ("hard_negatives",),
     "fingerprinting": ("winnow_fingerprints", "winnow_rolling"),
     "lm-scoring": ("unigram_logprob", "bigram_logprob",
                    "perplexity_buckets"),

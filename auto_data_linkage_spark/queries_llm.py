@@ -3895,3 +3895,47 @@ def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, emb, probes, qv,
         k=_HYBRID_K, fetch_k=_HYBRID_DEEP, k0=_HYBRID_K0,
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining: from a depth-20 BM25 list, the top-5 non-positive
+# candidates per query. Positives = the BM25 top-3 (the judged-retrieval
+# setup: labeled positives came from the same ranker's head).
+# --------------------------------------------------------------------------
+_HN_K, _HN_POS, _HN_DEEP = 5, 3, 20
+
+
+def _hard_negatives_sql() -> str:
+    return f"""
+    WITH ranked AS ({_deepened(_BM25_SQL, _HN_DEEP)}),
+    pos AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {_HN_POS}),
+    neg AS (
+        SELECT r.query_id, r.doc_id, r.bm25
+        FROM ranked r ANTI JOIN pos p
+          ON r.query_id = p.query_id AND r.doc_id = p.doc_id
+    )
+    SELECT query_id, doc_id, bm25, neg_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+        ) AS neg_rank FROM neg
+    ) WHERE neg_rank <= {_HN_K}
+    """
+
+
+@register(
+    "hard_negatives",
+    _hard_negatives_sql(),
+    survey="LLM training pairs: hard-negative mining — top non-positive "
+    "candidates from a ranked list (DPR-style contrastive data)",
+)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators import retrieval as R
+
+    docs = _docs(spark, sf_dir)
+    probes = R.query_terms_from_docs(
+        docs.where(F.col("doc_id") % 100 == 0), n_terms=8
+    )
+    ranked = R.bm25_topk(docs, probes, k=_HN_DEEP, exclude_self=True)
+    ranked = ranked.localCheckpoint(eager=False)  # feeds positives + drop
+    positives = ranked.where(F.col("rank") <= _HN_POS)
+    return R.hard_negatives(ranked, positives, k=_HN_K)

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "decontaminate_attribution",
     "epoch_mixture",
     "hybrid_topk",
+    # round-9c: hard-negative mining (depth-20 bm25 + anti-join re-rank)
+    "hard_negatives",
 ]
 
 

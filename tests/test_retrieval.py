@@ -212,3 +212,44 @@ def test_rrf_fuse_accepts_ann_index_lists(spark, sf_dir, tmp_path):
     rows = fused.collect()
     assert rows and set(fused.columns) == {"query_id", "doc_id", "rrf", "rank"}
     assert all(1 <= r.rank <= 5 for r in rows)
+
+
+def test_hard_negatives_drops_positives_and_renumbers(spark):
+    from auto_data_linkage_spark.operators.retrieval import hard_negatives
+
+    ranked = spark.createDataFrame(
+        [(1, d, float(100 - d), d) for d in range(1, 9)],
+        "query_id long, doc_id long, bm25 double, rank int",
+    )
+    pos = spark.createDataFrame(
+        [(1, 2), (1, 5)], "query_id long, doc_id long"
+    )
+    out = sorted(
+        (r.doc_id, r.neg_rank)
+        for r in hard_negatives(ranked, pos, k=4).collect()
+    )
+    # docs 2 and 5 removed; survivors by score: 1,3,4,6 -> ranks 1..4
+    assert out == [(1, 1), (3, 2), (4, 3), (6, 4)]
+
+
+def test_hard_negatives_modality_agnostic(spark, sf_dir):
+    """A dense cosine list mines through the same operator (score_col
+    override), and queries whose positives crowd the list just return
+    fewer negatives — never a positive."""
+    from auto_data_linkage_spark.operators import similarity as S
+    from auto_data_linkage_spark.operators.retrieval import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") % 100 == 0)
+    dense = S.brute_force_topk(emb, qv, k=10).withColumnRenamed(
+        "neighbor_id", "doc_id"
+    )
+    pos = dense.where(F.col("rank") <= 8).select("query_id", "doc_id")
+    out = hard_negatives(dense, pos, k=5, score_col="cosine").collect()
+    pset = {(r.query_id, r.doc_id) for r in pos.collect()}
+    assert out
+    assert all((r.query_id, r.doc_id) not in pset for r in out)
+    per_q = {}
+    for r in out:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n == 2 for n in per_q.values())  # 10 deep - 8 positives
