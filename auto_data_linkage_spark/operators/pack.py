@@ -498,3 +498,57 @@ def leakage_safe_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def fim_split(
+    docs: DataFrame,
+    *,
+    rate: float = 0.5,
+    min_tokens: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Fill-in-the-middle span splitting (the FIM pre-training
+    transformation of Bavarian et al. 2022 / StarCoder): a
+    deterministic ``rate`` slice of documents is split into
+    (prefix, middle, suffix) at two positions drawn from the id hash,
+    for the downstream <pre><suf><mid> sequence reordering; the rest
+    pass through untransformed (``fim = false``, full text in
+    ``prefix``) — the published recipes apply FIM to 50–90% of docs,
+    not all.
+
+    Operates on the normalized whitespace token stream (the engine's
+    portable ``tokens`` — lowercased), so split points are token
+    boundaries and the transformation replays identically across
+    engines and runs: membership AND split points are pure functions of
+    the id. Documents shorter than ``min_tokens`` are never split.
+    ``middle`` may be empty when the two draws coincide (the rate of
+    that is 1/n per doc — the usual convention keeps it).
+
+    Entirely row-local (hash projections + array slices): NO shuffle,
+    NO explode — chunks inherit the input partitioning. At 100 TB this
+    is a pure map over the corpus, the cheapest possible shape.
+    """
+    tk = tokens(text_col)
+    n = F.size(tk)
+    sid = F.col(id_col).cast("string")
+    slot = F.pmod(md5_hash64(sid, seed), F.lit(10000))
+    do_fim = (slot < F.lit(int(rate * 10000))) & (n >= F.lit(min_tokens))
+    a = F.pmod(md5_hash64(sid, seed + 1), n)
+    b = F.pmod(md5_hash64(sid, seed + 2), n)
+    lo = F.least(a, b)
+    hi = F.greatest(a, b)
+    return docs.select(
+        F.col(id_col),
+        do_fim.alias("fim"),
+        F.when(do_fim, F.concat_ws(" ", F.slice(tk, 1, lo)))
+        .otherwise(F.concat_ws(" ", tk))
+        .alias("prefix"),
+        F.when(do_fim, F.concat_ws(" ", F.slice(tk, lo + 1, hi - lo)))
+        .otherwise(F.lit(""))
+        .alias("middle"),
+        F.when(do_fim, F.concat_ws(" ", F.slice(tk, hi + 1, n - hi)))
+        .otherwise(F.lit(""))
+        .alias("suffix"),
+    )

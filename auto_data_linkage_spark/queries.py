@@ -1535,6 +1535,8 @@ _DEPRIORITIZED = (
     "pii_scrub",  # text-analysis keeps c4_clean +
     #               gopher_repetition_filter in-window (hard_negatives
     #               takes the slot)
+    "shard_corpus",  # packing-export keeps pack_sequences in-window
+    #                  (fim_split takes the slot)
 )
 
 # --------------------------------------------------------------------------
@@ -1592,6 +1594,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "lexical-retrieval": ("bm25_topk",),
     "hybrid-retrieval": ("hybrid_topk",),
     "contrastive-mining": ("hard_negatives",),
+    "fim-transform": ("fim_split",),
     "fingerprinting": ("winnow_fingerprints", "winnow_rolling"),
     "lm-scoring": ("unigram_logprob", "bigram_logprob",
                    "perplexity_buckets"),

@@ -3939,3 +3939,59 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ranked.localCheckpoint(eager=False)  # feeds positives + drop
     positives = ranked.where(F.col("rank") <= _HN_POS)
     return R.hard_negatives(ranked, positives, k=_HN_K)
+
+
+# --------------------------------------------------------------------------
+# FIM span splitting: deterministic (prefix, middle, suffix) from the id
+# hash — membership AND split points replay identically on DuckDB
+# --------------------------------------------------------------------------
+_FIM_RATE, _FIM_MIN = 0.5, 4
+
+
+def _fim_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    h0 = _sql_hash64("CAST(doc_id AS VARCHAR)", 0)
+    h1 = _sql_hash64("CAST(doc_id AS VARCHAR)", 1)
+    h2 = _sql_hash64("CAST(doc_id AS VARCHAR)", 2)
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    base AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               (({h0}) % 10000 < {int(_FIM_RATE * 10000)}
+                AND len(toks) >= {_FIM_MIN}) AS fim
+        FROM tk
+    ),
+    pts AS (
+        SELECT doc_id, toks, n, fim,
+               CASE WHEN fim
+                    THEN LEAST(({h1}) % n, ({h2}) % n) ELSE 0 END AS lo,
+               CASE WHEN fim
+                    THEN GREATEST(({h1}) % n, ({h2}) % n) ELSE 0 END AS hi
+        FROM base
+    )
+    -- COALESCE: DuckDB's array_to_string returns NULL on an empty
+    -- slice where Spark's concat_ws returns ''
+    SELECT doc_id, fim,
+           CASE WHEN fim THEN COALESCE(array_to_string(toks[1 : lo], ' '), '')
+                ELSE COALESCE(array_to_string(toks, ' '), '') END AS prefix,
+           CASE WHEN fim
+                THEN COALESCE(array_to_string(toks[lo + 1 : hi], ' '), '')
+                ELSE '' END AS middle,
+           CASE WHEN fim
+                THEN COALESCE(array_to_string(toks[hi + 1 : n], ' '), '')
+                ELSE '' END AS suffix
+    FROM pts
+    """
+
+
+@register(
+    "fim_split",
+    _fim_sql(),
+    survey="LLM pipeline: fill-in-the-middle span splitting — "
+    "deterministic (prefix, middle, suffix) at a rate slice of docs",
+)
+def fim_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pack import fim_split
+
+    docs = _docs(spark, sf_dir)
+    return fim_split(docs, rate=_FIM_RATE, min_tokens=_FIM_MIN)

@@ -103,7 +103,9 @@ BENCH_QUERIES = [
     "epoch_mixture",
     "hybrid_topk",
     # round-9c: hard-negative mining (depth-20 bm25 + anti-join re-rank)
+    # and FIM span splitting (pure zero-shuffle projection)
     "hard_negatives",
+    "fim_split",
 ]
 
 

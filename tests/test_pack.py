@@ -458,3 +458,62 @@ def test_epoch_mixture_copies_spread_across_shards(spark, tmp_path):
     # 4 copies over 8 shards: hashing on (doc_id, epoch) must place a
     # doc's copies in >1 shard on average (id-only hashing gives 1.0)
     assert spread > 2.0
+
+
+def test_fim_split_reconstructs_and_respects_rate(spark, sf_dir):
+    from auto_data_linkage_spark.operators.pack import fim_split
+    from auto_data_linkage_spark.operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = fim_split(docs, rate=0.5, min_tokens=4).collect()
+    norm = {
+        r.doc_id: r.norm
+        for r in docs.select(
+            "doc_id", F.concat_ws(" ", tokens("text")).alias("norm")
+        ).collect()
+    }
+    n_fim = 0
+    for r in out:
+        joined = " ".join(p for p in (r.prefix, r.middle, r.suffix) if p)
+        assert joined == norm[r.doc_id], r.doc_id
+        if r.fim:
+            n_fim += 1
+        else:
+            assert r.middle == "" and r.suffix == ""
+    # deterministic hash slice: roughly half the corpus transforms
+    assert 0.3 < n_fim / len(out) < 0.7
+
+
+def test_fim_split_deterministic_and_seedable(spark):
+    from auto_data_linkage_spark.operators.pack import fim_split
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, fim_split(docs, rate=1.0).collect()))
+    b = sorted(map(tuple, fim_split(docs, rate=1.0).collect()))
+    assert a == b
+    c = sorted(map(tuple, fim_split(docs, rate=1.0, seed=7).collect()))
+    assert a != c  # different seed -> different split points
+
+
+def test_fim_split_short_docs_never_split(spark):
+    from auto_data_linkage_spark.operators.pack import fim_split
+
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in fim_split(docs, rate=1.0, min_tokens=4).collect()}
+    assert not rows[1].fim and rows[1].prefix == "one two three"
+    assert not rows[2].fim and rows[2].prefix == ""
+    assert rows[3].fim
+
+
+def test_fim_split_zero_shuffle(spark, sf_dir):
+    from auto_data_linkage_spark.operators.pack import fim_split
+    from auto_data_linkage_spark.plans.explain import count_exchanges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert count_exchanges(fim_split(docs)) == 0
