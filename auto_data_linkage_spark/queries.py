@@ -1537,6 +1537,15 @@ _DEPRIORITIZED = (
     #               takes the slot)
     "shard_corpus",  # packing-export keeps pack_sequences in-window
     #                  (fim_split takes the slot)
+    # round-9c rotation: dsir_resample (the composite — weights + the
+    # Gumbel-top-k selection) takes the driver row for the new dsir
+    # family; its weights-only half is certified by the same comparison
+    # in the back window, and decontaminate rotates back (its family
+    # keeps the strictly-richer decontaminate_attribution in-window,
+    # which exercises the identical broadcast shingle-join shape plus
+    # per-pair attribution):
+    "dsir_logweights",
+    "decontaminate",
 )
 
 # --------------------------------------------------------------------------
@@ -1593,6 +1602,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "knn_graph_stats"),
     "lexical-retrieval": ("bm25_topk",),
     "hybrid-retrieval": ("hybrid_topk",),
+    "dsir": ("dsir_logweights", "dsir_resample"),
     "contrastive-mining": ("hard_negatives",),
     "fim-transform": ("fim_split",),
     "fingerprinting": ("winnow_fingerprints", "winnow_rolling"),

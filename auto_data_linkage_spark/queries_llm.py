@@ -3995,3 +3995,99 @@ def fim_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return fim_split(docs, rate=_FIM_RATE, min_tokens=_FIM_MIN)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023): hashed-n-gram importance
+# weights against a target split, then deterministic Gumbel-top-k selection
+# --------------------------------------------------------------------------
+_DSIR_B, _DSIR_K = 2048, 100
+
+
+def _dsir_common_sql() -> str:
+    """Shared CTE chain: features → per-split bucket counts → log weights.
+    Target = doc_id % 97 == 0 (the decontamination queries' split),
+    raw = the rest; alpha = 1 (the operator default)."""
+    toks = _SQL_TOKENS.format(c="text")
+    h = _sql_hash64("f")
+    return f"""
+    tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    allf AS (
+        SELECT doc_id,
+               UNNEST(list_concat(
+                 toks,
+                 list_transform(generate_series(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i + 1])
+               )) AS f
+        FROM tk
+    ),
+    feats AS (SELECT doc_id, ({h}) % {_DSIR_B} AS bucket FROM allf),
+    ct AS (SELECT bucket, COUNT(*) AS ct FROM feats
+           WHERE doc_id % 97 = 0 GROUP BY 1),
+    cr AS (SELECT bucket, COUNT(*) AS cr FROM feats
+           WHERE doc_id % 97 <> 0 GROUP BY 1),
+    tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM ct) AS tt,
+                   (SELECT COALESCE(SUM(cr), 0) FROM cr) AS tr),
+    lw AS (
+        SELECT f.doc_id, COUNT(*) AS n_feats,
+               ROUND(SUM(ln(COALESCE(ct.ct, 0) + 1.0)
+                         - ln(COALESCE(cr.cr, 0) + 1.0))
+                     + COUNT(*) * (ln(tr + {_DSIR_B}.0)
+                                   - ln(tt + {_DSIR_B}.0)), 6) AS log_w
+        FROM feats f
+        LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket), tot
+        WHERE f.doc_id % 97 <> 0
+        GROUP BY f.doc_id, tt, tr
+    )"""
+
+
+def _dsir_split(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % 97 == 0)
+    raw = docs.where(F.col("doc_id") % 97 != 0)
+    return raw, target
+
+
+@register(
+    "dsir_logweights",
+    f"WITH {_dsir_common_sql()} SELECT doc_id, n_feats, log_w FROM lw",
+    survey="LLM pipeline: DSIR hashed-n-gram log importance weights "
+    "(Xie et al. 2023) of raw docs against a target split",
+)
+def dsir_logweights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.dsir import dsir_logweights
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_logweights(raw, target, n_buckets=_DSIR_B)
+
+
+def _dsir_resample_sql() -> str:
+    # uniform u = (hash+1)/2^60 as in pack.weighted_sample_k; the Gumbel
+    # key uses the ROUNDED log_w, matching the operator exactly
+    h1 = _sql_hash64("CAST(doc_id AS VARCHAR)", 1)
+    return f"""
+    WITH {_dsir_common_sql()},
+    keyed AS (
+        SELECT doc_id, n_feats, log_w,
+               ROUND(log_w - ln(-ln((({h1}) + 1)
+                                    / 1152921504606846976.0)), 6) AS k
+        FROM lw
+    )
+    SELECT doc_id, n_feats, log_w, sel_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS sel_rank
+        FROM keyed
+    ) WHERE sel_rank <= {_DSIR_K}
+    """
+
+
+@register(
+    "dsir_resample",
+    _dsir_resample_sql(),
+    survey="LLM pipeline: DSIR importance resampling — deterministic "
+    "Gumbel-top-k selection of raw docs toward the target distribution",
+)
+def dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.dsir import dsir_resample
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_resample(raw, target, _DSIR_K, n_buckets=_DSIR_B)

@@ -106,6 +106,10 @@ BENCH_QUERIES = [
     # and FIM span splitting (pure zero-shuffle projection)
     "hard_negatives",
     "fim_split",
+    # round-9d: DSIR importance resampling (two bounded-cardinality
+    # distribution aggregates + broadcast-joined per-doc scoring +
+    # Gumbel-top-k selection)
+    "dsir_resample",
 ]
 
 
