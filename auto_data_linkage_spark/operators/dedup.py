@@ -961,6 +961,50 @@ def decontaminate_attribution(
     )
 
 
+def keep_best_in_cluster(
+    docs: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection over near-dup clusters: keep the
+    HIGHEST-``score_col`` member of each connected component (ties break
+    on min id) instead of the min-id member — the RefinedWeb/FineWeb-
+    style refinement where, given a cluster of near-identical pages, you
+    keep the longest / highest-quality copy, not an arbitrary one.
+
+    ``components`` is :func:`~auto_data_linkage_spark.cluster.
+    connected_components` output ``(node, component)`` over the verified
+    near-dup pairs; documents absent from it are singletons and pass
+    through untouched. Returns the surviving ``docs`` rows (all
+    columns).
+
+    Scale shape: the arbitration window runs ONLY over in-component
+    docs — a relation bounded by duplicate volume, not corpus size (the
+    corpus-sized side is one anti-join against the component node list,
+    broadcast when the dup set is small, AQE-planned otherwise). The
+    ``rn = 1`` filter is WindowGroupLimit-eligible, so a hot component
+    ships one candidate row per map task.
+    """
+    from pyspark.sql import Window
+
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component")
+    )
+    member = docs.join(comp, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    winners = (
+        member.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "component")
+    )
+    singles = docs.join(comp.select(id_col), id_col, "left_anti")
+    return singles.unionByName(winners)
+
+
 # ------------------------------------------------------- semantic dedup
 def semantic_dedup(
     df: DataFrame,

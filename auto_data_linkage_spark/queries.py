@@ -1546,6 +1546,11 @@ _DEPRIORITIZED = (
     # per-pair attribution):
     "dsir_logweights",
     "decontaminate",
+    # round-9d: near_dedup_keep_best (quality-aware keeper) takes the
+    # driver row; the minhash_lsh_pairs primitive rotates back — BOTH
+    # in-window composites (near_dedup_keep, near_dedup_keep_best) run
+    # its exact banding + guard path end-to-end:
+    "minhash_lsh_pairs",
 )
 
 # --------------------------------------------------------------------------
@@ -1589,7 +1594,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                       "gopher_repetition_filter", "c4_clean"),
     "exact-dedup": ("exact_dedup",),
     "minhash-lsh": ("minhash_lsh_pairs", "near_dedup_keep",
-                    "minhash_signature", "incremental_dedup_docs"),
+                    "near_dedup_keep_best", "minhash_signature",
+                    "incremental_dedup_docs"),
     "simhash": ("simhash_near_pairs", "simhash"),
     "substring-dedup": ("span_dedup", "chunk_dedup", "split_chunks",
                         "strip_boilerplate", "line_dedup"),

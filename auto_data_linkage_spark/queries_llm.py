@@ -4091,3 +4091,67 @@ def dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw, target = _dsir_split(spark, sf_dir)
     return dsir_resample(raw, target, _DSIR_K, n_buckets=_DSIR_B)
+
+
+# --------------------------------------------------------------------------
+# Quality-aware near-dedup keeper: keep the highest-token-count member of
+# each near-dup cluster (RefinedWeb/FineWeb-style), not the min id
+# --------------------------------------------------------------------------
+def _near_dedup_keep_best_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+    WITH RECURSIVE sig AS ({_minhash_sql().strip()}),
+    {_minhash_pair_ctes()},
+    sym AS (
+        SELECT src, dst FROM prs UNION SELECT dst, src FROM prs
+    ),
+    reach(node, other) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, reach.other FROM sym s JOIN reach ON s.dst = reach.node
+    ),
+    cc AS (SELECT node, MIN(other) AS component FROM reach GROUP BY node),
+    nt AS (SELECT doc_id, len({toks}) AS n_tokens FROM documents),
+    member AS (
+        SELECT nt.doc_id, nt.n_tokens, cc.component
+        FROM nt JOIN cc ON nt.doc_id = cc.node
+    ),
+    winners AS (
+        SELECT doc_id, n_tokens FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY component ORDER BY n_tokens DESC, doc_id
+            ) AS rn FROM member
+        ) WHERE rn = 1
+    ),
+    singles AS (
+        SELECT nt.doc_id, nt.n_tokens
+        FROM nt ANTI JOIN cc ON nt.doc_id = cc.node
+    )
+    SELECT doc_id, n_tokens FROM singles
+    UNION ALL
+    SELECT doc_id, n_tokens FROM winners
+    """
+
+
+@register(
+    "near_dedup_keep_best",
+    _near_dedup_keep_best_sql(),
+    survey="LLM dedup: quality-aware survivor per near-dup cluster "
+    "(keep the highest-token-count member, FineWeb-style)",
+)
+def near_dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.cluster import connected_components
+    from auto_data_linkage_spark.operators.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_candidates(
+        docs, num_hashes=_MH_HASHES, num_bands=_MH_HASHES, shingle_k=_SHINGLE_K
+    )
+    edges = pairs.select(
+        F.col("doc_id_l").alias("src"), F.col("doc_id_r").alias("dst")
+    )
+    comp = connected_components(edges)
+    scored = docs.select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return D.keep_best_in_cluster(scored, comp, "n_tokens")

@@ -108,8 +108,10 @@ BENCH_QUERIES = [
     "fim_split",
     # round-9d: DSIR importance resampling (two bounded-cardinality
     # distribution aggregates + broadcast-joined per-doc scoring +
-    # Gumbel-top-k selection)
+    # Gumbel-top-k selection) and the quality-aware near-dup keeper
+    # (LSH pairs → CC → highest-score survivor per cluster)
     "dsir_resample",
+    "near_dedup_keep_best",
 ]
 
 

@@ -621,3 +621,37 @@ def test_decontaminate_attribution_hand_built(spark):
     # doc 2 is clean — no rows at all
     assert all(d != 2 for d, _ in out)
     assert len(out) == 4
+
+
+def test_keep_best_in_cluster_picks_highest_score(spark):
+    from auto_data_linkage_spark.operators.dedup import keep_best_in_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 2), (5, 7)],
+        "doc_id long, score long",
+    )
+    # cluster {1,2,3}: 2 and 3 tie at 9 -> min id 2 wins; 4,5 singletons
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, component long"
+    )
+    kept = sorted(
+        (r.doc_id, r.score)
+        for r in keep_best_in_cluster(docs, comp, "score").collect()
+    )
+    assert kept == [(2, 9), (4, 2), (5, 7)]
+
+
+def test_keep_best_in_cluster_bounded_window(spark):
+    """The arbitration window is WindowGroupLimit-eligible (rn == 1), so
+    hot components never ship their full membership per task."""
+    from auto_data_linkage_spark.operators.dedup import keep_best_in_cluster
+    from auto_data_linkage_spark.plans.explain import physical_plan
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("score")
+    )
+    comp = spark.range(500).select(
+        F.col("id").alias("node"), (F.col("id") % 3).alias("component")
+    )
+    plan = physical_plan(keep_best_in_cluster(docs, comp, "score"))
+    assert "WindowGroupLimit" in plan
