@@ -42,20 +42,27 @@ def curate_documents(
     shingle_k: int = 3,
     max_bucket: int | None = D.DEFAULT_MAX_BUCKET,
     reuse_filtered: bool = True,
+    keeper: str = "min_id",
 ) -> DataFrame:
     """Surviving documents of the full curation pass, as
     ``(id_col, lang_pred, quality)``.
 
     Keeps a document iff it (a) scores ``quality >= min_quality``,
     (b) language-IDs into ``langs``, (c) is the min-id row of its exact
-    duplicate group, and (d) is the min-id member of its near-duplicate
-    cluster. Near-dup edges are LSH candidates VERIFIED by exact shingle
-    Jaccard ≥ ``jaccard_threshold`` (dedup.minhash_dedup_pairs) — raw
+    duplicate group, and (d) survives its near-duplicate cluster —
+    with ``keeper="min_id"`` (default) the min-id member, with
+    ``keeper="best_quality"`` the highest-``quality`` member (ties on
+    min id; the FineWeb-style keep-the-best-copy refinement via
+    :func:`~.dedup.keep_best_in_cluster`). Near-dup edges are LSH
+    candidates VERIFIED by exact shingle Jaccard ≥
+    ``jaccard_threshold`` (dedup.minhash_dedup_pairs) — raw
     LSH candidates are probabilistic (with b bands of 1 hash a pair of
     true Jaccard j collides with probability 1−(1−j)^b, so dissimilar
     documents would chain into one transitive blob and be dropped);
     verification touches only candidate pairs, never n².
     """
+    if keeper not in ("min_id", "best_quality"):
+        raise ValueError("keeper must be 'min_id' or 'best_quality'")
     from auto_data_linkage_spark.cluster import connected_components
 
     c = F.col(text_col)
@@ -95,10 +102,17 @@ def curate_documents(
         F.col(f"{id_col}_l").alias("src"), F.col(f"{id_col}_r").alias("dst")
     )
     comp = connected_components(edges)
-    survivors = (
-        exact.join(comp, exact[id_col] == comp["node"], "left")
-        .where(F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col))
-    )
+    if keeper == "best_quality":
+        survivors = D.keep_best_in_cluster(
+            exact, comp, "quality", id_col=id_col
+        )
+    else:
+        survivors = (
+            exact.join(comp, exact[id_col] == comp["node"], "left")
+            .where(
+                F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
+            )
+        )
     return survivors.select(id_col, "lang_pred", "quality")
 
 

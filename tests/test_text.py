@@ -214,6 +214,34 @@ def test_curate_documents_pipeline(spark):
     assert all(q >= 0.5 for _, q in out.values())
 
 
+def test_curate_documents_best_quality_keeper(spark):
+    """keeper='best_quality' keeps the highest-quality member of each
+    near-dup cluster instead of the min id; cluster count is unchanged."""
+    from auto_data_linkage_spark.operators.pipeline import curate_documents
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "with some other common words that keep the quality score high"
+    )
+    rows = [
+        (1, base + " 1234 $$"),         # same cluster, punct lowers quality
+        (2, base + " extra tail"),      # near dup of 1, higher quality
+        (6, "a completely different english sentence about the weather and "
+            "the mountains with many of the usual common words in it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kwargs = dict(min_quality=0.3, langs=("en",), num_hashes=4,
+                  num_bands=4, jaccard_threshold=0.5)
+    best = {r["doc_id"] for r in
+            curate_documents(df, keeper="best_quality", **kwargs).collect()}
+    minid = {r["doc_id"] for r in curate_documents(df, **kwargs).collect()}
+    assert minid == {1, 6}   # min-id keeper: 1 survives its cluster
+    assert best == {2, 6}    # quality keeper: 2 (higher quality) survives
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curate_documents(df, keeper="longest", **kwargs)
+
+
 def test_normalize_text_nfc_and_cleanups(spark):
     from auto_data_linkage_spark.operators.text import normalize_text
 
