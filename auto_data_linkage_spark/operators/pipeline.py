@@ -134,6 +134,7 @@ def prepare_training_set(
     n_shards: int = 8,
     jaccard_threshold: float = 0.7,
     max_bucket: int | None = D.DEFAULT_MAX_BUCKET,
+    keeper: str = "min_id",
     resume: bool = True,
     url_col: str | None = None,
     blocked_domains: list[str] | None = None,
@@ -153,7 +154,8 @@ def prepare_training_set(
        per-domain quota (``max_per_domain``) — cheapest gate, so it
        drops rows before any text operator pays for them;
     1. :func:`curate_documents` — quality + language gate, exact dedup,
-       verified MinHash near-dedup (survivor ids);
+       verified MinHash near-dedup (survivor ids; ``keeper=
+       "best_quality"`` keeps the highest-quality copy per cluster);
     2. :func:`text.gopher_rules` AND
        :func:`text.gopher_repetition_rules` — the FULL Rae'21 gate
        (document rules + repetition rules; ``gopher_repetition=False``
@@ -236,6 +238,7 @@ def prepare_training_set(
         "num_merges": num_merges,
         "jaccard_threshold": jaccard_threshold,
         "max_bucket": max_bucket,
+        "keeper": keeper,
         "url_col": url_col,
         "blocked_domains": sorted(blocked_domains or []),
         "max_per_domain": max_per_domain,
@@ -304,6 +307,7 @@ def prepare_training_set(
             langs=langs,
             jaccard_threshold=jaccard_threshold,
             max_bucket=max_bucket,
+            keeper=keeper,
         ).select(id_col),
     )
     curated = docs.join(survivors, id_col, "left_semi")
