@@ -602,6 +602,116 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     return q, scale
 
 
+def sq8_encode(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Materializable SQ8 index rows: ``(id, codes array<int>, scale)``
+    via :func:`quantize_int8`.  The persisted form of the 4×-smaller
+    scan; :func:`sq8_topk` accepts either this or the raw corpus."""
+    q, scale = quantize_int8(F.col(vec_col))
+    return corpus.select(
+        F.col(id_col), q.alias("codes"), scale.alias("scale")
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes: DataFrame | None = None,
+    rerank_factor: int = 0,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) approximate cosine top-k — the third leg of
+    the quantized-ANN family next to :func:`pq_topk` / :func:`ivfpq_topk`
+    and the standard first rung of the compression ladder (FAISS's
+    public ``SQ8`` index type): per-vector symmetric int8 codes keep
+    ~full recall at 4× fewer scan bytes, where PQ trades more recall for
+    8-byte codes.
+
+    Scoring reconstructs each corpus vector row-locally
+    (``r_i = codes_i / scale``) and takes exact cosine between the
+    reconstruction and the true query vector — deterministic end-to-end
+    (integer codes, the same round-half-up rule both engines share), so
+    the approximate search has an exact DuckDB twin.
+
+    Plan shape: corpus (or a persisted :func:`sq8_encode` table via
+    ``codes=``) scans once with a row-local decode, queries broadcast,
+    ``rank <= k`` window (WindowGroupLimit-eligible) — no UDF, no
+    corpus shuffle.  ``rerank_factor > 0`` re-scores the
+    ``k·rerank_factor`` shortlist against true float vectors, the same
+    two-phase recipe as :func:`pq_topk`.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    if codes is None:
+        coded = sq8_encode(corpus, vec_col=vec_col, id_col=id_col)
+    else:
+        coded = codes
+    recon = F.transform(
+        F.col("codes"), lambda x: x.cast("double") / F.col("scale")
+    )
+    c = coded.select(
+        F.col(id_col).alias("neighbor_id"),
+        recon.alias("__cvec"),
+    ).withColumn("__cn", norm_expr(F.col("__cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_from_norms(
+                F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")
+            ),
+            6,
+        ).alias("cosine"),
+        "__qvec",
+        "__qn",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    if rerank_factor <= 0:
+        return (
+            scored.drop("__qvec", "__qn")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id", "__qvec", "__qn")
+    )
+    truth = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__tvec"),
+        norm_expr(F.col(vec_col)).alias("__tn"),
+    )
+    exact = truth.join(F.broadcast(shortlist), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_from_norms(
+                F.col("__qvec"), F.col("__tvec"), F.col("__qn"), F.col("__tn")
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 # ------------------------------------------------- product quantization
 def pq_codebooks(
     corpus: DataFrame,
@@ -1260,4 +1370,89 @@ def knn_graph(
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
+    )
+
+
+# ------------------------------------------- embedding-space outliers
+def prototypicality(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-row cosine to the row's OWN cell centroid — the
+    "prototypicality" score from the D4 / SemDeDup line of work
+    (Abbas et al. 2023; Tirumala et al. 2023 — public): points far from
+    their cluster centroid are embedding-space outliers (mojibake, OCR
+    noise, off-distribution boilerplate), points too close are
+    semantic templates; both are curation targets.
+
+    Output: (id, cell, proto).  Plan shape: centroids are ONE groupBy
+    returning k×dim doubles (:func:`build_centroids` — map-side partial
+    aggregation, never an exploded shuffle), broadcast back; the score
+    is a row-local fold.  The corpus never shuffles.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else build_centroids(corpus, vec_col=vec_col, cell_col=cell_col)
+    )
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.col(cell_col).alias("cell"),
+            F.col(vec_col).alias("__vec"),
+        )
+        .join(F.broadcast(cents), "cell")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.round(
+                cosine_expr(F.col("__vec"), F.col("centroid")), 6
+            ).alias("proto"),
+        )
+    )
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    *,
+    quantile: float = 0.1,
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Flag the least-prototypical ``quantile`` of every cell:
+    ``(id, cell, proto, is_outlier)`` with ``is_outlier = proto below
+    the cell's interpolated ``quantile`` cut (strict <, so at most a
+    ``quantile`` fraction per cell is flagged and exact-threshold ties
+    survive).
+
+    The cutoff table is one narrow aggregate over (cell, proto) pairs —
+    #cells rows, broadcast back — so the corpus is scanned once for
+    scoring and its (cell, proto) projection once for the cuts; no
+    global window, no corpus-wide sort.  Filtering ``is_outlier`` rows
+    before training is the D4 outlier-removal step; the same score's
+    TOP quantile feeds template removal if needed.
+    """
+    if not 0.0 < quantile < 1.0:
+        raise ValueError(f"quantile must be in (0, 1), got {quantile}")
+    p = prototypicality(
+        corpus,
+        vec_col=vec_col,
+        cell_col=cell_col,
+        id_col=id_col,
+        centroids=centroids,
+    )
+    cuts = p.groupBy("cell").agg(
+        F.round(F.percentile(F.col("proto"), quantile), 6).alias("__cut")
+    )
+    return p.join(F.broadcast(cuts), "cell").select(
+        F.col(id_col),
+        "cell",
+        "proto",
+        (F.col("proto") < F.col("__cut")).alias("is_outlier"),
     )

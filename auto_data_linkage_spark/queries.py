@@ -1551,6 +1551,20 @@ _DEPRIORITIZED = (
     # in-window composites (near_dedup_keep, near_dedup_keep_best) run
     # its exact banding + guard path end-to-end:
     "minhash_lsh_pairs",
+    # round-9e rotation: the three new operators (curriculum_order,
+    # sq8_topk, embedding_outliers) promoted to driver rows per the
+    # every-new-operator-holds-a-driver-row rule; three redundant front
+    # rows demoted in exchange, each family keeping ≥1 driver row
+    # (machine-checked):
+    "trimmed_block_stats",  # entropy-profile keeps entropy in-window;
+    #                         the percentile-window machinery is also
+    #                         driven front-window by window_count's family
+    "incremental_cluster",  # linkage-pipeline keeps fs_score_fixed +
+    #                         connected_components in-window (the same
+    #                         union-find/star-rounds machinery)
+    "unigram_logprob",  # lm-scoring keeps perplexity_buckets in-window,
+    #                     which COMPOSES the unigram model (strictly
+    #                     richer machinery under the same check)
 )
 
 # --------------------------------------------------------------------------
@@ -1605,7 +1619,9 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                         "decontaminate_attribution"),
     "ann-search": ("cosine_topk", "ivf_topk", "pq_topk", "ivfpq_topk",
                    "lsh_topk", "ivf_centroids", "embedding_quantize",
-                   "knn_graph_stats"),
+                   "knn_graph_stats", "sq8_topk"),
+    "embedding-curation": ("embedding_outliers",),
+    "training-order": ("curriculum_order",),
     "lexical-retrieval": ("bm25_topk",),
     "hybrid-retrieval": ("hybrid_topk",),
     "dsir": ("dsir_logweights", "dsir_resample"),

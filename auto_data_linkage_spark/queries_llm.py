@@ -4155,3 +4155,149 @@ def near_dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count("text").alias("n_tokens")
     )
     return D.keep_best_in_cluster(scored, comp, "n_tokens")
+
+
+# --------------------------------------------------------------------------
+# Training order: seeded global shuffle + curriculum staging (declared,
+# never executed as a global sort — see operators/order.py)
+# --------------------------------------------------------------------------
+_ORDER_SHARDS = 64
+_ORDER_STAGES = 4
+
+
+def _curriculum_order_sql() -> str:
+    h_shard = _sql_hash64("CAST(doc_id AS VARCHAR)", seed=0)
+    h_order = _sql_hash64("CAST(doc_id AS VARCHAR)", seed=1)
+    cases = " + ".join(
+        f"CASE WHEN CAST(n_chars AS DOUBLE) > t{i} THEN 1 ELSE 0 END"
+        for i in range(1, _ORDER_STAGES)
+    )
+    quants = ", ".join(
+        f"ROUND(quantile_cont(CAST(n_chars AS DOUBLE), "
+        f"{i / _ORDER_STAGES}), 6) AS t{i}"
+        for i in range(1, _ORDER_STAGES)
+    )
+    return f"""
+    WITH thr AS (SELECT {quants} FROM documents)
+    SELECT d.doc_id,
+           CAST({cases} AS INTEGER)                    AS stage,
+           CAST({h_shard} % {_ORDER_SHARDS} AS INTEGER) AS shard,
+           {h_order}                                    AS order_key
+    FROM documents d, thr
+    """
+
+
+@register(
+    "curriculum_order",
+    _curriculum_order_sql(),
+    survey="LLM packing/order: seeded global shuffle (shard+order_key "
+    "projection, zero-shuffle) and quantile curriculum stages",
+)
+def curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators import order as O
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ordered = O.training_order(docs, n_shards=_ORDER_SHARDS)
+    staged = O.curriculum_stages(ordered, "n_chars", n_stages=_ORDER_STAGES)
+    return staged.select("doc_id", "stage", "shard", "order_key")
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN: int8 decode + exact cosine on reconstructions
+# (deterministic, so the approximate search has an exact DuckDB twin)
+# --------------------------------------------------------------------------
+_SQ8_SQL = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    sc AS (
+        SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                    ELSE 1.0 END AS scale
+        FROM v
+    ),
+    recon AS (
+        SELECT vec_id, scale,
+               list_transform(
+                   v, x -> CAST(FLOOR(x * scale + 0.5) AS INTEGER) / scale
+               ) AS r
+        FROM sc
+    ),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND(
+                 list_dot_product(q.qv, c.r)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.r, c.r))),
+                 6) AS cosine
+        FROM recon c, q
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register(
+    "sq8_topk",
+    _SQ8_SQL,
+    survey="LLM similarity: SQ8 scalar-quantized ANN (4x-smaller scan, "
+    "int8 decode + cosine, two-phase rerank available)",
+)
+def sq8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return S.sq8_topk(emb, queries, k=5)
+
+
+# --------------------------------------------------------------------------
+# Embedding-space outliers: cosine-to-own-centroid prototypicality +
+# per-cell quantile flag (D4 / SemDeDup outlier-removal step)
+# --------------------------------------------------------------------------
+_OUTLIER_SQL = """
+    WITH cents AS (
+        SELECT label AS cell, LIST(m ORDER BY pos) AS centroid FROM (
+            SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM (
+                SELECT label, UNNEST(embedding) AS v,
+                       GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos
+                FROM embeddings
+            ) GROUP BY label, pos
+        ) GROUP BY label
+    ),
+    p AS (
+        SELECT e.vec_id, e.label AS cell,
+               ROUND(
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(c.centroid, c.centroid))),
+                 6) AS proto
+        FROM embeddings e JOIN cents c ON e.label = c.cell
+    ),
+    cuts AS (
+        SELECT cell, ROUND(quantile_cont(proto, 0.1), 6) AS cut
+        FROM p GROUP BY cell
+    )
+    SELECT p.vec_id, p.cell, p.proto, p.proto < cuts.cut AS is_outlier
+    FROM p JOIN cuts ON p.cell = cuts.cell
+"""
+
+
+@register(
+    "embedding_outliers",
+    _OUTLIER_SQL,
+    survey="LLM curation: embedding-space outlier flag (cosine to own "
+    "cell centroid, per-cell quantile cut — D4-style)",
+)
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return S.embedding_outliers(emb, quantile=0.1)

@@ -1,0 +1,122 @@
+"""Deterministic training order / curriculum staging (operators/order.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators import order as O
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_training_order_deterministic_and_bounded(docs):
+    a = O.training_order(docs, n_shards=16, seed=7).select(
+        "doc_id", "shard", "order_key"
+    )
+    b = O.training_order(docs, n_shards=16, seed=7).select(
+        "doc_id", "shard", "order_key"
+    )
+    ra = {r["doc_id"]: (r["shard"], r["order_key"]) for r in a.collect()}
+    rb = {r["doc_id"]: (r["shard"], r["order_key"]) for r in b.collect()}
+    assert ra == rb
+    assert all(0 <= s < 16 for s, _ in ra.values())
+    # a different seed reshuffles: shard assignment must not be static
+    c = O.training_order(docs, n_shards=16, seed=8).select("doc_id", "shard")
+    rc = {r["doc_id"]: r["shard"] for r in c.collect()}
+    assert any(rc[d] != ra[d][0] for d in ra)
+
+
+def test_training_order_spreads_source_clustering(docs):
+    """The point of the seeded shuffle: a source that arrives clustered
+    must land spread across shards (every shard sees >1 source when
+    sources ≪ rows)."""
+    out = O.training_order(docs, n_shards=8)
+    per_shard = (
+        out.groupBy("shard")
+        .agg(F.countDistinct("source").alias("n_src"))
+        .collect()
+    )
+    assert per_shard and all(r["n_src"] > 1 for r in per_shard)
+
+
+def test_order_key_independent_of_shard_hash(docs):
+    """order_key must not be the shard hash (seed offset): otherwise
+    every shard's rows sort by the residue that placed them there."""
+    out = O.training_order(docs, n_shards=4, seed=3).select(
+        "doc_id", "shard", "order_key"
+    )
+    rows = out.collect()
+    assert all(r["order_key"] % 4 != r["shard"] for r in rows) or len(
+        {r["order_key"] % 4 == r["shard"] for r in rows}
+    ) == 2  # not constant-true across the corpus
+
+
+def test_training_order_zero_shuffle_plan(docs):
+    """Assignment is a pure projection — no Exchange in the plan (the
+    writer downstream pays the one shard exchange it already owed)."""
+    plan = (
+        O.training_order(docs, n_shards=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_curriculum_stage_masses_and_monotonicity(docs):
+    staged = O.curriculum_stages(docs, "n_chars", n_stages=4)
+    counts = {
+        r["stage"]: r["cnt"]
+        for r in staged.groupBy("stage").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    assert set(counts) == {0, 1, 2, 3}
+    # quantile bands: every stage holds ~25% (ties can skew a few rows)
+    for s in counts:
+        assert counts[s] >= n * 0.15, counts
+    # monotone: max score of stage s <= min score of stage s+2 is too
+    # strict with ties; check stage means strictly increase
+    means = dict(
+        staged.groupBy("stage")
+        .agg(F.avg("n_chars").alias("m"))
+        .rdd.map(lambda r: (r["stage"], r["m"]))
+        .collect()
+    )
+    assert means[0] < means[1] < means[2] < means[3]
+
+
+def test_curriculum_pinned_thresholds(docs):
+    """Explicit thresholds pin stages across corpus versions: a grown
+    corpus must not reshape the curriculum when pins are passed."""
+    ts = O.stage_thresholds(docs, "n_chars", n_stages=4)
+    subset = docs.where(F.col("doc_id") % 2 == 0)
+    pinned = O.curriculum_stages(subset, "n_chars", thresholds=ts)
+    full = {
+        r["doc_id"]: r["stage"]
+        for r in O.curriculum_stages(docs, "n_chars", n_stages=4)
+        .select("doc_id", "stage")
+        .collect()
+    }
+    for r in pinned.select("doc_id", "stage").collect():
+        assert r["stage"] == full[r["doc_id"]]
+
+
+def test_curriculum_stage_is_rowlocal_plan(docs):
+    """With pinned thresholds the staging plan has NO Exchange at all
+    (stage is a literal comparison; no quantile aggregate runs)."""
+    plan = (
+        O.curriculum_stages(docs, "n_chars", thresholds=[100.0, 300.0])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_validation_errors(docs):
+    with pytest.raises(ValueError):
+        O.training_order(docs, n_shards=0)
+    with pytest.raises(ValueError):
+        O.stage_thresholds(docs, "n_chars", n_stages=1)

@@ -3,6 +3,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from auto_data_linkage_spark.operators import similarity as S
 from auto_data_linkage_spark.operators.similarity import (
     brute_force_topk,
     build_centroids,
@@ -484,3 +485,155 @@ def test_knn_graph_no_corpus_broadcast(spark):
     corpus_joins = [ln for ln in joins if "cell#" in ln]
     assert corpus_joins, plan
     assert all("Broadcast" not in ln for ln in corpus_joins), plan
+
+
+# ---------------------------------------------------------------- SQ8
+def test_sq8_recall_vs_brute_force(spark, emb):
+    """Symmetric int8 keeps ~full recall: top-5 sets overlap >= 4/5 per
+    query against exact brute force (quantization error ~1/254 of the
+    per-vector max — far below typical neighbor gaps)."""
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    approx = S.sq8_topk(emb, queries, k=5)
+    et = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    at = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    per_q = {}
+    for q, n in et:
+        per_q.setdefault(q, [0, 0])[0] += 1
+    for q, n in at & et:
+        per_q[q][1] += 1
+    assert all(hit >= total - 1 for total, hit in per_q.values()), per_q
+
+
+def test_sq8_rerank_scores_are_exact(spark, emb):
+    """rerank_factor > 0 re-scores the shortlist against true vectors:
+    every returned cosine must equal the brute-force cosine for that
+    (query, neighbor) pair."""
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.brute_force_topk(emb, queries, k=50).collect()
+    }
+    rr = S.sq8_topk(emb, queries, k=5, rerank_factor=4).collect()
+    assert rr
+    for r in rr:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact and exact[key] == r["cosine"]
+
+
+def test_sq8_accepts_persisted_codes(spark, emb, tmp_path):
+    """sq8_topk(codes=...) over a persisted sq8_encode table returns the
+    same rows as the inline path — the 4x-smaller-scan serving shape."""
+    queries = emb.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "sq8")
+    S.sq8_encode(emb).write.parquet(path)
+    codes = spark.read.parquet(path)
+    inline = sorted(
+        map(tuple, S.sq8_topk(emb, queries, k=5).collect())
+    )
+    served = sorted(
+        map(tuple, S.sq8_topk(emb, queries, k=5, codes=codes).collect())
+    )
+    assert inline == served
+
+
+def test_sq8_reconstruction_error_bound(spark, emb):
+    """|recon_i - x_i| <= 0.5/scale for every element (round-half-up is
+    within half a code step)."""
+    q, scale = S.quantize_int8(F.col("embedding"))
+    err = emb.select(
+        F.array_max(
+            F.zip_with(
+                F.transform(q, lambda c: c.cast("double") / scale),
+                F.col("embedding"),
+                lambda r, x: F.abs(r - x.cast("double")),
+            )
+        ).alias("e"),
+        (F.lit(0.5) / scale).alias("bound"),
+    )
+    bad = err.where(F.col("e") > F.col("bound") + 1e-12).count()
+    assert bad == 0
+
+
+def test_sq8_no_corpus_shuffle_plan(spark, emb):
+    """Corpus scans once with a row-local decode; the only exchange is
+    the query-partitioned window (queries broadcast)."""
+    queries = emb.where(F.col("vec_id") < 3)
+    plan = (
+        S.sq8_topk(emb, queries, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+# --------------------------------------------------- embedding outliers
+def test_prototypicality_range_and_planted_outlier(spark):
+    """A vector pointing away from its cell's direction scores lowest."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(30):
+        rows.append((i, [1.0 + rng.uniform(-0.05, 0.05) for _ in range(8)], 0))
+    rows.append((99, [-1.0] * 8, 0))  # planted outlier in cell 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    p = S.prototypicality(df).collect()
+    assert all(-1.0 - 1e-9 <= r["proto"] <= 1.0 + 1e-9 for r in p)
+    worst = min(p, key=lambda r: r["proto"])
+    assert worst["vec_id"] == 99
+
+
+def test_embedding_outliers_flags_bounded_fraction(spark, emb):
+    out = S.embedding_outliers(emb, quantile=0.1)
+    per_cell = (
+        out.groupBy("cell")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_outlier").cast("int")).alias("flagged"),
+        )
+        .collect()
+    )
+    assert per_cell
+    for r in per_cell:
+        # strict < cut flags at most the quantile fraction per cell
+        assert r["flagged"] <= r["n"] * 0.1 + 1, r
+    # flagged rows are exactly the lowest-proto rows per cell
+    rows = out.collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        flagged = {r["vec_id"] for r in members if r["is_outlier"]}
+        if not flagged:
+            continue
+        cut_proto = max(r["proto"] for r in members if r["is_outlier"])
+        unflagged_below = [
+            r for r in members
+            if not r["is_outlier"] and r["proto"] < cut_proto
+        ]
+        assert not unflagged_below, (cell, unflagged_below)
+
+
+def test_embedding_outliers_quantile_validation(spark, emb):
+    with pytest.raises(ValueError):
+        S.embedding_outliers(emb, quantile=0.0)
+    with pytest.raises(ValueError):
+        S.embedding_outliers(emb, quantile=1.0)
+
+
+def test_embedding_outliers_reuses_provided_centroids(spark, emb):
+    """centroids= skips the build aggregate — serving shape for a stored
+    routing table; results must match the inline path."""
+    cents = S.build_centroids(emb)
+    a = sorted(map(tuple, S.embedding_outliers(emb, quantile=0.1).collect()))
+    b = sorted(
+        map(
+            tuple,
+            S.embedding_outliers(emb, quantile=0.1, centroids=cents).collect(),
+        )
+    )
+    assert a == b
