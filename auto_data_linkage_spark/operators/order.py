@@ -61,18 +61,22 @@ def training_order(
     """Assign every row a deterministic ``(shard, order_key)`` pair — the
     seeded global shuffle, declared instead of executed.
 
-    ``shard = md5_hash64(seed | id) % n_shards`` spreads any domain or
-    crawl-order clustering uniformly across shards; ``order_key`` is an
-    independent hash that orders rows WITHIN a shard.  Reading shards
+    The shard half delegates to :func:`~auto_data_linkage_spark.operators
+    .pack.assign_shards` (one source of truth for the placement hash);
+    ``order_key`` is an INDEPENDENT hash (seed offset) so the within-
+    shard order survives a resharding: change ``n_shards`` and rows move
+    between shards but keep their relative order, which ``shard_order``
+    (the placement hash itself) cannot promise.  Reading shards
     ``0..n-1`` each sorted by ``order_key`` IS the shuffled corpus, and
     the assignment is a zero-shuffle projection — the only exchange
     happens in the writer that was already partitioning by shard.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    sid = F.col(id_col).cast("string")
-    return df.withColumn(
-        "shard", (md5_hash64(sid, seed=seed) % F.lit(n_shards)).cast("int")
+    from auto_data_linkage_spark.operators.pack import assign_shards
+
+    return assign_shards(df, n_shards, id_col=id_col, salt=seed).drop(
+        "shard_order"
     ).withColumn("order_key", order_key_expr(F.col(id_col), seed=seed))
 
 

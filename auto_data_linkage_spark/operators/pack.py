@@ -375,6 +375,7 @@ def write_shards(
     *,
     id_col: str | list[str] = "doc_id",
     salt: int = 0,
+    order_cols: list[str] | None = None,
 ) -> str:
     """Write the deterministically shuffled corpus as ``shard=N/``
     parquet directories, each sorted by ``shard_order`` — a training
@@ -383,11 +384,28 @@ def write_shards(
     is built by exactly one reducer, so each directory is one sorted
     file), then a partitioned write; at 100 TB pick ``n_shards`` so a
     shard (~corpus/n) fits a reducer's spill budget, or raise
-    ``spark.sql.files.maxRecordsPerFile`` to split within a shard."""
-    sharded = assign_shards(df, n_shards, id_col=id_col, salt=salt)
+    ``spark.sql.files.maxRecordsPerFile`` to split within a shard.
+
+    ``order_cols`` overrides the within-shard sort with columns the
+    input already carries — e.g. ``["stage", "order_key"]`` from
+    :func:`~auto_data_linkage_spark.operators.order.curriculum_stages`
+    + :func:`~auto_data_linkage_spark.operators.order.training_order`
+    realizes a curriculum (easy→hard stages, shuffled within) for the
+    SAME one exchange the plain shuffle pays."""
+    if order_cols is None:
+        sharded = assign_shards(df, n_shards, id_col=id_col, salt=salt)
+        sort_cols = ["shard", "shard_order"]
+    else:
+        missing = [c for c in ["shard", *order_cols] if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"order_cols requires pre-assigned columns; missing {missing}"
+            )
+        sharded = df
+        sort_cols = ["shard", *order_cols]
     (
         sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "shard_order")
+        .sortWithinPartitions(*sort_cols)
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(path)

@@ -120,3 +120,30 @@ def test_validation_errors(docs):
         O.training_order(docs, n_shards=0)
     with pytest.raises(ValueError):
         O.stage_thresholds(docs, "n_chars", n_stages=1)
+
+
+def test_curriculum_realized_through_write_shards(docs, spark, tmp_path):
+    """The end-to-end composition: stage + order + write_shards(order_cols)
+    produces shard directories whose physical row order is the curriculum
+    (stage ascending, hash-shuffled within)."""
+    from auto_data_linkage_spark.operators.pack import write_shards
+
+    staged = O.curriculum_stages(
+        O.training_order(docs, n_shards=4, seed=2), "n_chars", n_stages=3,
+        seed=2,
+    )
+    path = str(tmp_path / "shards")
+    write_shards(staged, path, 4, order_cols=["stage", "order_key"])
+    back = spark.read.parquet(path)
+    assert back.select("shard").distinct().count() == 4
+    for s in range(4):
+        rows = back.where(F.col("shard") == s).collect()
+        keys = [(r["stage"], r["order_key"]) for r in rows]
+        assert keys == sorted(keys), f"shard {s} not in curriculum order"
+
+
+def test_write_shards_order_cols_validation(docs, tmp_path):
+    from auto_data_linkage_spark.operators.pack import write_shards
+
+    with pytest.raises(ValueError):
+        write_shards(docs, str(tmp_path / "x"), 4, order_cols=["order_key"])
