@@ -594,11 +594,22 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     recipe). ``floor(x + 0.5)`` (round-half-up) is used instead of
     ``round`` because engines disagree on half-even vs half-away ties —
     this form is bit-identical across Spark and DuckDB. Zero vectors get
-    scale 1.0 and all-zero codes."""
+    scale 1.0 and all-zero codes.
+
+    The scale rides into the code lambda via ``zip_with(v,
+    array_repeat(scale, size(v)))`` rather than a direct capture: a
+    captured subtree re-evaluates INSIDE the lambda per element (the
+    max-abs pass and its temp array × dim per row — measured 3–4× the
+    whole encode cost at dim 64), while array_repeat evaluates it once
+    per row."""
     v = F.transform(vec, lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform(v, F.abs))
     scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(1.0))
-    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    q = F.zip_with(
+        v,
+        F.array_repeat(scale, F.size(v)),
+        lambda x, s: F.floor(x * s + F.lit(0.5)).cast("int"),
+    )
     return q, scale
 
 
@@ -634,31 +645,32 @@ def sq8_topk(
     ~full recall at 4× fewer scan bytes, where PQ trades more recall for
     8-byte codes.
 
-    Scoring reconstructs each corpus vector row-locally
-    (``r_i = codes_i / scale``) and takes exact cosine between the
-    reconstruction and the true query vector — deterministic end-to-end
-    (integer codes, the same round-half-up rule both engines share), so
-    the approximate search has an exact DuckDB twin.
+    Cosine is SCALE-INVARIANT, so the score needs no decode at all:
+    ``cosine(codes/scale, q) = dot(codes, q) / (‖codes‖·‖q‖)`` — the
+    per-vector scale cancels between numerator and denominator.  The
+    hot loop is therefore the identical fold :func:`brute_force_topk`
+    runs, just over int8 codes instead of floats (the 4× byte saving
+    with zero per-pair decode work); deterministic end-to-end (integer
+    codes, the same round-half-up rule both engines share), so the
+    approximate search has an exact DuckDB twin.  The stored ``scale``
+    matters only for reconstruction (L2 / dot-product serving).
 
     Plan shape: corpus (or a persisted :func:`sq8_encode` table via
-    ``codes=``) scans once with a row-local decode, queries broadcast,
-    ``rank <= k`` window (WindowGroupLimit-eligible) — no UDF, no
-    corpus shuffle.  ``rerank_factor > 0`` re-scores the
-    ``k·rerank_factor`` shortlist against true float vectors, the same
-    two-phase recipe as :func:`pq_topk`.
-    Output: (query_id, neighbor_id, cosine, rank).
+    ``codes=``) scans once, queries broadcast, ``rank <= k`` window
+    (WindowGroupLimit-eligible) — no UDF, no corpus shuffle.
+    ``rerank_factor > 0`` re-scores the ``k·rerank_factor`` shortlist
+    against true float vectors, the same two-phase recipe as
+    :func:`pq_topk`.  Output: (query_id, neighbor_id, cosine, rank).
     """
     if codes is None:
         coded = sq8_encode(corpus, vec_col=vec_col, id_col=id_col)
     else:
         coded = codes
-    recon = F.transform(
-        F.col("codes"), lambda x: x.cast("double") / F.col("scale")
-    )
     c = coded.select(
         F.col(id_col).alias("neighbor_id"),
-        recon.alias("__cvec"),
-    ).withColumn("__cn", norm_expr(F.col("__cvec")))
+        F.col("codes").alias("__cvec"),
+        norm_expr(F.col("codes")).alias("__cn"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),

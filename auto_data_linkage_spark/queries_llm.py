@@ -4219,10 +4219,12 @@ _SQ8_SQL = """
         FROM v
     ),
     recon AS (
-        SELECT vec_id, scale,
-               list_transform(
-                   v, x -> CAST(FLOOR(x * scale + 0.5) AS INTEGER) / scale
-               ) AS r
+        -- cosine is scale-invariant: score directly on the int8 codes
+        -- (cast elementwise to double, mirroring Spark's fold)
+        SELECT vec_id,
+               CAST(list_transform(
+                   v, x -> CAST(FLOOR(x * scale + 0.5) AS INTEGER)
+               ) AS DOUBLE[]) AS r
         FROM sc
     ),
     q AS (

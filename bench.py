@@ -112,6 +112,12 @@ BENCH_QUERIES = [
     # (LSH pairs → CC → highest-score survivor per cluster)
     "dsir_resample",
     "near_dedup_keep_best",
+    # round-9e: curriculum/training order (quantile agg + zero-shuffle
+    # projection), SQ8 scalar-quantized ANN (int8 decode + cosine), and
+    # embedding-space outlier curation (centroid + per-cell quantile cut)
+    "curriculum_order",
+    "sq8_topk",
+    "embedding_outliers",
 ]
 
 
