@@ -65,6 +65,26 @@ class AnnIndex:
     coded: DataFrame
 
 
+def _sq8_coded(
+    df: DataFrame, *, vec_col: str, id_col: str, cell_col: str
+) -> DataFrame:
+    """SQ8 coded rows ``(neighbor_id, cell, codes, __cn)``: cosine is
+    scale-invariant (see :func:`similarity.sq8_topk`), so the index
+    stores int8 codes and the CODE norm — no scale, no codebooks, and
+    appends never depend on build-time state."""
+    from auto_data_linkage_spark.operators.similarity import (
+        norm_expr,
+        quantize_int8,
+    )
+
+    q, _scale = quantize_int8(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        q.alias("codes"),
+    ).withColumn("__cn", norm_expr(F.col("codes")))
+
+
 def build_ann_index(
     corpus: DataFrame,
     path: str,
@@ -75,13 +95,21 @@ def build_ann_index(
     id_col: str = "vec_id",
     cell_col: str = "label",
     dim: int | None = None,
+    codec: str = "pq",
 ) -> dict:
     """One corpus pass → stored index. Centroids are the per-cell
     means of the existing ``cell_col`` labels (swap in
     :func:`similarity.kmeans_centroids` + ``assign_cells`` upstream
     for learned cells); codebooks are the deterministic md5-rank
     sampled PQ codebooks. Returns the metadata dict (also written to
-    ``index.json``)."""
+    ``index.json``).
+
+    ``codec`` picks the compression rung: ``"pq"`` (default, 8-byte
+    codes — smallest scan, approximate scores) or ``"sq8"`` (int8
+    per-dimension codes — 4× smaller than floats at ~full recall,
+    scored scale-invariantly; ``m``/``n_codewords`` are ignored)."""
+    if codec not in ("pq", "sq8"):
+        raise ValueError(f"codec must be 'pq' or 'sq8', got {codec!r}")
     from auto_data_linkage_spark.operators.similarity import (
         _pq_recon_norm,
         build_centroids,
@@ -93,17 +121,24 @@ def build_ann_index(
     os.makedirs(local, exist_ok=True)
 
     cents = build_centroids(corpus, vec_col=vec_col, cell_col=cell_col, dim=dim)
-    cbs = pq_codebooks(
-        corpus, m=m, n_codewords=n_codewords, vec_col=vec_col, id_col=id_col
-    )
-    coded = pq_encode(
-        corpus, cbs, vec_col=vec_col, id_col=id_col, keep=(cell_col,)
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(cell_col).alias("cell"),
-        "codes",
-        _pq_recon_norm(cbs).alias("__cn"),
-    )
+    if codec == "sq8":
+        cbs = None
+        coded = _sq8_coded(
+            corpus, vec_col=vec_col, id_col=id_col, cell_col=cell_col
+        )
+    else:
+        cbs = pq_codebooks(
+            corpus, m=m, n_codewords=n_codewords, vec_col=vec_col,
+            id_col=id_col,
+        )
+        coded = pq_encode(
+            corpus, cbs, vec_col=vec_col, id_col=id_col, keep=(cell_col,)
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(cell_col).alias("cell"),
+            "codes",
+            _pq_recon_norm(cbs).alias("__cn"),
+        )
     coded.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(local, "coded")
     )
@@ -117,6 +152,7 @@ def build_ann_index(
     )
     meta = {
         "version": _VERSION,
+        "codec": codec,
         "m": m,
         "n_codewords": n_codewords,
         "vec_col": vec_col,
@@ -191,18 +227,28 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
             "centroids (similarity.assign_cells) or rebuild the index"
         )
 
-    coded = pq_encode(
-        delta,
-        cbs,
-        vec_col=meta["vec_col"],
-        id_col=meta["id_col"],
-        keep=(cell_col,),
-    ).select(
-        F.col(meta["id_col"]).alias("neighbor_id"),
-        F.col(cell_col).alias("cell"),
-        "codes",
-        _pq_recon_norm(cbs).alias("__cn"),
-    )
+    if meta.get("codec", "pq") == "sq8":
+        # SQ8 codes are self-contained per vector — no stored state to
+        # encode against, so appends can never drift from the build
+        coded = _sq8_coded(
+            delta,
+            vec_col=meta["vec_col"],
+            id_col=meta["id_col"],
+            cell_col=cell_col,
+        )
+    else:
+        coded = pq_encode(
+            delta,
+            cbs,
+            vec_col=meta["vec_col"],
+            id_col=meta["id_col"],
+            keep=(cell_col,),
+        ).select(
+            F.col(meta["id_col"]).alias("neighbor_id"),
+            F.col(cell_col).alias("cell"),
+            "codes",
+            _pq_recon_norm(cbs).alias("__cn"),
+        )
     coded.write.mode("append").partitionBy("cell").parquet(
         os.path.join(local, "coded")
     )
@@ -386,9 +432,21 @@ def ann_index_topk(
     (self-search). Pass ``False`` when serving external queries whose
     id space is unrelated to the corpus ids: both are typically small
     integers, and a coincidental id collision would otherwise silently
-    lose that neighbor."""
-    from auto_data_linkage_spark.operators.similarity import _ivfpq_score
+    lose that neighbor.
 
+    An SQ8-codec index (``build_ann_index(codec="sq8")``) serves
+    through the same probe plan with the scale-invariant int8 dot as
+    the score numerator (see :func:`similarity.sq8_topk`)."""
+    from auto_data_linkage_spark.operators.similarity import (
+        _ivfpq_score,
+        dot_expr,
+    )
+
+    adc = (
+        dot_expr(F.col("codes"), F.col("__qvec"))
+        if index.meta.get("codec", "pq") == "sq8"
+        else None
+    )
     return _ivfpq_score(
         index.coded,
         index.centroids,
@@ -401,4 +459,5 @@ def ann_index_topk(
         rerank_factor=rerank_factor,
         corpus=corpus,
         exclude_self=exclude_self,
+        adc=adc,
     )

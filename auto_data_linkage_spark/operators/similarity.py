@@ -1054,7 +1054,7 @@ def ivfpq_topk(
 def _ivfpq_score(
     coded: DataFrame,
     cents: DataFrame,
-    cbs: list[list[list[float]]],
+    cbs: list[list[list[float]]] | None,
     queries: DataFrame,
     *,
     k: int,
@@ -1064,6 +1064,7 @@ def _ivfpq_score(
     rerank_factor: int = 0,
     corpus: DataFrame | None = None,
     exclude_self: bool = True,
+    adc: Column | None = None,
 ) -> DataFrame:
     """The probe half of :func:`ivfpq_topk` over an ALREADY-CODED
     corpus ``(neighbor_id, cell, codes, __cn)`` — shared by the inline
@@ -1074,7 +1075,12 @@ def _ivfpq_score(
     space (the inline path); pass ``False`` when serving EXTERNAL
     queries from a persisted index, where an id-value coincidence
     between the two unrelated id spaces would silently lose a true
-    neighbor."""
+    neighbor.
+
+    ``adc`` overrides the per-pair score numerator (an expression over
+    the coded row and ``__qvec``); the default is the PQ ADC dot from
+    ``cbs``. The SQ8 codec passes ``dot_expr(codes, __qvec)`` — cosine
+    is scale-invariant so int8 codes score directly (:func:`sq8_topk`)."""
     # ---- route queries to nprobe nearest cells (ivf_topk's plan) ------
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1104,7 +1110,7 @@ def _ivfpq_score(
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     denom = F.col("__qn") * F.col("__cn")
-    score = _pq_adc_dot(cbs, "__qvec")
+    score = adc if adc is not None else _pq_adc_dot(cbs, "__qvec")
     cosine = F.when(denom > 0, score / denom).otherwise(F.lit(0.0))
     scored = joined.select(
         "query_id",

@@ -260,3 +260,73 @@ def test_ann_index_sink_inline_compaction(spark, vecs, tmp_path):
         idx, vecs.orderBy("vec_id").limit(3), k=3, nprobe=3
     ).collect()
     assert got and len({r.query_id for r in got}) == 3
+
+
+# ------------------------------------------------------------ SQ8 codec
+def test_sq8_index_matches_inline_sq8_when_probing_all(spark, vecs, tmp_path):
+    """codec='sq8' + nprobe >= n_cells == the inline sq8_topk (the
+    persisted index only adds cell pruning on top of the same scoring)."""
+    from auto_data_linkage_spark.operators.similarity import sq8_topk
+
+    out = str(tmp_path / "annidx_sq8")
+    meta = A.build_ann_index(vecs, out, codec="sq8")
+    assert meta["codec"] == "sq8" and meta["codebooks"] is None
+    idx = A.load_ann_index(spark, out)
+    queries = vecs.orderBy("vec_id").limit(5)
+    got = A.ann_index_topk(idx, queries, k=5, nprobe=meta["n_cells"])
+    want = sq8_topk(vecs, queries, k=5)
+    as_set = lambda df: {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+
+
+def test_sq8_index_append_equals_union_build(spark, vecs, tmp_path):
+    """Appending a delta to an sq8 index == building over the union
+    when every cell is probed (sq8 encoding has no build-time state to
+    drift; only the ROUTING centroids differ by design — append keeps
+    the build-time centroids — so nprobe=all removes routing from the
+    comparison)."""
+    old = vecs.where(F.col("vec_id") % 3 != 0)
+    delta = vecs.where(F.col("vec_id") % 3 == 0)
+    a, b = str(tmp_path / "inc"), str(tmp_path / "full")
+    A.build_ann_index(old, a, codec="sq8")
+    A.append_ann_index(delta, a)
+    A.build_ann_index(vecs, b, codec="sq8")
+    ia, ib = A.load_ann_index(spark, a), A.load_ann_index(spark, b)
+    assert ia.meta["n_rows"] == ib.meta["n_rows"] == vecs.count()
+    queries = vecs.orderBy("vec_id").limit(4)
+    nall = ib.meta["n_cells"]
+    as_set = lambda df: {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in df.collect()
+    }
+    assert as_set(A.ann_index_topk(ia, queries, k=4, nprobe=nall)) == as_set(
+        A.ann_index_topk(ib, queries, k=4, nprobe=nall)
+    )
+
+
+def test_sq8_index_rerank_exact(spark, vecs, tmp_path):
+    """SQ8-served rerank re-scores against true vectors: every hit's
+    cosine equals the brute-force cosine for that pair."""
+    from auto_data_linkage_spark.operators.similarity import brute_force_topk
+
+    out = str(tmp_path / "annidx_sq8_rr")
+    A.build_ann_index(vecs, out, codec="sq8")
+    idx = A.load_ann_index(spark, out)
+    queries = vecs.orderBy("vec_id").limit(3)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(vecs, queries, k=50).collect()
+    }
+    rr = A.ann_index_topk(
+        idx, queries, k=3, nprobe=idx.meta["n_cells"], rerank_factor=4,
+        corpus=vecs,
+    ).collect()
+    assert rr
+    for r in rr:
+        assert exact[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_build_rejects_unknown_codec(spark, vecs, tmp_path):
+    with pytest.raises(ValueError, match="codec"):
+        A.build_ann_index(vecs, str(tmp_path / "x"), codec="fp16")
