@@ -626,3 +626,108 @@ def gopher_repetition_rules(
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+# --------------------------------------------------------------- HTML
+# Named entities every crawl pipeline must decode; numeric character
+# references (&#NN;) have no Spark/DuckDB built-in that maps an int to
+# its codepoint inside a regexp pass, so they are intentionally left
+# as-is (documented contract — run normalize_text or a decode UDF when
+# a corpus is entity-heavy).
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # LAST: earlier decodes must not re-expose e.g. &amp;lt;
+)
+# tags whose content is not prose: drop element + contents entirely.
+# One pattern PER TAG, applied in this order — a single alternation
+# would need a backreference to force the matching close tag, which
+# RE2 (the DuckDB oracle's engine) does not support; per-tag passes
+# keep both engines on the identical chain.
+_HTML_DROP_TAGS = ("script", "style", "noscript", "template")
+_HTML_DROP_CONTENT = [
+    rf"(?is)<{t}\b[^>]*>.*?</{t}\s*>" for t in _HTML_DROP_TAGS
+]
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+# block-level boundaries become newlines so paragraph structure survives
+# for the line/paragraph operators downstream (line_dedup, gopher rules)
+_HTML_BLOCK = (
+    r"(?i)</?(p|div|br|li|ul|ol|tr|td|th|table|h[1-6]|blockquote|section|"
+    r"article|header|footer|pre|form)\b[^>]*/?>"
+)
+_HTML_TAG = r"(?s)<[^>]+>"
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Plain text from raw HTML — the first step of every web-crawl
+    pipeline (the C4/CCNet extraction stage), as a pure codegen regexp
+    chain (zero shuffle, no UDF): drop script/style/noscript/template
+    subtrees and comments, turn block-level tags into newlines, strip
+    remaining tags, decode the common named entities, and collapse
+    horizontal whitespace (newlines survive for the line-level
+    operators downstream).
+
+    This is the honest regex tier of extraction — boilerplate REMOVAL
+    (nav/ads) is the separate, frequency-based
+    :func:`~auto_data_linkage_spark.operators.dedup.strip_boilerplate`
+    pass, matching how published pipelines layer the two.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    out = c
+    for pat in _HTML_DROP_CONTENT:
+        out = F.regexp_replace(out, F.lit(pat), F.lit(""))
+    out = F.regexp_replace(out, F.lit(_HTML_COMMENT), F.lit(""))
+    out = F.regexp_replace(out, F.lit(_HTML_BLOCK), F.lit("\n"))
+    out = F.regexp_replace(out, F.lit(_HTML_TAG), F.lit(" "))
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, F.lit(r"[ \t\x0b\f\r]+"), F.lit(" "))
+    out = F.regexp_replace(out, F.lit(r" ?\n ?"), F.lit("\n"))
+    out = F.regexp_replace(out, F.lit(r"\n{2,}"), F.lit("\n"))
+    out = F.regexp_replace(out, F.lit(r"^\n+|\n+$"), F.lit(""))
+    return F.trim(out)
+
+
+def html_signals(html: Column | str) -> dict[str, Column]:
+    """Extraction-quality signals on the RAW html (computed before
+    stripping, so gates can drop chrome-heavy pages cheaply):
+    ``tag_density`` (tag chars / total), ``n_links``, ``script_chars``.
+    High tag density or link count with little surviving text is the
+    classic nav/spam page signature."""
+    c = F.col(html) if isinstance(html, str) else html
+    tag_chars = F.length(c) - F.length(
+        F.regexp_replace(c, F.lit(_HTML_TAG), F.lit(""))
+    )
+    return {
+        "tag_density": F.round(
+            tag_chars.cast("double") / F.greatest(F.length(c), F.lit(1)), 6
+        ),
+        "n_links": F.regexp_count(c, F.lit(r"(?i)<a\b")),
+        "script_chars": F.length(c) - F.length(
+            F.regexp_replace(c, F.lit(_HTML_DROP_CONTENT[0]), F.lit(""))
+        ),
+    }
+
+
+def extract_html(
+    df: DataFrame,
+    html_col: str = "html",
+    *,
+    out_col: str = "text",
+    keep_signals: bool = True,
+) -> DataFrame:
+    """Dataframe form of :func:`html_to_text` + :func:`html_signals`:
+    one zero-shuffle projection producing the extracted text column
+    (and, by default, the quality signals) alongside the input's other
+    columns, ready for the curation pipeline's quality/lang/dedup
+    stages."""
+    sig = html_signals(F.col(html_col)) if keep_signals else {}
+    return df.select(
+        *[c for c in df.columns if c != html_col],
+        html_to_text(F.col(html_col)).alias(out_col),
+        *[expr.alias(name) for name, expr in sig.items()],
+    )

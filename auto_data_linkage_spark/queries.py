@@ -1565,6 +1565,13 @@ _DEPRIORITIZED = (
     "unigram_logprob",  # lm-scoring keeps perplexity_buckets in-window,
     #                     which COMPOSES the unigram model (strictly
     #                     richer machinery under the same check)
+    # round-9f rotation: html_extract (HTML→text ingestion) promoted per
+    # the every-new-operator-holds-a-driver-row rule; near_dedup_keep
+    # demoted — the minhash-lsh family keeps near_dedup_keep_best
+    # in-window, which runs the identical banding + guard + CC path
+    # end-to-end PLUS the argmax keeper (strictly richer machinery
+    # under the same check):
+    "near_dedup_keep",
 )
 
 # --------------------------------------------------------------------------
@@ -1622,6 +1629,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "knn_graph_stats", "sq8_topk"),
     "embedding-curation": ("embedding_outliers",),
     "training-order": ("curriculum_order",),
+    "html-ingestion": ("html_extract",),
     "lexical-retrieval": ("bm25_topk",),
     "hybrid-retrieval": ("hybrid_topk",),
     "dsir": ("dsir_logweights", "dsir_resample"),

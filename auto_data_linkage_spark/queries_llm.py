@@ -4303,3 +4303,76 @@ _OUTLIER_SQL = """
 def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _t(spark, sf_dir, "embeddings")
     return S.embedding_outliers(emb, quantile=0.1)
+
+
+# --------------------------------------------------------------------------
+# HTML extraction: synthetic wrapper built from documents in BOTH engines,
+# stripped by the identical per-tag regex chain (RE2-safe — no backrefs)
+# --------------------------------------------------------------------------
+_HTML_WRAP_SQL = (
+    "'<html><head><style>p{color:red}</style></head><body>"
+    "<!-- chrome --><h1>' || source || '</h1><p>' || text || "
+    "'</p><script>var a=\"<p>no</p>\";</script>"
+    "<a href=\"#\">more</a>&nbsp;&amp;done</body></html>'"
+)
+
+
+def _html_extract_sql() -> str:
+    from auto_data_linkage_spark.operators.text import (
+        _HTML_BLOCK,
+        _HTML_COMMENT,
+        _HTML_DROP_CONTENT,
+        _HTML_ENTITIES,
+        _HTML_TAG,
+    )
+
+    out = f"({_HTML_WRAP_SQL})"
+    for pat in _HTML_DROP_CONTENT:
+        out = f"regexp_replace({out}, '{pat}', '', 'g')"
+    out = f"regexp_replace({out}, '{_HTML_COMMENT}', '', 'g')"
+    out = f"regexp_replace({out}, '{_HTML_BLOCK}', chr(10), 'g')"
+    out = f"regexp_replace({out}, '{_HTML_TAG}', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        r = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{r}')"
+    out = f"regexp_replace({out}, '[ \\t\\x0b\\f\\r]+', ' ', 'g')"
+    out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
+    out = f"regexp_replace({out}, '\\n{{2,}}', chr(10), 'g')"
+    out = f"regexp_replace({out}, '^\\n+|\\n+$', '', 'g')"
+    raw = f"({_HTML_WRAP_SQL})"
+    raw_notags = f"regexp_replace({raw}, '{_HTML_TAG}', '', 'g')"
+    return f"""
+    SELECT doc_id,
+           TRIM({out}) AS text,
+           ROUND(CAST(LENGTH({raw}) - LENGTH({raw_notags}) AS DOUBLE)
+                 / GREATEST(LENGTH({raw}), 1), 6) AS tag_density,
+           CAST(len(regexp_extract_all({raw}, '(?i)<a\\b')) AS INTEGER)
+               AS n_links
+    FROM documents
+    """
+
+
+@register(
+    "html_extract",
+    _html_extract_sql(),
+    survey="LLM ingestion: HTML→text extraction (per-tag regex chain, "
+    "entity decode, block-tag newlines) + raw-page quality signals",
+)
+def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style>p{color:red}</style></head><body>'
+                  '<!-- chrome --><h1>'),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit('</p><script>var a="<p>no</p>";</script>'
+                  '<a href="#">more</a>&nbsp;&amp;done</body></html>'),
+        ).alias("html"),
+    )
+    out = X.extract_html(wrapped, "html")
+    return out.select(
+        "doc_id", "text", "tag_density", F.col("n_links").cast("int")
+    )

@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "curriculum_order",
     "sq8_topk",
     "embedding_outliers",
+    # round-9f: HTML→text extraction (regex chain + entity decode — a
+    # heavy pure-projection pass over synthetic-wrapped documents)
+    "html_extract",
 ]
 
 

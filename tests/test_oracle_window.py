@@ -60,6 +60,20 @@ def test_front_window_fits_driver_gate():
         "line_dedup",
         "c4_clean",
         "perplexity_buckets",
+        # round-9 promotions: every operator newly added in round 9
+        # holds a driver row (the standing rule)
+        "gopher_repetition_filter",
+        "decontaminate_attribution",
+        "epoch_mixture",
+        "hybrid_topk",
+        "hard_negatives",
+        "fim_split",
+        "dsir_resample",
+        "near_dedup_keep_best",
+        "curriculum_order",
+        "sq8_topk",
+        "embedding_outliers",
+        "html_extract",
     ):
         assert name in front, f"{name} fell out of the driver window"
 

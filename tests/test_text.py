@@ -460,3 +460,74 @@ def test_gopher_repetition_rules_zero_exchanges(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+# ------------------------------------------------------------------ HTML
+def test_html_to_text_fixture(spark):
+    from auto_data_linkage_spark.operators.text import extract_html
+
+    html = (
+        '<html><head><title>T</title><style>p{color:red}</style></head>'
+        '<body><!-- chrome --><div>Hello &amp; welcome</div>'
+        '<p>one<br>two &lt;esc&gt;</p>'
+        '<script>var x = "<p>not text</p>";</script>'
+        '<ul><li>alpha</li><li>beta</li></ul>'
+        '<a href="/x">link</a> tail&nbsp;words</body></html>'
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    row = extract_html(df, "html").collect()[0]
+    assert row["text"] == (
+        "T\nHello & welcome\none\ntwo <esc>\nalpha\nbeta\nlink tail words"
+    )
+    assert row["n_links"] == 1
+    assert row["script_chars"] > 0
+    assert 0 < row["tag_density"] < 1
+
+
+def test_html_entity_decode_order_no_double_decode(spark):
+    """&amp;lt; is the LITERAL string '&lt;' — decoding &amp; last must
+    not re-expose it as a '<'. The classic double-decode bug."""
+    from auto_data_linkage_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame(
+        [(1, "<p>a &amp;lt; b</p>"), (2, "<p>&quot;q&quot; &#39;s&#39;</p>")],
+        "id long, html string",
+    )
+    got = {r["id"]: r["t"] for r in df.select(
+        "id", html_to_text("html").alias("t")).collect()}
+    assert got[1] == "a &lt; b"
+    assert got[2] == "\"q\" 's'"
+
+
+def test_html_drop_content_per_tag(spark):
+    from auto_data_linkage_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "x<style>s{a:b}</style>y<noscript>n</noscript>z"),
+            (2, "a<template><b>inner</b></template>c"),
+            (3, None),
+            (4, ""),
+        ],
+        "id long, html string",
+    )
+    got = {r["id"]: r["t"] for r in df.select(
+        "id", html_to_text("html").alias("t")).collect()}
+    assert got[1] == "xyz" and got[2] == "ac"
+    assert got[3] is None and got[4] == ""
+
+
+def test_extract_html_zero_shuffle_plan(spark, sf_dir):
+    from auto_data_linkage_spark.operators.text import extract_html
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("<p>"), "text", F.lit("</p>")).alias("html")
+    )
+    plan = (
+        extract_html(docs, "html")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
