@@ -119,3 +119,86 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     assert sorted(r.doc_id for r in spark.read.parquet(clean_p).collect()) == [1, 2]
     assert spark.read.parquet(quar_p).count() == 1  # not re-ingested
+
+
+# -------------------------------------------------------------- WET/WARC
+WET_SAMPLE = (
+    "WARC/1.0\r\n"
+    "WARC-Type: warcinfo\r\n"
+    "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+    "Content-Length: 10\r\n"
+    "\r\n"
+    "crawl info\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: conversion\r\n"
+    "WARC-Target-URI: https://example.com/a\r\n"
+    "WARC-Date: 2024-01-02T03:04:05Z\r\n"
+    "Content-Length: 21\r\n"
+    "\r\n"
+    "First page body text.\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: conversion\r\n"
+    "WARC-Target-URI: https://example.org/b\r\n"
+    "WARC-Date: 2024-01-02T03:04:06Z\r\n"
+    "Content-Length: 33\r\n"
+    "\r\n"
+    "Second page.\nWith a second line.\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: conversion\r\n"
+    "WARC-Target-URI: https://example.net/empty\r\n"
+    "WARC-Date: 2024-01-02T03:04:07Z\r\n"
+    "Content-Length: 0\r\n"
+    "\r\n"
+    "\r\n"
+)
+
+
+def test_read_wet_corpus(spark, tmp_path):
+    from auto_data_linkage_spark.sources.ingest import read_wet_corpus
+
+    p = tmp_path / "sample.wet"
+    p.write_text(WET_SAMPLE)
+    out = read_wet_corpus(spark, str(p)).orderBy("url").collect()
+    # warcinfo preamble and the empty-payload record are dropped
+    assert [r["url"] for r in out] == [
+        "https://example.com/a",
+        "https://example.org/b",
+    ]
+    assert out[0]["text"] == "First page body text."
+    assert out[1]["text"] == "Second page.\nWith a second line."
+    assert out[0]["warc_date"] == "2024-01-02T03:04:05Z"
+    assert out[0]["content_length"] == 21
+    assert all(r["record_type"] == "conversion" for r in out)
+
+
+def test_read_wet_corpus_feeds_content_id_and_curation(spark, tmp_path):
+    """Composition: WET read -> content-hash ids -> the documents shape
+    the curation pipeline expects."""
+    from auto_data_linkage_spark.sources.ingest import (
+        read_wet_corpus,
+        with_content_id,
+    )
+
+    p = tmp_path / "sample2.wet"
+    p.write_text(WET_SAMPLE)
+    docs = with_content_id(read_wet_corpus(spark, str(p)), "text")
+    rows = docs.collect()
+    assert len(rows) == 2
+    assert len({r["content_id"] for r in rows}) == 2
+
+
+def test_read_wet_corpus_zero_shuffle_plan(spark, tmp_path):
+    from auto_data_linkage_spark.sources.ingest import read_wet_corpus
+
+    p = tmp_path / "sample3.wet"
+    p.write_text(WET_SAMPLE)
+    plan = (
+        read_wet_corpus(spark, str(p))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
