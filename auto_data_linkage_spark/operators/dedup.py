@@ -56,7 +56,15 @@ def exact_dedup(
 ) -> DataFrame:
     """Drop all but the min-id row of each exact-duplicate group.
     Implemented as a window-free groupBy + semi-join so the wide ``text``
-    column is never shuffled — only (hash, id) pairs move."""
+    column is never shuffled — only (hash, id) pairs move.
+
+    ``id_col`` must be UNIQUE per row: the semi-join keeps every row
+    bearing the keeper id, so duplicate ids (notably
+    ``ingest.with_content_id``, which ASSIGNS byte-identical documents
+    the same id by construction) would keep all copies. With
+    content-hash ids, exact dedup is simply
+    ``df.dropDuplicates([id_col])`` — one aggregate, no fingerprint
+    pass needed."""
     keep = (
         df.select(doc_fingerprint(text_col).alias("fp"), F.col(id_col))
         .groupBy("fp")

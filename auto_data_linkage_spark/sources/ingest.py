@@ -118,7 +118,10 @@ def with_content_id(
     ``\\x1f``-joined columns. Stable across re-ingest, engines, and
     partitioning (unlike row numbers / monotonically_increasing_id),
     so it is the natural key for incremental upsert and exact dedup —
-    two byte-identical documents get the SAME id by construction."""
+    two byte-identical documents get the SAME id by construction.
+    Consequently exact dedup over content-hash ids is
+    ``df.dropDuplicates([id_col])`` (NOT ``dedup.exact_dedup``, whose
+    min-id semi-join assumes unique row ids)."""
     cols = [cols] if isinstance(cols, str) else cols
     joined = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
     return df.withColumn(id_col, F.md5(joined))

@@ -202,3 +202,51 @@ def test_read_wet_corpus_zero_shuffle_plan(spark, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_wet_html_curation_composition(spark, tmp_path):
+    """The full crawl front door: WET records whose payloads are raw
+    HTML -> extract_html -> content ids -> curate_documents. Verifies
+    the three new ingestion pieces hand off cleanly."""
+    from auto_data_linkage_spark.operators.pipeline import curate_documents
+    from auto_data_linkage_spark.operators.text import extract_html
+    from auto_data_linkage_spark.sources.ingest import (
+        read_wet_corpus,
+        with_content_id,
+    )
+
+    body = (
+        "<html><body><p>the quick brown fox jumps over the lazy dog and "
+        "then it runs away into the quiet green woods before dark</p>"
+        "<script>nav()</script></body></html>"
+    )
+    recs = []
+    for i in range(4):
+        payload = body if i < 3 else "<p>tiny</p>"  # doc 3 fails quality
+        recs.append(
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: https://site{i}.com/\r\n"
+            "WARC-Date: 2024-01-02T00:00:0{i}Z\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "\r\n"
+            f"{payload}\r\n\r\n"
+        )
+    p = tmp_path / "crawl.wet"
+    p.write_text("".join(recs))
+
+    wet = read_wet_corpus(spark, str(p)).withColumnRenamed("text", "html")
+    docs = with_content_id(
+        extract_html(wet, "html"), "text", id_col="doc_id"
+    )
+    # content-hash ids: byte-identical docs SHARE an id, so exact dedup
+    # is dropDuplicates on the id (see with_content_id docstring)
+    docs = docs.dropDuplicates(["doc_id"])
+    kept = curate_documents(docs, min_quality=0.3)
+    rows = kept.collect()
+    # three identical bodies collapse to 1; the tiny doc gated on quality
+    assert len(rows) == 1, rows
+    # curate returns (id, lang_pred, quality); join back for the text
+    survivor = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    text = survivor.collect()[0]["text"]
+    assert "quick brown fox" in text and "<" not in text
