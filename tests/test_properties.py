@@ -12,6 +12,7 @@ Properties pinned:
 
 from collections import deque
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -496,3 +497,74 @@ def test_rrf_fuse_matches_pure_python_reference(spark, lex, den, k0):
     order = sorted(score, key=lambda d: (-round(score[d], 6), d))
     for rank, d in enumerate(order, 1):
         assert got[d] == (round(score[d], 6), rank)
+
+
+# --------------------------------------------------- training order / SQ8
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scores=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=4,
+        max_size=60,
+    ),
+    n_stages=st.integers(min_value=2, max_value=6),
+)
+def test_stage_thresholds_match_numpy_percentile(spark, scores, n_stages):
+    """stage_thresholds must equal numpy's linear-interpolation
+    percentile (the definition Spark's percentile() and DuckDB's
+    quantile_cont share) on arbitrary score columns."""
+    import numpy as np
+
+    from auto_data_linkage_spark.operators.order import stage_thresholds
+
+    df = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(scores)], "doc_id long, s double"
+    )
+    got = stage_thresholds(df, "s", n_stages=n_stages)
+    want = [
+        round(float(np.percentile(scores, 100.0 * i / n_stages)), 6)
+        for i in range(1, n_stages)
+    ]
+    assert got == pytest.approx(want, abs=1.5e-6), (got, want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vec=st.lists(
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False,
+                  width=32),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_quantize_int8_matches_pure_python(spark, vec):
+    """quantize_int8 == the independent round-half-up reference on
+    arbitrary vectors: codes in [-127, 127], scale = 127/max|x| (1.0
+    for the zero vector), q_i = floor(x_i * scale + 0.5)."""
+    import math
+
+    from auto_data_linkage_spark.operators.similarity import quantize_int8
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, vec)], "id long, embedding array<float>")
+    q, scale = quantize_int8(F.col("embedding"))
+    row = df.select(q.alias("q"), scale.alias("s")).collect()[0]
+    import numpy as np
+
+    fvec = [float(np.float32(x)) for x in vec]
+    m = max(abs(x) for x in fvec)
+    want_s = 127.0 / m if m > 0 else 1.0
+    assert row["s"] == pytest.approx(want_s, rel=1e-12)
+    want_q = [math.floor(x * want_s + 0.5) for x in fvec]
+    assert row["q"] == want_q
+    assert all(-127 <= c <= 127 for c in row["q"])
+
+
