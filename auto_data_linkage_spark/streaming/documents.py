@@ -94,6 +94,7 @@ def curate_stream(
     watermark: str = "10 minutes",
     url_col: str | None = None,
     blocked_domains: list[str] | None = None,
+    html_col: str | None = None,
 ) -> DataFrame:
     """Quality/language gate + first-arrival exact dedup, as one
     append-mode stream. With ``ts_col`` the dedup state is bounded by
@@ -107,7 +108,16 @@ def curate_stream(
     under different tracking tags is dropped before its text is ever
     scored. (Per-domain quotas are inherently cross-batch global state
     — run :func:`operators.urls.domain_quota_sample` in the batch
-    compaction pass instead.)"""
+    compaction pass instead.)
+
+    With ``html_col`` the rows arrive as raw HTML (the WET/crawl front
+    door): :func:`operators.text.extract_html` runs first — a stateless
+    projection, so it composes with any streaming mode — and its
+    extracted text becomes ``text_col`` for everything downstream."""
+    if html_col is not None:
+        from auto_data_linkage_spark.operators.text import extract_html
+
+        docs = extract_html(docs, html_col, out_col=text_col)
     if url_col is not None:
         from auto_data_linkage_spark.operators.urls import (
             blocklist_filter,

@@ -255,3 +255,39 @@ def test_curate_stream_url_gate_watermarked(spark, doc_stream):
     norms = [r.url_norm for r in rows]
     assert len(norms) == len(set(norms))  # url-deduped within watermark
     assert all("#" not in n for n in norms)
+
+
+def test_curate_stream_html_front_door(spark, doc_stream, docs_batch):
+    """html_col: raw-HTML rows are extracted (stateless projection)
+    before the quality/lang/dedup gates — the streaming WET/crawl
+    front door. Wrapping the batch text in chrome must yield the SAME
+    survivor identity set as the plain-text stream."""
+    from pyspark.sql import functions as F
+
+    def wrap(df):
+        return df.withColumn(
+            "html",
+            F.concat(
+                F.lit("<html><body><script>nav()</script><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+        ).drop("text")
+
+    run_to_memory(
+        curate_stream(wrap(doc_stream), html_col="html"),
+        "curated_html_docs",
+    )
+    got = {
+        r.doc_id
+        for r in spark.sql("select doc_id from curated_html_docs").collect()
+    }
+    want = {r.doc_id for r in _batch_gate(docs_batch).collect()}
+    # extraction inserts no content of its own, so the kept set matches
+    # the plain-text gate exactly (script chrome stripped, text intact)
+    assert got == want
+    # signals surfaced alongside: every surviving row saw real chrome
+    sig = spark.sql(
+        "select min(tag_density) as td from curated_html_docs"
+    ).collect()[0]
+    assert sig.td > 0
