@@ -745,6 +745,7 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_chars: int = 4,
+    unit: str = "line",
 ) -> DataFrame:
     """Exact LINE-level deduplication (the RefinedWeb/CCNet rule that
     precedes fuzzy dedup in published curation recipes): the globally
@@ -770,10 +771,20 @@ def line_dedup(
     green pattern as :func:`chunk_dedup`, plan-tested). One window
     keyed by the normalized line, one reassembly aggregate on the id.
     Returns ``(id, n_lines, n_kept, dedup_text)``.
+
+    ``unit="paragraph"`` dedups blank-line-separated BLOCKS instead
+    (the other granularity RefinedWeb removes at): split on blank
+    lines, reassemble with blank lines; raise ``min_chars`` when
+    calling — a 4-char floor exempts almost nothing at block size.
     """
+    if unit not in ("line", "paragraph"):
+        raise ValueError(f"unit must be 'line' or 'paragraph', got {unit!r}")
+    split_re, joiner = ("\n", "\n") if unit == "line" else (
+        r"\n\s*\n", "\n\n"
+    )
     c = F.col(text_col)
     lines = F.filter(
-        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        F.transform(F.split(c, split_re), lambda l: F.trim(l)),
         lambda l: l != "",
     )
     exploded = df.select(
@@ -799,7 +810,7 @@ def line_dedup(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s["line"],
             ),
-            "\n",
+            joiner,
         ).alias("dedup_text"),
     )
     base = df.select(F.col(id_col), F.size(lines).alias("n_lines"))

@@ -655,3 +655,28 @@ def test_keep_best_in_cluster_bounded_window(spark):
     )
     plan = physical_plan(keep_best_in_cluster(docs, comp, "score"))
     assert "WindowGroupLimit" in plan
+
+
+def test_paragraph_dedup_unit(spark):
+    """unit='paragraph' dedups blank-line-separated blocks: the
+    repeated footer paragraph survives only at its first (id, pos)
+    occurrence; unique paragraphs all survive; documents reassemble
+    with blank-line joins."""
+    from auto_data_linkage_spark.operators.dedup import line_dedup
+
+    footer = "follow us on all the social networks for more updates"
+    rows = [
+        (1, f"alpha one content block\n\n{footer}"),
+        (2, f"beta two content block\n \n{footer}"),
+        (3, f"{footer}\n\ngamma three content block"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(
+        df, unit="paragraph", min_chars=10).collect()}
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["dedup_text"] == f"alpha one content block\n\n{footer}"
+    # doc 2's footer (id order) and doc 3's footer (also later id) drop
+    assert out[2]["dedup_text"] == "beta two content block"
+    assert out[3]["dedup_text"] == "gamma three content block"
+    with __import__("pytest").raises(ValueError):
+        line_dedup(df, unit="sentence")
