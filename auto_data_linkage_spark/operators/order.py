@@ -138,3 +138,49 @@ def curriculum_stages(
     return df.withColumn("stage", stage.cast("int")).withColumn(
         "order_key", order_key_expr(F.col(id_col), seed=seed)
     )
+
+
+def score_prune(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    *,
+    keep: str = "top",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Keep the best ``keep_frac`` of the corpus by a score column — the
+    corpus-wide quantile prune behind perplexity filtering (CCNet),
+    classifier-score filtering (GPT-3/PaLM data cards), and CLIP-score
+    pruning (DataComp): ``keep="top"`` keeps scores strictly above the
+    ``1 - keep_frac`` quantile, ``keep="bottom"`` keeps strictly below
+    the ``keep_frac`` quantile (for "lower is better" scores like
+    perplexity).
+
+    Same scale shape as :func:`curriculum_stages`: the cut is ONE
+    aggregate returning one double (never a global rank/window), the
+    filter is a broadcast literal comparison, and the kept fraction is
+    exact up to score ties and quantile interpolation. Pass
+    ``threshold`` to pin the cut across corpus versions (and skip the
+    aggregate entirely — zero-job planning).
+    """
+    if not 0.0 < keep_frac < 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1), got {keep_frac}")
+    if keep not in ("top", "bottom"):
+        raise ValueError(f"keep must be 'top' or 'bottom', got {keep!r}")
+    if threshold is None:
+        frac = 1.0 - keep_frac if keep == "top" else keep_frac
+        row = df.agg(
+            F.round(
+                F.percentile(F.col(score_col).cast("double"), frac), 6
+            ).alias("t")
+        ).first()
+        t = row["t"] if row is not None else None
+        if t is None:
+            raise ValueError(
+                f"cannot compute prune threshold: {score_col} is "
+                "empty/all-null"
+            )
+        threshold = float(t)
+    sc = F.col(score_col).cast("double")
+    cond = sc > F.lit(threshold) if keep == "top" else sc < F.lit(threshold)
+    return df.where(cond)

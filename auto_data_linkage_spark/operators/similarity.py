@@ -290,6 +290,7 @@ def lsh_topk(
     band_bits: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH: candidates are
     corpus rows sharing at least one signature band with the query, scored
@@ -297,10 +298,22 @@ def lsh_topk(
     the corpus scan prunes to matching buckets instead of a full sweep.
 
     Recall rises with fewer bits per band / more bands (here 2 bands of
-    ``band_bits``). Deterministic given ``seed`` in the signature."""
+    ``band_bits``). Deterministic given ``seed`` in the signature.
+
+    ``multiprobe`` (0..``band_bits``) additionally probes, per band, the
+    buckets whose value differs from the query's in one of the lowest
+    ``multiprobe`` bits — multi-probe LSH (Lv et al., VLDB'07 — public):
+    a near neighbor that lands one hyperplane away is found WITHOUT
+    growing tables or touching the corpus side. Cost is query-side only
+    — probe rows ×(1 + multiprobe), and the query side broadcasts."""
+    if not 0 <= multiprobe <= band_bits:
+        raise ValueError(
+            f"multiprobe must be in [0, band_bits={band_bits}], "
+            f"got {multiprobe}"
+        )
     n_bands = max(1, n_planes // band_bits)
 
-    def banded(df: DataFrame, id_alias: str) -> DataFrame:
+    def banded(df: DataFrame, id_alias: str, flips: int = 0) -> DataFrame:
         sig = signature_expr(F.col(vec_col), dim, n_planes)
         with_sig = df.select(
             F.col(id_col).alias(id_alias),
@@ -308,28 +321,33 @@ def lsh_topk(
             norm_expr(F.col(vec_col)).alias(f"__n_{id_alias}"),
             sig.alias("__sig"),
         )
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright(F.col("__sig"), b * band_bits)
-                    .bitwiseAND(F.lit((1 << band_bits) - 1))
-                    .alias("val"),
+        entries = []
+        for b in range(n_bands):
+            val = (
+                F.shiftright(F.col("__sig"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+            )
+            entries.append(
+                F.struct(F.lit(b).alias("band"), val.alias("val"))
+            )
+            for j in range(flips):
+                entries.append(
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        val.bitwiseXOR(F.lit(1 << j)).alias("val"),
+                    )
                 )
-                for b in range(n_bands)
-            ]
-        )
         return with_sig.select(
             id_alias,
             f"__vec_{id_alias}",
             f"__n_{id_alias}",
-            F.explode(bands).alias("b"),
+            F.explode(F.array(*entries)).alias("b"),
         ).select(
             id_alias, f"__vec_{id_alias}", f"__n_{id_alias}", "b.band", "b.val"
         )
 
     c = banded(corpus, "neighbor_id")
-    q = banded(queries, "query_id")
+    q = banded(queries, "query_id", flips=multiprobe)
     cands = (
         c.join(F.broadcast(q), ["band", "val"])
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -1572,6 +1572,12 @@ _DEPRIORITIZED = (
     # end-to-end PLUS the argmax keeper (strictly richer machinery
     # under the same check):
     "near_dedup_keep",
+    # registered DIRECTLY into the back window (sampling family holds
+    # stratified_sample's driver row; score_prune is the same
+    # one-percentile-aggregate + literal-filter machinery curriculum_order
+    # certifies front-window) — test_oracle_window runs the full driver
+    # comparison:
+    "score_prune",
 )
 
 # --------------------------------------------------------------------------
@@ -1608,7 +1614,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "sampling": ("stratified_sample", "mixture_sample",
                  "deterministic_sample", "sample_k_per_group",
                  "weighted_sample_k", "train_val_split",
-                 "epoch_mixture"),
+                 "epoch_mixture", "score_prune"),
     "text-analysis": ("text_features", "quality_score", "pii_scrub",
                       "lang_id_dist", "repetition_features",
                       "quality_classifier", "gopher_quality_filter",

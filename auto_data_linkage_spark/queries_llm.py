@@ -4376,3 +4376,30 @@ def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "text", "tag_density", F.col("n_links").cast("int")
     )
+
+
+# --------------------------------------------------------------------------
+# Global-quantile score prune (perplexity/classifier/CLIP-score filtering)
+# — back-window row (sampling family holds stratified_sample's driver row)
+# --------------------------------------------------------------------------
+@register(
+    "score_prune",
+    """
+    WITH thr AS (
+        SELECT ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.7), 6) AS t
+        FROM documents
+    )
+    SELECT doc_id, n_chars
+    FROM documents, thr
+    WHERE CAST(n_chars AS DOUBLE) > t
+    """,
+    survey="LLM selection: corpus-wide quantile prune (keep top/bottom "
+    "fraction by score via one percentile aggregate, no global window)",
+)
+def score_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.order import score_prune
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return score_prune(docs, "n_chars", 0.3, keep="top").select(
+        "doc_id", "n_chars"
+    )

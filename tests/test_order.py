@@ -147,3 +147,28 @@ def test_write_shards_order_cols_validation(docs, tmp_path):
 
     with pytest.raises(ValueError):
         write_shards(docs, str(tmp_path / "x"), 4, order_cols=["order_key"])
+
+
+def test_score_prune_top_and_bottom(docs):
+    n = docs.count()
+    top = O.score_prune(docs, "n_chars", 0.3, keep="top")
+    bot = O.score_prune(docs, "n_chars", 0.3, keep="bottom")
+    nt, nb = top.count(), bot.count()
+    # exact up to ties/interpolation: within a few rows of the target
+    assert abs(nt - 0.3 * n) <= max(3, 0.02 * n), (nt, n)
+    assert abs(nb - 0.3 * n) <= max(3, 0.02 * n), (nb, n)
+    # kept sets sit at the right end of the distribution
+    lo_top = top.agg(F.min("n_chars")).first()[0]
+    hi_bot = bot.agg(F.max("n_chars")).first()[0]
+    assert lo_top > hi_bot
+    # pinned threshold skips the aggregate and reproduces the cut
+    thr = O.stage_thresholds(docs, "n_chars", n_stages=10)[6]  # p70
+    pinned = O.score_prune(docs, "n_chars", 0.3, keep="top", threshold=thr)
+    assert pinned.count() == nt
+
+
+def test_score_prune_validation(docs):
+    with pytest.raises(ValueError):
+        O.score_prune(docs, "n_chars", 0.0)
+    with pytest.raises(ValueError):
+        O.score_prune(docs, "n_chars", 0.5, keep="middle")

@@ -637,3 +637,53 @@ def test_embedding_outliers_reuses_provided_centroids(spark, emb):
         )
     )
     assert a == b
+
+
+# ------------------------------------------------------ multi-probe LSH
+def test_lsh_multiprobe_monotone_recall(spark):
+    """Probing 1-bit-neighbor buckets can only ADD candidates: the
+    multiprobe result set per query is a superset of the base set, and
+    recall vs brute force is monotone non-decreasing (strictly better
+    on this clustered fixture)."""
+    # noisy clusters (σ=0.5 vs unit centers): members straddle
+    # hyperplanes, so single-bucket LSH has real recall headroom
+    import random
+
+    rng = random.Random(11)
+    rows, vid = [], 0
+    for _ in range(6):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for _ in range(25):
+            rows.append((vid, [c + rng.gauss(0, 0.5) for c in center]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") % 25 == 0)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+
+    def hits(mp):
+        from auto_data_linkage_spark.operators.similarity import lsh_topk
+
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_topk(
+                df, queries, k=5, dim=16, n_planes=12, band_bits=6,
+                multiprobe=mp,
+            ).collect()
+        }
+
+    base, probed = hits(0), hits(4)
+    assert len(truth & probed) >= len(truth & base)
+    assert len(truth & probed) > len(truth & base), (
+        len(truth & base), len(truth & probed),
+    )
+
+
+def test_lsh_multiprobe_validation(spark):
+    from auto_data_linkage_spark.operators.similarity import lsh_topk
+
+    df = _clustered_df(spark, n_clusters=2, per_cluster=4, dim=16, seed=1)
+    with pytest.raises(ValueError, match="multiprobe"):
+        lsh_topk(df, df.limit(1), k=2, dim=16, band_bits=6, multiprobe=7)
