@@ -96,13 +96,20 @@ def build_ann_index(
     cell_col: str = "label",
     dim: int | None = None,
     codec: str = "pq",
+    n_cells: int | None = None,
+    kmeans_iter: int = 5,
+    seed: int = 0,
 ) -> dict:
     """One corpus pass → stored index. Centroids are the per-cell
-    means of the existing ``cell_col`` labels (swap in
-    :func:`similarity.kmeans_centroids` + ``assign_cells`` upstream
-    for learned cells); codebooks are the deterministic md5-rank
-    sampled PQ codebooks. Returns the metadata dict (also written to
-    ``index.json``).
+    means of the existing ``cell_col`` labels; codebooks are the
+    deterministic md5-rank sampled PQ codebooks. Returns the metadata
+    dict (also written to ``index.json``).
+
+    ``n_cells`` LEARNS the routing cells instead of requiring a label
+    column: k-means (:func:`similarity.kmeans_centroids`, deterministic
+    farthest-first init) clusters the corpus and every row is assigned
+    its nearest centroid before encoding — the unlabeled-corpus path,
+    so a raw embedding table can build an index in one call.
 
     ``codec`` picks the compression rung: ``"pq"`` (default, 8-byte
     codes — smallest scan, approximate scores) or ``"sq8"`` (int8
@@ -112,7 +119,9 @@ def build_ann_index(
         raise ValueError(f"codec must be 'pq' or 'sq8', got {codec!r}")
     from auto_data_linkage_spark.operators.similarity import (
         _pq_recon_norm,
+        assign_cells,
         build_centroids,
+        kmeans_centroids,
         pq_codebooks,
         pq_encode,
     )
@@ -120,6 +129,15 @@ def build_ann_index(
     local = _local(path)
     os.makedirs(local, exist_ok=True)
 
+    if n_cells is not None:
+        learned = kmeans_centroids(
+            corpus, k=n_cells, max_iter=kmeans_iter, vec_col=vec_col,
+            id_col=id_col, seed=seed,
+        )
+        cell_col = "__cell"
+        corpus = assign_cells(
+            corpus, learned, vec_col=vec_col, cell_col=cell_col
+        )
     cents = build_centroids(corpus, vec_col=vec_col, cell_col=cell_col, dim=dim)
     if codec == "sq8":
         cbs = None
@@ -207,6 +225,34 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
     cell_col = meta["cell_col"]
 
     spark = delta.sparkSession
+    if cell_col not in delta.columns:
+        # learned-cells index (build_ann_index(n_cells=...)) or a delta
+        # without labels: route each row to its nearest STORED centroid —
+        # the same routing queries use, so appended rows are probed
+        # exactly where a search will look for them
+        from auto_data_linkage_spark.operators.similarity import (
+            assign_cells,
+        )
+
+        cent_rows = sorted(
+            spark.read.parquet(os.path.join(local, "centroids")).collect(),
+            key=lambda r: r["cell"],
+        )
+        if not cent_rows:
+            raise ValueError("index has no centroids; cannot route delta")
+        idx_to_cell = F.array(*[F.lit(r["cell"]) for r in cent_rows])
+        delta = (
+            assign_cells(
+                delta,
+                [list(r["centroid"]) for r in cent_rows],
+                vec_col=meta["vec_col"],
+                cell_col="__cidx",
+            )
+            .withColumn(
+                cell_col, F.element_at(idx_to_cell, F.col("__cidx") + 1)
+            )
+            .drop("__cidx")
+        )
     n_delta, delta_cells = delta.agg(
         F.count("*"), F.collect_set(cell_col)
     ).first()

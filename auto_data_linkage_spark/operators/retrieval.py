@@ -332,3 +332,59 @@ def hard_negatives(
         .where(F.col("neg_rank") <= k)
         .select("query_id", id_col, score_col, "neg_rank")
     )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    *,
+    k: int | None = None,
+) -> DataFrame:
+    """Per-query retrieval quality of ``results`` against a ``truth``
+    relevance set — the numbers every ANN/retrieval trade-off decision
+    needs (recall@k for the IVF/PQ/SQ8/LSH accuracy loss, MRR for
+    ranking quality): both inputs are ``(query_id, neighbor_id, rank)``
+    tables (any of this module's / similarity's top-k outputs), and the
+    output is one row per truth query:
+
+    ``(query_id, n_relevant, n_hit, recall, rr)`` — ``recall`` =
+    |results ∩ truth| / |truth| and ``rr`` = 1/rank of the best-ranked
+    relevant hit (0.0 when none). ``k`` optionally re-caps both sides
+    (rank <= k) so one deep result set can be evaluated at several
+    depths. Aggregate means downstream (`avg(recall)`, `avg(rr)` =
+    MRR) — kept per-query here so regressions localize.
+
+    Plan: one equi-join on (query_id, neighbor_id) + two narrow
+    aggregates over rank pairs — all top-k-sized relations, nothing
+    corpus-sized.
+    """
+    r = results.select("query_id", "neighbor_id", "rank")
+    t = truth.select("query_id", "neighbor_id", F.col("rank").alias("__tr"))
+    if k is not None:
+        r = r.where(F.col("rank") <= k)
+        t = t.where(F.col("__tr") <= k)
+    rel = t.groupBy("query_id").agg(F.count("*").alias("n_relevant"))
+    hits = (
+        r.join(t, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_hit"),
+            F.min("rank").alias("__best"),
+        )
+    )
+    return (
+        rel.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_relevant",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.col("n_relevant").cast("double"),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.coalesce(1.0 / F.col("__best"), F.lit(0.0)), 6
+            ).alias("rr"),
+        )
+    )

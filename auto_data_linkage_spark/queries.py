@@ -1578,6 +1578,11 @@ _DEPRIORITIZED = (
     # certifies front-window) — test_oracle_window runs the full driver
     # comparison:
     "score_prune",
+    # registered DIRECTLY into the back window (ann-search family holds
+    # ivf_topk/ivfpq_topk/sq8_topk driver rows; the metric's two
+    # subqueries are those same certified plans) — test_oracle_window
+    # runs the full driver comparison:
+    "ann_recall_report",
 )
 
 # --------------------------------------------------------------------------
@@ -1632,7 +1637,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                         "decontaminate_attribution"),
     "ann-search": ("cosine_topk", "ivf_topk", "pq_topk", "ivfpq_topk",
                    "lsh_topk", "ivf_centroids", "embedding_quantize",
-                   "knn_graph_stats", "sq8_topk"),
+                   "knn_graph_stats", "sq8_topk", "ann_recall_report"),
     "embedding-curation": ("embedding_outliers",),
     "training-order": ("curriculum_order",),
     "html-ingestion": ("html_extract",),

@@ -4403,3 +4403,49 @@ def score_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_prune(docs, "n_chars", 0.3, keep="top").select(
         "doc_id", "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall report: IVF's approximation quality vs exact brute force,
+# measured IN the engine — back-window row (both subqueries' SQL twins
+# already exist, so the metric itself is value-checked end-to-end)
+# --------------------------------------------------------------------------
+def _ann_recall_sql() -> str:
+    return f"""
+    WITH approx AS ({_IVF_SQL}),
+    truth AS ({_COS_SQL}),
+    rel AS (
+        SELECT query_id, COUNT(*) AS n_relevant FROM truth GROUP BY query_id
+    ),
+    hits AS (
+        SELECT a.query_id, COUNT(*) AS n_hit, MIN(a.rank) AS best
+        FROM approx a JOIN truth t
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY a.query_id
+    )
+    SELECT rel.query_id,
+           CAST(rel.n_relevant AS BIGINT)          AS n_relevant,
+           CAST(COALESCE(hits.n_hit, 0) AS INT)    AS n_hit,
+           ROUND(COALESCE(hits.n_hit, 0)
+                 / CAST(rel.n_relevant AS DOUBLE), 6) AS recall,
+           ROUND(COALESCE(1.0 / hits.best, 0.0), 6)   AS rr
+    FROM rel LEFT JOIN hits ON rel.query_id = hits.query_id
+    """
+
+
+@register(
+    "ann_recall_report",
+    _ann_recall_sql(),
+    survey="LLM similarity: retrieval-quality metrics (recall@k, RR) of "
+    "an ANN result set vs exact truth, computed in-engine",
+)
+def ann_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    approx = S.ivf_topk(emb, queries, k=5, nprobe=3)
+    truth = S.brute_force_topk(emb, queries, k=5)
+    return retrieval_metrics(approx, truth)

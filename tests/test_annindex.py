@@ -330,3 +330,50 @@ def test_sq8_index_rerank_exact(spark, vecs, tmp_path):
 def test_build_rejects_unknown_codec(spark, vecs, tmp_path):
     with pytest.raises(ValueError, match="codec"):
         A.build_ann_index(vecs, str(tmp_path / "x"), codec="fp16")
+
+
+# -------------------------------------------------------- learned cells
+def test_build_with_learned_kmeans_cells(spark, vecs, tmp_path):
+    """n_cells= learns routing cells from the raw embedding table — no
+    label column needed — and search still returns k hits per query."""
+    raw = vecs.select("vec_id", "embedding")  # no label column at all
+    out = str(tmp_path / "annidx_km")
+    meta = A.build_ann_index(raw, out, codec="sq8", n_cells=4)
+    assert meta["n_cells"] == 4 and meta["cell_col"] == "__cell"
+    idx = A.load_ann_index(spark, out)
+    queries = vecs.orderBy("vec_id").limit(5)
+    hits = A.ann_index_topk(idx, queries, k=5, nprobe=2).collect()
+    assert len(hits) == 25
+    # recall sanity vs exact, probing all learned cells
+    from auto_data_linkage_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vecs, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in A.ann_index_topk(idx, queries, k=5, nprobe=4).collect()
+    }
+    assert len(truth & got) >= int(0.9 * len(truth))
+
+
+def test_append_routes_unlabeled_delta_to_learned_cells(spark, vecs, tmp_path):
+    """A delta WITHOUT the cell column routes to its nearest stored
+    centroid on append — and is findable afterwards."""
+    raw = vecs.select("vec_id", "embedding")
+    old = raw.where(F.col("vec_id") % 5 != 0)
+    delta = raw.where(F.col("vec_id") % 5 == 0)
+    out = str(tmp_path / "annidx_km_inc")
+    A.build_ann_index(old, out, codec="sq8", n_cells=3)
+    meta = A.append_ann_index(delta, out)
+    assert meta["n_rows"] == raw.count()
+    idx = A.load_ann_index(spark, out)
+    # search FOR a delta row: it must appear as its own best self-match
+    probe = delta.limit(2)
+    hits = A.ann_index_topk(
+        idx, probe, k=1, nprobe=meta["n_cells"], exclude_self=False
+    ).collect()
+    assert {r.query_id for r in hits} == {r.neighbor_id for r in hits}

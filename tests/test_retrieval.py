@@ -253,3 +253,44 @@ def test_hard_negatives_modality_agnostic(spark, sf_dir):
     for r in out:
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert all(n == 2 for n in per_q.values())  # 10 deep - 8 positives
+
+
+# ------------------------------------------------------ retrieval metrics
+def test_retrieval_metrics_hand_computed(spark):
+    from auto_data_linkage_spark.operators.retrieval import retrieval_metrics
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2), (3, 30, 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    results = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 99, 2),   # one of two relevant; best rank 1
+            (2, 98, 1), (2, 20, 2),   # one of two relevant; best rank 2
+            (3, 97, 1), (3, 96, 2),   # zero relevant
+        ],
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {r["query_id"]: r for r in retrieval_metrics(results, truth).collect()}
+    assert got[1]["recall"] == 0.5 and got[1]["rr"] == 1.0
+    assert got[2]["recall"] == 0.5 and got[2]["rr"] == 0.5
+    assert got[3]["recall"] == 0.0 and got[3]["rr"] == 0.0 and got[3]["n_hit"] == 0
+    # depth recap at k=1: query 2's hit sat at result-rank 2 -> gone;
+    # query 1's rank-1 result IS truth's rank-1 item -> kept
+    at1 = {r["query_id"]: r for r in retrieval_metrics(results, truth, k=1).collect()}
+    assert at1[2]["n_hit"] == 0 and at1[1]["n_hit"] == 1
+    assert at1[1]["n_relevant"] == 1 and at1[1]["recall"] == 1.0
+
+
+def test_retrieval_metrics_perfect_results(spark, sf_dir):
+    """An exact result set scores recall 1.0 / rr 1.0 on every query."""
+    from pyspark.sql import functions as F
+
+    from auto_data_linkage_spark.operators.retrieval import retrieval_metrics
+    from auto_data_linkage_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, queries, k=5)
+    m = retrieval_metrics(exact, exact).collect()
+    assert m and all(r["recall"] == 1.0 and r["rr"] == 1.0 for r in m)
