@@ -1341,3 +1341,77 @@ def semantic_decontaminate(
         "max_bench_cosine",
         (F.col("max_bench_cosine") < threshold).alias("keep"),
     )
+
+
+def dedup_recall_probe(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_rate: float = 0.05,
+    drop_every: int = 8,
+    seed: int = 0,
+    **dedup_kwargs,
+) -> DataFrame:
+    """Measure the near-dedup pipeline's RECALL on planted duplicates —
+    the quality-control loop for tuning ``num_hashes`` / ``num_bands``
+    / ``jaccard_threshold`` before trusting them on 100 TB: without a
+    ground truth, a mis-tuned LSH silently under-deduplicates and the
+    only symptom is a worse model months later.
+
+    Mechanics: a deterministic ``probe_rate`` hash-slice of documents
+    gets a perturbed twin (every ``drop_every``-th token removed — a
+    controlled similarity reduction; smaller ``drop_every`` = harder
+    probe) under the negated id (``-id - 1``, disjoint from any
+    non-negative id space); the union runs
+    :func:`minhash_dedup_pairs` (``dedup_kwargs`` forwarded), and the
+    result is ONE row: ``(n_planted, n_recovered, recall)`` counting
+    planted (original, twin) pairs the pipeline recovered.
+
+    Plan: the probe side is a ``probe_rate`` fraction of the corpus
+    (row-local perturbation), the measurement join is
+    planted-pair-sized, and the dedup pass itself is the production
+    plan under test — the probe costs ~one dedup run at
+    ``(1 + probe_rate)`` corpus size.
+    """
+    if not 0.0 < probe_rate <= 1.0:
+        raise ValueError(f"probe_rate must be in (0, 1], got {probe_rate}")
+    if drop_every < 2:
+        raise ValueError(f"drop_every must be >= 2, got {drop_every}")
+    from auto_data_linkage_spark.operators.text import md5_hash64, tokens
+
+    cut = int(probe_rate * (1 << 60))
+    sampled = df.where(
+        md5_hash64(F.col(id_col).cast("string"), seed=seed) < F.lit(cut)
+    )
+    perturbed_tokens = F.filter(
+        tokens(F.col(text_col)),
+        lambda _t, i: (i + 1) % drop_every != 0,
+    )
+    twins = sampled.select(
+        (-F.col(id_col) - 1).alias(id_col),
+        F.array_join(perturbed_tokens, " ").alias(text_col),
+    )
+    planted = sampled.select(
+        F.col(id_col).alias("__orig"),
+        (-F.col(id_col) - 1).alias("__twin"),
+    )
+    union = df.select(id_col, text_col).unionByName(twins)
+    pairs = minhash_dedup_pairs(
+        union, text_col, id_col, **dedup_kwargs
+    ).select(
+        F.least("doc_id_l", "doc_id_r").alias("__a"),
+        F.greatest("doc_id_l", "doc_id_r").alias("__b"),
+    )
+    keyed = planted.select(
+        F.least("__orig", "__twin").alias("__a"),
+        F.greatest("__orig", "__twin").alias("__b"),
+    )
+    n_planted = keyed.count()
+    n_recovered = keyed.join(pairs, ["__a", "__b"], "left_semi").count()
+    spark = df.sparkSession
+    recall = round(n_recovered / n_planted, 6) if n_planted else None
+    return spark.createDataFrame(
+        [(n_planted, n_recovered, recall)],
+        "n_planted long, n_recovered long, recall double",
+    )

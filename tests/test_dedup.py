@@ -680,3 +680,38 @@ def test_paragraph_dedup_unit(spark):
     assert out[3]["dedup_text"] == "gamma three content block"
     with __import__("pytest").raises(ValueError):
         line_dedup(df, unit="sentence")
+
+
+def test_dedup_recall_probe(spark, sf_dir):
+    """The planted-duplicate QC loop: a gentle perturbation (1 in 12
+    tokens dropped) at a moderate threshold must recover most planted
+    twins, and recall is monotone in probe hardness (dropping 1 in 3
+    tokens can only lower it). All planted twin ids are negative, so
+    they never collide with the corpus id space."""
+    from auto_data_linkage_spark.operators.dedup import dedup_recall_probe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gentle = dedup_recall_probe(
+        docs, probe_rate=0.2, drop_every=12,
+        jaccard_threshold=0.5, num_hashes=8, num_bands=8,
+    ).collect()[0]
+    assert gentle["n_planted"] > 0
+    assert gentle["recall"] >= 0.7, gentle
+    hard = dedup_recall_probe(
+        docs, probe_rate=0.2, drop_every=3,
+        jaccard_threshold=0.5, num_hashes=8, num_bands=8,
+    ).collect()[0]
+    assert hard["n_planted"] == gentle["n_planted"]
+    assert hard["recall"] <= gentle["recall"], (hard, gentle)
+
+
+def test_dedup_recall_probe_validation(spark, sf_dir):
+    from auto_data_linkage_spark.operators.dedup import dedup_recall_probe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dedup_recall_probe(docs, probe_rate=0.0)
+    with _pt.raises(ValueError):
+        dedup_recall_probe(docs, drop_every=1)
