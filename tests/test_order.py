@@ -43,14 +43,16 @@ def test_training_order_spreads_source_clustering(docs):
 
 def test_order_key_independent_of_shard_hash(docs):
     """order_key must not be the shard hash (seed offset): otherwise
-    every shard's rows sort by the residue that placed them there."""
-    out = O.training_order(docs, n_shards=4, seed=3).select(
+    every shard's rows sort by the residue that placed them there. If
+    the hashes were identical, order_key % n == shard would hold for
+    EVERY row; independent hashes agree ~1/n of the time."""
+    rows = O.training_order(docs, n_shards=4, seed=3).select(
         "doc_id", "shard", "order_key"
-    )
-    rows = out.collect()
-    assert all(r["order_key"] % 4 != r["shard"] for r in rows) or len(
-        {r["order_key"] % 4 == r["shard"] for r in rows}
-    ) == 2  # not constant-true across the corpus
+    ).collect()
+    frac_same = sum(
+        r["order_key"] % 4 == r["shard"] for r in rows
+    ) / len(rows)
+    assert 0.05 < frac_same < 0.6, frac_same
 
 
 def test_training_order_zero_shuffle_plan(docs):
