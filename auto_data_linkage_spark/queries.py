@@ -1583,6 +1583,11 @@ _DEPRIORITIZED = (
     # subqueries are those same certified plans) — test_oracle_window
     # runs the full driver comparison:
     "ann_recall_report",
+    # registered DIRECTLY into the back window (substring-dedup family
+    # holds span_dedup + line_dedup driver rows; the paragraph unit is
+    # the same skew-safe split/window/reassembly plan at block
+    # granularity) — test_oracle_window runs the full driver comparison:
+    "paragraph_dedup",
 )
 
 # --------------------------------------------------------------------------
@@ -1630,7 +1635,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                     "incremental_dedup_docs"),
     "simhash": ("simhash_near_pairs", "simhash"),
     "substring-dedup": ("span_dedup", "chunk_dedup", "split_chunks",
-                        "strip_boilerplate", "line_dedup"),
+                        "strip_boilerplate", "line_dedup",
+                        "paragraph_dedup"),
     "embedding-dedup": ("media_near_dup", "embedding_near_dup",
                         "semantic_dedup", "semantic_decontaminate"),
     "decontamination": ("decontaminate", "bloom_decontaminate",

@@ -4449,3 +4449,75 @@ def ann_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = S.ivf_topk(emb, queries, k=5, nprobe=3)
     truth = S.brute_force_topk(emb, queries, k=5)
     return retrieval_metrics(approx, truth)
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level dedup (line_dedup unit="paragraph") — back-window row
+# (substring-dedup family holds span_dedup / line_dedup driver rows)
+# --------------------------------------------------------------------------
+_PARA_DEDUP_SQL = """
+    WITH d AS (
+        SELECT doc_id,
+               text || chr(10) || chr(10) ||
+               'Follow our network of sites for daily updates' ||
+               CASE WHEN doc_id % 4 = 0
+                    THEN chr(10) || chr(10) || 'copyright two thousand'
+                    ELSE '' END
+               AS text
+        FROM documents
+    ),
+    lf AS (
+        SELECT doc_id,
+               list_filter(
+                 list_transform(
+                   string_split_regex(text, '\\n\\s*\\n'), l -> trim(l)),
+                 l -> l <> '') AS paras
+        FROM d
+    ),
+    ex AS (
+        SELECT doc_id, UNNEST(paras) AS line,
+               GENERATE_SUBSCRIPTS(paras, 1) - 1 AS pos
+        FROM lf
+    ),
+    r AS (
+        SELECT doc_id, pos, line,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lower(line) ORDER BY doc_id, pos) AS rn
+        FROM ex
+    ),
+    kept AS (
+        SELECT doc_id, pos, line FROM r
+        WHERE len(lower(line)) < 12 OR rn = 1
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               STRING_AGG(line, chr(10) || chr(10) ORDER BY pos)
+                   AS dedup_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT l.doc_id, CAST(len(l.paras) AS INT) AS n_lines,
+           CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
+           COALESCE(a.dedup_text, '') AS dedup_text
+    FROM lf l LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "paragraph_dedup",
+    _PARA_DEDUP_SQL,
+    survey="LLM dedup: exact paragraph-level dedup (blank-line blocks, "
+    "line_dedup unit='paragraph')",
+)
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nFollow our network of sites for daily updates"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\n\ncopyright two thousand"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return D.line_dedup(docs, unit="paragraph", min_chars=12)
