@@ -231,6 +231,11 @@ def read_wet_corpus(
     them:``spark.read.option("lineSep", WET_DELIM).text(path)``.
     """
     raw = spark.read.option("lineSep", WET_DELIM).text(path)
+    return _parse_wet(raw, min_payload_chars)
+
+
+def _parse_wet(raw: DataFrame, min_payload_chars: int) -> DataFrame:
+    """Record parse shared by the batch and streaming WET readers."""
 
     def hdr(name: str):
         # header lines end with \r?\n; capture to end-of-line
@@ -255,3 +260,25 @@ def read_wet_corpus(
         (F.col("record_type") == "conversion")
         & (F.length("text") >= min_payload_chars)
     )
+
+
+def stream_read_wet(
+    spark: SparkSession,
+    path: str,
+    *,
+    min_payload_chars: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_wet_corpus`: a file-source
+    ``readStream`` over a crawl landing directory, new ``.wet`` files
+    become micro-batches of parsed conversion records (identical parse
+    — shared ``_parse_wet``). Compose with
+    ``streaming.documents.curate_stream(html_col=...)`` for the
+    continuous crawl front door; the sink checkpoint guarantees each
+    file ingests exactly once across restarts."""
+    reader = spark.readStream.option("lineSep", WET_DELIM)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return _parse_wet(reader.text(path), min_payload_chars)

@@ -250,3 +250,49 @@ def test_wet_html_curation_composition(spark, tmp_path):
     survivor = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
     text = survivor.collect()[0]["text"]
     assert "quick brown fox" in text and "<" not in text
+
+
+def test_stream_read_wet_matches_batch(spark, tmp_path):
+    """Streaming WET ingestion == the batch parse over the same files,
+    exactly-once through a checkpointed availableNow drain."""
+    from auto_data_linkage_spark.sources.ingest import (
+        read_wet_corpus,
+        stream_read_wet,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.wet").write_text(WET_SAMPLE)
+    (src / "b.wet").write_text(WET_SAMPLE.replace("example", "sample"))
+
+    stream = stream_read_wet(spark, str(src), max_files_per_trigger=1)
+    assert stream.isStreaming
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.read.parquet(out_dir).select(
+            "url", "warc_date", "text").collect())
+    )
+    want = sorted(
+        map(tuple, read_wet_corpus(spark, str(src)).select(
+            "url", "warc_date", "text").collect())
+    )
+    assert got == want and len(got) == 4
+    # restart with no new files: exactly-once, nothing re-ingested
+    q2 = (
+        stream_read_wet(spark, str(src))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 4
