@@ -1415,3 +1415,48 @@ def dedup_recall_probe(
         [(n_planted, n_recovered, recall)],
         "n_planted long, n_recovered long, recall double",
     )
+
+
+def duplication_weights(
+    df: DataFrame,
+    components: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """SOFT dedup: keep every copy, DOWN-WEIGHT by cluster size —
+    ``weight = n_copies^(-alpha)`` per document (singletons weigh 1.0).
+    With ``alpha = 1`` each near-dup cluster contributes one document's
+    worth of sampling mass in expectation; fractional ``alpha`` trades
+    toward mild repetition, which the data-constrained scaling
+    literature (Muennighoff et al. 2023 — public) shows is worth more
+    than hard-dropping when data is the bottleneck.
+
+    ``components`` is a ``(node, component)`` table
+    (:func:`~auto_data_linkage_spark.cluster.connected_components` over
+    near-dup pairs — the same input the hard keepers take). Output:
+    ``(id, n_copies, weight)`` for EVERY input row. Feed ``weight``
+    into :func:`~auto_data_linkage_spark.operators.pack.weighted_sample_k`
+    or a mixture sampler instead of dropping rows.
+
+    Plan: component sizes are one narrow aggregate (bounded by
+    duplicate volume); the corpus side takes two broadcast-joinable
+    lookups and never shuffles.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    sizes = components.groupBy("component").agg(
+        F.count("*").alias("__n")
+    )
+    member = components.join(F.broadcast(sizes), "component").select(
+        F.col("node").alias(id_col), F.col("__n")
+    )
+    return df.select(id_col).join(F.broadcast(member), id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__n"), F.lit(1)).cast("int").alias("n_copies"),
+        F.round(
+            F.pow(F.coalesce(F.col("__n"), F.lit(1)).cast("double"),
+                  F.lit(-float(alpha))),
+            6,
+        ).alias("weight"),
+    )

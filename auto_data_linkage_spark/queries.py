@@ -1588,6 +1588,11 @@ _DEPRIORITIZED = (
     # the same skew-safe split/window/reassembly plan at block
     # granularity) — test_oracle_window runs the full driver comparison:
     "paragraph_dedup",
+    # registered DIRECTLY into the back window (minhash-lsh family holds
+    # near_dedup_keep_best's driver row, which runs the same banding +
+    # CC machinery; soft-dedup adds one size aggregate + broadcast
+    # lookups) — test_oracle_window runs the full driver comparison:
+    "duplication_weights",
 )
 
 # --------------------------------------------------------------------------
@@ -1632,7 +1637,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "exact-dedup": ("exact_dedup",),
     "minhash-lsh": ("minhash_lsh_pairs", "near_dedup_keep",
                     "near_dedup_keep_best", "minhash_signature",
-                    "incremental_dedup_docs"),
+                    "incremental_dedup_docs", "duplication_weights"),
     "simhash": ("simhash_near_pairs", "simhash"),
     "substring-dedup": ("span_dedup", "chunk_dedup", "split_chunks",
                         "strip_boilerplate", "line_dedup",

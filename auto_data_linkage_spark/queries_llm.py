@@ -4521,3 +4521,57 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return D.line_dedup(docs, unit="paragraph", min_chars=12)
+
+
+# --------------------------------------------------------------------------
+# Soft dedup: duplication weights (keep every copy, weight = size^-1) —
+# back-window row (minhash-lsh family holds near_dedup_keep_best's
+# driver row; the CC machinery is the same recursive-CTE twin)
+# --------------------------------------------------------------------------
+def _duplication_weights_sql() -> str:
+    return f"""
+    WITH RECURSIVE sig AS ({_minhash_sql().strip()}),
+    {_minhash_pair_ctes()},
+    sym AS (
+        SELECT src, dst FROM prs UNION SELECT dst, src FROM prs
+    ),
+    reach(node, other) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, reach.other FROM sym s JOIN reach ON s.dst = reach.node
+    ),
+    cc AS (SELECT node, MIN(other) AS component FROM reach GROUP BY node),
+    sizes AS (
+        SELECT component, COUNT(*) AS n FROM cc GROUP BY component
+    ),
+    member AS (
+        SELECT cc.node AS doc_id, sizes.n
+        FROM cc JOIN sizes ON cc.component = sizes.component
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(m.n, 1) AS INT) AS n_copies,
+           ROUND(POW(CAST(COALESCE(m.n, 1) AS DOUBLE), -1.0), 6) AS weight
+    FROM documents d LEFT JOIN member m ON d.doc_id = m.doc_id
+    """
+
+
+@register(
+    "duplication_weights",
+    _duplication_weights_sql(),
+    survey="LLM dedup: soft dedup — per-doc duplication weight "
+    "(n_copies^-alpha, keep every copy, down-weight sampling mass)",
+)
+def duplication_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.cluster import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_candidates(
+        docs, num_hashes=_MH_HASHES, num_bands=_MH_HASHES,
+        shingle_k=_SHINGLE_K,
+    )
+    comp = connected_components(
+        pairs.select(
+            F.col("doc_id_l").alias("src"), F.col("doc_id_r").alias("dst")
+        )
+    )
+    return D.duplication_weights(docs, comp, alpha=1.0)

@@ -715,3 +715,33 @@ def test_dedup_recall_probe_validation(spark, sf_dir):
         dedup_recall_probe(docs, probe_rate=0.0)
     with _pt.raises(ValueError):
         dedup_recall_probe(docs, drop_every=1)
+
+
+def test_duplication_weights_soft_dedup(spark):
+    """Hand-built clusters: a 3-cluster weighs 1/3 per member, a pair
+    1/2, singletons 1.0; every input row appears exactly once; total
+    sampling mass == number of distinct contents at alpha=1."""
+    from auto_data_linkage_spark.operators.dedup import duplication_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    comp = spark.createDataFrame(
+        # {1,2,3} one cluster, {4,5} another; 6,7 singletons (absent)
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "node long, component long",
+    )
+    got = {r["doc_id"]: r for r in duplication_weights(docs, comp).collect()}
+    assert len(got) == 7
+    assert got[1]["n_copies"] == 3 and got[1]["weight"] == round(1 / 3, 6)
+    assert got[4]["n_copies"] == 2 and got[4]["weight"] == 0.5
+    assert got[6]["n_copies"] == 1 and got[6]["weight"] == 1.0
+    mass = sum(r["weight"] for r in got.values())
+    assert abs(mass - 4.0) < 1e-5  # 2 clusters + 2 singletons... = 1+1+1+1
+    # alpha=0 keeps everything at weight 1 (pure annotation)
+    flat = duplication_weights(docs, comp, alpha=0.0).collect()
+    assert all(r["weight"] == 1.0 for r in flat)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        duplication_weights(docs, comp, alpha=-1)
