@@ -1593,6 +1593,18 @@ _DEPRIORITIZED = (
     # CC machinery; soft-dedup adds one size aggregate + broadcast
     # lookups) — test_oracle_window runs the full driver comparison:
     "duplication_weights",
+    # round-9i rotation: the two new link-graph operators (link_graph,
+    # domain_pagerank) promoted to driver rows per the
+    # every-new-operator-holds-a-driver-row rule; two redundant front
+    # rows demoted in exchange, each family keeping ≥1 driver row
+    # (machine-checked):
+    "c4_clean",  # text-analysis keeps gopher_repetition_filter in-window,
+    #              and curate_documents (front) COMPOSES the identical C4
+    #              cleaning chain end-to-end (strictly richer machinery
+    #              under the same check)
+    "interval_join_events",  # temporal-joins keeps asof_join_events
+    #                          in-window (the same range-bucketed join
+    #                          machinery; interval is the symmetric form)
 )
 
 # --------------------------------------------------------------------------
@@ -1671,6 +1683,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "temporal-joins": ("asof_join_events", "interval_join_events"),
     "curation-pipeline": ("curate_documents",),
     "url-curation": ("url_curation",),
+    "link-graph": ("link_graph", "domain_pagerank"),
 }
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

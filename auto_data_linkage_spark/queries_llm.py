@@ -4575,3 +4575,229 @@ def duplication_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return D.duplication_weights(docs, comp, alpha=1.0)
+
+
+# --------------------------------------------------------------------------
+# Domain link graph (operators/graph.py) — the graph tier of web curation.
+# Pages carry deterministic URLs + HTML with absolute hrefs (mixed scheme
+# case, quote styles, relative links that must be dropped, self-links,
+# query strings the href regex must stop at, and .co.uk two-level
+# suffixes), so extraction, host parsing, and eTLD+1 resolution all have
+# real work; the oracle runs the IDENTICAL RE2-safe regex chain.
+# --------------------------------------------------------------------------
+def _link_graph_sql() -> str:
+    from auto_data_linkage_spark.operators.graph import _HOST_RE, _HREF_RE
+    from auto_data_linkage_spark.operators.urls import (
+        DEFAULT_TWO_LEVEL_SUFFIXES,
+    )
+
+    sfx = ", ".join(f"'{s}'" for s in DEFAULT_TWO_LEVEL_SUFFIXES)
+    href = _HREF_RE.replace("'", "''")
+    host = _HOST_RE.replace("'", "''")
+
+    def dom(col: str) -> str:
+        return f"""
+           CASE WHEN len(string_split({col}, '.')) <= 1 THEN {col}
+                WHEN len(string_split({col}, '.')) >= 3
+                     AND (string_split({col}, '.')[-2] || '.' ||
+                          string_split({col}, '.')[-1]) IN ({sfx})
+                THEN string_split({col}, '.')[-3] || '.' ||
+                     string_split({col}, '.')[-2] || '.' ||
+                     string_split({col}, '.')[-1]
+                ELSE string_split({col}, '.')[-2] || '.' ||
+                     string_split({col}, '.')[-1]
+           END"""
+
+    return rf"""
+    WITH pages AS (
+        SELECT 'https://'
+               || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+               || source
+               || CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END
+               || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+               '<html><body><a href="https://ref'
+               || CAST(doc_id % 7 AS VARCHAR)
+               || '.com/a?x=1">r</a>'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '<a href=''HTTP://www.site'
+                            || CAST(doc_id % 5 AS VARCHAR)
+                            || '.co.uk/b''>s</a>'
+                       ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '<a href="https://' || source
+                            || CASE WHEN doc_id % 4 = 0
+                                    THEN '.co.uk' ELSE '.com' END
+                            || '/self">me</a>'
+                       ELSE '' END
+               || '<a href="/local">rel</a></body></html>' AS html
+        FROM documents
+    ),
+    hrefs AS (
+        SELECT LOWER(regexp_extract(url, '{host}', 1)) AS src_host,
+               UNNEST(regexp_extract_all(html, '{href}', 1)) AS href
+        FROM pages
+    ),
+    resolved AS (
+        SELECT {dom('src_host')} AS src_domain,
+               {dom("LOWER(regexp_extract(href, '" + host + "', 1))")}
+                   AS dst_domain
+        FROM hrefs
+    ),
+    edges AS (
+        SELECT src_domain, dst_domain, COUNT(*) AS n_links
+        FROM resolved
+        WHERE dst_domain <> '' AND src_domain <> dst_domain
+        GROUP BY src_domain, dst_domain
+    ),
+    e AS (SELECT src_domain, dst_domain FROM edges),
+    out_deg AS (SELECT src_domain AS domain, COUNT(*) AS out_degree
+                FROM e GROUP BY src_domain),
+    in_deg AS (SELECT dst_domain AS domain, COUNT(*) AS in_degree
+               FROM e GROUP BY dst_domain),
+    mutual AS (
+        SELECT a.src_domain AS domain, COUNT(*) AS reciprocal
+        FROM e a JOIN e b ON a.src_domain = b.dst_domain
+                         AND a.dst_domain = b.src_domain
+        GROUP BY a.src_domain
+    )
+    SELECT COALESCE(o.domain, i.domain) AS domain,
+           COALESCE(out_degree, 0) AS out_degree,
+           COALESCE(in_degree, 0) AS in_degree,
+           COALESCE(reciprocal, 0) AS reciprocal
+    FROM out_deg o
+    FULL OUTER JOIN in_deg i ON o.domain = i.domain
+    LEFT JOIN mutual m ON COALESCE(o.domain, i.domain) = m.domain
+    """
+
+
+@register(
+    "link_graph",
+    _link_graph_sql(),
+    survey="LLM web curation: domain link-graph extraction from raw HTML "
+    "(href regex -> eTLD+1 edges) + per-domain degree/reciprocity stats",
+)
+def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.graph import (
+        extract_links,
+        link_graph_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    tld = F.when(d % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com"))
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        tld,
+        F.lit("/p/"),
+        d.cast("string"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://ref'),
+        (d % 7).cast("string"),
+        F.lit('.com/a?x=1">r</a>'),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("<a href='HTTP://www.site"),
+                (d % 5).cast("string"),
+                F.lit(".co.uk/b'>s</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<a href="https://'), F.col("source"), tld,
+                F.lit('/self">me</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="/local">rel</a></body></html>'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return link_graph_stats(extract_links(pages))
+
+
+# --------------------------------------------------------------------------
+# Fixed-point PageRank (operators/graph.py) — deterministic BIGINT
+# arithmetic makes the iterative rank computation bit-exact and
+# summation-order-independent, so the oracle (the same 4 iterations
+# unrolled as CTEs over exact integer division) is an EQUALITY check —
+# no float tolerance anywhere in an iterative numeric operator.
+# --------------------------------------------------------------------------
+def _domain_pagerank_sql(iterations: int = 4) -> str:
+    from auto_data_linkage_spark.operators.graph import PAGERANK_SCALE
+
+    s = PAGERANK_SCALE
+    parts = [
+        f"""
+    WITH ks(k) AS (VALUES (1), (2)),
+    edges AS (
+        SELECT DISTINCT
+               'd' || CAST(doc_id % 97 AS VARCHAR) AS src,
+               'd' || CAST((doc_id * 7 + k) % 97 AS VARCHAR) AS dst
+        FROM documents, ks
+        WHERE (doc_id % 97) <> ((doc_id * 7 + k) % 97)
+    ),
+    nodes AS (SELECT src AS domain FROM edges
+              UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src AS domain, COUNT(*) AS out_degree
+            FROM edges GROUP BY src),
+    base AS (SELECT nodes.domain, COALESCE(deg.out_degree, 0) AS out_degree
+             FROM nodes LEFT JOIN deg ON nodes.domain = deg.domain),
+    r0 AS (SELECT domain, out_degree,
+                  CAST({s} // n AS BIGINT) AS rank_scaled
+           FROM base, nn)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+    d{i} AS (SELECT COALESCE(SUM(rank_scaled), 0) AS dangling
+             FROM r{i - 1} WHERE out_degree = 0),
+    c{i} AS (SELECT e.dst AS domain,
+                    SUM(r.rank_scaled // r.out_degree) AS contrib
+             FROM r{i - 1} r JOIN edges e ON e.src = r.domain
+             WHERE r.out_degree > 0 GROUP BY e.dst),
+    r{i} AS (SELECT b.domain, b.out_degree,
+                    CAST(({s} // nn.n) * 15 // 100
+                         + 85 * (COALESCE(c{i}.contrib, 0)
+                                 + d{i}.dangling // nn.n) // 100
+                         AS BIGINT) AS rank_scaled
+             FROM base b
+             CROSS JOIN nn CROSS JOIN d{i}
+             LEFT JOIN c{i} ON b.domain = c{i}.domain)"""
+        )
+    parts.append(
+        f"\n    SELECT domain, rank_scaled FROM r{iterations}"
+    )
+    return "".join(parts)
+
+
+@register(
+    "domain_pagerank",
+    _domain_pagerank_sql(),
+    survey="LLM web curation: fixed-point PageRank over the domain link "
+    "graph (iterative join+agg, dangling-mass broadcast, bit-exact "
+    "BIGINT arithmetic — run-to-run reproducible at any cluster size)",
+)
+def domain_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    e = (
+        docs.select(
+            (d % 97).alias("s"),
+            F.explode(
+                F.array((d * 7 + 1) % 97, (d * 7 + 2) % 97)
+            ).alias("t"),
+        )
+        .where(F.col("s") != F.col("t"))
+        .select(
+            F.concat(F.lit("d"), F.col("s").cast("string"))
+            .alias("src_domain"),
+            F.concat(F.lit("d"), F.col("t").cast("string"))
+            .alias("dst_domain"),
+        )
+    )
+    return pagerank(e, iterations=4)

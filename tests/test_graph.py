@@ -1,0 +1,176 @@
+"""Domain link-graph operators (operators/graph.py): href extraction,
+degree stats, and fixed-point PageRank — pinned against an independent
+pure-Python fixed-point reference (exact equality, no float tolerance)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators.graph import (
+    PAGERANK_SCALE,
+    extract_links,
+    link_graph_stats,
+    pagerank,
+)
+
+
+def _py_pagerank(edges, iterations, scale=PAGERANK_SCALE, dp=85):
+    """Independent fixed-point reference: plain dict/int arithmetic,
+    no Spark — the oracle the distributed plan must equal EXACTLY."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    out = {x: sorted({t for s, t in edges if s == x and t != x}) for x in nodes}
+    n = len(nodes)
+    r = {x: scale // n for x in nodes}
+    tel = (scale // n) * (100 - dp) // 100
+    for _ in range(iterations):
+        dang = sum(r[x] for x in nodes if not out[x])
+        inn = {x: 0 for x in nodes}
+        for s in nodes:
+            if out[s]:
+                share = r[s] // len(out[s])
+                for t in out[s]:
+                    inn[t] += share
+        r = {x: tel + (dp * (inn[x] + dang // n)) // 100 for x in nodes}
+    return r
+
+
+EDGES = [
+    ("a", "b"), ("b", "a"), ("b", "c"), ("d", "c"), ("d", "a"),
+    ("e", "a"),  # e dangling-free, c dangling
+]
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, ["src_domain", "dst_domain"])
+
+
+class TestPagerank:
+    def test_matches_independent_reference_exactly(self, spark):
+        got = {
+            r["domain"]: r["rank_scaled"]
+            for r in pagerank(_edges_df(spark, EDGES), iterations=5).collect()
+        }
+        assert got == _py_pagerank(EDGES, 5)
+
+    def test_bit_identical_across_runs(self, spark):
+        e = _edges_df(spark, EDGES)
+        a = sorted(map(tuple, pagerank(e, iterations=3).collect()))
+        b = sorted(map(tuple, pagerank(e, iterations=3).collect()))
+        assert a == b
+
+    def test_self_loops_and_multi_edges_ignored(self, spark):
+        noisy = EDGES + [("a", "a"), ("b", "c"), ("b", "c")]
+        got = {
+            r["domain"]: r["rank_scaled"]
+            for r in pagerank(_edges_df(spark, noisy), iterations=4).collect()
+        }
+        assert got == _py_pagerank(EDGES, 4)
+
+    def test_dangling_mass_recycled(self, spark):
+        # pure sink graph: everything points at z; z's mass must flow
+        # back via the dangling term, not vanish.
+        edges = [("a", "z"), ("b", "z"), ("c", "z")]
+        got = {
+            r["domain"]: r["rank_scaled"]
+            for r in pagerank(_edges_df(spark, edges), iterations=6).collect()
+        }
+        assert got == _py_pagerank(edges, 6)
+        assert got["z"] > got["a"] == got["b"] == got["c"] > 0
+
+    def test_total_mass_conserved_within_floor_loss(self, spark):
+        got = pagerank(_edges_df(spark, EDGES), iterations=5).collect()
+        total = sum(r["rank_scaled"] for r in got)
+        # each DIV floors away <1 scaled unit per node/edge/iteration:
+        # the total stays within a tiny additive band below SCALE.
+        assert PAGERANK_SCALE * 0.999 < total <= PAGERANK_SCALE
+
+    def test_small_scale_still_exact(self, spark):
+        got = {
+            r["domain"]: r["rank_scaled"]
+            for r in pagerank(
+                _edges_df(spark, EDGES), iterations=3, scale=10**6
+            ).collect()
+        }
+        assert got == _py_pagerank(EDGES, 3, scale=10**6)
+
+    def test_empty_graph(self, spark):
+        e = _edges_df(spark, [("a", "a")])  # only a self-loop -> no edges
+        assert pagerank(e, iterations=2).count() == 0
+
+    def test_schema(self, spark):
+        df = pagerank(_edges_df(spark, EDGES), iterations=1)
+        assert [f.name for f in df.schema.fields] == ["domain", "rank_scaled"]
+        assert df.schema["rank_scaled"].dataType.typeName() == "long"
+
+
+class TestExtractLinks:
+    def _pages(self, spark):
+        rows = [
+            (
+                "https://www.foo.com/x",
+                '<a href="https://bar.co.uk/p?q=1">a</a>'
+                "<a href='HTTP://www.baz.org/q#frag'>b</a>"
+                '<a href="/relative">c</a>'
+                '<a href="https://foo.com/self">d</a>'
+                '<a href="https://bar.co.uk/other">e</a>',
+            ),
+            ("https://sub.bar.co.uk/y", '<a href="https://foo.com/z">f</a>'),
+        ]
+        return spark.createDataFrame(rows, ["url", "html"])
+
+    def test_edges(self, spark):
+        got = {
+            (r["src_domain"], r["dst_domain"]): r["n_links"]
+            for r in extract_links(self._pages(spark)).collect()
+        }
+        assert got == {
+            # relative + self links dropped; queries/fragments never
+            # reach the host regex; schemes match case-insensitively;
+            # www. stripped by eTLD+1; two hrefs to bar.co.uk collapse
+            # into one edge with n_links=2
+            ("foo.com", "bar.co.uk"): 2,
+            ("foo.com", "baz.org"): 1,
+            ("bar.co.uk", "foo.com"): 1,
+        }
+
+    def test_keep_self_links(self, spark):
+        got = extract_links(self._pages(spark), drop_self=False)
+        pairs = {(r["src_domain"], r["dst_domain"]) for r in got.collect()}
+        assert ("foo.com", "foo.com") in pairs
+
+    def test_no_python_udf_in_plan(self, spark):
+        plan = extract_links(self._pages(spark))._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestLinkGraphStats:
+    def test_degrees_and_reciprocity(self, spark):
+        stats = {
+            r["domain"]: (r["out_degree"], r["in_degree"], r["reciprocal"])
+            for r in link_graph_stats(_edges_df(spark, EDGES)).collect()
+        }
+        assert stats == {
+            "a": (1, 3, 1),  # a->b reciprocated by b->a
+            "b": (2, 1, 1),
+            "c": (0, 2, 0),
+            "d": (2, 0, 0),
+            "e": (1, 0, 0),
+        }
+
+
+class TestCatalogParity:
+    def test_pagerank_iterations_match_oracle_unroll(self):
+        """The SQL oracle unrolls the same iteration count the catalog
+        query passes — a drifted constant would silently compare
+        different algorithms."""
+        import inspect
+
+        from auto_data_linkage_spark import queries_llm as q
+
+        assert "_domain_pagerank_sql(iterations: int = 4)" in inspect.getsource(
+            q._domain_pagerank_sql.__wrapped__
+            if hasattr(q._domain_pagerank_sql, "__wrapped__")
+            else q._domain_pagerank_sql
+        ).replace("\n", "")
+        assert "iterations=4" in inspect.getsource(q.domain_pagerank_q)

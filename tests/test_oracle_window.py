@@ -55,10 +55,10 @@ def test_front_window_fits_driver_gate():
         "window_count",
         "levenshtein_pairs",
         # round-8 promotions: the three r7 back-window-only additions
-        # plus the new URL front door
+        # plus the new URL front door (c4_clean rotated back in r9i —
+        # curate_documents composes its full cleaning chain in-window)
         "url_curation",
         "line_dedup",
-        "c4_clean",
         "perplexity_buckets",
         # round-9 promotions: every operator newly added in round 9
         # holds a driver row (the standing rule)
@@ -74,6 +74,8 @@ def test_front_window_fits_driver_gate():
         "sq8_topk",
         "embedding_outliers",
         "html_extract",
+        "link_graph",
+        "domain_pagerank",
     ):
         assert name in front, f"{name} fell out of the driver window"
 
