@@ -150,15 +150,23 @@ def pagerank(
     scale: int = PAGERANK_SCALE,
     src_col: str = "src_domain",
     dst_col: str = "dst_domain",
+    seeds: list[str] | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a (src, dst) edge table →
-    ``(domain, rank_scaled)`` with rank_scaled summing to ≈ scale·N.
+    ``(domain, rank_scaled)`` with rank_scaled summing to ≈ scale.
 
     Deterministic BY CONSTRUCTION: ranks are BIGINTs, contributions are
     exact integer divisions (``rank DIV out_degree``), and integer sums
     are order-independent — so results are bit-identical run to run and
     cluster to cluster (and checkable by an exact-equality oracle).
     ``damping_pct`` is the damping factor in percent (85 ≡ 0.85).
+
+    ``seeds`` switches to TrustRank (Gyöngyi'04): teleport and dangling
+    mass flow only to the listed trusted domains (a literal ``isin``
+    predicate — no join; curation blocklists are the mirror image, and
+    trust lists are similarly small). Spam islands unreachable from a
+    seed decay to rank 0 instead of collecting teleport mass. Seeds
+    absent from the graph are ignored.
 
     Per iteration: one shuffle join (ranks ⋈ edges on src) + one
     aggregation (sum by dst), with ranks eagerly localCheckpointed so
@@ -198,18 +206,28 @@ def pagerank(
         )
         .localCheckpoint(eager=True)
     )
-    # the per-loop driver scalars: |nodes| (needed as a literal in the
-    # teleport term) and, per iteration, the 8-byte dangling mass.
+    # the per-loop driver scalars: |nodes| / |present seeds| (literals
+    # in the teleport term) and, per iteration, the 8-byte dangling mass.
     n = base.count()
     if n == 0:
         return base.select(
             "domain", F.lit(0).cast("bigint").alias("rank_scaled")
         )
+    if seeds is not None:
+        is_seed = F.col("domain").isin(list(seeds))
+        n_tel = base.where(is_seed).count()
+        if n_tel == 0:
+            raise ValueError("no seed domain is present in the graph")
+    else:
+        is_seed = F.lit(True)
+        n_tel = n
 
-    teleport = (scale // n) * (100 - damping_pct) // 100
+    teleport = (scale // n_tel) * (100 - damping_pct) // 100
+    seed_col = is_seed.cast("boolean").alias("__seed")
     ranks = base.select(
         "domain",
         "out_degree",
+        seed_col,
         F.lit(scale // n).cast("bigint").alias("rank_scaled"),
     ).localCheckpoint(eager=True)
     for _ in range(iterations):
@@ -232,13 +250,16 @@ def pagerank(
             .agg(F.sum("__share").cast("bigint").alias("__in"))
         )
         ranks = (
-            base.join(contrib, "domain", "left")
+            base.select("domain", "out_degree", seed_col)
+            .join(contrib, "domain", "left")
             .select(
                 "domain",
                 "out_degree",
+                F.col("__seed"),
                 F.expr(
-                    f"CAST({teleport} + {damping_pct} * "
-                    f"(COALESCE(__in, 0) + {dangling} DIV {n}) DIV 100 "
+                    f"CAST(IF(__seed, {teleport}, 0) + {damping_pct} * "
+                    f"(COALESCE(__in, 0) + "
+                    f"IF(__seed, {dangling} DIV {n_tel}, 0)) DIV 100 "
                     f"AS BIGINT)"
                 ).alias("rank_scaled"),
             )

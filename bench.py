@@ -121,6 +121,11 @@ BENCH_QUERIES = [
     # round-9f: HTML→text extraction (regex chain + entity decode — a
     # heavy pure-projection pass over synthetic-wrapped documents)
     "html_extract",
+    # round-9i: domain link graph (href regex + eTLD+1 + degree joins)
+    # and fixed-point PageRank (4 iterations of join+agg over the edge
+    # table — the iterative-graph job-overhead probe)
+    "link_graph",
+    "domain_pagerank",
 ]
 
 

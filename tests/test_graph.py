@@ -15,14 +15,16 @@ from auto_data_linkage_spark.operators.graph import (
 )
 
 
-def _py_pagerank(edges, iterations, scale=PAGERANK_SCALE, dp=85):
+def _py_pagerank(edges, iterations, scale=PAGERANK_SCALE, dp=85, seeds=None):
     """Independent fixed-point reference: plain dict/int arithmetic,
     no Spark — the oracle the distributed plan must equal EXACTLY."""
     nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
     out = {x: sorted({t for s, t in edges if s == x and t != x}) for x in nodes}
     n = len(nodes)
+    trusted = set(nodes) if seeds is None else set(seeds) & set(nodes)
+    n_tel = len(trusted)
     r = {x: scale // n for x in nodes}
-    tel = (scale // n) * (100 - dp) // 100
+    tel = (scale // n_tel) * (100 - dp) // 100
     for _ in range(iterations):
         dang = sum(r[x] for x in nodes if not out[x])
         inn = {x: 0 for x in nodes}
@@ -31,7 +33,11 @@ def _py_pagerank(edges, iterations, scale=PAGERANK_SCALE, dp=85):
                 share = r[s] // len(out[s])
                 for t in out[s]:
                     inn[t] += share
-        r = {x: tel + (dp * (inn[x] + dang // n)) // 100 for x in nodes}
+        r = {
+            x: (tel if x in trusted else 0)
+            + (dp * (inn[x] + (dang // n_tel if x in trusted else 0))) // 100
+            for x in nodes
+        }
     return r
 
 
@@ -93,6 +99,49 @@ class TestPagerank:
             ).collect()
         }
         assert got == _py_pagerank(EDGES, 3, scale=10**6)
+
+    def test_trustrank_matches_reference_exactly(self, spark):
+        got = {
+            r["domain"]: r["rank_scaled"]
+            for r in pagerank(
+                _edges_df(spark, EDGES), iterations=4,
+                seeds=["a", "e", "not-in-graph"],
+            ).collect()
+        }
+        assert got == _py_pagerank(EDGES, 4, seeds=["a", "e"])
+
+    def test_trustrank_starves_unreachable_island(self, spark):
+        # x<->y is a spam ring unreachable from the seed component;
+        # under seeded teleport its rank decays toward 0 while plain
+        # PageRank would keep feeding it teleport mass.
+        edges = EDGES + [("x", "y"), ("y", "x")]
+        tr = {
+            r["domain"]: r["rank_scaled"]
+            for r in pagerank(
+                _edges_df(spark, edges), iterations=8, seeds=["e"]
+            ).collect()
+        }
+        pr = {
+            r["domain"]: r["rank_scaled"]
+            for r in pagerank(_edges_df(spark, edges), iterations=8).collect()
+        }
+        # the ring holds only its initial mass decaying at 0.85/iter
+        # (0.85^8 = 0.27 of scale/10), while unseeded PageRank feeds it
+        # teleport mass every round toward a fat steady state:
+        assert tr["x"] < pr["x"] // 4
+        # and the decay continues with more iterations (no floor):
+        tr16 = {
+            r["domain"]: r["rank_scaled"]
+            for r in pagerank(
+                _edges_df(spark, edges), iterations=16, seeds=["e"]
+            ).collect()
+        }
+        assert tr16["x"] < tr["x"] // 2
+        assert tr["a"] > 0
+
+    def test_trustrank_no_seed_in_graph_raises(self, spark):
+        with pytest.raises(ValueError):
+            pagerank(_edges_df(spark, EDGES), iterations=1, seeds=["zzz"])
 
     def test_empty_graph(self, spark):
         e = _edges_df(spark, [("a", "a")])  # only a self-loop -> no edges
