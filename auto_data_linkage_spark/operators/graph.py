@@ -42,6 +42,7 @@ from .text import ensure_parallelism
 from .urls import registered_domain
 
 __all__ = [
+    "anchor_texts",
     "extract_links",
     "link_graph_stats",
     "pagerank",
@@ -53,6 +54,14 @@ __all__ = [
 # backreferences) so a DuckDB oracle can run the identical pattern.
 _HREF_RE = r"""(?i)<a\s[^>]*href\s*=\s*["']?(https?://[^"'\s>#?]+)"""
 _HOST_RE = r"(?i)^https?://([^/:]+)"
+# href + anchor text in one capture pass: group 1 = url, group 2 = the
+# inner text up to the closing tag (first '<' ends it — nested markup
+# inside anchors is rare and the truncation is the conventional
+# anchor-text normalization anyway). Still RE2-safe.
+_HREF_ANCHOR_RE = (
+    r"""(?i)<a\s[^>]*href\s*=\s*["']?(https?://[^"'\s>#?]+)"""
+    r"""[^>]*>([^<]*)"""
+)
 
 
 def extract_links(
@@ -89,6 +98,46 @@ def extract_links(
     return links.groupBy("src_domain", "dst_domain").agg(
         F.count("*").alias("n_links")
     )
+
+
+def anchor_texts(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    *,
+    drop_self: bool = True,
+) -> DataFrame:
+    """(src_domain, dst_domain, anchor) rows: each absolute link with
+    its anchor text — the classic weak-supervision source for
+    query→document retrieval training pairs (the anchor describes the
+    TARGET page in someone else's words). Same zero-UDF shape as
+    :func:`extract_links`: one regexp pass captures url and text (two
+    ``regexp_extract_all`` group reads zipped positionally), explode,
+    resolve domains, keep rows with non-empty anchors. Page bytes never
+    shuffle; output is link-sized.
+    """
+    hrefs = F.regexp_extract_all(
+        F.col(html_col), F.lit(_HREF_ANCHOR_RE), F.lit(1)
+    )
+    texts = F.regexp_extract_all(
+        F.col(html_col), F.lit(_HREF_ANCHOR_RE), F.lit(2)
+    )
+    out = df.select(
+        registered_domain(
+            F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+        ).alias("src_domain"),
+        F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("anchor"))
+                  ).alias("__l"),
+    ).select(
+        "src_domain",
+        registered_domain(
+            F.lower(F.regexp_extract(F.col("__l.href"), _HOST_RE, 1))
+        ).alias("dst_domain"),
+        F.trim(F.col("__l.anchor")).alias("anchor"),
+    ).where((F.col("dst_domain") != "") & (F.col("anchor") != ""))
+    if drop_self:
+        out = out.where(F.col("src_domain") != F.col("dst_domain"))
+    return out
 
 
 def link_graph_stats(edges: DataFrame) -> DataFrame:

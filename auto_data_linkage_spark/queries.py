@@ -1605,6 +1605,11 @@ _DEPRIORITIZED = (
     "interval_join_events",  # temporal-joins keeps asof_join_events
     #                          in-window (the same range-bucketed join
     #                          machinery; interval is the symmetric form)
+    # registered DIRECTLY into the back window (link-graph family holds
+    # link_graph + domain_pagerank driver rows; the prune composes those
+    # two certified plans with one broadcast semi-join) —
+    # test_oracle_window runs the full driver comparison:
+    "domain_rank_prune",
 )
 
 # --------------------------------------------------------------------------
@@ -1683,7 +1688,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "temporal-joins": ("asof_join_events", "interval_join_events"),
     "curation-pipeline": ("curate_documents",),
     "url-curation": ("url_curation",),
-    "link-graph": ("link_graph", "domain_pagerank"),
+    "link-graph": ("link_graph", "domain_pagerank", "domain_rank_prune"),
 }
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

@@ -4585,18 +4585,15 @@ def duplication_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # suffixes), so extraction, host parsing, and eTLD+1 resolution all have
 # real work; the oracle runs the IDENTICAL RE2-safe regex chain.
 # --------------------------------------------------------------------------
-def _link_graph_sql() -> str:
-    from auto_data_linkage_spark.operators.graph import _HOST_RE, _HREF_RE
+def _sql_domain_expr(col: str) -> str:
+    """DuckDB eTLD+1 expression mirroring operators/urls.registered_domain
+    (the same suffix list the Spark side broadcasts as literals)."""
     from auto_data_linkage_spark.operators.urls import (
         DEFAULT_TWO_LEVEL_SUFFIXES,
     )
 
     sfx = ", ".join(f"'{s}'" for s in DEFAULT_TWO_LEVEL_SUFFIXES)
-    href = _HREF_RE.replace("'", "''")
-    host = _HOST_RE.replace("'", "''")
-
-    def dom(col: str) -> str:
-        return f"""
+    return f"""
            CASE WHEN len(string_split({col}, '.')) <= 1 THEN {col}
                 WHEN len(string_split({col}, '.')) >= 3
                      AND (string_split({col}, '.')[-2] || '.' ||
@@ -4608,9 +4605,19 @@ def _link_graph_sql() -> str:
                      string_split({col}, '.')[-1]
            END"""
 
-    return rf"""
-    WITH pages AS (
-        SELECT 'https://'
+
+def _link_pages_edges_cte() -> str:
+    """Shared pages -> hrefs -> resolved -> edges CTE chain (the synth
+    corpus link_graph and domain_rank_prune both curate over)."""
+    from auto_data_linkage_spark.operators.graph import _HOST_RE, _HREF_RE
+
+    href = _HREF_RE.replace("'", "''")
+    host = _HOST_RE.replace("'", "''")
+    dom = _sql_domain_expr
+
+    return rf"""pages AS (
+        SELECT doc_id,
+               'https://'
                || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
                || source
                || CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END
@@ -4648,7 +4655,12 @@ def _link_graph_sql() -> str:
         FROM resolved
         WHERE dst_domain <> '' AND src_domain <> dst_domain
         GROUP BY src_domain, dst_domain
-    ),
+    )"""
+
+
+def _link_graph_sql() -> str:
+    return rf"""
+    WITH {_link_pages_edges_cte()},
     e AS (SELECT src_domain, dst_domain FROM edges),
     out_deg AS (SELECT src_domain AS domain, COUNT(*) AS out_degree
                 FROM e GROUP BY src_domain),
@@ -4670,19 +4682,11 @@ def _link_graph_sql() -> str:
     """
 
 
-@register(
-    "link_graph",
-    _link_graph_sql(),
-    survey="LLM web curation: domain link-graph extraction from raw HTML "
-    "(href regex -> eTLD+1 edges) + per-domain degree/reciprocity stats",
-)
-def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from auto_data_linkage_spark.operators.graph import (
-        extract_links,
-        link_graph_stats,
-    )
-
-    docs = _docs(spark, sf_dir)
+def _link_pages(docs):
+    """Deterministic synthetic web pages over documents: page URL +
+    HTML with absolute hrefs exercising mixed scheme case, both quote
+    styles, relative links, self-links, query strings, and .co.uk
+    two-level suffixes (mirrored verbatim in the SQL pages CTE)."""
     d = F.col("doc_id")
     tld = F.when(d % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com"))
     url = F.concat(
@@ -4714,7 +4718,22 @@ def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.lit('<a href="/local">rel</a></body></html>'),
     )
-    pages = docs.select(url.alias("url"), html.alias("html"))
+    return docs.select("doc_id", url.alias("url"), html.alias("html"))
+
+
+@register(
+    "link_graph",
+    _link_graph_sql(),
+    survey="LLM web curation: domain link-graph extraction from raw HTML "
+    "(href regex -> eTLD+1 edges) + per-domain degree/reciprocity stats",
+)
+def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.graph import (
+        extract_links,
+        link_graph_stats,
+    )
+
+    pages = _link_pages(_docs(spark, sf_dir)).drop("doc_id")
     return link_graph_stats(extract_links(pages))
 
 
@@ -4725,25 +4744,20 @@ def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unrolled as CTEs over exact integer division) is an EQUALITY check —
 # no float tolerance anywhere in an iterative numeric operator.
 # --------------------------------------------------------------------------
-def _domain_pagerank_sql(iterations: int = 4) -> str:
+def _pagerank_cte_sql(iterations: int) -> str:
+    """Unrolled fixed-point PageRank CTE chain over a preceding CTE
+    named ``pr_edges(src, dst)`` (distinct, self-loop-free). Exact
+    integer arithmetic mirrors operators/graph.pagerank bit-for-bit;
+    final ranks live in CTE ``r{iterations}``."""
     from auto_data_linkage_spark.operators.graph import PAGERANK_SCALE
 
     s = PAGERANK_SCALE
     parts = [
-        f"""
-    WITH ks(k) AS (VALUES (1), (2)),
-    edges AS (
-        SELECT DISTINCT
-               'd' || CAST(doc_id % 97 AS VARCHAR) AS src,
-               'd' || CAST((doc_id * 7 + k) % 97 AS VARCHAR) AS dst
-        FROM documents, ks
-        WHERE (doc_id % 97) <> ((doc_id * 7 + k) % 97)
-    ),
-    nodes AS (SELECT src AS domain FROM edges
-              UNION SELECT dst FROM edges),
+        f"""nodes AS (SELECT src AS domain FROM pr_edges
+              UNION SELECT dst FROM pr_edges),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
     deg AS (SELECT src AS domain, COUNT(*) AS out_degree
-            FROM edges GROUP BY src),
+            FROM pr_edges GROUP BY src),
     base AS (SELECT nodes.domain, COALESCE(deg.out_degree, 0) AS out_degree
              FROM nodes LEFT JOIN deg ON nodes.domain = deg.domain),
     r0 AS (SELECT domain, out_degree,
@@ -4756,7 +4770,7 @@ def _domain_pagerank_sql(iterations: int = 4) -> str:
              FROM r{i - 1} WHERE out_degree = 0),
     c{i} AS (SELECT e.dst AS domain,
                     SUM(r.rank_scaled // r.out_degree) AS contrib
-             FROM r{i - 1} r JOIN edges e ON e.src = r.domain
+             FROM r{i - 1} r JOIN pr_edges e ON e.src = r.domain
              WHERE r.out_degree > 0 GROUP BY e.dst),
     r{i} AS (SELECT b.domain, b.out_degree,
                     CAST(({s} // nn.n) * 15 // 100
@@ -4767,10 +4781,21 @@ def _domain_pagerank_sql(iterations: int = 4) -> str:
              CROSS JOIN nn CROSS JOIN d{i}
              LEFT JOIN c{i} ON b.domain = c{i}.domain)"""
         )
-    parts.append(
-        f"\n    SELECT domain, rank_scaled FROM r{iterations}"
-    )
     return "".join(parts)
+
+
+def _domain_pagerank_sql(iterations: int = 4) -> str:
+    return f"""
+    WITH ks(k) AS (VALUES (1), (2)),
+    pr_edges AS (
+        SELECT DISTINCT
+               'd' || CAST(doc_id % 97 AS VARCHAR) AS src,
+               'd' || CAST((doc_id * 7 + k) % 97 AS VARCHAR) AS dst
+        FROM documents, ks
+        WHERE (doc_id % 97) <> ((doc_id * 7 + k) % 97)
+    ),
+    {_pagerank_cte_sql(iterations)}
+    SELECT domain, rank_scaled FROM r{iterations}"""
 
 
 @register(
@@ -4801,3 +4826,64 @@ def domain_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pagerank(e, iterations=4)
+
+
+# --------------------------------------------------------------------------
+# Domain-authority curation gate — the composition the link-graph family
+# exists for: extract the corpus's own link graph, PageRank it, keep
+# documents hosted on the top-k authority domains (tie-broken by domain
+# for determinism). Registered directly into the back window: every
+# primitive (extract_links, pagerank, registered_domain, broadcast
+# semi-join) holds a front-window driver row; test_oracle_window runs
+# the full driver comparison.
+# --------------------------------------------------------------------------
+def _domain_rank_prune_sql(iterations: int = 4, k: int = 3) -> str:
+    from auto_data_linkage_spark.operators.graph import _HOST_RE
+
+    host = _HOST_RE.replace("'", "''")
+    return f"""
+    WITH {_link_pages_edges_cte()},
+    pr_edges AS (SELECT src_domain AS src, dst_domain AS dst FROM edges),
+    {_pagerank_cte_sql(iterations)},
+    top AS (SELECT domain FROM r{iterations}
+            ORDER BY rank_scaled DESC, domain LIMIT {k}),
+    docd AS (
+        SELECT doc_id,
+               {_sql_domain_expr(
+                   "LOWER(regexp_extract(url, '" + host + "', 1))"
+               )} AS domain
+        FROM pages
+    )
+    SELECT d.doc_id, d.domain
+    FROM docd d JOIN top t ON d.domain = t.domain
+    """
+
+
+@register(
+    "domain_rank_prune",
+    _domain_rank_prune_sql(),
+    survey="LLM web curation: authority-gated document prune (link graph "
+    "-> PageRank -> keep docs on top-k ranked domains, broadcast join)",
+)
+def domain_rank_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.graph import (
+        _HOST_RE,
+        extract_links,
+        pagerank,
+    )
+    from auto_data_linkage_spark.operators.urls import registered_domain
+
+    pages = _link_pages(_docs(spark, sf_dir))
+    ranks = pagerank(extract_links(pages), iterations=4)
+    top = (
+        ranks.orderBy(F.desc("rank_scaled"), "domain")
+        .limit(3)
+        .select("domain")
+    )
+    docd = pages.select(
+        "doc_id",
+        registered_domain(
+            F.lower(F.regexp_extract("url", _HOST_RE, 1))
+        ).alias("domain"),
+    )
+    return docd.join(F.broadcast(top), "domain").select("doc_id", "domain")

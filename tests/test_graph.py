@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from auto_data_linkage_spark.operators.graph import (
     PAGERANK_SCALE,
+    anchor_texts,
     extract_links,
     link_graph_stats,
     pagerank,
@@ -190,6 +191,31 @@ class TestExtractLinks:
 
     def test_no_python_udf_in_plan(self, spark):
         plan = extract_links(self._pages(spark))._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestAnchorTexts:
+    def test_anchor_pairs(self, spark):
+        rows = [
+            (
+                "https://www.foo.com/x",
+                '<a href="https://bar.co.uk/p" rel="nofollow"> Spark guide </a>'
+                '<a href="https://baz.org/q"><b>bold</b></a>'  # truncates at <
+                '<a href="https://qux.net/r"></a>'  # empty anchor dropped
+                '<a href="/rel">relative dropped</a>'
+                '<a href="https://foo.com/self">self dropped</a>',
+            ),
+        ]
+        df = spark.createDataFrame(rows, ["url", "html"])
+        got = {
+            (r["src_domain"], r["dst_domain"], r["anchor"])
+            for r in anchor_texts(df).collect()
+        }
+        assert got == {("foo.com", "bar.co.uk", "Spark guide")}
+
+    def test_no_python_udf_in_plan(self, spark):
+        df = spark.createDataFrame([("u", "h")], ["url", "html"])
+        plan = anchor_texts(df)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
