@@ -1,0 +1,402 @@
+"""Persisted lexical (BM25) index: build the inverted index ONCE, store
+it as a directory, and serve top-k from the stored artifacts in any
+later session — the sparse-retrieval mirror of the persisted ANN index
+(operators/annindex.py), with the same build / append / compact /
+streaming-sink / serve lifecycle.
+
+Index layout under ``path/``:
+
+- ``postings/`` — ``(doc_id, dl, term, tf)`` written
+  ``partitionBy(bucket)`` where ``bucket = pmod(md5_hash64(term),
+  n_buckets)``: a probe for a query's terms becomes a PARQUET
+  PARTITION-PRUNED scan — only the ``bucket=N/`` directories any query
+  term hashes into are read (plan-tested), the on-disk analog of the
+  broadcast vocabulary join :func:`retrieval.bm25_topk` performs
+  in-memory.
+- ``terms/`` — ``(term, df)`` document frequencies, also
+  ``partitionBy(bucket)``. Appends write df DELTAS (mode append);
+  probes aggregate ``SUM(df)`` over the pruned buckets, so growing the
+  index never rewrites the stored stats (``compact_lex_index`` merges
+  delta rows back to one row per term when fragmentation warrants).
+- ``index.json`` — ``{n_docs, sum_dl, n_buckets, ...}``. ``n_docs`` /
+  ``sum_dl`` update incrementally from one aggregate over each delta
+  (never a full-index rescan), and ``avgdl = sum_dl / n_docs`` is exact
+  at any append count — a float running-average would drift.
+
+Serving (:func:`lex_index_topk`) reuses the exact scoring tail of
+:func:`retrieval.bm25_topk` (same idf/tf saturation, same 6-decimal
+round, same doc_id tie-break), so the stored index returns results
+equal to the inline plan over the same corpus (tested).
+
+No reference analogue (the reference has no retrieval surface) —
+LLM-brief scope, Spark-first: every artifact is a parquet table or a
+JSON literal; no sidecar services, no custom file formats.
+
+Scale design: the postings shuffle at build time is the inverted index
+itself (map-side combined distinct (doc, term) pairs — any index build
+must pay it once). Probe-time work is bounded by |query vocabulary|:
+pruned postings buckets × broadcast term join; the corpus text is never
+re-read. Hot terms ("the") make big postings lists, not hot SHUFFLE
+keys — the score aggregation groups by (query_id, doc_id), which AQE
+splits if a stop-word-heavy query skews it; `min_df_prune` offers the
+standard stop-list cut.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators import text as X
+from auto_data_linkage_spark.operators.retrieval import doc_postings
+
+_VERSION = 1
+
+__all__ = [
+    "build_lex_index",
+    "append_lex_index",
+    "compact_lex_index",
+    "lex_index_sink",
+    "load_lex_index",
+    "lex_index_topk",
+    "LexIndex",
+]
+
+
+def _local(path: str) -> str:
+    return path[7:] if path.startswith("file://") else path
+
+
+def _write_meta(local: str, meta: dict) -> None:
+    """Atomic index.json update (temp file + os.replace, the
+    annindex/PosixCommitStore pattern): readers always see a complete
+    old or new JSON, never a torn file."""
+    meta["generation"] = int(meta.get("generation", 0)) + 1
+    target = os.path.join(local, "index.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, target)
+
+
+@dataclass
+class LexIndex:
+    """Handle to a loaded index: metadata + lazy parquet DataFrames."""
+
+    meta: dict
+    postings: DataFrame
+    terms: DataFrame
+
+
+def _bucket(term_col, n_buckets: int):
+    return F.pmod(X.md5_hash64(term_col), F.lit(n_buckets)).cast("int")
+
+
+def _bucketed_postings(
+    docs: DataFrame, *, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, dl, term, tf, bucket) — the shared build/append encode
+    path, so appended postings are tokenized and bucketed EXACTLY like
+    built ones (a drifted tokenizer would strand rows in unprobed
+    buckets)."""
+    return doc_postings(docs, id_col=id_col, text_col=text_col).withColumn(
+        "bucket", _bucket(F.col("term"), n_buckets)
+    )
+
+
+def build_lex_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> dict:
+    """One corpus pass → stored inverted index. Returns the metadata
+    dict (also written atomically to ``index.json``)."""
+    local = _local(path)
+    os.makedirs(local, exist_ok=True)
+
+    posts = _bucketed_postings(
+        corpus, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    ).localCheckpoint(eager=False)
+    posts.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(local, "postings")
+    )
+    # df per term: each doc contributes one postings row per distinct
+    # term, so count(*) per term IS the document frequency.
+    (
+        posts.groupBy("bucket", "term")
+        .agg(F.count("*").alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(local, "terms"))
+    )
+    n_docs, sum_dl = corpus.select(
+        F.col(id_col), F.size(X.tokens(text_col)).alias("__dl")
+    ).agg(F.count("*"), F.sum("__dl")).first()
+    meta = {
+        "version": _VERSION,
+        "n_buckets": n_buckets,
+        "id_col": id_col,
+        "text_col": text_col,
+        "n_docs": int(n_docs),
+        "sum_dl": int(sum_dl or 0),
+    }
+    _write_meta(local, meta)
+    return meta
+
+
+def append_lex_index(delta: DataFrame, path: str) -> dict:
+    """Incremental index growth, O(delta): tokenize/bucket ONLY the new
+    documents with the stored parameters, append their postings, and
+    append per-term df DELTAS to ``terms/`` (readers sum df, so no
+    stored row is ever rewritten). ``n_docs``/``sum_dl`` update from one
+    aggregate over the delta. Ids are NOT dedup-checked against stored
+    rows (dedup upstream — the same contract as ``append_ann_index``)."""
+    local = _local(path)
+    with open(os.path.join(local, "index.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _VERSION:
+        raise ValueError(
+            f"unsupported lex-index version {meta.get('version')!r}"
+        )
+    n_docs, sum_dl = delta.select(
+        F.size(X.tokens(meta["text_col"])).alias("__dl")
+    ).agg(F.count("*"), F.sum("__dl")).first()
+    if not n_docs:
+        return meta
+    posts = _bucketed_postings(
+        delta,
+        id_col=meta["id_col"],
+        text_col=meta["text_col"],
+        n_buckets=meta["n_buckets"],
+    ).localCheckpoint(eager=False)
+    posts.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(local, "postings")
+    )
+    (
+        posts.groupBy("bucket", "term")
+        .agg(F.count("*").alias("df"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(local, "terms"))
+    )
+    meta["n_docs"] = int(meta["n_docs"]) + int(n_docs)
+    meta["sum_dl"] = int(meta["sum_dl"]) + int(sum_dl or 0)
+    _write_meta(local, meta)
+    return meta
+
+
+def _bucket_file_counts(local: str, table: str) -> dict[str, int]:
+    root = os.path.join(local, table)
+    out: dict[str, int] = {}
+    for entry in os.listdir(root):
+        d = os.path.join(root, entry)
+        if entry.startswith("bucket=") and os.path.isdir(d):
+            out[entry] = sum(
+                1 for f in os.listdir(d) if f.endswith(".parquet")
+            )
+    return out
+
+
+def compact_lex_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_bucket: int = 8,
+    target_rows_per_file: int = 5_000_000,
+) -> dict:
+    """Rewrite over-fragmented bucket directories (streaming appends
+    create one small file per touched bucket per micro-batch) — the
+    lexical mirror of :func:`annindex.compact_ann_index`. ``postings/``
+    rows are rewritten verbatim into fewer files; ``terms/`` df deltas
+    are MERGED back to one row per term (``SUM(df)``), shrinking the
+    probe-time aggregation to its build-time size. Only buckets over
+    ``max_files_per_bucket`` are touched; each rewritten directory is
+    swapped in with two renames (atomic at bucket granularity).
+    Returns ``{buckets_rewritten, files_before, files_after}``."""
+    local = _local(path)
+    with open(os.path.join(local, "index.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _VERSION:
+        raise ValueError(
+            f"unsupported lex-index version {meta.get('version')!r}"
+        )
+    summary = {"buckets_rewritten": 0, "files_before": 0, "files_after": 0}
+    for table, merge in (("postings", False), ("terms", True)):
+        counts = _bucket_file_counts(local, table)
+        summary["files_before"] += sum(counts.values())
+        hot = sorted(
+            e for e, c in counts.items() if c > max_files_per_bucket
+        )
+        if not hot:
+            summary["files_after"] += sum(counts.values())
+            continue
+        root = os.path.join(local, table)
+        tmp_root = root + "__compact"
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        df = spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, e) for e in hot]
+        )
+        if merge:
+            df = df.groupBy("bucket", "term").agg(F.sum("df").alias("df"))
+        rows = df.count()
+        files = max(1, -(-rows // target_rows_per_file))  # ceil
+        (
+            df.repartition(files, "bucket")
+            .sortWithinPartitions("bucket", "term")
+            .write.option("maxRecordsPerFile", target_rows_per_file)
+            .partitionBy("bucket")
+            .parquet(tmp_root)
+        )
+        for entry in hot:
+            cur = os.path.join(root, entry)
+            old = cur + "__old"
+            os.rename(cur, old)
+            os.rename(os.path.join(tmp_root, entry), cur)
+            shutil.rmtree(old)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        summary["buckets_rewritten"] += len(hot)
+        summary["files_after"] += sum(
+            _bucket_file_counts(local, table).values()
+        )
+    _write_meta(local, meta)
+    return summary
+
+
+def lex_index_sink(path: str, *, compact_over: int | None = None):
+    """``foreachBatch`` sink folding each micro-batch of documents into
+    the persisted index via :func:`append_lex_index` — continuous
+    corpus ingestion with serveable lexical search (the sparse mirror
+    of :func:`annindex.ann_index_sink`, same replay caveat: dedup ids
+    upstream). ``compact_over`` runs inline maintenance after each
+    append when any bucket exceeds that many files."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_lex_index(batch_df, path)
+        if compact_over is not None:
+            compact_lex_index(
+                batch_df.sparkSession,
+                path,
+                max_files_per_bucket=compact_over,
+            )
+
+    return _sink
+
+
+def load_lex_index(spark: SparkSession, path: str) -> LexIndex:
+    local = _local(path)
+    with open(os.path.join(local, "index.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _VERSION:
+        raise ValueError(
+            f"unsupported lex-index version {meta.get('version')!r}"
+        )
+    return LexIndex(
+        meta=meta,
+        postings=spark.read.parquet(os.path.join(local, "postings")),
+        terms=spark.read.parquet(os.path.join(local, "terms")),
+    )
+
+
+def lex_index_topk(
+    index: LexIndex,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_self: bool = False,
+    min_df_prune: int | None = None,
+) -> DataFrame:
+    """Top-``k`` BM25 per query, served from the stored index.
+
+    ``queries`` is (query_id, term) like :func:`retrieval.bm25_topk`.
+    The probe collects the query vocabulary's DISTINCT BUCKETS (a
+    query-vocab-sized driver list) and filters both stored tables on
+    them — a parquet partition-pruned scan — then broadcast-joins the
+    query terms. Scoring is the identical BM25 tail as the inline
+    operator (same rounding, same tie-break), with ``n_docs``/``avgdl``
+    taken exactly from the incrementally-maintained metadata.
+
+    ``min_df_prune`` drops query terms whose stored df exceeds
+    ``n_docs / min_df_prune`` — the standard stop-list cut that keeps a
+    'the'-bearing query from dragging the full corpus postings list
+    through the score aggregation (idf already ≈0 for such terms).
+    """
+    meta = index.meta
+    n_docs = int(meta["n_docs"])
+    avgdl = meta["sum_dl"] / n_docs if n_docs else 0.0
+    nb = meta["n_buckets"]
+
+    qterms = (
+        queries.select("query_id", "term")
+        .distinct()
+        .withColumn("bucket", _bucket(F.col("term"), nb))
+        .localCheckpoint(eager=False)
+    )
+    buckets = [
+        r["bucket"] for r in qterms.select("bucket").distinct().collect()
+    ]
+    if not buckets:
+        return qterms.select(
+            "query_id",
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.lit(0.0).alias("bm25"),
+            F.lit(0).alias("rank"),
+        ).where(F.lit(False))
+
+    # partition-pruned stats: df deltas summed per term (append never
+    # rewrites), then idf from the exact metadata counts.
+    dfs = (
+        index.terms.where(F.col("bucket").isin(buckets))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    if min_df_prune is not None:
+        dfs = dfs.where(F.col("df") <= F.lit(n_docs / min_df_prune))
+    probe = qterms.join(
+        F.broadcast(
+            dfs.select(
+                "term",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ).alias("idf"),
+            )
+        ),
+        "term",
+    )
+    matched = index.postings.where(F.col("bucket").isin(buckets)).join(
+        F.broadcast(probe), "term"
+    )
+    if exclude_self:
+        matched = matched.where(F.col("doc_id") != F.col("query_id"))
+    contrib = F.col("idf") * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        matched.select("query_id", "doc_id", contrib.alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
