@@ -179,3 +179,47 @@ def test_streaming_sink_appends_and_compacts(spark, docs, tmp_path):
     idx = L.load_lex_index(spark, out)
     got = idx.postings.select("doc_id").distinct().count()
     assert got == meta["n_docs"]
+
+
+def test_hybrid_serving_from_both_persisted_indexes(spark, sf_dir, tmp_path):
+    """End-to-end disk-served hybrid search: the persisted lexical index
+    and the persisted ANN index fuse through rrf_fuse — no corpus pass,
+    no re-encode, both sides partition-pruned scans of stored artifacts
+    sharing one id space."""
+    from auto_data_linkage_spark.operators import annindex as A
+    from auto_data_linkage_spark.operators.retrieval import rrf_fuse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    lex_path = str(tmp_path / "lex")
+    ann_path = str(tmp_path / "ann")
+    L.build_lex_index(docs, lex_path, n_buckets=8)
+    A.build_ann_index(vecs, ann_path, m=4, n_codewords=8)
+
+    probe_docs = docs.orderBy("doc_id").limit(3)
+    qterms = query_terms_from_docs(probe_docs, n_terms=6)
+    qvecs = vecs.join(
+        probe_docs.select("doc_id"), F.col("vec_id") == F.col("doc_id")
+    ).select("vec_id", "embedding")
+
+    lex_hits = L.lex_index_topk(
+        L.load_lex_index(spark, lex_path), qterms, k=10, exclude_self=True
+    )
+    ann_hits = A.ann_index_topk(
+        A.load_ann_index(spark, ann_path), qvecs, k=10, nprobe=2
+    ).withColumnRenamed("neighbor_id", "doc_id")
+
+    fused = rrf_fuse(lex_hits, ann_hits, k=5)
+    rows = fused.collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, hits in by_q.items():
+        ranks = sorted(h["rank"] for h in hits)
+        assert ranks == list(range(1, len(hits) + 1))
+        assert len(hits) <= 5
