@@ -139,6 +139,8 @@ def prepare_training_set(
     url_col: str | None = None,
     blocked_domains: list[str] | None = None,
     max_per_domain: int | None = None,
+    domain_ranks: DataFrame | None = None,
+    min_rank_scaled: int = 0,
     eos_token: str | None = None,
     benchmark: DataFrame | None = None,
     benchmark_shingle_k: int = 7,
@@ -153,6 +155,13 @@ def prepare_training_set(
        blocklist (``blocked_domains``), exact normalized-URL dedup,
        per-domain quota (``max_per_domain``) — cheapest gate, so it
        drops rows before any text operator pays for them;
+    0b. (when ``domain_ranks`` is also given) the AUTHORITY gate: keep
+       only documents whose registered domain holds
+       ``rank_scaled >= min_rank_scaled`` in the supplied
+       (domain, rank_scaled) table — typically
+       :func:`graph.pagerank` over the crawl's own link graph
+       (:func:`graph.extract_links`); one broadcast semi-join, still
+       before any text operator runs;
     1. :func:`curate_documents` — quality + language gate, exact dedup,
        verified MinHash near-dedup (survivor ids; ``keeper=
        "best_quality"`` keeps the highest-quality copy per cluster);
@@ -249,6 +258,11 @@ def prepare_training_set(
             benchmark.count() if benchmark is not None else None
         ),
         "benchmark_shingle_k": benchmark_shingle_k,
+        # same row-count identification for the rank table
+        "domain_rank_rows": (
+            domain_ranks.count() if domain_ranks is not None else None
+        ),
+        "min_rank_scaled": min_rank_scaled,
     }
     manifest_path = os.path.join(stages_dir, "manifest.json")
     if resume and os.path.isfile(manifest_path):
@@ -295,6 +309,42 @@ def prepare_training_set(
         )
         docs = docs.join(url_ids, id_col, "left_semi")
         n_url_kept = url_ids.count()
+
+    # 0b. authority gate: registered domain must hold sufficient rank
+    # in the supplied table (graph.pagerank over the crawl's link
+    # graph). The rank table is domain-cardinality — broadcast side.
+    n_authority_kept = None
+    if domain_ranks is not None:
+        if url_col is None:
+            raise ValueError(
+                "domain_ranks requires url_col (the gate keys on each "
+                "document's registered domain)"
+            )
+        from auto_data_linkage_spark.operators.graph import _HOST_RE
+        from auto_data_linkage_spark.operators.urls import (
+            registered_domain,
+        )
+
+        trusted = domain_ranks.where(
+            F.col("rank_scaled") >= F.lit(int(min_rank_scaled))
+        ).select("domain")
+        auth_ids = _stage(
+            "s0b_authority_ids",
+            lambda: docs.select(
+                id_col,
+                registered_domain(
+                    F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+                ).alias("__dom"),
+            )
+            .join(
+                F.broadcast(trusted),
+                F.col("__dom") == F.col("domain"),
+                "left_semi",
+            )
+            .select(id_col),
+        )
+        docs = docs.join(auth_ids, id_col, "left_semi")
+        n_authority_kept = auth_ids.count()
 
     # 1. curation gate (quality/lang/exact/near-dup survivor ids)
     survivors = _stage(
@@ -460,6 +510,7 @@ def prepare_training_set(
     return {
         "n_input": n_input,
         "n_url_kept": n_url_kept,
+        "n_authority_kept": n_authority_kept,
         "n_curated": n_curated,
         "n_decontaminated": n_decontaminated,
         "n_gopher_kept": n_gated,

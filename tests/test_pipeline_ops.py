@@ -540,3 +540,43 @@ def test_prepare_training_set_decontaminates_benchmark(spark, tmp_path):
     loaded = spark.read.parquet(report["shards_path"])
     ids = {r[0] for r in loaded.select(F.explode("doc_ids")).collect()}
     assert ids == {1}
+
+
+def test_prepare_training_set_authority_gate(spark, tmp_path):
+    """Stage 0b: documents on low-ranked (or unranked) domains are gone
+    before any text stage; rank table typically comes from
+    graph.pagerank over the crawl's own link graph."""
+    from auto_data_linkage_spark.operators import pipeline as P
+
+    good = ("the quick brown fox jumps over that lazy dog and all of "
+            "the words here have to be sensible because this text must "
+            "pass every quality gate with room to spare today")
+    rows = [
+        (1, f"{good} unique one", "https://www.trusted.com/a"),
+        (2, f"{good} unique two", "https://trusted.com/b"),
+        (3, f"{good} unique three", "https://weak.org/c"),
+        (4, f"{good} unique four", "https://unranked.net/d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    ranks = spark.createDataFrame(
+        [("trusted.com", 500_000), ("weak.org", 10_000)],
+        "domain string, rank_scaled long",
+    )
+    report = P.prepare_training_set(
+        docs, str(tmp_path / "authset"),
+        min_quality=0.3, gopher_min_words=10, span_words=20,
+        num_merges=10, capacity=256, n_shards=2, jaccard_threshold=0.99,
+        url_col="url", domain_ranks=ranks, min_rank_scaled=100_000,
+    )
+    # www.trusted.com and trusted.com both resolve to the ranked eTLD+1;
+    # weak.org is below the cut; unranked.net is absent from the table
+    assert report["n_authority_kept"] == 2
+    assert report["n_curated"] <= 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="url_col"):
+        P.prepare_training_set(
+            docs.drop("url"), str(tmp_path / "authbad"),
+            domain_ranks=ranks,
+        )
