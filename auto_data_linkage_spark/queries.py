@@ -1610,6 +1610,9 @@ _DEPRIORITIZED = (
     # two certified plans with one broadcast semi-join) —
     # test_oracle_window runs the full driver comparison:
     "domain_rank_prune",
+    # registered DIRECTLY into the back window (same family reasoning;
+    # pins the two-capture-group regexp zip semantics cross-engine):
+    "anchor_pairs",
 )
 
 # --------------------------------------------------------------------------
@@ -1688,7 +1691,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "temporal-joins": ("asof_join_events", "interval_join_events"),
     "curation-pipeline": ("curate_documents",),
     "url-curation": ("url_curation",),
-    "link-graph": ("link_graph", "domain_pagerank", "domain_rank_prune"),
+    "link-graph": ("link_graph", "domain_pagerank", "domain_rank_prune",
+                   "anchor_pairs"),
 }
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

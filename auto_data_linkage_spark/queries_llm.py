@@ -4887,3 +4887,58 @@ def domain_rank_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("domain"),
     )
     return docd.join(F.broadcast(top), "domain").select("doc_id", "domain")
+
+
+# --------------------------------------------------------------------------
+# Anchor-text pairs (graph.anchor_texts) — two capture groups of ONE
+# regexp pattern read positionally (regexp_extract_all group 1 + group 2
+# zipped), a semantics worth pinning cross-engine (DuckDB's lockstep
+# multi-UNNEST vs Spark's arrays_zip). Back-window: the link-graph
+# family holds link_graph + domain_pagerank driver rows.
+# --------------------------------------------------------------------------
+def _anchor_pairs_sql() -> str:
+    from auto_data_linkage_spark.operators.graph import (
+        _HOST_RE,
+        _HREF_ANCHOR_RE,
+    )
+
+    pat = _HREF_ANCHOR_RE.replace("'", "''")
+    host = _HOST_RE.replace("'", "''")
+    return rf"""
+    WITH {_link_pages_edges_cte()},
+    pairs AS (
+        SELECT LOWER(regexp_extract(url, '{host}', 1)) AS src_host,
+               UNNEST(regexp_extract_all(html, '{pat}', 1)) AS href,
+               UNNEST(regexp_extract_all(html, '{pat}', 2)) AS anchor
+        FROM pages
+    ),
+    resolved2 AS (
+        SELECT {_sql_domain_expr('src_host')} AS src_domain,
+               {_sql_domain_expr(
+                   "LOWER(regexp_extract(href, '" + host + "', 1))"
+               )} AS dst_domain,
+               TRIM(anchor) AS anchor
+        FROM pairs
+    )
+    SELECT src_domain, dst_domain, anchor, COUNT(*) AS n_links
+    FROM resolved2
+    WHERE dst_domain <> '' AND anchor <> ''
+          AND src_domain <> dst_domain
+    GROUP BY src_domain, dst_domain, anchor
+    """
+
+
+@register(
+    "anchor_pairs",
+    _anchor_pairs_sql(),
+    survey="LLM web curation: anchor-text mining (href + anchor captured "
+    "in one regexp pass, zipped positionally) — retrieval weak "
+    "supervision pairs",
+)
+def anchor_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.graph import anchor_texts
+
+    pages = _link_pages(_docs(spark, sf_dir)).drop("doc_id")
+    return anchor_texts(pages).groupBy(
+        "src_domain", "dst_domain", "anchor"
+    ).agg(F.count("*").alias("n_links"))
