@@ -731,3 +731,97 @@ def extract_html(
         html_to_text(F.col(html_col)).alias(out_col),
         *[expr.alias(name) for name, expr in sig.items()],
     )
+
+
+def fix_mojibake_str(t: str | None, max_rounds: int = 2) -> str | None:
+    """Pure-Python mojibake repair (the per-string reference the Spark
+    UDF maps; exported so tests can pin the two paths equal).
+
+    Repairs the single most common real-world corruption: UTF-8 bytes
+    re-decoded as cp1252/latin-1 ("é" → "Ã©", "'" → "â€™" — the C3/C2/
+    E2-lead-byte signature every crawl contains). A string is touched
+    ONLY when (a) it matches the telltale pattern and (b) re-encoding
+    as cp1252 (latin-1 for the five cp1252 holes) and decoding as UTF-8
+    round-trips cleanly — anything else is returned unchanged, so
+    legitimate text that merely LOOKS suspicious ("Ã" as a real word in
+    Portuguese contexts) survives unless the full string is consistent
+    mojibake. ``max_rounds`` unwinds double-encoded text ("Ã©" encoded
+    twice) by repeating until a pass changes nothing."""
+    import re
+
+    hint = re.compile(_MOJIBAKE_HINT_RE)
+    if t is None or not hint.search(t):
+        return t
+
+    def to_bytes(s: str) -> bytes | None:
+        # "sloppy cp1252": cp1252 where defined, raw latin-1 for the
+        # five cp1252 holes (0x81 8D 8F 90 9D come through Windows-style
+        # decoders as C1 controls) — the inverse of how the corruption
+        # actually happened. Any char outside both -> not mojibake.
+        out = bytearray()
+        for ch in s:
+            try:
+                out += ch.encode("cp1252")
+            except UnicodeEncodeError:
+                o = ord(ch)
+                if o < 256:
+                    out.append(o)
+                else:
+                    return None
+        return bytes(out)
+
+    for _ in range(max_rounds):
+        raw = to_bytes(t)
+        if raw is None:
+            return t
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return t
+        if fixed == t:
+            return t
+        t = fixed
+        if not hint.search(t):
+            return t
+    return t
+
+
+#: UTF-8 lead bytes seen through a cp1252/latin-1 lens: Â/Ã (C2/C3),
+#: â€ (E2 80 — curly quotes/dashes), plus the C4-C5 Latin-Extended and
+#: CE/CF Greek leads. One of these followed by anything is the
+#: mojibake signature (the encode/decode round-trip is the real gate;
+#: the hint only keeps clean rows out of the UDF).
+_MOJIBAKE_HINT_RE = "[ÂÃÄÅÎÏ].|â.."
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str | None = None,
+    max_rounds: int = 2,
+) -> DataFrame:
+    """Repair UTF-8-as-cp1252 mojibake in a text column (the ftfy-lite
+    pass every web-crawl pipeline runs before quality scoring — token
+    and stopword statistics are garbage on "donâ€™t"-style text).
+
+    Conservative by construction: see :func:`fix_mojibake_str` for the
+    touch conditions. The hint pre-filter runs DECLARATIVELY
+    (``rlike`` — codegen, no Python) so only suspicious rows enter the
+    Arrow-batched pandas UDF; clean corpora pay one regexp scan and
+    zero UDF batches beyond the matched rows.
+
+    No DuckDB oracle (encode/decode round-trips are not
+    SQL-expressible); the UDF is pinned equal to the pure-Python
+    reference and against hand-built corruption fixtures in
+    tests/test_text.py."""
+    from pyspark.sql import types as T_
+
+    @F.pandas_udf(T_.StringType())
+    def _fix(s):
+        return s.map(lambda t: fix_mojibake_str(t, max_rounds))
+
+    c = F.col(text_col)
+    hint = c.rlike(_MOJIBAKE_HINT_RE)
+    fixed = F.when(c.isNotNull() & hint, _fix(c)).otherwise(c)
+    return df.withColumn(out_col or text_col, fixed)

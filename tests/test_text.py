@@ -531,3 +531,72 @@ def test_extract_html_zero_shuffle_plan(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+class TestFixMojibake:
+    """UTF-8-as-cp1252 mojibake repair: Spark operator == pure-Python
+    reference, conservative on legitimate accented text."""
+
+    @staticmethod
+    def _sloppy_decode(bs: bytes) -> str:
+        out = []
+        for b in bs:
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    def test_operator_matches_reference_and_fixes(self, spark):
+        from auto_data_linkage_spark.operators.text import (
+            fix_mojibake,
+            fix_mojibake_str,
+        )
+
+        goods = [
+            "don’t — café déjà vu São Paulo €5 “quoted”",
+            "αβγ κόσμος",          # Greek leads (CE/CF)
+            "pâté and naïve text",  # legit accents — must NOT change
+            "plain ascii",
+            None,
+        ]
+        rows = []
+        for g in goods:
+            if g is None:
+                rows.append((None,))
+                continue
+            bad = self._sloppy_decode(g.encode("utf-8"))
+            rows.append((bad,))
+        # double-encoded twin of the first string
+        dbl = self._sloppy_decode(
+            self._sloppy_decode(goods[0].encode("utf-8")).encode("utf-8")
+        )
+        rows.append((dbl,))
+        df = spark.createDataFrame(rows, "text string")
+        got = [
+            r["text"]
+            for r in fix_mojibake(df, "text").collect()
+        ]
+        want = [fix_mojibake_str(r[0]) for r in rows]
+        assert got == want
+        # and the repairs actually recover the originals
+        assert got[0] == goods[0]
+        assert got[1] == goods[1]
+        assert got[2] == goods[2]   # untouched (round-trip fails)
+        assert got[3] == goods[3]
+        assert got[4] is None
+        assert got[5] == goods[0]   # double-encoding unwound
+
+    def test_clean_rows_never_enter_the_udf(self, spark):
+        from auto_data_linkage_spark.operators.text import fix_mojibake
+
+        df = spark.createDataFrame(
+            [("hello world",), ("déjà vu",)], "text string"
+        )
+        out = fix_mojibake(df, "text", out_col="fixed")
+        vals = {r["text"]: r["fixed"] for r in out.collect()}
+        assert vals == {"hello world": "hello world", "déjà vu": "déjà vu"}
+        # the UDF is gated behind a declarative rlike: the plan keeps a
+        # CASE WHEN around the Python eval
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "RLIKE" in plan or "rlike" in plan.lower()
