@@ -6,8 +6,8 @@ centrality before sampling).
 
 Green-field extension (no reference analogue — the reference stops at
 record linkage); cites the house patterns it composes:
-``registered_domain`` (operators/urls.py), the broadcast 1-row-aggregate
-crossJoin convention (operators/similarity.py), and the per-iteration
+``registered_domain`` (operators/urls.py), the loop-carried driver
+scalar convention (similarity.py k-means), and the per-iteration
 ``localCheckpoint`` lineage truncation used by every iterative operator
 in this repo (cluster.py star rounds, similarity.py k-means).
 
@@ -36,7 +36,7 @@ Scale design
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .text import ensure_parallelism
 from .urls import registered_domain
