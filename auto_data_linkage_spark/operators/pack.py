@@ -67,6 +67,92 @@ def split_chunks(
     )
 
 
+#: Sentence boundary: terminal punctuation, whitespace, then an
+#: uppercase start. RE2-safe (no lookarounds — a sentinel-replace +
+#: split instead), so the DuckDB oracle runs the identical pattern.
+#: Honest heuristic tier (like lang_id): "Dr. Smith" splits wrong;
+#: real corpora tolerate it because chunk boundaries are soft anyway.
+SENTENCE_BOUNDARY_RE = r"([.!?])\s+([A-Z])"
+_SENT_SEP = "\x1e"  # ASCII record separator — never in prose
+
+
+def split_sentences(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per sentence: (doc_id, sent_idx, sentence). Pure
+    row-local projection (sentinel-replace -> split -> posexplode);
+    zero shuffle, chunks inherit input partitioning."""
+    marked = F.regexp_replace(
+        F.col(text_col), SENTENCE_BOUNDARY_RE, "$1" + _SENT_SEP + "$2"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(marked, _SENT_SEP)).alias(
+            "sent_idx", "sentence"
+        ),
+    ).where(F.trim(F.col("sentence")) != "")
+
+
+def sentence_chunks(
+    docs: DataFrame,
+    *,
+    max_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-boundary-respecting chunking — the RAG/packing
+    preparation that never cuts mid-sentence (unlike
+    :func:`split_chunks`' fixed token windows): greedily accumulate
+    sentences until ``max_tokens``, then start a new chunk.
+
+    One row per chunk: (doc_id, chunk_idx, chunk_text, n_tokens). A
+    sentence is assigned to chunk ``floor(tokens_before_it /
+    max_tokens)`` — soft boundaries: a chunk may overflow by (at most)
+    its final sentence, the conventional trade for never splitting one.
+
+    Plan: sentence explode -> ONE window keyed by doc (cumulative
+    token count; bounded per partition by document length, the same
+    posture as line_dedup) -> grouped ordered reassembly. Empty
+    documents produce no chunks.
+    """
+    sents = split_sentences(docs, id_col=id_col, text_col=text_col)
+    n_tok = F.size(tokens(F.col("sentence")))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = sents.select(
+        "doc_id",
+        "sent_idx",
+        "sentence",
+        n_tok.alias("__nt"),
+    ).select(
+        "doc_id",
+        "sent_idx",
+        "sentence",
+        "__nt",
+        F.floor(
+            F.coalesce(F.sum("__nt").over(w), F.lit(0)) / max_tokens
+        ).cast("int").alias("chunk_idx"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("sent_idx", "sentence"))
+    )
+    return (
+        assigned.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(ordered, lambda s: s["sentence"]), " "
+            ).alias("chunk_text"),
+            F.sum("__nt").alias("n_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     *,

@@ -1610,9 +1610,17 @@ _DEPRIORITIZED = (
     # two certified plans with one broadcast semi-join) —
     # test_oracle_window runs the full driver comparison:
     "domain_rank_prune",
-    # registered DIRECTLY into the back window (same family reasoning;
-    # pins the two-capture-group regexp zip semantics cross-engine):
-    "anchor_pairs",
+    # round-9j rotation: sentence_chunks and anchor_pairs promoted to
+    # driver rows per the every-new-operator-holds-a-driver-row rule;
+    # two redundant front rows demoted in exchange, each family keeping
+    # ≥1 driver row (machine-checked):
+    "media_near_dup",  # embedding-dedup keeps semantic_dedup in-window
+    #                    (the same banded-cosine + CC machinery; the
+    #                    multimodal embed hook stays pytest-driven and
+    #                    the media family keeps media_decode_stats front)
+    "sessionize",  # streaming-events keeps tumbling_window_agg in-window
+    #                (same watermarked stateful-agg machinery; session
+    #                windows stay driver-identically checked back-window)
 )
 
 # --------------------------------------------------------------------------
@@ -1661,7 +1669,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "simhash": ("simhash_near_pairs", "simhash"),
     "substring-dedup": ("span_dedup", "chunk_dedup", "split_chunks",
                         "strip_boilerplate", "line_dedup",
-                        "paragraph_dedup"),
+                        "paragraph_dedup", "sentence_chunks"),
     "embedding-dedup": ("media_near_dup", "embedding_near_dup",
                         "semantic_dedup", "semantic_decontaminate"),
     "decontamination": ("decontaminate", "bloom_decontaminate",

@@ -4942,3 +4942,63 @@ def anchor_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_texts(pages).groupBy(
         "src_domain", "dst_domain", "anchor"
     ).agg(F.count("*").alias("n_links"))
+
+
+# --------------------------------------------------------------------------
+# Sentence-boundary chunking (pack.sentence_chunks) — the RAG/packing
+# split that never cuts mid-sentence: sentinel-replace boundary (RE2-safe,
+# no lookarounds), one per-doc window cumsum, greedy floor(cum/max)
+# assignment, ordered reassembly. Oracle replays the identical chain.
+# --------------------------------------------------------------------------
+def _sentence_chunks_sql(max_tokens: int = 24) -> str:
+    toks = (
+        "len(list_filter(string_split_regex(lower(sentence), '\\s+'), "
+        "t -> t <> ''))"
+    )
+    return rf"""
+    WITH marked AS (
+        SELECT doc_id,
+               string_split(
+                   regexp_replace(text, '([.!?])\s+([A-Z])',
+                                  '\1' || chr(30) || '\2', 'g'),
+                   chr(30)) AS arr
+        FROM documents
+    ),
+    sents AS (
+        SELECT doc_id,
+               UNNEST(arr) AS sentence,
+               generate_subscripts(arr, 1) - 1 AS sent_idx
+        FROM marked
+    ),
+    counted AS (
+        SELECT doc_id, sent_idx, sentence, {toks} AS nt
+        FROM sents WHERE TRIM(sentence) <> ''
+    ),
+    assigned AS (
+        SELECT doc_id, sent_idx, sentence, nt,
+               CAST(FLOOR(COALESCE(SUM(nt) OVER (
+                   PARTITION BY doc_id ORDER BY sent_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {max_tokens}.0) AS INT) AS chunk_idx
+        FROM counted
+    )
+    SELECT doc_id, chunk_idx,
+           string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM assigned
+    GROUP BY doc_id, chunk_idx
+    """
+
+
+@register(
+    "sentence_chunks",
+    _sentence_chunks_sql(),
+    survey="LLM dataset assembly: sentence-boundary-respecting chunking "
+    "(sentinel split + per-doc window cumsum + greedy assignment) for "
+    "RAG/packing",
+)
+def sentence_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pack import sentence_chunks
+
+    docs = _docs(spark, sf_dir)
+    return sentence_chunks(docs, max_tokens=24)

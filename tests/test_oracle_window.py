@@ -51,7 +51,8 @@ def test_front_window_fits_driver_gate():
         "zorder_values",
         "count_min_tokens",
         "span_dedup",
-        "media_near_dup",
+        # (media_near_dup rotated back in r9j — embedding-dedup keeps
+        # semantic_dedup in-window, multimodal keeps media_decode_stats)
         "window_count",
         "levenshtein_pairs",
         # round-8 promotions: the three r7 back-window-only additions
@@ -76,6 +77,8 @@ def test_front_window_fits_driver_gate():
         "html_extract",
         "link_graph",
         "domain_pagerank",
+        "anchor_pairs",
+        "sentence_chunks",
     ):
         assert name in front, f"{name} fell out of the driver window"
 

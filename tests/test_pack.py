@@ -517,3 +517,106 @@ def test_fim_split_zero_shuffle(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert count_exchanges(fim_split(docs)) == 0
+
+
+class TestSentenceChunks:
+    def test_split_sentences(self, spark):
+        from auto_data_linkage_spark.operators.pack import split_sentences
+
+        df = spark.createDataFrame(
+            [(1, "First one. Second here! Third? yes lowercase stays.")],
+            "doc_id long, text string",
+        )
+        got = [
+            (r.sent_idx, r.sentence)
+            for r in split_sentences(df).orderBy("sent_idx").collect()
+        ]
+        # "? yes" does NOT split (lowercase follow — the abbreviation
+        # guard); "Third? yes lowercase stays." is one sentence
+        assert got == [
+            (0, "First one."),
+            (1, "Second here!"),
+            (2, "Third? yes lowercase stays."),
+        ]
+
+    def test_chunks_never_cut_sentences_and_respect_budget(self, spark):
+        from auto_data_linkage_spark.operators.pack import (
+            sentence_chunks,
+            split_sentences,
+        )
+
+        text = (
+            "Alpha beta gamma delta. Epsilon zeta eta theta. "
+            "Iota kappa lambda mu. Nu xi omicron pi. Rho sigma tau."
+        )
+        df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        chunks = sentence_chunks(df, max_tokens=8).orderBy("chunk_idx")
+        rows = chunks.collect()
+        all_sents = {
+            r.sentence for r in split_sentences(df).collect()
+        }
+        joined = " ".join(r.chunk_text for r in rows)
+        # reassembled chunks reproduce the document exactly
+        assert joined == text
+        # every chunk boundary is a sentence boundary
+        for r in rows:
+            parts = r.chunk_text.split(". ")
+            assert r.chunk_text.rstrip(".!?") != ""
+            for s in all_sents:
+                # a sentence is either fully inside a chunk or absent
+                assert (s in r.chunk_text) or all(
+                    w not in r.chunk_text.split() for w in [s]
+                )
+        # greedy budget: tokens before a chunk's first sentence define
+        # assignment, so each chunk holds >= 1 sentence and starts a new
+        # chunk once the budget is crossed
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        assert all(r.n_tokens >= 1 for r in rows)
+
+    def test_empty_and_whitespace_docs_produce_no_chunks(self, spark):
+        from auto_data_linkage_spark.operators.pack import sentence_chunks
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "Real content here.")],
+            "doc_id long, text string",
+        )
+        got = sentence_chunks(df, max_tokens=8).collect()
+        assert {r.doc_id for r in got} == {3}
+
+    def test_matches_independent_python_reference(self, spark):
+        import re
+
+        from auto_data_linkage_spark.operators.pack import sentence_chunks
+
+        texts = [
+            "One two three. Four five six seven! Eight? Nine ten.",
+            "Single sentence no terminal",
+            "A. B. C. D. E. F. G. H.",
+        ]
+        max_tokens = 4
+
+        def ref_chunks(doc_id, text):
+            marked = re.sub(r"([.!?])\s+([A-Z])", "\\1\x1e\\2", text)
+            sents = [s for s in marked.split("\x1e") if s.strip()]
+            out, cum = {}, 0
+            for s in sents:
+                nt = len([t for t in s.lower().split() if t])
+                idx = cum // max_tokens
+                out.setdefault(idx, []).append((s, nt))
+                cum += nt
+            return {
+                (doc_id, i, " ".join(s for s, _ in v), sum(n for _, n in v))
+                for i, v in out.items()
+            }
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+            for r in sentence_chunks(df, max_tokens=max_tokens).collect()
+        }
+        want = set()
+        for i, t in enumerate(texts):
+            want |= ref_chunks(i, t)
+        assert got == want
