@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     # table — the iterative-graph job-overhead probe)
     "link_graph",
     "domain_pagerank",
+    # round-9j: sentence-boundary chunking (sentence explode + per-doc
+    # window cumsum + ordered reassembly — a text-heavy window pass)
+    "sentence_chunks",
 ]
 
 
