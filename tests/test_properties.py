@@ -568,3 +568,102 @@ def test_quantize_int8_matches_pure_python(spark, vec):
     assert all(-127 <= c <= 127 for c in row["q"])
 
 
+
+
+# ------------------------------------------------- link-graph properties
+
+node_ids = st.integers(min_value=0, max_value=9)
+edge_lists = st.lists(
+    st.tuples(node_ids, node_ids), min_size=1, max_size=25
+)
+
+
+@given(edge_lists, st.integers(min_value=1, max_value=4))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pagerank_equals_reference_on_random_digraphs(spark, pairs, iters):
+    """Fixed-point PageRank is EXACTLY the pure-Python fixed-point
+    reference on arbitrary random digraphs (self-loops and multi-edges
+    included in the input; both implementations must agree on dropping
+    them) — the bit-exactness claim, property-tested."""
+    from auto_data_linkage_spark.operators.graph import pagerank
+    from tests.test_graph import _py_pagerank
+
+    edges = [(f"n{a}", f"n{b}") for a, b in pairs]
+    clean = [(s, t) for s, t in edges if s != t]
+    if not clean:
+        return  # only self-loops -> empty graph; covered by unit test
+    df = spark.createDataFrame(edges, ["src_domain", "dst_domain"])
+    got = {
+        r["domain"]: r["rank_scaled"]
+        for r in pagerank(df, iterations=iters).collect()
+    }
+    assert got == _py_pagerank(clean, iters)
+
+
+# -------------------------------------------- sentence-chunk properties
+
+_sentence_words = st.lists(
+    st.sampled_from(["alpha", "beta", "Gamma", "delta", "x"]),
+    min_size=1,
+    max_size=5,
+).map(" ".join)
+_sentence_texts = st.lists(
+    st.tuples(_sentence_words, st.sampled_from([". ", "! ", "? ", " "])),
+    min_size=1,
+    max_size=6,
+).map(lambda ps: "".join(w + t for w, t in ps).strip())
+
+
+@given(st.lists(_sentence_texts, min_size=1, max_size=4),
+       st.integers(min_value=2, max_value=9))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sentence_chunks_reassemble_and_match_reference(spark, texts, mx):
+    """Chunks reassemble to the exact original text (nothing lost or
+    reordered at any boundary pattern), and assignment equals the
+    independent greedy reference."""
+    import re
+
+    from auto_data_linkage_spark.operators.pack import sentence_chunks
+
+    def ref(doc_id, text):
+        marked = re.sub(r"([.!?])\s+([A-Z])", "\\1\x1e\\2", text)
+        out, cum = {}, 0
+        for s in marked.split("\x1e"):
+            if not s.strip():
+                continue
+            nt = len([t for t in s.lower().split() if t])
+            out.setdefault(cum // mx, []).append((s, nt))
+            cum += nt
+        return {
+            (doc_id, i, " ".join(s for s, _ in v), sum(n for _, n in v))
+            for i, v in out.items()
+        }
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in sentence_chunks(df, max_tokens=mx).collect()
+    }
+    want = set()
+    for i, t in enumerate(texts):
+        want |= ref(i, t)
+    assert got == want
+    # reassembly: concatenating a doc's chunks in order gives back the
+    # doc (modulo the single spaces the splitter normalizes between
+    # sentences, which the synthesized texts already use)
+    for i, t in enumerate(texts):
+        mine = sorted(
+            ((c, txt) for d, c, txt, _ in got if d == i)
+        )
+        if t.strip():
+            assert " ".join(x for _, x in mine) == t
