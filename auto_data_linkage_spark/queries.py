@@ -1621,6 +1621,12 @@ _DEPRIORITIZED = (
     "sessionize",  # streaming-events keeps tumbling_window_agg in-window
     #                (same watermarked stateful-agg machinery; session
     #                windows stay driver-identically checked back-window)
+    # registered DIRECTLY into the back window (link-graph family holds
+    # link_graph + domain_pagerank + anchor_pairs driver rows; the
+    # seeded mode shares the identical iteration plan with a CASE'd
+    # teleport term) — test_oracle_window runs the full driver
+    # comparison:
+    "domain_trustrank",
 )
 
 # --------------------------------------------------------------------------
@@ -1700,7 +1706,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "curation-pipeline": ("curate_documents",),
     "url-curation": ("url_curation",),
     "link-graph": ("link_graph", "domain_pagerank", "domain_rank_prune",
-                   "anchor_pairs"),
+                   "anchor_pairs", "domain_trustrank"),
 }
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

@@ -4744,18 +4744,33 @@ def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unrolled as CTEs over exact integer division) is an EQUALITY check —
 # no float tolerance anywhere in an iterative numeric operator.
 # --------------------------------------------------------------------------
-def _pagerank_cte_sql(iterations: int) -> str:
+def _pagerank_cte_sql(iterations: int, seeds: tuple[str, ...] | None = None) -> str:
     """Unrolled fixed-point PageRank CTE chain over a preceding CTE
     named ``pr_edges(src, dst)`` (distinct, self-loop-free). Exact
     integer arithmetic mirrors operators/graph.pagerank bit-for-bit;
-    final ranks live in CTE ``r{iterations}``."""
+    final ranks live in CTE ``r{iterations}``. ``seeds`` unrolls the
+    TrustRank mode: teleport + dangling mass flow only to the listed
+    domains, with the teleport denominator the count of seeds PRESENT
+    in the graph (CTE ``nt``) — the same dynamic count the Spark side
+    takes."""
     from auto_data_linkage_spark.operators.graph import PAGERANK_SCALE
 
     s = PAGERANK_SCALE
+    if seeds is None:
+        nt_cte = "nt AS (SELECT n AS t FROM nn)"
+        seed_pred = "TRUE"
+    else:
+        lst = ", ".join(f"'{x}'" for x in seeds)
+        nt_cte = (
+            f"nt AS (SELECT COUNT(*) AS t FROM nodes "
+            f"WHERE domain IN ({lst}))"
+        )
+        seed_pred = f"b.domain IN ({lst})"
     parts = [
         f"""nodes AS (SELECT src AS domain FROM pr_edges
               UNION SELECT dst FROM pr_edges),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
+    {nt_cte},
     deg AS (SELECT src AS domain, COUNT(*) AS out_degree
             FROM pr_edges GROUP BY src),
     base AS (SELECT nodes.domain, COALESCE(deg.out_degree, 0) AS out_degree
@@ -4773,12 +4788,15 @@ def _pagerank_cte_sql(iterations: int) -> str:
              FROM r{i - 1} r JOIN pr_edges e ON e.src = r.domain
              WHERE r.out_degree > 0 GROUP BY e.dst),
     r{i} AS (SELECT b.domain, b.out_degree,
-                    CAST(({s} // nn.n) * 15 // 100
+                    CAST(CASE WHEN {seed_pred}
+                              THEN ({s} // nt.t) * 15 // 100 ELSE 0 END
                          + 85 * (COALESCE(c{i}.contrib, 0)
-                                 + d{i}.dangling // nn.n) // 100
+                                 + CASE WHEN {seed_pred}
+                                        THEN d{i}.dangling // nt.t
+                                        ELSE 0 END) // 100
                          AS BIGINT) AS rank_scaled
              FROM base b
-             CROSS JOIN nn CROSS JOIN d{i}
+             CROSS JOIN nn CROSS JOIN nt CROSS JOIN d{i}
              LEFT JOIN c{i} ON b.domain = c{i}.domain)"""
         )
     return "".join(parts)
@@ -5002,3 +5020,51 @@ def sentence_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return sentence_chunks(docs, max_tokens=24)
+
+
+# --------------------------------------------------------------------------
+# TrustRank (pagerank(seeds=…)) — the seeded-teleport mode's exact
+# arithmetic pinned cross-engine (teleport + dangling CASE on seed
+# membership, dynamic present-seed denominator). Back-window: link-graph
+# holds link_graph / domain_pagerank / sentence... driver rows.
+# --------------------------------------------------------------------------
+_TRUST_SEEDS = ("d1", "d7", "d42")
+
+
+@register(
+    "domain_trustrank",
+    f"""
+    WITH ks(k) AS (VALUES (1), (2)),
+    pr_edges AS (
+        SELECT DISTINCT
+               'd' || CAST(doc_id % 97 AS VARCHAR) AS src,
+               'd' || CAST((doc_id * 7 + k) % 97 AS VARCHAR) AS dst
+        FROM documents, ks
+        WHERE (doc_id % 97) <> ((doc_id * 7 + k) % 97)
+    ),
+    {_pagerank_cte_sql(4, seeds=_TRUST_SEEDS)}
+    SELECT domain, rank_scaled FROM r4""",
+    survey="LLM web curation: TrustRank — seeded-teleport fixed-point "
+    "PageRank (trust flows from listed domains; spam islands decay)",
+)
+def domain_trustrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    e = (
+        docs.select(
+            (d % 97).alias("s"),
+            F.explode(
+                F.array((d * 7 + 1) % 97, (d * 7 + 2) % 97)
+            ).alias("t"),
+        )
+        .where(F.col("s") != F.col("t"))
+        .select(
+            F.concat(F.lit("d"), F.col("s").cast("string"))
+            .alias("src_domain"),
+            F.concat(F.lit("d"), F.col("t").cast("string"))
+            .alias("dst_domain"),
+        )
+    )
+    return pagerank(e, iterations=4, seeds=list(_TRUST_SEEDS))
