@@ -43,6 +43,9 @@ from .urls import registered_domain
 
 __all__ = [
     "anchor_texts",
+    "compact_edge_store",
+    "edge_store_sink",
+    "load_edges",
     "extract_links",
     "link_graph_stats",
     "pagerank",
@@ -315,3 +318,136 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("domain", "rank_scaled")
+
+
+# ------------------------------------------------------------ edge store
+def _edge_bucket(col, n_buckets: int):
+    from .text import md5_hash64
+
+    return F.pmod(md5_hash64(col), F.lit(n_buckets)).cast("int")
+
+
+def edge_store_sink(
+    path: str,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+    n_buckets: int = 16,
+    drop_self: bool = True,
+):
+    """``foreachBatch`` sink maintaining a persistent domain edge store
+    from a stream of raw pages (the continuous-crawl twin of
+    :func:`extract_links`): each micro-batch's edges append as DELTA
+    rows (src_domain, dst_domain, n_links) partitioned by a src-domain
+    bucket — nothing stored is ever rewritten, the same
+    sum-deltas-at-read contract as the lexical index's df stats
+    (operators/lexindex.py). Readers go through :func:`load_edges`
+    (one aggregate); :func:`compact_edge_store` merges deltas when
+    fragmentation warrants; :func:`pagerank` over the loaded edges
+    refreshes domain authority at any cadence.
+
+    Usage::
+
+        pages.writeStream.foreachBatch(edge_store_sink("/edges"))
+             .option("checkpointLocation", ckpt).start()
+
+    Replays after a failure append duplicate deltas (n_links inflates,
+    edge EXISTENCE — what PageRank consumes — is unaffected since
+    :func:`pagerank` drops multiplicity); point a checkpointLocation at
+    the query, the standard append-sink caveat.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            extract_links(
+                batch_df, html_col, url_col, drop_self=drop_self
+            )
+            .withColumn(
+                "bucket", _edge_bucket(F.col("src_domain"), n_buckets)
+            )
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+
+    return _sink
+
+
+def load_edges(spark, path: str) -> DataFrame:
+    """Aggregated edge table from an :func:`edge_store_sink` store:
+    delta rows summed to one (src_domain, dst_domain, n_links) row per
+    edge — the input shape :func:`pagerank` / :func:`link_graph_stats`
+    expect."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.sum("n_links").cast("bigint").alias("n_links"))
+    )
+
+
+def compact_edge_store(
+    spark,
+    path: str,
+    *,
+    max_files_per_bucket: int = 8,
+    target_rows_per_file: int = 5_000_000,
+) -> dict:
+    """Merge delta rows of over-fragmented edge-store buckets back to
+    one row per edge and few files per bucket (streaming appends write
+    one small file per touched bucket per micro-batch). Same
+    two-rename bucket-atomic swap as the index compactions. Returns
+    ``{buckets_rewritten, files_before, files_after}``."""
+    import os
+    import shutil
+
+    local = path[7:] if path.startswith("file://") else path
+    counts: dict[str, int] = {}
+    for entry in os.listdir(local):
+        d = os.path.join(local, entry)
+        if entry.startswith("bucket=") and os.path.isdir(d):
+            counts[entry] = sum(
+                1 for f in os.listdir(d) if f.endswith(".parquet")
+            )
+    hot = sorted(e for e, c in counts.items() if c > max_files_per_bucket)
+    summary = {
+        "buckets_rewritten": len(hot),
+        "files_before": sum(counts.values()),
+        "files_after": sum(counts.values()),
+    }
+    if not hot:
+        return summary
+    tmp_root = local + "__compact"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    df = (
+        spark.read.option("basePath", local)
+        .parquet(*[os.path.join(local, e) for e in hot])
+        .groupBy("bucket", "src_domain", "dst_domain")
+        .agg(F.sum("n_links").cast("bigint").alias("n_links"))
+    )
+    rows = df.count()
+    files = max(1, -(-rows // target_rows_per_file))  # ceil
+    (
+        df.repartition(files, "bucket")
+        .sortWithinPartitions("bucket", "src_domain", "dst_domain")
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy("bucket")
+        .parquet(tmp_root)
+    )
+    for entry in hot:
+        cur = os.path.join(local, entry)
+        old = cur + "__old"
+        os.rename(cur, old)
+        os.rename(os.path.join(tmp_root, entry), cur)
+        shutil.rmtree(old)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    files_after = 0
+    for entry in os.listdir(local):
+        d = os.path.join(local, entry)
+        if entry.startswith("bucket=") and os.path.isdir(d):
+            files_after += sum(
+                1 for f in os.listdir(d) if f.endswith(".parquet")
+            )
+    summary["files_after"] = files_after
+    return summary
