@@ -243,12 +243,14 @@ class TestCatalogParity:
 
         from auto_data_linkage_spark import queries_llm as q
 
-        assert "_domain_pagerank_sql(iterations: int = 4)" in inspect.getsource(
-            q._domain_pagerank_sql.__wrapped__
-            if hasattr(q._domain_pagerank_sql, "__wrapped__")
-            else q._domain_pagerank_sql
-        ).replace("\n", "")
+        sql = q._domain_pagerank_sql()
+        assert "FROM r4" in sql and "r5" not in sql
         assert "iterations=4" in inspect.getsource(q.domain_pagerank_q)
+        from auto_data_linkage_spark.queries import REGISTRY
+
+        tsql = REGISTRY["domain_trustrank"].sql
+        assert "FROM r4" in tsql and "r5" not in tsql
+        assert "iterations=4" in inspect.getsource(q.domain_trustrank_q)
 
 
 class TestEdgeStore:
