@@ -203,6 +203,7 @@ def pagerank(
     src_col: str = "src_domain",
     dst_col: str = "dst_domain",
     seeds: list[str] | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a (src, dst) edge table →
     ``(domain, rank_scaled)`` with rank_scaled summing to ≈ scale.
@@ -219,6 +220,15 @@ def pagerank(
     trust lists are similarly small). Spam islands unreachable from a
     seed decay to rank 0 instead of collecting teleport mass. Seeds
     absent from the graph are ignored.
+
+    ``init_ranks`` warm-starts the iteration from a previous run's
+    (domain, rank_scaled) output instead of the uniform vector — the
+    INCREMENTAL refresh: after a small edge delta, the old ranks are
+    near the new fixed point, so far fewer iterations recover full
+    precision (power iteration converges geometrically from wherever
+    it starts). Domains absent from ``init_ranks`` (new since the last
+    run) start at the uniform share. One extra broadcast-sized join
+    outside the loop; the per-iteration plan is unchanged.
 
     Per iteration: one shuffle join (ranks ⋈ edges on src) + one
     aggregation (sum by dst), with ranks eagerly localCheckpointed so
@@ -276,12 +286,28 @@ def pagerank(
 
     teleport = (scale // n_tel) * (100 - damping_pct) // 100
     seed_col = is_seed.cast("boolean").alias("__seed")
-    ranks = base.select(
-        "domain",
-        "out_degree",
-        seed_col,
-        F.lit(scale // n).cast("bigint").alias("rank_scaled"),
-    ).localCheckpoint(eager=True)
+    if init_ranks is not None:
+        ranks = base.join(
+            init_ranks.select(
+                "domain", F.col("rank_scaled").alias("__r0")
+            ),
+            "domain",
+            "left",
+        ).select(
+            "domain",
+            "out_degree",
+            seed_col,
+            F.coalesce(F.col("__r0"), F.lit(scale // n))
+            .cast("bigint")
+            .alias("rank_scaled"),
+        ).localCheckpoint(eager=True)
+    else:
+        ranks = base.select(
+            "domain",
+            "out_degree",
+            seed_col,
+            F.lit(scale // n).cast("bigint").alias("rank_scaled"),
+        ).localCheckpoint(eager=True)
     for _ in range(iterations):
         dangling = int(
             ranks.where(F.col("out_degree") == 0)

@@ -344,3 +344,51 @@ class TestEdgeStore:
         )
         q.awaitTermination(120)
         assert load_edges(spark, store).count() > 0
+
+
+class TestWarmStart:
+    def test_warm_start_is_exact_iteration_resume(self, spark):
+        """Warm start IS "resume the power iteration": k cold rounds
+        then 1 warm round equals k+1 cold rounds BIT-FOR-BIT (the
+        fixed-point arithmetic makes this an equality, not a
+        tolerance)."""
+        e = _edges_df(spark, EDGES)
+        for k in (1, 4):
+            cold = pagerank(e, iterations=k + 1)
+            resumed = pagerank(
+                e, iterations=1, init_ranks=pagerank(e, iterations=k)
+            )
+            assert sorted(map(tuple, cold.collect())) == sorted(
+                map(tuple, resumed.collect())
+            )
+
+    def test_warm_start_converges_faster_after_edge_delta(self, spark):
+        """After a small edge delta, 2 warm iterations land closer to
+        the new fixed point than 2 cold iterations do."""
+        e_old = _edges_df(spark, EDGES)
+        old_ranks = pagerank(e_old, iterations=30)
+        new_edges = EDGES + [("e", "c"), ("c", "e")]
+        e_new = _edges_df(spark, new_edges)
+        truth = {
+            r.domain: r.rank_scaled
+            for r in pagerank(e_new, iterations=40).collect()
+        }
+        warm = {
+            r.domain: r.rank_scaled
+            for r in pagerank(
+                e_new, iterations=2, init_ranks=old_ranks
+            ).collect()
+        }
+        cold = {
+            r.domain: r.rank_scaled
+            for r in pagerank(e_new, iterations=2).collect()
+        }
+        err_warm = sum(abs(warm[d] - truth[d]) for d in truth)
+        err_cold = sum(abs(cold[d] - truth[d]) for d in truth)
+        assert err_warm < err_cold
+
+    def test_new_domains_get_uniform_share(self, spark):
+        e = _edges_df(spark, EDGES + [("new1", "a")])
+        prev = pagerank(_edges_df(spark, EDGES), iterations=3)
+        out = pagerank(e, iterations=1, init_ranks=prev)
+        assert "new1" in {r.domain for r in out.collect()}
