@@ -127,6 +127,7 @@ def prepare_training_set(
     gopher_min_words: int = 10,
     gopher_required_stopwords: tuple[str, ...] | None = None,
     gopher_repetition: bool = True,
+    fix_encoding: bool = False,
     span_words: int = 8,
     span_hash_key: bool = True,
     num_merges: int = 200,
@@ -150,6 +151,11 @@ def prepare_training_set(
     runs them (filter early, dedup before tokenize, tokenize before
     pack):
 
+    0a. (when ``fix_encoding``) :func:`text.fix_mojibake` — encoding
+       repair FIRST (the C4/CCNet ordering: every downstream token,
+       stopword, and shingle statistic is garbage on "donâ€™t"-style
+       text); conservative sloppy-cp1252 round-trip, rlike-gated so
+       clean corpora pay one codegen regexp scan;
     0. (when ``url_col`` is given) :func:`urls.curate_urls` — the URL
        front door every published web recipe runs FIRST: normalize,
        blocklist (``blocked_domains``), exact normalized-URL dedup,
@@ -242,6 +248,7 @@ def prepare_training_set(
             else None
         ),
         "gopher_repetition": gopher_repetition,
+        "fix_encoding": fix_encoding,
         "span_words": span_words,
         "span_hash_key": span_hash_key,
         "num_merges": num_merges,
@@ -291,6 +298,12 @@ def prepare_training_set(
         ):
             compute().write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
+
+    # 0a. encoding repair before anything reads the text
+    if fix_encoding:
+        from auto_data_linkage_spark.operators.text import fix_mojibake
+
+        docs = fix_mojibake(docs, text_col)
 
     # 0. URL front door (cheapest gate first; only when a URL column
     # exists — plain-document corpora skip straight to stage 1)

@@ -580,3 +580,57 @@ def test_prepare_training_set_authority_gate(spark, tmp_path):
             docs.drop("url"), str(tmp_path / "authbad"),
             domain_ranks=ranks,
         )
+
+
+def test_prepare_training_set_fix_encoding(spark, tmp_path):
+    """Stage 0a: mojibake is repaired before anything reads the text —
+    the tokenizer trains on clean bytes with fix_encoding=True and on
+    the corrupted bytes without it."""
+    import json as _json
+    import os as _os
+
+    from auto_data_linkage_spark.operators import pipeline as P
+
+    good = ("the quick brown fox jumps over that lazy dog and all of "
+            "the words here have to be sensible because this text must "
+            "pass every quality gate with room to spare today plus "
+            "don’t café naïve résumé")
+
+    def sloppy(bs):
+        out = []
+        for b in bs:
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    corrupted = sloppy(good.encode("utf-8"))
+    assert "â€™" in corrupted and "Ã©" in corrupted
+    docs = spark.createDataFrame(
+        [(1, corrupted)], "doc_id long, text string"
+    )
+    kwargs = dict(
+        min_quality=0.3, gopher_min_words=10, span_words=60,
+        num_merges=10, capacity=256, n_shards=2, jaccard_threshold=0.99,
+    )
+    P.prepare_training_set(
+        docs, str(tmp_path / "fixenc"), fix_encoding=True, **kwargs
+    )
+    P.prepare_training_set(
+        docs, str(tmp_path / "rawenc"), fix_encoding=False, **kwargs
+    )
+    fixed_vocab = _json.dumps(
+        _json.load(open(_os.path.join(str(tmp_path / "fixenc"), "tokenizer.json"))),
+        ensure_ascii=False,
+    )
+    raw_vocab = _json.dumps(
+        _json.load(open(_os.path.join(str(tmp_path / "rawenc"), "tokenizer.json"))),
+        ensure_ascii=False,
+    )
+    # the BPE vocab is lowercased char pieces: mojibake shows up as the
+    # lead/continuation chars ã/â/€/™, which clean text never contains
+    banned = "ãâ€Ã"  # mojibake lead/continuation chars only (the
+    #            legit curly apostrophe U+2019 is NOT banned)
+    assert not any(c in fixed_vocab for c in banned)
+    assert any(c in raw_vocab for c in banned)
