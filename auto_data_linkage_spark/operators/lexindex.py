@@ -147,6 +147,11 @@ def build_lex_index(
         "text_col": text_col,
         "n_docs": int(n_docs),
         "sum_dl": int(sum_dl or 0),
+        # an EMPTY build writes no parquet data files, so the loader
+        # cannot infer schemas from disk — store them (DDL) at build
+        # time and fall back to empty frames on read
+        "postings_schema": posts.schema.simpleString()[7:-1],
+        "terms_schema": "bucket int, term string, df bigint",
     }
     _write_meta(local, meta)
     return meta
@@ -300,10 +305,19 @@ def load_lex_index(spark: SparkSession, path: str) -> LexIndex:
         raise ValueError(
             f"unsupported lex-index version {meta.get('version')!r}"
         )
+    from pyspark.errors import AnalysisException
+
+    def _read(table: str, schema_key: str) -> DataFrame:
+        try:
+            return spark.read.parquet(os.path.join(local, table))
+        except AnalysisException:
+            # empty build: no data files on disk — schema from metadata
+            return spark.createDataFrame([], meta[schema_key])
+
     return LexIndex(
         meta=meta,
-        postings=spark.read.parquet(os.path.join(local, "postings")),
-        terms=spark.read.parquet(os.path.join(local, "terms")),
+        postings=_read("postings", "postings_schema"),
+        terms=_read("terms", "terms_schema"),
     )
 
 

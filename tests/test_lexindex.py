@@ -223,3 +223,24 @@ def test_hybrid_serving_from_both_persisted_indexes(spark, sf_dir, tmp_path):
         ranks = sorted(h["rank"] for h in hits)
         assert ranks == list(range(1, len(hits) + 1))
         assert len(hits) <= 5
+
+
+def test_empty_corpus_build_and_probe(spark, tmp_path):
+    out = str(tmp_path / "lex_empty")
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    meta = L.build_lex_index(empty, out, n_buckets=4)
+    assert meta["n_docs"] == 0 and meta["sum_dl"] == 0
+    idx = L.load_lex_index(spark, out)
+    q = spark.createDataFrame([(0, "anything")], ["query_id", "term"])
+    assert L.lex_index_topk(idx, q, k=3).count() == 0
+
+
+def test_append_empty_delta_is_noop(spark, docs, tmp_path):
+    out = str(tmp_path / "lex_noop")
+    L.build_lex_index(docs.limit(20), out, n_buckets=4)
+    before = json.load(open(os.path.join(out, "index.json")))
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    after = L.append_lex_index(empty, out)
+    assert (after["n_docs"], after["sum_dl"]) == (
+        before["n_docs"], before["sum_dl"]
+    )
