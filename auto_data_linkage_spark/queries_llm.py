@@ -4744,6 +4744,16 @@ def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unrolled as CTEs over exact integer division) is an EQUALITY check —
 # no float tolerance anywhere in an iterative numeric operator.
 # --------------------------------------------------------------------------
+_ARITH_EDGES_CTE = """ks(k) AS (VALUES (1), (2)),
+    pr_edges AS (
+        SELECT DISTINCT
+               'd' || CAST(doc_id % 97 AS VARCHAR) AS src,
+               'd' || CAST((doc_id * 7 + k) % 97 AS VARCHAR) AS dst
+        FROM documents, ks
+        WHERE (doc_id % 97) <> ((doc_id * 7 + k) % 97)
+    ),"""
+
+
 def _pagerank_cte_sql(iterations: int, seeds: tuple[str, ...] | None = None) -> str:
     """Unrolled fixed-point PageRank CTE chain over a preceding CTE
     named ``pr_edges(src, dst)`` (distinct, self-loop-free). Exact
@@ -4804,14 +4814,7 @@ def _pagerank_cte_sql(iterations: int, seeds: tuple[str, ...] | None = None) -> 
 
 def _domain_pagerank_sql(iterations: int = 4) -> str:
     return f"""
-    WITH ks(k) AS (VALUES (1), (2)),
-    pr_edges AS (
-        SELECT DISTINCT
-               'd' || CAST(doc_id % 97 AS VARCHAR) AS src,
-               'd' || CAST((doc_id * 7 + k) % 97 AS VARCHAR) AS dst
-        FROM documents, ks
-        WHERE (doc_id % 97) <> ((doc_id * 7 + k) % 97)
-    ),
+    WITH {_ARITH_EDGES_CTE}
     {_pagerank_cte_sql(iterations)}
     SELECT domain, rank_scaled FROM r{iterations}"""
 
@@ -5034,14 +5037,7 @@ _TRUST_SEEDS = ("d1", "d7", "d42")
 @register(
     "domain_trustrank",
     f"""
-    WITH ks(k) AS (VALUES (1), (2)),
-    pr_edges AS (
-        SELECT DISTINCT
-               'd' || CAST(doc_id % 97 AS VARCHAR) AS src,
-               'd' || CAST((doc_id * 7 + k) % 97 AS VARCHAR) AS dst
-        FROM documents, ks
-        WHERE (doc_id % 97) <> ((doc_id * 7 + k) % 97)
-    ),
+    WITH {_ARITH_EDGES_CTE}
     {_pagerank_cte_sql(4, seeds=_TRUST_SEEDS)}
     SELECT domain, rank_scaled FROM r4""",
     survey="LLM web curation: TrustRank — seeded-teleport fixed-point "
