@@ -1283,6 +1283,94 @@ def strip_boilerplate(
     )
 
 
+def strip_boilerplate_grouped(
+    df: DataFrame,
+    group_col: str,
+    *,
+    chunk_words: int = 8,
+    min_doc_frac: float = 0.3,
+    min_docs: int = 3,
+    max_terms_per_group: int = 1_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-GROUP boilerplate removal — navigation bars, cookie banners,
+    and footers repeat within a SITE, not across the whole corpus, so
+    detecting them per domain/source catches boilerplate a corpus-wide
+    frequency floor (:func:`strip_boilerplate`) dilutes below
+    threshold. Returns ``(id, group, n_chunks, n_removed, clean_text)``.
+
+    A chunk is boilerplate for its group when it appears in
+    ``>= max(min_docs, min_doc_frac × group_doc_count)`` of the group's
+    documents; the per-group set is capped at ``max_terms_per_group``
+    by frequency (rank window — WindowGroupLimit bounds hot groups
+    map-side). Unlike the corpus-wide variant, the per-group set is
+    group_count × cap rows — NOT driver-collectable at web scale — so
+    removal is a (group, chunk)-keyed LEFT-ANTI join (AQE picks
+    broadcast when the set is small, sort-merge when it is not),
+    followed by the same ordered hash-agg reassembly keyed by id. The
+    single corpus-sized exchange carries surviving chunk strings.
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col).alias("__grp")
+    chunk_arr = _chunk_array(F.col(text_col), chunk_words)
+    exploded = df.select(
+        F.col(id_col), g, F.posexplode(chunk_arr).alias("pos", "chunk")
+    )
+
+    group_docs = df.groupBy(g).agg(
+        F.count_distinct(F.col(id_col)).alias("__gdocs")
+    )
+    per_chunk = (
+        exploded.dropDuplicates([id_col, "__grp", "chunk"])
+        .groupBy("__grp", "chunk")
+        .agg(F.count("*").alias("doc_freq"))
+        .join(F.broadcast(group_docs), "__grp")
+        .where(
+            F.col("doc_freq")
+            >= F.greatest(
+                F.lit(min_docs),
+                F.ceil(F.col("__gdocs") * min_doc_frac).cast("bigint"),
+            )
+        )
+    )
+    w = Window.partitionBy("__grp").orderBy(
+        F.desc("doc_freq"), F.asc("chunk")
+    )
+    bl = (
+        per_chunk.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= max_terms_per_group)
+        .select("__grp", "chunk")
+    )
+
+    survived = exploded.join(bl, ["__grp", "chunk"], "left_anti")
+    agg = survived.groupBy(id_col).agg(
+        F.count("*").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("group"),
+        F.size(chunk_arr).alias("n_chunks"),
+    )
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        "group",
+        "n_chunks",
+        (F.col("n_chunks") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 # -------------------------------------------- semantic decontamination
 def semantic_decontaminate(
     corpus: DataFrame,

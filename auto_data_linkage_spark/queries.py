@@ -1627,6 +1627,11 @@ _DEPRIORITIZED = (
     # teleport term) — test_oracle_window runs the full driver
     # comparison:
     "domain_trustrank",
+    # round-9k rotation: site_boilerplate (per-group boilerplate — a new
+    # operator) promoted to a driver row; ivf_topk demoted in exchange —
+    # the ann-search family keeps ivfpq_topk (which composes the same
+    # cell-pruned IVF machinery) and sq8_topk in-window:
+    "ivf_topk",
 )
 
 # --------------------------------------------------------------------------
@@ -1675,7 +1680,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "simhash": ("simhash_near_pairs", "simhash"),
     "substring-dedup": ("span_dedup", "chunk_dedup", "split_chunks",
                         "strip_boilerplate", "line_dedup",
-                        "paragraph_dedup", "sentence_chunks"),
+                        "paragraph_dedup", "sentence_chunks",
+                        "site_boilerplate"),
     "embedding-dedup": ("media_near_dup", "embedding_near_dup",
                         "semantic_dedup", "semantic_decontaminate"),
     "decontamination": ("decontaminate", "bloom_decontaminate",

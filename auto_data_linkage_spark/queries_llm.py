@@ -5064,3 +5064,101 @@ def domain_trustrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pagerank(e, iterations=4, seeds=list(_TRUST_SEEDS))
+
+
+# --------------------------------------------------------------------------
+# Per-site boilerplate removal (dedup.strip_boilerplate_grouped) — navs/
+# banners repeat within a SITE, so the frequency floor is per group.
+# Every source gets a deterministic 6-word banner injected (one aligned
+# chunk), so the oracle can replay detection + removal + ordered
+# reassembly exactly.
+# --------------------------------------------------------------------------
+def _site_boilerplate_sql(c: int = 6) -> str:
+    toks = _SQL_TOKENS.format(c="text2")
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               'subscribe to ' || source || ' newsletter now please ' ||
+               text AS text2
+        FROM documents
+    ),
+    tk AS (SELECT doc_id, source, {toks} AS tk FROM d),
+    cl AS (
+        SELECT doc_id, source,
+               list_transform(
+                 generate_series(
+                   0,
+                   CAST(GREATEST(CEIL(len(tk) / {float(c)!r}), 1) AS BIGINT) - 1),
+                 i -> array_to_string(list_slice(tk, i*{c}+1, i*{c}+{c}), ' ')
+               ) AS chunks
+        FROM tk
+    ),
+    ex AS (
+        SELECT doc_id, source, UNNEST(chunks) AS chunk,
+               GENERATE_SUBSCRIPTS(chunks, 1) - 1 AS pos
+        FROM cl
+    ),
+    gdocs AS (SELECT source, COUNT(DISTINCT doc_id) AS gd
+              FROM d GROUP BY source),
+    freq AS (
+        SELECT source, chunk, COUNT(*) AS doc_freq
+        FROM (SELECT DISTINCT doc_id, source, chunk FROM ex)
+        GROUP BY source, chunk
+    ),
+    bl AS (
+        SELECT source, chunk FROM (
+            SELECT f.source, f.chunk,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY f.source
+                       ORDER BY f.doc_freq DESC, f.chunk ASC) AS rk
+            FROM freq f JOIN gdocs g ON f.source = g.source
+            WHERE f.doc_freq >=
+                  GREATEST(2, CAST(CEIL(g.gd * 0.5) AS BIGINT))
+        ) WHERE rk <= 1000
+    ),
+    kept AS (
+        SELECT e.doc_id, e.pos, e.chunk
+        FROM ex e ANTI JOIN bl
+          ON e.source = bl.source AND e.chunk = bl.chunk
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               STRING_AGG(chunk, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.source AS "group",
+           CAST(len(c.chunks) AS INT) AS n_chunks,
+           CAST(len(c.chunks) - COALESCE(a.n_kept, 0) AS INT)
+               AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM cl c LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register(
+    "site_boilerplate",
+    _site_boilerplate_sql(),
+    survey="LLM cleaning: per-site boilerplate removal (group-scoped "
+    "chunk frequency floor + anti-join strip + ordered reassembly)",
+)
+def site_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.dedup import (
+        strip_boilerplate_grouped,
+    )
+
+    docs = _docs(spark, sf_dir)
+    banner = F.concat(
+        F.lit("subscribe to "), F.col("source"),
+        F.lit(" newsletter now please "), F.col("text"),
+    )
+    d = docs.select("doc_id", "source", banner.alias("text"))
+    out = strip_boilerplate_grouped(
+        d, "source", chunk_words=6, min_doc_frac=0.5, min_docs=2,
+        max_terms_per_group=1000,
+    )
+    return out.select(
+        "doc_id", "group",
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        "clean_text",
+    )

@@ -745,3 +745,61 @@ def test_duplication_weights_soft_dedup(spark):
 
     with _pt.raises(ValueError):
         duplication_weights(docs, comp, alpha=-1)
+
+
+class TestStripBoilerplateGrouped:
+    def test_per_site_nav_removed_only_within_its_site(self, spark):
+        from auto_data_linkage_spark.operators.dedup import (
+            strip_boilerplate_grouped,
+        )
+
+        nav_a = "home products about contact cart login search help"
+        body = [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "iota kappa lam mu nu xi omicron pi",
+            "rho sigma tau upsilon phi chi psi omega",
+        ]
+        rows = []
+        # site A: nav_a prefixes every page -> boilerplate FOR A
+        for i, b in enumerate(body):
+            rows.append((i, "A", f"{nav_a} {b}"))
+        # site B: ONE page contains the same chunk -> below B's floor,
+        # must survive there
+        rows.append((10, "B", f"{nav_a} {body[0]}"))
+        rows.append((11, "B", body[1]))
+        rows.append((12, "B", body[2]))
+        df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+        out = {
+            r.doc_id: r
+            for r in strip_boilerplate_grouped(
+                df, "src", chunk_words=8, min_doc_frac=0.5, min_docs=2
+            ).collect()
+        }
+        for i, b in enumerate(body):
+            assert out[i].clean_text == b, out[i].clean_text
+            assert out[i].n_removed == 1 and out[i].group == "A"
+        assert out[10].clean_text == f"{nav_a} {body[0]}"
+        assert out[10].n_removed == 0 and out[10].group == "B"
+
+    def test_reassembly_preserves_order_and_counts(self, spark):
+        from auto_data_linkage_spark.operators.dedup import (
+            strip_boilerplate_grouped,
+        )
+
+        nav = "one two three four"
+        rows = [
+            (1, "S", f"{nav} aa bb cc dd {nav} ee ff gg hh"),
+            (2, "S", f"{nav} ii jj kk ll"),
+            (3, "S", f"{nav} mm nn oo pp"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+        out = {
+            r.doc_id: r
+            for r in strip_boilerplate_grouped(
+                df, "src", chunk_words=4, min_doc_frac=0.5, min_docs=2
+            ).collect()
+        }
+        # doc 1 has the nav chunk TWICE (positions 0 and 2): both go
+        assert out[1].clean_text == "aa bb cc dd ee ff gg hh"
+        assert out[1].n_removed == 2 and out[1].n_chunks == 4
+        assert out[2].clean_text == "ii jj kk ll"

@@ -79,6 +79,7 @@ def test_front_window_fits_driver_gate():
         "domain_pagerank",
         "anchor_pairs",
         "sentence_chunks",
+        "site_boilerplate",
     ):
         assert name in front, f"{name} fell out of the driver window"
 
