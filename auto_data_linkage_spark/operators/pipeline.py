@@ -128,6 +128,7 @@ def prepare_training_set(
     gopher_required_stopwords: tuple[str, ...] | None = None,
     gopher_repetition: bool = True,
     fix_encoding: bool = False,
+    site_boilerplate: bool = False,
     span_words: int = 8,
     span_hash_key: bool = True,
     num_merges: int = 200,
@@ -161,6 +162,13 @@ def prepare_training_set(
        blocklist (``blocked_domains``), exact normalized-URL dedup,
        per-domain quota (``max_per_domain``) — cheapest gate, so it
        drops rows before any text operator pays for them;
+    0c. (when ``site_boilerplate``, requires ``url_col``)
+       :func:`dedup.strip_boilerplate_grouped` keyed by each document's
+       registered domain — navigation/banner chunks that repeat across
+       a SITE's pages are removed (and the document text REPLACED by
+       the cleaned text) before any quality or dedup statistic reads
+       them; per-site chrome otherwise both drags quality scores down
+       and welds near-dup clusters together;
     0b. (when ``domain_ranks`` is also given) the AUTHORITY gate: keep
        only documents whose registered domain holds
        ``rank_scaled >= min_rank_scaled`` in the supplied
@@ -266,6 +274,7 @@ def prepare_training_set(
         ),
         "benchmark_shingle_k": benchmark_shingle_k,
         # same row-count identification for the rank table
+        "site_boilerplate": site_boilerplate,
         "domain_rank_rows": (
             domain_ranks.count() if domain_ranks is not None else None
         ),
@@ -358,6 +367,45 @@ def prepare_training_set(
         )
         docs = docs.join(auth_ids, id_col, "left_semi")
         n_authority_kept = auth_ids.count()
+
+    # 0c. per-site boilerplate strip (text REPLACED by clean_text)
+    n_boiler_removed = None
+    if site_boilerplate:
+        if url_col is None:
+            raise ValueError(
+                "site_boilerplate requires url_col (the group key is "
+                "each document's registered domain)"
+            )
+        from auto_data_linkage_spark.operators.dedup import (
+            strip_boilerplate_grouped,
+        )
+        from auto_data_linkage_spark.operators.graph import _HOST_RE
+        from auto_data_linkage_spark.operators.urls import (
+            registered_domain,
+        )
+
+        other = [c for c in docs.columns if c not in (id_col, text_col)]
+        keyed = docs.withColumn(
+            "__site",
+            registered_domain(
+                F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+            ),
+        )
+        stripped = _stage(
+            "s0c_boilerplate",
+            lambda: strip_boilerplate_grouped(
+                keyed, "__site", text_col=text_col, id_col=id_col
+            ).select(id_col, "n_removed", "clean_text"),
+        )
+        n_boiler_removed = (
+            stripped.agg(F.sum("n_removed")).collect()[0][0] or 0
+        )
+        docs = (
+            docs.drop(text_col)
+            .join(stripped.select(id_col, "clean_text"), id_col)
+            .withColumnRenamed("clean_text", text_col)
+            .select(id_col, text_col, *other)
+        )
 
     # 1. curation gate (quality/lang/exact/near-dup survivor ids)
     survivors = _stage(
@@ -524,6 +572,7 @@ def prepare_training_set(
         "n_input": n_input,
         "n_url_kept": n_url_kept,
         "n_authority_kept": n_authority_kept,
+        "n_boilerplate_chunks_removed": n_boiler_removed,
         "n_curated": n_curated,
         "n_decontaminated": n_decontaminated,
         "n_gopher_kept": n_gated,

@@ -634,3 +634,52 @@ def test_prepare_training_set_fix_encoding(spark, tmp_path):
     #            legit curly apostrophe U+2019 is NOT banned)
     assert not any(c in fixed_vocab for c in banned)
     assert any(c in raw_vocab for c in banned)
+
+
+def test_prepare_training_set_site_boilerplate(spark, tmp_path):
+    """Stage 0c: per-site nav chunks vanish from the text every later
+    stage (and the trained tokenizer) sees."""
+    import json as _json
+    import os as _os
+
+    from auto_data_linkage_spark.operators import pipeline as P
+
+    nav = "clicknav menu cart login search helpdesk account settings"
+    # body text must be unique PER DOC — identical filler across pages
+    # is itself (correctly) detected as site boilerplate
+    bodies = [
+        "the quick brown fox jumps over that lazy dog and all words "
+        "here are sensible so this page passes every quality gate",
+        "a calm river flows past the old mill where children often "
+        "play on warm summer evenings with their friendly neighbors",
+        "the library keeps many fine books about science history art "
+        "and music that visitors can borrow for three whole weeks",
+        "fresh bread from the corner bakery smells wonderful in the "
+        "early morning when the town square is still very quiet",
+    ]
+    rows = [
+        (i, f"{nav} {bodies[i]}", f"https://site.com/p/{i}")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    report = P.prepare_training_set(
+        docs, str(tmp_path / "siteboiler"),
+        min_quality=0.3, gopher_min_words=10, span_words=60,
+        num_merges=10, capacity=256, n_shards=2, jaccard_threshold=0.99,
+        url_col="url", site_boilerplate=True,
+    )
+    assert report["n_boilerplate_chunks_removed"] >= 4
+    assert report["n_curated"] == 4
+    tok = _json.dumps(
+        _json.load(open(_os.path.join(str(tmp_path / "siteboiler"),
+                                      "tokenizer.json")))
+    )
+    assert "clicknav" not in tok and "helpdesk" not in tok
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="url_col"):
+        P.prepare_training_set(
+            docs.drop("url"), str(tmp_path / "siteboilerbad"),
+            site_boilerplate=True,
+        )
