@@ -95,6 +95,7 @@ def curate_stream(
     url_col: str | None = None,
     blocked_domains: list[str] | None = None,
     html_col: str | None = None,
+    fix_encoding: bool = False,
 ) -> DataFrame:
     """Quality/language gate + first-arrival exact dedup, as one
     append-mode stream. With ``ts_col`` the dedup state is bounded by
@@ -113,11 +114,19 @@ def curate_stream(
     With ``html_col`` the rows arrive as raw HTML (the WET/crawl front
     door): :func:`operators.text.extract_html` runs first — a stateless
     projection, so it composes with any streaming mode — and its
-    extracted text becomes ``text_col`` for everything downstream."""
+    extracted text becomes ``text_col`` for everything downstream.
+
+    ``fix_encoding`` runs :func:`operators.text.fix_mojibake` on the
+    (extracted) text — stateless, so it composes with any streaming
+    mode; the batch pipeline's stage 0a, streaming-native."""
     if html_col is not None:
         from auto_data_linkage_spark.operators.text import extract_html
 
         docs = extract_html(docs, html_col, out_col=text_col)
+    if fix_encoding:
+        from auto_data_linkage_spark.operators.text import fix_mojibake
+
+        docs = fix_mojibake(docs, text_col)
     if url_col is not None:
         from auto_data_linkage_spark.operators.urls import (
             blocklist_filter,

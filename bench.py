@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     # round-9j: sentence-boundary chunking (sentence explode + per-doc
     # window cumsum + ordered reassembly — a text-heavy window pass)
     "sentence_chunks",
+    # round-9k: per-site boilerplate strip (group-scoped frequency floor
+    # + anti-join + reassembly — the heaviest new text exchange)
+    "site_boilerplate",
 ]
 
 

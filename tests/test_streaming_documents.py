@@ -291,3 +291,46 @@ def test_curate_stream_html_front_door(spark, doc_stream, docs_batch):
         "select min(tag_density) as td from curated_html_docs"
     ).collect()[0]
     assert sig.td > 0
+
+
+def test_curate_stream_fix_encoding(spark, tmp_path):
+    """Streaming stage-0a twin: mojibake rows arrive corrupted, land
+    repaired (the batch pipeline's fix_encoding, streaming-native)."""
+    from auto_data_linkage_spark.streaming.documents import curate_stream
+
+    def sloppy(bs):
+        out = []
+        for b in bs:
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    good = ("the quick brown fox jumps over that lazy dog and all of "
+            "the words here have to be sensible because this text must "
+            "pass every quality gate don’t café")
+    corrupted = sloppy(good.encode("utf-8"))
+    assert "â€™" in corrupted
+
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.createDataFrame(
+        [(1, corrupted)], "doc_id long, text string"
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    q = (
+        curate_stream(stream, min_quality=0.3, fix_encoding=True)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == good
