@@ -405,3 +405,21 @@ def test_rrf_fusion_operates_on_topk_sized_data_only(spark, sf_dir):
     plan = physical_plan(df)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_site_boilerplate_cap_gets_window_group_limit(spark):
+    """The per-group boilerplate cap (rank <= max_terms_per_group) must
+    be WindowGroupLimit-eligible so a mega-site's chunk inventory is
+    bounded map-side before the full sort."""
+    from auto_data_linkage_spark.operators.dedup import (
+        strip_boilerplate_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"common words here always present doc {i}")
+         for i in range(8)],
+        "doc_id long, src string, text string",
+    )
+    out = strip_boilerplate_grouped(df, "src", chunk_words=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
