@@ -114,29 +114,36 @@ def anchor_texts(
     its anchor text — the classic weak-supervision source for
     query→document retrieval training pairs (the anchor describes the
     TARGET page in someone else's words). Same zero-UDF shape as
-    :func:`extract_links`: one regexp pass captures url and text (two
-    ``regexp_extract_all`` group reads zipped positionally), explode,
-    resolve domains, keep rows with non-empty anchors. Page bytes never
-    shuffle; output is link-sized.
+    :func:`extract_links`. The PAGE-SIZED regex pass runs ONCE
+    (``regexp_extract_all`` of the full match); the two capture groups
+    are re-extracted per MATCH string after the explode — match bytes
+    are tiny next to page bytes, so this halves the raw-HTML scan cost
+    vs two whole-page group extractions. Page bytes never shuffle;
+    output is link-sized.
     """
-    hrefs = F.regexp_extract_all(
-        F.col(html_col), F.lit(_HREF_ANCHOR_RE), F.lit(1)
-    )
-    texts = F.regexp_extract_all(
-        F.col(html_col), F.lit(_HREF_ANCHOR_RE), F.lit(2)
-    )
     out = df.select(
         registered_domain(
             F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
         ).alias("src_domain"),
-        F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("anchor"))
-                  ).alias("__l"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(_HREF_ANCHOR_RE), F.lit(0)
+            )
+        ).alias("__m"),
     ).select(
         "src_domain",
         registered_domain(
-            F.lower(F.regexp_extract(F.col("__l.href"), _HOST_RE, 1))
+            F.lower(
+                F.regexp_extract(
+                    F.regexp_extract(F.col("__m"), _HREF_ANCHOR_RE, 1),
+                    _HOST_RE,
+                    1,
+                )
+            )
         ).alias("dst_domain"),
-        F.trim(F.col("__l.anchor")).alias("anchor"),
+        F.trim(
+            F.regexp_extract(F.col("__m"), _HREF_ANCHOR_RE, 2)
+        ).alias("anchor"),
     ).where((F.col("dst_domain") != "") & (F.col("anchor") != ""))
     if drop_self:
         out = out.where(F.col("src_domain") != F.col("dst_domain"))
