@@ -806,10 +806,12 @@ def fix_mojibake(
     and stopword statistics are garbage on "donâ€™t"-style text).
 
     Conservative by construction: see :func:`fix_mojibake_str` for the
-    touch conditions. The hint pre-filter runs DECLARATIVELY
-    (``rlike`` — codegen, no Python) so only suspicious rows enter the
-    Arrow-batched pandas UDF; clean corpora pay one regexp scan and
-    zero UDF batches beyond the matched rows.
+    touch conditions. The declarative ``rlike`` hint NULLs the UDF's
+    input for clean rows BEFORE the Arrow boundary (Spark extracts
+    Python UDFs out of CASE WHEN and evaluates them unconditionally,
+    so gating the INPUT — nulls ship as bitmap bits, not text bytes —
+    is what actually keeps clean corpora out of the Python worker; the
+    repaired column then coalesces back over the original).
 
     No DuckDB oracle (encode/decode round-trips are not
     SQL-expressible); the UDF is pinned equal to the pure-Python
@@ -819,9 +821,12 @@ def fix_mojibake(
 
     @F.pandas_udf(T_.StringType())
     def _fix(s):
-        return s.map(lambda t: fix_mojibake_str(t, max_rounds))
+        return s.map(
+            lambda t: fix_mojibake_str(t, max_rounds) if t is not None
+            else None
+        )
 
     c = F.col(text_col)
-    hint = c.rlike(_MOJIBAKE_HINT_RE)
-    fixed = F.when(c.isNotNull() & hint, _fix(c)).otherwise(c)
+    hint = c.isNotNull() & c.rlike(_MOJIBAKE_HINT_RE)
+    fixed = F.coalesce(_fix(F.when(hint, c)), c)
     return df.withColumn(out_col or text_col, fixed)
