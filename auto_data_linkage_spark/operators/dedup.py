@@ -1344,6 +1344,12 @@ def strip_boilerplate_grouped(
         .select("__grp", "chunk")
     )
 
+    # `exploded` feeds BOTH the detection aggregate and the removal
+    # anti-join; the chunk projection is deliberately computed twice —
+    # the span_dedup A/B (SCALE.md r9: 0.51 s recompute vs 0.71 s
+    # localCheckpoint at sf0.1) showed materializing a ~corpus-sized
+    # chunk table costs more than re-running the codegen projection,
+    # and at 100 TB it would pin corpus-scale bytes in block storage.
     survived = exploded.join(bl, ["__grp", "chunk"], "left_anti")
     agg = survived.groupBy(id_col).agg(
         F.count("*").alias("__n_kept"),
