@@ -667,3 +667,51 @@ def test_sentence_chunks_reassemble_and_match_reference(spark, texts, mx):
         )
         if t.strip():
             assert " ".join(x for _, x in mine) == t
+
+
+# ------------------------------------------------- mojibake properties
+
+def _sloppy_decode(bs: bytes) -> str:
+    out = []
+    for b in bs:
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+_moji_text = st.text(
+    alphabet="abc déàéñçü€—’“”αβπ北京 .!?",
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(_moji_text)
+@settings(max_examples=200, deadline=None)
+def test_mojibake_repair_inverts_sloppy_corruption(t):
+    """repair(sloppy_decode(utf8(t))) == t for any text whose corrupted
+    form trips the hint — and texts that DON'T trip it come back as the
+    corrupted form unchanged (conservatism, never a third value)."""
+    import re
+
+    from auto_data_linkage_spark.operators.text import (
+        _MOJIBAKE_HINT_RE,
+        fix_mojibake_str,
+    )
+
+    bad = _sloppy_decode(t.encode("utf-8"))
+    got = fix_mojibake_str(bad)
+    if re.search(_MOJIBAKE_HINT_RE, bad):
+        assert got == t, (t, bad, got)
+    else:
+        assert got == bad
+
+
+@given(st.text(alphabet="abcdef ghij.!? ", min_size=0, max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_mojibake_repair_is_identity_on_ascii(t):
+    from auto_data_linkage_spark.operators.text import fix_mojibake_str
+
+    assert fix_mojibake_str(t) == t
