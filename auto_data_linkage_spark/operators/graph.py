@@ -46,6 +46,7 @@ __all__ = [
     "compact_edge_store",
     "edge_store_sink",
     "load_edges",
+    "refresh_pagerank",
     "extract_links",
     "link_graph_stats",
     "pagerank",
@@ -417,6 +418,30 @@ def load_edges(spark, path: str) -> DataFrame:
         spark.read.parquet(path)
         .groupBy("src_domain", "dst_domain")
         .agg(F.sum("n_links").cast("bigint").alias("n_links"))
+    )
+
+
+def refresh_pagerank(
+    spark,
+    store_path: str,
+    *,
+    prev_ranks: DataFrame | None = None,
+    iterations: int = 5,
+    **pagerank_kwargs,
+) -> DataFrame:
+    """One-call authority refresh over an :func:`edge_store_sink`
+    store: aggregate the edge deltas (:func:`load_edges`) and run
+    :func:`pagerank`, warm-started from ``prev_ranks`` (a previous
+    refresh's output) when given — after a small crawl delta the old
+    ranks are near the new fixed point, so a couple of iterations
+    recover full precision instead of a cold restart. Returns
+    ``(domain, rank_scaled)``; persist it (and feed it back) at
+    whatever cadence the curation gates consume it."""
+    return pagerank(
+        load_edges(spark, store_path),
+        iterations=iterations,
+        init_ranks=prev_ranks,
+        **pagerank_kwargs,
     )
 
 

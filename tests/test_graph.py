@@ -392,3 +392,32 @@ class TestWarmStart:
         prev = pagerank(_edges_df(spark, EDGES), iterations=3)
         out = pagerank(e, iterations=1, init_ranks=prev)
         assert "new1" in {r.domain for r in out.collect()}
+
+
+def test_refresh_pagerank_over_edge_store(spark, tmp_path):
+    """The continuous-authority loop: sink pages -> refresh -> sink more
+    -> warm refresh; the warm result equals a cold run resumed from the
+    previous ranks (exact, by the warm-start resume identity)."""
+    from auto_data_linkage_spark.operators.graph import (
+        edge_store_sink,
+        load_edges,
+        refresh_pagerank,
+    )
+
+    store = str(tmp_path / "edges")
+    pages = TestEdgeStore()._pages
+    sink = edge_store_sink(store, n_buckets=2)
+    sink(pages(spark, 0, 40), 0)
+    r1 = refresh_pagerank(spark, store, iterations=5)
+
+    sink(pages(spark, 40, 80), 1)
+    warm = refresh_pagerank(spark, store, prev_ranks=r1, iterations=2)
+    resumed = pagerank(
+        load_edges(spark, store), iterations=1,
+        init_ranks=pagerank(
+            load_edges(spark, store), iterations=1, init_ranks=r1
+        ),
+    )
+    assert sorted(map(tuple, warm.collect())) == sorted(
+        map(tuple, resumed.collect())
+    )
