@@ -34,7 +34,22 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .storefs import repair_swept_dirs, swap_dir
+
 _VERSION = 1
+
+
+def repair_ann_index(path: str) -> dict:
+    """Crash-repair sweep for torn :func:`compact_ann_index` swaps:
+    restore any ``cell=N__old`` whose live dir is missing, drop
+    completed-swap leftovers and scratch trees (see
+    :mod:`.storefs` for the crash states). One ``listdir`` when the
+    index is healthy — ran automatically by :func:`load_ann_index` and
+    at the start of every compaction, callable directly after a known
+    crash. Returns ``{"restored": [...], "removed": [...]}``."""
+    local = _local(path)
+    coded = os.path.join(local, "coded")
+    return repair_swept_dirs(coded, tmp_roots=(coded + "__compact",))
 
 
 def _local(path: str) -> str:
@@ -349,9 +364,14 @@ def compact_ann_index(
     rewritten (a cell-targeted parquet read; untouched cells are never
     scanned). Results are written to a sibling temp tree, then each
     rewritten cell directory is swapped in with two renames — atomic at
-    cell granularity, the same contract compact_corpus documents.
-    Codebooks and centroids are untouched; ``index.json`` is rewritten
-    atomically with a bumped ``generation``. Returns a summary dict
+    cell granularity, the same contract compact_corpus documents. A
+    crash between the renames is repaired by :func:`repair_ann_index`,
+    which both this function and :func:`load_ann_index` run first.
+    SINGLE WRITER + POSIX renames assumed — see :mod:`.storefs` (on
+    object stores run compaction from a maintenance window; concurrent
+    appends/reads during the swap are not safe). Codebooks and
+    centroids are untouched; ``index.json`` is rewritten atomically
+    with a bumped ``generation``. Returns a summary dict
     ``{cells_rewritten, files_before, files_after, rows_rewritten}``.
     """
     import shutil
@@ -363,6 +383,7 @@ def compact_ann_index(
         raise ValueError(
             f"unsupported ann-index version {meta.get('version')!r}"
         )
+    repair_ann_index(path)
     counts = _cell_file_counts(local)
     hot = sorted(e for e, n in counts.items() if n > max_files_per_cell)
     if not hot:
@@ -392,12 +413,7 @@ def compact_ann_index(
         .parquet(tmp_root)
     )
     for entry in hot:
-        new_dir = os.path.join(tmp_root, entry)
-        cur_dir = os.path.join(coded_dir, entry)
-        old_dir = cur_dir + "__old"
-        os.rename(cur_dir, old_dir)
-        os.rename(new_dir, cur_dir)
-        shutil.rmtree(old_dir)
+        swap_dir(os.path.join(coded_dir, entry), os.path.join(tmp_root, entry))
     shutil.rmtree(tmp_root, ignore_errors=True)
     _write_meta(local, meta)
     after = _cell_file_counts(local)
@@ -423,7 +439,13 @@ def ann_index_sink(path: str, *, compact_over: int | None = None):
     cell directory holding more than that many parquet files is
     rewritten via :func:`compact_ann_index` (each micro-batch appends
     one small file per touched cell, so a long-running stream otherwise
-    fragments probe-time scans without bound).
+    fragments probe-time scans without bound). Inline compaction
+    assumes this sink is the index's ONLY writer AND that no other
+    session serves queries during the swap window (a concurrent reader
+    that resolved file paths before the swap can miss a cell) — for
+    concurrently-served indexes leave ``compact_over`` unset and run
+    :func:`compact_ann_index` from an explicit maintenance window
+    instead. See :mod:`.storefs` for the POSIX-rename assumption.
 
     Usage::
 
@@ -444,6 +466,10 @@ def ann_index_sink(path: str, *, compact_over: int | None = None):
 
 
 def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+    # torn-compaction sweep first (one listdir when healthy) — a crash
+    # between compaction's two renames otherwise silently serves top-k
+    # MISSING the parked cell's rows (no error — just wrong neighbors).
+    repair_ann_index(path)
     local = _local(path)
     with open(os.path.join(local, "index.json")) as f:
         meta = json.load(f)

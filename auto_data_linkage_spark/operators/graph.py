@@ -46,6 +46,7 @@ __all__ = [
     "compact_edge_store",
     "edge_store_sink",
     "load_edges",
+    "repair_edge_store",
     "refresh_pagerank",
     "extract_links",
     "link_graph_stats",
@@ -409,11 +410,27 @@ def edge_store_sink(
     return _sink
 
 
+def repair_edge_store(path: str) -> dict:
+    """Crash-repair sweep for torn :func:`compact_edge_store` swaps:
+    restore any ``bucket=N__old`` whose live dir is missing, drop
+    completed-swap leftovers and scratch trees (crash states in
+    :mod:`.storefs`). One ``listdir`` when the store is healthy — ran
+    automatically by :func:`load_edges` and at the start of every
+    compaction. Returns ``{"restored": [...], "removed": [...]}``."""
+    from .storefs import local_path, repair_swept_dirs
+
+    local = local_path(path)
+    return repair_swept_dirs(local, tmp_roots=(local + "__compact",))
+
+
 def load_edges(spark, path: str) -> DataFrame:
     """Aggregated edge table from an :func:`edge_store_sink` store:
     delta rows summed to one (src_domain, dst_domain, n_links) row per
     edge — the input shape :func:`pagerank` / :func:`link_graph_stats`
-    expect."""
+    expect. Runs the torn-compaction sweep first (one listdir when
+    healthy) — a crash between compaction's two renames otherwise
+    silently drops the parked bucket's edges from every refresh."""
+    repair_edge_store(path)
     return (
         spark.read.parquet(path)
         .groupBy("src_domain", "dst_domain")
@@ -455,11 +472,17 @@ def compact_edge_store(
     """Merge delta rows of over-fragmented edge-store buckets back to
     one row per edge and few files per bucket (streaming appends write
     one small file per touched bucket per micro-batch). Same
-    two-rename bucket-atomic swap as the index compactions. Returns
-    ``{buckets_rewritten, files_before, files_after}``."""
+    two-rename bucket-atomic swap as the index compactions; a crash
+    between the renames is repaired by :func:`repair_edge_store`, which
+    both this function and :func:`load_edges` run first. SINGLE WRITER
+    + POSIX renames assumed — see :mod:`.storefs` (on object stores run
+    compaction from a maintenance window; pause the streaming sink —
+    appends landing in a bucket after it is parked are dropped with
+    it). Returns ``{buckets_rewritten, files_before, files_after}``."""
     import os
     import shutil
 
+    repair_edge_store(path)
     local = path[7:] if path.startswith("file://") else path
     counts: dict[str, int] = {}
     for entry in os.listdir(local):
@@ -493,12 +516,10 @@ def compact_edge_store(
         .partitionBy("bucket")
         .parquet(tmp_root)
     )
+    from .storefs import swap_dir
+
     for entry in hot:
-        cur = os.path.join(local, entry)
-        old = cur + "__old"
-        os.rename(cur, old)
-        os.rename(os.path.join(tmp_root, entry), cur)
-        shutil.rmtree(old)
+        swap_dir(os.path.join(local, entry), os.path.join(tmp_root, entry))
     shutil.rmtree(tmp_root, ignore_errors=True)
     files_after = 0
     for entry in os.listdir(local):

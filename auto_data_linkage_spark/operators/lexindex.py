@@ -54,6 +54,10 @@ from pyspark.sql import functions as F
 
 from auto_data_linkage_spark.operators import text as X
 from auto_data_linkage_spark.operators.retrieval import doc_postings
+from auto_data_linkage_spark.operators.storefs import (
+    repair_swept_dirs,
+    swap_dir,
+)
 
 _VERSION = 1
 
@@ -61,6 +65,7 @@ __all__ = [
     "build_lex_index",
     "append_lex_index",
     "compact_lex_index",
+    "repair_lex_index",
     "lex_index_sink",
     "load_lex_index",
     "lex_index_topk",
@@ -198,6 +203,24 @@ def append_lex_index(delta: DataFrame, path: str) -> dict:
     return meta
 
 
+def repair_lex_index(path: str) -> dict:
+    """Crash-repair sweep for torn :func:`compact_lex_index` swaps over
+    BOTH stored tables: restore any ``bucket=N__old`` whose live dir is
+    missing, drop completed-swap leftovers and scratch trees (crash
+    states in :mod:`.storefs`). One ``listdir`` per table when the
+    index is healthy — ran automatically by :func:`load_lex_index` and
+    at the start of every compaction. Returns merged
+    ``{"restored": [...], "removed": [...]}`` lists."""
+    local = _local(path)
+    out: dict = {"restored": [], "removed": []}
+    for table in ("postings", "terms"):
+        root = os.path.join(local, table)
+        swept = repair_swept_dirs(root, tmp_roots=(root + "__compact",))
+        out["restored"] += swept["restored"]
+        out["removed"] += swept["removed"]
+    return out
+
+
 def _bucket_file_counts(local: str, table: str) -> dict[str, int]:
     root = os.path.join(local, table)
     out: dict[str, int] = {}
@@ -224,7 +247,12 @@ def compact_lex_index(
     are MERGED back to one row per term (``SUM(df)``), shrinking the
     probe-time aggregation to its build-time size. Only buckets over
     ``max_files_per_bucket`` are touched; each rewritten directory is
-    swapped in with two renames (atomic at bucket granularity).
+    swapped in with two renames (atomic at bucket granularity). A crash
+    between the renames is repaired by :func:`repair_lex_index`, which
+    both this function and :func:`load_lex_index` run first. SINGLE
+    WRITER + POSIX renames assumed — see :mod:`.storefs` (on object
+    stores run compaction from a maintenance window; concurrent
+    appends/probes during the swap are not safe).
     Returns ``{buckets_rewritten, files_before, files_after}``."""
     local = _local(path)
     with open(os.path.join(local, "index.json")) as f:
@@ -233,6 +261,7 @@ def compact_lex_index(
         raise ValueError(
             f"unsupported lex-index version {meta.get('version')!r}"
         )
+    repair_lex_index(path)
     summary = {"buckets_rewritten": 0, "files_before": 0, "files_after": 0}
     for table, merge in (("postings", False), ("terms", True)):
         counts = _bucket_file_counts(local, table)
@@ -261,11 +290,9 @@ def compact_lex_index(
             .parquet(tmp_root)
         )
         for entry in hot:
-            cur = os.path.join(root, entry)
-            old = cur + "__old"
-            os.rename(cur, old)
-            os.rename(os.path.join(tmp_root, entry), cur)
-            shutil.rmtree(old)
+            swap_dir(
+                os.path.join(root, entry), os.path.join(tmp_root, entry)
+            )
         shutil.rmtree(tmp_root, ignore_errors=True)
         summary["buckets_rewritten"] += len(hot)
         summary["files_after"] += sum(
@@ -281,7 +308,13 @@ def lex_index_sink(path: str, *, compact_over: int | None = None):
     corpus ingestion with serveable lexical search (the sparse mirror
     of :func:`annindex.ann_index_sink`, same replay caveat: dedup ids
     upstream). ``compact_over`` runs inline maintenance after each
-    append when any bucket exceeds that many files."""
+    append when any bucket exceeds that many files — this assumes the
+    sink is the index's ONLY writer AND no other session probes during
+    the swap window (a concurrent reader that resolved file paths
+    before the swap can miss a bucket); for concurrently-served
+    indexes leave it unset and run :func:`compact_lex_index` from an
+    explicit maintenance window. POSIX-rename assumption in
+    :mod:`.storefs`."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -298,6 +331,10 @@ def lex_index_sink(path: str, *, compact_over: int | None = None):
 
 
 def load_lex_index(spark: SparkSession, path: str) -> LexIndex:
+    # torn-compaction sweep first (one listdir per table when healthy) —
+    # a crash between compaction's two renames otherwise silently
+    # serves top-k MISSING the parked bucket's terms (no error).
+    repair_lex_index(path)
     local = _local(path)
     with open(os.path.join(local, "index.json")) as f:
         meta = json.load(f)
@@ -361,9 +398,13 @@ def lex_index_topk(
         r["bucket"] for r in qterms.select("bucket").distinct().collect()
     ]
     if not buckets:
+        # empty-result schema inherits doc_id's type from the stored
+        # postings (string-id corpora would otherwise get a BIGINT
+        # column here and their real type on the normal path).
+        doc_id_type = index.postings.schema["doc_id"].dataType
         return qterms.select(
             "query_id",
-            F.lit(None).cast("bigint").alias("doc_id"),
+            F.lit(None).cast(doc_id_type).alias("doc_id"),
             F.lit(0.0).alias("bm25"),
             F.lit(0).alias("rank"),
         ).where(F.lit(False))

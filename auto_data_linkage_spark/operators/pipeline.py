@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 from auto_data_linkage_spark.operators import dedup as D
 from auto_data_linkage_spark.operators import text as X
 
+# Stage 0b broadcasts the trusted-domain set only below this exact
+# count (1M domains ≈ tens of MB of strings — safely inside executor
+# memory and Spark's 8 GB broadcast cap); above it AQE picks the join.
+AUTHORITY_BROADCAST_MAX_DOMAINS = 1_000_000
+
 
 def curate_documents(
     docs: DataFrame,
@@ -116,6 +121,47 @@ def curate_documents(
     return survivors.select(id_col, "lang_pred", "quality")
 
 
+def authority_gate_ids(
+    docs: DataFrame,
+    domain_ranks: DataFrame,
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    min_rank_scaled: int = 0,
+) -> DataFrame:
+    """Ids of documents whose registered domain holds ``rank_scaled >=
+    min_rank_scaled`` in ``domain_ranks`` (typically
+    :func:`graph.pagerank` over the crawl's own link graph) — the
+    stage-0b authority gate, one semi-join keyed on the domain.
+
+    The trusted set is DATA-DEPENDENT cardinality: a strict threshold
+    keeps thousands of domains (broadcast-cheap), a permissive one at
+    crawl scale keeps 10^7-10^8 registered domains (multi-GB — Spark
+    hard-caps broadcasts at 8 GB and the driver materializes it first),
+    so the broadcast hint is gated on an exact count
+    (``AUTHORITY_BROADCAST_MAX_DOMAINS``); above the gate AQE picks the
+    join strategy (it still broadcasts when runtime stats allow).
+    """
+    from auto_data_linkage_spark.operators.graph import _HOST_RE
+    from auto_data_linkage_spark.operators.urls import registered_domain
+
+    trusted = domain_ranks.where(
+        F.col("rank_scaled") >= F.lit(int(min_rank_scaled))
+    ).select("domain")
+    if trusted.count() <= AUTHORITY_BROADCAST_MAX_DOMAINS:
+        trusted = F.broadcast(trusted)
+    return (
+        docs.select(
+            id_col,
+            registered_domain(
+                F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+            ).alias("__dom"),
+        )
+        .join(trusted, F.col("__dom") == F.col("domain"), "left_semi")
+        .select(id_col)
+    )
+
+
 def prepare_training_set(
     docs: DataFrame,
     out_path: str,
@@ -162,6 +208,14 @@ def prepare_training_set(
        blocklist (``blocked_domains``), exact normalized-URL dedup,
        per-domain quota (``max_per_domain``) — cheapest gate, so it
        drops rows before any text operator pays for them;
+    0b. (when ``domain_ranks`` is also given) the AUTHORITY gate: keep
+       only documents whose registered domain holds
+       ``rank_scaled >= min_rank_scaled`` in the supplied
+       (domain, rank_scaled) table — typically
+       :func:`graph.pagerank` over the crawl's own link graph
+       (:func:`graph.extract_links`); one semi-join (broadcast below
+       ``AUTHORITY_BROADCAST_MAX_DOMAINS`` trusted domains, AQE-chosen
+       above), still before any text operator runs;
     0c. (when ``site_boilerplate``, requires ``url_col``)
        :func:`dedup.strip_boilerplate_grouped` keyed by each document's
        registered domain — navigation/banner chunks that repeat across
@@ -169,13 +223,6 @@ def prepare_training_set(
        the cleaned text) before any quality or dedup statistic reads
        them; per-site chrome otherwise both drags quality scores down
        and welds near-dup clusters together;
-    0b. (when ``domain_ranks`` is also given) the AUTHORITY gate: keep
-       only documents whose registered domain holds
-       ``rank_scaled >= min_rank_scaled`` in the supplied
-       (domain, rank_scaled) table — typically
-       :func:`graph.pagerank` over the crawl's own link graph
-       (:func:`graph.extract_links`); one broadcast semi-join, still
-       before any text operator runs;
     1. :func:`curate_documents` — quality + language gate, exact dedup,
        verified MinHash near-dedup (survivor ids; ``keeper=
        "best_quality"`` keeps the highest-quality copy per cluster);
@@ -334,7 +381,12 @@ def prepare_training_set(
 
     # 0b. authority gate: registered domain must hold sufficient rank
     # in the supplied table (graph.pagerank over the crawl's link
-    # graph). The rank table is domain-cardinality — broadcast side.
+    # graph). The trusted set is DATA-DEPENDENT cardinality: a strict
+    # threshold keeps thousands of domains (broadcast-cheap), a
+    # permissive one at crawl scale keeps 10^7-10^8 (multi-GB — Spark
+    # hard-caps broadcasts at 8 GB and the driver pays it first), so
+    # the hint is gated on an exact count and above the gate AQE picks
+    # the join strategy (it still broadcasts when runtime stats allow).
     n_authority_kept = None
     if domain_ranks is not None:
         if url_col is None:
@@ -342,28 +394,15 @@ def prepare_training_set(
                 "domain_ranks requires url_col (the gate keys on each "
                 "document's registered domain)"
             )
-        from auto_data_linkage_spark.operators.graph import _HOST_RE
-        from auto_data_linkage_spark.operators.urls import (
-            registered_domain,
-        )
-
-        trusted = domain_ranks.where(
-            F.col("rank_scaled") >= F.lit(int(min_rank_scaled))
-        ).select("domain")
         auth_ids = _stage(
             "s0b_authority_ids",
-            lambda: docs.select(
-                id_col,
-                registered_domain(
-                    F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
-                ).alias("__dom"),
-            )
-            .join(
-                F.broadcast(trusted),
-                F.col("__dom") == F.col("domain"),
-                "left_semi",
-            )
-            .select(id_col),
+            lambda: authority_gate_ids(
+                docs,
+                domain_ranks,
+                url_col=url_col,
+                id_col=id_col,
+                min_rank_scaled=min_rank_scaled,
+            ),
         )
         docs = docs.join(auth_ids, id_col, "left_semi")
         n_authority_kept = auth_ids.count()

@@ -423,3 +423,40 @@ def test_site_boilerplate_cap_gets_window_group_limit(spark):
     out = strip_boilerplate_grouped(df, "src", chunk_words=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_authority_gate_broadcast_is_size_gated(spark, monkeypatch):
+    """Stage 0b's broadcast hint must be cardinality-gated: below the
+    cap the trusted-domain set is hint-broadcast (joins broadcast even
+    with auto-broadcast disabled); above the cap the hint is DROPPED —
+    at crawl scale a permissive rank threshold keeps 10^7-10^8 domains
+    and a forced broadcast would OOM the driver — and the join falls
+    back to the planner's choice (SMJ with auto-broadcast disabled)."""
+    from auto_data_linkage_spark.operators import pipeline as P
+    from auto_data_linkage_spark.plans.explain import physical_plan
+
+    docs = spark.createDataFrame(
+        [(i, f"https://site{i % 5}.com/p{i}") for i in range(64)],
+        "doc_id long, url string",
+    )
+    ranks = spark.createDataFrame(
+        [(f"site{i}.com", 1_000_000) for i in range(5)],
+        "domain string, rank_scaled long",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = physical_plan(
+            P.authority_gate_ids(docs, ranks, min_rank_scaled=1)
+        )
+        assert "BroadcastHashJoin" in gated
+        assert "SortMergeJoin" not in gated
+
+        monkeypatch.setattr(P, "AUTHORITY_BROADCAST_MAX_DOMAINS", 0)
+        ungated = physical_plan(
+            P.authority_gate_ids(docs, ranks, min_rank_scaled=1)
+        )
+        assert "BroadcastHashJoin" not in ungated
+        assert "SortMergeJoin" in ungated
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
