@@ -1293,6 +1293,7 @@ def strip_boilerplate_grouped(
     max_terms_per_group: int = 1_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unit: str = "chunk",
 ) -> DataFrame:
     """Per-GROUP boilerplate removal — navigation bars, cookie banners,
     and footers repeat within a SITE, not across the whole corpus, so
@@ -1300,31 +1301,64 @@ def strip_boilerplate_grouped(
     frequency floor (:func:`strip_boilerplate`) dilutes below
     threshold. Returns ``(id, group, n_chunks, n_removed, clean_text)``.
 
-    A chunk is boilerplate for its group when it appears in
+    ``unit`` picks the segmentation:
+
+    - ``"chunk"`` (default): fixed ``chunk_words``-token windows of the
+      lowercased token stream — the highest-recall detector, but
+      ``clean_text`` is rebuilt from those tokens, so it is LOWERCASED
+      and newline-FLATTENED. Right for computing removal statistics or
+      feeding dedup keys; wrong for replacing training text.
+    - ``"line"``: segments are the document's ORIGINAL LINES; matching
+      uses a normalized key (lowercased, whitespace-collapsed, trimmed)
+      so indentation/case variants of the same nav bar unify, but
+      ``clean_text`` reassembles the surviving ORIGINAL lines with
+      ``"\\n"`` — case and paragraph structure preserved, which is what
+      a pipeline that REPLACES the corpus text must use (boilerplate is
+      line-shaped in practice: headers, cookie banners, footers).
+      Blank lines are structure, not boilerplate — excluded from
+      detection, always kept. ``chunk_words`` is ignored.
+
+    A segment is boilerplate for its group when it appears in
     ``>= max(min_docs, min_doc_frac × group_doc_count)`` of the group's
     documents; the per-group set is capped at ``max_terms_per_group``
     by frequency (rank window — WindowGroupLimit bounds hot groups
     map-side). Unlike the corpus-wide variant, the per-group set is
     group_count × cap rows — NOT driver-collectable at web scale — so
-    removal is a (group, chunk)-keyed LEFT-ANTI join (AQE picks
+    removal is a (group, key)-keyed LEFT-ANTI join (AQE picks
     broadcast when the set is small, sort-merge when it is not),
     followed by the same ordered hash-agg reassembly keyed by id. The
-    single corpus-sized exchange carries surviving chunk strings.
+    single corpus-sized exchange carries surviving segment strings.
     """
     from pyspark.sql import Window
 
+    if unit not in ("chunk", "line"):
+        raise ValueError(f"unit must be 'chunk' or 'line', got {unit!r}")
     g = F.col(group_col).alias("__grp")
-    chunk_arr = _chunk_array(F.col(text_col), chunk_words)
-    exploded = df.select(
-        F.col(id_col), g, F.posexplode(chunk_arr).alias("pos", "chunk")
-    )
+    if unit == "line":
+        chunk_arr = F.split(F.col(text_col), "\n")
+        sep = "\n"
+        exploded = df.select(
+            F.col(id_col), g, F.posexplode(chunk_arr).alias("pos", "chunk")
+        ).withColumn(
+            "__key",
+            F.trim(F.regexp_replace(F.lower(F.col("chunk")), r"\s+", " ")),
+        )
+    else:
+        chunk_arr = _chunk_array(F.col(text_col), chunk_words)
+        sep = " "
+        exploded = df.select(
+            F.col(id_col), g, F.posexplode(chunk_arr).alias("pos", "chunk")
+        ).withColumn("__key", F.col("chunk"))
 
     group_docs = df.groupBy(g).agg(
         F.count_distinct(F.col(id_col)).alias("__gdocs")
     )
+    detect_src = (
+        exploded.where(F.col("__key") != "") if unit == "line" else exploded
+    )
     per_chunk = (
-        exploded.dropDuplicates([id_col, "__grp", "chunk"])
-        .groupBy("__grp", "chunk")
+        detect_src.dropDuplicates([id_col, "__grp", "__key"])
+        .groupBy("__grp", "__key")
         .agg(F.count("*").alias("doc_freq"))
         .join(F.broadcast(group_docs), "__grp")
         .where(
@@ -1336,12 +1370,12 @@ def strip_boilerplate_grouped(
         )
     )
     w = Window.partitionBy("__grp").orderBy(
-        F.desc("doc_freq"), F.asc("chunk")
+        F.desc("doc_freq"), F.asc("__key")
     )
     bl = (
         per_chunk.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= max_terms_per_group)
-        .select("__grp", "chunk")
+        .select("__grp", "__key")
     )
 
     # `exploded` feeds BOTH the detection aggregate and the removal
@@ -1350,7 +1384,7 @@ def strip_boilerplate_grouped(
     # localCheckpoint at sf0.1) showed materializing a ~corpus-sized
     # chunk table costs more than re-running the codegen projection,
     # and at 100 TB it would pin corpus-scale bytes in block storage.
-    survived = exploded.join(bl, ["__grp", "chunk"], "left_anti")
+    survived = exploded.join(bl, ["__grp", "__key"], "left_anti")
     agg = survived.groupBy(id_col).agg(
         F.count("*").alias("__n_kept"),
         F.array_join(
@@ -1358,7 +1392,7 @@ def strip_boilerplate_grouped(
                 F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
                 lambda s: s["chunk"],
             ),
-            " ",
+            sep,
         ).alias("clean_text"),
     )
     base = df.select(

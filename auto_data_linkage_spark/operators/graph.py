@@ -60,12 +60,19 @@ __all__ = [
 _HREF_RE = r"""(?i)<a\s[^>]*href\s*=\s*["']?(https?://[^"'\s>#?]+)"""
 _HOST_RE = r"(?i)^https?://([^/:]+)"
 # href + anchor text in one capture pass: group 1 = url, group 2 = the
-# inner text up to the closing tag (first '<' ends it — nested markup
-# inside anchors is rare and the truncation is the conventional
-# anchor-text normalization anyway). Still RE2-safe.
+# full inner region up to the closing </a tag — INCLUDING wrapped
+# markup (<b>text</b> anchors are common; a first-'<'-stops capture
+# would drop them, a real recall gap for retrieval weak supervision).
+# Inner tags are stripped AFTER the match by a bounded regexp_replace
+# on the match string (match-sized, never page-sized). The lazy
+# repetition is bounded at 999 chars (RE2's repeat limit is 1000):
+# anchor regions longer than that — and unclosed <a> tags — produce no
+# pair, the documented trade. Still RE2-safe: lazy quantifiers and
+# bounded repeats only, no backreferences/lookarounds, so DuckDB runs
+# the identical pattern.
 _HREF_ANCHOR_RE = (
     r"""(?i)<a\s[^>]*href\s*=\s*["']?(https?://[^"'\s>#?]+)"""
-    r"""[^>]*>([^<]*)"""
+    r"""[^>]*>([\s\S]{0,999}?)</a"""
 )
 
 
@@ -120,8 +127,13 @@ def anchor_texts(
     (``regexp_extract_all`` of the full match); the two capture groups
     are re-extracted per MATCH string after the explode — match bytes
     are tiny next to page bytes, so this halves the raw-HTML scan cost
-    vs two whole-page group extractions. Page bytes never shuffle;
-    output is link-sized.
+    vs two whole-page group extractions. Markup-wrapped anchors
+    (``<a ...><b>text</b></a>``) are RECOVERED: the capture runs to the
+    closing ``</a`` and inner tags are stripped by a match-sized
+    ``regexp_replace`` (then whitespace-collapsed) — never a page-sized
+    pass. Unclosed anchors and inner regions over 999 chars produce no
+    pair (bounded lazy repeat; see ``_HREF_ANCHOR_RE``). Page bytes
+    never shuffle; output is link-sized.
     """
     out = df.select(
         registered_domain(
@@ -144,7 +156,15 @@ def anchor_texts(
             )
         ).alias("dst_domain"),
         F.trim(
-            F.regexp_extract(F.col("__m"), _HREF_ANCHOR_RE, 2)
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_extract(F.col("__m"), _HREF_ANCHOR_RE, 2),
+                    r"<[^>]*>",
+                    " ",
+                ),
+                r"\s+",
+                " ",
+            )
         ).alias("anchor"),
     ).where((F.col("dst_domain") != "") & (F.col("anchor") != ""))
     if drop_self:
@@ -213,6 +233,9 @@ def pagerank(
     dst_col: str = "dst_domain",
     seeds: list[str] | None = None,
     init_ranks: DataFrame | None = None,
+    tol_scaled: int | None = None,
+    min_iterations: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a (src, dst) edge table →
     ``(domain, rank_scaled)`` with rank_scaled summing to ≈ scale.
@@ -238,6 +261,22 @@ def pagerank(
     it starts). Domains absent from ``init_ranks`` (new since the last
     run) start at the uniform share. One extra broadcast-sized join
     outside the loop; the per-iteration plan is unchanged.
+
+    ``tol_scaled`` enables CONVERGENCE EARLY-STOP: before each update
+    the loop checks the exact-BIGINT L1 delta of the previous update
+    (``sum(abs(new - old))``, piggybacked on the same one-row aggregate
+    that already collects the dangling mass — zero extra jobs) and
+    stops once it is ``<= tol_scaled`` after at least
+    ``min_iterations`` updates; ``iterations`` stays the hard cap. The
+    returned ranks are BIT-IDENTICAL to a fixed-``iterations`` run
+    stopped at the same point (the stop never alters an update, it
+    only skips provably-negligible ones), so the equality oracle is
+    unaffected when the knob is off (the default). This is what makes
+    warm-started refreshes adaptive: a tiny edge delta converges in
+    1-2 updates instead of paying the fixed schedule. Pass a ``stats``
+    dict to receive ``{"iterations_run", "final_l1"}`` (``final_l1``
+    is the last L1 delta the stop-check aggregated, ``None`` if no
+    update ran).
 
     Per iteration: one shuffle join (ranks ⋈ edges on src) + one
     aggregation (sum by dst), with ranks eagerly localCheckpointed so
@@ -295,6 +334,7 @@ def pagerank(
 
     teleport = (scale // n_tel) * (100 - damping_pct) // 100
     seed_col = is_seed.cast("boolean").alias("__seed")
+    no_prev = F.lit(None).cast("bigint").alias("__prev")
     if init_ranks is not None:
         ranks = base.join(
             init_ranks.select(
@@ -306,6 +346,7 @@ def pagerank(
             "domain",
             "out_degree",
             seed_col,
+            no_prev,
             F.coalesce(F.col("__r0"), F.lit(scale // n))
             .cast("bigint")
             .alias("rank_scaled"),
@@ -315,14 +356,38 @@ def pagerank(
             "domain",
             "out_degree",
             seed_col,
+            no_prev,
             F.lit(scale // n).cast("bigint").alias("rank_scaled"),
         ).localCheckpoint(eager=True)
+    iterations_run = 0
+    l1 = None
     for _ in range(iterations):
-        dangling = int(
-            ranks.where(F.col("out_degree") == 0)
-            .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("d"))
-            .collect()[0]["d"]
-        )
+        # ONE tiny job collects BOTH loop-carried scalars: the dangling
+        # mass for this update and the L1 delta of the PREVIOUS update
+        # (rank - __prev; null until an update ran) — the convergence
+        # check rides the collect that already existed.
+        row = ranks.agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("out_degree") == 0, F.col("rank_scaled")
+                    )
+                ),
+                F.lit(0),
+            ).alias("d"),
+            F.sum(F.abs(F.col("rank_scaled") - F.col("__prev"))).alias(
+                "l1"
+            ),
+        ).collect()[0]
+        dangling = int(row["d"])
+        l1 = None if row["l1"] is None else int(row["l1"])
+        if (
+            tol_scaled is not None
+            and l1 is not None
+            and iterations_run >= min_iterations
+            and l1 <= tol_scaled
+        ):
+            break
         # all arithmetic below is exact integer DIV/×/+ (never float `/`
         # + cast: doubles lose exactness past 2^53, and bit-exactness is
         # the whole point of the fixed-point formulation).
@@ -337,12 +402,18 @@ def pagerank(
             .agg(F.sum("__share").cast("bigint").alias("__in"))
         )
         ranks = (
-            base.select("domain", "out_degree", seed_col)
+            ranks.select(
+                "domain",
+                "out_degree",
+                "__seed",
+                F.col("rank_scaled").alias("__prev"),
+            )
             .join(contrib, "domain", "left")
             .select(
                 "domain",
                 "out_degree",
                 F.col("__seed"),
+                F.col("__prev"),
                 F.expr(
                     f"CAST(IF(__seed, {teleport}, 0) + {damping_pct} * "
                     f"(COALESCE(__in, 0) + "
@@ -352,6 +423,13 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        iterations_run += 1
+    if stats is not None:
+        # final_l1: delta of the last COMPLETED update. When the loop
+        # exhausted `iterations` the last update's delta was never
+        # aggregated — leave the pre-update value only on early stop.
+        stats["iterations_run"] = iterations_run
+        stats["final_l1"] = l1
     return ranks.select("domain", "rank_scaled")
 
 
@@ -451,9 +529,13 @@ def refresh_pagerank(
     :func:`pagerank`, warm-started from ``prev_ranks`` (a previous
     refresh's output) when given — after a small crawl delta the old
     ranks are near the new fixed point, so a couple of iterations
-    recover full precision instead of a cold restart. Returns
-    ``(domain, rank_scaled)``; persist it (and feed it back) at
-    whatever cadence the curation gates consume it."""
+    recover full precision instead of a cold restart. Pass
+    ``tol_scaled`` (forwarded to :func:`pagerank`) to make the warm
+    refresh ADAPTIVE: ``iterations`` becomes the cap and the loop
+    stops as soon as an update moves total rank mass by no more than
+    the tolerance — the usual steady-state refresh is then 1-2
+    updates. Returns ``(domain, rank_scaled)``; persist it (and feed
+    it back) at whatever cadence the curation gates consume it."""
     return pagerank(
         load_edges(spark, store_path),
         iterations=iterations,

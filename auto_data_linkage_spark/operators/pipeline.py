@@ -217,12 +217,15 @@ def prepare_training_set(
        ``AUTHORITY_BROADCAST_MAX_DOMAINS`` trusted domains, AQE-chosen
        above), still before any text operator runs;
     0c. (when ``site_boilerplate``, requires ``url_col``)
-       :func:`dedup.strip_boilerplate_grouped` keyed by each document's
-       registered domain — navigation/banner chunks that repeat across
-       a SITE's pages are removed (and the document text REPLACED by
-       the cleaned text) before any quality or dedup statistic reads
-       them; per-site chrome otherwise both drags quality scores down
-       and welds near-dup clusters together;
+       :func:`dedup.strip_boilerplate_grouped` with ``unit="line"``,
+       keyed by each document's registered domain — LINES that repeat
+       across a SITE's pages (navigation, cookie banners, footers) are
+       removed and the document text REPLACED by the surviving
+       original lines (case and paragraph structure preserved — the
+       token-chunk unit would lowercase and flatten the training
+       text) before any quality or dedup statistic reads them;
+       per-site chrome otherwise both drags quality scores down and
+       welds near-dup clusters together;
     1. :func:`curate_documents` — quality + language gate, exact dedup,
        verified MinHash near-dedup (survivor ids; ``keeper=
        "best_quality"`` keeps the highest-quality copy per cluster);
@@ -430,10 +433,17 @@ def prepare_training_set(
                 F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
             ),
         )
+        # unit="line": the strip REPLACES the training text, so the
+        # reassembly must preserve case and line/paragraph structure
+        # (the chunk unit rebuilds text from lowercased tokens — it
+        # would case-fold the corpus and collapse every document to one
+        # line, degenerating Gopher's line/paragraph repetition rules
+        # downstream).
         stripped = _stage(
             "s0c_boilerplate",
             lambda: strip_boilerplate_grouped(
-                keyed, "__site", text_col=text_col, id_col=id_col
+                keyed, "__site", text_col=text_col, id_col=id_col,
+                unit="line",
             ).select(id_col, "n_removed", "clean_text"),
         )
         n_boiler_removed = (

@@ -133,16 +133,20 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     return out
 
 
-def lang_id(text: Column | str, *, min_hits: int = 1) -> Column:
+def lang_id(text: Column | str, *, min_hits: int = 2) -> Column:
     """Predicted language = argmax stopword hits, ``und`` when the best
     language scores fewer than ``min_hits`` hits. Ties break by language
     code order (deterministic; overlapping function words like "de"/"la"
     resolve to the alphabetically-earlier code).
 
-    ``min_hits`` is the evidence floor: at the default 1 any single
-    function-word hit labels the document; raise it (2–3) for corpora of
-    short snippets where one incidental token ("a", "in") otherwise
-    over-commits — below the floor the honest answer is ``und``."""
+    ``min_hits`` is the evidence floor, default 2: ONE incidental
+    function-word hit ("a", "in", a code identifier) must not commit a
+    language — below the floor the honest answer is ``und``. Pass 1 for
+    the label-anything behavior on long well-evidenced prose (where two
+    hits of the true language are all but guaranteed anyway), or 3+ for
+    corpora of very short noisy snippets. The SQL oracle mirror
+    (queries_llm._lang_pred_parts) carries the same default — change
+    them together."""
     scores = lang_scores(text)
     pairs = F.array(
         *[

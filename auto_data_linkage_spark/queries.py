@@ -1605,11 +1605,10 @@ _DEPRIORITIZED = (
     "interval_join_events",  # temporal-joins keeps asof_join_events
     #                          in-window (the same range-bucketed join
     #                          machinery; interval is the symmetric form)
-    # registered DIRECTLY into the back window (link-graph family holds
-    # link_graph + domain_pagerank driver rows; the prune composes those
-    # two certified plans with one broadcast semi-join) —
-    # test_oracle_window runs the full driver comparison:
-    "domain_rank_prune",
+    # (r10: domain_rank_prune PROMOTED to the driver window per the r9
+    # verdict — it is the composition row the link-graph family exists
+    # for: extract → pagerank → broadcast gate; link_graph demoted in
+    # exchange below.)
     # round-9j rotation: sentence_chunks and anchor_pairs promoted to
     # driver rows per the every-new-operator-holds-a-driver-row rule;
     # two redundant front rows demoted in exchange, each family keeping
@@ -1632,6 +1631,21 @@ _DEPRIORITIZED = (
     # the ann-search family keeps ivfpq_topk (which composes the same
     # cell-pruned IVF machinery) and sq8_topk in-window:
     "ivf_topk",
+    # round-10 rotation: site_boilerplate_lines (line-unit per-site
+    # boilerplate — the case/newline-preserving text-replacement
+    # variant) takes the new-operator driver row; the chunk-unit
+    # site_boilerplate demotes in exchange — the line variant runs the
+    # IDENTICAL detection floor + per-group WindowGroupLimit cap +
+    # anti-join + ordered reassembly plan (strictly richer: adds the
+    # normalized-key unification), and the token-chunk projection
+    # machinery keeps span_dedup/line_dedup/sentence_chunks front:
+    "site_boilerplate",
+    # round-10: link_graph demoted in exchange for the domain_rank_prune
+    # promotion above — the prune COMPOSES the same extract_links scan
+    # with pagerank and the authority gate (strictly richer under the
+    # same check); the degree/reciprocity stats stay driver-identically
+    # checked back-window by test_oracle_window:
+    "link_graph",
 )
 
 # --------------------------------------------------------------------------
@@ -1681,7 +1695,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "substring-dedup": ("span_dedup", "chunk_dedup", "split_chunks",
                         "strip_boilerplate", "line_dedup",
                         "paragraph_dedup", "sentence_chunks",
-                        "site_boilerplate"),
+                        "site_boilerplate", "site_boilerplate_lines"),
     "embedding-dedup": ("media_near_dup", "embedding_near_dup",
                         "semantic_dedup", "semantic_decontaminate"),
     "decontamination": ("decontaminate", "bloom_decontaminate",

@@ -105,11 +105,12 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Language ID heuristic: stopword-hit argmax with deterministic tie-break
 # --------------------------------------------------------------------------
-def _lang_pred_parts(min_hits: int = 1) -> tuple[list[str], str]:
+def _lang_pred_parts(min_hits: int = 2) -> tuple[list[str], str]:
     """(per-language hit-count columns, argmax CASE) — shared by the
     distribution query and the per-doc prediction CTE. ``min_hits``
     mirrors text.lang_id's evidence floor (best language below the
-    floor → 'und')."""
+    floor → 'und'); the DEFAULTS are kept in lockstep — change both
+    or the lang_id_dist / curate_documents oracles break."""
     langs = sorted(X.LANG_STOPWORDS)
     hit_cols = []
     for lang in langs:
@@ -4938,7 +4939,9 @@ def _anchor_pairs_sql() -> str:
                {_sql_domain_expr(
                    "LOWER(regexp_extract(href, '" + host + "', 1))"
                )} AS dst_domain,
-               TRIM(anchor) AS anchor
+               TRIM(regexp_replace(regexp_replace(
+                    anchor, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))
+                 AS anchor
         FROM pairs
     )
     SELECT src_domain, dst_domain, anchor, COUNT(*) AS n_links
@@ -5154,6 +5157,112 @@ def site_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", "source", banner.alias("text"))
     out = strip_boilerplate_grouped(
         d, "source", chunk_words=6, min_doc_frac=0.5, min_docs=2,
+        max_terms_per_group=1000,
+    )
+    return out.select(
+        "doc_id", "group",
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        "clean_text",
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-site boilerplate, LINE unit (dedup.strip_boilerplate_grouped
+# unit="line") — the variant pipelines use to REPLACE training text:
+# matching on a normalized key (lower/whitespace-collapse/trim, so case
+# and indentation variants of one nav bar unify) while reassembling the
+# surviving ORIGINAL lines. The planted banner alternates case by
+# doc_id parity to exercise exactly that unification cross-engine.
+# --------------------------------------------------------------------------
+def _site_boilerplate_lines_sql() -> str:
+    banner = "'Subscribe to ' || source || ' newsletter NOW'"
+    return rf"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 2 = 0 THEN UPPER({banner})
+                    ELSE {banner} END || chr(10) || text AS text2
+        FROM documents
+    ),
+    ln AS (
+        SELECT doc_id, source, string_split(text2, chr(10)) AS arr
+        FROM d
+    ),
+    ex AS (
+        SELECT doc_id, source, UNNEST(arr) AS line,
+               GENERATE_SUBSCRIPTS(arr, 1) - 1 AS pos
+        FROM ln
+    ),
+    keyed AS (
+        SELECT doc_id, source, pos, line,
+               TRIM(regexp_replace(LOWER(line), '\s+', ' ', 'g'))
+                   AS lkey
+        FROM ex
+    ),
+    gdocs AS (SELECT source, COUNT(DISTINCT doc_id) AS gd
+              FROM d GROUP BY source),
+    freq AS (
+        SELECT source, lkey, COUNT(*) AS doc_freq
+        FROM (SELECT DISTINCT doc_id, source, lkey
+              FROM keyed WHERE lkey <> '')
+        GROUP BY source, lkey
+    ),
+    bl AS (
+        SELECT source, lkey FROM (
+            SELECT f.source, f.lkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY f.source
+                       ORDER BY f.doc_freq DESC, f.lkey ASC) AS rk
+            FROM freq f JOIN gdocs g ON f.source = g.source
+            WHERE f.doc_freq >=
+                  GREATEST(2, CAST(CEIL(g.gd * 0.5) AS BIGINT))
+        ) WHERE rk <= 1000
+    ),
+    kept AS (
+        SELECT k.doc_id, k.pos, k.line
+        FROM keyed k ANTI JOIN bl
+          ON k.source = bl.source AND k.lkey = bl.lkey
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               STRING_AGG(line, chr(10) ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.source AS "group",
+           CAST(len(l.arr) AS INT) AS n_chunks,
+           CAST(len(l.arr) - COALESCE(a.n_kept, 0) AS INT)
+               AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM ln l LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register(
+    "site_boilerplate_lines",
+    _site_boilerplate_lines_sql(),
+    survey="LLM cleaning: per-site boilerplate removal, line unit "
+    "(normalized-key matching, case/newline-preserving reassembly — "
+    "the text-replacement variant pipelines train on)",
+)
+def site_boilerplate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.dedup import (
+        strip_boilerplate_grouped,
+    )
+
+    docs = _docs(spark, sf_dir)
+    banner = F.concat(
+        F.lit("Subscribe to "), F.col("source"), F.lit(" newsletter NOW")
+    )
+    banner = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(banner)
+    ).otherwise(banner)
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.concat(banner, F.lit("\n"), F.col("text")).alias("text"),
+    )
+    out = strip_boilerplate_grouped(
+        d, "source", unit="line", min_doc_frac=0.5, min_docs=2,
         max_terms_per_group=1000,
     )
     return out.select(

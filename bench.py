@@ -132,6 +132,11 @@ BENCH_QUERIES = [
     # round-9k: per-site boilerplate strip (group-scoped frequency floor
     # + anti-join + reassembly — the heaviest new text exchange)
     "site_boilerplate",
+    # round-10: the line-unit (text-replacement) boilerplate variant and
+    # the promoted link-graph composition row (extract → pagerank →
+    # authority gate)
+    "site_boilerplate_lines",
+    "domain_rank_prune",
 ]
 
 

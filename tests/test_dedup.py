@@ -803,3 +803,74 @@ class TestStripBoilerplateGrouped:
         assert out[1].clean_text == "aa bb cc dd ee ff gg hh"
         assert out[1].n_removed == 2 and out[1].n_chunks == 4
         assert out[2].clean_text == "ii jj kk ll"
+
+    def test_line_unit_preserves_case_and_structure(self, spark):
+        """unit="line": boilerplate LINES are removed by a normalized
+        key (case/indent variants of the same nav bar unify) but the
+        surviving text reassembles the ORIGINAL lines — case, blank
+        lines, and paragraph breaks intact. This is the unit a pipeline
+        that REPLACES training text must use."""
+        from auto_data_linkage_spark.operators.dedup import (
+            strip_boilerplate_grouped,
+        )
+
+        nav = "Home | Products | About"
+        rows = [
+            (1, "A", f"{nav}\nAlpha Beta keeps Case.\n\n"
+                     f"Second Paragraph here.\n  WE USE COOKIES  "),
+            (2, "A", f"{nav.upper()}\nOther body text two.\n\n"
+                     f"we use cookies"),
+            (3, "A", f"  {nav}\nThird body text three.\nWe Use Cookies"),
+            (4, "B", f"{nav}\nSite B keeps it."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+        out = {
+            r.doc_id: r
+            for r in strip_boilerplate_grouped(
+                df, "src", unit="line", min_doc_frac=0.5, min_docs=2
+            ).collect()
+        }
+        # nav (all case/indent variants) and the cookie banner are gone;
+        # the body keeps case AND the blank line between paragraphs
+        assert out[1].clean_text == (
+            "Alpha Beta keeps Case.\n\nSecond Paragraph here."
+        )
+        assert out[1].n_chunks == 5 and out[1].n_removed == 2
+        assert out[2].clean_text == "Other body text two.\n"
+        # site B saw the nav only once -> below the floor, kept verbatim
+        assert out[4].clean_text == f"{nav}\nSite B keeps it."
+        assert out[4].n_removed == 0
+
+    def test_line_unit_blank_lines_never_detected(self, spark):
+        """Blank lines appear in every document but are structure, not
+        boilerplate — they must survive even though their document
+        frequency tops every floor."""
+        from auto_data_linkage_spark.operators.dedup import (
+            strip_boilerplate_grouped,
+        )
+
+        rows = [
+            (i, "S", f"Unique body line {i}.\n\nUnique tail {i}.")
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+        out = {
+            r.doc_id: r
+            for r in strip_boilerplate_grouped(
+                df, "src", unit="line", min_doc_frac=0.3, min_docs=2
+            ).collect()
+        }
+        for i in range(4):
+            assert out[i].clean_text == f"Unique body line {i}.\n\nUnique tail {i}."
+            assert out[i].n_removed == 0
+
+    def test_unit_validation(self, spark):
+        from auto_data_linkage_spark.operators.dedup import (
+            strip_boilerplate_grouped,
+        )
+        import pytest as _pt
+
+        df = spark.createDataFrame([(1, "S", "x")],
+                                   "doc_id long, src string, text string")
+        with _pt.raises(ValueError, match="unit"):
+            strip_boilerplate_grouped(df, "src", unit="paragraph")

@@ -200,10 +200,11 @@ class TestAnchorTexts:
             (
                 "https://www.foo.com/x",
                 '<a href="https://bar.co.uk/p" rel="nofollow"> Spark guide </a>'
-                '<a href="https://baz.org/q"><b>bold</b></a>'  # truncates at <
+                '<a href="https://baz.org/q"><b>bold</b> link</a>'  # markup-wrapped: recovered
                 '<a href="https://qux.net/r"></a>'  # empty anchor dropped
                 '<a href="/rel">relative dropped</a>'
-                '<a href="https://foo.com/self">self dropped</a>',
+                '<a href="https://foo.com/self">self dropped</a>'
+                '<a href="https://dangle.io/u">unclosed anchor dropped',
             ),
         ]
         df = spark.createDataFrame(rows, ["url", "html"])
@@ -211,7 +212,27 @@ class TestAnchorTexts:
             (r["src_domain"], r["dst_domain"], r["anchor"])
             for r in anchor_texts(df).collect()
         }
-        assert got == {("foo.com", "bar.co.uk", "Spark guide")}
+        assert got == {
+            ("foo.com", "bar.co.uk", "Spark guide"),
+            ("foo.com", "baz.org", "bold link"),
+        }
+
+    def test_multiline_and_span_wrapped_anchors_recovered(self, spark):
+        rows = [
+            (
+                "https://src.com/",
+                '<a href="https://t1.com/a"><span class="x">deep\n'
+                "  learning</span>  notes</a>"
+                '<a href="https://t2.com/b"><img src="x.png"/></a>',
+            ),
+        ]
+        df = spark.createDataFrame(rows, ["url", "html"])
+        got = {
+            (r["dst_domain"], r["anchor"])
+            for r in anchor_texts(df).collect()
+        }
+        # t2: image-only anchor strips to empty -> dropped
+        assert got == {("t1.com", "deep learning notes")}
 
     def test_no_python_udf_in_plan(self, spark):
         df = spark.createDataFrame([("u", "h")], ["url", "html"])
@@ -421,3 +442,83 @@ def test_refresh_pagerank_over_edge_store(spark, tmp_path):
     assert sorted(map(tuple, warm.collect())) == sorted(
         map(tuple, resumed.collect())
     )
+
+
+class TestEarlyStop:
+    """tol_scaled convergence early-stop: piggybacked on the dangling
+    collect (zero extra jobs), bit-identical to the fixed schedule at
+    the stop point, and what makes warm refreshes adaptive."""
+
+    def test_off_by_default_and_stats_report_schedule(self, spark):
+        s = {}
+        pagerank(_edges_df(spark, EDGES), iterations=5, stats=s).collect()
+        assert s["iterations_run"] == 5
+
+    def test_stop_point_is_bit_identical_to_fixed_run(self, spark):
+        e = _edges_df(spark, EDGES)
+        tol = PAGERANK_SCALE // 10**6
+        s = {}
+        adaptive = sorted(
+            map(
+                tuple,
+                pagerank(e, iterations=60, tol_scaled=tol, stats=s).collect(),
+            )
+        )
+        assert 0 < s["iterations_run"] < 60
+        assert s["final_l1"] <= tol
+        fixed = sorted(
+            map(tuple, pagerank(e, iterations=s["iterations_run"]).collect())
+        )
+        assert adaptive == fixed
+
+    def test_warm_refresh_converges_in_fewer_iterations(self, spark):
+        """The adaptive-refresh claim: after an edge delta, the
+        warm-started run crosses the tolerance in FEWER updates than a
+        cold run, and its result equals the fixed-iteration warm run
+        stopped at the same point (bit-identical)."""
+        e_old = _edges_df(spark, EDGES)
+        old_ranks = pagerank(e_old, iterations=30)
+        e_new = _edges_df(spark, EDGES + [("e", "c"), ("c", "e")])
+        tol = PAGERANK_SCALE // 10**4
+        s_warm, s_cold = {}, {}
+        warm = sorted(
+            map(
+                tuple,
+                pagerank(
+                    e_new,
+                    iterations=100,
+                    tol_scaled=tol,
+                    init_ranks=old_ranks,
+                    stats=s_warm,
+                ).collect(),
+            )
+        )
+        pagerank(
+            e_new, iterations=100, tol_scaled=tol, stats=s_cold
+        ).collect()
+        assert s_warm["iterations_run"] < s_cold["iterations_run"]
+        fixed = sorted(
+            map(
+                tuple,
+                pagerank(
+                    e_new,
+                    iterations=s_warm["iterations_run"],
+                    init_ranks=old_ranks,
+                ).collect(),
+            )
+        )
+        assert warm == fixed
+
+    def test_min_iterations_floor(self, spark):
+        """A tolerance met immediately still performs min_iterations
+        updates — a warm start exactly AT the old fixed point must not
+        skip folding a new edge delta in."""
+        s = {}
+        pagerank(
+            _edges_df(spark, EDGES),
+            iterations=100,
+            tol_scaled=PAGERANK_SCALE,
+            min_iterations=3,
+            stats=s,
+        ).collect()
+        assert s["iterations_run"] == 3

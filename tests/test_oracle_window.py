@@ -75,11 +75,16 @@ def test_front_window_fits_driver_gate():
         "sq8_topk",
         "embedding_outliers",
         "html_extract",
-        "link_graph",
         "domain_pagerank",
         "anchor_pairs",
         "sentence_chunks",
-        "site_boilerplate",
+        # round-10 promotions: domain_rank_prune (the link-graph
+        # composition row, per the r9 verdict) and the new line-unit
+        # boilerplate variant; link_graph and chunk-unit
+        # site_boilerplate rotated back in exchange (each family keeps
+        # strictly-richer front rows — see queries._DEPRIORITIZED)
+        "domain_rank_prune",
+        "site_boilerplate_lines",
     ):
         assert name in front, f"{name} fell out of the driver window"
 

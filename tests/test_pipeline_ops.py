@@ -637,28 +637,30 @@ def test_prepare_training_set_fix_encoding(spark, tmp_path):
 
 
 def test_prepare_training_set_site_boilerplate(spark, tmp_path):
-    """Stage 0c: per-site nav chunks vanish from the text every later
-    stage (and the trained tokenizer) sees."""
+    """Stage 0c (unit="line"): per-site nav LINES vanish from the text
+    every later stage (and the trained tokenizer) sees, while the
+    surviving body keeps its ORIGINAL case and line structure — the
+    chunk unit would lowercase and flatten the training corpus."""
     import json as _json
     import os as _os
 
     from auto_data_linkage_spark.operators import pipeline as P
 
-    nav = "clicknav menu cart login search helpdesk account settings"
+    nav = "ClickNav Menu Cart Login Search Helpdesk Account Settings"
     # body text must be unique PER DOC — identical filler across pages
     # is itself (correctly) detected as site boilerplate
     bodies = [
-        "the quick brown fox jumps over that lazy dog and all words "
+        "The quick brown fox jumps over that lazy dog and all words\n"
         "here are sensible so this page passes every quality gate",
-        "a calm river flows past the old mill where children often "
+        "A calm river flows past the old mill where children often\n"
         "play on warm summer evenings with their friendly neighbors",
-        "the library keeps many fine books about science history art "
+        "The library keeps many fine books about science history art\n"
         "and music that visitors can borrow for three whole weeks",
-        "fresh bread from the corner bakery smells wonderful in the "
+        "Fresh bread from the corner bakery smells wonderful in the\n"
         "early morning when the town square is still very quiet",
     ]
     rows = [
-        (i, f"{nav} {bodies[i]}", f"https://site.com/p/{i}")
+        (i, f"{nav}\n{bodies[i]}", f"https://site.com/p/{i}")
         for i in range(4)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
@@ -674,7 +676,15 @@ def test_prepare_training_set_site_boilerplate(spark, tmp_path):
         _json.load(open(_os.path.join(str(tmp_path / "siteboiler"),
                                       "tokenizer.json")))
     )
-    assert "clicknav" not in tok and "helpdesk" not in tok
+    assert "clicknav" not in tok.lower() and "helpdesk" not in tok.lower()
+    # the replaced text preserved case and the intra-body newline
+    stage = spark.read.parquet(
+        _os.path.join(str(tmp_path / "siteboiler"), "_stages",
+                      "s0c_boilerplate")
+    )
+    clean = {r.doc_id: r.clean_text for r in stage.collect()}
+    assert clean[0] == bodies[0]
+    assert "\n" in clean[0] and "The quick" in clean[0]
 
     import pytest as _pytest
 

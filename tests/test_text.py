@@ -82,8 +82,10 @@ def test_lang_id_fifteen_language_matrix(spark):
 
 
 def test_lang_id_min_hits_floor(spark):
-    """One incidental function word must not commit a language once the
-    evidence floor is raised: below min_hits the answer is und."""
+    """One incidental function word must not commit a language AT THE
+    DEFAULT floor (min_hits=2): 'a zebra' is und, not en. min_hits=1
+    restores the label-anything behavior; well-evidenced docs are
+    unaffected either way."""
     df = spark.createDataFrame(
         [(1, "a zebra"), (2, "the cat and the dog is in a house")],
         "doc_id long, text string",
@@ -93,11 +95,28 @@ def test_lang_id_min_hits_floor(spark):
         for r in df.select(
             "doc_id",
             lang_id("text").alias("d1"),
-            lang_id("text", min_hits=2).alias("d2"),
+            lang_id("text", min_hits=1).alias("d2"),
         ).collect()
     }
-    assert rows[1] == ("en", "und")   # single "a" hit drops below the floor
+    assert rows[1] == ("und", "en")   # single "a" hit is below the floor
     assert rows[2] == ("en", "en")    # well-evidenced doc unaffected
+
+
+def test_lang_id_short_snippet_false_positive_matrix(spark):
+    """A single incidental function word from EACH supported language,
+    embedded in otherwise out-of-vocabulary text, must map to und at
+    the default floor — the false-positive matrix the floor exists
+    for."""
+    from auto_data_linkage_spark.operators.text import LANG_STOPWORDS
+
+    snippets = [
+        (lang, f"zzz {sorted(LANG_STOPWORDS[lang])[0]} qqq")
+        for lang in sorted(LANG_STOPWORDS)
+    ]
+    df = spark.createDataFrame(snippets, "lang string, text string")
+    got = df.select("lang", lang_id("text").alias("pred")).collect()
+    wrong = [(r["lang"], r["pred"]) for r in got if r["pred"] != "und"]
+    assert not wrong, wrong
 
 
 def test_fingerprint_normalization(spark):
