@@ -223,11 +223,19 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
     Cost is O(delta): row/cell counts update from one aggregate over
     the delta plus the occupied-cell inventory kept in ``index.json``
     — the full ``coded/`` tree is never rescanned (it used to be, which
-    made the streaming sink pay an O(index) scan per micro-batch)."""
+    made the streaming sink pay an O(index) scan per micro-batch).
+
+    Runs the torn-compaction sweep first: appending into a store whose
+    cell is parked as ``__old`` would recreate the live dir, and the
+    NEXT sweep would then mistake the parked original for a
+    completed-swap leftover and drop it — repair-before-append closes
+    that window."""
     from auto_data_linkage_spark.operators.similarity import (
         _pq_recon_norm,
         pq_encode,
     )
+
+    repair_ann_index(path)
 
     local = _local(path)
     with open(os.path.join(local, "index.json")) as f:

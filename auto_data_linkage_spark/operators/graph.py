@@ -473,6 +473,10 @@ def edge_store_sink(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # repair-before-append: writing into a store whose bucket is
+        # parked as __old would recreate the live dir and make the next
+        # sweep drop the parked original (see append_lex_index).
+        repair_edge_store(path)
         (
             extract_links(
                 batch_df, html_col, url_col, drop_self=drop_self

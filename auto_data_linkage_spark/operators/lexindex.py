@@ -168,7 +168,14 @@ def append_lex_index(delta: DataFrame, path: str) -> dict:
     append per-term df DELTAS to ``terms/`` (readers sum df, so no
     stored row is ever rewritten). ``n_docs``/``sum_dl`` update from one
     aggregate over the delta. Ids are NOT dedup-checked against stored
-    rows (dedup upstream — the same contract as ``append_ann_index``)."""
+    rows (dedup upstream — the same contract as ``append_ann_index``).
+
+    Runs the torn-compaction sweep first: appending into a store whose
+    bucket is parked as ``__old`` would recreate the live dir, and the
+    NEXT sweep would then mistake the parked original for a
+    completed-swap leftover and drop it — repair-before-append closes
+    that window."""
+    repair_lex_index(path)
     local = _local(path)
     with open(os.path.join(local, "index.json")) as f:
         meta = json.load(f)

@@ -284,3 +284,55 @@ def test_edge_store_crash_between_renames_repaired(
     summary = compact_edge_store(spark, store, max_files_per_bucket=2)
     assert summary["buckets_rewritten"] > 0
     assert sorted(map(tuple, load_edges(spark, store).collect())) == want_edges
+
+
+def test_append_into_torn_store_repairs_first(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """An append that lands while a bucket is parked as __old must NOT
+    recreate the live dir (the next sweep would then mistake the parked
+    original for a completed-swap leftover and drop it). Appends run
+    the repair sweep first: crash -> append == restore -> append."""
+    from auto_data_linkage_spark.operators import lexindex as L
+    from auto_data_linkage_spark.operators.retrieval import (
+        query_terms_from_docs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    probes = query_terms_from_docs(
+        docs.orderBy("doc_id").limit(5), n_terms=6
+    ).localCheckpoint(eager=False)
+
+    def topk_set(path):
+        idx = L.load_lex_index(spark, path)
+        return {
+            (r.query_id, r.doc_id, r.bm25, r.rank)
+            for r in L.lex_index_topk(idx, probes, k=5).collect()
+        }
+
+    # clean reference: build(A) then append(B), no crash anywhere
+    ref = str(tmp_path / "lex_ref")
+    L.build_lex_index(half_a, ref, n_buckets=4)
+    L.append_lex_index(half_b, ref)
+    want = topk_set(ref)
+
+    # crashed store: build(A), fragment it, crash mid-compaction, then
+    # append(B) BEFORE any load or compaction ran a sweep
+    out = str(tmp_path / "lex_crash")
+    L.build_lex_index(
+        half_a.where(F.col("doc_id") % 4 == 0), out, n_buckets=4
+    )
+    L.append_lex_index(half_a.where(F.col("doc_id") % 4 == 2), out)
+    L.append_lex_index(half_a.where(F.col("doc_id") % 4 == 2).limit(0), out)
+    _inject_crash(monkeypatch)
+    with pytest.raises(OSError, match="injected crash"):
+        L.compact_lex_index(spark, out, max_files_per_bucket=1)
+    monkeypatch.undo()
+    assert _torn_entries(os.path.join(out, "postings"))
+
+    L.append_lex_index(half_b, out)
+    assert topk_set(out) == want
