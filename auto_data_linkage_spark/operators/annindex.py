@@ -73,11 +73,14 @@ def _write_meta(local: str, meta: dict) -> None:
 
 @dataclass
 class AnnIndex:
-    """Handle to a loaded index: lazy DataFrames + literal codebooks."""
+    """Handle to a loaded index: lazy DataFrames + literal codebooks.
+    ``tombstones`` is the deleted-ids mask (``None`` when nothing was
+    ever deleted) — see :func:`delete_from_ann_index`."""
 
     meta: dict
     centroids: DataFrame
     coded: DataFrame
+    tombstones: DataFrame | None = None
 
 
 def _sq8_coded(
@@ -340,6 +343,54 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
     return meta
 
 
+def delete_from_ann_index(spark: SparkSession, path: str, ids) -> dict:
+    """Delete vectors from the stored index WITHOUT rewriting it — the
+    dense mirror of :func:`lexindex.delete_from_lex_index` (takedowns,
+    right-to-be-forgotten): a ``(neighbor_id)`` row appends to
+    ``tombstones/`` and probes LEFT-ANTI the mask before scoring, so
+    deleted vectors never appear as neighbors and ranks recompute over
+    the survivors. ``ids`` is a one-column DataFrame or a Python list.
+
+    ``n_rows`` decrements exactly (one coded scan — ids are not the
+    partition key, so batch deletions); the per-cell occupancy
+    inventory stays an over-approximation (it only gates append
+    accounting — documented there). Physical purge happens when
+    compaction rewrites a cell; the tombstone mask is permanent — do
+    NOT re-use a deleted id in later appends. Ids absent from the
+    index are tombstoned but change no statistic. Returns
+    ``{"deleted": n, "meta": updated-metadata}``."""
+    repair_ann_index(path)
+    local = _local(path)
+    with open(os.path.join(local, "index.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _VERSION:
+        raise ValueError(
+            f"unsupported ann-index version {meta.get('version')!r}"
+        )
+    coded = spark.read.parquet(os.path.join(local, "coded"))
+    id_type = coded.schema["neighbor_id"].dataType
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(i,) for i in ids], ["neighbor_id"]
+        ).select(F.col("neighbor_id").cast(id_type))
+    else:
+        ids = ids.select(
+            F.col(ids.columns[0]).cast(id_type).alias("neighbor_id")
+        )
+    ids = ids.distinct()
+    tomb_dir = os.path.join(local, "tombstones")
+    if os.path.isdir(tomb_dir):
+        ids = ids.join(
+            spark.read.parquet(tomb_dir), "neighbor_id", "left_anti"
+        )
+    ids = ids.localCheckpoint(eager=True)
+    n_del = coded.join(ids, "neighbor_id", "left_semi").count()
+    ids.write.mode("append").parquet(tomb_dir)
+    meta["n_rows"] = int(meta["n_rows"]) - int(n_del)
+    _write_meta(local, meta)
+    return {"deleted": int(n_del), "meta": meta}
+
+
 def _cell_file_counts(local: str) -> dict[str, int]:
     """Parquet data-file count per ``cell=*/`` directory of ``coded/``."""
     coded = os.path.join(local, "coded")
@@ -411,6 +462,14 @@ def compact_ann_index(
         spark.read.option("basePath", coded_dir)
         .parquet(*[os.path.join(coded_dir, e) for e in hot])
     )
+    tomb_dir = os.path.join(local, "tombstones")
+    if os.path.isdir(tomb_dir):
+        # physical purge of deleted rows in the rewritten cells (probe
+        # results unchanged — the tombstone anti-join already masked
+        # them); the mask stays for the unrewritten cells.
+        df = df.join(
+            spark.read.parquet(tomb_dir), "neighbor_id", "left_anti"
+        )
     rows = df.count()
     files = max(1, -(-rows // target_rows_per_file))  # ceil
     (
@@ -420,8 +479,16 @@ def compact_ann_index(
         .partitionBy("cell")
         .parquet(tmp_root)
     )
+    from .storefs import remove_dir
+
     for entry in hot:
-        swap_dir(os.path.join(coded_dir, entry), os.path.join(tmp_root, entry))
+        new_dir = os.path.join(tmp_root, entry)
+        if os.path.isdir(new_dir):
+            swap_dir(os.path.join(coded_dir, entry), new_dir)
+        else:
+            # the purge emptied this cell — nothing was written for it;
+            # park-then-delete (crash-safe, see storefs.remove_dir)
+            remove_dir(os.path.join(coded_dir, entry))
     shutil.rmtree(tmp_root, ignore_errors=True)
     _write_meta(local, meta)
     after = _cell_file_counts(local)
@@ -485,10 +552,16 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
         raise ValueError(
             f"unsupported ann-index version {meta.get('version')!r}"
         )
+    tomb_dir = os.path.join(local, "tombstones")
     return AnnIndex(
         meta=meta,
         centroids=spark.read.parquet(os.path.join(local, "centroids")),
         coded=spark.read.parquet(os.path.join(local, "coded")),
+        tombstones=(
+            spark.read.parquet(tomb_dir)
+            if os.path.isdir(tomb_dir)
+            else None
+        ),
     )
 
 
@@ -527,8 +600,14 @@ def ann_index_topk(
         if index.meta.get("codec", "pq") == "sq8"
         else None
     )
+    coded = index.coded
+    if index.tombstones is not None:
+        # deleted-ids mask (delete_from_ann_index): deleted-ids-sized,
+        # AQE broadcasts it; the cell-pruning filter pushes through the
+        # anti-join's left side so the partition-pruned scan is kept.
+        coded = coded.join(index.tombstones, "neighbor_id", "left_anti")
     return _ivfpq_score(
-        index.coded,
+        coded,
         index.centroids,
         index.meta["codebooks"],
         queries,

@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from auto_data_linkage_spark.operators import text as X
 from auto_data_linkage_spark.operators.retrieval import doc_postings
 from auto_data_linkage_spark.operators.storefs import (
+    remove_dir,
     repair_swept_dirs,
     swap_dir,
 )
@@ -65,6 +66,7 @@ __all__ = [
     "build_lex_index",
     "append_lex_index",
     "compact_lex_index",
+    "delete_from_lex_index",
     "repair_lex_index",
     "lex_index_sink",
     "load_lex_index",
@@ -91,11 +93,14 @@ def _write_meta(local: str, meta: dict) -> None:
 
 @dataclass
 class LexIndex:
-    """Handle to a loaded index: metadata + lazy parquet DataFrames."""
+    """Handle to a loaded index: metadata + lazy parquet DataFrames.
+    ``tombstones`` is the deleted-ids mask (``None`` when nothing was
+    ever deleted) — see :func:`delete_from_lex_index`."""
 
     meta: dict
     postings: DataFrame
     terms: DataFrame
+    tombstones: DataFrame | None = None
 
 
 def _bucket(term_col, n_buckets: int):
@@ -228,6 +233,84 @@ def repair_lex_index(path: str) -> dict:
     return out
 
 
+def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
+    """Delete documents from the stored index WITHOUT rewriting it —
+    the corpus-lifecycle path (takedowns, right-to-be-forgotten, bad
+    crawls) a 100 TB append-only store otherwise lacks. ``ids`` is a
+    one-column DataFrame of doc ids or a Python list.
+
+    Everything is a DELTA, riding the contracts the store already has:
+
+    - a ``(doc_id)`` row appends to ``tombstones/`` — probes LEFT-ANTI
+      it (deleted-ids-sized, AQE broadcasts it);
+    - a NEGATIVE df delta ``(term, -n)`` appends to ``terms/`` for the
+      deleted docs' terms — the probe's SUM(df)-at-read then yields the
+      exact post-delete document frequencies with no stored row
+      rewritten;
+    - ``n_docs`` / ``sum_dl`` decrement exactly from one postings scan
+      (the same exactness contract appends keep).
+
+    Net effect: post-delete top-k is BIT-EQUAL to an index freshly
+    built without the deleted documents (tested) — idf, avgdl, and the
+    candidate set all see the deletion, immediately and atomically per
+    artifact. Cost: ONE full postings scan per delete call (doc ids
+    are not the partition key), so batch deletions. Physical purge of
+    the masked postings rows happens at the next compaction; the
+    tombstone mask itself is permanent — do NOT re-use a deleted doc
+    id in later appends (the same no-dedup-check contract appends
+    document). Ids absent from the index are tombstoned but change no
+    statistic. Returns ``{"deleted": n, "meta": updated-metadata}``.
+    """
+    repair_lex_index(path)
+    local = _local(path)
+    with open(os.path.join(local, "index.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _VERSION:
+        raise ValueError(
+            f"unsupported lex-index version {meta.get('version')!r}"
+        )
+    posts = spark.read.parquet(os.path.join(local, "postings"))
+    id_type = posts.schema["doc_id"].dataType
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(i,) for i in ids], ["doc_id"]
+        ).select(F.col("doc_id").cast(id_type))
+    else:
+        ids = ids.select(F.col(ids.columns[0]).cast(id_type).alias("doc_id"))
+    ids = ids.distinct()
+    tomb_dir = os.path.join(local, "tombstones")
+    if os.path.isdir(tomb_dir):
+        ids = ids.join(
+            spark.read.parquet(tomb_dir), "doc_id", "left_anti"
+        )
+    ids = ids.localCheckpoint(eager=True)
+
+    # one postings scan: the deleted docs' rows feed BOTH the exact
+    # n_docs/sum_dl decrement and the per-term negative df deltas
+    hit = posts.join(ids, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
+    n_del, dl_del = (
+        hit.select("doc_id", "dl")
+        .distinct()
+        .agg(F.count("*"), F.coalesce(F.sum("dl"), F.lit(0)))
+        .first()
+    )
+    if n_del:
+        (
+            hit.groupBy("bucket", "term")
+            .agg((-F.count("*")).alias("df"))
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(local, "terms"))
+        )
+    ids.write.mode("append").parquet(tomb_dir)
+    meta["n_docs"] = int(meta["n_docs"]) - int(n_del)
+    meta["sum_dl"] = int(meta["sum_dl"]) - int(dl_del)
+    _write_meta(local, meta)
+    return {"deleted": int(n_del), "meta": meta}
+
+
 def _bucket_file_counts(local: str, table: str) -> dict[str, int]:
     root = os.path.join(local, table)
     out: dict[str, int] = {}
@@ -260,6 +343,13 @@ def compact_lex_index(
     WRITER + POSIX renames assumed — see :mod:`.storefs` (on object
     stores run compaction from a maintenance window; concurrent
     appends/probes during the swap are not safe).
+
+    Rewritten buckets are also PURGED: postings rows of tombstoned
+    docs (:func:`delete_from_lex_index`) are dropped and merged
+    ``terms/`` rows whose df deltas cancel to 0 are removed — probe
+    results are unchanged (the tombstone anti-join and SUM(df) already
+    masked them), the bytes just stop being carried. The tombstone
+    mask itself is permanent (unrewritten buckets still need it).
     Returns ``{buckets_rewritten, files_before, files_after}``."""
     local = _local(path)
     with open(os.path.join(local, "index.json")) as f:
@@ -269,6 +359,10 @@ def compact_lex_index(
             f"unsupported lex-index version {meta.get('version')!r}"
         )
     repair_lex_index(path)
+    tomb_dir = os.path.join(local, "tombstones")
+    tombstones = (
+        spark.read.parquet(tomb_dir) if os.path.isdir(tomb_dir) else None
+    )
     summary = {"buckets_rewritten": 0, "files_before": 0, "files_after": 0}
     for table, merge in (("postings", False), ("terms", True)):
         counts = _bucket_file_counts(local, table)
@@ -285,8 +379,16 @@ def compact_lex_index(
         df = spark.read.option("basePath", root).parquet(
             *[os.path.join(root, e) for e in hot]
         )
+        if table == "postings" and tombstones is not None:
+            df = df.join(tombstones, "doc_id", "left_anti")
         if merge:
-            df = df.groupBy("bucket", "term").agg(F.sum("df").alias("df"))
+            # deltas collapse (delete's negatives included); a term
+            # whose deltas cancel to 0 carries no information — drop it
+            df = (
+                df.groupBy("bucket", "term")
+                .agg(F.sum("df").alias("df"))
+                .where(F.col("df") != 0)
+            )
         rows = df.count()
         files = max(1, -(-rows // target_rows_per_file))  # ceil
         (
@@ -297,9 +399,13 @@ def compact_lex_index(
             .parquet(tmp_root)
         )
         for entry in hot:
-            swap_dir(
-                os.path.join(root, entry), os.path.join(tmp_root, entry)
-            )
+            new = os.path.join(tmp_root, entry)
+            if os.path.isdir(new):
+                swap_dir(os.path.join(root, entry), new)
+            else:
+                # purge/merge emptied the bucket — nothing was written
+                # for it; park-then-delete (crash-safe, see storefs)
+                remove_dir(os.path.join(root, entry))
         shutil.rmtree(tmp_root, ignore_errors=True)
         summary["buckets_rewritten"] += len(hot)
         summary["files_after"] += sum(
@@ -358,10 +464,16 @@ def load_lex_index(spark: SparkSession, path: str) -> LexIndex:
             # empty build: no data files on disk — schema from metadata
             return spark.createDataFrame([], meta[schema_key])
 
+    tomb_dir = os.path.join(local, "tombstones")
     return LexIndex(
         meta=meta,
         postings=_read("postings", "postings_schema"),
         terms=_read("terms", "terms_schema"),
+        tombstones=(
+            spark.read.parquet(tomb_dir)
+            if os.path.isdir(tomb_dir)
+            else None
+        ),
     )
 
 
@@ -442,6 +554,11 @@ def lex_index_topk(
     matched = index.postings.where(F.col("bucket").isin(buckets)).join(
         F.broadcast(probe), "term"
     )
+    if index.tombstones is not None:
+        # deleted-ids mask (delete_from_lex_index): deleted-ids-sized,
+        # AQE broadcasts it; the negative df deltas already corrected
+        # the stats side, this anti-join corrects the candidate set.
+        matched = matched.join(index.tombstones, "doc_id", "left_anti")
     if exclude_self:
         matched = matched.where(F.col("doc_id") != F.col("query_id"))
     contrib = F.col("idf") * (

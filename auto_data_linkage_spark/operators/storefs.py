@@ -54,7 +54,7 @@ import shutil
 OLD_SUFFIX = "__old"
 TMP_SUFFIX = "__compact"
 
-__all__ = ["swap_dir", "repair_swept_dirs", "local_path"]
+__all__ = ["swap_dir", "remove_dir", "repair_swept_dirs", "local_path"]
 
 
 def local_path(path: str) -> str:
@@ -69,6 +69,17 @@ def swap_dir(cur: str, new: str) -> None:
     old = cur + OLD_SUFFIX
     os.rename(cur, old)
     os.rename(new, cur)
+    shutil.rmtree(old)
+
+
+def remove_dir(cur: str) -> None:
+    """Crash-safe directory removal (a compaction purged every row of
+    the bucket): park-then-delete so a crash mid-``rmtree`` never
+    leaves a silently PARTIAL live dir — the repair sweep restores the
+    parked original instead (conservative: the restored rows are
+    still masked by whatever made them purgeable)."""
+    old = cur + OLD_SUFFIX
+    os.rename(cur, old)
     shutil.rmtree(old)
 
 

@@ -1,0 +1,201 @@
+"""Deletion lifecycle for the two persisted indexes (tombstone deltas):
+post-delete BM25 must be BIT-EQUAL to an index freshly built without
+the deleted documents (the negative-df-delta construction), ANN probes
+must re-rank over the survivors, deletes must be idempotent, and
+compaction must purge masked rows without changing any probe result.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators import annindex as A
+from auto_data_linkage_spark.operators import lexindex as L
+from auto_data_linkage_spark.operators.retrieval import (
+    query_terms_from_docs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+
+
+@pytest.fixture(scope="module")
+def probes(docs):
+    return query_terms_from_docs(
+        docs.orderBy("doc_id").limit(5), n_terms=6
+    ).localCheckpoint(eager=False)
+
+
+def _lex_topk(spark, path, probes, k=5):
+    idx = L.load_lex_index(spark, path)
+    return {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in L.lex_index_topk(idx, probes, k=k).collect()
+    }
+
+
+# ------------------------------------------------------------------ lex
+def test_lex_delete_bit_equals_fresh_build(spark, docs, probes, tmp_path):
+    keep = docs.where(F.col("doc_id") % 3 != 0)
+    victims = [r.doc_id for r in docs.where(F.col("doc_id") % 3 == 0)
+               .select("doc_id").collect()]
+
+    full = str(tmp_path / "lex_full")
+    L.build_lex_index(docs, full, n_buckets=8)
+    out = L.delete_from_lex_index(spark, full, victims)
+    assert out["deleted"] == len(victims)
+
+    fresh = str(tmp_path / "lex_fresh")
+    meta = L.build_lex_index(keep, fresh, n_buckets=8)
+    # exact stats: n_docs and sum_dl match the fresh build
+    assert out["meta"]["n_docs"] == meta["n_docs"]
+    assert out["meta"]["sum_dl"] == meta["sum_dl"]
+    # bit-equal serving: idf (negative df deltas), avgdl, candidates
+    assert _lex_topk(spark, full, probes) == _lex_topk(spark, fresh, probes)
+
+
+def test_lex_delete_idempotent_and_absent_ids(spark, docs, tmp_path):
+    out_dir = str(tmp_path / "lex_idem")
+    L.build_lex_index(docs, out_dir, n_buckets=4)
+    n0 = L.load_lex_index(spark, out_dir).meta["n_docs"]
+    first = L.delete_from_lex_index(spark, out_dir, [0, 1])
+    again = L.delete_from_lex_index(spark, out_dir, [0, 1])
+    assert first["deleted"] == 2 and again["deleted"] == 0
+    ghost = L.delete_from_lex_index(spark, out_dir, [10**12])
+    assert ghost["deleted"] == 0
+    assert ghost["meta"]["n_docs"] == n0 - 2
+
+
+def test_lex_delete_then_append_equals_union_build(
+    spark, docs, probes, tmp_path
+):
+    """delete(B) then append(C) must serve exactly like build(A ∪ C):
+    the negative df deltas and the appended positives compose."""
+    a = docs.where(F.col("doc_id") % 3 == 0)
+    b = docs.where(F.col("doc_id") % 3 == 1)
+    c = docs.where(F.col("doc_id") % 3 == 2)
+
+    evolving = str(tmp_path / "lex_evolve")
+    L.build_lex_index(a.unionByName(b), evolving, n_buckets=8)
+    L.delete_from_lex_index(
+        spark, evolving, b.select("doc_id")
+    )
+    L.append_lex_index(c, evolving)
+
+    ref = str(tmp_path / "lex_ref")
+    L.build_lex_index(a.unionByName(c), ref, n_buckets=8)
+    assert _lex_topk(spark, evolving, probes) == _lex_topk(
+        spark, ref, probes
+    )
+
+
+def test_lex_compaction_purges_tombstoned_rows(
+    spark, docs, probes, tmp_path
+):
+    out_dir = str(tmp_path / "lex_purge")
+    L.build_lex_index(docs.where(F.col("doc_id") % 2 == 0), out_dir,
+                      n_buckets=4)
+    L.append_lex_index(docs.where(F.col("doc_id") % 2 == 1), out_dir)
+    victims = [r.doc_id for r in docs.where(F.col("doc_id") % 5 == 0)
+               .select("doc_id").collect()]
+    L.delete_from_lex_index(spark, out_dir, victims)
+    want = _lex_topk(spark, out_dir, probes)
+
+    L.compact_lex_index(spark, out_dir, max_files_per_bucket=1)
+    assert _lex_topk(spark, out_dir, probes) == want
+    # physically gone from the rewritten postings
+    remaining = (
+        spark.read.parquet(os.path.join(out_dir, "postings"))
+        .where(F.col("doc_id").isin(victims))
+        .count()
+    )
+    assert remaining == 0
+    # merged terms carry no zero/negative df rows
+    bad = (
+        spark.read.parquet(os.path.join(out_dir, "terms"))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .where(F.col("df") <= 0).count()
+    )
+    assert bad == 0
+
+
+# ------------------------------------------------------------------ ann
+def test_ann_delete_reranks_survivors(spark, sf_dir, tmp_path):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    out_dir = str(tmp_path / "ann_del")
+    meta0 = A.build_ann_index(vecs, out_dir, m=4, n_codewords=8)
+    queries = vecs.orderBy("vec_id").limit(5)
+
+    full = A.ann_index_topk(
+        A.load_ann_index(spark, out_dir), queries, k=50, nprobe=2
+    ).collect()
+    victims = sorted({r.neighbor_id for r in full})[:5]
+
+    out = A.delete_from_ann_index(spark, out_dir, victims)
+    assert out["deleted"] == 5
+    assert out["meta"]["n_rows"] == meta0["n_rows"] - 5
+
+    got = A.ann_index_topk(
+        A.load_ann_index(spark, out_dir), queries, k=10, nprobe=2
+    ).collect()
+    assert not {r.neighbor_id for r in got} & set(victims)
+    # expected = the full run minus victims, re-ranked per query
+    by_q = {}
+    for r in sorted(full, key=lambda r: (r.query_id, r.rank)):
+        if r.neighbor_id not in victims:
+            by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.cosine))
+    want = {
+        (q, nid, cos, i + 1)
+        for q, lst in by_q.items()
+        for i, (nid, cos) in enumerate(lst[:10])
+    }
+    assert {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in got} == want
+
+
+def test_ann_delete_idempotent_and_compaction_purges(
+    spark, sf_dir, tmp_path
+):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    out_dir = str(tmp_path / "ann_purge")
+    A.build_ann_index(
+        vecs.where(F.col("vec_id") % 3 == 0), out_dir, m=4, n_codewords=8
+    )
+    for m in range(1, 3):
+        A.append_ann_index(vecs.where(F.col("vec_id") % 3 == m), out_dir)
+    victims = [r.vec_id for r in vecs.where(F.col("vec_id") % 7 == 0)
+               .select("vec_id").collect()]
+    first = A.delete_from_ann_index(spark, out_dir, victims)
+    again = A.delete_from_ann_index(spark, out_dir, victims)
+    assert first["deleted"] == len(victims) and again["deleted"] == 0
+
+    queries = vecs.orderBy("vec_id").limit(5)
+
+    def topk():
+        return {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in A.ann_index_topk(
+                A.load_ann_index(spark, out_dir), queries, k=5, nprobe=2
+            ).collect()
+        }
+
+    want = topk()
+    A.compact_ann_index(spark, out_dir, max_files_per_cell=1)
+    assert topk() == want
+    remaining = (
+        spark.read.parquet(os.path.join(out_dir, "coded"))
+        .where(F.col("neighbor_id").isin(victims))
+        .count()
+    )
+    assert remaining == 0
