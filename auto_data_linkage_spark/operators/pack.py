@@ -414,6 +414,65 @@ def epoch_mixture(
     )
 
 
+def token_budget_cap(
+    df: DataFrame,
+    strata_col: str,
+    budget,
+    *,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """HARD per-stratum token cap — the down-sampling complement of
+    :func:`epoch_mixture`: keep a deterministic hash-ordered prefix of
+    each stratum whose cumulative token count stays within its budget.
+    Data cards state domain budgets as hard token caps ("at most X B
+    tokens of web crawl"); the probabilistic rate slice only hits them
+    in expectation. The first budget-crossing document is INCLUDED, so
+    a stratum with enough data always REACHES its budget; strata under
+    budget keep everything.
+
+    ``budget`` is an int (every stratum) or a ``{stratum: budget}``
+    dict — strata absent from the dict are DROPPED (the weight-0
+    convention of :func:`epoch_mixture`). Returns the kept input rows
+    plus ``cum_tokens`` (running total INCLUDING the row, in hash
+    order).
+
+    Plan shape: ONE window cumsum per stratum, ordered by a portable
+    md5 hash of the id (ties by id) — because the order is a uniform
+    hash, the kept prefix is simultaneously an unbiased random
+    subsample, and the result is deterministic across engines (the
+    DuckDB oracle replays the same hash chain). Skew note: a
+    mega-stratum serializes its cumsum through one partition's window
+    sort — at 100 TB cap coarser units first (shard-level token
+    totals, then documents within the selected shards), the standard
+    two-level recipe; the operator itself is the exact inner level.
+    """
+    order = md5_hash64(F.col(id_col).cast("string"), seed)
+    if isinstance(budget, dict):
+        b = F.lit(None).cast("bigint")
+        for value, cap in sorted(budget.items()):
+            b = F.when(
+                F.col(strata_col) == value, F.lit(int(cap))
+            ).otherwise(b)
+    else:
+        b = F.lit(int(budget))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(token_col).over(w))
+        .withColumn("__budget", b)
+        .where(
+            F.col("__budget").isNotNull()
+            & (F.col("cum_tokens") - F.col(token_col) < F.col("__budget"))
+        )
+        .drop("__budget")
+    )
+
+
 def assign_shards(
     df: DataFrame,
     n_shards: int,

@@ -42,7 +42,12 @@ from pyspark.sql import functions as F
 
 from auto_data_linkage_spark.operators import text as X
 
-__all__ = ["doc_postings", "bm25_topk", "query_terms_from_docs"]
+__all__ = [
+    "doc_postings",
+    "bm25_topk",
+    "query_terms_from_docs",
+    "tfidf_keywords",
+]
 
 
 def doc_postings(
@@ -64,6 +69,63 @@ def doc_postings(
         )
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf — the
+    standard keyword-extraction / document-tagging primitive (topic
+    labels for curriculum buckets, cluster naming, dedup diagnostics).
+    Returns ``(doc_id, term, tf, df, tfidf, rank)``.
+
+    ``tfidf = tf · ln((N + 1) / (df + 1))`` (add-one smoothed idf — a
+    corpus-universal term scores 0 instead of -inf drifting), rounded
+    to 6 decimals BEFORE ranking; ties break on term, so results are
+    deterministic and cross-engine stable (the DuckDB oracle replays
+    the identical chain).
+
+    Plan shape: :func:`doc_postings`' explode + hash-agg builds the
+    (doc, term, tf) table with map-side combine; the df table is
+    vocab-sized (groupBy term — hot stop-words are big GROUPS, which
+    partial aggregation absorbs, not hot join keys); N rides the
+    vocab-sized side as a 1-row cross join (no driver collect); the
+    per-doc top-k is ``rank <= k`` — WindowGroupLimit bounds every
+    document's candidate set map-side before the sort.
+    """
+    posts = doc_postings(docs, id_col=id_col, text_col=text_col)
+    stats = docs.agg(F.count("*").alias("__n"))
+    dfs = (
+        posts.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(stats)
+        .select(
+            "term",
+            "df",
+            F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)).alias(
+                "__idf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        posts.join(dfs, "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.col("__idf"), 6).alias("tfidf"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )
 
 

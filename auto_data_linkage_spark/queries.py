@@ -1646,6 +1646,19 @@ _DEPRIORITIZED = (
     # same check); the degree/reciprocity stats stay driver-identically
     # checked back-window by test_oracle_window:
     "link_graph",
+    # round-10b rotation: the two new operators (tfidf_keywords,
+    # token_budget_cap) take driver rows per the standing rule; two
+    # redundant front rows demoted in exchange, each family keeping ≥1
+    # driver row (machine-checked):
+    "epoch_mixture",  # sampling keeps stratified_sample front and
+    #                   gains token_budget_cap (the same md5-hash
+    #                   determinism, now through a window cumsum); the
+    #                   epoch-repeat arithmetic stays driver-identically
+    #                   checked back-window
+    "sq8_topk",  # ann-search keeps ivfpq_topk front (the same
+    #              broadcast-probe + cell-prune + WindowGroupLimit
+    #              machinery through the richer PQ/ADC path); the SQ8
+    #              codec row stays driver-identically checked back-window
 )
 
 # --------------------------------------------------------------------------
@@ -1682,11 +1695,12 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "sampling": ("stratified_sample", "mixture_sample",
                  "deterministic_sample", "sample_k_per_group",
                  "weighted_sample_k", "train_val_split",
-                 "epoch_mixture", "score_prune"),
+                 "epoch_mixture", "score_prune", "token_budget_cap"),
     "text-analysis": ("text_features", "quality_score", "pii_scrub",
                       "lang_id_dist", "repetition_features",
                       "quality_classifier", "gopher_quality_filter",
-                      "gopher_repetition_filter", "c4_clean"),
+                      "gopher_repetition_filter", "c4_clean",
+                      "tfidf_keywords"),
     "exact-dedup": ("exact_dedup",),
     "minhash-lsh": ("minhash_lsh_pairs", "near_dedup_keep",
                     "near_dedup_keep_best", "minhash_signature",

@@ -5271,3 +5271,95 @@ def site_boilerplate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed").cast("int").alias("n_removed"),
         "clean_text",
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction (retrieval.tfidf_keywords) — per-document
+# characteristic terms: smoothed idf ln((N+1)/(df+1)), rounded BEFORE
+# ranking, term tie-break; per-doc top-k is WindowGroupLimit-eligible.
+# --------------------------------------------------------------------------
+def _tfidf_keywords_sql(k: int = 3) -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    idf = "LN((n.nd + 1.0) / (d.df + 1.0))"
+    return f"""
+    WITH posts AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST({toks}) AS term FROM documents
+        ) GROUP BY doc_id, term
+    ),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    dfs AS (SELECT term, COUNT(*) AS df FROM posts GROUP BY term)
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        SELECT p.doc_id, p.term, p.tf, d.df,
+               ROUND(p.tf * {idf}, 6) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.doc_id
+                   ORDER BY ROUND(p.tf * {idf}, 6) DESC, p.term ASC
+               ) AS rank
+        FROM posts p JOIN dfs d USING (term), n
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "tfidf_keywords",
+    _tfidf_keywords_sql(),
+    survey="LLM text analysis: tf-idf keyword extraction — top-k "
+    "characteristic terms per document (vocab-sized df join, "
+    "WindowGroupLimit per-doc top-k)",
+)
+def tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.retrieval import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=3)
+
+
+# --------------------------------------------------------------------------
+# Hard token-budget cap (pack.token_budget_cap) — deterministic
+# hash-ordered prefix per stratum under a token budget; the first
+# crossing doc included, strata absent from the budget dict dropped.
+# --------------------------------------------------------------------------
+_CAP_BUDGETS = {"en": 3000, "de": 2000, "es": 10_000, "zh": 1}
+
+
+def _token_budget_cap_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    h = _sql_hash64("CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN '{v}' THEN CAST({int(b)} AS BIGINT)"
+        for v, b in sorted(_CAP_BUDGETS.items())
+    )
+    return f"""
+    WITH wt AS (
+        SELECT doc_id, lang, len({toks}) AS n_tokens FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY {h} ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens,
+               CASE lang {whens} ELSE NULL END AS budget
+        FROM wt
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM cum
+    WHERE budget IS NOT NULL AND cum_tokens - n_tokens < budget
+    """
+
+
+@register(
+    "token_budget_cap",
+    _token_budget_cap_sql(),
+    survey="LLM pipeline: hard per-domain token-budget cap — "
+    "hash-ordered prefix per stratum (exact caps, unbiased subsample; "
+    "the down-sampling complement of epoch_mixture)",
+)
+def token_budget_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pack import token_budget_cap
+
+    docs = _docs(spark, sf_dir)
+    wt = docs.select(
+        "doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return token_budget_cap(wt, "lang", _CAP_BUDGETS)

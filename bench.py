@@ -137,6 +137,11 @@ BENCH_QUERIES = [
     # authority gate)
     "site_boilerplate_lines",
     "domain_rank_prune",
+    # round-10b: tf-idf keyword extraction (vocab-sized df join +
+    # per-doc WindowGroupLimit) and the hard token-budget cap (per-
+    # stratum hash-ordered window cumsum)
+    "tfidf_keywords",
+    "token_budget_cap",
 ]
 
 

@@ -62,17 +62,17 @@ def test_front_window_fits_driver_gate():
         "line_dedup",
         "perplexity_buckets",
         # round-9 promotions: every operator newly added in round 9
-        # holds a driver row (the standing rule)
+        # holds a driver row (the standing rule; epoch_mixture and
+        # sq8_topk rotated back in r10b for the two new r10 operators —
+        # their families keep richer front rows, see _DEPRIORITIZED)
         "gopher_repetition_filter",
         "decontaminate_attribution",
-        "epoch_mixture",
         "hybrid_topk",
         "hard_negatives",
         "fim_split",
         "dsir_resample",
         "near_dedup_keep_best",
         "curriculum_order",
-        "sq8_topk",
         "embedding_outliers",
         "html_extract",
         "domain_pagerank",
@@ -85,6 +85,8 @@ def test_front_window_fits_driver_gate():
         # strictly-richer front rows — see queries._DEPRIORITIZED)
         "domain_rank_prune",
         "site_boilerplate_lines",
+        "tfidf_keywords",
+        "token_budget_cap",
     ):
         assert name in front, f"{name} fell out of the driver window"
 

@@ -620,3 +620,70 @@ class TestSentenceChunks:
         for i, t in enumerate(texts):
             want |= ref_chunks(i, t)
         assert got == want
+
+
+class TestTokenBudgetCap:
+    def _wt(self, spark):
+        rows = []
+        for i in range(20):
+            rows.append((i, "big", 100))       # 2000 tokens total
+        for i in range(100, 105):
+            rows.append((i, "small", 10))      # 50 tokens total
+        for i in range(200, 203):
+            rows.append((i, "dropped", 10))
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, n_tokens long"
+        )
+
+    def test_hard_cap_includes_first_crossing_doc(self, spark):
+        from auto_data_linkage_spark.operators.pack import token_budget_cap
+
+        wt = self._wt(spark)
+        out = token_budget_cap(
+            wt, "lang", {"big": 450, "small": 1000}
+        ).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r.lang, []).append(r)
+        # big: docs of 100 tokens; cum 100,200,...; kept while
+        # cum - 100 < 450 => cum <= 500 => exactly 5 docs (crossing
+        # doc included, budget reached)
+        assert len(by_lang["big"]) == 5
+        assert max(r.cum_tokens for r in by_lang["big"]) == 500
+        # small is under budget: everything kept
+        assert len(by_lang["small"]) == 5
+        # absent from the dict: dropped
+        assert "dropped" not in by_lang
+
+    def test_int_budget_and_determinism(self, spark):
+        from auto_data_linkage_spark.operators.pack import token_budget_cap
+
+        wt = self._wt(spark)
+        a = sorted(map(tuple, token_budget_cap(wt, "lang", 250).collect()))
+        b = sorted(map(tuple, token_budget_cap(wt, "lang", 250).collect()))
+        assert a == b
+        # every stratum (including 'dropped') capped at 250:
+        # big keeps ceil: cum - 100 < 250 => 3 docs; small/dropped all
+        langs = {}
+        for t in a:
+            langs.setdefault(t[1], []).append(t)
+        assert len(langs["big"]) == 3
+        assert len(langs["small"]) == 5 and len(langs["dropped"]) == 3
+
+    def test_prefix_is_hash_ordered_not_id_ordered(self, spark):
+        """The kept set must be the md5-hash prefix (an unbiased
+        subsample), not the lowest ids."""
+        from auto_data_linkage_spark.operators.pack import token_budget_cap
+        from auto_data_linkage_spark.operators.text import md5_hash64
+
+        wt = self._wt(spark).where(F.col("lang") == "big")
+        kept = {r.doc_id for r in token_budget_cap(wt, "lang", 450).collect()}
+        order = [
+            r.doc_id
+            for r in wt.select(
+                "doc_id",
+                md5_hash64(F.col("doc_id").cast("string"), 0).alias("h"),
+            ).orderBy("h", "doc_id").collect()
+        ]
+        assert kept == set(order[:5])
+        assert kept != set(range(5))  # would mean id order, biased

@@ -294,3 +294,46 @@ def test_retrieval_metrics_perfect_results(spark, sf_dir):
     exact = brute_force_topk(emb, queries, k=5)
     m = retrieval_metrics(exact, exact).collect()
     assert m and all(r["recall"] == 1.0 and r["rr"] == 1.0 for r in m)
+
+
+class TestTfidfKeywords:
+    def test_characteristic_terms_rank_first(self, spark):
+        from auto_data_linkage_spark.operators.retrieval import (
+            tfidf_keywords,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "common common zebra zebra zebra"),
+                (2, "common common quartz"),
+                (3, "common plasma plasma"),
+            ],
+            "doc_id long, text string",
+        )
+        out = tfidf_keywords(docs, k=2)
+        rows = {(r.doc_id, r.rank): r for r in out.collect()}
+        # the doc-unique term beats the corpus-universal one everywhere
+        assert rows[(1, 1)].term == "zebra"
+        assert rows[(2, 1)].term == "quartz"
+        assert rows[(3, 1)].term == "plasma"
+        # a term in EVERY doc has smoothed idf ln((N+1)/(N+1)) = 0
+        assert rows[(1, 2)].term == "common" and rows[(1, 2)].tfidf == 0.0
+        # df values are document frequencies, not term counts
+        assert rows[(1, 1)].df == 1 and rows[(1, 2)].df == 3
+
+    def test_topk_plan_is_window_group_limited(self, spark):
+        from auto_data_linkage_spark.operators.retrieval import (
+            tfidf_keywords,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta doc{i}") for i in range(8)],
+            "doc_id long, text string",
+        )
+        plan = (
+            tfidf_keywords(docs, k=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan, plan[:2000]
