@@ -49,6 +49,8 @@ __all__ = [
     "repair_edge_store",
     "refresh_pagerank",
     "extract_links",
+    "hits",
+    "HITS_SCALE",
     "link_graph_stats",
     "pagerank",
     "PAGERANK_SCALE",
@@ -431,6 +433,124 @@ def pagerank(
         stats["iterations_run"] = iterations_run
         stats["final_l1"] = l1
     return ranks.select("domain", "rank_scaled")
+
+
+HITS_SCALE = 10**6
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    iterations: int = 5,
+    scale: int = HITS_SCALE,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg'99 hubs & authorities — public
+    algorithm) over a (src, dst) edge table →
+    ``(domain, hub_scaled, auth_scaled)``, each vector summing to
+    ≈ ``scale``. The complement of :func:`pagerank` for curation:
+    AUTHORITIES are the pages worth keeping, HUBS are the link/
+    directory pages worth crawling but usually not worth training on —
+    a high hub/authority ratio is itself a boilerplate-page signal.
+
+    Deterministic BY CONSTRUCTION, like :func:`pagerank`: all state is
+    BIGINT, each half-step rescales by exact integer division
+    ``raw * scale DIV total`` (totals are exact integer sums, so the
+    result is order-independent and bit-identical run to run), which
+    replaces the float L2 normalization of the textbook formulation —
+    rankings are unaffected by the norm choice (L1 here). The DuckDB
+    oracle unrolls the identical chain and compares by EQUALITY.
+
+    Overflow bound: ``raw ≤ total`` and the rescale computes
+    ``raw * scale``, so we need ``total * scale < 2^63``; ``total ≤
+    scale · max_degree``, giving ``max_degree < 2^63 / scale²`` ≈
+    9.2e6 at the default ``scale=10^6``. Domain graphs with
+    mega-degree hubs beyond that should drop ``scale`` a decade (the
+    same documented trade as ``PAGERANK_SCALE``).
+
+    Per iteration: TWO shuffle joins + TWO aggregations (authority
+    then hub half-step, the hub step reading the UPDATED authorities —
+    the textbook order), each followed by an 8-byte total collected to
+    the driver and folded in as a literal (the pagerank loop-scalar
+    convention), with both vectors eagerly localCheckpointed so the
+    plan stays O(1) in ``iterations``.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e = ensure_parallelism(e).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("domain"))
+        .union(e.select(F.col("dst").alias("domain")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "domain",
+            F.lit(0).cast("bigint").alias("hub_scaled"),
+            F.lit(0).cast("bigint").alias("auth_scaled"),
+        )
+    hub = nodes.select(
+        "domain", F.lit(scale // n).cast("bigint").alias("hub_scaled")
+    ).localCheckpoint(eager=True)
+    auth = None
+    for _ in range(iterations):
+        # authority half-step: a_i = Σ_{j→i} h_j, L1-rescaled
+        a_raw = (
+            hub.join(e, hub["domain"] == e["src"])
+            .groupBy(F.col("dst").alias("domain"))
+            .agg(F.sum("hub_scaled").alias("__raw"))
+            .localCheckpoint(eager=True)
+        )
+        a_tot = max(
+            int(a_raw.agg(F.coalesce(F.sum("__raw"), F.lit(0))).first()[0]),
+            1,
+        )
+        auth = (
+            nodes.join(a_raw, "domain", "left")
+            .select(
+                "domain",
+                F.expr(
+                    f"CAST(COALESCE(__raw, 0) * {scale} DIV {a_tot} "
+                    f"AS BIGINT)"
+                ).alias("auth_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # hub half-step over the UPDATED authorities: h_i = Σ_{i→j} a_j
+        h_raw = (
+            auth.join(e, auth["domain"] == e["dst"])
+            .groupBy(F.col("src").alias("domain"))
+            .agg(F.sum("auth_scaled").alias("__raw"))
+            .localCheckpoint(eager=True)
+        )
+        h_tot = max(
+            int(h_raw.agg(F.coalesce(F.sum("__raw"), F.lit(0))).first()[0]),
+            1,
+        )
+        hub = (
+            nodes.join(h_raw, "domain", "left")
+            .select(
+                "domain",
+                F.expr(
+                    f"CAST(COALESCE(__raw, 0) * {scale} DIV {h_tot} "
+                    f"AS BIGINT)"
+                ).alias("hub_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return hub.join(auth, "domain").select(
+        "domain", "hub_scaled", "auth_scaled"
+    )
 
 
 # ------------------------------------------------------------ edge store

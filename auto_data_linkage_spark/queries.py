@@ -1659,6 +1659,13 @@ _DEPRIORITIZED = (
     #              broadcast-probe + cell-prune + WindowGroupLimit
     #              machinery through the richer PQ/ADC path); the SQ8
     #              codec row stays driver-identically checked back-window
+    # round-10c rotation: domain_hits (fixed-point HITS — the second
+    # exact-equality iterative operator) takes the new-operator driver
+    # row; line_dedup demoted in exchange — the substring-dedup family
+    # keeps span_dedup, sentence_chunks, and site_boilerplate_lines
+    # front (the same explode + window + ordered-reassembly machinery),
+    # and line_dedup stays driver-identically checked back-window:
+    "line_dedup",
 )
 
 # --------------------------------------------------------------------------
@@ -1740,7 +1747,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "curation-pipeline": ("curate_documents",),
     "url-curation": ("url_curation",),
     "link-graph": ("link_graph", "domain_pagerank", "domain_rank_prune",
-                   "anchor_pairs", "domain_trustrank"),
+                   "anchor_pairs", "domain_trustrank", "domain_hits"),
 }
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

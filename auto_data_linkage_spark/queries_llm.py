@@ -5363,3 +5363,88 @@ def token_budget_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens")
     )
     return token_budget_cap(wt, "lang", _CAP_BUDGETS)
+
+
+# --------------------------------------------------------------------------
+# Fixed-point HITS (graph.hits) — the second exact-equality iterative
+# operator: hubs & authorities with BIGINT L1 rescale (raw * scale //
+# total; totals exact integer sums), unrolled as CTEs like PageRank's.
+# --------------------------------------------------------------------------
+def _hits_cte_sql(iterations: int) -> str:
+    """Unrolled fixed-point HITS chain over a preceding CTE named
+    ``pr_edges(src, dst)`` (distinct, self-loop-free); mirrors
+    operators/graph.hits bit-for-bit. Final vectors in ``h{K}``/``a{K}``."""
+    from auto_data_linkage_spark.operators.graph import HITS_SCALE
+
+    s = HITS_SCALE
+    parts = [
+        f"""nodes AS (SELECT src AS domain FROM pr_edges
+              UNION SELECT dst FROM pr_edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    h0 AS (SELECT domain, CAST({s} // n AS BIGINT) AS hub
+           FROM nodes, nn)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+    ar{i} AS (SELECT e.dst AS domain, SUM(h.hub) AS raw
+              FROM h{i - 1} h JOIN pr_edges e ON e.src = h.domain
+              GROUP BY e.dst),
+    at{i} AS (SELECT GREATEST(COALESCE(SUM(raw), 0), 1) AS tot
+              FROM ar{i}),
+    a{i} AS (SELECT n.domain,
+                    CAST(COALESCE(ar.raw, 0) * {s} // at.tot AS BIGINT)
+                        AS auth
+             FROM nodes n CROSS JOIN at{i} at
+             LEFT JOIN ar{i} ar ON n.domain = ar.domain),
+    hr{i} AS (SELECT e.src AS domain, SUM(a.auth) AS raw
+              FROM a{i} a JOIN pr_edges e ON e.dst = a.domain
+              GROUP BY e.src),
+    ht{i} AS (SELECT GREATEST(COALESCE(SUM(raw), 0), 1) AS tot
+              FROM hr{i}),
+    h{i} AS (SELECT n.domain,
+                    CAST(COALESCE(hr.raw, 0) * {s} // ht.tot AS BIGINT)
+                        AS hub
+             FROM nodes n CROSS JOIN ht{i} ht
+             LEFT JOIN hr{i} hr ON n.domain = hr.domain)"""
+        )
+    return "".join(parts)
+
+
+def _domain_hits_sql(iterations: int = 3) -> str:
+    k = iterations
+    return f"""
+    WITH {_ARITH_EDGES_CTE}
+    {_hits_cte_sql(k)}
+    SELECT h.domain, h.hub AS hub_scaled, a.auth AS auth_scaled
+    FROM h{k} h JOIN a{k} a ON h.domain = a.domain"""
+
+
+@register(
+    "domain_hits",
+    _domain_hits_sql(),
+    survey="LLM web curation: fixed-point HITS hubs/authorities over "
+    "the domain link graph (two join+agg half-steps per iteration, "
+    "exact-integer L1 rescale — bit-exact, equality oracle; high "
+    "hub/authority ratio flags directory/boilerplate domains)",
+)
+def domain_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.graph import hits
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    e = (
+        docs.select(
+            (d % 97).alias("s"),
+            F.explode(
+                F.array((d * 7 + 1) % 97, (d * 7 + 2) % 97)
+            ).alias("t"),
+        )
+        .where(F.col("s") != F.col("t"))
+        .select(
+            F.concat(F.lit("d"), F.col("s").cast("string"))
+            .alias("src_domain"),
+            F.concat(F.lit("d"), F.col("t").cast("string"))
+            .alias("dst_domain"),
+        )
+    )
+    return hits(e, iterations=3)

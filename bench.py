@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     # stratum hash-ordered window cumsum)
     "tfidf_keywords",
     "token_budget_cap",
+    # round-10c: fixed-point HITS (two join+agg half-steps per
+    # iteration — the heaviest iterative-graph probe)
+    "domain_hits",
 ]
 
 

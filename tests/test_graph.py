@@ -522,3 +522,82 @@ class TestEarlyStop:
             stats=s,
         ).collect()
         assert s["iterations_run"] == 3
+
+
+def _py_hits(edges, iterations, scale=10**6):
+    """Independent fixed-point HITS reference: dict/int arithmetic,
+    L1 rescale by exact integer division — the oracle the distributed
+    plan must equal EXACTLY."""
+    pairs = sorted({(s, t) for s, t in edges if s != t})
+    nodes = sorted({s for s, _ in pairs} | {t for _, t in pairs})
+    n = len(nodes)
+    hub = {x: scale // n for x in nodes}
+    auth = {}
+    for _ in range(iterations):
+        raw = {x: 0 for x in nodes}
+        for s, t in pairs:
+            raw[t] += hub[s]
+        tot = max(sum(raw.values()), 1)
+        auth = {x: raw[x] * scale // tot for x in nodes}
+        raw = {x: 0 for x in nodes}
+        for s, t in pairs:
+            raw[s] += auth[t]
+        tot = max(sum(raw.values()), 1)
+        hub = {x: raw[x] * scale // tot for x in nodes}
+    return hub, auth
+
+
+class TestHits:
+    def test_matches_independent_reference_exactly(self, spark):
+        from auto_data_linkage_spark.operators.graph import hits
+
+        got = {
+            r.domain: (r.hub_scaled, r.auth_scaled)
+            for r in hits(_edges_df(spark, EDGES), iterations=4).collect()
+        }
+        hub, auth = _py_hits(EDGES, 4)
+        assert got == {x: (hub[x], auth[x]) for x in hub}
+
+    def test_hub_vs_authority_separation(self, spark):
+        """A pure directory page (only out-links) must score hub-high /
+        authority-zero; its targets the reverse."""
+        from auto_data_linkage_spark.operators.graph import hits
+
+        edges = [("dir", "a"), ("dir", "b"), ("dir", "c"),
+                 ("a", "b"), ("c", "b")]
+        out = {
+            r.domain: (r.hub_scaled, r.auth_scaled)
+            for r in hits(_edges_df(spark, edges), iterations=5).collect()
+        }
+        assert out["dir"][1] == 0           # nothing links TO the hub
+        assert out["dir"][0] == max(v[0] for v in out.values())
+        assert out["b"][1] == max(v[1] for v in out.values())
+
+    def test_bit_identical_across_runs_and_random_graphs(self, spark):
+        import random
+
+        from auto_data_linkage_spark.operators.graph import hits
+
+        rng = random.Random(7)
+        for trial in range(3):
+            edges = sorted({
+                (f"n{rng.randrange(12)}", f"n{rng.randrange(12)}")
+                for _ in range(25)
+            })
+            df = _edges_df(spark, edges)
+            got = {
+                r.domain: (r.hub_scaled, r.auth_scaled)
+                for r in hits(df, iterations=3).collect()
+            }
+            hub, auth = _py_hits(edges, 3)
+            assert got == {x: (hub[x], auth[x]) for x in hub}, edges
+
+    def test_empty_and_validation(self, spark):
+        import pytest as _pt
+
+        from auto_data_linkage_spark.operators.graph import hits
+
+        empty = spark.createDataFrame([], "src_domain string, dst_domain string")
+        assert hits(empty, iterations=2).count() == 0
+        with _pt.raises(ValueError, match="iterations"):
+            hits(empty, iterations=0)

@@ -59,7 +59,8 @@ def test_front_window_fits_driver_gate():
         # plus the new URL front door (c4_clean rotated back in r9i —
         # curate_documents composes its full cleaning chain in-window)
         "url_curation",
-        "line_dedup",
+        # (line_dedup rotated back in r10c for domain_hits — the
+        # substring-dedup family keeps three richer front rows)
         "perplexity_buckets",
         # round-9 promotions: every operator newly added in round 9
         # holds a driver row (the standing rule; epoch_mixture and
@@ -87,6 +88,7 @@ def test_front_window_fits_driver_gate():
         "site_boilerplate_lines",
         "tfidf_keywords",
         "token_budget_cap",
+        "domain_hits",
     ):
         assert name in front, f"{name} fell out of the driver window"
 
