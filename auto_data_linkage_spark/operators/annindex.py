@@ -47,9 +47,18 @@ def repair_ann_index(path: str) -> dict:
     index is healthy — ran automatically by :func:`load_ann_index` and
     at the start of every compaction, callable directly after a known
     crash. Returns ``{"restored": [...], "removed": [...]}``."""
+    from .storefs import repair_swapped_dir
+
     local = _local(path)
+    # whole-index rebuild swap first (restores a parked index whose
+    # promotion crashed; does NOT touch a sibling __rebuild tree — an
+    # in-progress rebuild may legitimately be writing there)
+    out = repair_swapped_dir(local)
     coded = os.path.join(local, "coded")
-    return repair_swept_dirs(coded, tmp_roots=(coded + "__compact",))
+    swept = repair_swept_dirs(coded, tmp_roots=(coded + "__compact",))
+    out["restored"] += swept["restored"]
+    out["removed"] += swept["removed"]
+    return out
 
 
 def _local(path: str) -> str:
@@ -498,6 +507,37 @@ def compact_ann_index(
         "files_after": sum(after.values()),
         "rows_rewritten": int(rows),
     }
+
+
+def rebuild_ann_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
+    """Rebuild the index IN PLACE from the current corpus and promote
+    it atomically — the documented answer to codebook/centroid drift
+    (appends keep build-time cells fixed; when the embedding
+    distribution moves, recall degrades gradually and a rebuild
+    retrains). The new index is built into a sibling ``__rebuild``
+    tree (readers keep serving the old index the whole time), then
+    promoted with the same two-rename swap every compaction uses —
+    a crash between the renames is healed by the sweep every load
+    runs (the OLD index is restored and keeps serving; the finished
+    rebuild tree survives for the next attempt). Same single-writer +
+    POSIX contract as compaction (:mod:`.storefs`).
+
+    Tombstones do NOT carry over: the rebuild reflects exactly the
+    corpus passed in (deletions should already be gone from it), so
+    the mask resets — the one moment deleted ids become reusable.
+    ``build_kwargs`` forward to :func:`build_ann_index` (m,
+    n_codewords, column names...). Returns the new metadata."""
+    from .storefs import swap_dir
+
+    local = _local(path)
+    tmp = local + "__rebuild"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    meta = build_ann_index(corpus, tmp, **build_kwargs)
+    repair_ann_index(path)  # clear any parked __old before the swap
+    swap_dir(local, tmp)
+    return meta
 
 
 def ann_index_sink(path: str, *, compact_over: int | None = None):

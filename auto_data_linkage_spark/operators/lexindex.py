@@ -67,6 +67,7 @@ __all__ = [
     "append_lex_index",
     "compact_lex_index",
     "delete_from_lex_index",
+    "rebuild_lex_index",
     "repair_lex_index",
     "lex_index_sink",
     "load_lex_index",
@@ -223,8 +224,15 @@ def repair_lex_index(path: str) -> dict:
     index is healthy — ran automatically by :func:`load_lex_index` and
     at the start of every compaction. Returns merged
     ``{"restored": [...], "removed": [...]}`` lists."""
+    from auto_data_linkage_spark.operators.storefs import (
+        repair_swapped_dir,
+    )
+
     local = _local(path)
-    out: dict = {"restored": [], "removed": []}
+    # whole-index rebuild swap first (restores a parked index whose
+    # promotion crashed; does NOT touch a sibling __rebuild tree — an
+    # in-progress rebuild may legitimately be writing there)
+    out: dict = repair_swapped_dir(local)
     for table in ("postings", "terms"):
         root = os.path.join(local, table)
         swept = repair_swept_dirs(root, tmp_roots=(root + "__compact",))
@@ -413,6 +421,31 @@ def compact_lex_index(
         )
     _write_meta(local, meta)
     return summary
+
+
+def rebuild_lex_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
+    """Rebuild the index IN PLACE from the current corpus and promote
+    it atomically — the periodic from-scratch pass that resets
+    accumulated tombstones, re-buckets after an ``n_buckets`` change,
+    and returns every artifact to its build-time compactness. The new
+    index is built into a sibling ``__rebuild`` tree (readers keep
+    serving the old index throughout), then promoted with the same
+    two-rename swap compaction uses; a crash between the renames is
+    healed by the sweep every load runs (the OLD index is restored and
+    keeps serving; the finished rebuild survives for the next
+    attempt). Same single-writer + POSIX contract (:mod:`.storefs`).
+
+    Tombstones do NOT carry over — the rebuild reflects exactly the
+    corpus passed in, the one moment deleted ids become reusable.
+    ``build_kwargs`` forward to :func:`build_lex_index`. Returns the
+    new metadata."""
+    local = _local(path)
+    tmp = local + "__rebuild"
+    shutil.rmtree(tmp, ignore_errors=True)
+    meta = build_lex_index(corpus, tmp, **build_kwargs)
+    repair_lex_index(path)  # clear any parked __old before the swap
+    swap_dir(local, tmp)
+    return meta
 
 
 def lex_index_sink(path: str, *, compact_over: int | None = None):

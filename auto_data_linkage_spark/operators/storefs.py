@@ -54,7 +54,13 @@ import shutil
 OLD_SUFFIX = "__old"
 TMP_SUFFIX = "__compact"
 
-__all__ = ["swap_dir", "remove_dir", "repair_swept_dirs", "local_path"]
+__all__ = [
+    "swap_dir",
+    "remove_dir",
+    "repair_swept_dirs",
+    "repair_swapped_dir",
+    "local_path",
+]
 
 
 def local_path(path: str) -> str:
@@ -81,6 +87,29 @@ def remove_dir(cur: str) -> None:
     old = cur + OLD_SUFFIX
     os.rename(cur, old)
     shutil.rmtree(old)
+
+
+def repair_swapped_dir(live: str, *, tmp_roots: tuple[str, ...] = ()) -> dict:
+    """:func:`repair_swept_dirs`' decision applied to ONE (live,
+    ``live__old``) pair — for whole-directory swaps (index rebuilds)
+    where sweeping the PARENT would touch sibling paths that are not
+    ours. Same crash states, same resolution: live missing + parked
+    present → restore; both present → drop the leftover."""
+    restored: list[str] = []
+    removed: list[str] = []
+    parked = live + OLD_SUFFIX
+    if os.path.isdir(parked):
+        if os.path.isdir(live):
+            shutil.rmtree(parked)
+            removed.append(parked)
+        else:
+            os.rename(parked, live)
+            restored.append(live)
+    for tmp in tmp_roots:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+            removed.append(tmp)
+    return {"restored": restored, "removed": removed}
 
 
 def repair_swept_dirs(root: str, *, tmp_roots: tuple[str, ...] = ()) -> dict:

@@ -199,3 +199,95 @@ def test_ann_delete_idempotent_and_compaction_purges(
         .count()
     )
     assert remaining == 0
+
+
+# ------------------------------------------------------------- rebuild
+def test_lex_rebuild_resets_tombstones_and_serves_fresh(
+    spark, docs, probes, tmp_path
+):
+    out_dir = str(tmp_path / "lex_rb")
+    L.build_lex_index(docs, out_dir, n_buckets=8)
+    L.delete_from_lex_index(
+        spark, out_dir, docs.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    )
+    keep = docs.where(F.col("doc_id") % 3 != 0)
+    meta = L.rebuild_lex_index(keep, out_dir, n_buckets=4)
+    assert meta["n_buckets"] == 4 and meta["n_docs"] == keep.count()
+    idx = L.load_lex_index(spark, out_dir)
+    assert idx.tombstones is None  # mask reset by the rebuild
+    fresh = str(tmp_path / "lex_rb_ref")
+    L.build_lex_index(keep, fresh, n_buckets=4)
+    assert _lex_topk(spark, out_dir, probes) == _lex_topk(
+        spark, fresh, probes
+    )
+
+
+def test_rebuild_crash_between_renames_keeps_old_index_serving(
+    spark, docs, probes, tmp_path, monkeypatch
+):
+    """A crash in the whole-index promotion must leave the OLD index
+    serving after the load-time sweep (and the finished rebuild tree
+    on disk for the next attempt)."""
+    from auto_data_linkage_spark.operators import storefs
+
+    out_dir = str(tmp_path / "lex_rbc")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    L.build_lex_index(half, out_dir, n_buckets=4)
+    want_old = _lex_topk(spark, out_dir, probes)
+
+    class _Crash:
+        def __init__(self, real):
+            self.real, self.calls = real, 0
+
+        def __call__(self, src, dst):
+            self.calls += 1
+            if self.calls == 2:
+                raise OSError("injected crash between renames")
+            return self.real(src, dst)
+
+    monkeypatch.setattr(storefs.os, "rename", _Crash(os.rename))
+    with pytest.raises(OSError, match="injected crash"):
+        L.rebuild_lex_index(docs, out_dir, n_buckets=4)
+    monkeypatch.undo()
+
+    assert not os.path.isdir(out_dir)  # torn: live parked as __old
+    assert os.path.isdir(out_dir + storefs.OLD_SUFFIX)
+    assert os.path.isdir(out_dir + "__rebuild")  # survives for retry
+
+    # plain load heals and serves the OLD index bit-identically
+    assert _lex_topk(spark, out_dir, probes) == want_old
+    # retry completes and serves the NEW corpus
+    L.rebuild_lex_index(docs, out_dir, n_buckets=4)
+    fresh = str(tmp_path / "lex_rbc_ref")
+    L.build_lex_index(docs, fresh, n_buckets=4)
+    assert _lex_topk(spark, out_dir, probes) == _lex_topk(
+        spark, fresh, probes
+    )
+
+
+def test_ann_rebuild_retrains_and_promotes(spark, sf_dir, tmp_path):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    out_dir = str(tmp_path / "ann_rb")
+    A.build_ann_index(vecs.where(F.col("vec_id") % 2 == 0), out_dir,
+                      m=4, n_codewords=8)
+    A.delete_from_ann_index(spark, out_dir, [0, 2, 4])
+    meta = A.rebuild_ann_index(vecs, out_dir, m=4, n_codewords=8)
+    assert meta["n_rows"] == vecs.count()
+    idx = A.load_ann_index(spark, out_dir)
+    assert idx.tombstones is None
+    queries = vecs.orderBy("vec_id").limit(5)
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in A.ann_index_topk(idx, queries, k=5, nprobe=2).collect()
+    }
+    fresh = str(tmp_path / "ann_rb_ref")
+    A.build_ann_index(vecs, fresh, m=4, n_codewords=8)
+    want = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in A.ann_index_topk(
+            A.load_ann_index(spark, fresh), queries, k=5, nprobe=2
+        ).collect()
+    }
+    assert got == want
