@@ -460,3 +460,39 @@ def test_authority_gate_broadcast_is_size_gated(spark, monkeypatch):
         assert "SortMergeJoin" in ungated
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_token_budget_cap_single_exchange(spark):
+    """The hard token cap is ONE window cumsum per stratum: exactly one
+    shuffle exchange (hash on the stratum), no cartesian, no second
+    pass."""
+    from auto_data_linkage_spark.operators.pack import token_budget_cap
+    from auto_data_linkage_spark.plans.explain import physical_plan
+
+    import re
+
+    wt = spark.createDataFrame(
+        [(i, f"s{i % 3}", 10 + i) for i in range(30)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    plan = physical_plan(token_budget_cap(wt, "lang", 100))
+    # formatted plans name each node twice (tree line + section header)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_site_boilerplate_line_unit_cap_window_group_limited(spark):
+    """unit="line" must keep the per-group cap WindowGroupLimit-
+    eligible, same as the chunk unit (hot sites bounded map-side)."""
+    from auto_data_linkage_spark.operators.dedup import (
+        strip_boilerplate_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"Nav Bar Here\nUnique body {i}.")
+         for i in range(8)],
+        "doc_id long, src string, text string",
+    )
+    out = strip_boilerplate_grouped(df, "src", unit="line")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
