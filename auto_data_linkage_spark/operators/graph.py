@@ -36,6 +36,8 @@ Scale design
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from .text import ensure_parallelism
@@ -46,6 +48,7 @@ __all__ = [
     "compact_edge_store",
     "edge_store_sink",
     "load_edges",
+    "delete_domains_from_edge_store",
     "repair_edge_store",
     "refresh_pagerank",
     "extract_links",
@@ -625,18 +628,81 @@ def repair_edge_store(path: str) -> dict:
     return repair_swept_dirs(local, tmp_roots=(local + "__compact",))
 
 
+def delete_domains_from_edge_store(spark, path: str, domains) -> dict:
+    """Domain TAKEDOWN for the edge store — the graph-tier mirror of
+    the index tombstones (spam rings caught by reciprocity stats,
+    legal blocks, site owners opting out): a ``(domain)`` row appends
+    to ``<path>/_tombstones`` and :func:`load_edges` drops every edge
+    touching a masked domain (src OR dst), so the next
+    :func:`refresh_pagerank` redistributes the domain's authority as
+    if it never existed — bit-identical to PageRank over the filtered
+    edge table (tested), with nothing stored rewritten. ``domains`` is
+    a one-column DataFrame or a Python list. Compaction purges masked
+    edges physically in rewritten buckets; the mask itself is
+    permanent (re-crawled pages of a taken-down domain stay masked —
+    the point of a takedown). Returns ``{"deleted": n}`` (count of
+    newly masked domain names)."""
+    repair_edge_store(path)
+    from .storefs import local_path
+
+    local = local_path(path)
+    if not isinstance(domains, DataFrame):
+        domains = spark.createDataFrame(
+            [(str(d),) for d in domains], ["domain"]
+        )
+    else:
+        domains = domains.select(
+            F.col(domains.columns[0]).cast("string").alias("domain")
+        )
+    domains = domains.distinct()
+    tomb_dir = os.path.join(local, "_tombstones")
+    if os.path.isdir(tomb_dir):
+        domains = domains.join(
+            spark.read.parquet(tomb_dir), "domain", "left_anti"
+        )
+    domains = domains.localCheckpoint(eager=True)
+    n = domains.count()
+    if n:
+        domains.write.mode("append").parquet(tomb_dir)
+    return {"deleted": int(n)}
+
+
+def _edge_tombstones(spark, local: str) -> DataFrame | None:
+    tomb_dir = os.path.join(local, "_tombstones")
+    return (
+        spark.read.parquet(tomb_dir) if os.path.isdir(tomb_dir) else None
+    )
+
+
 def load_edges(spark, path: str) -> DataFrame:
     """Aggregated edge table from an :func:`edge_store_sink` store:
     delta rows summed to one (src_domain, dst_domain, n_links) row per
     edge — the input shape :func:`pagerank` / :func:`link_graph_stats`
     expect. Runs the torn-compaction sweep first (one listdir when
     healthy) — a crash between compaction's two renames otherwise
-    silently drops the parked bucket's edges from every refresh."""
+    silently drops the parked bucket's edges from every refresh — and
+    applies the domain-takedown mask
+    (:func:`delete_domains_from_edge_store`): edges touching a masked
+    domain never reach a reader (two deleted-domains-sized anti-joins;
+    AQE broadcasts them)."""
     repair_edge_store(path)
-    return (
-        spark.read.parquet(path)
-        .groupBy("src_domain", "dst_domain")
-        .agg(F.sum("n_links").cast("bigint").alias("n_links"))
+    from .storefs import local_path
+
+    local = local_path(path)
+    edges = spark.read.parquet(path)
+    tombs = _edge_tombstones(spark, local)
+    if tombs is not None:
+        edges = edges.join(
+            tombs.select(F.col("domain").alias("src_domain")),
+            "src_domain",
+            "left_anti",
+        ).join(
+            tombs.select(F.col("domain").alias("dst_domain")),
+            "dst_domain",
+            "left_anti",
+        )
+    return edges.groupBy("src_domain", "dst_domain").agg(
+        F.sum("n_links").cast("bigint").alias("n_links")
     )
 
 
@@ -707,11 +773,25 @@ def compact_edge_store(
         return summary
     tmp_root = local + "__compact"
     shutil.rmtree(tmp_root, ignore_errors=True)
-    df = (
-        spark.read.option("basePath", local)
-        .parquet(*[os.path.join(local, e) for e in hot])
-        .groupBy("bucket", "src_domain", "dst_domain")
-        .agg(F.sum("n_links").cast("bigint").alias("n_links"))
+    df = spark.read.option("basePath", local).parquet(
+        *[os.path.join(local, e) for e in hot]
+    )
+    tombs = _edge_tombstones(spark, local)
+    if tombs is not None:
+        # physical purge of taken-down domains' edges in the rewritten
+        # buckets (reads already masked them; the bytes stop being
+        # carried). The mask stays for the unrewritten buckets.
+        df = df.join(
+            tombs.select(F.col("domain").alias("src_domain")),
+            "src_domain",
+            "left_anti",
+        ).join(
+            tombs.select(F.col("domain").alias("dst_domain")),
+            "dst_domain",
+            "left_anti",
+        )
+    df = df.groupBy("bucket", "src_domain", "dst_domain").agg(
+        F.sum("n_links").cast("bigint").alias("n_links")
     )
     rows = df.count()
     files = max(1, -(-rows // target_rows_per_file))  # ceil
@@ -722,10 +802,16 @@ def compact_edge_store(
         .partitionBy("bucket")
         .parquet(tmp_root)
     )
-    from .storefs import swap_dir
+    from .storefs import remove_dir, swap_dir
 
     for entry in hot:
-        swap_dir(os.path.join(local, entry), os.path.join(tmp_root, entry))
+        new = os.path.join(tmp_root, entry)
+        if os.path.isdir(new):
+            swap_dir(os.path.join(local, entry), new)
+        else:
+            # the purge emptied this bucket — nothing was written for
+            # it; park-then-delete (crash-safe, see storefs.remove_dir)
+            remove_dir(os.path.join(local, entry))
     shutil.rmtree(tmp_root, ignore_errors=True)
     files_after = 0
     for entry in os.listdir(local):

@@ -336,3 +336,74 @@ def test_append_into_torn_store_repairs_first(
 
     L.append_lex_index(half_b, out)
     assert topk_set(out) == want
+
+
+def test_edge_store_domain_takedown(spark, tmp_path):
+    """Takedowns are deltas: load_edges drops every edge touching a
+    masked domain, the next refresh is BIT-IDENTICAL to PageRank over
+    the filtered edge table, takedowns are idempotent, and compaction
+    purges the masked edges physically without changing any read."""
+    from auto_data_linkage_spark.operators.graph import (
+        compact_edge_store,
+        delete_domains_from_edge_store,
+        edge_store_sink,
+        load_edges,
+        pagerank,
+    )
+
+    store = str(tmp_path / "edges_td")
+    sink = edge_store_sink(store, n_buckets=2)
+    for b in range(4):
+        sink(_pages(spark, b * 20, (b + 1) * 20), b)
+
+    full = load_edges(spark, store).localCheckpoint(eager=True)
+    victims = ["site1.com", "site4.com"]
+    out = delete_domains_from_edge_store(spark, store, victims)
+    again = delete_domains_from_edge_store(spark, store, victims)
+    assert out["deleted"] == 2 and again["deleted"] == 0
+
+    masked = load_edges(spark, store)
+    got = sorted(map(tuple, masked.collect()))
+    want_edges = sorted(
+        map(
+            tuple,
+            full.where(
+                ~F.col("src_domain").isin(victims)
+                & ~F.col("dst_domain").isin(victims)
+            ).collect(),
+        )
+    )
+    assert got == want_edges and got  # non-trivially masked
+    # authority refresh == pagerank over the filtered table, bit-exact
+    pr_store = sorted(
+        map(tuple, pagerank(masked, iterations=3).collect())
+    )
+    pr_ref = sorted(
+        map(
+            tuple,
+            pagerank(
+                full.where(
+                    ~F.col("src_domain").isin(victims)
+                    & ~F.col("dst_domain").isin(victims)
+                ),
+                iterations=3,
+            ).collect(),
+        )
+    )
+    assert pr_store == pr_ref
+    assert not any(
+        d in victims for d, _ in pr_store
+    )
+
+    # physical purge on compaction; reads unchanged
+    summary = compact_edge_store(spark, store, max_files_per_bucket=0)
+    assert summary["buckets_rewritten"] > 0
+    assert sorted(map(tuple, load_edges(spark, store).collect())) == want_edges
+    raw = spark.read.parquet(store)
+    assert (
+        raw.where(
+            F.col("src_domain").isin(victims)
+            | F.col("dst_domain").isin(victims)
+        ).count()
+        == 0
+    )
