@@ -12,9 +12,13 @@ refresh — the maintenance story a long-running serving store needs.
 4. ``refresh_pagerank(tol_scaled=...)`` makes warm authority refreshes
    ADAPTIVE: after a small crawl delta the loop stops after a couple
    of updates instead of the fixed schedule, bit-identical to the
-   fixed run at the stop point.
+   fixed run at the stop point;
+5. ``delete_domains_from_edge_store`` takes a spam domain OUT of the
+   authority graph as a delta — the next refresh redistributes its
+   mass as if it never existed, and re-crawled pages of the domain
+   stay masked.
 
-Run: python examples/17_index_lifecycle.py    (~60 s on local[8])
+Run: python examples/17_index_lifecycle.py    (~70 s on local[8])
 """
 
 import os
@@ -29,7 +33,9 @@ from pyspark.sql import functions as F
 from auto_data_linkage_spark.operators import lexindex as L
 from auto_data_linkage_spark.operators import storefs
 from auto_data_linkage_spark.operators.graph import (
+    delete_domains_from_edge_store,
     edge_store_sink,
+    load_edges,
     refresh_pagerank,
 )
 from auto_data_linkage_spark.operators.retrieval import (
@@ -129,6 +135,20 @@ def main() -> None:
     print(f"cold refresh: {cold_stats['iterations_run']} iterations; "
           f"warm refresh after a 10-page delta: "
           f"{warm_stats['iterations_run']} iterations")
+
+    # 5. domain takedown: the spammiest hub leaves the graph as a delta
+    out = delete_domains_from_edge_store(spark, store, ["hub0.net"])
+    domains = {
+        r.domain
+        for r in refresh_pagerank(spark, store, iterations=5)
+        .select("domain").collect()
+    }
+    survivors = {r.src_domain for r in
+                 load_edges(spark, store).collect()} | {
+                 r.dst_domain for r in load_edges(spark, store).collect()}
+    print(f"takedown deleted={out['deleted']}; hub0.net in refreshed "
+          f"ranks: {'hub0.net' in domains}; in edges: "
+          f"{'hub0.net' in survivors}")
     spark.stop()
 
 
