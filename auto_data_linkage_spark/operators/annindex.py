@@ -367,7 +367,16 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids) -> dict:
     compaction rewrites a cell; the tombstone mask is permanent — do
     NOT re-use a deleted id in later appends. Ids absent from the
     index are tombstoned but change no statistic. Returns
-    ``{"deleted": n, "meta": updated-metadata}``."""
+    ``{"deleted": n, "meta": updated-metadata}``.
+
+    Crash window (stat drift only): a crash AFTER the tombstone append
+    but BEFORE the meta write leaves ``n_rows`` overstated — the docs
+    are correctly masked, but a retry anti-joins the now-present
+    tombstones to empty (``n_del=0``, correctly no-ops the mask) and
+    cannot recover the missed decrement. Probe results are unaffected
+    (``n_rows`` gates nothing at query time); the drift heals at the
+    next :func:`compact_ann_index`, which recounts the live rows
+    exactly whenever a tombstone mask exists."""
     repair_ann_index(path)
     local = _local(path)
     with open(os.path.join(local, "index.json")) as f:
@@ -398,6 +407,33 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids) -> dict:
     meta["n_rows"] = int(meta["n_rows"]) - int(n_del)
     _write_meta(local, meta)
     return {"deleted": int(n_del), "meta": meta}
+
+
+def _heal_n_rows(spark: SparkSession, local: str, meta: dict) -> bool:
+    """Heal ``n_rows`` drift in place: a delete that crashed between its
+    tombstone append and its meta write left ``n_rows`` overstated, and
+    retries anti-join to 0 so they cannot recover it (see
+    :func:`delete_from_ann_index`). Whenever a tombstone mask exists,
+    recount the live rows exactly (one neighbor_id-column scan — a
+    maintenance-time cost, and only on indexes that ever saw a delete).
+    Mutates ``meta`` and returns True when it did."""
+    tomb_dir = os.path.join(local, "tombstones")
+    if not os.path.isdir(tomb_dir):
+        return False
+    coded_dir = os.path.join(local, "coded")
+    has_data = any(
+        e.startswith("cell=") and os.path.isdir(os.path.join(coded_dir, e))
+        for e in os.listdir(coded_dir)
+    )
+    live = 0
+    if has_data:
+        live = (
+            spark.read.parquet(coded_dir)
+            .join(spark.read.parquet(tomb_dir), "neighbor_id", "left_anti")
+            .count()
+        )
+    meta["n_rows"] = int(live)
+    return True
 
 
 def _cell_file_counts(local: str) -> dict[str, int]:
@@ -455,6 +491,8 @@ def compact_ann_index(
     counts = _cell_file_counts(local)
     hot = sorted(e for e, n in counts.items() if n > max_files_per_cell)
     if not hot:
+        if _heal_n_rows(spark, local, meta):
+            _write_meta(local, meta)
         return {
             "cells_rewritten": 0,
             "files_before": sum(counts.values()),
@@ -499,6 +537,7 @@ def compact_ann_index(
             # park-then-delete (crash-safe, see storefs.remove_dir)
             remove_dir(os.path.join(coded_dir, entry))
     shutil.rmtree(tmp_root, ignore_errors=True)
+    _heal_n_rows(spark, local, meta)
     _write_meta(local, meta)
     after = _cell_file_counts(local)
     return {

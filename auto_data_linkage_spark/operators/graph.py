@@ -472,6 +472,18 @@ def hits(
     mega-degree hubs beyond that should drop ``scale`` a decade (the
     same documented trade as ``PAGERANK_SCALE``).
 
+    Node-count floor (the other side of the same trade): the initial
+    hub share is ``scale DIV n`` and zero vectors are a fixed point of
+    the integer rescale, so a graph with more than ``scale`` nodes
+    would silently return all zeros — this raises instead. Together
+    the two bounds pin the working envelope: ``n ≤ scale`` AND
+    ``max_degree < 2^63 / scale²``; pick ``scale`` between them (e.g.
+    ``10^8`` handles a 10^8-domain graph with max_degree < 900; an
+    exact-integer formulation for BOTH huge n and mega-degree hubs
+    needs a wider intermediate than BIGINT — use :func:`pagerank`
+    (scale 10^12, overflow-safe at any node count) when only a single
+    authority vector is needed).
+
     Per iteration: TWO shuffle joins + TWO aggregations (authority
     then hub half-step, the hub step reading the UPDATED authorities —
     the textbook order), each followed by an 8-byte total collected to
@@ -501,6 +513,15 @@ def hits(
             "domain",
             F.lit(0).cast("bigint").alias("hub_scaled"),
             F.lit(0).cast("bigint").alias("auth_scaled"),
+        )
+    if scale // n == 0:
+        raise ValueError(
+            f"graph has {n} nodes but scale={scale}: the initial hub "
+            "share scale DIV n floors to 0 and zero vectors are a "
+            "fixed point of the integer rescale (the result would be "
+            "silently all-zero). Raise scale to at least the node "
+            "count — and check the max_degree < 2^63/scale^2 overflow "
+            "bound still holds at the new scale (see docstring)."
         )
     hub = nodes.select(
         "domain", F.lit(scale // n).cast("bigint").alias("hub_scaled")

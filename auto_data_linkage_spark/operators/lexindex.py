@@ -268,6 +268,12 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
     id in later appends (the same no-dedup-check contract appends
     document). Ids absent from the index are tombstoned but change no
     statistic. Returns ``{"deleted": n, "meta": updated-metadata}``.
+
+    Crash-retry safe: artifacts commit tombstones-first, so retrying
+    a crashed delete no-ops instead of double-appending the negative
+    df deltas; the residue of an unretried crash is conservative
+    (overstated df / n_docs until rebuild) — see the in-code contract
+    at the write site.
     """
     repair_lex_index(path)
     local = _local(path)
@@ -294,7 +300,9 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
     ids = ids.localCheckpoint(eager=True)
 
     # one postings scan: the deleted docs' rows feed BOTH the exact
-    # n_docs/sum_dl decrement and the per-term negative df deltas
+    # n_docs/sum_dl decrement and the per-term negative df deltas.
+    # Materialized eagerly BEFORE any artifact is written, so the
+    # write order below cannot affect what is computed.
     hit = posts.join(ids, "doc_id", "left_semi").localCheckpoint(
         eager=True
     )
@@ -304,6 +312,22 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
         .agg(F.count("*"), F.coalesce(F.sum("dl"), F.lit(0)))
         .first()
     )
+    # CRASH-RETRY SAFETY: the three artifacts commit in tombstones →
+    # df-deltas → meta order. The tombstone batch goes FIRST so a retry
+    # of a crashed delete anti-joins to empty and NO-OPS — the one
+    # order under which a retry can never double-append the negative
+    # df deltas (which would permanently over-decrement df and break
+    # the bit-equal-to-fresh-build contract). The residues of each
+    # crash window are CONSERVATIVE and heal at the next rebuild:
+    # - after tombstones, before df deltas: docs correctly masked,
+    #   df/n_docs/sum_dl overstated (idf slightly low for the deleted
+    #   docs' terms);
+    # - after df deltas, before meta: df exact, n_docs/sum_dl
+    #   overstated (avgdl slightly high).
+    # The bit-equal contract holds for COMPLETED deletes; a crashed,
+    # retried delete serves the correct candidate set with slightly
+    # stale stats until rebuild_lex_index.
+    ids.write.mode("append").parquet(tomb_dir)
     if n_del:
         (
             hit.groupBy("bucket", "term")
@@ -312,7 +336,6 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
             .partitionBy("bucket")
             .parquet(os.path.join(local, "terms"))
         )
-    ids.write.mode("append").parquet(tomb_dir)
     meta["n_docs"] = int(meta["n_docs"]) - int(n_del)
     meta["sum_dl"] = int(meta["sum_dl"]) - int(dl_del)
     _write_meta(local, meta)

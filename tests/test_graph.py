@@ -601,3 +601,18 @@ class TestHits:
         assert hits(empty, iterations=2).count() == 0
         with _pt.raises(ValueError, match="iterations"):
             hits(empty, iterations=0)
+
+    def test_node_count_floor_raises_not_silent_zeros(self, spark):
+        """More nodes than `scale` units: the initial hub share floors
+        to 0 and zero vectors are a fixed point — must raise, never
+        return an all-zero result."""
+        import pytest as _pt
+
+        from auto_data_linkage_spark.operators.graph import hits
+
+        df = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        with _pt.raises(ValueError, match="scale"):
+            hits(df, iterations=2, scale=2)  # 3 nodes > scale=2
+        # scale == n is the boundary: share is 1 unit, still nonzero
+        out = hits(df, iterations=2, scale=3).collect()
+        assert len(out) == 3

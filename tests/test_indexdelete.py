@@ -126,6 +126,121 @@ def test_lex_compaction_purges_tombstoned_rows(
     assert bad == 0
 
 
+def test_lex_delete_crash_retry_never_double_decrements(
+    spark, docs, probes, tmp_path, monkeypatch
+):
+    """A delete that crashes AFTER its tombstone append but BEFORE the
+    negative-df-delta write must be retry-SAFE: the retry anti-joins
+    the tombstones to empty and no-ops, so df is never decremented
+    twice (the hazard of any other write order). Candidates are masked
+    from the moment of the crash; stats stay conservatively overstated
+    until rebuild."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    out_dir = str(tmp_path / "lex_crashdel")
+    L.build_lex_index(docs, out_dir, n_buckets=4)
+    meta0 = L.load_lex_index(spark, out_dir).meta
+    victims = [r.doc_id for r in docs.where(F.col("doc_id") % 4 == 0)
+               .select("doc_id").collect()]
+
+    real = DataFrameWriter.parquet
+    calls = {"n": 0}
+
+    def crash_on_second_write(self, path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # 1st = tombstones, 2nd = df deltas
+            raise OSError("injected crash before the df-delta write")
+        return real(self, path, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crash_on_second_write)
+    with pytest.raises(OSError, match="injected crash"):
+        L.delete_from_lex_index(spark, out_dir, victims)
+    monkeypatch.undo()
+
+    # torn state: tombstones landed, NO df deltas, meta untouched
+    idx = L.load_lex_index(spark, out_dir)
+    assert idx.tombstones is not None
+    assert idx.terms.where(F.col("df") < 0).count() == 0
+    assert idx.meta["n_docs"] == meta0["n_docs"]
+
+    # retry NO-OPS (ids already tombstoned) — the double-decrement
+    # hazard: a retry that re-appended deltas would leave df short
+    again = L.delete_from_lex_index(spark, out_dir, victims)
+    assert again["deleted"] == 0
+    assert L.load_lex_index(spark, out_dir).terms.where(
+        F.col("df") < 0
+    ).count() == 0
+
+    # candidates are correctly masked despite the torn stats
+    served = {r.doc_id for r in L.lex_index_topk(
+        L.load_lex_index(spark, out_dir), probes, k=20
+    ).collect()}
+    assert not served & set(victims)
+
+    # rebuild heals the conservative stat residue to fresh-build parity
+    keep = docs.where(F.col("doc_id") % 4 != 0)
+    L.rebuild_lex_index(keep, out_dir, n_buckets=4)
+    fresh = str(tmp_path / "lex_crashdel_ref")
+    L.build_lex_index(keep, fresh, n_buckets=4)
+    assert _lex_topk(spark, out_dir, probes) == _lex_topk(
+        spark, fresh, probes
+    )
+
+
+def test_lex_compaction_removes_fully_emptied_buckets(
+    spark, docs, probes, tmp_path
+):
+    """A bucket emptied ENTIRELY by the tombstone purge must be
+    park-then-deleted (storefs.remove_dir), not left as a zero-file
+    husk — pinning the same explicit empty-bucket path the edge store
+    has. Deleting every doc empties every bucket of both tables."""
+    out_dir = str(tmp_path / "lex_allgone")
+    sub = docs.limit(40)
+    L.build_lex_index(sub, out_dir, n_buckets=2)
+    L.delete_from_lex_index(spark, out_dir, sub.select("doc_id"))
+    L.compact_lex_index(spark, out_dir, max_files_per_bucket=0)
+    for table in ("postings", "terms"):
+        root = os.path.join(out_dir, table)
+        assert [e for e in os.listdir(root) if e.startswith("bucket=")] == []
+    # the store still loads (schema from metadata) and serves empty
+    assert _lex_topk(spark, out_dir, probes) == set()
+
+
+def test_ann_delete_crash_meta_drift_heals_at_compaction(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A delete that crashes between its tombstone append and its meta
+    write leaves n_rows overstated, and a retry anti-joins to 0 so it
+    cannot recover the decrement — compaction must recount the live
+    rows exactly whenever a tombstone mask exists."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    out_dir = str(tmp_path / "ann_drift")
+    meta0 = A.build_ann_index(vecs, out_dir, m=4, n_codewords=8)
+    victims = [r.vec_id for r in vecs.where(F.col("vec_id") % 9 == 0)
+               .select("vec_id").collect()]
+
+    def crash(local, meta):
+        raise OSError("injected crash before the meta write")
+
+    monkeypatch.setattr(A, "_write_meta", crash)
+    with pytest.raises(OSError, match="injected crash"):
+        A.delete_from_ann_index(spark, out_dir, victims)
+    monkeypatch.undo()
+
+    # torn: docs masked, n_rows overstated; retry cannot recover it
+    assert A.load_ann_index(spark, out_dir).meta["n_rows"] == meta0["n_rows"]
+    again = A.delete_from_ann_index(spark, out_dir, victims)
+    assert again["deleted"] == 0
+    assert again["meta"]["n_rows"] == meta0["n_rows"]  # still overstated
+
+    # compaction heals the drift even when nothing is fragmented
+    A.compact_ann_index(spark, out_dir)
+    healed = A.load_ann_index(spark, out_dir).meta["n_rows"]
+    assert healed == meta0["n_rows"] - len(victims)
+
+
 # ------------------------------------------------------------------ ann
 def test_ann_delete_reranks_survivors(spark, sf_dir, tmp_path):
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(

@@ -90,12 +90,23 @@ def compare_query(spark, con, fn, sql, sf_dir):
     return problems
 
 
+def unknown_names(requested, catalog) -> list[str]:
+    """Requested query names absent from the catalog — a typo on the CLI
+    must fail loudly, not silently masquerade as a pass."""
+    return sorted(set(requested) - set(catalog))
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
     from auto_data_linkage_spark.session import get_spark
+
+    bad = unknown_names(only, entry_mod.queries())
+    if bad:
+        print(f"ERROR: no such query: {bad}")
+        sys.exit(2)
 
     spark = get_spark("oracle-check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 
