@@ -23,6 +23,15 @@ the caller still has the true-vector corpus.
 No reference analogue (the reference has no ANN surface) — LLM-brief
 scope, Spark-first: every artifact is a parquet table or a JSON
 literal; no sidecar services, no custom file formats.
+
+Two storage layouts, chosen at build time and auto-detected after
+(identical contract to :mod:`.lexindex` — see its docstring):
+``layout="rename"`` (default; in-place ``cell=N`` dirs, two-rename
+swap + load-time repair, POSIX only) or ``layout="manifest"``
+(immutable ``gen=N`` dirs + one-JSON-commit manifests,
+:mod:`.manifestfs`: zero renames → object-store-safe, atomic deletes
+and whole-store cutover, snapshot-pinned readers, explicit
+:func:`vacuum_ann_index`).
 """
 
 from __future__ import annotations
@@ -34,6 +43,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import manifestfs as M
 from .storefs import repair_swept_dirs, swap_dir
 
 _VERSION = 1
@@ -46,9 +56,14 @@ def repair_ann_index(path: str) -> dict:
     :mod:`.storefs` for the crash states). One ``listdir`` when the
     index is healthy — ran automatically by :func:`load_ann_index` and
     at the start of every compaction, callable directly after a known
-    crash. Returns ``{"restored": [...], "removed": [...]}``."""
+    crash. A manifest-layout store has no torn states (uncommitted
+    generations are invisible) — no-op there; reclamation is
+    :func:`vacuum_ann_index`. Returns
+    ``{"restored": [...], "removed": [...]}``."""
     from .storefs import repair_swapped_dir
 
+    if M.is_manifest_store(path):
+        return {"restored": [], "removed": []}
     local = _local(path)
     # whole-index rebuild swap first (restores a parked index whose
     # promotion crashed; does NOT touch a sibling __rebuild tree — an
@@ -126,6 +141,8 @@ def build_ann_index(
     n_cells: int | None = None,
     kmeans_iter: int = 5,
     seed: int = 0,
+    layout: str = "rename",
+    _expected_version: int = 0,
 ) -> dict:
     """One corpus pass → stored index. Centroids are the per-cell
     means of the existing ``cell_col`` labels; codebooks are the
@@ -141,9 +158,14 @@ def build_ann_index(
     ``codec`` picks the compression rung: ``"pq"`` (default, 8-byte
     codes — smallest scan, approximate scores) or ``"sq8"`` (int8
     per-dimension codes — 4× smaller than floats at ~full recall,
-    scored scale-invariantly; ``m``/``n_codewords`` are ignored)."""
+    scored scale-invariantly; ``m``/``n_codewords`` are ignored).
+
+    ``layout="manifest"`` stores the index as immutable generations +
+    a manifest log instead of in-place dirs (module docstring)."""
     if codec not in ("pq", "sq8"):
         raise ValueError(f"codec must be 'pq' or 'sq8', got {codec!r}")
+    if layout not in ("rename", "manifest"):
+        raise ValueError(f"layout must be 'rename' or 'manifest', got {layout!r}")
     from auto_data_linkage_spark.operators.similarity import (
         _pq_recon_norm,
         assign_cells,
@@ -184,16 +206,23 @@ def build_ann_index(
             "codes",
             _pq_recon_norm(cbs).alias("__cn"),
         )
-    coded.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(local, "coded")
-    )
-    cents.write.mode("overwrite").parquet(os.path.join(local, "centroids"))
+    if layout == "manifest":
+        gc_ = M.next_gen(path, "coded")
+        gn = M.next_gen(path, "centroids")
+        coded_dir = os.path.join(local, "coded", gc_)
+        cents_dir = os.path.join(local, "centroids", gn)
+    else:
+        coded_dir = os.path.join(local, "coded")
+        cents_dir = os.path.join(local, "centroids")
+    coded.write.mode("overwrite").partitionBy("cell").parquet(coded_dir)
+    cents.write.mode("overwrite").parquet(cents_dir)
 
     spark = corpus.sparkSession
+    stats_src = spark.read.option(
+        "basePath", os.path.dirname(coded_dir) if layout == "manifest" else coded_dir
+    ).parquet(coded_dir)
     n_rows, cells = (
-        spark.read.parquet(os.path.join(local, "coded"))
-        .agg(F.count("*"), F.collect_set("cell"))
-        .first()
+        stats_src.agg(F.count("*"), F.collect_set("cell")).first()
     )
     meta = {
         "version": _VERSION,
@@ -211,6 +240,18 @@ def build_ann_index(
         # whole coded/ tree per append (O(delta), not O(index))
         "cells": sorted(cells),
     }
+    if layout == "manifest":
+        tables = M.add_gens(
+            {}, "coded", M.written_parts(path, "coded", gc_), gc_
+        )
+        tables = M.add_gens(
+            tables, "centroids", M.written_parts(path, "centroids", gn), gn
+        )
+        M.commit_manifest(
+            path, tables=tables, meta=meta,
+            expected_version=_expected_version,
+        )
+        return meta
     _write_meta(local, meta)
     return meta
 
@@ -247,11 +288,18 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
         pq_encode,
     )
 
-    repair_ann_index(path)
-
     local = _local(path)
-    with open(os.path.join(local, "index.json")) as f:
-        meta = json.load(f)
+    spark = delta.sparkSession
+    manifest = M.is_manifest_store(path)
+    if manifest:
+        snap = M.read_manifest(path)
+        meta = dict(snap["meta"])
+        cents_df = M.read_table(spark, path, "centroids", snap)
+    else:
+        repair_ann_index(path)
+        with open(os.path.join(local, "index.json")) as f:
+            meta = json.load(f)
+        cents_df = spark.read.parquet(os.path.join(local, "centroids"))
     if meta.get("version") != _VERSION:
         raise ValueError(
             f"unsupported ann-index version {meta.get('version')!r}"
@@ -259,7 +307,6 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
     cbs = meta["codebooks"]
     cell_col = meta["cell_col"]
 
-    spark = delta.sparkSession
     if cell_col not in delta.columns:
         # learned-cells index (build_ann_index(n_cells=...)) or a delta
         # without labels: route each row to its nearest STORED centroid —
@@ -270,7 +317,7 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
         )
 
         cent_rows = sorted(
-            spark.read.parquet(os.path.join(local, "centroids")).collect(),
+            cents_df.collect() if cents_df is not None else [],
             key=lambda r: r["cell"],
         )
         if not cent_rows:
@@ -293,12 +340,11 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
     ).first()
     if n_delta == 0:
         return meta
-    routed = {
-        r["cell"]
-        for r in spark.read.parquet(os.path.join(local, "centroids"))
-        .select("cell")
-        .collect()
-    }
+    routed = (
+        {r["cell"] for r in cents_df.select("cell").collect()}
+        if cents_df is not None
+        else set()
+    )
     unknown = sorted(set(delta_cells) - routed)
     if unknown:
         raise ValueError(
@@ -330,12 +376,20 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
             "codes",
             _pq_recon_norm(cbs).alias("__cn"),
         )
-    coded.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(local, "coded")
-    )
+    if manifest:
+        gc_ = M.next_gen(path, "coded")
+        coded.write.partitionBy("cell").parquet(
+            os.path.join(local, "coded", gc_)
+        )
+    else:
+        coded.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(local, "coded")
+        )
     if "cells" not in meta:
-        # index written by a pre-inventory build: seed the occupied-cell
-        # list with one full scan (once), then stay O(delta) forever
+        # index written by a pre-inventory build (rename layout only —
+        # manifest builds always record the inventory): seed the
+        # occupied-cell list with one full scan (once), then stay
+        # O(delta) forever
         meta["cells"] = [
             r["cell"]
             for r in spark.read.parquet(os.path.join(local, "coded"))
@@ -348,6 +402,14 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
     meta["n_rows"] = int(meta["n_rows"]) + int(n_delta)
     meta["cells"] = cells
     meta["n_cells"] = len(cells)
+    if manifest:
+        tables = M.add_gens(
+            snap["tables"], "coded", M.written_parts(path, "coded", gc_), gc_
+        )
+        M.commit_manifest(
+            path, tables=tables, meta=meta, expected_version=snap["version"]
+        )
+        return meta
     _write_meta(local, meta)
     return meta
 
@@ -376,16 +438,31 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids) -> dict:
     cannot recover the missed decrement. Probe results are unaffected
     (``n_rows`` gates nothing at query time); the drift heals at the
     next :func:`compact_ann_index`, which recounts the live rows
-    exactly whenever a tombstone mask exists."""
-    repair_ann_index(path)
+    exactly whenever a tombstone mask exists. Manifest layout: the
+    tombstone batch and the decremented metadata land in ONE manifest
+    commit — the delete is atomic, no drift is possible."""
     local = _local(path)
-    with open(os.path.join(local, "index.json")) as f:
-        meta = json.load(f)
+    manifest = M.is_manifest_store(path)
+    if manifest:
+        snap = M.read_manifest(path)
+        meta = dict(snap["meta"])
+        coded = M.read_table(spark, path, "coded", snap)
+        tombs = M.read_table(spark, path, "tombstones", snap)
+    else:
+        repair_ann_index(path)
+        with open(os.path.join(local, "index.json")) as f:
+            meta = json.load(f)
+        coded = spark.read.parquet(os.path.join(local, "coded"))
+        tomb_dir = os.path.join(local, "tombstones")
+        tombs = (
+            spark.read.parquet(tomb_dir)
+            if os.path.isdir(tomb_dir)
+            else None
+        )
     if meta.get("version") != _VERSION:
         raise ValueError(
             f"unsupported ann-index version {meta.get('version')!r}"
         )
-    coded = spark.read.parquet(os.path.join(local, "coded"))
     id_type = coded.schema["neighbor_id"].dataType
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame(
@@ -396,13 +473,24 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids) -> dict:
             F.col(ids.columns[0]).cast(id_type).alias("neighbor_id")
         )
     ids = ids.distinct()
-    tomb_dir = os.path.join(local, "tombstones")
-    if os.path.isdir(tomb_dir):
-        ids = ids.join(
-            spark.read.parquet(tomb_dir), "neighbor_id", "left_anti"
-        )
+    if tombs is not None:
+        ids = ids.join(tombs, "neighbor_id", "left_anti")
     ids = ids.localCheckpoint(eager=True)
     n_del = coded.join(ids, "neighbor_id", "left_semi").count()
+    if manifest:
+        if ids.count() == 0:
+            return {"deleted": 0, "meta": meta}
+        gb = M.next_gen(path, "tombstones")
+        ids.write.parquet(os.path.join(local, "tombstones", gb))
+        tables = M.add_gens(
+            snap["tables"], "tombstones",
+            M.written_parts(path, "tombstones", gb), gb,
+        )
+        meta["n_rows"] = int(meta["n_rows"]) - int(n_del)
+        M.commit_manifest(
+            path, tables=tables, meta=meta, expected_version=snap["version"]
+        )
+        return {"deleted": int(n_del), "meta": meta}
     ids.write.mode("append").parquet(tomb_dir)
     meta["n_rows"] = int(meta["n_rows"]) - int(n_del)
     _write_meta(local, meta)
@@ -477,9 +565,20 @@ def compact_ann_index(
     centroids are untouched; ``index.json`` is rewritten atomically
     with a bumped ``generation``. Returns a summary dict
     ``{cells_rewritten, files_before, files_after, rows_rewritten}``.
+    Manifest layout: rewrites land in a fresh generation and every
+    rewritten cell cuts over in one atomic manifest commit (pinned
+    readers untouched; superseded generations reclaimed by
+    :func:`vacuum_ann_index`).
     """
     import shutil
 
+    if M.is_manifest_store(path):
+        return _compact_manifest_ann(
+            spark,
+            path,
+            max_files_per_cell=max_files_per_cell,
+            target_rows_per_file=target_rows_per_file,
+        )
     local = _local(path)
     with open(os.path.join(local, "index.json")) as f:
         meta = json.load(f)
@@ -548,6 +647,77 @@ def compact_ann_index(
     }
 
 
+def _compact_manifest_ann(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_cell: int,
+    target_rows_per_file: int,
+) -> dict:
+    """Manifest-layout ANN compaction: rewrite over-fragmented cells
+    (tombstone-purged) into one fresh generation and commit the cutover
+    of ALL of them in one manifest. ``n_rows`` drift cannot exist in
+    this layout (deletes are atomic), so no heal pass is needed."""
+    snap = M.read_manifest(path)
+    meta = snap["meta"]
+    if meta.get("version") != _VERSION:
+        raise ValueError(
+            f"unsupported ann-index version {meta.get('version')!r}"
+        )
+    local = _local(path)
+    counts = M.part_file_counts(path, "coded", snap)
+    hot = sorted(p for p, c in counts.items() if c > max_files_per_cell)
+    if not hot:
+        return {
+            "cells_rewritten": 0,
+            "files_before": sum(counts.values()),
+            "files_after": sum(counts.values()),
+            "rows_rewritten": 0,
+        }
+    tdir = os.path.join(local, "coded")
+    df = (
+        spark.read.option("basePath", tdir)
+        .parquet(*M.table_paths(path, "coded", snap, parts=hot))
+        .drop("gen")
+    )
+    tombstones = M.read_table(spark, path, "tombstones", snap)
+    if tombstones is not None:
+        df = df.join(tombstones, "neighbor_id", "left_anti")
+    rows = df.count()
+    files = max(1, -(-rows // target_rows_per_file))  # ceil
+    gen = M.next_gen(path, "coded")
+    (
+        df.repartition(files, "cell")
+        .sortWithinPartitions("cell", "neighbor_id")
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy("cell")
+        .parquet(os.path.join(tdir, gen))
+    )
+    tables = M.replace_parts(snap["tables"], "coded", hot, gen, path)
+    M.commit_manifest(
+        path, tables=tables, meta=meta, expected_version=snap["version"]
+    )
+    after = M.part_file_counts(path, "coded", {"tables": tables})
+    return {
+        "cells_rewritten": len(hot),
+        "files_before": sum(counts.values()),
+        "files_after": sum(after.values()),
+        "rows_rewritten": int(rows),
+    }
+
+
+def vacuum_ann_index(path: str, *, keep_manifests: int = 2) -> dict:
+    """Reclaim generations superseded by compaction/rebuild and orphans
+    of crashed writers (manifest layout only) — see
+    :func:`manifestfs.vacuum` for the reader-pinning grace contract."""
+    if not M.is_manifest_store(path):
+        raise ValueError(
+            "vacuum applies to manifest-layout indexes only; rename-"
+            "layout stores reclaim inline (two-rename swap + repair)"
+        )
+    return M.vacuum(path, keep_manifests=keep_manifests)
+
+
 def rebuild_ann_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
     """Rebuild the index IN PLACE from the current corpus and promote
     it atomically — the documented answer to codebook/centroid drift
@@ -565,9 +735,23 @@ def rebuild_ann_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
     corpus passed in (deletions should already be gone from it), so
     the mask resets — the one moment deleted ids become reusable.
     ``build_kwargs`` forward to :func:`build_ann_index` (m,
-    n_codewords, column names...). Returns the new metadata."""
+    n_codewords, column names...). Returns the new metadata.
+
+    Manifest layout: the rebuild writes fresh generations and promotes
+    them in one manifest commit that replaces every table and drops
+    the tombstone mask — no rename, pinned readers keep the old index
+    until :func:`vacuum_ann_index`."""
     from .storefs import swap_dir
 
+    if M.is_manifest_store(path):
+        snap = M.read_manifest(path)
+        return build_ann_index(
+            corpus,
+            path,
+            layout="manifest",
+            _expected_version=snap["version"],
+            **build_kwargs,
+        )
     local = _local(path)
     tmp = local + "__rebuild"
     import shutil
@@ -620,6 +804,23 @@ def ann_index_sink(path: str, *, compact_over: int | None = None):
 
 
 def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+    """Handle over the stored index. Manifest layout: the manifest
+    read PINS the snapshot — the returned DataFrames name immutable
+    generation directories, so later appends/compactions/rebuilds
+    never change what this handle serves (until vacuum)."""
+    if M.is_manifest_store(path):
+        snap = M.read_manifest(path)
+        meta = snap["meta"]
+        if meta.get("version") != _VERSION:
+            raise ValueError(
+                f"unsupported ann-index version {meta.get('version')!r}"
+            )
+        return AnnIndex(
+            meta=meta,
+            centroids=M.read_table(spark, path, "centroids", snap),
+            coded=M.read_table(spark, path, "coded", snap),
+            tombstones=M.read_table(spark, path, "tombstones", snap),
+        )
     # torn-compaction sweep first (one listdir when healthy) — a crash
     # between compaction's two renames otherwise silently serves top-k
     # MISSING the parked cell's rows (no error — just wrong neighbors).

@@ -47,9 +47,11 @@ __all__ = [
     "anchor_texts",
     "compact_edge_store",
     "edge_store_sink",
+    "init_edge_store",
     "load_edges",
     "delete_domains_from_edge_store",
     "repair_edge_store",
+    "vacuum_edge_store",
     "refresh_pagerank",
     "extract_links",
     "hits",
@@ -58,6 +60,10 @@ __all__ = [
     "pagerank",
     "PAGERANK_SCALE",
 ]
+
+_EDGES_SCHEMA = (
+    "src_domain string, dst_domain string, n_links bigint, bucket int"
+)
 
 # href="..." capture: scheme-qualified links only (relative links stay
 # on-site and carry no cross-domain authority). RE2-safe (no
@@ -612,20 +618,49 @@ def edge_store_sink(
     edge EXISTENCE — what PageRank consumes — is unaffected since
     :func:`pagerank` drops multiplicity); point a checkpointLocation at
     the query, the standard append-sink caveat.
+
+    A store created with :func:`init_edge_store`'s ``layout="manifest"``
+    is auto-detected: each micro-batch's delta then lands in a fresh
+    ``gen=N`` dir under ``<path>/edges`` and becomes visible at ONE
+    manifest commit (:mod:`.manifestfs`) — a replay of a batch whose
+    commit never happened appends exactly once, and no rename is ever
+    performed (object-store-safe maintenance).
     """
+    from . import manifestfs as M
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        edges = extract_links(
+            batch_df, html_col, url_col, drop_self=drop_self
+        )
+        if M.is_manifest_store(path):
+            snap = M.read_manifest(path)
+            nb = int(snap["meta"].get("n_buckets", n_buckets))
+            local = M.local_path(path)
+            gen = M.next_gen(path, "edges")
+            (
+                edges.withColumn(
+                    "bucket", _edge_bucket(F.col("src_domain"), nb)
+                )
+                .write.partitionBy("bucket")
+                .parquet(os.path.join(local, "edges", gen))
+            )
+            parts = M.written_parts(path, "edges", gen)
+            if parts:
+                M.commit_manifest(
+                    path,
+                    tables=M.add_gens(snap["tables"], "edges", parts, gen),
+                    meta=snap["meta"],
+                    expected_version=snap["version"],
+                )
             return
         # repair-before-append: writing into a store whose bucket is
         # parked as __old would recreate the live dir and make the next
         # sweep drop the parked original (see append_lex_index).
         repair_edge_store(path)
         (
-            extract_links(
-                batch_df, html_col, url_col, drop_self=drop_self
-            )
-            .withColumn(
+            edges.withColumn(
                 "bucket", _edge_bucket(F.col("src_domain"), n_buckets)
             )
             .write.mode("append")
@@ -636,15 +671,53 @@ def edge_store_sink(
     return _sink
 
 
+def init_edge_store(path: str, *, n_buckets: int = 16) -> dict:
+    """Create an empty MANIFEST-layout edge store (commit v1). The
+    rename layout needs no init — its sink appends into the root
+    directly; call this once when the store should live on an object
+    store or serve concurrent readers during maintenance (see
+    :mod:`.manifestfs` for the contract)."""
+    from . import manifestfs as M
+
+    local = M.local_path(path)
+    os.makedirs(local, exist_ok=True)
+    return M.init_manifest_store(
+        path,
+        tables={},
+        meta={
+            "n_buckets": int(n_buckets),
+            "edges_schema": _EDGES_SCHEMA,
+        },
+    )
+
+
+def vacuum_edge_store(path: str, *, keep_manifests: int = 2) -> dict:
+    """Reclaim superseded/orphaned generations of a manifest-layout
+    edge store — see :func:`manifestfs.vacuum` for the reader-pinning
+    grace contract."""
+    from . import manifestfs as M
+
+    if not M.is_manifest_store(path):
+        raise ValueError(
+            "vacuum applies to manifest-layout edge stores only"
+        )
+    return M.vacuum(path, keep_manifests=keep_manifests)
+
+
 def repair_edge_store(path: str) -> dict:
     """Crash-repair sweep for torn :func:`compact_edge_store` swaps:
     restore any ``bucket=N__old`` whose live dir is missing, drop
     completed-swap leftovers and scratch trees (crash states in
     :mod:`.storefs`). One ``listdir`` when the store is healthy — ran
     automatically by :func:`load_edges` and at the start of every
-    compaction. Returns ``{"restored": [...], "removed": [...]}``."""
+    compaction. Manifest-layout stores have no torn states — no-op
+    there (reclamation is :func:`vacuum_edge_store`). Returns
+    ``{"restored": [...], "removed": [...]}``."""
+    from . import manifestfs as M
     from .storefs import local_path, repair_swept_dirs
 
+    if M.is_manifest_store(path):
+        return {"restored": [], "removed": []}
     local = local_path(path)
     return repair_swept_dirs(local, tmp_roots=(local + "__compact",))
 
@@ -662,11 +735,14 @@ def delete_domains_from_edge_store(spark, path: str, domains) -> dict:
     edges physically in rewritten buckets; the mask itself is
     permanent (re-crawled pages of a taken-down domain stay masked —
     the point of a takedown). Returns ``{"deleted": n}`` (count of
-    newly masked domain names)."""
-    repair_edge_store(path)
+    newly masked domain names). Manifest layout: the mask lands as a
+    new tombstone generation committed atomically."""
+    from . import manifestfs as M
     from .storefs import local_path
 
+    repair_edge_store(path)
     local = local_path(path)
+    manifest = M.is_manifest_store(path)
     if not isinstance(domains, DataFrame):
         domains = spark.createDataFrame(
             [(str(d),) for d in domains], ["domain"]
@@ -676,6 +752,26 @@ def delete_domains_from_edge_store(spark, path: str, domains) -> dict:
             F.col(domains.columns[0]).cast("string").alias("domain")
         )
     domains = domains.distinct()
+    if manifest:
+        snap = M.read_manifest(path)
+        tombs = M.read_table(spark, path, "tombstones", snap)
+        if tombs is not None:
+            domains = domains.join(tombs, "domain", "left_anti")
+        domains = domains.localCheckpoint(eager=True)
+        n = domains.count()
+        if n:
+            gen = M.next_gen(path, "tombstones")
+            domains.write.parquet(os.path.join(local, "tombstones", gen))
+            M.commit_manifest(
+                path,
+                tables=M.add_gens(
+                    snap["tables"], "tombstones",
+                    M.written_parts(path, "tombstones", gen), gen,
+                ),
+                meta=snap["meta"],
+                expected_version=snap["version"],
+            )
+        return {"deleted": int(n)}
     tomb_dir = os.path.join(local, "_tombstones")
     if os.path.isdir(tomb_dir):
         domains = domains.join(
@@ -705,13 +801,23 @@ def load_edges(spark, path: str) -> DataFrame:
     applies the domain-takedown mask
     (:func:`delete_domains_from_edge_store`): edges touching a masked
     domain never reach a reader (two deleted-domains-sized anti-joins;
-    AQE broadcasts them)."""
-    repair_edge_store(path)
+    AQE broadcasts them). Manifest layout: the manifest read PINS the
+    snapshot — concurrent appends/compactions/takedowns committing
+    later never change what this reader aggregates."""
+    from . import manifestfs as M
     from .storefs import local_path
 
+    repair_edge_store(path)
     local = local_path(path)
-    edges = spark.read.parquet(path)
-    tombs = _edge_tombstones(spark, local)
+    if M.is_manifest_store(path):
+        snap = M.read_manifest(path)
+        edges = M.read_table(spark, path, "edges", snap)
+        if edges is None:
+            edges = spark.createDataFrame([], snap["meta"]["edges_schema"])
+        tombs = M.read_table(spark, path, "tombstones", snap)
+    else:
+        edges = spark.read.parquet(path)
+        tombs = _edge_tombstones(spark, local)
     if tombs is not None:
         edges = edges.join(
             tombs.select(F.col("domain").alias("src_domain")),
@@ -771,10 +877,22 @@ def compact_edge_store(
     + POSIX renames assumed — see :mod:`.storefs` (on object stores run
     compaction from a maintenance window; pause the streaming sink —
     appends landing in a bucket after it is parked are dropped with
-    it). Returns ``{buckets_rewritten, files_before, files_after}``."""
+    it). Manifest layout: all rewritten buckets cut over in one atomic
+    manifest commit; pinned readers untouched; superseded generations
+    reclaimed by :func:`vacuum_edge_store`. Returns
+    ``{buckets_rewritten, files_before, files_after}``."""
     import os
     import shutil
 
+    from . import manifestfs as M
+
+    if M.is_manifest_store(path):
+        return _compact_edges_manifest(
+            spark,
+            path,
+            max_files_per_bucket=max_files_per_bucket,
+            target_rows_per_file=target_rows_per_file,
+        )
     repair_edge_store(path)
     local = path[7:] if path.startswith("file://") else path
     counts: dict[str, int] = {}
@@ -842,4 +960,68 @@ def compact_edge_store(
                 1 for f in os.listdir(d) if f.endswith(".parquet")
             )
     summary["files_after"] = files_after
+    return summary
+
+
+def _compact_edges_manifest(
+    spark,
+    path: str,
+    *,
+    max_files_per_bucket: int,
+    target_rows_per_file: int,
+) -> dict:
+    """Manifest-layout edge compaction: merge over-fragmented buckets'
+    delta rows (takedown-purged) into one fresh generation, cut every
+    rewritten bucket over in ONE manifest commit."""
+    from . import manifestfs as M
+
+    snap = M.read_manifest(path)
+    local = M.local_path(path)
+    counts = M.part_file_counts(path, "edges", snap)
+    hot = sorted(p for p, c in counts.items() if c > max_files_per_bucket)
+    summary = {
+        "buckets_rewritten": len(hot),
+        "files_before": sum(counts.values()),
+        "files_after": sum(counts.values()),
+    }
+    if not hot:
+        return summary
+    tdir = os.path.join(local, "edges")
+    df = (
+        spark.read.option("basePath", tdir)
+        .parquet(*M.table_paths(path, "edges", snap, parts=hot))
+        .drop("gen")
+    )
+    tombs = M.read_table(spark, path, "tombstones", snap)
+    if tombs is not None:
+        df = df.join(
+            tombs.select(F.col("domain").alias("src_domain")),
+            "src_domain",
+            "left_anti",
+        ).join(
+            tombs.select(F.col("domain").alias("dst_domain")),
+            "dst_domain",
+            "left_anti",
+        )
+    df = df.groupBy("bucket", "src_domain", "dst_domain").agg(
+        F.sum("n_links").cast("bigint").alias("n_links")
+    )
+    rows = df.count()
+    files = max(1, -(-rows // target_rows_per_file))  # ceil
+    gen = M.next_gen(path, "edges")
+    (
+        df.repartition(files, "bucket")
+        .sortWithinPartitions("bucket", "src_domain", "dst_domain")
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy("bucket")
+        .parquet(os.path.join(tdir, gen))
+    )
+    tables = M.replace_parts(snap["tables"], "edges", hot, gen, path)
+    M.commit_manifest(
+        path, tables=tables, meta=snap["meta"],
+        expected_version=snap["version"],
+    )
+    summary["files_after"] = sum(
+        M.part_file_counts(path, "edges", {"tables": tables}).values()
+    )
     return summary

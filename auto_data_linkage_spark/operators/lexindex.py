@@ -32,6 +32,20 @@ No reference analogue (the reference has no retrieval surface) —
 LLM-brief scope, Spark-first: every artifact is a parquet table or a
 JSON literal; no sidecar services, no custom file formats.
 
+Two storage layouts, chosen at build time and auto-detected after:
+
+- ``layout="rename"`` (default, back-compatible): live ``bucket=N``
+  dirs mutated in place by the two-rename swap, repaired on load
+  (:mod:`.storefs`) — POSIX filesystems, single writer.
+- ``layout="manifest"``: immutable ``gen=N`` data directories + a
+  linear log of JSON manifests committed by conditional create
+  (:mod:`.manifestfs`) — zero renames, so maintenance works on object
+  stores (S3/GCS); every mutation (append, DELETE — all three
+  artifacts in one commit, multi-bucket compaction, whole-store
+  rebuild) is one atomic manifest commit, and loaded indexes PIN the
+  snapshot they opened (concurrent maintenance never changes what a
+  reader sees; reclamation is an explicit :func:`vacuum_lex_index`).
+
 Scale design: the postings shuffle at build time is the inverted index
 itself (map-side combined distinct (doc, term) pairs — any index build
 must pay it once). Probe-time work is bounded by |query vocabulary|:
@@ -52,6 +66,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from auto_data_linkage_spark.operators import manifestfs as M
 from auto_data_linkage_spark.operators import text as X
 from auto_data_linkage_spark.operators.retrieval import doc_postings
 from auto_data_linkage_spark.operators.storefs import (
@@ -69,6 +84,7 @@ __all__ = [
     "delete_from_lex_index",
     "rebuild_lex_index",
     "repair_lex_index",
+    "vacuum_lex_index",
     "lex_index_sink",
     "load_lex_index",
     "lex_index_topk",
@@ -120,25 +136,24 @@ def _bucketed_postings(
     )
 
 
-def build_lex_index(
+def _build_artifacts(
     corpus: DataFrame,
-    path: str,
+    local: str,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_buckets: int = 64,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    postings_dir: str,
+    terms_dir: str,
 ) -> dict:
-    """One corpus pass → stored inverted index. Returns the metadata
-    dict (also written atomically to ``index.json``)."""
-    local = _local(path)
-    os.makedirs(local, exist_ok=True)
-
+    """Shared build body: write the postings + terms tables into the
+    given directories and return the metadata dict (not yet
+    persisted). Used by both layouts (rename writes into the live
+    dirs; manifest writes into fresh ``gen=N`` dirs)."""
     posts = _bucketed_postings(
         corpus, id_col=id_col, text_col=text_col, n_buckets=n_buckets
     ).localCheckpoint(eager=False)
-    posts.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(local, "postings")
-    )
+    posts.write.mode("overwrite").partitionBy("bucket").parquet(postings_dir)
     # df per term: each doc contributes one postings row per distinct
     # term, so count(*) per term IS the document frequency.
     (
@@ -146,12 +161,12 @@ def build_lex_index(
         .agg(F.count("*").alias("df"))
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(os.path.join(local, "terms"))
+        .parquet(terms_dir)
     )
     n_docs, sum_dl = corpus.select(
         F.col(id_col), F.size(X.tokens(text_col)).alias("__dl")
     ).agg(F.count("*"), F.sum("__dl")).first()
-    meta = {
+    return {
         "version": _VERSION,
         "n_buckets": n_buckets,
         "id_col": id_col,
@@ -164,6 +179,75 @@ def build_lex_index(
         "postings_schema": posts.schema.simpleString()[7:-1],
         "terms_schema": "bucket int, term string, df bigint",
     }
+
+
+def _manifest_build_commit(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    expected_version: int,
+) -> dict:
+    """Write a complete fresh build into new generations and return
+    the committed manifest — v1 for a new store (``expected_version
+    = 0``), vN+1 replacing every table for a rebuild (old generations
+    stay on disk for pinned readers until vacuum)."""
+    local = _local(path)
+    gp = M.next_gen(path, "postings")
+    gt = M.next_gen(path, "terms")
+    meta = _build_artifacts(
+        corpus,
+        local,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        postings_dir=os.path.join(local, "postings", gp),
+        terms_dir=os.path.join(local, "terms", gt),
+    )
+    tables = M.add_gens({}, "postings", M.written_parts(path, "postings", gp), gp)
+    tables = M.add_gens(tables, "terms", M.written_parts(path, "terms", gt), gt)
+    return M.commit_manifest(
+        path, tables=tables, meta=meta, expected_version=expected_version
+    )
+
+
+def build_lex_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    layout: str = "rename",
+) -> dict:
+    """One corpus pass → stored inverted index. Returns the metadata
+    dict (written atomically to ``index.json``, or embedded in
+    manifest v1 with ``layout="manifest"`` — see the module docstring
+    for the layout trade)."""
+    if layout not in ("rename", "manifest"):
+        raise ValueError(f"layout must be 'rename' or 'manifest', got {layout!r}")
+    local = _local(path)
+    os.makedirs(local, exist_ok=True)
+    if layout == "manifest":
+        return _manifest_build_commit(
+            corpus,
+            path,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            expected_version=0,
+        )["meta"]
+    meta = _build_artifacts(
+        corpus,
+        local,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        postings_dir=os.path.join(local, "postings"),
+        terms_dir=os.path.join(local, "terms"),
+    )
     _write_meta(local, meta)
     return meta
 
@@ -176,15 +260,24 @@ def append_lex_index(delta: DataFrame, path: str) -> dict:
     aggregate over the delta. Ids are NOT dedup-checked against stored
     rows (dedup upstream — the same contract as ``append_ann_index``).
 
-    Runs the torn-compaction sweep first: appending into a store whose
-    bucket is parked as ``__old`` would recreate the live dir, and the
-    NEXT sweep would then mistake the parked original for a
-    completed-swap leftover and drop it — repair-before-append closes
-    that window."""
-    repair_lex_index(path)
+    Rename layout: runs the torn-compaction sweep first (appending
+    into a store whose bucket is parked as ``__old`` would recreate
+    the live dir, and the NEXT sweep would then mistake the parked
+    original for a completed-swap leftover and drop it). Manifest
+    layout: the delta lands in fresh ``gen=N`` dirs and becomes
+    visible only at the single manifest commit — a crash before the
+    commit leaves nothing visible, so a checkpointed streaming replay
+    of the failed batch appends exactly once (the rename layout's
+    duplicate-on-replay caveat disappears)."""
     local = _local(path)
-    with open(os.path.join(local, "index.json")) as f:
-        meta = json.load(f)
+    manifest = M.is_manifest_store(path)
+    if manifest:
+        snap = M.read_manifest(path)
+        meta = dict(snap["meta"])
+    else:
+        repair_lex_index(path)
+        with open(os.path.join(local, "index.json")) as f:
+            meta = json.load(f)
     if meta.get("version") != _VERSION:
         raise ValueError(
             f"unsupported lex-index version {meta.get('version')!r}"
@@ -200,18 +293,35 @@ def append_lex_index(delta: DataFrame, path: str) -> dict:
         text_col=meta["text_col"],
         n_buckets=meta["n_buckets"],
     ).localCheckpoint(eager=False)
-    posts.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(local, "postings")
-    )
+    if manifest:
+        gp = M.next_gen(path, "postings")
+        gt = M.next_gen(path, "terms")
+        posts_dir = os.path.join(local, "postings", gp)
+        terms_dir = os.path.join(local, "terms", gt)
+    else:
+        posts_dir = os.path.join(local, "postings")
+        terms_dir = os.path.join(local, "terms")
+    posts.write.mode("append").partitionBy("bucket").parquet(posts_dir)
     (
         posts.groupBy("bucket", "term")
         .agg(F.count("*").alias("df"))
         .write.mode("append")
         .partitionBy("bucket")
-        .parquet(os.path.join(local, "terms"))
+        .parquet(terms_dir)
     )
     meta["n_docs"] = int(meta["n_docs"]) + int(n_docs)
     meta["sum_dl"] = int(meta["sum_dl"]) + int(sum_dl or 0)
+    if manifest:
+        tables = M.add_gens(
+            snap["tables"], "postings", M.written_parts(path, "postings", gp), gp
+        )
+        tables = M.add_gens(
+            tables, "terms", M.written_parts(path, "terms", gt), gt
+        )
+        M.commit_manifest(
+            path, tables=tables, meta=meta, expected_version=snap["version"]
+        )
+        return meta
     _write_meta(local, meta)
     return meta
 
@@ -222,12 +332,16 @@ def repair_lex_index(path: str) -> dict:
     missing, drop completed-swap leftovers and scratch trees (crash
     states in :mod:`.storefs`). One ``listdir`` per table when the
     index is healthy — ran automatically by :func:`load_lex_index` and
-    at the start of every compaction. Returns merged
+    at the start of every compaction. A manifest-layout store has no
+    torn states (uncommitted generations are invisible) — no-op there;
+    reclamation is :func:`vacuum_lex_index`. Returns merged
     ``{"restored": [...], "removed": [...]}`` lists."""
     from auto_data_linkage_spark.operators.storefs import (
         repair_swapped_dir,
     )
 
+    if M.is_manifest_store(path):
+        return {"restored": [], "removed": []}
     local = _local(path)
     # whole-index rebuild swap first (restores a parked index whose
     # promotion crashed; does NOT touch a sibling __rebuild tree — an
@@ -269,12 +383,17 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
     document). Ids absent from the index are tombstoned but change no
     statistic. Returns ``{"deleted": n, "meta": updated-metadata}``.
 
-    Crash-retry safe: artifacts commit tombstones-first, so retrying
-    a crashed delete no-ops instead of double-appending the negative
-    df deltas; the residue of an unretried crash is conservative
-    (overstated df / n_docs until rebuild) — see the in-code contract
-    at the write site.
+    Crash-retry safe (rename layout): artifacts commit tombstones-
+    first, so retrying a crashed delete no-ops instead of double-
+    appending the negative df deltas; the residue of an unretried
+    crash is conservative (overstated df / n_docs until rebuild) —
+    see the in-code contract at the write site. Manifest layout: all
+    three artifacts land in ONE manifest commit — a crash before it
+    leaves nothing visible and the retry deletes cleanly; there is no
+    residue at all.
     """
+    if M.is_manifest_store(path):
+        return _delete_manifest(spark, path, ids)
     repair_lex_index(path)
     local = _local(path)
     with open(os.path.join(local, "index.json")) as f:
@@ -342,6 +461,74 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
     return {"deleted": int(n_del), "meta": meta}
 
 
+def _delete_manifest(spark: SparkSession, path: str, ids) -> dict:
+    """Manifest-layout delete: the negative df deltas, the tombstone
+    batch, and the decremented metadata all become visible in ONE
+    manifest commit — the delete is atomic (closing the crash windows
+    the rename layout can only order conservatively)."""
+    snap = M.read_manifest(path)
+    meta = dict(snap["meta"])
+    if meta.get("version") != _VERSION:
+        raise ValueError(
+            f"unsupported lex-index version {meta.get('version')!r}"
+        )
+    local = _local(path)
+    posts = M.read_table(spark, path, "postings", snap)
+    id_type = (
+        posts if posts is not None
+        else spark.createDataFrame([], meta["postings_schema"])
+    ).schema["doc_id"].dataType
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(i,) for i in ids], ["doc_id"]
+        ).select(F.col("doc_id").cast(id_type))
+    else:
+        ids = ids.select(F.col(ids.columns[0]).cast(id_type).alias("doc_id"))
+    ids = ids.distinct()
+    tombs = M.read_table(spark, path, "tombstones", snap)
+    if tombs is not None:
+        ids = ids.join(tombs, "doc_id", "left_anti")
+    ids = ids.localCheckpoint(eager=True)
+    n_new = ids.count()
+    n_del, dl_del = 0, 0
+    hit = None
+    if posts is not None and n_new:
+        hit = posts.join(ids, "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        n_del, dl_del = (
+            hit.select("doc_id", "dl")
+            .distinct()
+            .agg(F.count("*"), F.coalesce(F.sum("dl"), F.lit(0)))
+            .first()
+        )
+    if not n_new:
+        return {"deleted": 0, "meta": meta}
+    tables = snap["tables"]
+    if n_del:
+        gt = M.next_gen(path, "terms")
+        (
+            hit.groupBy("bucket", "term")
+            .agg((-F.count("*")).alias("df"))
+            .write.partitionBy("bucket")
+            .parquet(os.path.join(local, "terms", gt))
+        )
+        tables = M.add_gens(
+            tables, "terms", M.written_parts(path, "terms", gt), gt
+        )
+    gb = M.next_gen(path, "tombstones")
+    ids.write.parquet(os.path.join(local, "tombstones", gb))
+    tables = M.add_gens(
+        tables, "tombstones", M.written_parts(path, "tombstones", gb), gb
+    )
+    meta["n_docs"] = int(meta["n_docs"]) - int(n_del)
+    meta["sum_dl"] = int(meta["sum_dl"]) - int(dl_del)
+    M.commit_manifest(
+        path, tables=tables, meta=meta, expected_version=snap["version"]
+    )
+    return {"deleted": int(n_del), "meta": meta}
+
+
 def _bucket_file_counts(local: str, table: str) -> dict[str, int]:
     root = os.path.join(local, table)
     out: dict[str, int] = {}
@@ -381,7 +568,18 @@ def compact_lex_index(
     results are unchanged (the tombstone anti-join and SUM(df) already
     masked them), the bytes just stop being carried. The tombstone
     mask itself is permanent (unrewritten buckets still need it).
+    Manifest layout: rewrites land in fresh generations and ALL
+    rewritten buckets of BOTH tables cut over in one atomic manifest
+    commit (readers pinned to the old manifest keep serving it);
+    superseded generations are reclaimed by :func:`vacuum_lex_index`.
     Returns ``{buckets_rewritten, files_before, files_after}``."""
+    if M.is_manifest_store(path):
+        return _compact_manifest(
+            spark,
+            path,
+            max_files_per_bucket=max_files_per_bucket,
+            target_rows_per_file=target_rows_per_file,
+        )
     local = _local(path)
     with open(os.path.join(local, "index.json")) as f:
         meta = json.load(f)
@@ -446,6 +644,72 @@ def compact_lex_index(
     return summary
 
 
+def _compact_manifest(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_bucket: int,
+    target_rows_per_file: int,
+) -> dict:
+    """Manifest-layout compaction: rewrite over-fragmented buckets into
+    one fresh generation per table, then commit every rewrite (and
+    every purge-emptied bucket's disappearance) in ONE manifest — the
+    multi-bucket, multi-table cutover is atomic and pinned readers are
+    untouched. Old generations stay on disk until
+    :func:`vacuum_lex_index`."""
+    snap = M.read_manifest(path)
+    meta = snap["meta"]
+    if meta.get("version") != _VERSION:
+        raise ValueError(
+            f"unsupported lex-index version {meta.get('version')!r}"
+        )
+    local = _local(path)
+    tombstones = M.read_table(spark, path, "tombstones", snap)
+    tables = snap["tables"]
+    summary = {"buckets_rewritten": 0, "files_before": 0, "files_after": 0}
+    for table, merge in (("postings", False), ("terms", True)):
+        counts = M.part_file_counts(path, table, snap)
+        summary["files_before"] += sum(counts.values())
+        hot = sorted(p for p, c in counts.items() if c > max_files_per_bucket)
+        if not hot:
+            summary["files_after"] += sum(counts.values())
+            continue
+        tdir = os.path.join(local, table)
+        df = (
+            spark.read.option("basePath", tdir)
+            .parquet(*M.table_paths(path, table, snap, parts=hot))
+            .drop("gen")
+        )
+        if table == "postings" and tombstones is not None:
+            df = df.join(tombstones, "doc_id", "left_anti")
+        if merge:
+            df = (
+                df.groupBy("bucket", "term")
+                .agg(F.sum("df").alias("df"))
+                .where(F.col("df") != 0)
+            )
+        rows = df.count()
+        files = max(1, -(-rows // target_rows_per_file))  # ceil
+        gen = M.next_gen(path, table)
+        (
+            df.repartition(files, "bucket")
+            .sortWithinPartitions("bucket", "term")
+            .write.option("maxRecordsPerFile", target_rows_per_file)
+            .partitionBy("bucket")
+            .parquet(os.path.join(tdir, gen))
+        )
+        tables = M.replace_parts(tables, table, hot, gen, path)
+        summary["buckets_rewritten"] += len(hot)
+        summary["files_after"] += sum(
+            M.part_file_counts(path, table, {"tables": tables}).values()
+        )
+    if summary["buckets_rewritten"]:
+        M.commit_manifest(
+            path, tables=tables, meta=meta, expected_version=snap["version"]
+        )
+    return summary
+
+
 def rebuild_lex_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
     """Rebuild the index IN PLACE from the current corpus and promote
     it atomically — the periodic from-scratch pass that resets
@@ -461,7 +725,26 @@ def rebuild_lex_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
     Tombstones do NOT carry over — the rebuild reflects exactly the
     corpus passed in, the one moment deleted ids become reusable.
     ``build_kwargs`` forward to :func:`build_lex_index`. Returns the
-    new metadata."""
+    new metadata.
+
+    Manifest layout: the rebuild writes fresh generations and promotes
+    them by committing a manifest that REPLACES every table (and drops
+    the tombstone mask) — a one-commit whole-store cutover with no
+    rename at all; readers pinned to the old manifest keep serving it
+    bit-exactly until :func:`vacuum_lex_index` reclaims it, and a
+    crash before the commit leaves the old index untouched (the orphan
+    generations are vacuumed later)."""
+    if M.is_manifest_store(path):
+        snap = M.read_manifest(path)
+        # same parameter defaults as build_lex_index (layout parity)
+        return _manifest_build_commit(
+            corpus,
+            path,
+            id_col=build_kwargs.get("id_col", "doc_id"),
+            text_col=build_kwargs.get("text_col", "text"),
+            n_buckets=build_kwargs.get("n_buckets", 64),
+            expected_version=snap["version"],
+        )["meta"]
     local = _local(path)
     tmp = local + "__rebuild"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -483,7 +766,12 @@ def lex_index_sink(path: str, *, compact_over: int | None = None):
     before the swap can miss a bucket); for concurrently-served
     indexes leave it unset and run :func:`compact_lex_index` from an
     explicit maintenance window. POSIX-rename assumption in
-    :mod:`.storefs`."""
+    :mod:`.storefs`.
+
+    A MANIFEST-layout index upgrades both caveats: a replayed batch
+    whose append crashed before its commit re-appends exactly once
+    (nothing uncommitted is visible), and inline compaction never
+    disturbs concurrent readers (they pinned the prior manifest)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -499,7 +787,50 @@ def lex_index_sink(path: str, *, compact_over: int | None = None):
     return _sink
 
 
+def vacuum_lex_index(path: str, *, keep_manifests: int = 2) -> dict:
+    """Reclaim generations superseded by compaction/rebuild/delete and
+    orphans of crashed writers (manifest layout only) — see
+    :func:`manifestfs.vacuum` for the reader-pinning grace contract."""
+    if not M.is_manifest_store(path):
+        raise ValueError(
+            "vacuum applies to manifest-layout indexes only; rename-"
+            "layout stores reclaim inline (two-rename swap + repair)"
+        )
+    return M.vacuum(path, keep_manifests=keep_manifests)
+
+
 def load_lex_index(spark: SparkSession, path: str) -> LexIndex:
+    """Handle over the stored index. Manifest layout: the manifest
+    read here PINS the snapshot — the returned DataFrames name
+    immutable generation directories, so concurrent appends,
+    compactions, deletes, and whole-store rebuilds committing later
+    never change what this handle serves (until a vacuum reclaims
+    generations older than its manifest)."""
+    if M.is_manifest_store(path):
+        snap = M.read_manifest(path)
+        meta = snap["meta"]
+        if meta.get("version") != _VERSION:
+            raise ValueError(
+                f"unsupported lex-index version {meta.get('version')!r}"
+            )
+        spark_read = {
+            t: M.read_table(spark, path, t, snap)
+            for t in ("postings", "terms", "tombstones")
+        }
+        return LexIndex(
+            meta=meta,
+            postings=(
+                spark_read["postings"]
+                if spark_read["postings"] is not None
+                else spark.createDataFrame([], meta["postings_schema"])
+            ),
+            terms=(
+                spark_read["terms"]
+                if spark_read["terms"] is not None
+                else spark.createDataFrame([], meta["terms_schema"])
+            ),
+            tombstones=spark_read["tombstones"],
+        )
     # torn-compaction sweep first (one listdir per table when healthy) —
     # a crash between compaction's two renames otherwise silently
     # serves top-k MISSING the parked bucket's terms (no error).

@@ -1,0 +1,334 @@
+"""Manifest-committed store layout — the object-store-safe second
+implementation of the maintenance seam (:mod:`.storefs` is the POSIX
+rename-swap one). Chosen per store at build time (``layout="manifest"``)
+and auto-detected afterwards; the persisted stores (lexical index, ANN
+index, edge store) run every lifecycle operation through whichever seam
+the store was built with.
+
+Layout under ``<root>/``::
+
+    _manifests/v000000000001.json   # immutable manifest versions
+    <table>/gen=1/bucket=3/*.parquet    # immutable data generations
+    <table>/gen=2/...                   # (unpartitioned tables hold
+                                        #  files directly under gen=N/)
+
+A **manifest** is one JSON object naming every live data directory of
+every table::
+
+    {"version": 7,
+     "meta": {...store metadata (index.json's content lives here)...},
+     "tables": {"postings":   {"bucket=3": ["gen=1", "gen=5"], ...},
+                "tombstones": {"": ["gen=2"]}}}
+
+Mutations never touch committed data:
+
+1. write NEW parquet data into a fresh ``gen=N`` directory (never into
+   a live one);
+2. COMMIT by atomically creating ``_manifests/v{N+1}.json``
+   (``O_CREAT|O_EXCL`` — exactly one writer can win a version, the
+   same conditional-create :class:`..sources.layout.CommitStore`
+   documents; on S3/GCS this is one conditional PUT).
+
+Readers list ``_manifests/`` and take the highest version that parses
+(a writer that died mid-write leaves a truncated — hence invalid —
+JSON, which is skipped; object stores never expose partial objects at
+all). The manifest a reader opened PINS its snapshot: the directories
+it names are immutable, so a compaction/rebuild/append committing
+*after* the read changes nothing the reader can see — concurrent
+readers are safe by construction, and a multi-bucket compaction or a
+whole-store rebuild cuts over atomically in that single commit.
+
+Crash model: a writer that dies before its commit leaves orphan
+``gen=N`` directories that no manifest references — invisible to every
+reader, removed by :func:`vacuum`. There is NO torn state and NO
+repair sweep; the retry of a crashed append/delete re-runs cleanly
+(nothing of the failed attempt was committed). Compare storefs.py,
+whose two-rename swap has two torn states needing load-time repair and
+which is unusable on object stores (no atomic rename).
+
+What still assumes a single MAINTENANCE writer: generation numbers are
+allocated from a directory listing and commits race on the version
+number — two concurrent maintainers would conflict loudly
+(:class:`ManifestConflictError`), never corrupt. ``vacuum`` must not
+run concurrently with an in-flight (pre-commit) write or with readers
+pinned to manifests older than ``keep_manifests``.
+
+Spark's own task commit (how part-files appear inside a gen dir) is
+delegated to its pluggable committer — on object stores use the public
+cloud committers (S3A "magic"/directory committer, GCS equivalents);
+this module's own I/O performs ZERO renames (asserted by test).
+
+No reference analogue (the reference persists nothing). Public-
+knowledge design: immutable data files + a linear log of JSON
+manifests committed by conditional create is the Delta-log /
+Iceberg-snapshot pattern, reduced to the minimum these stores need.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .storefs import local_path
+
+MANIFEST_DIR = "_manifests"
+
+__all__ = [
+    "ManifestConflictError",
+    "is_manifest_store",
+    "init_manifest_store",
+    "read_manifest",
+    "commit_manifest",
+    "next_gen",
+    "written_parts",
+    "add_gens",
+    "replace_parts",
+    "table_paths",
+    "read_table",
+    "part_file_counts",
+    "vacuum",
+]
+
+
+class ManifestConflictError(RuntimeError):
+    """Another writer committed the version this writer raced for —
+    concurrent maintenance is a contract violation (single maintenance
+    writer), surfaced loudly instead of corrupting anything."""
+
+
+def _mdir(root: str) -> str:
+    return os.path.join(local_path(root), MANIFEST_DIR)
+
+
+def _vname(version: int) -> str:
+    return f"v{version:012d}.json"
+
+
+def is_manifest_store(root: str) -> bool:
+    return os.path.isdir(_mdir(root))
+
+
+def read_manifest(root: str) -> dict:
+    """Highest manifest version that parses as complete JSON — the
+    reader's pinned snapshot. A truncated newest file (writer died
+    mid-write on a POSIX filesystem; object stores never expose
+    partials) is skipped in favor of its predecessor."""
+    mdir = _mdir(root)
+    names = sorted(
+        (n for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")),
+        reverse=True,
+    )
+    for name in names:
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+        except (OSError, ValueError):
+            continue  # mid-write leftover of a dead writer
+        if int(m.get("version", -1)) == int(name[1:-5]):
+            return m
+    raise FileNotFoundError(f"no readable manifest under {mdir}")
+
+
+def commit_manifest(
+    root: str, *, tables: dict, meta: dict, expected_version: int
+) -> dict:
+    """Atomically commit ``expected_version + 1``. The O_CREAT|O_EXCL
+    create is the entire commit: exactly one writer can win a version
+    (the CommitStore conditional-create primitive — S3 If-None-Match /
+    GCS generation-match on object stores). Raises
+    :class:`ManifestConflictError` on a lost race."""
+    mdir = _mdir(root)
+    os.makedirs(mdir, exist_ok=True)
+    version = int(expected_version) + 1
+    manifest = {"version": version, "meta": meta, "tables": tables}
+    target = os.path.join(mdir, _vname(version))
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise ManifestConflictError(
+            f"version {version} of {root} was committed by a concurrent "
+            "writer — this store has a single-maintenance-writer "
+            "contract; re-read the manifest and retry the operation"
+        ) from e
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def init_manifest_store(root: str, *, tables: dict, meta: dict) -> dict:
+    """Create the store: data (if any) must already sit in its gen
+    dirs; this commits manifest v1."""
+    return commit_manifest(root, tables=tables, meta=meta, expected_version=0)
+
+
+def next_gen(root: str, table: str) -> str:
+    """Allocate the next generation directory name for ``table`` from a
+    disk listing (NOT from the manifest): orphan gens of crashed
+    writers must never be reused — their stale data would silently mix
+    into the new generation."""
+    tdir = os.path.join(local_path(root), table)
+    mx = 0
+    if os.path.isdir(tdir):
+        for entry in os.listdir(tdir):
+            if entry.startswith("gen="):
+                try:
+                    mx = max(mx, int(entry[4:]))
+                except ValueError:
+                    continue
+    return f"gen={mx + 1}"
+
+
+def written_parts(root: str, table: str, gen: str) -> list[str]:
+    """Partition directories a ``partitionBy`` write actually created
+    under ``<table>/<gen>/`` (empty deltas create none); ``[""]`` when
+    the gen dir holds plain files (unpartitioned table)."""
+    gdir = os.path.join(local_path(root), table, gen)
+    if not os.path.isdir(gdir):
+        return []
+    parts = sorted(
+        e
+        for e in os.listdir(gdir)
+        if "=" in e and os.path.isdir(os.path.join(gdir, e))
+    )
+    if parts:
+        return parts
+    has_files = any(e.endswith(".parquet") for e in os.listdir(gdir))
+    return [""] if has_files else []
+
+
+def add_gens(tables: dict, table: str, parts: list[str], gen: str) -> dict:
+    """New tables mapping with ``gen`` appended to each part's live
+    list (append/delete deltas). Input is not mutated."""
+    out = {t: {p: list(g) for p, g in m.items()} for t, m in tables.items()}
+    tm = out.setdefault(table, {})
+    for part in parts:
+        tm.setdefault(part, []).append(gen)
+    return out
+
+
+def replace_parts(
+    tables: dict, table: str, old_parts: list[str], gen: str, root: str
+) -> dict:
+    """New tables mapping where each of ``old_parts`` is REPLACED by
+    its rewrite in ``gen`` — or dropped entirely when the rewrite
+    emptied it (tombstone purge) — the compaction commit shape. Input
+    is not mutated."""
+    rewritten = set(written_parts(root, table, gen))
+    out = {t: {p: list(g) for p, g in m.items()} for t, m in tables.items()}
+    tm = out.setdefault(table, {})
+    for part in old_parts:
+        if part in rewritten:
+            tm[part] = [gen]
+        else:
+            tm.pop(part, None)
+    return out
+
+
+def table_paths(
+    root: str, table: str, snapshot: dict, *, parts: list[str] | None = None
+) -> list[str]:
+    """Absolute live data directories of ``table`` in ``snapshot``
+    (optionally restricted to ``parts``) — the reader's pinned path
+    set."""
+    local = local_path(root)
+    mapping = snapshot["tables"].get(table, {})
+    out = []
+    for part, gens in sorted(mapping.items()):
+        if parts is not None and part not in parts:
+            continue
+        for gen in gens:
+            base = os.path.join(local, table, gen)
+            out.append(base if part == "" else os.path.join(base, part))
+    return out
+
+
+def read_table(
+    spark: SparkSession, root: str, table: str, snapshot: dict
+) -> DataFrame | None:
+    """DataFrame over the snapshot's live directories of ``table``
+    (``None`` when the table has none). Partitioned tables read with
+    ``basePath=<table root>`` so the partition column (``bucket=``/
+    ``cell=``) is recovered and predicate/partition pruning work
+    exactly as in the rename layout; the ``gen`` column is dropped."""
+    paths = table_paths(root, table, snapshot)
+    if not paths:
+        return None
+    mapping = snapshot["tables"][table]
+    if any(p != "" for p in mapping):
+        tdir = os.path.join(local_path(root), table)
+        return spark.read.option("basePath", tdir).parquet(*paths).drop("gen")
+    return spark.read.parquet(*paths)
+
+
+def part_file_counts(root: str, table: str, snapshot: dict) -> dict[str, int]:
+    """Parquet data-file count per LIVE logical partition (summed over
+    its generations) — the fragmentation metric compaction thresholds
+    on."""
+    local = local_path(root)
+    out: dict[str, int] = {}
+    for part, gens in snapshot["tables"].get(table, {}).items():
+        n = 0
+        for gen in gens:
+            d = os.path.join(local, table, gen)
+            if part != "":
+                d = os.path.join(d, part)
+            if os.path.isdir(d):
+                n += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        out[part] = n
+    return out
+
+
+def vacuum(root: str, *, keep_manifests: int = 2) -> dict:
+    """Garbage-collect data generations referenced by NONE of the last
+    ``keep_manifests`` manifest versions, plus older manifest files.
+    Orphans of crashed writers and generations superseded by
+    compaction/rebuild are reclaimed here — never inline, so a reader
+    pinned to any kept manifest keeps every directory it can name.
+    Do not run concurrently with an in-flight (pre-commit) write, or
+    with readers pinned further back than ``keep_manifests`` — the
+    explicit-maintenance contract, same as Delta's VACUUM. Returns
+    ``{"removed_gens": [...], "removed_manifests": [...]}``."""
+    if keep_manifests < 1:
+        raise ValueError("keep_manifests must be >= 1")
+    local = local_path(root)
+    mdir = _mdir(root)
+    names = sorted(
+        n for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
+    )
+    keep_names = names[-keep_manifests:]
+    live: dict[str, set[str]] = {}
+    for name in keep_names:
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for table, mapping in m.get("tables", {}).items():
+            gens = live.setdefault(table, set())
+            for gen_list in mapping.values():
+                gens.update(gen_list)
+    removed_gens: list[str] = []
+    known_tables = set(live)
+    for entry in os.listdir(local):
+        tdir = os.path.join(local, entry)
+        if entry == MANIFEST_DIR or not os.path.isdir(tdir):
+            continue
+        # only sweep directories that look like tables (hold gen= dirs)
+        gen_entries = [e for e in os.listdir(tdir) if e.startswith("gen=")]
+        if not gen_entries and entry not in known_tables:
+            continue
+        for gen in gen_entries:
+            if gen not in live.get(entry, set()):
+                shutil.rmtree(os.path.join(tdir, gen))
+                removed_gens.append(os.path.join(entry, gen))
+    removed_manifests = []
+    for name in names[:-keep_manifests]:
+        os.remove(os.path.join(mdir, name))
+        removed_manifests.append(name)
+    return {
+        "removed_gens": sorted(removed_gens),
+        "removed_manifests": removed_manifests,
+    }

@@ -29,16 +29,20 @@ REWRITE each hold the bucket's complete logical content:
 
 **Single-writer / POSIX assumption.** Swaps rely on directory
 ``os.rename`` being atomic — true on POSIX filesystems, NOT on object
-stores (S3/GCS have no atomic rename; "rename" is copy+delete). On
-object storage, run compaction from a maintenance window against a
-POSIX staging copy, or replace this seam with a manifest-commit
-implementation (the pattern :class:`..sources.layout.CommitStore`
-already uses for corpus snapshots). Compaction and repair also assume
-ONE writer: a concurrent appender can land files in a dir after it is
-parked as ``__old`` (they are dropped with it), and a concurrent
-reader that resolved paths before the swap can read a parked dir.
-Loads that only READ (no ``__old`` present) are unaffected — the
-repair sweep is a no-op ``listdir`` then.
+stores (S3/GCS have no atomic rename; "rename" is copy+delete).
+Compaction and repair also assume ONE writer: a concurrent appender
+can land files in a dir after it is parked as ``__old`` (they are
+dropped with it), and a concurrent reader that resolved paths before
+the swap can read a parked dir. Loads that only READ (no ``__old``
+present) are unaffected — the repair sweep is a no-op ``listdir``
+then.
+
+**For object stores or concurrently-served indexes, build the store
+with ``layout="manifest"`` instead** (:mod:`.manifestfs`): immutable
+``gen=N`` data directories plus a manifest log committed by
+conditional create — zero renames, atomic multi-directory cutover,
+snapshot-pinned readers, and no torn states to repair. This module
+remains the POSIX-local default (no indirection, inline reclamation).
 
 No reference analogue (the reference persists nothing; stores are
 LLM-brief scope). Public-knowledge design: the two-rename swap +

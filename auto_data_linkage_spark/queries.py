@@ -1646,6 +1646,15 @@ _DEPRIORITIZED = (
     # same check); the degree/reciprocity stats stay driver-identically
     # checked back-window by test_oracle_window:
     "link_graph",
+    # round-11 rotation: domain_authority_prune (the HITS composition
+    # row over the REAL path — html → extract_links → hits → top-k
+    # authority gate, per the r10 verdict #3) promoted; domain_hits
+    # demoted in exchange — the composition runs the IDENTICAL 3-
+    # iteration fixed-point HITS chain under the same unrolled equality
+    # oracle PLUS the extraction scan and the broadcast gate (strictly
+    # richer machinery under the same check); the synthetic arithmetic-
+    # edge HITS row stays driver-identically checked back-window:
+    "domain_hits",
     # round-10b rotation: the two new operators (tfidf_keywords,
     # token_budget_cap) take driver rows per the standing rule; two
     # redundant front rows demoted in exchange, each family keeping ≥1
@@ -1747,7 +1756,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "curation-pipeline": ("curate_documents",),
     "url-curation": ("url_curation",),
     "link-graph": ("link_graph", "domain_pagerank", "domain_rank_prune",
-                   "anchor_pairs", "domain_trustrank", "domain_hits"),
+                   "anchor_pairs", "domain_trustrank", "domain_hits",
+                   "domain_authority_prune"),
 }
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

@@ -145,6 +145,9 @@ BENCH_QUERIES = [
     # round-10c: fixed-point HITS (two join+agg half-steps per
     # iteration — the heaviest iterative-graph probe)
     "domain_hits",
+    # round-11: the HITS composition row over the real extraction path
+    # (html -> extract_links -> hits -> top-k authority gate)
+    "domain_authority_prune",
 ]
 
 

@@ -1,0 +1,561 @@
+"""Manifest-committed store layout (operators/manifestfs.py): the
+object-store-safe seam. What these tests pin, per the design contract:
+
+- ZERO python-side renames anywhere in the manifest maintenance path
+  (commit is an O_CREAT|O_EXCL create; data dirs are immutable);
+- every mutation is ONE atomic commit: a crash before it leaves the
+  store serving its old content bit-exactly, the retry runs cleanly
+  (appends exactly once, deletes fully — no double-applied deltas),
+  and vacuum reclaims the orphan generations;
+- loaded handles PIN the snapshot they opened: compaction, append,
+  delete, and whole-store rebuild committing later never change what
+  a pinned reader serves;
+- a whole-store rebuild is observed fully-old or fully-new, never
+  mixed (the one-commit cutover);
+- semantics parity with the rename layout: delete is bit-equal to a
+  fresh build, delete+append == union build, compaction purges.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators import annindex as A
+from auto_data_linkage_spark.operators import graph as G
+from auto_data_linkage_spark.operators import lexindex as L
+from auto_data_linkage_spark.operators import manifestfs as M
+from auto_data_linkage_spark.operators.retrieval import (
+    query_terms_from_docs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+
+
+@pytest.fixture(scope="module")
+def probes(docs):
+    return query_terms_from_docs(
+        docs.orderBy("doc_id").limit(5), n_terms=6
+    ).localCheckpoint(eager=False)
+
+
+def _lex_topk(spark, path, probes, k=5):
+    idx = L.load_lex_index(spark, path)
+    return {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in L.lex_index_topk(idx, probes, k=k).collect()
+    }
+
+
+def _handle_topk(idx, probes, k=5):
+    return {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in L.lex_index_topk(idx, probes, k=k).collect()
+    }
+
+
+# --------------------------------------------------------- manifestfs unit
+def test_manifest_log_basics(tmp_path):
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    m1 = M.init_manifest_store(root, tables={}, meta={"k": 1})
+    assert m1["version"] == 1 and M.is_manifest_store(root)
+    m2 = M.commit_manifest(
+        root, tables={"t": {"": ["gen=1"]}}, meta={"k": 2},
+        expected_version=1,
+    )
+    assert M.read_manifest(root)["meta"]["k"] == 2
+    # losing the version race is loud, never silent
+    with pytest.raises(M.ManifestConflictError):
+        M.commit_manifest(root, tables={}, meta={}, expected_version=1)
+    # a truncated newest manifest (writer died mid-write) is skipped
+    with open(os.path.join(root, "_manifests", "v000000000003.json"), "w") as f:
+        f.write('{"version": 3, "meta": {"k": 3}, "tab')  # torn JSON
+    assert M.read_manifest(root)["version"] == m2["version"]
+
+
+def test_next_gen_never_reuses_orphans(tmp_path):
+    root = str(tmp_path / "s")
+    os.makedirs(os.path.join(root, "t", "gen=7"))  # orphan of a dead writer
+    assert M.next_gen(root, "t") == "gen=8"
+    assert M.next_gen(root, "missing_table") == "gen=1"
+
+
+def test_vacuum_respects_kept_manifests(tmp_path):
+    root = str(tmp_path / "s")
+    for g in ("gen=1", "gen=2", "gen=3"):
+        d = os.path.join(root, "t", g)
+        os.makedirs(d)
+        open(os.path.join(d, "x.parquet"), "w").close()
+    M.init_manifest_store(root, tables={"t": {"": ["gen=1"]}}, meta={})
+    M.commit_manifest(
+        root, tables={"t": {"": ["gen=2"]}}, meta={}, expected_version=1
+    )
+    M.commit_manifest(
+        root, tables={"t": {"": ["gen=3"]}}, meta={}, expected_version=2
+    )
+    out = M.vacuum(root, keep_manifests=2)
+    # gen=1 is referenced only by v1 (dropped); gen=2/3 by kept v2/v3
+    assert out["removed_gens"] == [os.path.join("t", "gen=1")]
+    assert out["removed_manifests"] == ["v000000000001.json"]
+    assert os.path.isdir(os.path.join(root, "t", "gen=2"))
+    assert os.path.isdir(os.path.join(root, "t", "gen=3"))
+
+
+# ------------------------------------------------------- zero renames
+def test_manifest_lifecycle_performs_zero_python_renames(
+    spark, docs, probes, tmp_path, monkeypatch
+):
+    """The whole point of the layout: build, append, delete, compact,
+    rebuild, load, and vacuum must never call a python-side rename
+    (os.rename / os.replace / shutil.move) — the operations an object
+    store cannot do atomically. (Part-file placement inside a gen dir
+    is Spark's committer, pluggable for cloud stores.)"""
+    import shutil as _sh
+
+    calls = []
+
+    def spy(fn):
+        def inner(src, dst, *a, **kw):
+            calls.append((src, dst))
+            return fn(src, dst, *a, **kw)
+
+        return inner
+
+    monkeypatch.setattr(os, "rename", spy(os.rename))
+    monkeypatch.setattr(os, "replace", spy(os.replace))
+    monkeypatch.setattr(_sh, "move", spy(_sh.move))
+
+    out = str(tmp_path / "lex")
+    half = docs.limit(60)
+    L.build_lex_index(half, out, n_buckets=4, layout="manifest")
+    L.append_lex_index(docs.limit(80).subtract(half), out)
+    L.delete_from_lex_index(
+        spark, out, half.select("doc_id").limit(10)
+    )
+    L.compact_lex_index(spark, out, max_files_per_bucket=1)
+    L.rebuild_lex_index(docs.limit(50), out, n_buckets=2)
+    _lex_topk(spark, out, probes)
+    L.vacuum_lex_index(out, keep_manifests=1)
+    assert calls == [], f"python-side renames in manifest path: {calls[:5]}"
+
+
+# ----------------------------------------------- crash-injection matrix
+def _crash_commit(monkeypatch):
+    """Make the NEXT manifest commit die (simulating a writer crash at
+    the atomic point — everything before it is uncommitted data)."""
+    real = M.commit_manifest
+    state = {"armed": True}
+
+    def crashing(path, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            raise OSError("injected crash before the manifest commit")
+        return real(path, **kw)
+
+    monkeypatch.setattr(M, "commit_manifest", crashing)
+    return state
+
+
+def test_append_crash_is_invisible_then_retries_exactly_once(
+    spark, docs, probes, tmp_path, monkeypatch
+):
+    out = str(tmp_path / "lex")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    L.build_lex_index(a, out, n_buckets=4, layout="manifest")
+    want_old = _lex_topk(spark, out, probes)
+    v0 = M.read_manifest(out)["version"]
+
+    _crash_commit(monkeypatch)
+    with pytest.raises(OSError, match="injected crash"):
+        L.append_lex_index(b, out)
+    monkeypatch.undo()
+
+    # uncommitted: loads serve the OLD index bit-exactly
+    assert M.read_manifest(out)["version"] == v0
+    assert _lex_topk(spark, out, probes) == want_old
+
+    # retry appends EXACTLY once (no duplicate postings from the
+    # orphaned attempt), equal to a union build
+    L.append_lex_index(b, out)
+    ref = str(tmp_path / "ref")
+    L.build_lex_index(a.unionByName(b), ref, n_buckets=4)
+    assert _lex_topk(spark, out, probes) == _lex_topk(spark, ref, probes)
+    assert (
+        L.load_lex_index(spark, out).meta["n_docs"]
+        == a.count() + b.count()
+    )
+
+    # the orphan generations are reclaimed by vacuum
+    removed = L.vacuum_lex_index(out, keep_manifests=1)["removed_gens"]
+    assert removed, "orphan gens of the crashed append were not swept"
+    assert _lex_topk(spark, out, probes) == _lex_topk(spark, ref, probes)
+
+
+def test_delete_crash_is_fully_atomic_then_retries_fully(
+    spark, docs, probes, tmp_path, monkeypatch
+):
+    """Manifest delete = negative df deltas + tombstones + meta in ONE
+    commit: a crash leaves NOTHING visible (no partial artifacts at
+    all — the rename layout can only order the windows), and the retry
+    deletes cleanly to fresh-build bit-equality."""
+    out = str(tmp_path / "lex")
+    L.build_lex_index(docs, out, n_buckets=4, layout="manifest")
+    victims = docs.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    want_old = _lex_topk(spark, out, probes)
+    meta0 = M.read_manifest(out)["meta"]
+
+    _crash_commit(monkeypatch)
+    with pytest.raises(OSError, match="injected crash"):
+        L.delete_from_lex_index(spark, out, victims)
+    monkeypatch.undo()
+
+    # nothing visible: no tombstones, no negative df, meta untouched
+    idx = L.load_lex_index(spark, out)
+    assert idx.tombstones is None
+    assert idx.terms.where(F.col("df") < 0).count() == 0
+    assert idx.meta == meta0
+    assert _lex_topk(spark, out, probes) == want_old
+
+    # retry deletes FULLY (not a no-op — contrast the rename layout's
+    # tombstone-first ordering) and is bit-equal to a fresh build
+    out2 = L.delete_from_lex_index(spark, out, victims)
+    assert out2["deleted"] == victims.count()
+    fresh = str(tmp_path / "fresh")
+    L.build_lex_index(
+        docs.where(F.col("doc_id") % 3 != 0), fresh, n_buckets=4
+    )
+    assert _lex_topk(spark, out, probes) == _lex_topk(spark, fresh, probes)
+
+
+def test_compact_and_rebuild_crash_keep_old_store_serving(
+    spark, docs, probes, tmp_path, monkeypatch
+):
+    out = str(tmp_path / "lex")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    L.build_lex_index(a, out, n_buckets=4, layout="manifest")
+    L.append_lex_index(docs.where(F.col("doc_id") % 2 == 1), out)
+    want = _lex_topk(spark, out, probes)
+    v0 = M.read_manifest(out)["version"]
+
+    _crash_commit(monkeypatch)
+    with pytest.raises(OSError, match="injected crash"):
+        L.compact_lex_index(spark, out, max_files_per_bucket=1)
+    monkeypatch.undo()
+    assert M.read_manifest(out)["version"] == v0
+    assert _lex_topk(spark, out, probes) == want
+
+    _crash_commit(monkeypatch)
+    with pytest.raises(OSError, match="injected crash"):
+        L.rebuild_lex_index(docs.limit(30), out, n_buckets=2)
+    monkeypatch.undo()
+    assert _lex_topk(spark, out, probes) == want
+
+    # retries complete; compaction result identical, rebuild == fresh
+    L.compact_lex_index(spark, out, max_files_per_bucket=1)
+    assert _lex_topk(spark, out, probes) == want
+    L.rebuild_lex_index(docs.limit(30), out, n_buckets=2)
+    fresh = str(tmp_path / "fresh")
+    L.build_lex_index(docs.limit(30), fresh, n_buckets=2)
+    assert _lex_topk(spark, out, probes) == _lex_topk(spark, fresh, probes)
+
+
+def test_ann_delete_crash_atomic_no_stat_drift(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The ANN n_rows drift (rename layout: tombstones land, meta
+    doesn't, retry can't recover) is impossible here: tombstones and
+    meta are one commit."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    out = str(tmp_path / "ann")
+    meta0 = A.build_ann_index(vecs, out, m=4, n_codewords=8,
+                              layout="manifest")
+    victims = [r.vec_id for r in vecs.where(F.col("vec_id") % 9 == 0)
+               .select("vec_id").collect()]
+
+    _crash_commit(monkeypatch)
+    with pytest.raises(OSError, match="injected crash"):
+        A.delete_from_ann_index(spark, out, victims)
+    monkeypatch.undo()
+
+    idx = A.load_ann_index(spark, out)
+    assert idx.tombstones is None and idx.meta["n_rows"] == meta0["n_rows"]
+
+    again = A.delete_from_ann_index(spark, out, victims)
+    assert again["deleted"] == len(victims)  # retry deletes FULLY
+    assert again["meta"]["n_rows"] == meta0["n_rows"] - len(victims)
+
+
+# -------------------------------------------------- generation pinning
+def test_reader_pins_its_generation_across_maintenance(
+    spark, docs, probes, tmp_path
+):
+    """VERDICT r10 #2: a reader loaded before compact/rebuild still
+    probes its snapshot bit-exactly after the cutover; a fresh load
+    sees the new store. Vacuum with keep_manifests=1 then reclaims the
+    old generations without disturbing current readers."""
+    out = str(tmp_path / "lex")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    L.build_lex_index(a, out, n_buckets=4, layout="manifest")
+    pinned = L.load_lex_index(spark, out)
+    want_pinned = _handle_topk(pinned, probes)
+
+    L.append_lex_index(b, out)
+    L.compact_lex_index(spark, out, max_files_per_bucket=1)
+    assert _handle_topk(pinned, probes) == want_pinned
+
+    L.rebuild_lex_index(b, out, n_buckets=2)  # whole-store cutover
+    assert _handle_topk(pinned, probes) == want_pinned
+    # fresh load = fully-new, never a mix
+    fresh = str(tmp_path / "fresh")
+    L.build_lex_index(b, fresh, n_buckets=2)
+    assert _lex_topk(spark, out, probes) == _lex_topk(spark, fresh, probes)
+
+    L.vacuum_lex_index(out, keep_manifests=1)
+    assert _lex_topk(spark, out, probes) == _lex_topk(spark, fresh, probes)
+
+
+def test_ann_reader_pins_across_rebuild(spark, sf_dir, tmp_path):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    queries = vecs.orderBy("vec_id").limit(5)
+    out = str(tmp_path / "ann")
+    A.build_ann_index(vecs.where(F.col("vec_id") % 2 == 0), out,
+                      m=4, n_codewords=8, layout="manifest")
+    pinned = A.load_ann_index(spark, out)
+
+    def topk(idx):
+        return {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in A.ann_index_topk(idx, queries, k=5, nprobe=2).collect()
+        }
+
+    want = topk(pinned)
+    A.rebuild_ann_index(vecs, out, m=4, n_codewords=8)
+    assert topk(pinned) == want
+    fresh = str(tmp_path / "fresh")
+    A.build_ann_index(vecs, fresh, m=4, n_codewords=8)
+    assert topk(A.load_ann_index(spark, out)) == topk(
+        A.load_ann_index(spark, fresh)
+    )
+
+
+# ------------------------------------------------- semantics parity
+def test_manifest_delete_then_append_equals_union_build(
+    spark, docs, probes, tmp_path
+):
+    a = docs.where(F.col("doc_id") % 3 == 0)
+    b = docs.where(F.col("doc_id") % 3 == 1)
+    c = docs.where(F.col("doc_id") % 3 == 2)
+    out = str(tmp_path / "lex")
+    L.build_lex_index(a.unionByName(b), out, n_buckets=8,
+                      layout="manifest")
+    L.delete_from_lex_index(spark, out, b.select("doc_id"))
+    L.append_lex_index(c, out)
+    ref = str(tmp_path / "ref")
+    L.build_lex_index(a.unionByName(c), ref, n_buckets=8)
+    assert _lex_topk(spark, out, probes) == _lex_topk(spark, ref, probes)
+
+
+def test_manifest_compaction_purges_and_drops_emptied_buckets(
+    spark, docs, probes, tmp_path
+):
+    out = str(tmp_path / "lex")
+    sub = docs.limit(40)
+    L.build_lex_index(sub, out, n_buckets=2, layout="manifest")
+    L.delete_from_lex_index(spark, out, sub.select("doc_id"))
+    L.compact_lex_index(spark, out, max_files_per_bucket=0)
+    snap = M.read_manifest(out)
+    # every bucket emptied by the purge vanished from the manifest
+    assert snap["tables"]["postings"] == {}
+    assert snap["tables"]["terms"] == {}
+    assert _lex_topk(spark, out, probes) == set()
+
+
+# -------------------------------------- streaming append into the index
+def test_streaming_append_two_batches_restart_no_double_append(
+    spark, docs, probes, tmp_path
+):
+    """VERDICT r10 #4, the crawl front door feeding the serving tier:
+    stream batch 1 into the persisted index, STOP, restart the stream
+    on the same checkpoint with batch 2 landed — the restart must
+    process ONLY batch 2 (no double-append of batch 1), and the served
+    top-k must be bit-equal to a one-shot union build."""
+    base = docs.where(F.col("doc_id") < 100)
+    b1 = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 160))
+    b2 = docs.where((F.col("doc_id") >= 160) & (F.col("doc_id") < 220))
+
+    out = str(tmp_path / "lex_stream")
+    L.build_lex_index(base, out, n_buckets=4, layout="manifest")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(b1.schema)
+            .parquet(landing)
+            .writeStream.foreachBatch(L.lex_index_sink(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    run_stream()  # batch 1 in, stream stopped
+    n_after_b1 = L.load_lex_index(spark, out).meta["n_docs"]
+    assert n_after_b1 == base.count() + b1.count()
+
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    run_stream()  # checkpoint restart: must append ONLY batch 2
+
+    meta = L.load_lex_index(spark, out).meta
+    assert meta["n_docs"] == base.count() + b1.count() + b2.count()
+
+    ref = str(tmp_path / "ref")
+    L.build_lex_index(
+        base.unionByName(b1).unionByName(b2), ref, n_buckets=4
+    )
+    assert _lex_topk(spark, out, probes, k=10) == _lex_topk(
+        spark, ref, probes, k=10
+    )
+    # exact stat parity with the one-shot build, not just top-k
+    ref_meta = L.load_lex_index(spark, ref).meta
+    assert (meta["n_docs"], meta["sum_dl"]) == (
+        ref_meta["n_docs"], ref_meta["sum_dl"]
+    )
+
+
+def test_streaming_ann_append_restart_no_double_append(
+    spark, sf_dir, tmp_path
+):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    base = vecs.where(F.col("vec_id") % 3 == 0)
+    b1 = vecs.where(F.col("vec_id") % 3 == 1)
+    b2 = vecs.where(F.col("vec_id") % 3 == 2)
+    out = str(tmp_path / "ann_stream")
+    A.build_ann_index(base, out, m=4, n_codewords=8, layout="manifest")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(b1.schema)
+            .parquet(landing)
+            .writeStream.foreachBatch(A.ann_index_sink(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    run_stream()
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    run_stream()  # restart: only batch 2
+
+    idx = A.load_ann_index(spark, out)
+    assert idx.meta["n_rows"] == vecs.count()
+    # no duplicate coded rows from the restart
+    assert idx.coded.count() == vecs.count()
+    queries = vecs.orderBy("vec_id").limit(5)
+    # reference: same base build (identical learned codebooks) grown by
+    # plain batch appends — streamed ingestion must serve bit-equal
+    ref = str(tmp_path / "ref")
+    A.build_ann_index(base, ref, m=4, n_codewords=8)
+    A.append_ann_index(b1, ref)
+    A.append_ann_index(b2, ref)
+
+    def topk(path):
+        return {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in A.ann_index_topk(
+                A.load_ann_index(spark, path), queries, k=5, nprobe=2
+            ).collect()
+        }
+
+    assert topk(out) == topk(ref)
+
+
+def test_manifest_probe_scan_still_partition_prunes(
+    spark, docs, probes, tmp_path
+):
+    """The generation indirection must not cost the on-disk pruning
+    contract: a probe over a manifest-layout index still reads only
+    the bucket=N partitions the query terms hash into (bucket stays a
+    partition column under basePath=<table>, gen=N rides above it)."""
+    out = str(tmp_path / "lex_pp")
+    L.build_lex_index(docs, out, n_buckets=16, layout="manifest")
+    idx = L.load_lex_index(spark, out)
+    plan = (
+        L.lex_index_topk(idx, probes, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "bucket" in seg and ("IN" in seg or "isnotnull" in seg)
+
+
+def test_edge_store_manifest_takedown_and_compaction(spark, tmp_path):
+    pages = [
+        ("https://a.com/p", '<a href="https://b.com/x">b</a>'
+                            '<a href="https://c.com/y">c</a>'),
+        ("https://b.com/p", '<a href="https://a.com/q">a</a>'),
+        ("https://d.com/p", '<a href="https://spam.biz/s">s</a>'
+                            '<a href="https://a.com/r">a</a>'),
+        ("https://spam.biz/p", '<a href="https://d.com/u">d</a>'),
+    ]
+    df1 = spark.createDataFrame(pages[:2], ["url", "html"])
+    df2 = spark.createDataFrame(pages[2:], ["url", "html"])
+    root = str(tmp_path / "edges")
+    G.init_edge_store(root, n_buckets=4)
+    sink = G.edge_store_sink(root, n_buckets=4)
+    sink(df1, 0)
+    sink(df2, 1)
+    assert G.load_edges(spark, root).count() == 6
+
+    pinned = G.load_edges(spark, root)
+    assert G.delete_domains_from_edge_store(
+        spark, root, ["spam.biz"]
+    ) == {"deleted": 1}
+    masked = G.load_edges(spark, root)
+    assert masked.count() == 4
+    assert pinned.count() == 6  # snapshot pinned
+
+    # refresh == pagerank over the filtered edges, bit-exact
+    r1 = {(r.domain, r.rank_scaled)
+          for r in G.refresh_pagerank(spark, root, iterations=3).collect()}
+    r2 = {(r.domain, r.rank_scaled)
+          for r in G.pagerank(masked, iterations=3).collect()}
+    assert r1 == r2
+
+    want = {(r.src_domain, r.dst_domain, r.n_links)
+            for r in masked.collect()}
+    G.compact_edge_store(spark, root, max_files_per_bucket=0)
+    got = {(r.src_domain, r.dst_domain, r.n_links)
+           for r in G.load_edges(spark, root).collect()}
+    assert got == want
+    v = G.vacuum_edge_store(root, keep_manifests=1)
+    assert v["removed_gens"]
+    assert {(r.src_domain, r.dst_domain, r.n_links)
+            for r in G.load_edges(spark, root).collect()} == want
+    # idempotent takedown
+    assert G.delete_domains_from_edge_store(
+        spark, root, ["spam.biz"]
+    ) == {"deleted": 0}

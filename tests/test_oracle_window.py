@@ -88,7 +88,11 @@ def test_front_window_fits_driver_gate():
         "site_boilerplate_lines",
         "tfidf_keywords",
         "token_budget_cap",
-        "domain_hits",
+        # round-11 promotion: the HITS composition row over the real
+        # extraction path (domain_hits rotated back in exchange — the
+        # composition runs the identical fixed-point chain plus the
+        # extract scan and gate under the same equality oracle)
+        "domain_authority_prune",
     ):
         assert name in front, f"{name} fell out of the driver window"
 
