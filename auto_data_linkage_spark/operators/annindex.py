@@ -398,18 +398,38 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
             .collect()
         ]
         delta_cells = []
+    if manifest:
+        # merge-retry commit: the coded generation is already written
+        # and immutable; losing the version race to a concurrent
+        # append/delete/compaction only re-runs this manifest merge.
+        # A concurrent rebuild changes the encode state (codebooks /
+        # centroids) — our delta was encoded against the OLD state, so
+        # that case is guarded and loud.
+        cp = M.written_parts(path, "coded", gc_)
+        orig = snap["meta"]
+
+        def mutate(fresh: dict):
+            fm = fresh["meta"]
+            for k in ("version", "codec", "m", "n_codewords", "vec_col",
+                      "id_col", "cell_col", "codebooks"):
+                if fm.get(k) != orig.get(k):
+                    raise M.ManifestConflictError(
+                        f"ann-index parameter {k!r} changed under this "
+                        "append (concurrent rebuild?) — re-encode the "
+                        "delta against the new index"
+                    )
+            m2 = dict(fm)
+            c2 = sorted(set(fm["cells"]) | set(delta_cells))
+            m2["n_rows"] = int(fm["n_rows"]) + int(n_delta)
+            m2["cells"] = c2
+            m2["n_cells"] = len(c2)
+            return M.add_gens(fresh["tables"], "coded", cp, gc_), m2
+
+        return M.commit_with_retry(path, mutate)["meta"]
     cells = sorted(set(meta["cells"]) | set(delta_cells))
     meta["n_rows"] = int(meta["n_rows"]) + int(n_delta)
     meta["cells"] = cells
     meta["n_cells"] = len(cells)
-    if manifest:
-        tables = M.add_gens(
-            snap["tables"], "coded", M.written_parts(path, "coded", gc_), gc_
-        )
-        M.commit_manifest(
-            path, tables=tables, meta=meta, expected_version=snap["version"]
-        )
-        return meta
     _write_meta(local, meta)
     return meta
 

@@ -648,12 +648,23 @@ def edge_store_sink(
             )
             parts = M.written_parts(path, "edges", gen)
             if parts:
-                M.commit_manifest(
-                    path,
-                    tables=M.add_gens(snap["tables"], "edges", parts, gen),
-                    meta=snap["meta"],
-                    expected_version=snap["version"],
-                )
+                # merge-retry commit: the delta generation is
+                # immutable; losing the version race (a concurrent
+                # takedown or compaction) re-runs only this manifest
+                # merge, so the sink keeps streaming through
+                # maintenance commits.
+                def mutate(fresh: dict):
+                    if int(fresh["meta"].get("n_buckets", nb)) != nb:
+                        raise M.ManifestConflictError(
+                            "edge-store n_buckets changed under this "
+                            "append — re-bucket the delta"
+                        )
+                    return (
+                        M.add_gens(fresh["tables"], "edges", parts, gen),
+                        fresh["meta"],
+                    )
+
+                M.commit_with_retry(path, mutate)
             return
         # repair-before-append: writing into a store whose bucket is
         # parked as __old would recreate the live dir and make the next
@@ -762,15 +773,19 @@ def delete_domains_from_edge_store(spark, path: str, domains) -> dict:
         if n:
             gen = M.next_gen(path, "tombstones")
             domains.write.parquet(os.path.join(local, "tombstones", gen))
-            M.commit_manifest(
-                path,
-                tables=M.add_gens(
-                    snap["tables"], "tombstones",
-                    M.written_parts(path, "tombstones", gen), gen,
-                ),
-                meta=snap["meta"],
-                expected_version=snap["version"],
-            )
+            parts = M.written_parts(path, "tombstones", gen)
+
+            # merge-retry commit: the mask is a SET (readers anti-join
+            # it), so a concurrent takedown that re-masked one of our
+            # domains in between only makes `deleted` an overcount —
+            # never a wrong mask.
+            def mutate(fresh: dict):
+                return (
+                    M.add_gens(fresh["tables"], "tombstones", parts, gen),
+                    fresh["meta"],
+                )
+
+            M.commit_with_retry(path, mutate)
         return {"deleted": int(n)}
     tomb_dir = os.path.join(local, "_tombstones")
     if os.path.isdir(tomb_dir):

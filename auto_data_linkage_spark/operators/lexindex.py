@@ -309,19 +309,38 @@ def append_lex_index(delta: DataFrame, path: str) -> dict:
         .partitionBy("bucket")
         .parquet(terms_dir)
     )
+    if manifest:
+        # merge-retry commit (manifestfs.commit_with_retry): the delta
+        # generations are already written and immutable, so losing the
+        # version race to a concurrent commit (another append, a
+        # delete, a compaction) only re-runs this cheap manifest merge
+        # — adding our gens to the FRESH snapshot composes with any
+        # interleaved delta/compaction. A concurrent REBUILD is the
+        # one non-mergeable case (it may change tokenization-relevant
+        # parameters and resets the corpus) — guarded, loud.
+        pp = M.written_parts(path, "postings", gp)
+        tp = M.written_parts(path, "terms", gt)
+        orig = snap["meta"]
+
+        def mutate(fresh: dict):
+            fm = fresh["meta"]
+            for k in ("version", "n_buckets", "id_col", "text_col"):
+                if fm.get(k) != orig.get(k):
+                    raise M.ManifestConflictError(
+                        f"lex-index parameter {k!r} changed under this "
+                        "append (concurrent rebuild?) — re-run the "
+                        "append against the new index"
+                    )
+            m2 = dict(fm)
+            m2["n_docs"] = int(fm["n_docs"]) + int(n_docs)
+            m2["sum_dl"] = int(fm["sum_dl"]) + int(sum_dl or 0)
+            t2 = M.add_gens(fresh["tables"], "postings", pp, gp)
+            t2 = M.add_gens(t2, "terms", tp, gt)
+            return t2, m2
+
+        return M.commit_with_retry(path, mutate)["meta"]
     meta["n_docs"] = int(meta["n_docs"]) + int(n_docs)
     meta["sum_dl"] = int(meta["sum_dl"]) + int(sum_dl or 0)
-    if manifest:
-        tables = M.add_gens(
-            snap["tables"], "postings", M.written_parts(path, "postings", gp), gp
-        )
-        tables = M.add_gens(
-            tables, "terms", M.written_parts(path, "terms", gt), gt
-        )
-        M.commit_manifest(
-            path, tables=tables, meta=meta, expected_version=snap["version"]
-        )
-        return meta
     _write_meta(local, meta)
     return meta
 

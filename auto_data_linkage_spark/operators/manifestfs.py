@@ -82,6 +82,7 @@ __all__ = [
     "init_manifest_store",
     "read_manifest",
     "commit_manifest",
+    "commit_with_retry",
     "next_gen",
     "written_parts",
     "add_gens",
@@ -164,21 +165,73 @@ def init_manifest_store(root: str, *, tables: dict, meta: dict) -> dict:
     return commit_manifest(root, tables=tables, meta=meta, expected_version=0)
 
 
+def commit_with_retry(root: str, mutate, *, retries: int = 5) -> dict:
+    """Commit a DELTA mutation with optimistic merge-retry — the
+    concurrency upgrade for additive writers (appends, takedowns):
+    a streaming sink can keep appending while another session commits,
+    instead of dying on the version race.
+
+    ``mutate(snapshot) -> (tables, meta)`` recomputes the commit
+    CONTENT from a fresh snapshot; the data generations were already
+    written (immutable, nonce-named — see :func:`next_gen`) so only
+    the manifest merge re-runs, never the data work. Safe ONLY for
+    mutations whose merge is order-independent (adding a generation to
+    a bucket's live list composes with any interleaved commit,
+    including a compaction that replaced the bucket's other gens);
+    ``mutate`` must itself RAISE when the fresh snapshot is no longer
+    mergeable (e.g. a rebuild changed structural parameters).
+    Rewriting mutations (compaction, rebuild) must NOT use this — a
+    blind retry would resurrect generations their rewrite superseded;
+    they stay loud-conflict single-writer."""
+    last: Exception | None = None
+    for _ in range(retries + 1):
+        snap = read_manifest(root)
+        tables, meta = mutate(snap)
+        try:
+            return commit_manifest(
+                root, tables=tables, meta=meta,
+                expected_version=snap["version"],
+            )
+        except ManifestConflictError as e:
+            last = e
+            continue
+    raise ManifestConflictError(
+        f"lost the commit race {retries + 1} times on {root}; "
+        "concurrent writers are saturating this store"
+    ) from last
+
+
+def _gen_seq(entry: str) -> int | None:
+    """Leading sequence number of a ``gen=<n>[x<nonce>]`` dir name."""
+    if not entry.startswith("gen="):
+        return None
+    head = entry[4:].split("x", 1)[0]
+    try:
+        return int(head)
+    except ValueError:
+        return None
+
+
 def next_gen(root: str, table: str) -> str:
     """Allocate the next generation directory name for ``table`` from a
     disk listing (NOT from the manifest): orphan gens of crashed
     writers must never be reused — their stale data would silently mix
-    into the new generation."""
+    into the new generation. The name carries a random nonce
+    (``gen=<n>x<hex8>``) so two writers that race the listing can
+    never land in the SAME directory — each attempt's data is its own
+    immutable dir, and the loser of the subsequent version race
+    either retries (delta mutations merge, see
+    :func:`commit_with_retry`) or leaves a vacuumable orphan."""
+    import uuid
+
     tdir = os.path.join(local_path(root), table)
     mx = 0
     if os.path.isdir(tdir):
         for entry in os.listdir(tdir):
-            if entry.startswith("gen="):
-                try:
-                    mx = max(mx, int(entry[4:]))
-                except ValueError:
-                    continue
-    return f"gen={mx + 1}"
+            seq = _gen_seq(entry)
+            if seq is not None:
+                mx = max(mx, seq)
+    return f"gen={mx + 1}x{uuid.uuid4().hex[:8]}"
 
 
 def written_parts(root: str, table: str, gen: str) -> list[str]:

@@ -84,8 +84,11 @@ def test_manifest_log_basics(tmp_path):
 def test_next_gen_never_reuses_orphans(tmp_path):
     root = str(tmp_path / "s")
     os.makedirs(os.path.join(root, "t", "gen=7"))  # orphan of a dead writer
-    assert M.next_gen(root, "t") == "gen=8"
-    assert M.next_gen(root, "missing_table") == "gen=1"
+    assert M._gen_seq(M.next_gen(root, "t")) == 8
+    assert M._gen_seq(M.next_gen(root, "missing_table")) == 1
+    # nonce-suffixed orphans advance the sequence too
+    os.makedirs(os.path.join(root, "t", "gen=9xdeadbeef"))
+    assert M._gen_seq(M.next_gen(root, "t")) == 10
 
 
 def test_vacuum_respects_kept_manifests(tmp_path):
@@ -107,6 +110,110 @@ def test_vacuum_respects_kept_manifests(tmp_path):
     assert out["removed_manifests"] == ["v000000000001.json"]
     assert os.path.isdir(os.path.join(root, "t", "gen=2"))
     assert os.path.isdir(os.path.join(root, "t", "gen=3"))
+
+
+def test_commit_with_retry_merges_with_interleaved_commit(tmp_path):
+    """Optimistic delta commits: losing the version race re-reads the
+    fresh snapshot and merges — the final manifest carries BOTH
+    writers' generations."""
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    M.init_manifest_store(root, tables={}, meta={})
+    state = {"interleaved": False}
+
+    def mutate(fresh):
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            # a competing delta writer commits first
+            M.commit_manifest(
+                root,
+                tables=M.add_gens(fresh["tables"], "t", [""], "gen=1xaaaa"),
+                meta=fresh["meta"],
+                expected_version=fresh["version"],
+            )
+        return M.add_gens(fresh["tables"], "t", [""], "gen=2xbbbb"), fresh["meta"]
+
+    final = M.commit_with_retry(root, mutate)
+    assert final["version"] == 3
+    assert final["tables"]["t"][""] == ["gen=1xaaaa", "gen=2xbbbb"]
+
+
+def test_next_gen_nonce_prevents_directory_collision(tmp_path):
+    """Two writers that race the disk listing still get DISTINCT
+    generation directories (the nonce), so neither can mix files into
+    the other's immutable generation."""
+    root = str(tmp_path / "s")
+    os.makedirs(os.path.join(root, "t"))
+    g1, g2 = M.next_gen(root, "t"), M.next_gen(root, "t")
+    assert g1 != g2
+    assert M._gen_seq(g1) == M._gen_seq(g2) == 1
+    os.makedirs(os.path.join(root, "t", g1))
+    assert M._gen_seq(M.next_gen(root, "t")) == 2
+
+
+def test_append_survives_losing_version_race(
+    spark, docs, probes, tmp_path, monkeypatch
+):
+    """A streaming append that loses the manifest version race to a
+    concurrent commit must MERGE and land (the sink keeps running
+    through maintenance), equal to a serial union build."""
+    out = str(tmp_path / "lex")
+    a = docs.where(F.col("doc_id") % 3 == 0)
+    b = docs.where(F.col("doc_id") % 3 == 1)
+    L.build_lex_index(a, out, n_buckets=4, layout="manifest")
+
+    real = M.commit_manifest
+    state = {"stolen": False}
+
+    def racing(path, *, tables, meta, expected_version):
+        if not state["stolen"]:
+            state["stolen"] = True
+            # a competing no-op commit wins this version first
+            cur = M.read_manifest(out)
+            real(out, tables=cur["tables"], meta=cur["meta"],
+                 expected_version=expected_version)
+        return real(path, tables=tables, meta=meta,
+                    expected_version=expected_version)
+
+    monkeypatch.setattr(M, "commit_manifest", racing)
+    L.append_lex_index(b, out)
+    monkeypatch.undo()
+
+    assert M.read_manifest(out)["version"] == 3  # steal + merged append
+    ref = str(tmp_path / "ref")
+    L.build_lex_index(a.unionByName(b), ref, n_buckets=4)
+    assert _lex_topk(spark, out, probes) == _lex_topk(spark, ref, probes)
+
+
+def test_append_refuses_merge_across_concurrent_rebuild(
+    spark, docs, tmp_path, monkeypatch
+):
+    """The one non-mergeable race: a rebuild changing structural
+    parameters lands between the append's read and its commit — the
+    delta was tokenized/bucketed against the OLD index, so the merge
+    must refuse loudly instead of stranding rows in unprobed buckets."""
+    out = str(tmp_path / "lex")
+    a = docs.where(F.col("doc_id") % 3 == 0)
+    b = docs.where(F.col("doc_id") % 3 == 1)
+    L.build_lex_index(a, out, n_buckets=4, layout="manifest")
+
+    real = M.commit_manifest
+    state = {"stolen": False}
+
+    def racing(path, *, tables, meta, expected_version):
+        if not state["stolen"]:
+            state["stolen"] = True
+            cur = M.read_manifest(out)
+            changed = dict(cur["meta"])
+            changed["n_buckets"] = 8  # a rebuild re-bucketed the store
+            real(out, tables=cur["tables"], meta=changed,
+                 expected_version=expected_version)
+        return real(path, tables=tables, meta=meta,
+                    expected_version=expected_version)
+
+    monkeypatch.setattr(M, "commit_manifest", racing)
+    with pytest.raises(M.ManifestConflictError, match="n_buckets"):
+        L.append_lex_index(b, out)
 
 
 # ------------------------------------------------------- zero renames
@@ -510,6 +617,24 @@ def test_manifest_probe_scan_still_partition_prunes(
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:200]
     assert "bucket" in seg and ("IN" in seg or "isnotnull" in seg)
+
+
+def test_manifest_ann_coded_scan_still_partition_prunes(
+    spark, sf_dir, tmp_path
+):
+    """Dense mirror of the probe-pruning pin: a cell filter over a
+    manifest-layout coded table still prunes to the matching cell=N
+    partitions under the gen= indirection."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    out = str(tmp_path / "ann_pp")
+    A.build_ann_index(vecs, out, m=4, n_codewords=8, layout="manifest")
+    idx = A.load_ann_index(spark, out)
+    one_cell = idx.coded.where(F.col("cell") == 0)
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:160]
 
 
 def test_edge_store_manifest_takedown_and_compaction(spark, tmp_path):
