@@ -823,13 +823,22 @@ def ann_index_sink(path: str, *, compact_over: int | None = None):
     return _sink
 
 
-def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+def load_ann_index(
+    spark: SparkSession, path: str, *, version: int | None = None
+) -> AnnIndex:
     """Handle over the stored index. Manifest layout: the manifest
     read PINS the snapshot — the returned DataFrames name immutable
     generation directories, so later appends/compactions/rebuilds
-    never change what this handle serves (until vacuum)."""
+    never change what this handle serves (until vacuum). ``version``
+    TIME-TRAVELS to that exact committed snapshot (see
+    :func:`lexindex.load_lex_index`)."""
+    if version is not None and not M.is_manifest_store(path):
+        raise ValueError(
+            "version= time travel needs a manifest-layout index "
+            '(build_ann_index(layout="manifest"))'
+        )
     if M.is_manifest_store(path):
-        snap = M.read_manifest(path)
+        snap = M.read_manifest(path, version)
         meta = snap["meta"]
         if meta.get("version") != _VERSION:
             raise ValueError(

@@ -806,7 +806,7 @@ def _edge_tombstones(spark, local: str) -> DataFrame | None:
     )
 
 
-def load_edges(spark, path: str) -> DataFrame:
+def load_edges(spark, path: str, *, version: int | None = None) -> DataFrame:
     """Aggregated edge table from an :func:`edge_store_sink` store:
     delta rows summed to one (src_domain, dst_domain, n_links) row per
     edge — the input shape :func:`pagerank` / :func:`link_graph_stats`
@@ -818,14 +818,22 @@ def load_edges(spark, path: str) -> DataFrame:
     domain never reach a reader (two deleted-domains-sized anti-joins;
     AQE broadcasts them). Manifest layout: the manifest read PINS the
     snapshot — concurrent appends/compactions/takedowns committing
-    later never change what this reader aggregates."""
+    later never change what this reader aggregates; ``version``
+    TIME-TRAVELS to that exact committed snapshot (e.g. the edge
+    graph as of a crawl epoch, pre-takedown — within vacuum's
+    keep-window)."""
     from . import manifestfs as M
     from .storefs import local_path
 
+    if version is not None and not M.is_manifest_store(path):
+        raise ValueError(
+            "version= time travel needs a manifest-layout edge store "
+            "(init_edge_store)"
+        )
     repair_edge_store(path)
     local = local_path(path)
     if M.is_manifest_store(path):
-        snap = M.read_manifest(path)
+        snap = M.read_manifest(path, version)
         edges = M.read_table(spark, path, "edges", snap)
         if edges is None:
             edges = spark.createDataFrame([], snap["meta"]["edges_schema"])

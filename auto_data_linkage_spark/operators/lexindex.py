@@ -818,15 +818,26 @@ def vacuum_lex_index(path: str, *, keep_manifests: int = 2) -> dict:
     return M.vacuum(path, keep_manifests=keep_manifests)
 
 
-def load_lex_index(spark: SparkSession, path: str) -> LexIndex:
+def load_lex_index(
+    spark: SparkSession, path: str, *, version: int | None = None
+) -> LexIndex:
     """Handle over the stored index. Manifest layout: the manifest
     read here PINS the snapshot — the returned DataFrames name
     immutable generation directories, so concurrent appends,
     compactions, deletes, and whole-store rebuilds committing later
     never change what this handle serves (until a vacuum reclaims
-    generations older than its manifest)."""
+    generations older than its manifest). ``version`` TIME-TRAVELS to
+    that exact committed snapshot (still retained by vacuum's
+    keep-window) — e.g. serve the pre-delete index for an audit, or
+    diff top-k across versions; rename-layout stores have no history
+    (``version`` raises there)."""
+    if version is not None and not M.is_manifest_store(path):
+        raise ValueError(
+            "version= time travel needs a manifest-layout index "
+            '(build_lex_index(layout="manifest"))'
+        )
     if M.is_manifest_store(path):
-        snap = M.read_manifest(path)
+        snap = M.read_manifest(path, version)
         meta = snap["meta"]
         if meta.get("version") != _VERSION:
             raise ValueError(

@@ -112,12 +112,27 @@ def is_manifest_store(root: str) -> bool:
     return os.path.isdir(_mdir(root))
 
 
-def read_manifest(root: str) -> dict:
-    """Highest manifest version that parses as complete JSON — the
-    reader's pinned snapshot. A truncated newest file (writer died
-    mid-write on a POSIX filesystem; object stores never expose
+def read_manifest(root: str, version: int | None = None) -> dict:
+    """The reader's pinned snapshot: the highest manifest version that
+    parses as complete JSON — or, with ``version``, that EXACT
+    historical version (time travel: every manifest is immutable and
+    names immutable directories, so any version still on disk serves
+    its results bit-exactly; versions reclaimed by :func:`vacuum`
+    raise with the retention hint). A truncated newest file (writer
+    died mid-write on a POSIX filesystem; object stores never expose
     partials) is skipped in favor of its predecessor."""
     mdir = _mdir(root)
+    if version is not None:
+        target = os.path.join(mdir, _vname(int(version)))
+        try:
+            with open(target) as f:
+                return json.load(f)
+        except (OSError, ValueError) as e:
+            raise FileNotFoundError(
+                f"manifest version {version} of {root} is not readable "
+                "— it may have been reclaimed by vacuum (raise "
+                "keep_manifests to retain more history)"
+            ) from e
     names = sorted(
         (n for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")),
         reverse=True,

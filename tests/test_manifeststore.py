@@ -459,6 +459,61 @@ def test_ann_reader_pins_across_rebuild(spark, sf_dir, tmp_path):
     )
 
 
+# ------------------------------------------------------- time travel
+def test_time_travel_serves_historical_snapshots_bit_exactly(
+    spark, docs, probes, tmp_path
+):
+    """Every committed manifest is immutable and names immutable
+    directories, so version= replays ANY retained snapshot bit-exactly
+    — the pre-delete index for an audit, the pre-append index for a
+    diff — while the head keeps moving."""
+    out = str(tmp_path / "lex")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    L.build_lex_index(a, out, n_buckets=4, layout="manifest")  # v1
+    v1_want = _lex_topk(spark, out, probes)
+    L.append_lex_index(b, out)                                 # v2
+    v2_want = _lex_topk(spark, out, probes)
+    L.delete_from_lex_index(spark, out, a.select("doc_id"))    # v3
+
+    assert _handle_topk(
+        L.load_lex_index(spark, out, version=1), probes
+    ) == v1_want
+    assert _handle_topk(
+        L.load_lex_index(spark, out, version=2), probes
+    ) == v2_want
+    # v3 head == fresh build without the deleted docs (delete parity)
+    fresh = str(tmp_path / "fresh")
+    L.build_lex_index(b, fresh, n_buckets=4)
+    assert _lex_topk(spark, out, probes) == _lex_topk(spark, fresh, probes)
+
+    # vacuumed history raises with the retention hint; retained works
+    L.vacuum_lex_index(out, keep_manifests=1)
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        L.load_lex_index(spark, out, version=1)
+    assert _lex_topk(spark, out, probes) == _lex_topk(spark, fresh, probes)
+
+    # rename-layout stores have no history
+    with pytest.raises(ValueError, match="manifest-layout"):
+        L.load_lex_index(spark, fresh, version=1)
+
+
+def test_time_travel_edge_store_pre_takedown(spark, tmp_path):
+    pages = [
+        ("https://a.com/p", '<a href="https://spam.biz/x">s</a>'),
+        ("https://spam.biz/p", '<a href="https://a.com/y">a</a>'),
+    ]
+    root = str(tmp_path / "edges")
+    G.init_edge_store(root, n_buckets=2)                       # v1
+    G.edge_store_sink(root, n_buckets=2)(
+        spark.createDataFrame(pages, ["url", "html"]), 0
+    )                                                          # v2
+    G.delete_domains_from_edge_store(spark, root, ["spam.biz"])  # v3
+    assert G.load_edges(spark, root).count() == 0
+    # the crawl epoch before the takedown is still replayable
+    assert G.load_edges(spark, root, version=2).count() == 2
+
+
 # ------------------------------------------------- semantics parity
 def test_manifest_delete_then_append_equals_union_build(
     spark, docs, probes, tmp_path
