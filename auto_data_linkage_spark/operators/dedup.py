@@ -1588,3 +1588,74 @@ def duplication_weights(
             6,
         ).alias("weight"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source near-duplicate OVERLAP MATRIX — the training-mix
+    curation artifact: for every unordered source pair, how many
+    near-dup pairs link them, and at what rate relative to the maximum
+    possible (``n_a·n_b`` across sources, ``n·(n−1)/2`` within one).
+    A high cross rate says two sources are substantially the same
+    corpus (count one of them in the mix); a high diagonal rate says a
+    source is internally templated (dedup or down-weight before
+    mixing).
+
+    ``pairs`` is any ``(id_l, id_r)`` near-dup pair table
+    (:func:`minhash_lsh_candidates`, :func:`simhash_near_pairs`,
+    :func:`embedding_dup_pairs`, ...). Output:
+    ``(source_a, source_b, n_pairs, n_docs_a, n_docs_b, dup_rate)``
+    with ``source_a <= source_b`` and ``dup_rate`` rounded to 6.
+
+    Plan: two equi-joins of the pair table against the (id, source)
+    projection — the join key is the UNIQUE doc id, so there is no
+    skew to salt; the matrix aggregation is |sources|²-bounded and the
+    per-source counts are one narrow aggregate broadcast back. Nothing
+    corpus-sized shuffles beyond the id→source projection.
+    """
+    src = df.select(
+        F.col(id_col).alias("__id"), F.col(source_col).alias("__src")
+    )
+    lcol, rcol = f"{id_col}_l", f"{id_col}_r"
+    tagged = (
+        pairs.select(F.col(lcol).alias("__l"), F.col(rcol).alias("__r"))
+        .join(src.select(F.col("__id").alias("__l"),
+                         F.col("__src").alias("__sl")), "__l")
+        .join(src.select(F.col("__id").alias("__r"),
+                         F.col("__src").alias("__sr")), "__r")
+        .select(
+            F.least("__sl", "__sr").alias("source_a"),
+            F.greatest("__sl", "__sr").alias("source_b"),
+        )
+    )
+    agg = tagged.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    counts = df.groupBy(F.col(source_col).alias("__s")).agg(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    denom = F.when(
+        F.col("source_a") == F.col("source_b"),
+        (F.col("n_docs_a") * (F.col("n_docs_a") - 1) / 2.0),
+    ).otherwise(F.col("n_docs_a") * F.col("n_docs_b") * 1.0)
+    return (
+        agg.join(
+            F.broadcast(counts.select(F.col("__s").alias("source_a"),
+                                      F.col("__n").alias("n_docs_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("__s").alias("source_b"),
+                                      F.col("__n").alias("n_docs_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "n_pairs", "n_docs_a", "n_docs_b",
+            F.round(F.col("n_pairs") / denom, 6).alias("dup_rate"),
+        )
+    )

@@ -1646,6 +1646,12 @@ _DEPRIORITIZED = (
     # same check); the degree/reciprocity stats stay driver-identically
     # checked back-window by test_oracle_window:
     "link_graph",
+    # registered DIRECTLY into the back window (minhash-lsh family
+    # holds near_dedup_keep_best's driver row, which runs the identical
+    # banding + guard chain; the matrix tail is two unique-key
+    # equi-joins + a |sources|²-bounded aggregate) — test_oracle_window
+    # runs the full driver comparison:
+    "source_overlap_matrix",
     # round-11 rotation: domain_authority_prune (the HITS composition
     # row over the REAL path — html → extract_links → hits → top-k
     # authority gate, per the r10 verdict #3) promoted; domain_hits
@@ -1720,7 +1726,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "exact-dedup": ("exact_dedup",),
     "minhash-lsh": ("minhash_lsh_pairs", "near_dedup_keep",
                     "near_dedup_keep_best", "minhash_signature",
-                    "incremental_dedup_docs", "duplication_weights"),
+                    "incremental_dedup_docs", "duplication_weights",
+                    "source_overlap_matrix"),
     "simhash": ("simhash_near_pairs", "simhash"),
     "substring-dedup": ("span_dedup", "chunk_dedup", "split_chunks",
                         "strip_boilerplate", "line_dedup",

@@ -463,6 +463,62 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cross-source near-duplicate overlap matrix — the training-mix audit:
+# per unordered source pair, near-dup pair count + rate against the
+# maximum possible. Registered DIRECTLY into the back window: the pair
+# machinery is the in-window-certified LSH chain (near_dedup_keep_best
+# runs it end-to-end front-window) and the matrix tail is two unique-key
+# equi-joins + a |sources|²-bounded aggregate; test_oracle_window runs
+# the full driver comparison.
+# --------------------------------------------------------------------------
+def _source_overlap_sql() -> str:
+    return f"""
+    WITH sig AS ({_minhash_sql().strip()}),
+    {_minhash_pair_ctes()},
+    m AS (SELECT doc_id, source FROM documents),
+    ps AS (
+        SELECT LEAST(a.source, b.source) AS source_a,
+               GREATEST(a.source, b.source) AS source_b
+        FROM prs p
+        JOIN m a ON p.src = a.doc_id
+        JOIN m b ON p.dst = b.doc_id
+    ),
+    cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source),
+    agg AS (SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM ps GROUP BY source_a, source_b)
+    SELECT g.source_a, g.source_b, g.n_pairs,
+           ca.n AS n_docs_a, cb.n AS n_docs_b,
+           ROUND(g.n_pairs / CASE WHEN g.source_a = g.source_b
+                                  THEN ca.n * (ca.n - 1) / 2.0
+                                  ELSE ca.n * cb.n * 1.0 END,
+                 6) AS dup_rate
+    FROM agg g
+    JOIN cnt ca ON g.source_a = ca.source
+    JOIN cnt cb ON g.source_b = cb.source
+    """
+
+
+@register(
+    "source_overlap_matrix",
+    _source_overlap_sql(),
+    survey="LLM dedup audit: cross-source near-duplicate overlap matrix "
+    "(per source pair: LSH near-dup pair count + rate vs maximum "
+    "possible — the keep-one-of-these-corpora / dedup-before-mixing "
+    "signal for training-mix curation)",
+)
+def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_candidates(
+        docs,
+        num_hashes=_MH_HASHES,
+        num_bands=_MH_HASHES,
+        shingle_k=_SHINGLE_K,
+    )
+    return D.source_overlap_matrix(docs, pairs)
+
+
+# --------------------------------------------------------------------------
 # Composed near-dedup pipeline: MinHash LSH candidate pairs → connected
 # components → keep the min doc per duplicate cluster (the full "dedup
 # this corpus" flow in one query). Oracle: the same pair SQL + a

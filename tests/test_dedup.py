@@ -874,3 +874,32 @@ class TestStripBoilerplateGrouped:
                                    "doc_id long, src string, text string")
         with _pt.raises(ValueError, match="unit"):
             strip_boilerplate_grouped(df, "src", unit="paragraph")
+
+
+def test_source_overlap_matrix_counts_and_rates(spark):
+    """Hand-computed matrix: pairs (1,2) same-source A, (1,3) and (2,3)
+    cross A×B, doc 4 in source C untouched — counts exact, rates
+    normalized by n_a·n_b (cross) and n·(n−1)/2 (diagonal), unordered
+    source keys."""
+    from auto_data_linkage_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "C")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "doc_id_l long, doc_id_r long"
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(docs, pairs).collect()
+    }
+    assert set(out) == {("A", "A"), ("A", "B")}
+    aa = out[("A", "A")]
+    assert (aa.n_pairs, aa.n_docs_a, aa.n_docs_b) == (1, 2, 2)
+    assert aa.dup_rate == 1.0  # 1 pair / (2·1/2)
+    ab = out[("A", "B")]
+    assert (ab.n_pairs, ab.n_docs_a, ab.n_docs_b) == (2, 2, 1)
+    assert ab.dup_rate == 1.0  # 2 pairs / (2·1)
