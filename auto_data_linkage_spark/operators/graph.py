@@ -52,6 +52,7 @@ __all__ = [
     "delete_domains_from_edge_store",
     "repair_edge_store",
     "vacuum_edge_store",
+    "refresh_hits",
     "refresh_pagerank",
     "extract_links",
     "hits",
@@ -881,6 +882,31 @@ def refresh_pagerank(
         iterations=iterations,
         init_ranks=prev_ranks,
         **pagerank_kwargs,
+    )
+
+
+def refresh_hits(
+    spark,
+    store_path: str,
+    *,
+    iterations: int = 5,
+    version: int | None = None,
+    **hits_kwargs,
+) -> DataFrame:
+    """One-call hubs/authorities refresh over an
+    :func:`edge_store_sink` store — the HITS twin of
+    :func:`refresh_pagerank`: aggregate the edge deltas
+    (:func:`load_edges`, takedown mask applied) and run :func:`hits`.
+    HITS has no warm-start (each run renormalizes both vectors from
+    the uniform hub share — the fixed-point arithmetic is cheap at
+    the default 5 iterations), so the refresh is always a cold,
+    bit-exact recompute; ``version`` time-travels a manifest-layout
+    store to score a historical crawl epoch. Returns
+    ``(domain, hub_scaled, auth_scaled)``."""
+    return hits(
+        load_edges(spark, store_path, version=version),
+        iterations=iterations,
+        **hits_kwargs,
     )
 
 

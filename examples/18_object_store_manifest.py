@@ -86,7 +86,13 @@ def main():
     print("fresh load serves the rebuilt store:",
           topk(spark, path, probes) != before)
 
-    # 4. explicit reclamation
+    # 4. time travel: any retained version replays bit-exactly
+    v2 = L.load_lex_index(spark, path, version=2)
+    print("version 2 (post-append, pre-delete) still serves:",
+          len({r.doc_id for r in L.lex_index_topk(v2, probes, k=5)
+               .collect()}) > 0)
+
+    # 5. explicit reclamation
     v = L.vacuum_lex_index(path, keep_manifests=1)
     print(f"vacuum reclaimed {len(v['removed_gens'])} generations, "
           f"{len(v['removed_manifests'])} old manifests")

@@ -512,6 +512,22 @@ def test_time_travel_edge_store_pre_takedown(spark, tmp_path):
     assert G.load_edges(spark, root).count() == 0
     # the crawl epoch before the takedown is still replayable
     assert G.load_edges(spark, root, version=2).count() == 2
+    # refresh_hits scores the store (and its history) in one call
+    assert G.refresh_hits(spark, root, iterations=2).count() == 0
+    hist = {
+        r.domain: (r.hub_scaled, r.auth_scaled)
+        for r in G.refresh_hits(spark, root, iterations=2,
+                                version=2).collect()
+    }
+    assert set(hist) == {"a.com", "spam.biz"}
+    from auto_data_linkage_spark.operators.graph import hits
+
+    want = {
+        r.domain: (r.hub_scaled, r.auth_scaled)
+        for r in hits(G.load_edges(spark, root, version=2),
+                      iterations=2).collect()
+    }
+    assert hist == want
 
 
 # ------------------------------------------------- semantics parity
