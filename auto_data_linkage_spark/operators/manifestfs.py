@@ -90,6 +90,7 @@ __all__ = [
     "table_paths",
     "read_table",
     "part_file_counts",
+    "history",
     "vacuum",
 ]
 
@@ -346,6 +347,47 @@ def part_file_counts(root: str, table: str, snapshot: dict) -> dict[str, int]:
             if os.path.isdir(d):
                 n += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
         out[part] = n
+    return out
+
+
+def history(root: str) -> list[dict]:
+    """Audit view of the store's retained commit history, oldest
+    first: for each readable manifest version, which tables gained or
+    lost generations relative to its predecessor — the what-changed
+    trail takedowns/compliance reviews read (pair with ``version=``
+    time travel to replay any listed snapshot). Unreadable (mid-write)
+    files are skipped. Returns
+    ``[{"version", "added": {table: [gen,...]}, "removed": {...}}]``.
+    """
+    mdir = _mdir(root)
+    out: list[dict] = []
+    prev: dict = {}
+    for name in sorted(
+        n for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
+    ):
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+        except (OSError, ValueError):
+            continue
+        cur = {
+            t: {f"{p}/{g}" if p else g for p, gens in mp.items() for g in gens}
+            for t, mp in m.get("tables", {}).items()
+        }
+        added = {
+            t: sorted(cur[t] - prev.get(t, set()))
+            for t in cur
+            if cur[t] - prev.get(t, set())
+        }
+        removed = {
+            t: sorted(prev[t] - cur.get(t, set()))
+            for t in prev
+            if prev[t] - cur.get(t, set())
+        }
+        out.append(
+            {"version": int(m["version"]), "added": added, "removed": removed}
+        )
+        prev = cur
     return out
 
 

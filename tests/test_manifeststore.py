@@ -91,6 +91,32 @@ def test_next_gen_never_reuses_orphans(tmp_path):
     assert M._gen_seq(M.next_gen(root, "t")) == 10
 
 
+def test_history_reports_per_version_table_deltas(tmp_path):
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    M.init_manifest_store(
+        root, tables={"t": {"bucket=0": ["gen=1"]}}, meta={}
+    )
+    M.commit_manifest(
+        root,
+        tables={"t": {"bucket=0": ["gen=1", "gen=2"]}},
+        meta={},
+        expected_version=1,
+    )
+    M.commit_manifest(  # compaction: gen=1+2 replaced by gen=3
+        root,
+        tables={"t": {"bucket=0": ["gen=3"]}},
+        meta={},
+        expected_version=2,
+    )
+    h = M.history(root)
+    assert [e["version"] for e in h] == [1, 2, 3]
+    assert h[0]["added"] == {"t": ["bucket=0/gen=1"]}
+    assert h[1]["added"] == {"t": ["bucket=0/gen=2"]} and h[1]["removed"] == {}
+    assert h[2]["added"] == {"t": ["bucket=0/gen=3"]}
+    assert h[2]["removed"] == {"t": ["bucket=0/gen=1", "bucket=0/gen=2"]}
+
+
 def test_vacuum_respects_kept_manifests(tmp_path):
     root = str(tmp_path / "s")
     for g in ("gen=1", "gen=2", "gen=3"):
