@@ -78,6 +78,8 @@ MANIFEST_DIR = "_manifests"
 
 __all__ = [
     "ManifestConflictError",
+    "use_commit_log",
+    "clear_commit_log",
     "is_manifest_store",
     "init_manifest_store",
     "read_manifest",
@@ -109,8 +111,68 @@ def _vname(version: int) -> str:
     return f"v{version:012d}.json"
 
 
+# --------------------------------------------------------- log backends
+# The manifest log's only primitives are conditional-create, list, and
+# remove — exactly the :class:`..sources.layout.CommitStore` interface.
+# By default the log is posix files under _manifests/ (create =
+# O_CREAT|O_EXCL). `use_commit_log` swaps in any CommitStore for a
+# given root — e.g. an object-store-backed one (S3 If-None-Match / GCS
+# generation-match conditional PUT), or MemoryCommitStore to run the
+# ENTIRE protocol against pure object-store semantics in tests (no
+# _manifests directory touches disk at all). Data generations are
+# still parquet directories wherever `root` points (Spark's reader/
+# writer handles the actual storage scheme).
+_LOG_BACKENDS: dict[str, object] = {}
+
+
+def _key(root: str) -> str:
+    return os.path.abspath(local_path(root))
+
+
+def use_commit_log(root: str, store) -> None:
+    """Route ``root``'s manifest log through a
+    :class:`..sources.layout.CommitStore` (conditional-create object
+    semantics) instead of posix files. Register BEFORE building the
+    store; the registration is process-local (each session/driver that
+    opens the store must register the same backend)."""
+    _LOG_BACKENDS[_key(root)] = store
+
+
+def clear_commit_log(root: str) -> None:
+    """Drop a :func:`use_commit_log` registration (tests)."""
+    _LOG_BACKENDS.pop(_key(root), None)
+
+
+def _backend(root: str):
+    return _LOG_BACKENDS.get(_key(root))
+
+
 def is_manifest_store(root: str) -> bool:
+    be = _backend(root)
+    if be is not None:
+        return bool(be.list_records())
     return os.path.isdir(_mdir(root))
+
+
+def _list_manifests(root: str) -> list[tuple[str, dict | None]]:
+    """(name, parsed-or-None) for every manifest in the log, sorted by
+    name ascending. ``None`` = unreadable (a posix file mid-write by a
+    dead writer; CommitStore backends report the same)."""
+    be = _backend(root)
+    if be is not None:
+        return sorted(be.list_records().items())
+    mdir = _mdir(root)
+    out: list[tuple[str, dict | None]] = []
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    out.append((name, json.load(f)))
+            except (OSError, ValueError):
+                out.append((name, None))
+    return out
 
 
 def read_manifest(root: str, version: int | None = None) -> dict:
@@ -122,31 +184,21 @@ def read_manifest(root: str, version: int | None = None) -> dict:
     raise with the retention hint). A truncated newest file (writer
     died mid-write on a POSIX filesystem; object stores never expose
     partials) is skipped in favor of its predecessor."""
-    mdir = _mdir(root)
+    records = dict(_list_manifests(root))
     if version is not None:
-        target = os.path.join(mdir, _vname(int(version)))
-        try:
-            with open(target) as f:
-                return json.load(f)
-        except (OSError, ValueError) as e:
+        m = records.get(_vname(int(version)))
+        if not m:
             raise FileNotFoundError(
                 f"manifest version {version} of {root} is not readable "
                 "— it may have been reclaimed by vacuum (raise "
                 "keep_manifests to retain more history)"
-            ) from e
-    names = sorted(
-        (n for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")),
-        reverse=True,
-    )
-    for name in names:
-        try:
-            with open(os.path.join(mdir, name)) as f:
-                m = json.load(f)
-        except (OSError, ValueError):
-            continue  # mid-write leftover of a dead writer
-        if int(m.get("version", -1)) == int(name[1:-5]):
+            )
+        return m
+    for name in sorted(records, reverse=True):
+        m = records[name]
+        if m is not None and int(m.get("version", -1)) == int(name[1:-5]):
             return m
-    raise FileNotFoundError(f"no readable manifest under {mdir}")
+    raise FileNotFoundError(f"no readable manifest for {root}")
 
 
 def commit_manifest(
@@ -157,10 +209,18 @@ def commit_manifest(
     (the CommitStore conditional-create primitive — S3 If-None-Match /
     GCS generation-match on object stores). Raises
     :class:`ManifestConflictError` on a lost race."""
-    mdir = _mdir(root)
-    os.makedirs(mdir, exist_ok=True)
     version = int(expected_version) + 1
     manifest = {"version": version, "meta": meta, "tables": tables}
+    be = _backend(root)
+    if be is not None:
+        if not be.create_exclusive(_vname(version), manifest):
+            raise ManifestConflictError(
+                f"version {version} of {root} was committed by a "
+                "concurrent writer — re-read the manifest and retry"
+            )
+        return manifest
+    mdir = _mdir(root)
+    os.makedirs(mdir, exist_ok=True)
     target = os.path.join(mdir, _vname(version))
     try:
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -359,16 +419,10 @@ def history(root: str) -> list[dict]:
     files are skipped. Returns
     ``[{"version", "added": {table: [gen,...]}, "removed": {...}}]``.
     """
-    mdir = _mdir(root)
     out: list[dict] = []
     prev: dict = {}
-    for name in sorted(
-        n for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
-    ):
-        try:
-            with open(os.path.join(mdir, name)) as f:
-                m = json.load(f)
-        except (OSError, ValueError):
+    for name, m in _list_manifests(root):
+        if m is None:
             continue
         cur = {
             t: {f"{p}/{g}" if p else g for p, gens in mp.items() for g in gens}
@@ -404,17 +458,11 @@ def vacuum(root: str, *, keep_manifests: int = 2) -> dict:
     if keep_manifests < 1:
         raise ValueError("keep_manifests must be >= 1")
     local = local_path(root)
-    mdir = _mdir(root)
-    names = sorted(
-        n for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
-    )
-    keep_names = names[-keep_manifests:]
+    manifests = _list_manifests(root)
+    names = [n for n, _ in manifests]
     live: dict[str, set[str]] = {}
-    for name in keep_names:
-        try:
-            with open(os.path.join(mdir, name)) as f:
-                m = json.load(f)
-        except (OSError, ValueError):
+    for name, m in manifests[-keep_manifests:]:
+        if m is None:
             continue
         for table, mapping in m.get("tables", {}).items():
             gens = live.setdefault(table, set())
@@ -435,8 +483,12 @@ def vacuum(root: str, *, keep_manifests: int = 2) -> dict:
                 shutil.rmtree(os.path.join(tdir, gen))
                 removed_gens.append(os.path.join(entry, gen))
     removed_manifests = []
+    be = _backend(root)
     for name in names[:-keep_manifests]:
-        os.remove(os.path.join(mdir, name))
+        if be is not None:
+            be.remove(name)
+        else:
+            os.remove(os.path.join(_mdir(root), name))
         removed_manifests.append(name)
     return {
         "removed_gens": sorted(removed_gens),

@@ -280,6 +280,55 @@ def test_manifest_lifecycle_performs_zero_python_renames(
     assert calls == [], f"python-side renames in manifest path: {calls[:5]}"
 
 
+def test_full_lifecycle_on_memory_commit_log(spark, docs, probes, tmp_path):
+    """The manifest log runs against PURE object-store semantics: with
+    MemoryCommitStore (conditional-put map, the layout.py stand-in for
+    S3 If-None-Match / GCS generation-match) as the commit backend, the
+    ENTIRE lifecycle — build, append, atomic delete, compaction,
+    rebuild, time travel, history, vacuum — works with no _manifests
+    directory on disk at all. Data generations remain plain parquet
+    wherever the root points (Spark's storage layer)."""
+    from auto_data_linkage_spark.sources.layout import MemoryCommitStore
+
+    out = str(tmp_path / "lex")
+    M.use_commit_log(out, MemoryCommitStore())
+    try:
+        a = docs.where(F.col("doc_id") % 2 == 0)
+        b = docs.where(F.col("doc_id") % 2 == 1)
+        L.build_lex_index(a, out, n_buckets=4, layout="manifest")
+        L.append_lex_index(b, out)
+        L.delete_from_lex_index(
+            spark, out, a.select("doc_id").limit(20)
+        )
+        L.compact_lex_index(spark, out, max_files_per_bucket=1)
+        assert not os.path.isdir(os.path.join(out, "_manifests"))
+
+        # head == the same lifecycle on a posix-log store, bit-exact
+        ref = str(tmp_path / "ref")
+        L.build_lex_index(a, ref, n_buckets=4, layout="manifest")
+        L.append_lex_index(b, ref)
+        L.delete_from_lex_index(
+            spark, ref, a.select("doc_id").limit(20)
+        )
+        assert _lex_topk(spark, out, probes) == _lex_topk(
+            spark, ref, probes
+        )
+
+        # time travel + history + vacuum ride the same backend
+        assert _handle_topk(
+            L.load_lex_index(spark, out, version=2), probes
+        ) == _handle_topk(L.load_lex_index(spark, ref, version=2), probes)
+        assert [e["version"] for e in M.history(out)] == [1, 2, 3, 4]
+        v = L.vacuum_lex_index(out, keep_manifests=1)
+        assert v["removed_manifests"]
+        assert _lex_topk(spark, out, probes) == _lex_topk(
+            spark, ref, probes
+        )
+        assert not os.path.isdir(os.path.join(out, "_manifests"))
+    finally:
+        M.clear_commit_log(out)
+
+
 # ----------------------------------------------- crash-injection matrix
 def _crash_commit(monkeypatch):
     """Make the NEXT manifest commit die (simulating a writer crash at
