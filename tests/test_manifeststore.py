@@ -532,6 +532,10 @@ def test_ann_reader_pins_across_rebuild(spark, sf_dir, tmp_path):
     assert topk(A.load_ann_index(spark, out)) == topk(
         A.load_ann_index(spark, fresh)
     )
+    # explicit time travel: version 1 == the pinned pre-rebuild handle
+    assert topk(A.load_ann_index(spark, out, version=1)) == want
+    with pytest.raises(ValueError, match="manifest-layout"):
+        A.load_ann_index(spark, fresh, version=1)
 
 
 # ------------------------------------------------------- time travel
