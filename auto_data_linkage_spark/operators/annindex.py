@@ -239,6 +239,9 @@ def build_ann_index(
         # n_rows/n_cells from the DELTA alone instead of rescanning the
         # whole coded/ tree per append (O(delta), not O(index))
         "cells": sorted(cells),
+        # id column's Spark type, so delete can cast tombstone ids even
+        # when the coded table is empty (built from an empty corpus)
+        "id_type": coded.schema["neighbor_id"].dataType.simpleString(),
     }
     if layout == "manifest":
         tables = M.add_gens(
@@ -483,7 +486,13 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids) -> dict:
         raise ValueError(
             f"unsupported ann-index version {meta.get('version')!r}"
         )
-    id_type = coded.schema["neighbor_id"].dataType
+    if coded is not None:
+        id_type = coded.schema["neighbor_id"].dataType
+    else:
+        # empty-corpus manifest store: no coded partitions were ever
+        # written; the stored schema string still types the tombstone
+        # mask so ids deleted now mask rows appended later
+        id_type = meta.get("id_type", "string")
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame(
             [(i,) for i in ids], ["neighbor_id"]
@@ -496,7 +505,11 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids) -> dict:
     if tombs is not None:
         ids = ids.join(tombs, "neighbor_id", "left_anti")
     ids = ids.localCheckpoint(eager=True)
-    n_del = coded.join(ids, "neighbor_id", "left_semi").count()
+    n_del = (
+        coded.join(ids, "neighbor_id", "left_semi").count()
+        if coded is not None
+        else 0
+    )
     if manifest:
         if ids.count() == 0:
             return {"deleted": 0, "meta": meta}
@@ -726,16 +739,21 @@ def _compact_manifest_ann(
     }
 
 
-def vacuum_ann_index(path: str, *, keep_manifests: int = 2) -> dict:
+def vacuum_ann_index(
+    path: str, *, keep_manifests: int = 2, min_age_seconds: float = 3600.0
+) -> dict:
     """Reclaim generations superseded by compaction/rebuild and orphans
     of crashed writers (manifest layout only) — see
-    :func:`manifestfs.vacuum` for the reader-pinning grace contract."""
+    :func:`manifestfs.vacuum` for the reader-pinning grace contract and
+    the ``min_age_seconds`` misuse guard."""
     if not M.is_manifest_store(path):
         raise ValueError(
             "vacuum applies to manifest-layout indexes only; rename-"
             "layout stores reclaim inline (two-rename swap + repair)"
         )
-    return M.vacuum(path, keep_manifests=keep_manifests)
+    return M.vacuum(
+        path, keep_manifests=keep_manifests, min_age_seconds=min_age_seconds
+    )
 
 
 def rebuild_ann_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
@@ -764,6 +782,15 @@ def rebuild_ann_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
     from .storefs import swap_dir
 
     if M.is_manifest_store(path):
+        # a rebuild keeps the store's layout: an explicit layout= in
+        # build_kwargs would otherwise collide with the one we set
+        want = build_kwargs.pop("layout", "manifest")
+        if want != "manifest":
+            raise ValueError(
+                "rebuild cannot change a store's layout in place "
+                f"(store is manifest-layout, got layout={want!r}); "
+                "build a new index at a new path instead"
+            )
         snap = M.read_manifest(path)
         return build_ann_index(
             corpus,

@@ -703,17 +703,21 @@ def init_edge_store(path: str, *, n_buckets: int = 16) -> dict:
     )
 
 
-def vacuum_edge_store(path: str, *, keep_manifests: int = 2) -> dict:
+def vacuum_edge_store(
+    path: str, *, keep_manifests: int = 2, min_age_seconds: float = 3600.0
+) -> dict:
     """Reclaim superseded/orphaned generations of a manifest-layout
     edge store — see :func:`manifestfs.vacuum` for the reader-pinning
-    grace contract."""
+    grace contract and the ``min_age_seconds`` misuse guard."""
     from . import manifestfs as M
 
     if not M.is_manifest_store(path):
         raise ValueError(
             "vacuum applies to manifest-layout edge stores only"
         )
-    return M.vacuum(path, keep_manifests=keep_manifests)
+    return M.vacuum(
+        path, keep_manifests=keep_manifests, min_age_seconds=min_age_seconds
+    )
 
 
 def repair_edge_store(path: str) -> dict:

@@ -754,15 +754,29 @@ def rebuild_lex_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
     crash before the commit leaves the old index untouched (the orphan
     generations are vacuumed later)."""
     if M.is_manifest_store(path):
+        # same parameter defaults as build_lex_index (layout parity);
+        # reject kwargs the manifest path can't honor instead of
+        # silently ignoring them
+        kw = dict(build_kwargs)
+        want = kw.pop("layout", "manifest")
+        if want != "manifest":
+            raise ValueError(
+                "rebuild cannot change a store's layout in place "
+                f"(store is manifest-layout, got layout={want!r}); "
+                "build a new index at a new path instead"
+            )
+        args = {
+            "id_col": kw.pop("id_col", "doc_id"),
+            "text_col": kw.pop("text_col", "text"),
+            "n_buckets": kw.pop("n_buckets", 64),
+        }
+        if kw:
+            raise TypeError(
+                f"rebuild_lex_index got unexpected kwargs {sorted(kw)}"
+            )
         snap = M.read_manifest(path)
-        # same parameter defaults as build_lex_index (layout parity)
         return _manifest_build_commit(
-            corpus,
-            path,
-            id_col=build_kwargs.get("id_col", "doc_id"),
-            text_col=build_kwargs.get("text_col", "text"),
-            n_buckets=build_kwargs.get("n_buckets", 64),
-            expected_version=snap["version"],
+            corpus, path, expected_version=snap["version"], **args
         )["meta"]
     local = _local(path)
     tmp = local + "__rebuild"
@@ -806,16 +820,21 @@ def lex_index_sink(path: str, *, compact_over: int | None = None):
     return _sink
 
 
-def vacuum_lex_index(path: str, *, keep_manifests: int = 2) -> dict:
+def vacuum_lex_index(
+    path: str, *, keep_manifests: int = 2, min_age_seconds: float = 3600.0
+) -> dict:
     """Reclaim generations superseded by compaction/rebuild/delete and
     orphans of crashed writers (manifest layout only) — see
-    :func:`manifestfs.vacuum` for the reader-pinning grace contract."""
+    :func:`manifestfs.vacuum` for the reader-pinning grace contract and
+    the ``min_age_seconds`` misuse guard."""
     if not M.is_manifest_store(path):
         raise ValueError(
             "vacuum applies to manifest-layout indexes only; rename-"
             "layout stores reclaim inline (two-rename swap + repair)"
         )
-    return M.vacuum(path, keep_manifests=keep_manifests)
+    return M.vacuum(
+        path, keep_manifests=keep_manifests, min_age_seconds=min_age_seconds
+    )
 
 
 def load_lex_index(

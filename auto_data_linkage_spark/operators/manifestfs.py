@@ -25,14 +25,16 @@ Mutations never touch committed data:
 1. write NEW parquet data into a fresh ``gen=N`` directory (never into
    a live one);
 2. COMMIT by atomically creating ``_manifests/v{N+1}.json``
-   (``O_CREAT|O_EXCL`` — exactly one writer can win a version, the
-   same conditional-create :class:`..sources.layout.CommitStore`
-   documents; on S3/GCS this is one conditional PUT).
+   (exactly one writer can win a version — on posix the fully-written
+   temp file is published by ``os.link``, so the name appears with
+   complete content or not at all; on S3/GCS this is one conditional
+   PUT, the :class:`..sources.layout.CommitStore` primitive).
 
 Readers list ``_manifests/`` and take the highest version that parses
-(a writer that died mid-write leaves a truncated — hence invalid —
-JSON, which is skipped; object stores never expose partial objects at
-all). The manifest a reader opened PINS its snapshot: the directories
+(object stores never expose partial objects, and the link-publish
+gives posix the same property; a torn file left by a pre-link writer
+or corruption is skipped defensively, reclaimed in place by the next
+commit that wants its slot, and vacuumed as an orphan). The manifest a reader opened PINS its snapshot: the directories
 it names are immutable, so a compaction/rebuild/append committing
 *after* the read changes nothing the reader can see — concurrent
 readers are safe by construction, and a multi-bucket compaction or a
@@ -201,14 +203,35 @@ def read_manifest(root: str, version: int | None = None) -> dict:
     raise FileNotFoundError(f"no readable manifest for {root}")
 
 
+def _readable_version(path: str, version: int) -> bool:
+    """Does ``path`` hold a complete manifest for ``version``?"""
+    try:
+        with open(path) as f:
+            m = json.load(f)
+        return int(m.get("version", -1)) == int(version)
+    except (OSError, ValueError):
+        return False
+
+
 def commit_manifest(
     root: str, *, tables: dict, meta: dict, expected_version: int
 ) -> dict:
-    """Atomically commit ``expected_version + 1``. The O_CREAT|O_EXCL
-    create is the entire commit: exactly one writer can win a version
-    (the CommitStore conditional-create primitive — S3 If-None-Match /
-    GCS generation-match on object stores). Raises
-    :class:`ManifestConflictError` on a lost race."""
+    """Atomically commit ``expected_version + 1``. On posix the commit
+    is: write the FULL manifest to a hidden temp file (fsync), then
+    publish it under the version name with :func:`os.link` — the name
+    appears with its complete content or not at all, so a crash can
+    never leave a truncated manifest under a ``v*.json`` name (the
+    dead writer's residue is a hidden temp file the listing ignores).
+    Exactly one writer can win a version: ``link`` fails with
+    FileExistsError when the name is taken (the CommitStore
+    conditional-create primitive — S3 If-None-Match / GCS
+    generation-match on object stores). A name that exists but does
+    NOT parse as its version (a torn file left by a pre-link-era
+    writer, or a corrupted object) is reclaimed in place and the
+    publish retried — otherwise the log would be permanently wedged:
+    readers skip the torn file, so every retry would re-commit the
+    same version and lose to its own debris forever. Raises
+    :class:`ManifestConflictError` on a genuinely lost race."""
     version = int(expected_version) + 1
     manifest = {"version": version, "meta": meta, "tables": tables}
     be = _backend(root)
@@ -219,20 +242,39 @@ def commit_manifest(
                 "concurrent writer — re-read the manifest and retry"
             )
         return manifest
+    import uuid
+
     mdir = _mdir(root)
     os.makedirs(mdir, exist_ok=True)
     target = os.path.join(mdir, _vname(version))
-    try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError as e:
-        raise ManifestConflictError(
-            f"version {version} of {root} was committed by a concurrent "
-            "writer — this store has a single-maintenance-writer "
-            "contract; re-read the manifest and retry the operation"
-        ) from e
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
-    return manifest
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        for _ in range(2):
+            try:
+                os.link(tmp, target)
+                return manifest
+            except FileExistsError:
+                if _readable_version(target, version):
+                    break  # a real concurrent commit won the slot
+                # torn debris: link-published files are always complete,
+                # so an unreadable occupant is a dead writer's leftover
+                # — reclaim the slot and retry the publish once.
+                try:
+                    os.remove(target)
+                except FileNotFoundError:
+                    pass
+    finally:
+        os.remove(tmp)
+    raise ManifestConflictError(
+        f"version {version} of {root} was committed by a concurrent "
+        "writer — this store has a single-maintenance-writer "
+        "contract; re-read the manifest and retry the operation"
+    )
 
 
 def init_manifest_store(root: str, *, tables: dict, meta: dict) -> dict:
@@ -445,31 +487,78 @@ def history(root: str) -> list[dict]:
     return out
 
 
-def vacuum(root: str, *, keep_manifests: int = 2) -> dict:
-    """Garbage-collect data generations referenced by NONE of the last
-    ``keep_manifests`` manifest versions, plus older manifest files.
-    Orphans of crashed writers and generations superseded by
-    compaction/rebuild are reclaimed here — never inline, so a reader
-    pinned to any kept manifest keeps every directory it can name.
-    Do not run concurrently with an in-flight (pre-commit) write, or
-    with readers pinned further back than ``keep_manifests`` — the
-    explicit-maintenance contract, same as Delta's VACUUM. Returns
+def _entry_age(path: str) -> float:
+    """Seconds since ``path`` was last modified (``inf`` when gone)."""
+    import time
+
+    try:
+        return max(0.0, time.time() - os.path.getmtime(path))
+    except OSError:
+        return float("inf")
+
+
+def vacuum(
+    root: str,
+    *,
+    keep_manifests: int = 2,
+    min_age_seconds: float = 3600.0,
+) -> dict:
+    """Garbage-collect data generations referenced by NONE of the kept
+    manifest versions, plus superseded manifest files. Orphans of
+    crashed writers and generations superseded by compaction/rebuild
+    are reclaimed here — never inline, so a reader pinned to any kept
+    manifest keeps every directory it can name.
+
+    The keep window is the last ``keep_manifests`` *readable*
+    manifests — unreadable (torn) files never count toward it, so the
+    live set can never be emptied by a dead writer's debris; torn
+    manifest files are themselves reclaimed as orphans once past the
+    age floor. Vacuum refuses to run when NO readable manifest exists
+    (nothing proves what is live, so nothing may be deleted).
+
+    ``min_age_seconds`` is the misuse guard (default 1 h, like Delta's
+    retention floor): a manifest committed more recently than the
+    floor is always kept — so a reader that just pinned a snapshot
+    survives a concurrent default vacuum even if ``keep_manifests``
+    has moved past its version — and an unreferenced data directory
+    younger than the floor is left alone (it may be an in-flight
+    writer's pre-commit generation). Pass ``min_age_seconds=0`` for
+    immediate reclamation when you can PROVE no reader or writer is in
+    flight. CommitStore-backed logs expose no timestamps; their
+    records count as age 0 (protected) until the floor is explicitly
+    waived. Returns
     ``{"removed_gens": [...], "removed_manifests": [...]}``."""
     if keep_manifests < 1:
         raise ValueError("keep_manifests must be >= 1")
     local = local_path(root)
     manifests = _list_manifests(root)
-    names = [n for n, _ in manifests]
+    be = _backend(root)
+
+    def _age(name: str) -> float:
+        if be is not None:
+            return 0.0  # no timestamp primitive: treat as just-written
+        return _entry_age(os.path.join(_mdir(root), name))
+
+    readable = [(n, m) for n, m in manifests if m is not None]
+    if not readable:
+        raise FileNotFoundError(
+            f"no readable manifest for {root} — refusing to vacuum a "
+            "store whose live set cannot be established"
+        )
+    keep_names = {n for n, _ in readable[-keep_manifests:]}
+    if min_age_seconds > 0:
+        keep_names.update(n for n, _ in manifests if _age(n) < min_age_seconds)
     live: dict[str, set[str]] = {}
-    for name, m in manifests[-keep_manifests:]:
-        if m is None:
+    known_tables: set[str] = set()
+    for name, m in readable:
+        known_tables.update(m.get("tables", {}))
+        if name not in keep_names:
             continue
         for table, mapping in m.get("tables", {}).items():
             gens = live.setdefault(table, set())
             for gen_list in mapping.values():
                 gens.update(gen_list)
     removed_gens: list[str] = []
-    known_tables = set(live)
     for entry in os.listdir(local):
         tdir = os.path.join(local, entry)
         if entry == MANIFEST_DIR or not os.path.isdir(tdir):
@@ -479,17 +568,30 @@ def vacuum(root: str, *, keep_manifests: int = 2) -> dict:
         if not gen_entries and entry not in known_tables:
             continue
         for gen in gen_entries:
-            if gen not in live.get(entry, set()):
-                shutil.rmtree(os.path.join(tdir, gen))
-                removed_gens.append(os.path.join(entry, gen))
+            if gen in live.get(entry, set()):
+                continue
+            gdir = os.path.join(tdir, gen)
+            if min_age_seconds > 0 and _entry_age(gdir) < min_age_seconds:
+                continue  # possibly an in-flight writer's pre-commit gen
+            shutil.rmtree(gdir)
+            removed_gens.append(os.path.join(entry, gen))
     removed_manifests = []
-    be = _backend(root)
-    for name in names[:-keep_manifests]:
+    for name, _ in manifests:
+        if name in keep_names:
+            continue
         if be is not None:
             be.remove(name)
         else:
             os.remove(os.path.join(_mdir(root), name))
         removed_manifests.append(name)
+    if be is None and os.path.isdir(_mdir(root)):
+        # hidden temp files of dead writers (commit publishes by link)
+        for entry in os.listdir(_mdir(root)):
+            tpath = os.path.join(_mdir(root), entry)
+            if entry.startswith(".tmp-") and (
+                min_age_seconds <= 0 or _entry_age(tpath) >= min_age_seconds
+            ):
+                os.remove(tpath)
     return {
         "removed_gens": sorted(removed_gens),
         "removed_manifests": removed_manifests,

@@ -93,7 +93,7 @@ def main():
                .collect()}) > 0)
 
     # 5. explicit reclamation
-    v = L.vacuum_lex_index(path, keep_manifests=1)
+    v = L.vacuum_lex_index(path, keep_manifests=1, min_age_seconds=0)
     print(f"vacuum reclaimed {len(v['removed_gens'])} generations, "
           f"{len(v['removed_manifests'])} old manifests")
     print("store still serves after vacuum:",

@@ -130,12 +130,142 @@ def test_vacuum_respects_kept_manifests(tmp_path):
     M.commit_manifest(
         root, tables={"t": {"": ["gen=3"]}}, meta={}, expected_version=2
     )
-    out = M.vacuum(root, keep_manifests=2)
+    out = M.vacuum(root, keep_manifests=2, min_age_seconds=0)
     # gen=1 is referenced only by v1 (dropped); gen=2/3 by kept v2/v3
     assert out["removed_gens"] == [os.path.join("t", "gen=1")]
     assert out["removed_manifests"] == ["v000000000001.json"]
     assert os.path.isdir(os.path.join(root, "t", "gen=2"))
     assert os.path.isdir(os.path.join(root, "t", "gen=3"))
+
+
+def _torn(root, version):
+    p = os.path.join(root, "_manifests", f"v{version:012d}.json")
+    with open(p, "w") as f:
+        f.write('{"version": %d, "meta": {}, "tab' % version)  # torn JSON
+    return p
+
+
+def test_vacuum_keep_window_counts_only_readable_manifests(tmp_path):
+    """A torn newest manifest (dead writer) must never empty the live
+    set: with keep_manifests=1 the kept window is the last READABLE
+    manifest, so the store's data generations survive and the torn
+    file itself is reclaimed as an orphan."""
+    root = str(tmp_path / "s")
+    for g in ("gen=1", "gen=2"):
+        d = os.path.join(root, "t", g)
+        os.makedirs(d)
+        open(os.path.join(d, "x.parquet"), "w").close()
+    M.init_manifest_store(root, tables={"t": {"": ["gen=1"]}}, meta={})
+    M.commit_manifest(
+        root, tables={"t": {"": ["gen=2"]}}, meta={}, expected_version=1
+    )
+    _torn(root, 3)
+    out = M.vacuum(root, keep_manifests=1, min_age_seconds=0)
+    # v2 (last readable) is kept, so gen=2 lives; v1's gen=1 + the torn
+    # v3 are reclaimed — the store still serves
+    assert os.path.isdir(os.path.join(root, "t", "gen=2"))
+    assert out["removed_gens"] == [os.path.join("t", "gen=1")]
+    assert set(out["removed_manifests"]) == {
+        "v000000000001.json", "v000000000003.json"
+    }
+    assert M.read_manifest(root)["version"] == 2
+
+
+def test_vacuum_refuses_when_no_manifest_is_readable(tmp_path):
+    root = str(tmp_path / "s")
+    d = os.path.join(root, "t", "gen=1")
+    os.makedirs(d)
+    open(os.path.join(d, "x.parquet"), "w").close()
+    os.makedirs(os.path.join(root, "_manifests"))
+    _torn(root, 1)
+    with pytest.raises(FileNotFoundError, match="refusing to vacuum"):
+        M.vacuum(root, keep_manifests=1, min_age_seconds=0)
+    assert os.path.isdir(d)  # nothing was deleted
+
+
+def test_commit_reclaims_a_torn_slot_instead_of_wedging(tmp_path):
+    """A torn file occupying the next version name (pre-link-era
+    writer died mid-write) must not wedge the store: readers skip it,
+    so the retry re-commits the same version — the commit detects the
+    unreadable occupant, reclaims the slot, and wins it."""
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    M.init_manifest_store(root, tables={}, meta={"k": 1})
+    _torn(root, 2)
+    assert M.read_manifest(root)["version"] == 1  # torn v2 is invisible
+    m = M.commit_manifest(
+        root, tables={"t": {"": ["gen=1"]}}, meta={"k": 2},
+        expected_version=1,
+    )
+    assert m["version"] == 2
+    assert M.read_manifest(root)["meta"]["k"] == 2
+    # a COMPLETE occupant is a real concurrent winner: still loud
+    with pytest.raises(M.ManifestConflictError):
+        M.commit_manifest(root, tables={}, meta={}, expected_version=1)
+
+
+def test_commit_never_exposes_a_partial_manifest(tmp_path):
+    """The posix publish is link-of-fully-written-temp: at no point
+    does a v*.json name exist with incomplete content, and a dead
+    writer's residue is a hidden temp file the listing ignores."""
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    M.init_manifest_store(root, tables={}, meta={})
+    mdir = os.path.join(root, "_manifests")
+    # simulate a writer that died after writing its temp file but
+    # before the link: only the hidden temp remains
+    with open(os.path.join(mdir, ".tmp-deadbeef"), "w") as f:
+        f.write('{"version": 2, "meta": {}, "tables": {}}')
+    assert M.read_manifest(root)["version"] == 1  # invisible to readers
+    # vacuum sweeps the residue once past the age floor
+    M.vacuum(root, keep_manifests=1, min_age_seconds=0)
+    assert not os.path.exists(os.path.join(mdir, ".tmp-deadbeef"))
+
+
+def test_default_vacuum_protects_a_just_pinned_reader(tmp_path):
+    """The min-age floor (default 1 h): a reader that just pinned an
+    old version survives a default vacuum even when keep_manifests has
+    moved past it — nothing younger than the floor is reclaimed."""
+    root = str(tmp_path / "s")
+    for g in ("gen=1", "gen=2", "gen=3"):
+        d = os.path.join(root, "t", g)
+        os.makedirs(d)
+        open(os.path.join(d, "x.parquet"), "w").close()
+    M.init_manifest_store(root, tables={"t": {"": ["gen=1"]}}, meta={})
+    M.commit_manifest(
+        root, tables={"t": {"": ["gen=2"]}}, meta={}, expected_version=1
+    )
+    M.commit_manifest(
+        root, tables={"t": {"": ["gen=3"]}}, meta={}, expected_version=2
+    )
+    pinned = M.read_manifest(root, version=1)  # a just-pinned reader
+    out = M.vacuum(root, keep_manifests=1)  # default min_age_seconds
+    assert out["removed_gens"] == [] and out["removed_manifests"] == []
+    # the pinned snapshot still serves bit-exactly
+    assert M.table_paths(root, "t", pinned) == [
+        os.path.join(root, "t", "gen=1")
+    ]
+    assert os.path.isdir(os.path.join(root, "t", "gen=1"))
+    # the explicit override reclaims immediately (provable quiescence)
+    out = M.vacuum(root, keep_manifests=1, min_age_seconds=0)
+    assert os.path.join("t", "gen=1") in out["removed_gens"]
+
+
+def test_default_vacuum_spares_young_orphan_generations(tmp_path):
+    """An unreferenced gen dir younger than the floor may be an
+    in-flight writer's pre-commit data — the default vacuum leaves it;
+    min_age_seconds=0 reclaims it."""
+    root = str(tmp_path / "s")
+    live = os.path.join(root, "t", "gen=1")
+    orphan = os.path.join(root, "t", "gen=2xabcd1234")
+    for d in (live, orphan):
+        os.makedirs(d)
+        open(os.path.join(d, "x.parquet"), "w").close()
+    M.init_manifest_store(root, tables={"t": {"": ["gen=1"]}}, meta={})
+    assert M.vacuum(root, keep_manifests=1)["removed_gens"] == []
+    assert os.path.isdir(orphan)
+    out = M.vacuum(root, keep_manifests=1, min_age_seconds=0)
+    assert out["removed_gens"] == [os.path.join("t", "gen=2xabcd1234")]
 
 
 def test_commit_with_retry_merges_with_interleaved_commit(tmp_path):
@@ -276,7 +406,7 @@ def test_manifest_lifecycle_performs_zero_python_renames(
     L.compact_lex_index(spark, out, max_files_per_bucket=1)
     L.rebuild_lex_index(docs.limit(50), out, n_buckets=2)
     _lex_topk(spark, out, probes)
-    L.vacuum_lex_index(out, keep_manifests=1)
+    L.vacuum_lex_index(out, keep_manifests=1, min_age_seconds=0)
     assert calls == [], f"python-side renames in manifest path: {calls[:5]}"
 
 
@@ -319,7 +449,7 @@ def test_full_lifecycle_on_memory_commit_log(spark, docs, probes, tmp_path):
             L.load_lex_index(spark, out, version=2), probes
         ) == _handle_topk(L.load_lex_index(spark, ref, version=2), probes)
         assert [e["version"] for e in M.history(out)] == [1, 2, 3, 4]
-        v = L.vacuum_lex_index(out, keep_manifests=1)
+        v = L.vacuum_lex_index(out, keep_manifests=1, min_age_seconds=0)
         assert v["removed_manifests"]
         assert _lex_topk(spark, out, probes) == _lex_topk(
             spark, ref, probes
@@ -377,7 +507,7 @@ def test_append_crash_is_invisible_then_retries_exactly_once(
     )
 
     # the orphan generations are reclaimed by vacuum
-    removed = L.vacuum_lex_index(out, keep_manifests=1)["removed_gens"]
+    removed = L.vacuum_lex_index(out, keep_manifests=1, min_age_seconds=0)["removed_gens"]
     assert removed, "orphan gens of the crashed append were not swept"
     assert _lex_topk(spark, out, probes) == _lex_topk(spark, ref, probes)
 
@@ -504,7 +634,7 @@ def test_reader_pins_its_generation_across_maintenance(
     L.build_lex_index(b, fresh, n_buckets=2)
     assert _lex_topk(spark, out, probes) == _lex_topk(spark, fresh, probes)
 
-    L.vacuum_lex_index(out, keep_manifests=1)
+    L.vacuum_lex_index(out, keep_manifests=1, min_age_seconds=0)
     assert _lex_topk(spark, out, probes) == _lex_topk(spark, fresh, probes)
 
 
@@ -567,7 +697,7 @@ def test_time_travel_serves_historical_snapshots_bit_exactly(
     assert _lex_topk(spark, out, probes) == _lex_topk(spark, fresh, probes)
 
     # vacuumed history raises with the retention hint; retained works
-    L.vacuum_lex_index(out, keep_manifests=1)
+    L.vacuum_lex_index(out, keep_manifests=1, min_age_seconds=0)
     with pytest.raises(FileNotFoundError, match="vacuum"):
         L.load_lex_index(spark, out, version=1)
     assert _lex_topk(spark, out, probes) == _lex_topk(spark, fresh, probes)
@@ -826,7 +956,7 @@ def test_edge_store_manifest_takedown_and_compaction(spark, tmp_path):
     got = {(r.src_domain, r.dst_domain, r.n_links)
            for r in G.load_edges(spark, root).collect()}
     assert got == want
-    v = G.vacuum_edge_store(root, keep_manifests=1)
+    v = G.vacuum_edge_store(root, keep_manifests=1, min_age_seconds=0)
     assert v["removed_gens"]
     assert {(r.src_domain, r.dst_domain, r.n_links)
             for r in G.load_edges(spark, root).collect()} == want
@@ -834,3 +964,58 @@ def test_edge_store_manifest_takedown_and_compaction(spark, tmp_path):
     assert G.delete_domains_from_edge_store(
         spark, root, ["spam.biz"]
     ) == {"deleted": 0}
+
+
+# ------------------------------------------------- edge-case hardening
+def test_delete_on_emptied_manifest_ann_index(spark, sf_dir, tmp_path):
+    """A store whose coded table was emptied (delete-all, then a
+    compaction that purged every cell) has NO live coded partitions;
+    a further delete must not dereference the missing table — it types
+    the tombstone mask from the stored schema string and reports 0."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    ).where(F.col("vec_id") < 64)
+    out = str(tmp_path / "ann")
+    A.build_ann_index(vecs, out, m=4, n_codewords=8, layout="manifest")
+    all_ids = vecs.select("vec_id")
+    assert A.delete_from_ann_index(spark, out, all_ids)["deleted"] == 64
+    A.compact_ann_index(spark, out, max_files_per_cell=0)
+    snap = M.read_manifest(out)
+    assert M.read_table(spark, out, "coded", snap) is None
+    res = A.delete_from_ann_index(spark, out, [900001, 900002])
+    assert res["deleted"] == 0
+    # the mask was committed, typed from the stored schema string
+    snap = M.read_manifest(out)
+    tombs = M.read_table(spark, out, "tombstones", snap)
+    got = {r.neighbor_id for r in tombs.collect()}
+    assert {900001, 900002} <= got
+    assert tombs.schema["neighbor_id"].dataType.simpleString() == \
+        snap["meta"]["id_type"]
+
+
+def test_rebuild_accepts_explicit_layout_kwarg(spark, sf_dir, tmp_path, docs):
+    """rebuild_*(..., layout="manifest") on a manifest store must not
+    collide with the layout the rebuild sets itself; changing layout in
+    place is rejected loudly, and lex rejects unknown kwargs instead of
+    silently dropping them."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    ).where(F.col("vec_id") < 200)
+    aout = str(tmp_path / "ann")
+    A.build_ann_index(vecs, aout, m=4, n_codewords=8, layout="manifest")
+    meta = A.rebuild_ann_index(
+        vecs, aout, m=4, n_codewords=8, layout="manifest"
+    )
+    assert meta["n_rows"] == vecs.count()
+    with pytest.raises(ValueError, match="cannot change"):
+        A.rebuild_ann_index(vecs, aout, layout="rename")
+
+    lout = str(tmp_path / "lex")
+    half = docs.limit(40)
+    L.build_lex_index(half, lout, n_buckets=4, layout="manifest")
+    m2 = L.rebuild_lex_index(half, lout, n_buckets=2, layout="manifest")
+    assert m2["n_buckets"] == 2
+    with pytest.raises(ValueError, match="cannot change"):
+        L.rebuild_lex_index(half, lout, layout="rename")
+    with pytest.raises(TypeError, match="unexpected"):
+        L.rebuild_lex_index(half, lout, bogus=1)
