@@ -4676,8 +4676,15 @@ def _link_pages_edges_cte() -> str:
         SELECT doc_id,
                'https://'
                || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
-               || source
-               || CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN 'ref' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                       WHEN doc_id % 13 = 0
+                       THEN 'site' || CAST(doc_id % 5 AS VARCHAR)
+                            || '.co.uk'
+                       ELSE source
+                            || CASE WHEN doc_id % 4 = 0
+                                    THEN '.co.uk' ELSE '.com' END
+                  END
                || '/p/' || CAST(doc_id AS VARCHAR) AS url,
                '<html><body><a href="https://ref'
                || CAST(doc_id % 7 AS VARCHAR)
@@ -4743,14 +4750,34 @@ def _link_pages(docs):
     """Deterministic synthetic web pages over documents: page URL +
     HTML with absolute hrefs exercising mixed scheme case, both quote
     styles, relative links, self-links, query strings, and .co.uk
-    two-level suffixes (mirrored verbatim in the SQL pages CTE)."""
+    two-level suffixes (mirrored verbatim in the SQL pages CTE).
+
+    Deterministic slices (``doc_id % 11 == 0`` → ``ref{0..6}.com``,
+    else ``doc_id % 13 == 0`` → ``site{0..4}.co.uk``) are HOSTED on
+    the domains every page links to — so the corpus's top-rank AND
+    top-authority domains actually host documents and the
+    authority-gate compositions (domain_rank_prune,
+    domain_authority_prune) keep rows at every scale factor instead of
+    certifying an empty join (round-11 verdict's top ask)."""
     d = F.col("doc_id")
     tld = F.when(d % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com"))
+    host_dom = (
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit("ref"), (d % 7).cast("string"), F.lit(".com")),
+        )
+        .when(
+            d % 13 == 0,
+            F.concat(
+                F.lit("site"), (d % 5).cast("string"), F.lit(".co.uk")
+            ),
+        )
+        .otherwise(F.concat(F.col("source"), tld))
+    )
     url = F.concat(
         F.lit("https://"),
         F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
-        F.col("source"),
-        tld,
+        host_dom,
         F.lit("/p/"),
         d.cast("string"),
     )
@@ -4923,7 +4950,7 @@ def _domain_rank_prune_sql(iterations: int = 4, k: int = 3) -> str:
     WITH {_link_pages_edges_cte()},
     pr_edges AS (SELECT src_domain AS src, dst_domain AS dst FROM edges),
     {_pagerank_cte_sql(iterations)},
-    top AS (SELECT domain FROM r{iterations}
+    top AS (SELECT domain, rank_scaled FROM r{iterations}
             ORDER BY rank_scaled DESC, domain LIMIT {k}),
     docd AS (
         SELECT doc_id,
@@ -4932,7 +4959,7 @@ def _domain_rank_prune_sql(iterations: int = 4, k: int = 3) -> str:
                )} AS domain
         FROM pages
     )
-    SELECT d.doc_id, d.domain
+    SELECT d.doc_id, d.domain, t.rank_scaled
     FROM docd d JOIN top t ON d.domain = t.domain
     """
 
@@ -4956,7 +4983,7 @@ def domain_rank_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         ranks.orderBy(F.desc("rank_scaled"), "domain")
         .limit(3)
-        .select("domain")
+        .select("domain", "rank_scaled")
     )
     docd = pages.select(
         "doc_id",
@@ -4964,7 +4991,9 @@ def domain_rank_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.regexp_extract("url", _HOST_RE, 1))
         ).alias("domain"),
     )
-    return docd.join(F.broadcast(top), "domain").select("doc_id", "domain")
+    return docd.join(F.broadcast(top), "domain").select(
+        "doc_id", "domain", "rank_scaled"
+    )
 
 
 # --------------------------------------------------------------------------
