@@ -463,7 +463,20 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids) -> dict:
     next :func:`compact_ann_index`, which recounts the live rows
     exactly whenever a tombstone mask exists. Manifest layout: the
     tombstone batch and the decremented metadata land in ONE manifest
-    commit — the delete is atomic, no drift is possible."""
+    commit — the delete is atomic, no drift is possible.
+
+    Concurrency (manifest layout): a delete that loses the version
+    race to another commit re-RUNS fully against the fresh snapshot
+    (its counts were computed from the snapshot it read, so a racing
+    append may have added rows with the very ids being deleted) — see
+    :func:`manifestfs.retry_on_conflict`; the losing attempt's
+    tombstone generation is a vacuumable orphan."""
+    if M.is_manifest_store(path):
+        return M.retry_on_conflict(lambda: _delete_ann_once(spark, path, ids))
+    return _delete_ann_once(spark, path, ids)
+
+
+def _delete_ann_once(spark: SparkSession, path: str, ids) -> dict:
     local = _local(path)
     manifest = M.is_manifest_store(path)
     if manifest:

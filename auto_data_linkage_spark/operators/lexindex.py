@@ -412,7 +412,14 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
     residue at all.
     """
     if M.is_manifest_store(path):
-        return _delete_manifest(spark, path, ids)
+        # concurrency: a delete racing another commit re-RUNS against
+        # the fresh snapshot (not a cheap merge — its df deltas and
+        # counts were computed from the snapshot it read, so a racing
+        # append/compaction/rebuild makes them stale). See
+        # manifestfs.retry_on_conflict.
+        return M.retry_on_conflict(
+            lambda: _delete_manifest(spark, path, ids)
+        )
     repair_lex_index(path)
     local = _local(path)
     with open(os.path.join(local, "index.json")) as f:

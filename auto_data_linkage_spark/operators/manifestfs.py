@@ -87,6 +87,7 @@ __all__ = [
     "read_manifest",
     "commit_manifest",
     "commit_with_retry",
+    "retry_on_conflict",
     "next_gen",
     "written_parts",
     "add_gens",
@@ -316,6 +317,35 @@ def commit_with_retry(root: str, mutate, *, retries: int = 5) -> dict:
     raise ManifestConflictError(
         f"lost the commit race {retries + 1} times on {root}; "
         "concurrent writers are saturating this store"
+    ) from last
+
+
+def retry_on_conflict(fn, *, retries: int = 5):
+    """Full re-run retry for snapshot-DEPENDENT mutations (tombstone
+    deletes): unlike :func:`commit_with_retry`, whose cheap manifest
+    merge is only sound for order-independent deltas, a delete's
+    commit CONTENT is computed from the snapshot it read — negative df
+    deltas recount the postings, ``n_rows``/``n_docs`` decrement by
+    what was actually present — so losing the version race makes that
+    content stale (a racing append may have added rows with the very
+    ids being deleted; a racing rebuild reset the tombstone mask). The
+    only always-correct retry is to re-run the WHOLE mutation against
+    the fresh snapshot: ``fn`` must re-read the manifest itself, so
+    each attempt recomputes against current state (already-tombstoned
+    ids drop out via the anti-join — idempotent; a rebuild's reset
+    corpus is re-counted from scratch). The losing attempt's written
+    generations are nonce-named orphans, reclaimed by :func:`vacuum`.
+    Deletes are rare next to appends, so redoing the data work on a
+    lost race is the right trade — appends keep the cheap merge."""
+    last: Exception | None = None
+    for _ in range(retries + 1):
+        try:
+            return fn()
+        except ManifestConflictError as e:
+            last = e
+    raise ManifestConflictError(
+        f"lost the commit race {retries + 1} times; concurrent "
+        "writers are saturating this store"
     ) from last
 
 

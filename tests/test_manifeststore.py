@@ -1019,3 +1019,120 @@ def test_rebuild_accepts_explicit_layout_kwarg(spark, sf_dir, tmp_path, docs):
         L.rebuild_lex_index(half, lout, layout="rename")
     with pytest.raises(TypeError, match="unexpected"):
         L.rebuild_lex_index(half, lout, bogus=1)
+
+
+# ---------------------------------------------- delete/append interleave
+def test_lex_delete_racing_append_equals_serial_order(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A tombstone delete that loses the version race to an append
+    re-RUNS against the fresh snapshot (full re-run, not a manifest
+    merge: its negative df deltas and counts were computed from the
+    stale snapshot — the append added docs whose ids are in the delete
+    set, so a blind merge would under-count). The interleaved result
+    must be bit-equal to the serial order append -> delete."""
+    base = docs.limit(60).localCheckpoint(eager=True)
+    delta = (
+        docs.limit(80).subtract(base).localCheckpoint(eager=True)
+    )
+    base_ids = [r.doc_id for r in base.select("doc_id").limit(5).collect()]
+    delta_ids = [r.doc_id for r in delta.select("doc_id").limit(5).collect()]
+    del_ids = base_ids + delta_ids
+
+    # serial reference: append fully lands, then the delete
+    ref = str(tmp_path / "ref")
+    L.build_lex_index(base, ref, n_buckets=4, layout="manifest")
+    L.append_lex_index(delta, ref)
+    res_ref = L.delete_from_lex_index(spark, ref, del_ids)
+
+    # interleaved: the append commits BETWEEN the delete's snapshot
+    # read and its commit
+    out = str(tmp_path / "out")
+    L.build_lex_index(base, out, n_buckets=4, layout="manifest")
+    orig_commit = M.commit_manifest
+    state = {"fired": False}
+
+    def inject(root, *, tables, meta, expected_version):
+        if not state["fired"] and "tombstones" in tables:
+            state["fired"] = True
+            L.append_lex_index(delta, out)  # commits for real first
+        return orig_commit(
+            root, tables=tables, meta=meta,
+            expected_version=expected_version,
+        )
+
+    monkeypatch.setattr(M, "commit_manifest", inject)
+    res = L.delete_from_lex_index(spark, out, del_ids)
+    monkeypatch.setattr(M, "commit_manifest", orig_commit)
+
+    assert state["fired"], "the race never happened"
+    # the re-run counted the appended docs too (stale snapshot saw 5)
+    assert res["deleted"] == 10 and res_ref["deleted"] == 10
+    for k in ("n_docs", "sum_dl"):
+        assert res["meta"][k] == res_ref["meta"][k]
+    probes = query_terms_from_docs(base.orderBy("doc_id").limit(5),
+                                   n_terms=6)
+    assert _lex_topk(spark, out, probes) == _lex_topk(spark, ref, probes)
+    # per-term document frequencies agree exactly
+    def dfs(path):
+        idx = L.load_lex_index(spark, path)
+        return {
+            (r.bucket, r.term, r.df)
+            for r in idx.terms.groupBy("bucket", "term")
+            .agg(F.sum("df").alias("df")).collect()
+        }
+    assert dfs(out) == dfs(ref)
+
+
+def test_ann_delete_racing_append_equals_serial_order(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Dense mirror: an ANN tombstone delete racing an append re-runs
+    against the fresh snapshot, so n_rows decrements by what is NOW
+    present and probes serve bit-equal to the serial order."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    base = vecs.where(F.col("vec_id") < 120).localCheckpoint(eager=True)
+    delta = vecs.where(
+        (F.col("vec_id") >= 120) & (F.col("vec_id") < 160)
+    ).localCheckpoint(eager=True)
+    del_ids = [0, 1, 2, 120, 121]  # 3 in base, 2 only in the delta
+
+    ref = str(tmp_path / "ref")
+    A.build_ann_index(base, ref, m=4, n_codewords=8, layout="manifest")
+    A.append_ann_index(delta, ref)
+    res_ref = A.delete_from_ann_index(spark, ref, del_ids)
+
+    out = str(tmp_path / "out")
+    A.build_ann_index(base, out, m=4, n_codewords=8, layout="manifest")
+    orig_commit = M.commit_manifest
+    state = {"fired": False}
+
+    def inject(root, *, tables, meta, expected_version):
+        if not state["fired"] and "tombstones" in tables:
+            state["fired"] = True
+            A.append_ann_index(delta, out)
+        return orig_commit(
+            root, tables=tables, meta=meta,
+            expected_version=expected_version,
+        )
+
+    monkeypatch.setattr(M, "commit_manifest", inject)
+    res = A.delete_from_ann_index(spark, out, del_ids)
+    monkeypatch.setattr(M, "commit_manifest", orig_commit)
+
+    assert state["fired"], "the race never happened"
+    assert res["deleted"] == 5 and res_ref["deleted"] == 5
+    assert res["meta"]["n_rows"] == res_ref["meta"]["n_rows"]
+    queries = vecs.orderBy("vec_id").limit(5)
+
+    def topk(path):
+        return {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in A.ann_index_topk(
+                A.load_ann_index(spark, path), queries, k=5, nprobe=2
+            ).collect()
+        }
+
+    assert topk(out) == topk(ref)
