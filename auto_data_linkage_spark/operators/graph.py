@@ -598,6 +598,7 @@ def edge_store_sink(
     url_col: str = "url",
     n_buckets: int = 16,
     drop_self: bool = True,
+    compact_over: int | None = None,
 ):
     """``foreachBatch`` sink maintaining a persistent domain edge store
     from a stream of raw pages (the continuous-crawl twin of
@@ -626,6 +627,16 @@ def edge_store_sink(
     manifest commit (:mod:`.manifestfs`) — a replay of a batch whose
     commit never happened appends exactly once, and no rename is ever
     performed (object-store-safe maintenance).
+
+    ``compact_over`` is the scheduling policy the other two index
+    sinks carry (:func:`lexindex.lex_index_sink`,
+    :func:`annindex.ann_index_sink`): after each append, buckets whose
+    live data-file count exceeds the threshold are merged via
+    :func:`compact_edge_store` — so a long-running stream bounds its
+    own fragmentation instead of waiting for an operator. On the
+    rename layout this inherits the single-writer/no-concurrent-reader
+    swap caveat; on the manifest layout pinned readers are untouched
+    and the compaction commit simply interleaves with the appends.
     """
     from . import manifestfs as M
 
@@ -666,6 +677,11 @@ def edge_store_sink(
                     )
 
                 M.commit_with_retry(path, mutate)
+            if compact_over is not None:
+                compact_edge_store(
+                    batch_df.sparkSession, path,
+                    max_files_per_bucket=compact_over,
+                )
             return
         # repair-before-append: writing into a store whose bucket is
         # parked as __old would recreate the live dir and make the next
@@ -679,6 +695,11 @@ def edge_store_sink(
             .partitionBy("bucket")
             .parquet(path)
         )
+        if compact_over is not None:
+            compact_edge_store(
+                batch_df.sparkSession, path,
+                max_files_per_bucket=compact_over,
+            )
 
     return _sink
 

@@ -1136,3 +1136,112 @@ def test_ann_delete_racing_append_equals_serial_order(
         }
 
     assert topk(out) == topk(ref)
+
+
+# ------------------------------------------- auto-compaction scheduling
+def test_edge_sink_auto_compaction_fires_once_at_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """compact_over on the edge sink is the scheduling policy: a
+    streaming store bounds its own fragmentation. Three micro-batches
+    land one delta file each in the same bucket; with compact_over=2
+    the threshold is crossed exactly at batch 3 — compaction rewrites
+    exactly once, and the store serves bit-equal before/after."""
+    root = str(tmp_path / "edges")
+    G.init_edge_store(root, n_buckets=2)
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+
+    fired = []
+    orig = G.compact_edge_store
+
+    def spy(sp, p, **kw):
+        out = orig(sp, p, **kw)
+        if out["buckets_rewritten"]:
+            fired.append(dict(out))
+        return out
+
+    monkeypatch.setattr(G, "compact_edge_store", spy)
+    sink = G.edge_store_sink(root, n_buckets=2, compact_over=2)
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("url string, html string")
+            .parquet(landing)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    expect = set()
+    for b in range(3):
+        rows = [
+            (
+                f"https://a.com/p{b}{i}",
+                f'<a href="https://b{b}{i}.com/x">b</a>',
+            )
+            for i in range(2)
+        ]
+        expect |= {("a.com", f"b{b}{i}.com", 1) for i in range(2)}
+        spark.createDataFrame(rows, ["url", "html"]).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        run_stream()
+
+    assert len(fired) == 1, f"compaction fired {len(fired)} times"
+    assert fired[0]["files_after"] < fired[0]["files_before"]
+    got = {
+        (r.src_domain, r.dst_domain, r.n_links)
+        for r in G.load_edges(spark, root).collect()
+    }
+    assert got == expect
+    # post-compaction fragmentation is back under the threshold
+    snap = M.read_manifest(root)
+    assert all(
+        c <= 2 for c in M.part_file_counts(root, "edges", snap).values()
+    )
+
+
+def test_ann_manifest_sink_compact_over_bounds_fragmentation(
+    spark, sf_dir, tmp_path
+):
+    """The ANN sink's compact_over policy must hold on the MANIFEST
+    layout too (the threshold reads live part counts from the
+    manifest, not a disk listing): repeated micro-batch appends into
+    the same cells stay bounded, and probes serve bit-equal to plain
+    batch appends."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    base = vecs.where(F.col("vec_id") < 80)
+    out = str(tmp_path / "ann")
+    A.build_ann_index(base, out, m=4, n_codewords=8, layout="manifest")
+    sink = A.ann_index_sink(out, compact_over=2)
+    batches = [
+        vecs.where((F.col("vec_id") >= 80 + 20 * b)
+                   & (F.col("vec_id") < 100 + 20 * b))
+        for b in range(4)
+    ]
+    for b, df in enumerate(batches):
+        sink(df.coalesce(1), b)
+    snap = M.read_manifest(out)
+    counts = M.part_file_counts(out, "coded", snap)
+    assert counts and all(c <= 2 for c in counts.values()), counts
+
+    ref = str(tmp_path / "ref")
+    A.build_ann_index(base, ref, m=4, n_codewords=8, layout="manifest")
+    for df in batches:
+        A.append_ann_index(df, ref)
+    queries = vecs.orderBy("vec_id").limit(5)
+
+    def topk(path):
+        return {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in A.ann_index_topk(
+                A.load_ann_index(spark, path), queries, k=5, nprobe=2
+            ).collect()
+        }
+
+    assert topk(out) == topk(ref)
