@@ -80,6 +80,7 @@ MANIFEST_DIR = "_manifests"
 
 __all__ = [
     "ManifestConflictError",
+    "TransientCommitError",
     "use_commit_log",
     "clear_commit_log",
     "is_manifest_store",
@@ -104,6 +105,19 @@ class ManifestConflictError(RuntimeError):
     """Another writer committed the version this writer raced for —
     concurrent maintenance is a contract violation (single maintenance
     writer), surfaced loudly instead of corrupting anything."""
+
+
+class TransientCommitError(RuntimeError):
+    """Raised by a :class:`..sources.layout.CommitStore` backend when a
+    conditional create failed with UNKNOWN outcome — a timeout or 5xx
+    after the request may already have been applied server-side (the
+    classic object-store hazard: an S3 conditional PUT that times out
+    can still have landed). :func:`commit_manifest` resolves the
+    ambiguity by reading the slot back: our exact manifest there means
+    the put landed (success); someone else's means a genuine lost race;
+    an empty slot means it really failed (retried, bounded). Backends
+    must raise THIS (not a bare exception) for weather they want the
+    protocol to absorb; anything else propagates as a hard error."""
 
 
 def _mdir(root: str) -> str:
@@ -237,12 +251,41 @@ def commit_manifest(
     manifest = {"version": version, "meta": meta, "tables": tables}
     be = _backend(root)
     if be is not None:
-        if not be.create_exclusive(_vname(version), manifest):
+        name = _vname(version)
+        # Absorb object-store weather: a TransientCommitError from the
+        # backend means the conditional PUT's outcome is UNKNOWN — it
+        # may have landed before the timeout. Blindly retrying the
+        # MUTATION on that would be wrong twice over: commit_with_retry
+        # would merge our gens into a snapshot that already lists them
+        # (rows read twice) and re-bump n_docs (stat drift). Resolve by
+        # reading the slot back instead: bit-equal content can only be
+        # OUR put (delta/compaction manifests name this writer's
+        # nonce-gens, which no other writer can reference), so it IS
+        # success; different content is a genuine lost race; an empty
+        # slot means the put truly failed and the create is retried.
+        for _ in range(5):
+            try:
+                won = be.create_exclusive(name, manifest)
+            except TransientCommitError:
+                stored = be.list_records().get(name)
+                if stored == manifest:
+                    return manifest  # our ambiguous put actually landed
+                if stored is None:
+                    continue  # really failed (or still torn) — retry
+                won = False  # someone else's commit occupies the slot
+            if won:
+                return manifest
+            stored = be.list_records().get(name)
+            if stored == manifest:
+                return manifest  # a prior ambiguous attempt of ours won
             raise ManifestConflictError(
                 f"version {version} of {root} was committed by a "
                 "concurrent writer — re-read the manifest and retry"
             )
-        return manifest
+        raise TransientCommitError(
+            f"conditional create of {name} on {root} kept failing "
+            "transiently — backend weather exhausted the retry budget"
+        )
     import uuid
 
     mdir = _mdir(root)

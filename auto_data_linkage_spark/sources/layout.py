@@ -355,6 +355,90 @@ class MemoryCommitStore(CommitStore):
             return {k: dict(v) for k, v in self._data.items()}
 
 
+class FlakyCommitStore(CommitStore):
+    """Fault/latency-injecting decorator over any :class:`CommitStore`
+    — object-store weather on demand, for proving a commit protocol's
+    retry behavior before pointing it at a real bucket. Deterministic
+    (seeded RNG), with counters in :attr:`stats` so tests can assert
+    that injection actually happened and how often callers retried.
+
+    Injected on ``create_exclusive`` (the conditional PUT):
+
+    - ``fail_rate`` — a CLEAN transient failure: nothing is written,
+      :class:`..operators.manifestfs.TransientCommitError` raised
+      (a 503/SlowDown the client surfaced before the put applied);
+    - ``ambiguous_rate`` — the nasty one: the create is PERFORMED,
+      then the error raised anyway (a timeout after the put landed).
+      A protocol that blindly re-runs its mutation on this double-
+      applies it; ``manifestfs.commit_manifest`` resolves it by
+      reading the slot back.
+
+    ``list_delay_s`` sleeps before every ``list_records`` (slow LIST
+    calls). ``replace``/``remove`` pass through untouched — the
+    manifest log never replaces, and a failed remove only delays
+    garbage collection to the next vacuum."""
+
+    def __init__(
+        self,
+        inner: CommitStore,
+        *,
+        seed: int = 0,
+        fail_rate: float = 0.0,
+        ambiguous_rate: float = 0.0,
+        list_delay_s: float = 0.0,
+    ):
+        import random
+
+        self.inner = inner
+        self._rng = random.Random(seed)
+        self.fail_rate = float(fail_rate)
+        self.ambiguous_rate = float(ambiguous_rate)
+        self.list_delay_s = float(list_delay_s)
+        self.stats = {
+            "creates": 0,
+            "clean_failures": 0,
+            "ambiguous_successes": 0,
+            "lists": 0,
+        }
+
+    def _weather(self):
+        from ..operators.manifestfs import TransientCommitError
+
+        return TransientCommitError
+
+    def create_exclusive(self, name: str, record: dict) -> bool:
+        self.stats["creates"] += 1
+        roll = self._rng.random()
+        if roll < self.fail_rate:
+            self.stats["clean_failures"] += 1
+            raise self._weather()(
+                f"injected transient failure creating {name}"
+            )
+        if roll < self.fail_rate + self.ambiguous_rate:
+            won = self.inner.create_exclusive(name, record)
+            if won:
+                self.stats["ambiguous_successes"] += 1
+                raise self._weather()(
+                    f"injected timeout AFTER {name} was durably created"
+                )
+            return False  # slot already taken: a plain lost race
+        return self.inner.create_exclusive(name, record)
+
+    def replace(self, name: str, record: dict) -> None:
+        self.inner.replace(name, record)
+
+    def remove(self, name: str) -> None:
+        self.inner.remove(name)
+
+    def list_records(self) -> dict[str, "dict | None"]:
+        self.stats["lists"] += 1
+        if self.list_delay_s > 0:
+            import time
+
+            time.sleep(self.list_delay_s)
+        return self.inner.list_records()
+
+
 def _commit_log_dir(path: str) -> str:
     import os
 
