@@ -428,17 +428,32 @@ def next_gen(root: str, table: str) -> str:
 def written_parts(root: str, table: str, gen: str) -> list[str]:
     """Partition directories a ``partitionBy`` write actually created
     under ``<table>/<gen>/`` (empty deltas create none); ``[""]`` when
-    the gen dir holds plain files (unpartitioned table)."""
+    the gen dir holds plain files (unpartitioned table). Nested
+    partitioning (``partitionBy("a", "b")``) yields composite keys like
+    ``a=1/b=2`` — the LEAF directories, exactly the granularity dynamic
+    partition overwrite replaces, so corpus snapshots track the same
+    unit. Spark writes the directory names itself, so partition-value
+    escaping is its, never hand-built here."""
     gdir = os.path.join(local_path(root), table, gen)
     if not os.path.isdir(gdir):
         return []
-    parts = sorted(
-        e
-        for e in os.listdir(gdir)
-        if "=" in e and os.path.isdir(os.path.join(gdir, e))
-    )
+    parts: list[str] = []
+
+    def walk(d: str, rel: str) -> None:
+        subs = [
+            e
+            for e in os.listdir(d)
+            if "=" in e and os.path.isdir(os.path.join(d, e))
+        ]
+        if subs:
+            for e in subs:
+                walk(os.path.join(d, e), f"{rel}/{e}" if rel else e)
+        elif rel:
+            parts.append(rel)
+
+    walk(gdir, "")
     if parts:
-        return parts
+        return sorted(parts)
     has_files = any(e.endswith(".parquet") for e in os.listdir(gdir))
     return [""] if has_files else []
 

@@ -1,0 +1,353 @@
+"""Manifest-layout corpus snapshots — `layout.py`'s corpus MERGE
+re-based onto the ONE commit protocol the persisted stores already use
+(:mod:`..operators.manifestfs`), closing the two-protocols seam.
+
+Why a second corpus layout exists at all: :func:`..sources.layout.
+upsert_corpus` mutates partition directories IN PLACE (dynamic
+partition overwrite), which is fast and fine on a POSIX filesystem but
+structurally torn-prone — the overwrite is not atomic across
+partitions, so a mid-write death leaves some directories new and some
+old, and `upsert_corpus_versioned` exists precisely to TRACK that torn
+state in a `_commits/` log. The snapshot layout removes the torn state
+instead of tracking it:
+
+- an upsert writes the merged rows of the touched partitions into a
+  fresh immutable ``data/gen=N`` directory and publishes them by ONE
+  conditional manifest commit — observed fully-old or fully-new,
+  never mixed; a crashed writer leaves only invisible orphan dirs
+  (:func:`vacuum_corpus_snapshot` reclaims them);
+- readers pin the manifest they opened: a concurrent upsert, even of
+  the SAME partitions, never disturbs a running scan — plain dynamic
+  partition overwrite deletes files under active readers;
+- every commit is a version: ``version=`` time travel and
+  :func:`corpus_snapshot_history` come for free, and concurrent
+  upserts are safe (full re-run retry on a lost race, the same
+  discipline as index deletes — see manifestfs.retry_on_conflict);
+- it works on object stores (no renames anywhere; the log rides any
+  CommitStore via ``manifestfs.use_commit_log``).
+
+The in-place layout stays the right call for single-writer POSIX-local
+corpora where rewrite-churn of hot partitions matters (no gen
+accumulation, no vacuum to schedule); this one is the multi-writer /
+object-store / audit-trail path. Partition-granular semantics are
+IDENTICAL to :func:`..sources.layout.upsert_corpus`: within touched
+partitions, corpus rows whose ``key`` appears in the delta are
+replaced and all delta rows inserted; untouched partitions are not
+read, not rewritten, and keep serving their existing files.
+
+No reference analogue (the reference persists nothing); same public
+Delta-log/Iceberg-snapshot design basis as manifestfs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import manifestfs as M
+from ..operators.storefs import local_path
+
+_VERSION = 1
+_TABLE = "data"
+
+__all__ = [
+    "build_corpus_snapshot",
+    "load_corpus_snapshot",
+    "append_corpus_snapshot",
+    "upsert_corpus_snapshot",
+    "compact_corpus_snapshot",
+    "corpus_snapshot_history",
+    "vacuum_corpus_snapshot",
+]
+
+
+def _write_gen(
+    df: DataFrame,
+    root: str,
+    gen: str,
+    *,
+    partition_by: list[str],
+    sort_by: list[str] | None,
+    max_records_per_file: int,
+) -> list[str]:
+    """Write ``df`` into ``data/<gen>/`` with the layout discipline of
+    :func:`..sources.layout.write_corpus` (repartition on the partition
+    columns so each directory gets a bounded file count; optional
+    sort-within for parquet min/max selectivity; row cap per file), and
+    return the leaf partition keys actually created."""
+    out = df.repartition(*[F.col(c) for c in partition_by])
+    if sort_by:
+        out = out.sortWithinPartitions(*[F.col(c) for c in sort_by])
+    (
+        out.write.mode("error")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(os.path.join(local_path(root), _TABLE, gen))
+    )
+    return M.written_parts(root, _TABLE, gen)
+
+
+def build_corpus_snapshot(
+    df: DataFrame,
+    path: str,
+    *,
+    key: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    max_records_per_file: int = 5_000_000,
+) -> dict:
+    """Create the snapshot store: the initial corpus lands in
+    ``data/gen=1`` and manifest v1 publishes it. Returns the metadata
+    dict (embedded in every manifest thereafter)."""
+    if not partition_by:
+        raise ValueError("corpus snapshots require partition_by columns")
+    local = local_path(path)
+    os.makedirs(local, exist_ok=True)
+    if M.is_manifest_store(path):
+        raise FileExistsError(
+            f"{path} already holds a corpus snapshot — use "
+            "upsert_corpus_snapshot to merge into it"
+        )
+    gen = M.next_gen(path, _TABLE)
+    parts = _write_gen(
+        df, path, gen,
+        partition_by=partition_by, sort_by=sort_by,
+        max_records_per_file=max_records_per_file,
+    )
+    meta = {
+        "version": _VERSION,
+        "kind": "corpus",
+        "key": key,
+        "partition_by": list(partition_by),
+        "sort_by": list(sort_by) if sort_by else None,
+    }
+    tables = M.add_gens({}, _TABLE, parts, gen)
+    M.init_manifest_store(path, tables=tables, meta=meta)
+    return meta
+
+
+def _check_meta(meta: dict) -> None:
+    if meta.get("version") != _VERSION or meta.get("kind") != "corpus":
+        raise ValueError(
+            f"not a corpus snapshot store (meta: version="
+            f"{meta.get('version')!r}, kind={meta.get('kind')!r})"
+        )
+
+
+def load_corpus_snapshot(
+    spark: SparkSession, path: str, *, version: int | None = None
+) -> DataFrame:
+    """DataFrame over the snapshot's live partitions — pinned to the
+    manifest read here, so concurrent upserts/compactions never change
+    (or break) what this handle serves. ``version=`` time-travels to
+    any retained historical commit. Partition columns are recovered
+    from the directory names (``basePath``), so predicate pushdown and
+    partition pruning behave exactly as on a plain parquet corpus."""
+    snap = M.read_manifest(path, version=version)
+    _check_meta(snap["meta"])
+    df = M.read_table(spark, path, _TABLE, snap)
+    if df is None:
+        raise FileNotFoundError(f"corpus snapshot {path} holds no data")
+    return df
+
+
+def append_corpus_snapshot(
+    path: str,
+    delta: DataFrame,
+    *,
+    max_records_per_file: int = 5_000_000,
+) -> dict:
+    """INSERT-only ingest, O(delta): the delta lands as a fresh
+    generation ADDED to its partitions' live lists — no existing
+    partition is read or rewritten, so appending a 1 GB delta to a
+    1 TB partition costs 1 GB, not 1 TB (the cost
+    :func:`upsert_corpus_snapshot`'s replace semantics — and dynamic
+    partition overwrite — pay). Keys are NOT dedup-checked against
+    stored rows (dedup upstream — the same contract as the index
+    appends). Appends are order-independent, so a lost version race
+    retries with the cheap manifest merge (commit_with_retry): the
+    streaming-ingest-safe path, concurrent with upserts/compactions.
+
+    Generations accumulate one per append per touched partition —
+    schedule :func:`compact_corpus_snapshot` on the
+    ``part_file_counts`` fragmentation metric.
+
+    Returns ``{"partitions": n_touched, "rows_written": n, "version"}``.
+    """
+    snap = M.read_manifest(path)
+    meta = snap["meta"]
+    _check_meta(meta)
+    gen = M.next_gen(path, _TABLE)
+    parts = _write_gen(
+        delta, path, gen,
+        partition_by=meta["partition_by"], sort_by=meta.get("sort_by"),
+        max_records_per_file=max_records_per_file,
+    )
+    if not parts:
+        return {
+            "partitions": 0, "rows_written": 0, "version": snap["version"],
+        }
+
+    def mutate(fresh: dict):
+        _check_meta(fresh["meta"])  # raises across a re-purposed store
+        return M.add_gens(fresh["tables"], _TABLE, parts, gen), fresh["meta"]
+
+    out = M.commit_with_retry(path, mutate)
+    tdir = os.path.join(local_path(path), _TABLE)
+    n = delta.sparkSession.read.parquet(
+        os.path.join(tdir, gen)
+    ).count()
+    return {
+        "partitions": len(parts),
+        "rows_written": int(n),
+        "version": out["version"],
+    }
+
+
+def upsert_corpus_snapshot(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    *,
+    max_records_per_file: int = 5_000_000,
+) -> dict:
+    """MERGE the delta in, partition-granular, as ONE atomic commit:
+    rows of touched partitions whose ``key`` appears in the delta are
+    replaced, all delta rows inserted, untouched partitions untouched
+    (their live generation list does not change, so their files keep
+    serving byte-identically).
+
+    Concurrency: the merge content depends on the snapshot it read, so
+    a lost version race re-runs the WHOLE merge against the fresh
+    snapshot (manifestfs.retry_on_conflict) — the loser's written
+    generation becomes a vacuumable orphan. Two upserts of DISJOINT
+    partitions therefore both land, in some serial order, with no lost
+    update — the scenario plain dynamic partition overwrite silently
+    corrupts and `upsert_corpus_versioned` can only abort on.
+
+    Returns ``{"partitions": n_touched, "rows_written": n, "version"}``.
+    """
+    return M.retry_on_conflict(
+        lambda: _upsert_once(spark, path, delta, max_records_per_file)
+    )
+
+
+def _upsert_once(
+    spark: SparkSession, path: str, delta: DataFrame, max_records_per_file: int
+) -> dict:
+    snap = M.read_manifest(path)
+    meta = snap["meta"]
+    _check_meta(meta)
+    key = meta["key"]
+    partition_by = meta["partition_by"]
+
+    touched = [
+        tuple(r[c] for c in partition_by)
+        for r in delta.select(*partition_by).distinct().collect()
+    ]
+    if not touched:
+        return {
+            "partitions": 0, "rows_written": 0, "version": snap["version"],
+        }
+    # Planning-time partition filter (never hand-built directory paths:
+    # Spark owns partition-value escaping in BOTH directions — it wrote
+    # the dir names, it parses them back), pruned against the PINNED
+    # snapshot's paths only.
+    cond = None
+    for vals in touched:
+        one = None
+        for c, v in zip(partition_by, vals):
+            expr = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            one = expr if one is None else (one & expr)
+        cond = one if cond is None else (cond | one)
+    merged = delta
+    old = M.read_table(spark, path, _TABLE, snap)
+    if old is not None:
+        keep = (
+            old.where(cond)
+            .select(*delta.columns)
+            .join(F.broadcast(delta.select(key).distinct()), key, "left_anti")
+        )
+        # materialize before writing: the snapshot's files are immutable
+        # (no same-path hazard), but a lazy plan would re-run the join
+        # per retry attempt anyway
+        merged = keep.unionByName(delta).localCheckpoint(eager=True)
+
+    gen = M.next_gen(path, _TABLE)
+    parts = _write_gen(
+        merged, path, gen,
+        partition_by=partition_by, sort_by=meta.get("sort_by"),
+        max_records_per_file=max_records_per_file,
+    )
+    # every touched partition has delta rows, so `parts` covers exactly
+    # the touched set (in Spark's own escaped directory-name form):
+    # REPLACE those parts' live lists with the rewrite, add new ones
+    tables = M.replace_parts(snap["tables"], _TABLE, parts, gen, path)
+    out = M.commit_manifest(
+        path, tables=tables, meta=meta, expected_version=snap["version"]
+    )
+    n = merged.count()
+    return {
+        "partitions": len(parts),
+        "rows_written": int(n),
+        "version": out["version"],
+    }
+
+
+def compact_corpus_snapshot(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_partition: int = 8,
+    target_rows_per_file: int = 5_000_000,
+) -> dict:
+    """Rewrite partitions fragmented past ``max_files_per_partition``
+    (each :func:`append_corpus_snapshot` adds one generation to every
+    partition it touches) into single fresh-generation directories —
+    selected by
+    :func:`..operators.manifestfs.part_file_counts`, cut over in ONE
+    commit, superseded generations reclaimed by the next vacuum.
+    Single-maintenance-writer (loud conflict), like index compaction.
+
+    Returns ``{"compacted": [part,...], "version": v}`` (version
+    unchanged when nothing is fragmented)."""
+    snap = M.read_manifest(path)
+    meta = snap["meta"]
+    _check_meta(meta)
+    counts = M.part_file_counts(path, _TABLE, snap)
+    sel = sorted(p for p, n in counts.items() if n > max_files_per_partition)
+    if not sel:
+        return {"compacted": [], "version": snap["version"]}
+    paths = M.table_paths(path, _TABLE, snap, parts=sel)
+    tdir = os.path.join(local_path(path), _TABLE)
+    df = spark.read.option("basePath", tdir).parquet(*paths).drop("gen")
+    gen = M.next_gen(path, _TABLE)
+    parts = _write_gen(
+        df, path, gen,
+        partition_by=meta["partition_by"], sort_by=meta.get("sort_by"),
+        max_records_per_file=target_rows_per_file,
+    )
+    tables = M.replace_parts(snap["tables"], _TABLE, sel, gen, path)
+    out = M.commit_manifest(
+        path, tables=tables, meta=meta, expected_version=snap["version"]
+    )
+    return {"compacted": sel, "version": out["version"]}
+
+
+def corpus_snapshot_history(path: str) -> list[dict]:
+    """Per-version partition add/remove audit trail (see
+    :func:`..operators.manifestfs.history`)."""
+    return M.history(path)
+
+
+def vacuum_corpus_snapshot(
+    path: str, *, keep_manifests: int = 2, min_age_seconds: float = 3600.0
+) -> dict:
+    """Reclaim generations superseded by upserts/compactions and
+    orphans of crashed writers — see :func:`..operators.manifestfs.
+    vacuum` for the reader-grace and age-floor contracts."""
+    return M.vacuum(
+        path, keep_manifests=keep_manifests, min_age_seconds=min_age_seconds
+    )
