@@ -259,7 +259,9 @@ def build_ann_index(
     return meta
 
 
-def append_ann_index(delta: DataFrame, path: str) -> dict:
+def append_ann_index(
+    delta: DataFrame, path: str, *, txn: tuple | None = None
+) -> dict:
     """Incremental index growth: encode ONLY the delta with the STORED
     codebooks and append its coded rows to ``coded/`` — new corpus
     batches join the index without re-encoding what's already there
@@ -307,6 +309,8 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
         raise ValueError(
             f"unsupported ann-index version {meta.get('version')!r}"
         )
+    if txn is not None and M.txn_version(meta, txn[0]) >= int(txn[1]):
+        return meta  # this batch already committed: a checkpoint replay
     cbs = meta["codebooks"]
     cell_col = meta["cell_col"]
 
@@ -426,6 +430,7 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
             m2["n_rows"] = int(fm["n_rows"]) + int(n_delta)
             m2["cells"] = c2
             m2["n_cells"] = len(c2)
+            m2 = M.with_txn(m2, txn)
             return M.add_gens(fresh["tables"], "coded", cp, gc_), m2
 
         return M.commit_with_retry(path, mutate)["meta"]
@@ -433,6 +438,7 @@ def append_ann_index(delta: DataFrame, path: str) -> dict:
     meta["n_rows"] = int(meta["n_rows"]) + int(n_delta)
     meta["cells"] = cells
     meta["n_cells"] = len(cells)
+    meta = M.with_txn(meta, txn)
     _write_meta(local, meta)
     return meta
 
@@ -823,15 +829,22 @@ def rebuild_ann_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
     return meta
 
 
-def ann_index_sink(path: str, *, compact_over: int | None = None):
+def ann_index_sink(
+    path: str, *, compact_over: int | None = None, app_id: str = "stream"
+):
     """``foreachBatch`` sink folding each micro-batch of vectors into
     the persisted index via :func:`append_ann_index` — continuous
     embedding ingestion (the streaming analog of
     ``streaming.documents.upsert_sink``). The index must already exist
-    (:func:`build_ann_index` on the initial corpus). Replays of a
-    micro-batch after a failure append duplicate coded rows — point a
-    checkpointLocation at the query and dedup ids upstream, the same
-    caveat as every append-mode foreachBatch sink.
+    (:func:`build_ann_index` on the initial corpus). On a MANIFEST-
+    layout index, appends are EXACTLY-ONCE across replays: the
+    ``(app_id, batch_id)`` idempotence token commits atomically with
+    the batch's coded rows, so a batch replayed after a crash — before
+    OR after its commit — lands exactly once (see
+    :func:`manifestfs.txn_version`; ``app_id`` names the query's
+    checkpoint lineage and must change with a new checkpoint dir). On
+    the rename layout the token is best-effort (recorded after the
+    data): dedup ids upstream, the standard append-sink caveat.
 
     ``compact_over`` enables inline maintenance: after each append, any
     cell directory holding more than that many parquet files is
@@ -854,7 +867,7 @@ def ann_index_sink(path: str, *, compact_over: int | None = None):
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_ann_index(batch_df, path)
+        append_ann_index(batch_df, path, txn=(app_id, batch_id))
         if compact_over is not None:
             compact_ann_index(
                 batch_df.sparkSession, path, max_files_per_cell=compact_over

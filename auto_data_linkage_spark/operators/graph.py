@@ -599,6 +599,7 @@ def edge_store_sink(
     n_buckets: int = 16,
     drop_self: bool = True,
     compact_over: int | None = None,
+    app_id: str = "stream",
 ):
     """``foreachBatch`` sink maintaining a persistent domain edge store
     from a stream of raw pages (the continuous-crawl twin of
@@ -616,17 +617,21 @@ def edge_store_sink(
         pages.writeStream.foreachBatch(edge_store_sink("/edges"))
              .option("checkpointLocation", ckpt).start()
 
-    Replays after a failure append duplicate deltas (n_links inflates,
-    edge EXISTENCE — what PageRank consumes — is unaffected since
-    :func:`pagerank` drops multiplicity); point a checkpointLocation at
-    the query, the standard append-sink caveat.
+    RENAME-layout replays after a failure append duplicate deltas
+    (n_links inflates, edge EXISTENCE — what PageRank consumes — is
+    unaffected since :func:`pagerank` drops multiplicity); point a
+    checkpointLocation at the query, the standard append-sink caveat.
 
     A store created with :func:`init_edge_store`'s ``layout="manifest"``
-    is auto-detected: each micro-batch's delta then lands in a fresh
-    ``gen=N`` dir under ``<path>/edges`` and becomes visible at ONE
-    manifest commit (:mod:`.manifestfs`) — a replay of a batch whose
-    commit never happened appends exactly once, and no rename is ever
-    performed (object-store-safe maintenance).
+    is auto-detected and EXACTLY-ONCE: each micro-batch's delta lands
+    in a fresh ``gen=N`` dir under ``<path>/edges`` and becomes visible
+    at ONE manifest commit (:mod:`.manifestfs`) that also records the
+    ``(app_id, batch_id)`` idempotence token — a replay of a batch
+    whose commit never happened appends cleanly, a replay of a batch
+    that DID commit (crash before the checkpoint advanced) is skipped
+    by its token, and no rename is ever performed (object-store-safe
+    maintenance). ``app_id`` names the query's checkpoint lineage; a
+    new checkpoint directory must come with a new app_id.
 
     ``compact_over`` is the scheduling policy the other two index
     sinks carry (:func:`lexindex.lex_index_sink`,
@@ -643,14 +648,16 @@ def edge_store_sink(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        edges = extract_links(
-            batch_df, html_col, url_col, drop_self=drop_self
-        )
         if M.is_manifest_store(path):
             snap = M.read_manifest(path)
+            if M.txn_version(snap["meta"], app_id) >= batch_id:
+                return  # batch already committed: a checkpoint replay
             nb = int(snap["meta"].get("n_buckets", n_buckets))
             local = M.local_path(path)
             gen = M.next_gen(path, "edges")
+            edges = extract_links(
+                batch_df, html_col, url_col, drop_self=drop_self
+            )
             (
                 edges.withColumn(
                     "bucket", _edge_bucket(F.col("src_domain"), nb)
@@ -664,7 +671,9 @@ def edge_store_sink(
                 # immutable; losing the version race (a concurrent
                 # takedown or compaction) re-runs only this manifest
                 # merge, so the sink keeps streaming through
-                # maintenance commits.
+                # maintenance commits. The (app_id, batch_id) token
+                # commits WITH the data: a replay of an already-
+                # committed batch is skipped above — exactly-once.
                 def mutate(fresh: dict):
                     if int(fresh["meta"].get("n_buckets", nb)) != nb:
                         raise M.ManifestConflictError(
@@ -673,7 +682,7 @@ def edge_store_sink(
                         )
                     return (
                         M.add_gens(fresh["tables"], "edges", parts, gen),
-                        fresh["meta"],
+                        M.with_txn(fresh["meta"], (app_id, batch_id)),
                     )
 
                 M.commit_with_retry(path, mutate)
@@ -687,6 +696,9 @@ def edge_store_sink(
         # parked as __old would recreate the live dir and make the next
         # sweep drop the parked original (see append_lex_index).
         repair_edge_store(path)
+        edges = extract_links(
+            batch_df, html_col, url_col, drop_self=drop_self
+        )
         (
             edges.withColumn(
                 "bucket", _edge_bucket(F.col("src_domain"), n_buckets)

@@ -252,7 +252,9 @@ def build_lex_index(
     return meta
 
 
-def append_lex_index(delta: DataFrame, path: str) -> dict:
+def append_lex_index(
+    delta: DataFrame, path: str, *, txn: tuple | None = None
+) -> dict:
     """Incremental index growth, O(delta): tokenize/bucket ONLY the new
     documents with the stored parameters, append their postings, and
     append per-term df DELTAS to ``terms/`` (readers sum df, so no
@@ -268,7 +270,14 @@ def append_lex_index(delta: DataFrame, path: str) -> dict:
     visible only at the single manifest commit — a crash before the
     commit leaves nothing visible, so a checkpointed streaming replay
     of the failed batch appends exactly once (the rename layout's
-    duplicate-on-replay caveat disappears)."""
+    duplicate-on-replay caveat disappears).
+
+    ``txn=(app_id, batch_id)`` makes replays idempotent from the OTHER
+    side too (crash AFTER the commit but before the streaming
+    checkpoint advanced): the token is recorded with the append —
+    atomically, in the same manifest commit, on the manifest layout —
+    and an append re-presenting an already-recorded batch id is
+    skipped (see :func:`manifestfs.txn_version`)."""
     local = _local(path)
     manifest = M.is_manifest_store(path)
     if manifest:
@@ -282,6 +291,8 @@ def append_lex_index(delta: DataFrame, path: str) -> dict:
         raise ValueError(
             f"unsupported lex-index version {meta.get('version')!r}"
         )
+    if txn is not None and M.txn_version(meta, txn[0]) >= int(txn[1]):
+        return meta  # this batch already committed: a checkpoint replay
     n_docs, sum_dl = delta.select(
         F.size(X.tokens(meta["text_col"])).alias("__dl")
     ).agg(F.count("*"), F.sum("__dl")).first()
@@ -334,6 +345,7 @@ def append_lex_index(delta: DataFrame, path: str) -> dict:
             m2 = dict(fm)
             m2["n_docs"] = int(fm["n_docs"]) + int(n_docs)
             m2["sum_dl"] = int(fm["sum_dl"]) + int(sum_dl or 0)
+            m2 = M.with_txn(m2, txn)
             t2 = M.add_gens(fresh["tables"], "postings", pp, gp)
             t2 = M.add_gens(t2, "terms", tp, gt)
             return t2, m2
@@ -341,6 +353,7 @@ def append_lex_index(delta: DataFrame, path: str) -> dict:
         return M.commit_with_retry(path, mutate)["meta"]
     meta["n_docs"] = int(meta["n_docs"]) + int(n_docs)
     meta["sum_dl"] = int(meta["sum_dl"]) + int(sum_dl or 0)
+    meta = M.with_txn(meta, txn)
     _write_meta(local, meta)
     return meta
 
@@ -794,7 +807,9 @@ def rebuild_lex_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
     return meta
 
 
-def lex_index_sink(path: str, *, compact_over: int | None = None):
+def lex_index_sink(
+    path: str, *, compact_over: int | None = None, app_id: str = "stream"
+):
     """``foreachBatch`` sink folding each micro-batch of documents into
     the persisted index via :func:`append_lex_index` — continuous
     corpus ingestion with serveable lexical search (the sparse mirror
@@ -808,15 +823,24 @@ def lex_index_sink(path: str, *, compact_over: int | None = None):
     explicit maintenance window. POSIX-rename assumption in
     :mod:`.storefs`.
 
-    A MANIFEST-layout index upgrades both caveats: a replayed batch
-    whose append crashed before its commit re-appends exactly once
-    (nothing uncommitted is visible), and inline compaction never
-    disturbs concurrent readers (they pinned the prior manifest)."""
+    A MANIFEST-layout index upgrades both caveats to EXACTLY-ONCE: a
+    replayed batch whose append crashed before its commit re-appends
+    exactly once (nothing uncommitted is visible); a replayed batch
+    whose append COMMITTED but whose streaming checkpoint didn't
+    advance is recognized by its ``(app_id, batch_id)`` token —
+    recorded atomically in the same manifest commit as the data — and
+    skipped; and inline compaction never disturbs concurrent readers
+    (they pinned the prior manifest). ``app_id`` names the query's
+    checkpoint lineage: restarting from a NEW checkpoint directory
+    resets batch ids, so it must come with a new app_id. On the rename
+    layout the token is recorded in ``index.json`` AFTER the data
+    lands (best-effort: it closes the clean-replay window, not the
+    crash-between window — that needs the manifest layout)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_lex_index(batch_df, path)
+        append_lex_index(batch_df, path, txn=(app_id, batch_id))
         if compact_over is not None:
             compact_lex_index(
                 batch_df.sparkSession,

@@ -89,6 +89,8 @@ __all__ = [
     "commit_manifest",
     "commit_with_retry",
     "retry_on_conflict",
+    "txn_version",
+    "with_txn",
     "next_gen",
     "written_parts",
     "add_gens",
@@ -390,6 +392,32 @@ def retry_on_conflict(fn, *, retries: int = 5):
         f"lost the commit race {retries + 1} times; concurrent "
         "writers are saturating this store"
     ) from last
+
+
+def txn_version(meta: dict, app_id: str) -> int:
+    """Highest idempotence token committed for ``app_id`` (-1 when
+    none). The Delta-style ``txn`` pattern: a streaming sink records
+    its (app_id, batch_id) IN the same manifest commit as the batch's
+    data, so a batch replayed after a crash-between-commit-and-
+    checkpoint is recognized and skipped — exactly-once appends, not
+    just at-least-once. ``app_id`` identifies the streaming query's
+    checkpoint lineage (restarting from a NEW checkpoint directory
+    resets batch ids to 0, so it must use a new app_id)."""
+    return int(meta.get("txn", {}).get(str(app_id), -1))
+
+
+def with_txn(meta: dict, txn: "tuple | None") -> dict:
+    """Copy of ``meta`` with the ``(app_id, batch_id)`` idempotence
+    token recorded (see :func:`txn_version`); unchanged when ``txn``
+    is None."""
+    if txn is None:
+        return meta
+    app_id, batch_id = txn
+    out = dict(meta)
+    t = dict(out.get("txn", {}))
+    t[str(app_id)] = int(batch_id)
+    out["txn"] = t
+    return out
 
 
 def _gen_seq(entry: str) -> int | None:

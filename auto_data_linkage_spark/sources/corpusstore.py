@@ -57,6 +57,7 @@ __all__ = [
     "load_corpus_snapshot",
     "append_corpus_snapshot",
     "upsert_corpus_snapshot",
+    "corpus_snapshot_sink",
     "compact_corpus_snapshot",
     "corpus_snapshot_history",
     "vacuum_corpus_snapshot",
@@ -158,6 +159,7 @@ def append_corpus_snapshot(
     delta: DataFrame,
     *,
     max_records_per_file: int = 5_000_000,
+    txn: tuple | None = None,
 ) -> dict:
     """INSERT-only ingest, O(delta): the delta lands as a fresh
     generation ADDED to its partitions' live lists — no existing
@@ -174,11 +176,19 @@ def append_corpus_snapshot(
     schedule :func:`compact_corpus_snapshot` on the
     ``part_file_counts`` fragmentation metric.
 
+    ``txn=(app_id, batch_id)`` records an idempotence token atomically
+    with the append, making streaming-checkpoint replays exactly-once
+    (see :func:`..operators.manifestfs.txn_version`).
+
     Returns ``{"partitions": n_touched, "rows_written": n, "version"}``.
     """
     snap = M.read_manifest(path)
     meta = snap["meta"]
     _check_meta(meta)
+    if txn is not None and M.txn_version(meta, txn[0]) >= int(txn[1]):
+        return {  # batch already committed: a checkpoint replay
+            "partitions": 0, "rows_written": 0, "version": snap["version"],
+        }
     gen = M.next_gen(path, _TABLE)
     parts = _write_gen(
         delta, path, gen,
@@ -192,7 +202,10 @@ def append_corpus_snapshot(
 
     def mutate(fresh: dict):
         _check_meta(fresh["meta"])  # raises across a re-purposed store
-        return M.add_gens(fresh["tables"], _TABLE, parts, gen), fresh["meta"]
+        return (
+            M.add_gens(fresh["tables"], _TABLE, parts, gen),
+            M.with_txn(fresh["meta"], txn),
+        )
 
     out = M.commit_with_retry(path, mutate)
     tdir = os.path.join(local_path(path), _TABLE)
@@ -334,6 +347,53 @@ def compact_corpus_snapshot(
         path, tables=tables, meta=meta, expected_version=snap["version"]
     )
     return {"compacted": sel, "version": out["version"]}
+
+
+def corpus_snapshot_sink(
+    path: str,
+    *,
+    compact_over: int | None = None,
+    max_records_per_file: int = 5_000_000,
+    app_id: str = "stream",
+):
+    """``foreachBatch`` sink for continuous corpus ingestion:
+    each micro-batch lands via :func:`append_corpus_snapshot` as one
+    atomic commit carrying the ``(app_id, batch_id)`` idempotence
+    token — EXACTLY-ONCE appends across checkpoint replays, whether
+    the crash hit before the commit (nothing visible, replay appends
+    cleanly) or between the commit and the checkpoint advance (the
+    token skips the replay). ``app_id`` names the streaming query's
+    checkpoint lineage; a new checkpoint directory must come with a
+    new app_id. ``compact_over`` bounds the stream's own fragmentation
+    (the same scheduling policy as the index sinks): after each
+    append, partitions holding more than that many files are merged
+    via :func:`compact_corpus_snapshot` — pinned readers are never
+    disturbed (they hold the prior manifest).
+
+    Usage::
+
+        docs.writeStream.foreachBatch(corpus_snapshot_sink("/corpus"))
+            .option("checkpointLocation", ckpt).start()
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_corpus_snapshot(
+            path,
+            batch_df,
+            max_records_per_file=max_records_per_file,
+            txn=(app_id, batch_id),
+        )
+        if compact_over is not None:
+            compact_corpus_snapshot(
+                batch_df.sparkSession,
+                path,
+                max_files_per_partition=compact_over,
+                target_rows_per_file=max_records_per_file,
+            )
+
+    return _sink
 
 
 def corpus_snapshot_history(path: str) -> list[dict]:

@@ -1,0 +1,195 @@
+"""Exactly-once streaming appends via the (app_id, batch_id) txn token
+(the Delta-style idempotent-sink pattern, manifestfs.txn_version).
+
+The crash window the token closes: foreachBatch COMMITTED the append,
+then the process died before the streaming checkpoint advanced —
+Structured Streaming replays the batch, and a token-less sink appends
+it twice. The replay is simulated exactly as the runtime produces it:
+the sink callable invoked again with the SAME batch_id. On the
+manifest layout the token rides the same atomic commit as the data,
+so this is true exactly-once; on the rename layout it is recorded
+after the data (best-effort, clean-replay only) — both asserted.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators import annindex as A
+from auto_data_linkage_spark.operators import graph as G
+from auto_data_linkage_spark.operators import lexindex as L
+from auto_data_linkage_spark.operators import manifestfs as M
+from auto_data_linkage_spark.operators.retrieval import query_terms_from_docs
+from auto_data_linkage_spark.sources import corpusstore as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=False)
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint(
+        eager=False
+    )
+
+
+def _lex_topk(spark, path, probes):
+    idx = L.load_lex_index(spark, path)
+    return {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in L.lex_index_topk(idx, probes, k=5).collect()
+    }
+
+
+@pytest.mark.parametrize("layout", ["manifest", "rename"])
+def test_lex_sink_replay_appends_once(spark, docs, tmp_path, layout):
+    root = str(tmp_path / "lex")
+    a = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    L.build_lex_index(a, root, n_buckets=4, layout=layout)
+    sink = L.lex_index_sink(root, app_id="q1")
+    probes = query_terms_from_docs(docs.orderBy("doc_id").limit(5), n_terms=6)
+    sink(b, 0)
+    n_docs = (
+        M.read_manifest(root)["meta"]["n_docs"]
+        if layout == "manifest"
+        else L.load_lex_index(spark, root).meta["n_docs"]
+    )
+    served = _lex_topk(spark, root, probes)
+    sink(b, 0)  # checkpoint replay of the SAME batch
+    if layout == "manifest":
+        meta2 = M.read_manifest(root)["meta"]
+        assert meta2["n_docs"] == n_docs
+        assert M.txn_version(meta2, "q1") == 0
+    else:
+        assert L.load_lex_index(spark, root).meta["n_docs"] == n_docs
+    assert _lex_topk(spark, root, probes) == served
+    # the NEXT batch id appends normally
+    c = (
+        docs.orderBy("doc_id").limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 9_000_000)
+        .select("doc_id", "text")
+    )
+    sink(c, 1)
+    meta3 = (
+        M.read_manifest(root)["meta"]
+        if layout == "manifest"
+        else L.load_lex_index(spark, root).meta
+    )
+    assert meta3["n_docs"] == n_docs + 3
+
+
+def test_lex_manifest_replay_skip_is_one_commit_atomic(spark, docs, tmp_path):
+    """The token must land in the SAME commit as the data: after the
+    replayed batch is skipped, the manifest version is unchanged (no
+    empty token-only commit) and history shows exactly one append."""
+    root = str(tmp_path / "lex")
+    a = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    L.build_lex_index(a, root, n_buckets=4, layout="manifest")
+    sink = L.lex_index_sink(root, app_id="q1")
+    sink(b, 0)
+    v = M.read_manifest(root)["version"]
+    sink(b, 0)
+    assert M.read_manifest(root)["version"] == v
+    assert [h["version"] for h in M.history(root)] == [1, 2]
+
+
+def test_ann_sink_replay_appends_once(spark, emb, tmp_path):
+    root = str(tmp_path / "ann")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1).localCheckpoint(eager=True)
+    A.build_ann_index(a, root, layout="manifest")
+    sink = A.ann_index_sink(root, app_id="q1")
+    sink(b, 0)
+    meta = M.read_manifest(root)["meta"]
+    sink(b, 0)  # replay
+    meta2 = M.read_manifest(root)["meta"]
+    assert meta2["n_rows"] == meta["n_rows"]
+    assert M.txn_version(meta2, "q1") == 0
+    q = emb.orderBy("vec_id").limit(5)
+    idx = A.load_ann_index(spark, root)
+    ref = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in A.ann_index_topk(idx, q, k=3).collect()
+    }
+    sink(b, 1)  # a NEW batch id of the same rows DOES append (dup ids)
+    assert M.read_manifest(root)["meta"]["n_rows"] == 2 * meta["n_rows"] - a.count()
+    assert ref  # served set non-trivial
+
+
+def test_edge_sink_replay_appends_once(spark, tmp_path):
+    root = str(tmp_path / "edges")
+    G.init_edge_store(root, n_buckets=4)
+    pages = spark.createDataFrame(
+        [
+            ("http://a.com/1", '<a href="http://b.com/x">b</a>'),
+            ("http://b.com/2", '<a href="http://c.com/y">c</a>'),
+        ],
+        "url string, html string",
+    )
+    sink = G.edge_store_sink(root, n_buckets=4, app_id="crawl")
+    sink(pages, 0)
+    edges = {
+        (r.src_domain, r.dst_domain, r.n_links)
+        for r in G.load_edges(spark, root).collect()
+    }
+    v = M.read_manifest(root)["version"]
+    sink(pages, 0)  # replay: n_links must NOT inflate
+    assert {
+        (r.src_domain, r.dst_domain, r.n_links)
+        for r in G.load_edges(spark, root).collect()
+    } == edges
+    assert M.read_manifest(root)["version"] == v
+    sink(pages, 1)  # a genuinely new batch doubles the counts
+    assert {
+        (r.src_domain, r.dst_domain, r.n_links)
+        for r in G.load_edges(spark, root).collect()
+    } == {(s, d, 2 * n) for s, d, n in edges}
+
+
+def test_corpus_sink_replay_appends_once(spark, docs, tmp_path):
+    root = str(tmp_path / "corpus")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    C.build_corpus_snapshot(base, root, key="doc_id", partition_by=["lang"])
+    batch = (
+        docs.where(F.col("doc_id") % 2 == 1).localCheckpoint(eager=True)
+    )
+    sink = C.corpus_snapshot_sink(root, app_id="ingest")
+    sink(batch, 0)
+    n = C.load_corpus_snapshot(spark, root).count()
+    assert n == docs.count()
+    sink(batch, 0)  # replay
+    assert C.load_corpus_snapshot(spark, root).count() == n
+    assert M.read_manifest(root)["version"] == 2
+    nxt = batch.withColumn("doc_id", F.col("doc_id") + 7_000_000)
+    sink(nxt, 1)
+    assert C.load_corpus_snapshot(spark, root).count() == n + batch.count()
+
+
+def test_two_apps_do_not_collide(spark, docs, tmp_path):
+    """Tokens are per app_id: two queries (different checkpoint
+    lineages) both at batch 0 must BOTH append."""
+    root = str(tmp_path / "lex")
+    a = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    L.build_lex_index(a, root, n_buckets=4, layout="manifest")
+    n0 = M.read_manifest(root)["meta"]["n_docs"]
+    b = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    L.lex_index_sink(root, app_id="q1")(b.limit(4), 0)
+    L.lex_index_sink(root, app_id="q2")(b.subtract(b.limit(4)).limit(4), 0)
+    meta = M.read_manifest(root)["meta"]
+    assert meta["n_docs"] == n0 + 8
+    assert M.txn_version(meta, "q1") == 0 and M.txn_version(meta, "q2") == 0
