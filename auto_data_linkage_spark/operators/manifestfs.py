@@ -231,7 +231,12 @@ def _readable_version(path: str, version: int) -> bool:
 
 
 def commit_manifest(
-    root: str, *, tables: dict, meta: dict, expected_version: int
+    root: str,
+    *,
+    tables: dict,
+    meta: dict,
+    expected_version: int,
+    op: str | None = None,
 ) -> dict:
     """Atomically commit ``expected_version + 1``. On posix the commit
     is: write the FULL manifest to a hidden temp file (fsync), then
@@ -251,6 +256,12 @@ def commit_manifest(
     :class:`ManifestConflictError` on a genuinely lost race."""
     version = int(expected_version) + 1
     manifest = {"version": version, "meta": meta, "tables": tables}
+    if op is not None:
+        # commit-kind label ("build"/"append"/"upsert"/"compact"/...):
+        # lets history() and change feeds tell content-ADDING commits
+        # from content-preserving rewrites without guessing from the
+        # table deltas
+        manifest["op"] = str(op)
     be = _backend(root)
     if be is not None:
         name = _vname(version)
@@ -323,13 +334,19 @@ def commit_manifest(
     )
 
 
-def init_manifest_store(root: str, *, tables: dict, meta: dict) -> dict:
+def init_manifest_store(
+    root: str, *, tables: dict, meta: dict, op: str | None = None
+) -> dict:
     """Create the store: data (if any) must already sit in its gen
     dirs; this commits manifest v1."""
-    return commit_manifest(root, tables=tables, meta=meta, expected_version=0)
+    return commit_manifest(
+        root, tables=tables, meta=meta, expected_version=0, op=op
+    )
 
 
-def commit_with_retry(root: str, mutate, *, retries: int = 5) -> dict:
+def commit_with_retry(
+    root: str, mutate, *, retries: int = 5, op: str | None = None
+) -> dict:
     """Commit a DELTA mutation with optimistic merge-retry — the
     concurrency upgrade for additive writers (appends, takedowns):
     a streaming sink can keep appending while another session commits,
@@ -354,7 +371,7 @@ def commit_with_retry(root: str, mutate, *, retries: int = 5) -> dict:
         try:
             return commit_manifest(
                 root, tables=tables, meta=meta,
-                expected_version=snap["version"],
+                expected_version=snap["version"], op=op,
             )
         except ManifestConflictError as e:
             last = e
@@ -597,7 +614,12 @@ def history(root: str) -> list[dict]:
             if prev[t] - cur.get(t, set())
         }
         out.append(
-            {"version": int(m["version"]), "added": added, "removed": removed}
+            {
+                "version": int(m["version"]),
+                "op": m.get("op"),
+                "added": added,
+                "removed": removed,
+            }
         )
         prev = cur
     return out

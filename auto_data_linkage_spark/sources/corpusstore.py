@@ -59,6 +59,7 @@ __all__ = [
     "upsert_corpus_snapshot",
     "corpus_snapshot_sink",
     "compact_corpus_snapshot",
+    "corpus_snapshot_changes",
     "corpus_snapshot_history",
     "vacuum_corpus_snapshot",
 ]
@@ -125,7 +126,7 @@ def build_corpus_snapshot(
         "sort_by": list(sort_by) if sort_by else None,
     }
     tables = M.add_gens({}, _TABLE, parts, gen)
-    M.init_manifest_store(path, tables=tables, meta=meta)
+    M.init_manifest_store(path, tables=tables, meta=meta, op="build")
     return meta
 
 
@@ -207,7 +208,7 @@ def append_corpus_snapshot(
             M.with_txn(fresh["meta"], txn),
         )
 
-    out = M.commit_with_retry(path, mutate)
+    out = M.commit_with_retry(path, mutate, op="append")
     tdir = os.path.join(local_path(path), _TABLE)
     n = delta.sparkSession.read.parquet(
         os.path.join(tdir, gen)
@@ -299,7 +300,8 @@ def _upsert_once(
     # REPLACE those parts' live lists with the rewrite, add new ones
     tables = M.replace_parts(snap["tables"], _TABLE, parts, gen, path)
     out = M.commit_manifest(
-        path, tables=tables, meta=meta, expected_version=snap["version"]
+        path, tables=tables, meta=meta,
+        expected_version=snap["version"], op="upsert",
     )
     n = merged.count()
     return {
@@ -344,7 +346,8 @@ def compact_corpus_snapshot(
     )
     tables = M.replace_parts(snap["tables"], _TABLE, sel, gen, path)
     out = M.commit_manifest(
-        path, tables=tables, meta=meta, expected_version=snap["version"]
+        path, tables=tables, meta=meta,
+        expected_version=snap["version"], op="compact",
     )
     return {"compacted": sel, "version": out["version"]}
 
@@ -397,9 +400,76 @@ def corpus_snapshot_sink(
 
 
 def corpus_snapshot_history(path: str) -> list[dict]:
-    """Per-version partition add/remove audit trail (see
-    :func:`..operators.manifestfs.history`)."""
+    """Per-version partition add/remove audit trail, each entry labeled
+    with its commit kind (``op``: build/append/upsert/compact) — see
+    :func:`..operators.manifestfs.history`."""
     return M.history(path)
+
+
+def corpus_snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    *,
+    since: int,
+    until: int | None = None,
+) -> DataFrame:
+    """Change feed: the rows each content-CHANGING commit in
+    ``(since, until]`` added, labeled with ``_commit_version`` and
+    ``_commit_op`` — so an incremental downstream pipeline re-processes
+    only what new versions brought instead of re-scanning the corpus
+    (the Delta change-data-feed idea, at the granularity this layout
+    records for free).
+
+    Semantics per commit kind: ``append`` rows are exact row-level
+    inserts; ``upsert`` rows are the POST-MERGE content of the touched
+    partitions (partition-granular change feed — the unit the commit
+    actually replaced; reprocess those partitions downstream);
+    ``compact`` commits rewrite without changing content and are
+    EXCLUDED. Versions already reclaimed by vacuum raise with the
+    retention hint (raise ``keep_manifests`` if the feed must reach
+    further back)."""
+    snap = M.read_manifest(path)  # also validates the store exists
+    _check_meta(snap["meta"])
+    last = int(until if until is not None else snap["version"])
+    out: DataFrame | None = None
+    prev = M.read_manifest(path, version=since)
+    tdir = os.path.join(local_path(path), _TABLE)
+    for v in range(int(since) + 1, last + 1):
+        cur = M.read_manifest(path, version=v)
+        if cur.get("op") == "compact":
+            prev = cur
+            continue
+        seen = {
+            g
+            for gens in prev["tables"].get(_TABLE, {}).values()
+            for g in gens
+        }
+        added_paths = []
+        for part, gens in cur["tables"].get(_TABLE, {}).items():
+            for g in gens:
+                if g not in seen:
+                    added_paths.append(
+                        os.path.join(tdir, g)
+                        if part == ""
+                        else os.path.join(tdir, g, part)
+                    )
+        prev = cur
+        if not added_paths:
+            continue
+        df = (
+            spark.read.option("basePath", tdir)
+            .parquet(*sorted(set(added_paths)))
+            .drop("gen")
+            .withColumn("_commit_version", F.lit(v))
+            .withColumn("_commit_op", F.lit(cur.get("op") or "unknown"))
+        )
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        df = load_corpus_snapshot(spark, path).limit(0)
+        return df.withColumn("_commit_version", F.lit(0)).withColumn(
+            "_commit_op", F.lit("none")
+        )
+    return out
 
 
 def vacuum_corpus_snapshot(

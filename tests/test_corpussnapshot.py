@@ -273,6 +273,57 @@ def test_compaction_rewrites_only_fragmented_partitions(spark, docs, tmp_path):
     assert _rows(C.load_corpus_snapshot(spark, root)) == before
 
 
+def test_change_feed_labels_and_excludes_compaction(spark, docs, tmp_path):
+    root = str(tmp_path / "snap")
+    C.build_corpus_snapshot(docs, root, key="doc_id", partition_by=["lang"])
+    ins = (
+        docs.orderBy("doc_id").limit(6)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .localCheckpoint(eager=True)
+    )
+    C.append_corpus_snapshot(root, ins)  # v2: row-level inserts
+    hot = docs.orderBy("doc_id").first()["lang"]
+    rep = (
+        docs.where(F.col("lang") == hot).limit(3)
+        .withColumn("text", F.lit("patched"))
+        .localCheckpoint(eager=True)
+    )
+    C.upsert_corpus_snapshot(spark, root, rep)  # v3: partition rewrite
+    C.append_corpus_snapshot(root, ins.withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    ))  # v4 (fragments the ins partitions)
+    C.compact_corpus_snapshot(spark, root, max_files_per_partition=1)  # v5
+
+    ops = {h["version"]: h["op"] for h in C.corpus_snapshot_history(root)}
+    assert ops == {1: "build", 2: "append", 3: "upsert", 4: "append",
+                   5: "compact"}
+
+    ch = C.corpus_snapshot_changes(spark, root, since=1)
+    vs = {r["_commit_version"] for r in ch.select("_commit_version").collect()}
+    assert vs == {2, 3, 4}  # compaction (v5) adds NO change rows
+    # v2 append: exactly the inserted rows
+    v2 = ch.where(F.col("_commit_version") == 2)
+    assert _rows(v2.drop("_commit_version", "_commit_op")) == _rows(ins)
+    assert {r["_commit_op"] for r in v2.select("_commit_op").collect()} == {
+        "append"
+    }
+    # v3 upsert: the touched partition's POST-MERGE content
+    v3 = ch.where(F.col("_commit_version") == 3)
+    snap_v3 = C.load_corpus_snapshot(spark, root, version=3)
+    assert _rows(v3.drop("_commit_version", "_commit_op")) == _rows(
+        snap_v3.where(F.col("lang") == hot)
+    )
+    # bounded window: (2, 3] sees only the upsert
+    win = C.corpus_snapshot_changes(spark, root, since=2, until=3)
+    assert {
+        r["_commit_version"] for r in win.select("_commit_version").collect()
+    } == {3}
+    # a feed reaching past vacuumed history raises with the hint
+    C.vacuum_corpus_snapshot(root, keep_manifests=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError, match="keep_manifests"):
+        C.corpus_snapshot_changes(spark, root, since=1).count()
+
+
 def test_lifecycle_on_memory_commit_log(spark, docs, tmp_path):
     from auto_data_linkage_spark.sources.layout import MemoryCommitStore
 
