@@ -425,14 +425,24 @@ def corpus_snapshot_changes(
     partitions (partition-granular change feed — the unit the commit
     actually replaced; reprocess those partitions downstream);
     ``compact`` commits rewrite without changing content and are
-    EXCLUDED. Versions already reclaimed by vacuum raise with the
-    retention hint (raise ``keep_manifests`` if the feed must reach
-    further back)."""
+    EXCLUDED. ``since=0`` reads from the beginning (the ``build``
+    commit included). Versions already reclaimed by vacuum raise with
+    the retention hint (raise ``keep_manifests`` if the feed must
+    reach further back)."""
     snap = M.read_manifest(path)  # also validates the store exists
     _check_meta(snap["meta"])
     last = int(until if until is not None else snap["version"])
+    if last > int(snap["version"]):
+        raise ValueError(
+            f"until={last} is beyond the store's head version "
+            f"{snap['version']}"
+        )
     out: DataFrame | None = None
-    prev = M.read_manifest(path, version=since)
+    prev = (
+        {"tables": {}}
+        if int(since) == 0
+        else M.read_manifest(path, version=since)
+    )
     tdir = os.path.join(local_path(path), _TABLE)
     for v in range(int(since) + 1, last + 1):
         cur = M.read_manifest(path, version=v)

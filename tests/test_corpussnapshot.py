@@ -318,6 +318,20 @@ def test_change_feed_labels_and_excludes_compaction(spark, docs, tmp_path):
     assert {
         r["_commit_version"] for r in win.select("_commit_version").collect()
     } == {3}
+    # since=0 includes the build commit itself
+    full = C.corpus_snapshot_changes(spark, root, since=0)
+    assert {
+        r["_commit_version"] for r in full.select("_commit_version").collect()
+    } == {1, 2, 3, 4}
+    assert (
+        full.where(F.col("_commit_version") == 1)
+        .select("_commit_op")
+        .distinct()
+        .collect()[0][0]
+        == "build"
+    )
+    with pytest.raises(ValueError, match="beyond the store"):
+        C.corpus_snapshot_changes(spark, root, since=0, until=99)
     # a feed reaching past vacuumed history raises with the hint
     C.vacuum_corpus_snapshot(root, keep_manifests=1, min_age_seconds=0)
     with pytest.raises(FileNotFoundError, match="keep_manifests"):
