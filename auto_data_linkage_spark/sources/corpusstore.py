@@ -124,6 +124,10 @@ def build_corpus_snapshot(
         "key": key,
         "partition_by": list(partition_by),
         "sort_by": list(sort_by) if sort_by else None,
+        # column inventory: appends/upserts validate against this so a
+        # delta missing a column can never silently drop it from the
+        # merged partitions (see _check_columns)
+        "columns": sorted(df.columns),
     }
     tables = M.add_gens({}, _TABLE, parts, gen)
     M.init_manifest_store(path, tables=tables, meta=meta, op="build")
@@ -135,6 +139,25 @@ def _check_meta(meta: dict) -> None:
         raise ValueError(
             f"not a corpus snapshot store (meta: version="
             f"{meta.get('version')!r}, kind={meta.get('kind')!r})"
+        )
+
+
+def _check_columns(meta: dict, delta: DataFrame, what: str) -> None:
+    """A delta whose column set differs from the store's is a hard
+    error: the merge keeps surviving rows via
+    ``old.select(*delta.columns)``, so a MISSING delta column would
+    silently drop that column from every kept row of the touched
+    partitions (data loss, not a crash), and an EXTRA column would
+    fork the stored schema between generations."""
+    want = set(meta["columns"])
+    got = set(delta.columns)
+    if want != got:
+        missing = sorted(want - got)
+        extra = sorted(got - want)
+        raise ValueError(
+            f"{what} delta columns do not match the corpus snapshot's: "
+            f"missing {missing or '[]'}, unexpected {extra or '[]'} "
+            f"(stored columns: {sorted(want)})"
         )
 
 
@@ -186,6 +209,7 @@ def append_corpus_snapshot(
     snap = M.read_manifest(path)
     meta = snap["meta"]
     _check_meta(meta)
+    _check_columns(meta, delta, "append")
     if txn is not None and M.txn_version(meta, txn[0]) >= int(txn[1]):
         return {  # batch already committed: a checkpoint replay
             "partitions": 0, "rows_written": 0, "version": snap["version"],
@@ -254,6 +278,7 @@ def _upsert_once(
     snap = M.read_manifest(path)
     meta = snap["meta"]
     _check_meta(meta)
+    _check_columns(meta, delta, "upsert")
     key = meta["key"]
     partition_by = meta["partition_by"]
 

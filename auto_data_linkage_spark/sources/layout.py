@@ -135,7 +135,19 @@ def _merge_touched(
 
     merged = delta
     try:
-        old = spark.read.parquet(path).where(cond).select(*delta.columns)
+        corpus = spark.read.parquet(path)
+        # a delta MISSING a corpus column would make the select below
+        # silently drop that column from every kept row of the touched
+        # partitions (data loss, not a crash); an extra column would
+        # fork the stored schema — both are hard errors
+        if set(corpus.columns) != set(delta.columns):
+            missing = sorted(set(corpus.columns) - set(delta.columns))
+            extra = sorted(set(delta.columns) - set(corpus.columns))
+            raise ValueError(
+                "upsert delta columns do not match the corpus: missing "
+                f"{missing or '[]'}, unexpected {extra or '[]'}"
+            )
+        old = corpus.where(cond).select(*delta.columns)
         keep = old.join(
             F.broadcast(delta.select(key).distinct()), key, "left_anti"
         )

@@ -367,3 +367,25 @@ def test_guards(spark, docs, tmp_path):
     # empty delta: no commit, version unchanged
     out = C.upsert_corpus_snapshot(spark, root, docs.limit(0))
     assert out == {"partitions": 0, "rows_written": 0, "version": 1}
+    # a delta MISSING a column must be rejected, not silently drop the
+    # column from the kept rows of the touched partitions
+    with pytest.raises(ValueError, match="missing \\['text'\\]"):
+        C.upsert_corpus_snapshot(spark, root, docs.drop("text").limit(3))
+    with pytest.raises(ValueError, match="unexpected \\['score'\\]"):
+        C.append_corpus_snapshot(
+            root, docs.limit(3).withColumn("score", F.lit(1.0))
+        )
+
+
+def test_inplace_upsert_rejects_schema_drift(spark, docs, tmp_path):
+    """layout.upsert_corpus had the same silent-column-drop hazard:
+    a delta lacking a corpus column made the merge keep rows via
+    old.select(*delta.columns), erasing that column from the whole
+    touched partition."""
+    root = str(tmp_path / "flat")
+    L.write_corpus(docs, root, partition_by=["lang"])
+    with pytest.raises(ValueError, match="missing \\['text'\\]"):
+        L.upsert_corpus(
+            spark, root, docs.drop("text").limit(3),
+            key="doc_id", partition_by=["lang"],
+        )
