@@ -1646,12 +1646,15 @@ _DEPRIORITIZED = (
     # same check); the degree/reciprocity stats stay driver-identically
     # checked back-window by test_oracle_window:
     "link_graph",
-    # registered DIRECTLY into the back window (minhash-lsh family
-    # holds near_dedup_keep_best's driver row, which runs the identical
-    # banding + guard chain; the matrix tail is two unique-key
-    # equi-joins + a |sources|²-bounded aggregate) — test_oracle_window
-    # runs the full driver comparison:
-    "source_overlap_matrix",
+    # round-12 rotation: source_overlap_matrix promoted to the driver
+    # window (the r11 addition's standing-rule driver row: the certified
+    # LSH banding chain composed with two unique-key equi-joins and the
+    # |sources|²-bounded matrix aggregate); anchor_pairs demoted in
+    # exchange — its extraction machinery stays front via html_extract
+    # and the link-graph family keeps four driver rows (domain_pagerank,
+    # domain_rank_prune, domain_authority_prune, html_extract); the
+    # anchor-text pairing stays driver-identically checked back-window:
+    "anchor_pairs",
     # round-11 rotation: domain_authority_prune (the HITS composition
     # row over the REAL path — html → extract_links → hits → top-k
     # authority gate, per the r10 verdict #3) promoted; domain_hits
