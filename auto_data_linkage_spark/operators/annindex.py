@@ -830,21 +830,27 @@ def rebuild_ann_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
 
 
 def ann_index_sink(
-    path: str, *, compact_over: int | None = None, app_id: str = "stream"
+    path: str,
+    *,
+    compact_over: int | None = None,
+    app_id: str | None = None,
 ):
     """``foreachBatch`` sink folding each micro-batch of vectors into
     the persisted index via :func:`append_ann_index` — continuous
     embedding ingestion (the streaming analog of
     ``streaming.documents.upsert_sink``). The index must already exist
     (:func:`build_ann_index` on the initial corpus). On a MANIFEST-
-    layout index, appends are EXACTLY-ONCE across replays: the
-    ``(app_id, batch_id)`` idempotence token commits atomically with
-    the batch's coded rows, so a batch replayed after a crash — before
-    OR after its commit — lands exactly once (see
-    :func:`manifestfs.txn_version`; ``app_id`` names the query's
-    checkpoint lineage and must change with a new checkpoint dir). On
-    the rename layout the token is best-effort (recorded after the
-    data): dedup ids upstream, the standard append-sink caveat.
+    layout index with ``app_id`` set, appends are EXACTLY-ONCE across
+    replays: the ``(app_id, batch_id)`` idempotence token commits
+    atomically with the batch's coded rows, so a batch replayed after
+    a crash — before OR after its commit — lands exactly once (see
+    :func:`manifestfs.txn_version`). ``app_id`` names the query's
+    checkpoint lineage and is OPT-IN (default None = no token): an
+    implicit shared default would silently drop the first batches of a
+    new query whose fresh checkpoint resets batch ids — a new
+    checkpoint dir must come with a new app_id. On the rename layout
+    the token is best-effort (recorded after the data): dedup ids
+    upstream, the standard append-sink caveat.
 
     ``compact_over`` enables inline maintenance: after each append, any
     cell directory holding more than that many parquet files is
@@ -867,7 +873,11 @@ def ann_index_sink(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_ann_index(batch_df, path, txn=(app_id, batch_id))
+        append_ann_index(
+            batch_df,
+            path,
+            txn=None if app_id is None else (app_id, batch_id),
+        )
         if compact_over is not None:
             compact_ann_index(
                 batch_df.sparkSession, path, max_files_per_cell=compact_over

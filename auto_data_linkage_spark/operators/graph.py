@@ -599,7 +599,7 @@ def edge_store_sink(
     n_buckets: int = 16,
     drop_self: bool = True,
     compact_over: int | None = None,
-    app_id: str = "stream",
+    app_id: str | None = None,
 ):
     """``foreachBatch`` sink maintaining a persistent domain edge store
     from a stream of raw pages (the continuous-crawl twin of
@@ -623,15 +623,19 @@ def edge_store_sink(
     checkpointLocation at the query, the standard append-sink caveat.
 
     A store created with :func:`init_edge_store`'s ``layout="manifest"``
-    is auto-detected and EXACTLY-ONCE: each micro-batch's delta lands
-    in a fresh ``gen=N`` dir under ``<path>/edges`` and becomes visible
-    at ONE manifest commit (:mod:`.manifestfs`) that also records the
-    ``(app_id, batch_id)`` idempotence token — a replay of a batch
-    whose commit never happened appends cleanly, a replay of a batch
-    that DID commit (crash before the checkpoint advanced) is skipped
-    by its token, and no rename is ever performed (object-store-safe
-    maintenance). ``app_id`` names the query's checkpoint lineage; a
-    new checkpoint directory must come with a new app_id.
+    is auto-detected and — with ``app_id`` set — EXACTLY-ONCE: each
+    micro-batch's delta lands in a fresh ``gen=N`` dir under
+    ``<path>/edges`` and becomes visible at ONE manifest commit
+    (:mod:`.manifestfs`) that also records the ``(app_id, batch_id)``
+    idempotence token — a replay of a batch whose commit never
+    happened appends cleanly, a replay of a batch that DID commit
+    (crash before the checkpoint advanced) is skipped by its token,
+    and no rename is ever performed (object-store-safe maintenance).
+    ``app_id`` names the query's checkpoint lineage and is OPT-IN
+    (default None = no token): an implicit shared default would
+    silently drop the first batches of a new query whose fresh
+    checkpoint resets batch ids — a new checkpoint directory must come
+    with a new app_id.
 
     ``compact_over`` is the scheduling policy the other two index
     sinks carry (:func:`lexindex.lex_index_sink`,
@@ -650,7 +654,9 @@ def edge_store_sink(
             return
         if M.is_manifest_store(path):
             snap = M.read_manifest(path)
-            if M.txn_version(snap["meta"], app_id) >= batch_id:
+            if app_id is not None and (
+                M.txn_version(snap["meta"], app_id) >= batch_id
+            ):
                 return  # batch already committed: a checkpoint replay
             nb = int(snap["meta"].get("n_buckets", n_buckets))
             local = M.local_path(path)
@@ -682,7 +688,12 @@ def edge_store_sink(
                         )
                     return (
                         M.add_gens(fresh["tables"], "edges", parts, gen),
-                        M.with_txn(fresh["meta"], (app_id, batch_id)),
+                        M.with_txn(
+                            fresh["meta"],
+                            None
+                            if app_id is None
+                            else (app_id, batch_id),
+                        ),
                     )
 
                 M.commit_with_retry(path, mutate)

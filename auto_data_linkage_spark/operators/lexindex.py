@@ -808,7 +808,10 @@ def rebuild_lex_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
 
 
 def lex_index_sink(
-    path: str, *, compact_over: int | None = None, app_id: str = "stream"
+    path: str,
+    *,
+    compact_over: int | None = None,
+    app_id: str | None = None,
 ):
     """``foreachBatch`` sink folding each micro-batch of documents into
     the persisted index via :func:`append_lex_index` — continuous
@@ -823,24 +826,32 @@ def lex_index_sink(
     explicit maintenance window. POSIX-rename assumption in
     :mod:`.storefs`.
 
-    A MANIFEST-layout index upgrades both caveats to EXACTLY-ONCE: a
-    replayed batch whose append crashed before its commit re-appends
-    exactly once (nothing uncommitted is visible); a replayed batch
-    whose append COMMITTED but whose streaming checkpoint didn't
-    advance is recognized by its ``(app_id, batch_id)`` token —
-    recorded atomically in the same manifest commit as the data — and
-    skipped; and inline compaction never disturbs concurrent readers
-    (they pinned the prior manifest). ``app_id`` names the query's
-    checkpoint lineage: restarting from a NEW checkpoint directory
-    resets batch ids, so it must come with a new app_id. On the rename
-    layout the token is recorded in ``index.json`` AFTER the data
-    lands (best-effort: it closes the clean-replay window, not the
-    crash-between window — that needs the manifest layout)."""
+    A MANIFEST-layout index upgrades both caveats, and with ``app_id``
+    set becomes EXACTLY-ONCE: a replayed batch whose append crashed
+    before its commit re-appends exactly once (nothing uncommitted is
+    visible); a replayed batch whose append COMMITTED but whose
+    streaming checkpoint didn't advance is recognized by its
+    ``(app_id, batch_id)`` token — recorded atomically in the same
+    manifest commit as the data — and skipped; and inline compaction
+    never disturbs concurrent readers (they pinned the prior
+    manifest). ``app_id`` names the query's checkpoint lineage and is
+    deliberately OPT-IN (default None = no token, at-least-once): a
+    shared implicit default would silently DROP the first batches of
+    any new query whose fresh checkpoint resets batch ids to 0 —
+    restarting from a new checkpoint directory must come with a new
+    app_id. On the rename layout the token is recorded in
+    ``index.json`` AFTER the data lands (best-effort: it closes the
+    clean-replay window, not the crash-between window — that needs the
+    manifest layout)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_lex_index(batch_df, path, txn=(app_id, batch_id))
+        append_lex_index(
+            batch_df,
+            path,
+            txn=None if app_id is None else (app_id, batch_id),
+        )
         if compact_over is not None:
             compact_lex_index(
                 batch_df.sparkSession,

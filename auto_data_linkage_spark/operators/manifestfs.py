@@ -220,6 +220,23 @@ def read_manifest(root: str, version: int | None = None) -> dict:
     raise FileNotFoundError(f"no readable manifest for {root}")
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so a just-created entry (the published
+    manifest name) survives power loss — the standard pairing with the
+    file-content fsync. Best-effort on filesystems that reject
+    directory fds."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _readable_version(path: str, version: int) -> bool:
     """Does ``path`` hold a complete manifest for ``version``?"""
     try:
@@ -314,17 +331,47 @@ def commit_manifest(
         for _ in range(2):
             try:
                 os.link(tmp, target)
+                _fsync_dir(mdir)  # durability: the name itself must
+                # reach disk before the commit is acknowledged — a
+                # power loss after the ack would otherwise un-commit a
+                # batch whose streaming checkpoint already advanced
                 return manifest
             except FileExistsError:
                 if _readable_version(target, version):
                     break  # a real concurrent commit won the slot
-                # torn debris: link-published files are always complete,
-                # so an unreadable occupant is a dead writer's leftover
-                # — reclaim the slot and retry the publish once.
+                # Torn debris (link-published files are always complete,
+                # so an unreadable occupant is external corruption or a
+                # pre-link-era writer's leftover): reclaim the slot —
+                # but ONLY under an exclusive sidecar lock. A bare
+                # check-then-remove races a concurrent reclaimer: the
+                # loser's remove would delete the winner's just-
+                # published COMPLETE manifest, silently losing an
+                # acknowledged commit. Non-reclaiming committers never
+                # need the lock (os.link is exclusive on its own); the
+                # critical section is sub-millisecond, and a lock
+                # orphaned by a crash inside it is cleared by vacuum
+                # past the age floor.
+                lock = target + ".reclaim"
                 try:
-                    os.remove(target)
-                except FileNotFoundError:
-                    pass
+                    os.close(
+                        os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    )
+                except FileExistsError:
+                    raise ManifestConflictError(
+                        f"version {version} of {root} has a torn manifest "
+                        "being reclaimed by another writer — retry; if "
+                        f"{lock} persists, its owner died mid-reclaim "
+                        "(vacuum clears it past the age floor)"
+                    ) from None
+                try:
+                    if _readable_version(target, version):
+                        break  # a complete manifest landed while racing
+                    try:
+                        os.remove(target)
+                    except FileNotFoundError:
+                        pass
+                finally:
+                    os.remove(lock)
     finally:
         os.remove(tmp)
     raise ManifestConflictError(
@@ -724,9 +771,13 @@ def vacuum(
         removed_manifests.append(name)
     if be is None and os.path.isdir(_mdir(root)):
         # hidden temp files of dead writers (commit publishes by link)
+        # and reclaim locks orphaned by a crash inside the torn-slot
+        # critical section (commit_manifest)
         for entry in os.listdir(_mdir(root)):
             tpath = os.path.join(_mdir(root), entry)
-            if entry.startswith(".tmp-") and (
+            if (
+                entry.startswith(".tmp-") or entry.endswith(".reclaim")
+            ) and (
                 min_age_seconds <= 0 or _entry_age(tpath) >= min_age_seconds
             ):
                 os.remove(tpath)

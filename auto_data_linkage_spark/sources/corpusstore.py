@@ -128,6 +128,10 @@ def build_corpus_snapshot(
         # delta missing a column can never silently drop it from the
         # merged partitions (see _check_columns)
         "columns": sorted(df.columns),
+        # full schema, so an empty store (built from an empty frame,
+        # or before the first streaming batch) still loads as a typed
+        # empty DataFrame instead of erroring
+        "schema": df.schema.json(),
     }
     tables = M.add_gens({}, _TABLE, parts, gen)
     M.init_manifest_store(path, tables=tables, meta=meta, op="build")
@@ -174,7 +178,14 @@ def load_corpus_snapshot(
     _check_meta(snap["meta"])
     df = M.read_table(spark, path, _TABLE, snap)
     if df is None:
-        raise FileNotFoundError(f"corpus snapshot {path} holds no data")
+        # a store built empty (or awaiting its first streaming batch)
+        # is valid: serve a typed empty frame from the stored schema
+        import json
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(snap["meta"]["schema"]))
+        return spark.createDataFrame([], schema)
     return df
 
 
@@ -215,6 +226,11 @@ def append_corpus_snapshot(
             "partitions": 0, "rows_written": 0, "version": snap["version"],
         }
     gen = M.next_gen(path, _TABLE)
+    # lazy checkpoint: the WRITE below materializes it, and the
+    # rows_written count then reads the checkpointed blocks instead of
+    # paying a second scan of the delta (or of the freshly written
+    # parquet) per streaming micro-batch
+    delta = delta.localCheckpoint(eager=False)
     parts = _write_gen(
         delta, path, gen,
         partition_by=meta["partition_by"], sort_by=meta.get("sort_by"),
@@ -233,10 +249,7 @@ def append_corpus_snapshot(
         )
 
     out = M.commit_with_retry(path, mutate, op="append")
-    tdir = os.path.join(local_path(path), _TABLE)
-    n = delta.sparkSession.read.parquet(
-        os.path.join(tdir, gen)
-    ).count()
+    n = delta.count()
     return {
         "partitions": len(parts),
         "rows_written": int(n),
@@ -292,15 +305,12 @@ def _upsert_once(
         }
     # Planning-time partition filter (never hand-built directory paths:
     # Spark owns partition-value escaping in BOTH directions — it wrote
-    # the dir names, it parses them back), pruned against the PINNED
-    # snapshot's paths only.
-    cond = None
-    for vals in touched:
-        one = None
-        for c, v in zip(partition_by, vals):
-            expr = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
-            one = expr if one is None else (one & expr)
-        cond = one if cond is None else (cond | one)
+    # the dir names, it parses them back), null-safe, shared with the
+    # in-place MERGE (layout.touched_partition_filter), pruned against
+    # the PINNED snapshot's paths only.
+    from .layout import touched_partition_filter
+
+    cond = touched_partition_filter(partition_by, touched)
     merged = delta
     old = M.read_table(spark, path, _TABLE, snap)
     if old is not None:
@@ -382,17 +392,20 @@ def corpus_snapshot_sink(
     *,
     compact_over: int | None = None,
     max_records_per_file: int = 5_000_000,
-    app_id: str = "stream",
+    app_id: str | None = None,
 ):
     """``foreachBatch`` sink for continuous corpus ingestion:
     each micro-batch lands via :func:`append_corpus_snapshot` as one
-    atomic commit carrying the ``(app_id, batch_id)`` idempotence
-    token — EXACTLY-ONCE appends across checkpoint replays, whether
-    the crash hit before the commit (nothing visible, replay appends
-    cleanly) or between the commit and the checkpoint advance (the
-    token skips the replay). ``app_id`` names the streaming query's
-    checkpoint lineage; a new checkpoint directory must come with a
-    new app_id. ``compact_over`` bounds the stream's own fragmentation
+    atomic commit — and, with ``app_id`` set, carries the
+    ``(app_id, batch_id)`` idempotence token for EXACTLY-ONCE appends
+    across checkpoint replays, whether the crash hit before the commit
+    (nothing visible, replay appends cleanly) or between the commit
+    and the checkpoint advance (the token skips the replay).
+    ``app_id`` names the streaming query's checkpoint lineage and is
+    OPT-IN (default None = no token): an implicit shared default would
+    silently drop the first batches of a new query whose fresh
+    checkpoint resets batch ids — a new checkpoint directory must come
+    with a new app_id. ``compact_over`` bounds the stream's own fragmentation
     (the same scheduling policy as the index sinks): after each
     append, partitions holding more than that many files are merged
     via :func:`compact_corpus_snapshot` — pinned readers are never
@@ -411,7 +424,7 @@ def corpus_snapshot_sink(
             path,
             batch_df,
             max_records_per_file=max_records_per_file,
-            txn=(app_id, batch_id),
+            txn=None if app_id is None else (app_id, batch_id),
         )
         if compact_over is not None:
             compact_corpus_snapshot(

@@ -98,6 +98,26 @@ def compact_corpus(
     return total
 
 
+def touched_partition_filter(partition_by: list[str], touched) -> "F.Column":
+    """Planning-time partition predicate for a list of touched
+    partition-value tuples — OR of per-tuple ANDs built with NULL-SAFE
+    equality. Plain ``==``/``isin`` evaluate to NULL for a NULL
+    partition value (Spark's ``__HIVE_DEFAULT_PARTITION__``), which
+    silently filters the partition's surviving rows OUT of the merge —
+    the overwrite then deletes them. Shared by the in-place MERGE
+    (:func:`upsert_corpus`) and the snapshot layout
+    (:mod:`.corpusstore`) so the two paths cannot diverge on null
+    semantics again."""
+    cond = None
+    for vals in touched:
+        one = None
+        for c, v in zip(partition_by, vals):
+            expr = F.col(c).eqNullSafe(F.lit(v))
+            one = expr if one is None else (one & expr)
+        cond = one if cond is None else (cond | one)
+    return cond
+
+
 def _merge_touched(
     spark: SparkSession,
     path: str,
@@ -116,20 +136,13 @@ def _merge_touched(
     ]
     if not touched:
         return [], delta
-    # prune via a planning-time partition filter (isin / OR-of-ANDs)
-    # rather than hand-built directory paths — Spark then handles
-    # partition-value escaping, so no touched partition can be silently
-    # missed (which would drop its surviving rows on overwrite)
-    if len(partition_by) == 1:
-        cond = F.col(partition_by[0]).isin([v[0] for v in touched])
-    else:
-        cond = None
-        for vals in touched:
-            one = None
-            for c, v in zip(partition_by, vals):
-                expr = F.col(c) == F.lit(v)
-                one = expr if one is None else (one & expr)
-            cond = one if cond is None else (cond | one)
+    # prune via a planning-time partition filter rather than hand-built
+    # directory paths — Spark then handles partition-value escaping, so
+    # no touched partition can be silently missed (which would drop its
+    # surviving rows on overwrite); null-safe (see
+    # touched_partition_filter) so a NULL partition value cannot drop
+    # its survivors either
+    cond = touched_partition_filter(partition_by, touched)
 
     from pyspark.errors import AnalysisException
 

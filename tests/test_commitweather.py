@@ -157,6 +157,33 @@ def test_sustained_clean_failure_exhausts_budget_loudly(tmp_path):
         M.clear_commit_log(root)
 
 
+def test_torn_slot_reclaim_is_lock_guarded(tmp_path):
+    """The posix torn-slot reclaim takes an exclusive sidecar lock so
+    two reclaimers cannot race check-then-remove (the loser would
+    delete the winner's just-published COMPLETE manifest). A held lock
+    surfaces as a conflict; vacuum clears an orphaned lock past the
+    age floor; reclaim proceeds once the lock is gone."""
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    M.init_manifest_store(root, tables={}, meta={})
+    mdir = os.path.join(root, "_manifests")
+    torn = os.path.join(mdir, "v000000000002.json")
+    with open(torn, "w") as f:
+        f.write('{"version": 2, "tab')  # torn debris in the v2 slot
+    lock = torn + ".reclaim"
+    open(lock, "w").close()  # a reclaimer is (or died) mid-claim
+    with pytest.raises(M.ManifestConflictError, match="reclaim"):
+        M.commit_manifest(root, tables={}, meta={}, expected_version=1)
+    assert os.path.exists(torn)  # nothing was deleted under the lock
+    out = M.vacuum(root, keep_manifests=1, min_age_seconds=0)
+    assert not os.path.exists(lock)  # orphaned lock cleared
+    m = M.commit_manifest(
+        root, tables={}, meta={"k": 2}, expected_version=1
+    )
+    assert m["version"] == 2 and M.read_manifest(root)["meta"]["k"] == 2
+    assert out is not None
+
+
 # -------------------------------------------------- lifecycle under weather
 def test_ambiguous_append_does_not_double_count(spark, docs, probes, tmp_path):
     """The drift scenario the resolution exists for: with every commit

@@ -377,6 +377,50 @@ def test_guards(spark, docs, tmp_path):
         )
 
 
+def test_null_partition_survivors_not_dropped(spark, tmp_path):
+    """A NULL partition value must not lose its surviving rows on
+    upsert: plain ==/isin partition predicates evaluate to NULL for
+    the null-partition rows, silently filtering them out of the merge
+    — the overwrite then deletes them. Both layouts."""
+    df = spark.createDataFrame(
+        [(1, "keep-a", None), (2, "replace-me", None), (3, "other", "en")],
+        "doc_id int, text string, lang string",
+    )
+    delta = spark.createDataFrame(
+        [(2, "replaced", None)], "doc_id int, text string, lang string"
+    )
+    want = _rows(
+        df.where(F.col("doc_id") != 2).unionByName(delta)
+    )
+    snap_root = str(tmp_path / "snap")
+    C.build_corpus_snapshot(df, snap_root, key="doc_id", partition_by=["lang"])
+    C.upsert_corpus_snapshot(spark, snap_root, delta)
+    assert _rows(C.load_corpus_snapshot(spark, snap_root)) == want
+
+    flat_root = str(tmp_path / "flat")
+    L.write_corpus(df, flat_root, partition_by=["lang"])
+    L.upsert_corpus(
+        spark, flat_root, delta, key="doc_id", partition_by=["lang"]
+    )
+    assert _rows(spark.read.parquet(flat_root)) == want
+
+
+def test_empty_store_loads_and_accepts_first_batch(spark, docs, tmp_path):
+    """A store built empty (the create-then-stream warmup pattern)
+    must load as a typed empty frame, serve an empty change feed, and
+    accept its first append."""
+    root = str(tmp_path / "snap")
+    C.build_corpus_snapshot(
+        docs.limit(0), root, key="doc_id", partition_by=["lang"]
+    )
+    empty = C.load_corpus_snapshot(spark, root)
+    assert empty.count() == 0
+    assert set(empty.columns) == set(docs.columns)
+    assert C.corpus_snapshot_changes(spark, root, since=0).count() == 0
+    C.append_corpus_snapshot(root, docs.limit(7))
+    assert C.load_corpus_snapshot(spark, root).count() == 7
+
+
 def test_inplace_upsert_rejects_schema_drift(spark, docs, tmp_path):
     """layout.upsert_corpus had the same silent-column-drop hazard:
     a delta lacking a corpus column made the merge keep rows via

@@ -321,7 +321,7 @@ def test_append_survives_losing_version_race(
     real = M.commit_manifest
     state = {"stolen": False}
 
-    def racing(path, *, tables, meta, expected_version):
+    def racing(path, *, tables, meta, expected_version, **kw):
         if not state["stolen"]:
             state["stolen"] = True
             # a competing no-op commit wins this version first
@@ -356,7 +356,7 @@ def test_append_refuses_merge_across_concurrent_rebuild(
     real = M.commit_manifest
     state = {"stolen": False}
 
-    def racing(path, *, tables, meta, expected_version):
+    def racing(path, *, tables, meta, expected_version, **kw):
         if not state["stolen"]:
             state["stolen"] = True
             cur = M.read_manifest(out)
@@ -1052,7 +1052,7 @@ def test_lex_delete_racing_append_equals_serial_order(
     orig_commit = M.commit_manifest
     state = {"fired": False}
 
-    def inject(root, *, tables, meta, expected_version):
+    def inject(root, *, tables, meta, expected_version, **kw):
         if not state["fired"] and "tombstones" in tables:
             state["fired"] = True
             L.append_lex_index(delta, out)  # commits for real first
@@ -1109,7 +1109,7 @@ def test_ann_delete_racing_append_equals_serial_order(
     orig_commit = M.commit_manifest
     state = {"fired": False}
 
-    def inject(root, *, tables, meta, expected_version):
+    def inject(root, *, tables, meta, expected_version, **kw):
         if not state["fired"] and "tombstones" in tables:
             state["fired"] = True
             A.append_ann_index(delta, out)
