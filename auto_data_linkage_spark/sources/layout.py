@@ -399,9 +399,10 @@ class FlakyCommitStore(CommitStore):
       reading the slot back.
 
     ``list_delay_s`` sleeps before every ``list_records`` (slow LIST
-    calls). ``replace``/``remove`` pass through untouched — the
-    manifest log never replaces, and a failed remove only delays
-    garbage collection to the next vacuum."""
+    calls). ``remove_fail_rate`` injects transient DELETE failures
+    (vacuum must be restartable: a failed remove only delays garbage
+    collection to the re-run). ``replace`` passes through untouched —
+    the manifest log never replaces."""
 
     def __init__(
         self,
@@ -411,6 +412,7 @@ class FlakyCommitStore(CommitStore):
         fail_rate: float = 0.0,
         ambiguous_rate: float = 0.0,
         list_delay_s: float = 0.0,
+        remove_fail_rate: float = 0.0,
     ):
         import random
 
@@ -419,11 +421,14 @@ class FlakyCommitStore(CommitStore):
         self.fail_rate = float(fail_rate)
         self.ambiguous_rate = float(ambiguous_rate)
         self.list_delay_s = float(list_delay_s)
+        self.remove_fail_rate = float(remove_fail_rate)
         self.stats = {
             "creates": 0,
             "clean_failures": 0,
             "ambiguous_successes": 0,
             "lists": 0,
+            "removes": 0,
+            "remove_failures": 0,
         }
 
     def _weather(self):
@@ -453,6 +458,12 @@ class FlakyCommitStore(CommitStore):
         self.inner.replace(name, record)
 
     def remove(self, name: str) -> None:
+        self.stats["removes"] += 1
+        if self._rng.random() < self.remove_fail_rate:
+            self.stats["remove_failures"] += 1
+            raise self._weather()(
+                f"injected transient failure removing {name}"
+            )
         self.inner.remove(name)
 
     def list_records(self) -> dict[str, "dict | None"]:

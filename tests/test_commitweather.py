@@ -157,6 +157,35 @@ def test_sustained_clean_failure_exhausts_budget_loudly(tmp_path):
         M.clear_commit_log(root)
 
 
+def test_vacuum_is_restartable_across_remove_failures(tmp_path):
+    """A transient DELETE failure mid-vacuum (object-store weather)
+    must leave the store fully readable; the re-run completes the
+    reclamation. Vacuum makes no atomicity claim — only monotonic,
+    restartable garbage collection."""
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    flaky = FlakyCommitStore(MemoryCommitStore(), seed=2, remove_fail_rate=1.0)
+    M.use_commit_log(root, flaky)
+    try:
+        M.init_manifest_store(root, tables={}, meta={"k": 1})
+        for v in range(1, 4):
+            M.commit_manifest(
+                root, tables={}, meta={"k": v + 1}, expected_version=v
+            )
+        with pytest.raises(M.TransientCommitError, match="removing"):
+            M.vacuum(root, keep_manifests=1, min_age_seconds=0)
+        # the store is untouched-or-partially-collected, never broken
+        assert M.read_manifest(root)["meta"]["k"] == 4
+        flaky.remove_fail_rate = 0.0
+        out = M.vacuum(root, keep_manifests=1, min_age_seconds=0)
+        assert out["removed_manifests"]
+        assert M.read_manifest(root)["meta"]["k"] == 4
+        assert len(flaky.inner.list_records()) == 1
+        assert flaky.stats["remove_failures"] > 0
+    finally:
+        M.clear_commit_log(root)
+
+
 def test_torn_slot_reclaim_is_lock_guarded(tmp_path):
     """The posix torn-slot reclaim takes an exclusive sidecar lock so
     two reclaimers cannot race check-then-remove (the loser would
