@@ -703,6 +703,17 @@ def edge_store_sink(
                     max_files_per_bucket=compact_over,
                 )
             return
+        if app_id is not None:
+            # the rename-layout edge store has no metadata file at all,
+            # so there is nowhere to track idempotence tokens — failing
+            # loudly beats silently accepting an app_id that protects
+            # nothing
+            raise ValueError(
+                "app_id idempotence tokens need a manifest-layout edge "
+                "store (create it with init_edge_store(path)); the "
+                "rename layout keeps the documented at-least-once "
+                "append contract"
+            )
         # repair-before-append: writing into a store whose bucket is
         # parked as __old would recreate the live dir and make the next
         # sweep drop the parked original (see append_lex_index).

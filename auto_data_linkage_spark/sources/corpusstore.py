@@ -58,6 +58,7 @@ __all__ = [
     "append_corpus_snapshot",
     "upsert_corpus_snapshot",
     "corpus_snapshot_sink",
+    "corpus_upsert_sink",
     "compact_corpus_snapshot",
     "corpus_snapshot_changes",
     "corpus_snapshot_history",
@@ -263,6 +264,7 @@ def upsert_corpus_snapshot(
     delta: DataFrame,
     *,
     max_records_per_file: int = 5_000_000,
+    txn: tuple | None = None,
 ) -> dict:
     """MERGE the delta in, partition-granular, as ONE atomic commit:
     rows of touched partitions whose ``key`` appears in the delta are
@@ -281,17 +283,25 @@ def upsert_corpus_snapshot(
     Returns ``{"partitions": n_touched, "rows_written": n, "version"}``.
     """
     return M.retry_on_conflict(
-        lambda: _upsert_once(spark, path, delta, max_records_per_file)
+        lambda: _upsert_once(spark, path, delta, max_records_per_file, txn)
     )
 
 
 def _upsert_once(
-    spark: SparkSession, path: str, delta: DataFrame, max_records_per_file: int
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    max_records_per_file: int,
+    txn: tuple | None = None,
 ) -> dict:
     snap = M.read_manifest(path)
     meta = snap["meta"]
     _check_meta(meta)
     _check_columns(meta, delta, "upsert")
+    if txn is not None and M.txn_version(meta, txn[0]) >= int(txn[1]):
+        return {  # batch already committed: a checkpoint replay
+            "partitions": 0, "rows_written": 0, "version": snap["version"],
+        }
     key = meta["key"]
     partition_by = meta["partition_by"]
 
@@ -335,7 +345,7 @@ def _upsert_once(
     # REPLACE those parts' live lists with the rewrite, add new ones
     tables = M.replace_parts(snap["tables"], _TABLE, parts, gen, path)
     out = M.commit_manifest(
-        path, tables=tables, meta=meta,
+        path, tables=tables, meta=M.with_txn(meta, txn),
         expected_version=snap["version"], op="upsert",
     )
     n = merged.count()
@@ -421,6 +431,47 @@ def corpus_snapshot_sink(
         if batch_df.isEmpty():
             return
         append_corpus_snapshot(
+            path,
+            batch_df,
+            max_records_per_file=max_records_per_file,
+            txn=None if app_id is None else (app_id, batch_id),
+        )
+        if compact_over is not None:
+            compact_corpus_snapshot(
+                batch_df.sparkSession,
+                path,
+                max_files_per_partition=compact_over,
+                target_rows_per_file=max_records_per_file,
+            )
+
+    return _sink
+
+
+def corpus_upsert_sink(
+    path: str,
+    *,
+    compact_over: int | None = None,
+    max_records_per_file: int = 5_000_000,
+    app_id: str | None = None,
+):
+    """``foreachBatch`` sink for CDC-style streaming MERGE: each
+    micro-batch upserts by the store's key (replace-or-insert inside
+    the touched partitions) as one atomic commit — the streaming twin
+    of :func:`upsert_corpus_snapshot`, for change streams where later
+    batches REVISE earlier rows (the insert-only
+    :func:`corpus_snapshot_sink` is the cheaper choice when they
+    don't). With ``app_id`` set, the ``(app_id, batch_id)`` token makes
+    checkpoint replays exactly-once — critical here, since replaying a
+    MERGE is only idempotent while no later batch touched the same
+    keys. Cost note: each batch rewrites its touched partitions in
+    full; route high-rate streams through partition keys that bound
+    the per-batch footprint."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_corpus_snapshot(
+            batch_df.sparkSession,
             path,
             batch_df,
             max_records_per_file=max_records_per_file,

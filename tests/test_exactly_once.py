@@ -176,6 +176,65 @@ def test_corpus_sink_replay_appends_once(spark, docs, tmp_path):
     assert C.load_corpus_snapshot(spark, root).count() == n + batch.count()
 
 
+def test_corpus_upsert_sink_replay_is_exactly_once(spark, docs, tmp_path):
+    """Replaying a MERGE batch is only idempotent while no later batch
+    touched the same keys — the txn token must make the replay a
+    no-op. Interleaving: batch 0 sets text=v0 for some keys, batch 1
+    revises the same keys to v1, then batch 0 REPLAYS (restart whose
+    checkpoint lost the newest commit marker): without the token the
+    replay would resurrect v0 over v1."""
+    root = str(tmp_path / "corpus")
+    C.build_corpus_snapshot(
+        docs.limit(40), root, key="doc_id", partition_by=["lang"]
+    )
+    keys = docs.limit(6).select("doc_id", "lang")
+    b0 = keys.withColumn("text", F.lit("v0")).select(
+        "doc_id", "text", "lang"
+    ).localCheckpoint(eager=True)
+    b1 = keys.withColumn("text", F.lit("v1")).select(
+        "doc_id", "text", "lang"
+    ).localCheckpoint(eager=True)
+    base = docs.limit(40).select("doc_id", "text", "lang")
+    # store columns are doc_id/text/lang/source/n_chars — rebuild the
+    # store with just the three columns so the deltas match
+    root = str(tmp_path / "corpus3")
+    C.build_corpus_snapshot(
+        base, root, key="doc_id", partition_by=["lang"]
+    )
+    sink = C.corpus_upsert_sink(root, app_id="cdc")
+    sink(b0, 0)
+    sink(b1, 1)
+    v_head = M.read_manifest(root)["version"]
+    sink(b0, 0)  # REPLAY of the superseded batch
+    cur = C.load_corpus_snapshot(spark, root)
+    texts = {
+        r["text"]
+        for r in cur.join(keys.select("doc_id"), "doc_id").collect()
+    }
+    assert texts == {"v1"}  # v0 did NOT resurrect
+    assert M.read_manifest(root)["version"] == v_head
+    sink(b0.withColumn("text", F.lit("v2")), 2)  # new batch still lands
+    cur = C.load_corpus_snapshot(spark, root)
+    assert {
+        r["text"]
+        for r in cur.join(keys.select("doc_id"), "doc_id").collect()
+    } == {"v2"}
+
+
+def test_rename_edge_store_rejects_app_id(spark, tmp_path):
+    """The rename-layout edge store has no metadata file, so app_id
+    tokens cannot be tracked — the sink must fail loudly instead of
+    silently accepting an app_id that protects nothing."""
+    root = str(tmp_path / "edges_plain")
+    pages = spark.createDataFrame(
+        [("http://a.com/1", '<a href="http://b.com/x">b</a>')],
+        "url string, html string",
+    )
+    sink = G.edge_store_sink(root, n_buckets=2, app_id="crawl")
+    with pytest.raises(ValueError, match="manifest-layout edge"):
+        sink(pages, 0)
+
+
 def test_two_apps_do_not_collide(spark, docs, tmp_path):
     """Tokens are per app_id: two queries (different checkpoint
     lineages) both at batch 0 must BOTH append."""
