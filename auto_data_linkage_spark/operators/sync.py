@@ -1,0 +1,207 @@
+"""Index synchronization from a corpus snapshot's commit log — the
+composition tier: a corpus snapshot (:mod:`..sources.corpusstore`)
+evolves by appends/compactions, and the persisted search indexes
+(:mod:`.lexindex`, :mod:`.annindex`) follow it INCREMENTALLY,
+processing only what each commit added instead of rebuilding from the
+corpus (O(Δ) per sync, never O(corpus)).
+
+Per corpus commit, in version order:
+
+- ``build``/``append`` — the commit's added rows (exactly the change
+  feed) APPEND to the index;
+- ``compact`` — content-preserving, skipped;
+- ``upsert`` — REFUSED, loudly: folding a revision in would require
+  delete-then-re-append of the same ids, and the indexes' tombstone
+  mask is PERMANENT by design (delete_from_lex_index: "do NOT re-use
+  a deleted doc id") — the re-appended rows would be silently masked
+  out of every probe. Revision-heavy corpora rebuild the index from
+  the head (``rebuild_lex_index`` / ``rebuild_ann_index``) on their
+  own cadence; append-only ingest — the dominant 100 TB flow — syncs
+  incrementally here.
+
+The sync CURSOR is the index's own ``(app_id, batch_id)`` idempotence
+token (app id ``corpus-sync:<corpus path>``, batch id = corpus
+version): it commits atomically WITH each applied append, so a sync
+that crashes mid-backlog resumes exactly where it stopped and a
+replayed append is skipped by its token. No sidecar state anywhere.
+
+Retention: reading commit ``v``'s delta needs manifests ``v-1`` and
+``v`` retained — vacuum the corpus with ``keep_manifests`` covering
+the sync lag, or the sync raises with the retention hint (rebuild the
+index from head in that case).
+
+Canonical flows::
+
+    # lexical: start EMPTY, let the feed build it (cursor from v=0)
+    build_lex_index(load_corpus_snapshot(spark, c).limit(0), idx,
+                    layout="manifest")
+    sync_lex_index(spark, c, idx)              # ...and per cadence
+
+    # ANN needs training data (codebooks/centroids): build from head
+    # version V, then sync with since=V once
+    build_ann_index(load_corpus_snapshot(spark, c), idx,
+                    layout="manifest", n_cells=16)
+    sync_ann_index(spark, c, idx, since=V)     # first call
+    sync_ann_index(spark, c, idx)              # thereafter
+
+No reference analogue; the public design basis is Delta/Iceberg
+change-data-feed driven materialized-view maintenance, re-expressed on
+this repo's manifest seam.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ..sources import corpusstore as C
+from . import annindex as A
+from . import lexindex as L
+from . import manifestfs as M
+
+__all__ = ["sync_lex_index", "sync_ann_index"]
+
+
+def _sync_app_id(corpus_path: str) -> str:
+    return f"corpus-sync:{os.path.abspath(M.local_path(corpus_path))}"
+
+
+def _make_cursor_recorder(index_path: str, write_meta):
+    """Cursor-only token update on the index: one manifest commit
+    (manifest layout) or an index.json rewrite (rename layout), skipped
+    when the stored token already covers the target version."""
+
+    def record(app: str, v: int) -> None:
+        if M.is_manifest_store(index_path):
+            if M.txn_version(M.read_manifest(index_path)["meta"], app) >= v:
+                return
+
+            def mutate(fresh: dict):
+                return fresh["tables"], M.with_txn(fresh["meta"], (app, v))
+
+            M.commit_with_retry(index_path, mutate, op="sync-cursor")
+            return
+        import json as _json
+
+        local = M.local_path(index_path)
+        with open(os.path.join(local, "index.json")) as f:
+            meta = _json.load(f)
+        if M.txn_version(meta, app) >= v:
+            return
+        write_meta(local, M.with_txn(meta, (app, v)))
+
+    return record
+
+
+def _sync(
+    spark: SparkSession,
+    corpus_path: str,
+    *,
+    since: int | None,
+    index_meta: dict,
+    append,  # (rows_df, txn) -> None
+    cols: list[str],
+    kind: str,
+    record_cursor,  # (app, version) -> None
+) -> dict:
+    head_snap = M.read_manifest(corpus_path)
+    C._check_meta(head_snap["meta"])
+    head = int(head_snap["version"])
+    app = _sync_app_id(corpus_path)
+    cursor = int(since) if since is not None else M.txn_version(
+        index_meta, app
+    )
+    if cursor < 0:
+        cursor = 0
+    applied: list[dict] = []
+    for v in range(cursor + 1, head + 1):
+        cur = M.read_manifest(corpus_path, version=v)
+        op = cur.get("op") or "unknown"
+        if op == "compact":
+            applied.append({"version": v, "op": op, "action": "skipped"})
+            continue
+        if op == "upsert":
+            raise ValueError(
+                f"corpus commit v{v} is an upsert (revision): the "
+                f"{kind} index's tombstone mask is permanent, so "
+                "revised ids cannot be deleted and re-appended — "
+                "rebuild the index from the corpus head instead "
+                "(rebuild_lex_index / rebuild_ann_index), or keep "
+                "revision-heavy corpora on a rebuild cadence; "
+                "incremental sync covers append-only ingest"
+            )
+        new = C.corpus_snapshot_changes(
+            spark, corpus_path, since=v - 1, until=v
+        ).select(*cols)
+        append(new, (app, v))
+        applied.append({"version": v, "op": op, "action": "applied"})
+    # Persist the cursor even when the tail applied nothing (a since=
+    # anchor, trailing compactions, empty appends): otherwise the next
+    # parameterless sync would fall back to the last APPEND's token and
+    # re-apply everything after it — double-appending rows. The record
+    # is a tiny cursor-only commit, skipped when a token already
+    # covers the head.
+    record_cursor(app, head)
+    return {"applied": applied, "version": head}
+
+
+def sync_lex_index(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    *,
+    since: int | None = None,
+) -> dict:
+    """Fold corpus snapshot commits since the last sync into the
+    lexical index (module docstring for semantics, cursor, crash
+    behavior, and the upsert refusal). ``since`` overrides the stored
+    cursor for the FIRST sync of an index built from a non-empty
+    corpus version. Returns
+    ``{"applied": [{version, op, action}...], "version": head}``."""
+    meta = L.load_lex_index(spark, index_path).meta
+
+    def append(rows, txn):
+        L.append_lex_index(rows, index_path, txn=txn)
+
+    return _sync(
+        spark, corpus_path,
+        since=since, index_meta=meta, append=append,
+        cols=[meta["id_col"], meta["text_col"]],
+        kind="lexical",
+        record_cursor=_make_cursor_recorder(index_path, L._write_meta),
+    )
+
+
+def sync_ann_index(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    *,
+    since: int | None = None,
+) -> dict:
+    """ANN twin of :func:`sync_lex_index`: corpus commits fold into
+    the persisted ANN index (appends encode with the STORED
+    codebooks/centroids — the standard IVF practice; rebuild when the
+    embedding distribution drifts). The index must be built from a
+    known corpus version first (codebooks need training data) and the
+    FIRST sync passes ``since=`` that version."""
+    meta = A.load_ann_index(spark, index_path).meta
+    cols = [meta["id_col"], meta["vec_col"]]
+    cell = meta.get("cell_col")
+    if cell and cell != "__cell":
+        # label-routed index: the corpus rows carry the cell column
+        # (learned-cells indexes route appends to the nearest stored
+        # centroid instead)
+        cols.append(cell)
+
+    def append(rows, txn):
+        A.append_ann_index(rows, index_path, txn=txn)
+
+    return _sync(
+        spark, corpus_path,
+        since=since, index_meta=meta, append=append,
+        cols=cols,
+        kind="ANN",
+        record_cursor=_make_cursor_recorder(index_path, A._write_meta),
+    )

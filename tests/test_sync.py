@@ -1,0 +1,206 @@
+"""Index sync from the corpus snapshot commit log (operators/sync.py):
+append-only corpus commits fold into the persisted indexes O(Δ), with
+the index's own txn token as the resume cursor; upserts are refused
+loudly (permanent tombstone mask — module docstring)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators import annindex as A
+from auto_data_linkage_spark.operators import lexindex as L
+from auto_data_linkage_spark.operators import manifestfs as M
+from auto_data_linkage_spark.operators.retrieval import query_terms_from_docs
+from auto_data_linkage_spark.operators.sync import (
+    sync_ann_index,
+    sync_lex_index,
+)
+from auto_data_linkage_spark.sources import corpusstore as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=False)
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint(
+        eager=False
+    )
+
+
+@pytest.fixture(scope="module")
+def probes(docs):
+    return query_terms_from_docs(
+        docs.orderBy("doc_id").limit(5), n_terms=6
+    ).localCheckpoint(eager=False)
+
+
+def _lex_topk(spark, path, probes, k=5):
+    idx = L.load_lex_index(spark, path)
+    return {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in L.lex_index_topk(idx, probes, k=k).collect()
+    }
+
+
+def test_lex_sync_tracks_append_only_corpus(spark, docs, tmp_path, probes):
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    C.build_corpus_snapshot(half, corpus, key="doc_id", partition_by=["lang"])
+
+    # start EMPTY: the feed builds the index from v=1 (the build commit)
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).limit(0), idx,
+        n_buckets=4, layout="manifest",
+    )
+    out = sync_lex_index(spark, corpus, idx)
+    assert [(a["version"], a["action"]) for a in out["applied"]] == [
+        (1, "applied")
+    ]
+    ref1 = str(tmp_path / "ref1")
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).select("doc_id", "text"),
+        ref1, n_buckets=4, layout="manifest",
+    )
+    assert _lex_topk(spark, idx, probes) == _lex_topk(spark, ref1, probes)
+
+    # corpus gains an append (v2) and a compaction (v3); sync applies
+    # the append, skips the compaction
+    quarter = docs.where(F.col("doc_id") % 4 == 1)
+    C.append_corpus_snapshot(corpus, quarter)
+    C.compact_corpus_snapshot(spark, corpus, max_files_per_partition=0)
+    out = sync_lex_index(spark, corpus, idx)
+    acts = {a["version"]: a["action"] for a in out["applied"]}
+    assert acts[2] == "applied" and acts[3] == "skipped"
+    ref2 = str(tmp_path / "ref2")
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).select("doc_id", "text"),
+        ref2, n_buckets=4, layout="manifest",
+    )
+    assert _lex_topk(spark, idx, probes) == _lex_topk(spark, ref2, probes)
+
+    # idempotent: the cursor makes a re-sync change nothing
+    v = M.read_manifest(idx)["version"]
+    out = sync_lex_index(spark, corpus, idx)
+    assert all(a["action"] == "skipped" for a in out["applied"])
+    assert M.read_manifest(idx)["version"] == v
+
+
+def test_lex_sync_resumes_after_midbacklog_crash(
+    spark, docs, tmp_path, probes, monkeypatch
+):
+    """Two pending corpus commits; the first append crashes AFTER its
+    commit landed (the worst case): the re-sync must not double-apply
+    it (token) and must pick up the second commit."""
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    C.build_corpus_snapshot(
+        docs.where(F.col("doc_id") % 2 == 0), corpus,
+        key="doc_id", partition_by=["lang"],
+    )
+    C.append_corpus_snapshot(corpus, docs.where(F.col("doc_id") % 4 == 1))
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).limit(0), idx,
+        n_buckets=4, layout="manifest",
+    )
+    real = L.append_lex_index
+    state = {"calls": 0}
+
+    def crash_after_first(rows, path, **kw):
+        out = real(rows, path, **kw)
+        state["calls"] += 1
+        if state["calls"] == 1:
+            raise OSError("injected crash after the v1 append committed")
+        return out
+
+    monkeypatch.setattr(
+        "auto_data_linkage_spark.operators.sync.L.append_lex_index",
+        crash_after_first,
+    )
+    with pytest.raises(OSError, match="injected"):
+        sync_lex_index(spark, corpus, idx)
+    out = sync_lex_index(spark, corpus, idx)  # resume
+    # the crashed append COMMITTED its token, so the cursor itself
+    # resumes past v1 — only v2 is (re)presented and applied
+    assert {a["version"] for a in out["applied"]} == {2}
+    ref = str(tmp_path / "ref")
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).select("doc_id", "text"),
+        ref, n_buckets=4, layout="manifest",
+    )
+    assert _lex_topk(spark, idx, probes) == _lex_topk(spark, ref, probes)
+    assert (
+        M.read_manifest(idx)["meta"]["n_docs"]
+        == M.read_manifest(ref)["meta"]["n_docs"]
+    )
+
+
+def test_sync_refuses_upsert_commits(spark, docs, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    C.build_corpus_snapshot(
+        docs.limit(50), corpus, key="doc_id", partition_by=["lang"]
+    )
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).limit(0), idx,
+        n_buckets=4, layout="manifest",
+    )
+    sync_lex_index(spark, corpus, idx)
+    C.upsert_corpus_snapshot(
+        spark, corpus, docs.limit(3).withColumn("text", F.lit("revised"))
+    )
+    with pytest.raises(ValueError, match="rebuild"):
+        sync_lex_index(spark, corpus, idx)
+
+
+def test_ann_sync_matches_manual_appends(spark, emb, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ref = str(tmp_path / "ref")
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1).localCheckpoint(eager=True)
+    C.build_corpus_snapshot(half, corpus, key="vec_id", partition_by=["label"])
+
+    # index trained on corpus head v1; first sync anchors with since=1
+    A.build_ann_index(
+        C.load_corpus_snapshot(spark, corpus), idx, layout="manifest"
+    )
+    out = sync_ann_index(spark, corpus, idx, since=1)
+    assert out["applied"] == [] and out["version"] == 1
+
+    C.append_corpus_snapshot(corpus, delta)
+    out = sync_ann_index(spark, corpus, idx)
+    assert [(a["version"], a["action"]) for a in out["applied"]] == [
+        (2, "applied")
+    ]
+
+    # reference: the same initial build + a manual append of the delta
+    A.build_ann_index(half, ref, layout="manifest")
+    A.append_ann_index(delta, ref)
+    q = emb.orderBy("vec_id").limit(5)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in A.ann_index_topk(
+            A.load_ann_index(spark, idx), q, k=3
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in A.ann_index_topk(
+            A.load_ann_index(spark, ref), q, k=3
+        ).collect()
+    }
+    assert got == want
+    assert (
+        M.read_manifest(idx)["meta"]["n_rows"]
+        == M.read_manifest(ref)["meta"]["n_rows"]
+    )
+    # idempotent re-sync
+    out = sync_ann_index(spark, corpus, idx)
+    assert out["applied"] == []
