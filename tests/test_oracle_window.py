@@ -77,7 +77,12 @@ def test_front_window_fits_driver_gate():
         "embedding_outliers",
         "html_extract",
         "domain_pagerank",
-        "anchor_pairs",
+        # round-12 promotion: source_overlap_matrix (the cross-source
+        # duplication matrix over the certified LSH chain) takes the
+        # driver row; anchor_pairs rotated back in exchange (the
+        # link-graph family keeps four driver rows; the anchor-text
+        # pairing stays driver-identically checked back-window)
+        "source_overlap_matrix",
         "sentence_chunks",
         # round-10 promotions: domain_rank_prune (the link-graph
         # composition row, per the r9 verdict) and the new line-unit
