@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import manifestfs as M
+from .lexindex import _mask_tombstoned
 from .storefs import repair_swept_dirs, swap_dir
 
 _VERSION = 1
@@ -214,6 +215,7 @@ def build_ann_index(
     else:
         coded_dir = os.path.join(local, "coded")
         cents_dir = os.path.join(local, "centroids")
+    coded = coded.withColumn("__seq", F.lit(1))
     coded.write.mode("overwrite").partitionBy("cell").parquet(coded_dir)
     cents.write.mode("overwrite").parquet(cents_dir)
 
@@ -242,6 +244,10 @@ def build_ann_index(
         # id column's Spark type, so delete can cast tombstone ids even
         # when the coded table is empty (built from an empty corpus)
         "id_type": coded.schema["neighbor_id"].dataType.simpleString(),
+        # mutation counter: appends stamp rows with seq+1, deletes cut
+        # their tombstones at the current value — re-appended ids serve
+        # their new rows (lexindex._mask_tombstoned)
+        "seq": 1,
     }
     if layout == "manifest":
         tables = M.add_gens(
@@ -383,6 +389,9 @@ def append_ann_index(
             "codes",
             _pq_recon_norm(cbs).alias("__cn"),
         )
+    seq_aware = "seq" in meta
+    if seq_aware:
+        coded = coded.withColumn("__seq", F.lit(int(meta["seq"]) + 1))
     if manifest:
         gc_ = M.next_gen(path, "coded")
         coded.write.partitionBy("cell").parquet(
@@ -430,6 +439,8 @@ def append_ann_index(
             m2["n_rows"] = int(fm["n_rows"]) + int(n_delta)
             m2["cells"] = c2
             m2["n_cells"] = len(c2)
+            if seq_aware:
+                m2["seq"] = int(fm.get("seq", 0)) + 1
             m2 = M.with_txn(m2, txn)
             return M.add_gens(fresh["tables"], "coded", cp, gc_), m2
 
@@ -438,6 +449,8 @@ def append_ann_index(
     meta["n_rows"] = int(meta["n_rows"]) + int(n_delta)
     meta["cells"] = cells
     meta["n_cells"] = len(cells)
+    if seq_aware:
+        meta["seq"] = int(meta["seq"]) + 1
     meta = M.with_txn(meta, txn)
     _write_meta(local, meta)
     return meta
@@ -447,7 +460,7 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids) -> dict:
     """Delete vectors from the stored index WITHOUT rewriting it — the
     dense mirror of :func:`lexindex.delete_from_lex_index` (takedowns,
     right-to-be-forgotten): a ``(neighbor_id)`` row appends to
-    ``tombstones/`` and probes LEFT-ANTI the mask before scoring, so
+    ``tombstones/`` and probes mask it before scoring, so
     deleted vectors never appear as neighbors and ranks recompute over
     the survivors. ``ids`` is a one-column DataFrame or a Python list.
 
@@ -455,7 +468,10 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids) -> dict:
     partition key, so batch deletions); the per-cell occupancy
     inventory stays an over-approximation (it only gates append
     accounting — documented there). Physical purge happens when
-    compaction rewrites a cell; the tombstone mask is permanent — do
+    compaction rewrites a cell; tombstones are SEQUENCE-AWARE (see
+    lexindex._mask_tombstoned): a deleted id re-appended later serves
+    its new rows — revisions are first-class; legacy pre-counter
+    indexes keep the permanent mask, for which: do
     NOT re-use a deleted id in later appends. Ids absent from the
     index are tombstoned but change no statistic. Returns
     ``{"deleted": n, "meta": updated-metadata}``.
@@ -521,19 +537,32 @@ def _delete_ann_once(spark: SparkSession, path: str, ids) -> dict:
             F.col(ids.columns[0]).cast(id_type).alias("neighbor_id")
         )
     ids = ids.distinct()
-    if tombs is not None:
-        ids = ids.join(tombs, "neighbor_id", "left_anti")
+    seq_aware = "seq" in meta
+    if seq_aware:
+        # live view excludes earlier-masked rows; given ids are NOT
+        # pre-filtered (a re-appended id needs a NEW tombstone at the
+        # current counter)
+        live = _mask_tombstoned(coded, tombs, id_col="neighbor_id")
+    else:
+        if tombs is not None:
+            ids = ids.join(tombs, "neighbor_id", "left_anti")
+        live = coded
     ids = ids.localCheckpoint(eager=True)
     n_del = (
-        coded.join(ids, "neighbor_id", "left_semi").count()
-        if coded is not None
+        live.join(ids, "neighbor_id", "left_semi").count()
+        if live is not None
         else 0
     )
     if manifest:
         if ids.count() == 0:
             return {"deleted": 0, "meta": meta}
         gb = M.next_gen(path, "tombstones")
-        ids.write.parquet(os.path.join(local, "tombstones", gb))
+        out_ids = (
+            ids.withColumn("as_of_seq", F.lit(int(meta["seq"])))
+            if seq_aware
+            else ids
+        )
+        out_ids.write.parquet(os.path.join(local, "tombstones", gb))
         tables = M.add_gens(
             snap["tables"], "tombstones",
             M.written_parts(path, "tombstones", gb), gb,
@@ -543,7 +572,12 @@ def _delete_ann_once(spark: SparkSession, path: str, ids) -> dict:
             path, tables=tables, meta=meta, expected_version=snap["version"]
         )
         return {"deleted": int(n_del), "meta": meta}
-    ids.write.mode("append").parquet(tomb_dir)
+    out_ids = (
+        ids.withColumn("as_of_seq", F.lit(int(meta["seq"])))
+        if seq_aware
+        else ids
+    )
+    out_ids.write.mode("append").parquet(tomb_dir)
     meta["n_rows"] = int(meta["n_rows"]) - int(n_del)
     _write_meta(local, meta)
     return {"deleted": int(n_del), "meta": meta}
@@ -567,11 +601,11 @@ def _heal_n_rows(spark: SparkSession, local: str, meta: dict) -> bool:
     )
     live = 0
     if has_data:
-        live = (
-            spark.read.parquet(coded_dir)
-            .join(spark.read.parquet(tomb_dir), "neighbor_id", "left_anti")
-            .count()
-        )
+        live = _mask_tombstoned(
+            spark.read.parquet(coded_dir),
+            spark.read.parquet(tomb_dir),
+            id_col="neighbor_id",
+        ).count()
     meta["n_rows"] = int(live)
     return True
 
@@ -665,8 +699,8 @@ def compact_ann_index(
         # physical purge of deleted rows in the rewritten cells (probe
         # results unchanged — the tombstone anti-join already masked
         # them); the mask stays for the unrewritten cells.
-        df = df.join(
-            spark.read.parquet(tomb_dir), "neighbor_id", "left_anti"
+        df = _mask_tombstoned(
+            df, spark.read.parquet(tomb_dir), id_col="neighbor_id"
         )
     rows = df.count()
     files = max(1, -(-rows // target_rows_per_file))  # ceil
@@ -734,7 +768,7 @@ def _compact_manifest_ann(
     )
     tombstones = M.read_table(spark, path, "tombstones", snap)
     if tombstones is not None:
-        df = df.join(tombstones, "neighbor_id", "left_anti")
+        df = _mask_tombstoned(df, tombstones, id_col="neighbor_id")
     rows = df.count()
     files = max(1, -(-rows // target_rows_per_file))  # ceil
     gen = M.next_gen(path, "coded")
@@ -975,9 +1009,13 @@ def ann_index_topk(
     coded = index.coded
     if index.tombstones is not None:
         # deleted-ids mask (delete_from_ann_index): deleted-ids-sized,
-        # AQE broadcasts it; the cell-pruning filter pushes through the
+        # broadcast; the cell-pruning filter pushes through the
         # anti-join's left side so the partition-pruned scan is kept.
-        coded = coded.join(index.tombstones, "neighbor_id", "left_anti")
+        # Sequence-aware: re-appended ids serve their NEW rows
+        # (lexindex._mask_tombstoned).
+        coded = _mask_tombstoned(
+            coded, index.tombstones, id_col="neighbor_id"
+        )
     return _ivfpq_score(
         coded,
         index.centroids,

@@ -136,6 +136,35 @@ def _bucketed_postings(
     )
 
 
+def _mask_tombstoned(
+    rows: DataFrame | None,
+    tombs: DataFrame | None,
+    id_col: str = "doc_id",
+):
+    """Live view of postings/coded rows under the tombstone mask.
+
+    Sequence-aware stores (rows carry ``__seq`` — the store's mutation
+    counter at append time — and tombstones carry ``as_of_seq``) mask
+    only rows appended AT OR BEFORE the delete: a doc id deleted and
+    later re-appended is live again, which is what lets revisions
+    (delete old row, append new row, same id) flow through the index
+    instead of being silently masked forever. Legacy stores (built
+    before the counter existed) keep the permanent id mask."""
+    if tombs is None or rows is None:
+        return rows
+    if "as_of_seq" in tombs.columns and "__seq" in rows.columns:
+        t = tombs.select(
+            F.col(id_col).alias("__t_id"), F.col("as_of_seq")
+        )
+        return rows.join(
+            F.broadcast(t),
+            on=(rows[id_col] == F.col("__t_id"))
+            & (rows["__seq"] <= F.col("as_of_seq")),
+            how="left_anti",
+        )
+    return rows.join(tombs.select(id_col), id_col, "left_anti")
+
+
 def _build_artifacts(
     corpus: DataFrame,
     local: str,
@@ -149,10 +178,17 @@ def _build_artifacts(
     """Shared build body: write the postings + terms tables into the
     given directories and return the metadata dict (not yet
     persisted). Used by both layouts (rename writes into the live
-    dirs; manifest writes into fresh ``gen=N`` dirs)."""
-    posts = _bucketed_postings(
-        corpus, id_col=id_col, text_col=text_col, n_buckets=n_buckets
-    ).localCheckpoint(eager=False)
+    dirs; manifest writes into fresh ``gen=N`` dirs). Postings rows
+    are stamped with ``__seq`` = 1 (the store's mutation counter —
+    appends stamp meta.seq+1, tombstones record the counter they were
+    cut at; see :func:`_mask_tombstoned`)."""
+    posts = (
+        _bucketed_postings(
+            corpus, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+        )
+        .withColumn("__seq", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
     posts.write.mode("overwrite").partitionBy("bucket").parquet(postings_dir)
     # df per term: each doc contributes one postings row per distinct
     # term, so count(*) per term IS the document frequency.
@@ -173,6 +209,9 @@ def _build_artifacts(
         "text_col": text_col,
         "n_docs": int(n_docs),
         "sum_dl": int(sum_dl or 0),
+        # mutation counter: appends stamp rows with seq+1, deletes cut
+        # their tombstones at the current value (_mask_tombstoned)
+        "seq": 1,
         # an EMPTY build writes no parquet data files, so the loader
         # cannot infer schemas from disk — store them (DDL) at build
         # time and fall back to empty frames on read
@@ -303,7 +342,16 @@ def append_lex_index(
         id_col=meta["id_col"],
         text_col=meta["text_col"],
         n_buckets=meta["n_buckets"],
-    ).localCheckpoint(eager=False)
+    )
+    seq_aware = "seq" in meta
+    if seq_aware:
+        # rows appended now carry seq+1 — past a tombstone cut at the
+        # current counter, so a previously deleted id re-appended here
+        # is LIVE (see _mask_tombstoned); legacy stores stay unstamped
+        posts = posts.withColumn(
+            "__seq", F.lit(int(meta["seq"]) + 1)
+        )
+    posts = posts.localCheckpoint(eager=False)
     if manifest:
         gp = M.next_gen(path, "postings")
         gt = M.next_gen(path, "terms")
@@ -345,6 +393,8 @@ def append_lex_index(
             m2 = dict(fm)
             m2["n_docs"] = int(fm["n_docs"]) + int(n_docs)
             m2["sum_dl"] = int(fm["sum_dl"]) + int(sum_dl or 0)
+            if seq_aware:
+                m2["seq"] = int(fm.get("seq", 0)) + 1
             m2 = M.with_txn(m2, txn)
             t2 = M.add_gens(fresh["tables"], "postings", pp, gp)
             t2 = M.add_gens(t2, "terms", tp, gt)
@@ -353,6 +403,8 @@ def append_lex_index(
         return M.commit_with_retry(path, mutate)["meta"]
     meta["n_docs"] = int(meta["n_docs"]) + int(n_docs)
     meta["sum_dl"] = int(meta["sum_dl"]) + int(sum_dl or 0)
+    if seq_aware:
+        meta["seq"] = int(meta["seq"]) + 1
     meta = M.with_txn(meta, txn)
     _write_meta(local, meta)
     return meta
@@ -443,6 +495,7 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
         )
     posts = spark.read.parquet(os.path.join(local, "postings"))
     id_type = posts.schema["doc_id"].dataType
+    seq_aware = "seq" in meta
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame(
             [(i,) for i in ids], ["doc_id"]
@@ -451,17 +504,26 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
         ids = ids.select(F.col(ids.columns[0]).cast(id_type).alias("doc_id"))
     ids = ids.distinct()
     tomb_dir = os.path.join(local, "tombstones")
-    if os.path.isdir(tomb_dir):
-        ids = ids.join(
-            spark.read.parquet(tomb_dir), "doc_id", "left_anti"
-        )
+    tombs = (
+        spark.read.parquet(tomb_dir) if os.path.isdir(tomb_dir) else None
+    )
+    if seq_aware:
+        # the live view already excludes earlier-masked rows, so a
+        # re-delete of a re-appended id counts only its LIVE rows; the
+        # given ids are NOT pre-filtered (a re-appended id needs a NEW
+        # tombstone at the current counter)
+        live = _mask_tombstoned(posts, tombs)
+    else:
+        if tombs is not None:
+            ids = ids.join(tombs, "doc_id", "left_anti")
+        live = posts
     ids = ids.localCheckpoint(eager=True)
 
     # one postings scan: the deleted docs' rows feed BOTH the exact
     # n_docs/sum_dl decrement and the per-term negative df deltas.
     # Materialized eagerly BEFORE any artifact is written, so the
     # write order below cannot affect what is computed.
-    hit = posts.join(ids, "doc_id", "left_semi").localCheckpoint(
+    hit = live.join(ids, "doc_id", "left_semi").localCheckpoint(
         eager=True
     )
     n_del, dl_del = (
@@ -485,7 +547,12 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
     # The bit-equal contract holds for COMPLETED deletes; a crashed,
     # retried delete serves the correct candidate set with slightly
     # stale stats until rebuild_lex_index.
-    ids.write.mode("append").parquet(tomb_dir)
+    out_ids = (
+        ids.withColumn("as_of_seq", F.lit(int(meta["seq"])))
+        if seq_aware
+        else ids
+    )
+    out_ids.write.mode("append").parquet(tomb_dir)
     if n_del:
         (
             hit.groupBy("bucket", "term")
@@ -525,14 +592,19 @@ def _delete_manifest(spark: SparkSession, path: str, ids) -> dict:
         ids = ids.select(F.col(ids.columns[0]).cast(id_type).alias("doc_id"))
     ids = ids.distinct()
     tombs = M.read_table(spark, path, "tombstones", snap)
-    if tombs is not None:
-        ids = ids.join(tombs, "doc_id", "left_anti")
+    seq_aware = "seq" in meta
+    if seq_aware:
+        live = _mask_tombstoned(posts, tombs)
+    else:
+        if tombs is not None:
+            ids = ids.join(tombs, "doc_id", "left_anti")
+        live = posts
     ids = ids.localCheckpoint(eager=True)
     n_new = ids.count()
     n_del, dl_del = 0, 0
     hit = None
-    if posts is not None and n_new:
-        hit = posts.join(ids, "doc_id", "left_semi").localCheckpoint(
+    if live is not None and n_new:
+        hit = live.join(ids, "doc_id", "left_semi").localCheckpoint(
             eager=True
         )
         n_del, dl_del = (
@@ -556,7 +628,12 @@ def _delete_manifest(spark: SparkSession, path: str, ids) -> dict:
             tables, "terms", M.written_parts(path, "terms", gt), gt
         )
     gb = M.next_gen(path, "tombstones")
-    ids.write.parquet(os.path.join(local, "tombstones", gb))
+    out_ids = (
+        ids.withColumn("as_of_seq", F.lit(int(meta["seq"])))
+        if seq_aware
+        else ids
+    )
+    out_ids.write.parquet(os.path.join(local, "tombstones", gb))
     tables = M.add_gens(
         tables, "tombstones", M.written_parts(path, "tombstones", gb), gb
     )
@@ -604,9 +681,11 @@ def compact_lex_index(
     Rewritten buckets are also PURGED: postings rows of tombstoned
     docs (:func:`delete_from_lex_index`) are dropped and merged
     ``terms/`` rows whose df deltas cancel to 0 are removed — probe
-    results are unchanged (the tombstone anti-join and SUM(df) already
-    masked them), the bytes just stop being carried. The tombstone
-    mask itself is permanent (unrewritten buckets still need it).
+    results are unchanged (the tombstone mask and SUM(df) already
+    masked them), the bytes just stop being carried; rows of
+    RE-APPENDED ids survive the purge (the mask is sequence-aware).
+    The tombstone rows themselves are kept (unrewritten buckets still
+    need them; past cuts never mask newer appends).
     Manifest layout: rewrites land in fresh generations and ALL
     rewritten buckets of BOTH tables cut over in one atomic manifest
     commit (readers pinned to the old manifest keep serving it);
@@ -648,7 +727,10 @@ def compact_lex_index(
             *[os.path.join(root, e) for e in hot]
         )
         if table == "postings" and tombstones is not None:
-            df = df.join(tombstones, "doc_id", "left_anti")
+            # purge = the same seq-aware mask probes apply: rows of
+            # re-appended ids survive the rewrite (only the masked
+            # generations' rows drop)
+            df = _mask_tombstoned(df, tombstones)
         if merge:
             # deltas collapse (delete's negatives included); a term
             # whose deltas cancel to 0 carries no information — drop it
@@ -720,7 +802,10 @@ def _compact_manifest(
             .drop("gen")
         )
         if table == "postings" and tombstones is not None:
-            df = df.join(tombstones, "doc_id", "left_anti")
+            # purge = the same seq-aware mask probes apply: rows of
+            # re-appended ids survive the rewrite (only the masked
+            # generations' rows drop)
+            df = _mask_tombstoned(df, tombstones)
         if merge:
             df = (
                 df.groupBy("bucket", "term")
@@ -1034,9 +1119,10 @@ def lex_index_topk(
     )
     if index.tombstones is not None:
         # deleted-ids mask (delete_from_lex_index): deleted-ids-sized,
-        # AQE broadcasts it; the negative df deltas already corrected
-        # the stats side, this anti-join corrects the candidate set.
-        matched = matched.join(index.tombstones, "doc_id", "left_anti")
+        # broadcast; the negative df deltas already corrected the
+        # stats side, this masks the candidate set — sequence-aware,
+        # so re-appended ids serve their NEW rows (_mask_tombstoned).
+        matched = _mask_tombstoned(matched, index.tombstones)
     if exclude_self:
         matched = matched.where(F.col("doc_id") != F.col("query_id"))
     contrib = F.col("idf") * (

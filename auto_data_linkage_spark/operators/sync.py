@@ -10,14 +10,15 @@ Per corpus commit, in version order:
 - ``build``/``append`` — the commit's added rows (exactly the change
   feed) APPEND to the index;
 - ``compact`` — content-preserving, skipped;
-- ``upsert`` — REFUSED, loudly: folding a revision in would require
-  delete-then-re-append of the same ids, and the indexes' tombstone
-  mask is PERMANENT by design (delete_from_lex_index: "do NOT re-use
-  a deleted doc id") — the re-appended rows would be silently masked
-  out of every probe. Revision-heavy corpora rebuild the index from
-  the head (``rebuild_lex_index`` / ``rebuild_ann_index``) on their
-  own cadence; append-only ingest — the dominant 100 TB flow — syncs
-  incrementally here.
+- ``upsert`` — the commit replaced whole partitions: the OLD content
+  of the changed partitions (time travel to ``v-1``) is DELETED from
+  the index by id, then the post-merge content appends. This relies
+  on the indexes' SEQUENCE-AWARE tombstones (rows carry ``__seq``,
+  tombstones carry ``as_of_seq``; lexindex._mask_tombstoned): the
+  re-appended revision rows are live because they postdate the
+  delete's cut. Indexes built before the sequence counter existed
+  have a PERMANENT mask and are refused loudly (rebuild them once to
+  upgrade).
 
 The sync CURSOR is the index's own ``(app_id, batch_id)`` idempotence
 token (app id ``corpus-sync:<corpus path>``, batch id = corpus
@@ -25,8 +26,8 @@ version): it commits atomically WITH each applied append, so a sync
 that crashes mid-backlog resumes exactly where it stopped and a
 replayed append is skipped by its token. No sidecar state anywhere.
 
-Retention: reading commit ``v``'s delta needs manifests ``v-1`` and
-``v`` retained — vacuum the corpus with ``keep_manifests`` covering
+Retention: reading commit ``v``'s delta (and, for upserts, the
+pre-image) needs manifests ``v-1`` and ``v`` retained — vacuum the corpus with ``keep_manifests`` covering
 the sync lag, or the sync raises with the retention hint (rebuild the
 index from head in that case).
 
@@ -94,6 +95,25 @@ def _make_cursor_recorder(index_path: str, write_meta):
     return record
 
 
+def _changed_parts(prev: dict, cur: dict, table: str = "data") -> list[str]:
+    pm = prev["tables"].get(table, {})
+    cm = cur["tables"].get(table, {})
+    return sorted(p for p in set(pm) | set(cm) if pm.get(p) != cm.get(p))
+
+
+def _old_rows(spark: SparkSession, corpus_path: str, prev: dict, parts):
+    """The pre-upsert content of the changed partitions (pinned to the
+    ``v-1`` snapshot) — the rows the index must forget."""
+    parts = [p for p in parts if p in prev["tables"].get("data", {})]
+    if not parts:
+        return None
+    paths = M.table_paths(corpus_path, "data", prev, parts=parts)
+    if not paths:
+        return None
+    tdir = os.path.join(M.local_path(corpus_path), "data")
+    return spark.read.option("basePath", tdir).parquet(*paths).drop("gen")
+
+
 def _sync(
     spark: SparkSession,
     corpus_path: str,
@@ -101,6 +121,8 @@ def _sync(
     since: int | None,
     index_meta: dict,
     append,  # (rows_df, txn) -> None
+    delete,  # (ids_df) -> None
+    id_col: str,
     cols: list[str],
     kind: str,
     record_cursor,  # (app, version) -> None
@@ -122,15 +144,26 @@ def _sync(
             applied.append({"version": v, "op": op, "action": "skipped"})
             continue
         if op == "upsert":
-            raise ValueError(
-                f"corpus commit v{v} is an upsert (revision): the "
-                f"{kind} index's tombstone mask is permanent, so "
-                "revised ids cannot be deleted and re-appended — "
-                "rebuild the index from the corpus head instead "
-                "(rebuild_lex_index / rebuild_ann_index), or keep "
-                "revision-heavy corpora on a rebuild cadence; "
-                "incremental sync covers append-only ingest"
+            if "seq" not in index_meta:
+                raise ValueError(
+                    f"corpus commit v{v} is an upsert (revision) but "
+                    f"this {kind} index predates sequence-aware "
+                    "tombstones (permanent mask — re-appended ids "
+                    "would be silently hidden): rebuild the index "
+                    "once (rebuild_lex_index / rebuild_ann_index) to "
+                    "upgrade, then sync revisions incrementally"
+                )
+            prev = M.read_manifest(corpus_path, version=v - 1)
+            old = _old_rows(
+                spark, corpus_path, prev, _changed_parts(prev, cur)
             )
+            if old is not None:
+                # forget the replaced partitions' old rows; the
+                # post-merge content (including re-appended revised
+                # ids) follows as this commit's change-feed append.
+                # Idempotent on a crash-retry: already-masked rows
+                # count 0 and the re-cut tombstone is harmless.
+                delete(old.select(id_col))
         new = C.corpus_snapshot_changes(
             spark, corpus_path, since=v - 1, until=v
         ).select(*cols)
@@ -164,9 +197,13 @@ def sync_lex_index(
     def append(rows, txn):
         L.append_lex_index(rows, index_path, txn=txn)
 
+    def delete(ids):
+        L.delete_from_lex_index(spark, index_path, ids)
+
     return _sync(
         spark, corpus_path,
-        since=since, index_meta=meta, append=append,
+        since=since, index_meta=meta, append=append, delete=delete,
+        id_col=meta["id_col"],
         cols=[meta["id_col"], meta["text_col"]],
         kind="lexical",
         record_cursor=_make_cursor_recorder(index_path, L._write_meta),
@@ -198,9 +235,13 @@ def sync_ann_index(
     def append(rows, txn):
         A.append_ann_index(rows, index_path, txn=txn)
 
+    def delete(ids):
+        A.delete_from_ann_index(spark, index_path, ids)
+
     return _sync(
         spark, corpus_path,
-        since=since, index_meta=meta, append=append,
+        since=since, index_meta=meta, append=append, delete=delete,
+        id_col=meta["id_col"],
         cols=cols,
         kind="ANN",
         record_cursor=_make_cursor_recorder(index_path, A._write_meta),

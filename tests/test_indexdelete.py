@@ -42,6 +42,65 @@ def _lex_topk(spark, path, probes, k=5):
 
 
 # ------------------------------------------------------------------ lex
+@pytest.mark.parametrize("layout", ["rename", "manifest"])
+def test_lex_reinsert_after_delete_is_live(
+    spark, docs, probes, tmp_path, layout
+):
+    """Revision flow: delete ids, then RE-APPEND the same ids with new
+    text — the re-appended rows must serve (sequence-aware tombstones
+    mask only rows appended at-or-before the delete), bit-equal to a
+    fresh build over the revised corpus. A second delete of a
+    re-appended id must work too, and compaction must keep the
+    re-appended rows while purging the masked originals."""
+    revised_ids = docs.orderBy("doc_id").limit(8).select("doc_id")
+    revised = (
+        docs.join(revised_ids, "doc_id", "left_semi")
+        .withColumn("text", F.concat(F.lit("revised edition "),
+                                     F.col("text")))
+        .localCheckpoint(eager=True)
+    )
+    out = str(tmp_path / "lex")
+    L.build_lex_index(docs, out, n_buckets=4, layout=layout)
+    L.delete_from_lex_index(spark, out, revised_ids)
+    L.append_lex_index(revised, out)
+
+    ref = str(tmp_path / "ref")
+    L.build_lex_index(
+        docs.join(revised_ids, "doc_id", "left_anti").unionByName(revised),
+        ref, n_buckets=4, layout=layout,
+    )
+    assert _lex_topk(spark, out, probes) == _lex_topk(spark, ref, probes)
+    assert (
+        L.load_lex_index(spark, out).meta["n_docs"]
+        == L.load_lex_index(spark, ref).meta["n_docs"]
+    )
+
+    # second revision cycle of the SAME ids
+    twice = revised.withColumn(
+        "text", F.concat(F.lit("third edition "), F.col("text"))
+    ).localCheckpoint(eager=True)
+    L.delete_from_lex_index(spark, out, revised_ids)
+    L.append_lex_index(twice, out)
+    ref2 = str(tmp_path / "ref2")
+    L.build_lex_index(
+        docs.join(revised_ids, "doc_id", "left_anti").unionByName(twice),
+        ref2, n_buckets=4, layout=layout,
+    )
+    want = _lex_topk(spark, ref2, probes)
+    assert _lex_topk(spark, out, probes) == want
+
+    # compaction purges the two masked editions, keeps the third
+    L.compact_lex_index(spark, out, max_files_per_bucket=1)
+    assert _lex_topk(spark, out, probes) == want
+    posts = L.load_lex_index(spark, out).postings
+    per_id = (
+        posts.join(revised_ids, "doc_id", "left_semi")
+        .select("doc_id", "__seq").distinct()
+        .groupBy("doc_id").count()
+    )
+    assert per_id.where(F.col("count") != 1).count() == 0
+
+
 def test_lex_delete_bit_equals_fresh_build(spark, docs, probes, tmp_path):
     keep = docs.where(F.col("doc_id") % 3 != 0)
     victims = [r.doc_id for r in docs.where(F.col("doc_id") % 3 == 0)
@@ -275,6 +334,76 @@ def test_ann_delete_reranks_survivors(spark, sf_dir, tmp_path):
     }
     assert {(r.query_id, r.neighbor_id, r.cosine, r.rank)
             for r in got} == want
+
+
+@pytest.mark.parametrize("layout", ["rename", "manifest"])
+def test_ann_reinsert_after_delete_is_live(spark, sf_dir, tmp_path, layout):
+    """Revision flow on the ANN index: deleted ids re-appended with new
+    vectors must serve their NEW rows (sequence-aware mask), equal to
+    build+append with the revised vectors; n_rows stays exact and
+    compaction keeps exactly one live row per revised id."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    victims = vecs.orderBy("vec_id").limit(5).select("vec_id")
+    revised = (
+        vecs.join(victims, "vec_id", "left_semi")
+        .withColumn(
+            "embedding",
+            F.reverse(F.col("embedding")),  # a genuinely different vector
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = str(tmp_path / "ann")
+    A.build_ann_index(vecs, out, m=4, n_codewords=8, layout=layout)
+    A.delete_from_ann_index(spark, out, victims)
+    A.append_ann_index(revised, out)
+
+    ref = str(tmp_path / "ref")
+    A.build_ann_index(
+        vecs.join(victims, "vec_id", "left_anti"), ref,
+        m=4, n_codewords=8, layout=layout,
+    )
+    A.append_ann_index(revised, ref)
+    q = vecs.orderBy(F.col("vec_id").desc()).limit(5)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in A.ann_index_topk(
+            A.load_ann_index(spark, out), q, k=10, nprobe=2
+        ).collect()
+    }
+    # codebooks differ (trained with vs without the victims), so
+    # compare live CONTENT, not scores: same live row set...
+    live_out = _mask_live_rows(spark, out)
+    live_ref = _mask_live_rows(spark, ref)
+    assert live_out == live_ref
+    assert (
+        A.load_ann_index(spark, out).meta["n_rows"]
+        == A.load_ann_index(spark, ref).meta["n_rows"]
+    )
+    # ...revised ids ARE in the served candidate space
+    idx = A.load_ann_index(spark, out)
+    served = A.ann_index_topk(idx, revised, k=1, nprobe=4,
+                              exclude_self=False)
+    hits = {r.neighbor_id for r in served.collect()}
+    assert hits & {r.vec_id for r in victims.collect()}
+    assert got is not None
+
+    # compaction keeps exactly one live row per revised id
+    A.compact_ann_index(spark, out, max_files_per_cell=1)
+    assert _mask_live_rows(spark, out) == live_ref
+
+
+def _mask_live_rows(spark, path):
+    """The index's live id set (tombstone mask applied) — each id must
+    appear exactly once for the revision flow to be correct."""
+    from auto_data_linkage_spark.operators.lexindex import _mask_tombstoned
+
+    idx = A.load_ann_index(spark, path)
+    live = _mask_tombstoned(idx.coded, idx.tombstones, id_col="neighbor_id")
+    rows = [r.neighbor_id for r in live.select("neighbor_id").collect()]
+    assert len(rows) == len(set(rows)), "an id serves more than one row"
+    return set(rows)
 
 
 def test_ann_delete_idempotent_and_compaction_purges(

@@ -141,7 +141,57 @@ def test_lex_sync_resumes_after_midbacklog_crash(
     )
 
 
-def test_sync_refuses_upsert_commits(spark, docs, tmp_path):
+def test_lex_sync_folds_upserts(spark, docs, tmp_path, probes):
+    """Revision commits fold in: the upsert's replaced partitions are
+    forgotten (sequence-aware delete) and the post-merge content —
+    including the re-appended revised ids — serves, bit-equal to a
+    fresh build over the corpus head."""
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    C.build_corpus_snapshot(
+        docs, corpus, key="doc_id", partition_by=["lang"]
+    )
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).limit(0), idx,
+        n_buckets=4, layout="manifest",
+    )
+    sync_lex_index(spark, corpus, idx)
+    revised = (
+        docs.orderBy("doc_id").limit(6)
+        .withColumn(
+            "text", F.concat(F.lit("revised edition "), F.col("text"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    C.upsert_corpus_snapshot(spark, corpus, revised)
+    ins = (
+        docs.orderBy("doc_id").limit(4)
+        .withColumn("doc_id", F.col("doc_id") + 5_000_000)
+    )
+    C.append_corpus_snapshot(corpus, ins)
+    out = sync_lex_index(spark, corpus, idx)
+    assert [(a["version"], a["op"]) for a in out["applied"]] == [
+        (2, "upsert"), (3, "append"),
+    ]
+    ref = str(tmp_path / "ref")
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).select("doc_id", "text"),
+        ref, n_buckets=4, layout="manifest",
+    )
+    assert _lex_topk(spark, idx, probes) == _lex_topk(spark, ref, probes)
+    assert (
+        M.read_manifest(idx)["meta"]["n_docs"]
+        == M.read_manifest(ref)["meta"]["n_docs"]
+    )
+    # revised text is what serves
+    q2 = query_terms_from_docs(revised.limit(2), n_terms=6)
+    assert _lex_topk(spark, idx, q2) == _lex_topk(spark, ref, q2)
+
+
+def test_sync_refuses_upserts_on_legacy_index(spark, docs, tmp_path):
+    """An index whose meta predates the sequence counter (permanent
+    tombstone mask) must refuse revision commits with the rebuild
+    hint."""
     corpus = str(tmp_path / "corpus")
     idx = str(tmp_path / "idx")
     C.build_corpus_snapshot(
@@ -152,6 +202,13 @@ def test_sync_refuses_upsert_commits(spark, docs, tmp_path):
         n_buckets=4, layout="manifest",
     )
     sync_lex_index(spark, corpus, idx)
+    # age the index: strip the sequence counter as a pre-seq build had
+    snap = M.read_manifest(idx)
+    legacy_meta = {k: v for k, v in snap["meta"].items() if k != "seq"}
+    M.commit_manifest(
+        idx, tables=snap["tables"], meta=legacy_meta,
+        expected_version=snap["version"],
+    )
     C.upsert_corpus_snapshot(
         spark, corpus, docs.limit(3).withColumn("text", F.lit("revised"))
     )
