@@ -266,7 +266,8 @@ def build_ann_index(
 
 
 def append_ann_index(
-    delta: DataFrame, path: str, *, txn: tuple | None = None
+    delta: DataFrame, path: str, *, txn: tuple | None = None,
+    _attempts: int = 3,
 ) -> dict:
     """Incremental index growth: encode ONLY the delta with the STORED
     codebooks and append its coded rows to ``coded/`` — new corpus
@@ -434,6 +435,19 @@ def append_ann_index(
                         "append (concurrent rebuild?) — re-encode the "
                         "delta against the new index"
                     )
+            if seq_aware and int(fm.get("seq", 0)) != int(orig.get("seq", 0)):
+                # stale __seq stamp vs a possibly-interleaved delete:
+                # restamp if any fresh cut covers our rows (see
+                # lexindex.append_lex_index)
+                tombs = M.read_table(spark, path, "tombstones", fresh)
+                if tombs is not None and "as_of_seq" in tombs.columns:
+                    mx = tombs.agg(F.max("as_of_seq")).first()[0]
+                    if mx is not None and int(mx) >= int(
+                        orig.get("seq", 0)
+                    ) + 1:
+                        from .lexindex import _RestampRequired
+
+                        raise _RestampRequired()
             m2 = dict(fm)
             c2 = sorted(set(fm["cells"]) | set(delta_cells))
             m2["n_rows"] = int(fm["n_rows"]) + int(n_delta)
@@ -444,7 +458,20 @@ def append_ann_index(
             m2 = M.with_txn(m2, txn)
             return M.add_gens(fresh["tables"], "coded", cp, gc_), m2
 
-        return M.commit_with_retry(path, mutate)["meta"]
+        from .lexindex import _RestampRequired
+
+        try:
+            return M.commit_with_retry(path, mutate)["meta"]
+        except _RestampRequired:
+            if _attempts <= 1:
+                raise M.ManifestConflictError(
+                    "this append keeps racing concurrent deletes whose "
+                    "tombstone cuts cover its row stamps — serialize "
+                    "the writers"
+                ) from None
+            return append_ann_index(
+                delta, path, txn=txn, _attempts=_attempts - 1
+            )
     cells = sorted(set(meta["cells"]) | set(delta_cells))
     meta["n_rows"] = int(meta["n_rows"]) + int(n_delta)
     meta["cells"] = cells
@@ -548,17 +575,23 @@ def _delete_ann_once(spark: SparkSession, path: str, ids) -> dict:
             ids = ids.join(tombs, "neighbor_id", "left_anti")
         live = coded
     ids = ids.localCheckpoint(eager=True)
-    n_del = (
-        live.join(ids, "neighbor_id", "left_semi").count()
+    live_hits = (
+        live.join(ids, "neighbor_id", "left_semi").localCheckpoint(
+            eager=True
+        )
         if live is not None
-        else 0
+        else None
     )
+    n_del = live_hits.count() if live_hits is not None else 0
     if manifest:
-        if ids.count() == 0:
+        if ids.count() == 0 or (seq_aware and not n_del):
+            # absent or already-masked ids need no new cut (a cut
+            # masks nothing appended after it) — nothing to commit
             return {"deleted": 0, "meta": meta}
         gb = M.next_gen(path, "tombstones")
         out_ids = (
-            ids.withColumn("as_of_seq", F.lit(int(meta["seq"])))
+            live_hits.select("neighbor_id").distinct()
+            .withColumn("as_of_seq", F.lit(int(meta["seq"])))
             if seq_aware
             else ids
         )
@@ -572,8 +605,11 @@ def _delete_ann_once(spark: SparkSession, path: str, ids) -> dict:
             path, tables=tables, meta=meta, expected_version=snap["version"]
         )
         return {"deleted": int(n_del), "meta": meta}
+    if seq_aware and not n_del:
+        return {"deleted": 0, "meta": meta}
     out_ids = (
-        ids.withColumn("as_of_seq", F.lit(int(meta["seq"])))
+        live_hits.select("neighbor_id").distinct()
+        .withColumn("as_of_seq", F.lit(int(meta["seq"])))
         if seq_aware
         else ids
     )

@@ -650,9 +650,20 @@ def edge_store_sink(
     from . import manifestfs as M
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        manifest = M.is_manifest_store(path)
+        if app_id is not None and not manifest:
+            # validate BEFORE the empty-batch early-return, so a
+            # misconfigured query fails on batch 0 instead of dying
+            # mid-run when real data first arrives
+            raise ValueError(
+                "app_id idempotence tokens need a manifest-layout edge "
+                "store (create it with init_edge_store(path)); the "
+                "rename layout keeps the documented at-least-once "
+                "append contract"
+            )
         if batch_df.isEmpty():
             return
-        if M.is_manifest_store(path):
+        if manifest:
             snap = M.read_manifest(path)
             if app_id is not None and (
                 M.txn_version(snap["meta"], app_id) >= batch_id
@@ -703,17 +714,6 @@ def edge_store_sink(
                     max_files_per_bucket=compact_over,
                 )
             return
-        if app_id is not None:
-            # the rename-layout edge store has no metadata file at all,
-            # so there is nowhere to track idempotence tokens — failing
-            # loudly beats silently accepting an app_id that protects
-            # nothing
-            raise ValueError(
-                "app_id idempotence tokens need a manifest-layout edge "
-                "store (create it with init_edge_store(path)); the "
-                "rename layout keeps the documented at-least-once "
-                "append contract"
-            )
         # repair-before-append: writing into a store whose bucket is
         # parked as __old would recreate the live dir and make the next
         # sweep drop the parked original (see append_lex_index).

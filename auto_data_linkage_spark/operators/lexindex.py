@@ -157,7 +157,7 @@ def _mask_tombstoned(
             F.col(id_col).alias("__t_id"), F.col("as_of_seq")
         )
         return rows.join(
-            F.broadcast(t),
+            t,
             on=(rows[id_col] == F.col("__t_id"))
             & (rows["__seq"] <= F.col("as_of_seq")),
             how="left_anti",
@@ -291,8 +291,16 @@ def build_lex_index(
     return meta
 
 
+class _RestampRequired(Exception):
+    """A concurrent DELETE cut tombstones at or past this append's
+    __seq stamp while the append raced its commit — committing the
+    stale-stamped rows would mask them on arrival. The append re-runs
+    fully (re-encode against the fresh counter)."""
+
+
 def append_lex_index(
-    delta: DataFrame, path: str, *, txn: tuple | None = None
+    delta: DataFrame, path: str, *, txn: tuple | None = None,
+    _attempts: int = 3,
 ) -> dict:
     """Incremental index growth, O(delta): tokenize/bucket ONLY the new
     documents with the stored parameters, append their postings, and
@@ -390,6 +398,21 @@ def append_lex_index(
                         "append (concurrent rebuild?) — re-run the "
                         "append against the new index"
                     )
+            if seq_aware and int(fm.get("seq", 0)) != int(orig.get("seq", 0)):
+                # our rows were stamped against the OLD counter; if a
+                # concurrent delete cut at or past that stamp, merging
+                # now would mask the rows the moment they arrive —
+                # check the FRESH cuts and restamp if so (appends
+                # alone never trip this: they move seq but not cuts)
+                tombs = M.read_table(
+                    delta.sparkSession, path, "tombstones", fresh
+                )
+                if tombs is not None and "as_of_seq" in tombs.columns:
+                    mx = tombs.agg(F.max("as_of_seq")).first()[0]
+                    if mx is not None and int(mx) >= int(
+                        orig.get("seq", 0)
+                    ) + 1:
+                        raise _RestampRequired()
             m2 = dict(fm)
             m2["n_docs"] = int(fm["n_docs"]) + int(n_docs)
             m2["sum_dl"] = int(fm["sum_dl"]) + int(sum_dl or 0)
@@ -400,7 +423,21 @@ def append_lex_index(
             t2 = M.add_gens(t2, "terms", tp, gt)
             return t2, m2
 
-        return M.commit_with_retry(path, mutate)["meta"]
+        try:
+            return M.commit_with_retry(path, mutate)["meta"]
+        except _RestampRequired:
+            if _attempts <= 1:
+                raise M.ManifestConflictError(
+                    "this append keeps racing concurrent deletes whose "
+                    "tombstone cuts cover its row stamps — serialize "
+                    "the writers"
+                ) from None
+            # full re-run: re-read meta, re-encode, restamp past the
+            # new cuts (the losing attempt's generations are vacuumable
+            # orphans)
+            return append_lex_index(
+                delta, path, txn=txn, _attempts=_attempts - 1
+            )
     meta["n_docs"] = int(meta["n_docs"]) + int(n_docs)
     meta["sum_dl"] = int(meta["sum_dl"]) + int(sum_dl or 0)
     if seq_aware:
@@ -547,8 +584,13 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
     # The bit-equal contract holds for COMPLETED deletes; a crashed,
     # retried delete serves the correct candidate set with slightly
     # stale stats until rebuild_lex_index.
+    if seq_aware and not n_del:
+        # absent or already-masked ids need no new cut (see the
+        # manifest path) — nothing to write
+        return {"deleted": 0, "meta": meta}
     out_ids = (
-        ids.withColumn("as_of_seq", F.lit(int(meta["seq"])))
+        hit.select("doc_id").distinct()
+        .withColumn("as_of_seq", F.lit(int(meta["seq"])))
         if seq_aware
         else ids
     )
@@ -615,6 +657,12 @@ def _delete_manifest(spark: SparkSession, path: str, ids) -> dict:
         )
     if not n_new:
         return {"deleted": 0, "meta": meta}
+    if seq_aware and not n_del:
+        # nothing live matches: absent or already-masked ids need no
+        # new cut (a cut masks nothing appended after it), so there is
+        # nothing to commit — keeps the tombstone table proportional
+        # to rows actually deleted
+        return {"deleted": 0, "meta": meta}
     tables = snap["tables"]
     if n_del:
         gt = M.next_gen(path, "terms")
@@ -629,8 +677,9 @@ def _delete_manifest(spark: SparkSession, path: str, ids) -> dict:
         )
     gb = M.next_gen(path, "tombstones")
     out_ids = (
-        ids.withColumn("as_of_seq", F.lit(int(meta["seq"])))
-        if seq_aware
+        hit.select("doc_id").distinct()
+        .withColumn("as_of_seq", F.lit(int(meta["seq"])))
+        if seq_aware and hit is not None
         else ids
     )
     out_ids.write.parquet(os.path.join(local, "tombstones", gb))

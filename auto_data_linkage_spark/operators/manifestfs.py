@@ -473,13 +473,16 @@ def txn_version(meta: dict, app_id: str) -> int:
 def with_txn(meta: dict, txn: "tuple | None") -> dict:
     """Copy of ``meta`` with the ``(app_id, batch_id)`` idempotence
     token recorded (see :func:`txn_version`); unchanged when ``txn``
-    is None."""
+    is None. Tokens are MONOTONE: recording a batch id at or below the
+    stored one is a no-op — a slow writer re-committing an old token
+    (e.g. an overlapping sync's cursor record racing a newer one) can
+    never rewind the cursor and cause later batches to re-apply."""
     if txn is None:
         return meta
     app_id, batch_id = txn
     out = dict(meta)
     t = dict(out.get("txn", {}))
-    t[str(app_id)] = int(batch_id)
+    t[str(app_id)] = max(int(batch_id), int(t.get(str(app_id), -1)))
     out["txn"] = t
     return out
 

@@ -68,10 +68,23 @@ def _sync_app_id(corpus_path: str) -> str:
     return f"corpus-sync:{os.path.abspath(M.local_path(corpus_path))}"
 
 
-def _make_cursor_recorder(index_path: str, write_meta):
-    """Cursor-only token update on the index: one manifest commit
-    (manifest layout) or an index.json rewrite (rename layout), skipped
-    when the stored token already covers the target version."""
+def _make_cursor_io(index_path: str, write_meta):
+    """(record, read) pair over the index's stored sync token: record
+    is a cursor-only commit (skipped when the stored token already
+    covers the target version; with_txn is monotone, so a racing
+    recorder can never rewind it), read returns the CURRENT stored
+    token — re-read per applied commit so an overlapping or retried
+    sync can never re-run a commit's delete half (the append half is
+    token-guarded inside the index append itself)."""
+
+    def read(app: str) -> int:
+        if M.is_manifest_store(index_path):
+            return M.txn_version(M.read_manifest(index_path)["meta"], app)
+        import json as _json
+
+        local = M.local_path(index_path)
+        with open(os.path.join(local, "index.json")) as f:
+            return M.txn_version(_json.load(f), app)
 
     def record(app: str, v: int) -> None:
         if M.is_manifest_store(index_path):
@@ -92,7 +105,7 @@ def _make_cursor_recorder(index_path: str, write_meta):
             return
         write_meta(local, M.with_txn(meta, (app, v)))
 
-    return record
+    return record, read
 
 
 def _changed_parts(prev: dict, cur: dict, table: str = "data") -> list[str]:
@@ -125,15 +138,24 @@ def _sync(
     id_col: str,
     cols: list[str],
     kind: str,
-    record_cursor,  # (app, version) -> None
+    cursor_io,  # (record(app, version), read(app) -> int)
+    index_empty: bool,
 ) -> dict:
     head_snap = M.read_manifest(corpus_path)
     C._check_meta(head_snap["meta"])
     head = int(head_snap["version"])
     app = _sync_app_id(corpus_path)
-    cursor = int(since) if since is not None else M.txn_version(
-        index_meta, app
-    )
+    record_cursor, read_cursor = cursor_io
+    stored = M.txn_version(index_meta, app)
+    if since is None and stored < 0 and not index_empty:
+        raise ValueError(
+            f"this {kind} index is non-empty but has no sync cursor "
+            f"for {corpus_path}: a parameterless first sync would "
+            "re-apply the corpus from v1 and duplicate every indexed "
+            "row — pass since=<the corpus version the index was built "
+            "from> on the first call"
+        )
+    cursor = int(since) if since is not None else stored
     if cursor < 0:
         cursor = 0
     applied: list[dict] = []
@@ -142,6 +164,16 @@ def _sync(
         op = cur.get("op") or "unknown"
         if op == "compact":
             applied.append({"version": v, "op": op, "action": "skipped"})
+            continue
+        if read_cursor(app) >= v:
+            # already applied by a crashed/overlapping earlier sync
+            # whose cursor committed: re-running the delete half of an
+            # upsert here would re-cut tombstones at the NOW-advanced
+            # counter and permanently mask the revision rows whose
+            # re-append the token skips — skip the whole commit
+            applied.append(
+                {"version": v, "op": op, "action": "already-applied"}
+            )
             continue
         if op == "upsert":
             if "seq" not in index_meta:
@@ -206,7 +238,8 @@ def sync_lex_index(
         id_col=meta["id_col"],
         cols=[meta["id_col"], meta["text_col"]],
         kind="lexical",
-        record_cursor=_make_cursor_recorder(index_path, L._write_meta),
+        cursor_io=_make_cursor_io(index_path, L._write_meta),
+        index_empty=int(meta.get("n_docs", 0)) == 0,
     )
 
 
@@ -244,5 +277,6 @@ def sync_ann_index(
         id_col=meta["id_col"],
         cols=cols,
         kind="ANN",
-        record_cursor=_make_cursor_recorder(index_path, A._write_meta),
+        cursor_io=_make_cursor_io(index_path, A._write_meta),
+        index_empty=int(meta.get("n_rows", 0)) == 0,
     )

@@ -101,6 +101,61 @@ def test_lex_reinsert_after_delete_is_live(
     assert per_id.where(F.col("count") != 1).count() == 0
 
 
+def test_append_restamps_when_a_delete_interleaves(
+    spark, docs, probes, tmp_path, monkeypatch
+):
+    """The stale-stamp race: append B stamps its rows __seq=2 against
+    counter 1; while B races its merge, append A commits (counter→2)
+    and THEN a takedown of B's very ids cuts tombstones at 2 — a blind
+    manifest merge would land B's rows already masked (B committed
+    after the takedown, yet __seq 2 <= cut 2). B must detect the fresh
+    cut, re-run fully with a fresh stamp, and its rows must serve."""
+    ids = docs.orderBy("doc_id").limit(4).select("doc_id")
+    revised = (
+        docs.join(ids, "doc_id", "left_semi")
+        .withColumn("text", F.lit("unique xylocarp restamp text"))
+        .localCheckpoint(eager=True)
+    )
+    other = (
+        docs.orderBy(F.col("doc_id").desc()).limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 8_000_000)
+        .localCheckpoint(eager=True)
+    )
+    out = str(tmp_path / "lex")
+    L.build_lex_index(docs, out, n_buckets=4, layout="manifest")
+
+    from auto_data_linkage_spark.operators import manifestfs as M
+
+    real = M.commit_manifest
+    state = {"armed": True}
+
+    def delete_sneaks_in(path, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            # between B's snapshot read and B's commit: append A moves
+            # the counter, then a takedown of B's ids cuts AT it
+            monkeypatch.setattr(M, "commit_manifest", real)
+            L.append_lex_index(other, out)
+            L.delete_from_lex_index(spark, out, ids)
+            monkeypatch.setattr(M, "commit_manifest", delete_sneaks_in)
+        return real(path, **kw)
+
+    monkeypatch.setattr(M, "commit_manifest", delete_sneaks_in)
+    L.append_lex_index(revised, out)
+    monkeypatch.setattr(M, "commit_manifest", real)
+
+    # the appended revisions SERVE (a blind merge would have masked them)
+    from auto_data_linkage_spark.operators.retrieval import (
+        query_terms_from_docs,
+    )
+
+    q = query_terms_from_docs(revised.limit(2), n_terms=4)
+    hits = _lex_topk(spark, out, q)
+    assert hits and {h[1] for h in hits} & {
+        r.doc_id for r in ids.collect()
+    }
+
+
 def test_lex_delete_bit_equals_fresh_build(spark, docs, probes, tmp_path):
     keep = docs.where(F.col("doc_id") % 3 != 0)
     victims = [r.doc_id for r in docs.where(F.col("doc_id") % 3 == 0)

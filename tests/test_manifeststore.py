@@ -982,15 +982,23 @@ def test_delete_on_emptied_manifest_ann_index(spark, sf_dir, tmp_path):
     A.compact_ann_index(spark, out, max_files_per_cell=0)
     snap = M.read_manifest(out)
     assert M.read_table(spark, out, "coded", snap) is None
+    v = snap["version"]
     res = A.delete_from_ann_index(spark, out, [900001, 900002])
     assert res["deleted"] == 0
-    # the mask was committed, typed from the stored schema string
-    snap = M.read_manifest(out)
-    tombs = M.read_table(spark, out, "tombstones", snap)
-    got = {r.neighbor_id for r in tombs.collect()}
-    assert {900001, 900002} <= got
-    assert tombs.schema["neighbor_id"].dataType.simpleString() == \
-        snap["meta"]["id_type"]
+    # sequence-aware semantics: absent ids get NO new cut (a cut never
+    # masks rows appended after it, so recording one would be pure
+    # tombstone growth) and nothing commits — the point of the
+    # original regression stands: no crash on the missing coded table
+    assert M.read_manifest(out)["version"] == v
+    # ...and appending those very ids later serves them (no stale mask)
+    later = vecs.where(F.col("vec_id") < 2).withColumn(
+        "vec_id", F.col("vec_id") + 900001
+    )
+    A.append_ann_index(later, out)
+    idx = A.load_ann_index(spark, out)
+    hits = A.ann_index_topk(idx, later, k=1, nprobe=4, exclude_self=False)
+    assert {r.neighbor_id for r in hits.collect()} <= {900001, 900002}
+    assert hits.count() > 0
 
 
 def test_rebuild_accepts_explicit_layout_kwarg(spark, sf_dir, tmp_path, docs):

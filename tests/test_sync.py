@@ -188,6 +188,67 @@ def test_lex_sync_folds_upserts(spark, docs, tmp_path, probes):
     assert _lex_topk(spark, idx, q2) == _lex_topk(spark, ref, q2)
 
 
+def test_represented_upsert_does_not_remask_revisions(
+    spark, docs, tmp_path, probes
+):
+    """A retried sync that re-presents an ALREADY-APPLIED upsert (its
+    token committed, e.g. since= anchored below it) must skip the
+    whole commit: re-running the delete half would re-cut tombstones
+    at the now-advanced counter and permanently mask the revision
+    rows whose re-append the token skips."""
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    C.build_corpus_snapshot(docs, corpus, key="doc_id", partition_by=["lang"])
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).limit(0), idx,
+        n_buckets=4, layout="manifest",
+    )
+    sync_lex_index(spark, corpus, idx)
+    revised = (
+        docs.orderBy("doc_id").limit(5)
+        .withColumn("text", F.lit("unique zyzzyva revision text"))
+        .localCheckpoint(eager=True)
+    )
+    C.upsert_corpus_snapshot(spark, corpus, revised)
+    sync_lex_index(spark, corpus, idx)
+    want = _lex_topk(spark, idx, query_terms_from_docs(revised, n_terms=4))
+    assert want  # revisions serve
+    # the dangerous retry: re-present everything from the beginning
+    out = sync_lex_index(spark, corpus, idx, since=0)
+    assert all(a["action"] == "already-applied" for a in out["applied"]
+               if a["op"] != "compact")
+    assert _lex_topk(
+        spark, idx, query_terms_from_docs(revised, n_terms=4)
+    ) == want  # revisions still serve; nothing was re-masked
+    assert (
+        M.read_manifest(idx)["meta"]["n_docs"]
+        == C.load_corpus_snapshot(spark, corpus).count()
+    )
+
+
+def test_first_sync_without_since_on_nonempty_index_raises(
+    spark, docs, tmp_path
+):
+    """The documented-but-easy-to-miss misuse: an index built from a
+    non-empty corpus synced without since= would silently re-append
+    the whole corpus — it must fail loudly with the since= hint."""
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    C.build_corpus_snapshot(
+        docs.limit(60), corpus, key="doc_id", partition_by=["lang"]
+    )
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).select("doc_id", "text"),
+        idx, n_buckets=4, layout="manifest",
+    )
+    with pytest.raises(ValueError, match="since="):
+        sync_lex_index(spark, corpus, idx)
+    # the documented anchor works, and thereafter parameterless syncs do
+    out = sync_lex_index(spark, corpus, idx, since=1)
+    assert out["applied"] == []
+    assert sync_lex_index(spark, corpus, idx)["applied"] == []
+
+
 def test_sync_refuses_upserts_on_legacy_index(spark, docs, tmp_path):
     """An index whose meta predates the sequence counter (permanent
     tombstone mask) must refuse revision commits with the rebuild
