@@ -427,6 +427,11 @@ def append_ann_index(
 
         def mutate(fresh: dict):
             fm = fresh["meta"]
+            if txn is not None and M.txn_version(fm, txn[0]) >= int(txn[1]):
+                # same-token concurrent writer won since the entry
+                # check: merging would double-append — abort atomically
+                # with the commit (see lexindex.append_lex_index)
+                raise M.AlreadyApplied(fresh)
             for k in ("version", "codec", "m", "n_codewords", "vec_col",
                       "id_col", "cell_col", "codebooks"):
                 if fm.get(k) != orig.get(k):
@@ -462,6 +467,8 @@ def append_ann_index(
 
         try:
             return M.commit_with_retry(path, mutate)["meta"]
+        except M.AlreadyApplied as e:
+            return dict(e.snapshot["meta"])
         except _RestampRequired:
             if _attempts <= 1:
                 raise M.ManifestConflictError(
@@ -483,7 +490,9 @@ def append_ann_index(
     return meta
 
 
-def delete_from_ann_index(spark: SparkSession, path: str, ids) -> dict:
+def delete_from_ann_index(
+    spark: SparkSession, path: str, ids, *, guard_txn: tuple | None = None
+) -> dict:
     """Delete vectors from the stored index WITHOUT rewriting it — the
     dense mirror of :func:`lexindex.delete_from_lex_index` (takedowns,
     right-to-be-forgotten): a ``(neighbor_id)`` row appends to
@@ -499,8 +508,13 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids) -> dict:
     lexindex._mask_tombstoned): a deleted id re-appended later serves
     its new rows — revisions are first-class; legacy pre-counter
     indexes keep the permanent mask, for which: do
-    NOT re-use a deleted id in later appends. Ids absent from the
-    index are tombstoned but change no statistic. Returns
+    NOT re-use a deleted id in later appends. On sequence-aware
+    stores, ids that are absent or already masked write NO tombstone
+    (the early return keeps the mask proportional to rows actually
+    deleted) — so a PRE-EMPTIVE delete of a never-appended id does not
+    prevent a later append of that id from serving, and a re-appended
+    id serves again; permanent takedowns must be enforced upstream
+    (filter the ingest) rather than by tombstone. Returns
     ``{"deleted": n, "meta": updated-metadata}``.
 
     Crash window (stat drift only): a crash AFTER the tombstone append
@@ -519,24 +533,46 @@ def delete_from_ann_index(spark: SparkSession, path: str, ids) -> dict:
     (its counts were computed from the snapshot it read, so a racing
     append may have added rows with the very ids being deleted) — see
     :func:`manifestfs.retry_on_conflict`; the losing attempt's
-    tombstone generation is a vacuumable orphan."""
+    tombstone generation is a vacuumable orphan.
+
+    ``guard_txn=(app_id, batch_id)`` — same conditional-delete contract
+    as :func:`lexindex.delete_from_lex_index`: no-op when the fresh
+    snapshot already carries the token (atomic with the commit via the
+    version CAS + full re-run), closing the overlapping-sync
+    re-cut-after-re-append race. Manifest layout only."""
     if M.is_manifest_store(path):
-        return M.retry_on_conflict(lambda: _delete_ann_once(spark, path, ids))
+        return M.retry_on_conflict(
+            lambda: _delete_ann_once(spark, path, ids, guard_txn=guard_txn)
+        )
     return _delete_ann_once(spark, path, ids)
 
 
-def _delete_ann_once(spark: SparkSession, path: str, ids) -> dict:
+def _delete_ann_once(
+    spark: SparkSession, path: str, ids, *, guard_txn: tuple | None = None
+) -> dict:
     local = _local(path)
     manifest = M.is_manifest_store(path)
     if manifest:
         snap = M.read_manifest(path)
         meta = dict(snap["meta"])
+        if guard_txn is not None and M.txn_version(
+            meta, guard_txn[0]
+        ) >= int(guard_txn[1]):
+            # token already committed by another sync pass: cutting now
+            # would mask its re-appended rows (see lexindex)
+            return {"deleted": 0, "meta": meta, "skipped_txn": True}
         coded = M.read_table(spark, path, "coded", snap)
         tombs = M.read_table(spark, path, "tombstones", snap)
     else:
         repair_ann_index(path)
         with open(os.path.join(local, "index.json")) as f:
             meta = json.load(f)
+        if guard_txn is not None and M.txn_version(
+            meta, guard_txn[0]
+        ) >= int(guard_txn[1]):
+            # best-effort only on the rename layout (no atomic commit
+            # to ride): syncs keep a single-concurrent-writer contract
+            return {"deleted": 0, "meta": meta, "skipped_txn": True}
         coded = spark.read.parquet(os.path.join(local, "coded"))
         tomb_dir = os.path.join(local, "tombstones")
         tombs = (

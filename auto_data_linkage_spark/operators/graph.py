@@ -697,6 +697,13 @@ def edge_store_sink(
                             "edge-store n_buckets changed under this "
                             "append — re-bucket the delta"
                         )
+                    if app_id is not None and (
+                        M.txn_version(fresh["meta"], app_id) >= batch_id
+                    ):
+                        # same-token concurrent sink instance won since
+                        # the entry check: merging would double-append
+                        # — abort atomically with the commit
+                        raise M.AlreadyApplied(fresh)
                     return (
                         M.add_gens(fresh["tables"], "edges", parts, gen),
                         M.with_txn(
@@ -707,7 +714,10 @@ def edge_store_sink(
                         ),
                     )
 
-                M.commit_with_retry(path, mutate)
+                try:
+                    M.commit_with_retry(path, mutate)
+                except M.AlreadyApplied:
+                    return
             if compact_over is not None:
                 compact_edge_store(
                     batch_df.sparkSession, path,

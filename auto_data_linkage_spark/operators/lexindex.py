@@ -391,6 +391,13 @@ def append_lex_index(
 
         def mutate(fresh: dict):
             fm = fresh["meta"]
+            if txn is not None and M.txn_version(fm, txn[0]) >= int(txn[1]):
+                # a concurrent writer presenting the SAME token won the
+                # race since the entry check (duplicate sink instance /
+                # overlapping sync): merging would double-append the
+                # batch — abort atomically with the commit; our gens
+                # stay invisible (vacuumable orphans)
+                raise M.AlreadyApplied(fresh)
             for k in ("version", "n_buckets", "id_col", "text_col"):
                 if fm.get(k) != orig.get(k):
                     raise M.ManifestConflictError(
@@ -425,6 +432,8 @@ def append_lex_index(
 
         try:
             return M.commit_with_retry(path, mutate)["meta"]
+        except M.AlreadyApplied as e:
+            return dict(e.snapshot["meta"])
         except _RestampRequired:
             if _attempts <= 1:
                 raise M.ManifestConflictError(
@@ -476,7 +485,9 @@ def repair_lex_index(path: str) -> dict:
     return out
 
 
-def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
+def delete_from_lex_index(
+    spark: SparkSession, path: str, ids, *, guard_txn: tuple | None = None
+) -> dict:
     """Delete documents from the stored index WITHOUT rewriting it —
     the corpus-lifecycle path (takedowns, right-to-be-forgotten, bad
     crawls) a 100 TB append-only store otherwise lacks. ``ids`` is a
@@ -499,10 +510,15 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
     artifact. Cost: ONE full postings scan per delete call (doc ids
     are not the partition key), so batch deletions. Physical purge of
     the masked postings rows happens at the next compaction; the
-    tombstone mask itself is permanent — do NOT re-use a deleted doc
-    id in later appends (the same no-dedup-check contract appends
-    document). Ids absent from the index are tombstoned but change no
-    statistic. Returns ``{"deleted": n, "meta": updated-metadata}``.
+    tombstone mask is permanent ONLY on legacy pre-sequence-counter
+    indexes — there, do NOT re-use a deleted doc id in later appends.
+    On sequence-aware stores, ids that are absent or already masked
+    write NO tombstone (the early return keeps the mask proportional
+    to rows actually deleted) — a pre-emptive delete of a
+    never-appended id does not prevent a later append of that id from
+    serving, and a re-appended id serves again; permanent takedowns
+    must be enforced upstream (filter the ingest) rather than by
+    tombstone. Returns ``{"deleted": n, "meta": updated-metadata}``.
 
     Crash-retry safe (rename layout): artifacts commit tombstones-
     first, so retrying a crashed delete no-ops instead of double-
@@ -512,6 +528,17 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
     three artifacts land in ONE manifest commit — a crash before it
     leaves nothing visible and the retry deletes cleanly; there is no
     residue at all.
+
+    ``guard_txn=(app_id, batch_id)`` makes the delete CONDITIONAL on
+    the index's stored idempotence token still being below
+    ``batch_id``: when the fresh snapshot already carries the token,
+    the delete no-ops (``{"skipped_txn": True}``). The check is atomic
+    with the commit (re-run on a lost version race re-checks fresh
+    state), closing the sync race where an overlapping
+    :mod:`.sync` pass would otherwise re-cut tombstones AFTER the
+    leader's re-append landed, permanently masking the revision rows.
+    Manifest layout only; the rename layout has no atomic commit, so
+    its syncs keep a single-concurrent-writer contract.
     """
     if M.is_manifest_store(path):
         # concurrency: a delete racing another commit re-RUNS against
@@ -520,7 +547,7 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
         # append/compaction/rebuild makes them stale). See
         # manifestfs.retry_on_conflict.
         return M.retry_on_conflict(
-            lambda: _delete_manifest(spark, path, ids)
+            lambda: _delete_manifest(spark, path, ids, guard_txn=guard_txn)
         )
     repair_lex_index(path)
     local = _local(path)
@@ -530,6 +557,12 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
         raise ValueError(
             f"unsupported lex-index version {meta.get('version')!r}"
         )
+    if guard_txn is not None and M.txn_version(
+        meta, guard_txn[0]
+    ) >= int(guard_txn[1]):
+        # best-effort only on the rename layout (no atomic commit to
+        # ride): syncs here keep a single-concurrent-writer contract
+        return {"deleted": 0, "meta": meta, "skipped_txn": True}
     posts = spark.read.parquet(os.path.join(local, "postings"))
     id_type = posts.schema["doc_id"].dataType
     seq_aware = "seq" in meta
@@ -609,7 +642,9 @@ def delete_from_lex_index(spark: SparkSession, path: str, ids) -> dict:
     return {"deleted": int(n_del), "meta": meta}
 
 
-def _delete_manifest(spark: SparkSession, path: str, ids) -> dict:
+def _delete_manifest(
+    spark: SparkSession, path: str, ids, *, guard_txn: tuple | None = None
+) -> dict:
     """Manifest-layout delete: the negative df deltas, the tombstone
     batch, and the decremented metadata all become visible in ONE
     manifest commit — the delete is atomic (closing the crash windows
@@ -620,6 +655,15 @@ def _delete_manifest(spark: SparkSession, path: str, ids) -> dict:
         raise ValueError(
             f"unsupported lex-index version {meta.get('version')!r}"
         )
+    if guard_txn is not None and M.txn_version(
+        meta, guard_txn[0]
+    ) >= int(guard_txn[1]):
+        # the guarded token is already committed — this delete belongs
+        # to a sync pass another writer completed; cutting tombstones
+        # now would mask rows that writer re-appended. Atomic with the
+        # commit: a leader landing between this read and our commit
+        # conflicts the version CAS, and the full re-run re-checks.
+        return {"deleted": 0, "meta": meta, "skipped_txn": True}
     local = _local(path)
     posts = M.read_table(spark, path, "postings", snap)
     id_type = (

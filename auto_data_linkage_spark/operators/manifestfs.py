@@ -81,6 +81,7 @@ MANIFEST_DIR = "_manifests"
 __all__ = [
     "ManifestConflictError",
     "TransientCommitError",
+    "AlreadyApplied",
     "use_commit_log",
     "clear_commit_log",
     "is_manifest_store",
@@ -107,6 +108,25 @@ class ManifestConflictError(RuntimeError):
     """Another writer committed the version this writer raced for —
     concurrent maintenance is a contract violation (single maintenance
     writer), surfaced loudly instead of corrupting anything."""
+
+
+class AlreadyApplied(Exception):
+    """Raised by a ``mutate`` closure passed to :func:`commit_with_retry`
+    when the FRESH snapshot already carries the mutation's idempotence
+    token (:func:`txn_version`) — i.e. a concurrent writer presenting
+    the SAME ``(app_id, batch_id)`` won the race between this writer's
+    entry check and its commit (duplicate sink instances, overlapping
+    syncs). Merging anyway would double-apply the batch; raising this
+    makes the token guard atomic with the commit: nothing is committed,
+    the loser's pre-written generations stay invisible (vacuumable
+    orphans), and the caller receives ``.snapshot`` — the fresh
+    manifest that proves the batch is already in."""
+
+    def __init__(self, snapshot: dict):
+        super().__init__(
+            f"txn already applied at version {snapshot.get('version')}"
+        )
+        self.snapshot = snapshot
 
 
 class TransientCommitError(RuntimeError):
@@ -293,10 +313,12 @@ def commit_manifest(
         # nonce-gens, which no other writer can reference), so it IS
         # success; different content is a genuine lost race; an empty
         # slot means the put truly failed and the create is retried.
+        had_ambiguous = False
         for _ in range(5):
             try:
                 won = be.create_exclusive(name, manifest)
             except TransientCommitError:
+                had_ambiguous = True
                 stored = be.list_records().get(name)
                 if stored == manifest:
                     return manifest  # our ambiguous put actually landed
@@ -305,8 +327,12 @@ def commit_manifest(
                 won = False  # someone else's commit occupies the slot
             if won:
                 return manifest
-            stored = be.list_records().get(name)
-            if stored == manifest:
+            # A plain lost race (create returned False) can only be OUR
+            # prior attempt if an earlier iteration was AMBIGUOUS — so
+            # the O(log)-listing read-back is paid only then, never on
+            # the common first-attempt conflict in commit_with_retry's
+            # hot retry loop.
+            if had_ambiguous and be.list_records().get(name) == manifest:
                 return manifest  # a prior ambiguous attempt of ours won
             raise ManifestConflictError(
                 f"version {version} of {root} was committed by a "
@@ -407,7 +433,12 @@ def commit_with_retry(
     a bucket's live list composes with any interleaved commit,
     including a compaction that replaced the bucket's other gens);
     ``mutate`` must itself RAISE when the fresh snapshot is no longer
-    mergeable (e.g. a rebuild changed structural parameters).
+    mergeable (e.g. a rebuild changed structural parameters). Token-
+    guarded mutations must ALSO re-check their ``(app_id, batch_id)``
+    inside ``mutate`` and raise :class:`AlreadyApplied` when the fresh
+    snapshot already carries it — the entry check alone is a TOCTOU
+    window against a concurrent writer presenting the same token
+    (``AlreadyApplied`` propagates; callers return its ``.snapshot``).
     Rewriting mutations (compaction, rebuild) must NOT use this — a
     blind retry would resurrect generations their rewrite superseded;
     they stay loud-conflict single-writer."""

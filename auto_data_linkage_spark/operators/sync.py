@@ -134,7 +134,7 @@ def _sync(
     since: int | None,
     index_meta: dict,
     append,  # (rows_df, txn) -> None
-    delete,  # (ids_df) -> None
+    delete,  # (ids_df, guard_txn) -> None
     id_col: str,
     cols: list[str],
     kind: str,
@@ -166,11 +166,13 @@ def _sync(
             applied.append({"version": v, "op": op, "action": "skipped"})
             continue
         if read_cursor(app) >= v:
-            # already applied by a crashed/overlapping earlier sync
-            # whose cursor committed: re-running the delete half of an
-            # upsert here would re-cut tombstones at the NOW-advanced
-            # counter and permanently mask the revision rows whose
-            # re-append the token skips — skip the whole commit
+            # fast path: already applied by a crashed/overlapping
+            # earlier sync whose cursor committed — skip the whole
+            # commit. This check alone is NOT the safety argument (an
+            # overlapping leader can land its append between this read
+            # and our delete): the delete below carries guard_txn, so
+            # the token re-check is atomic with the delete's own
+            # manifest commit.
             applied.append(
                 {"version": v, "op": op, "action": "already-applied"}
             )
@@ -195,7 +197,12 @@ def _sync(
                 # ids) follows as this commit's change-feed append.
                 # Idempotent on a crash-retry: already-masked rows
                 # count 0 and the re-cut tombstone is harmless.
-                delete(old.select(id_col))
+                # guard_txn=(app, v) makes the cut CONDITIONAL on
+                # commit v's append not having landed — an overlapping
+                # sync that lost the race can never re-cut tombstones
+                # over the leader's re-appended revision rows (the
+                # check rides the delete's own commit CAS).
+                delete(old.select(id_col), (app, v))
         new = C.corpus_snapshot_changes(
             spark, corpus_path, since=v - 1, until=v
         ).select(*cols)
@@ -229,8 +236,8 @@ def sync_lex_index(
     def append(rows, txn):
         L.append_lex_index(rows, index_path, txn=txn)
 
-    def delete(ids):
-        L.delete_from_lex_index(spark, index_path, ids)
+    def delete(ids, guard_txn):
+        L.delete_from_lex_index(spark, index_path, ids, guard_txn=guard_txn)
 
     return _sync(
         spark, corpus_path,
@@ -268,8 +275,8 @@ def sync_ann_index(
     def append(rows, txn):
         A.append_ann_index(rows, index_path, txn=txn)
 
-    def delete(ids):
-        A.delete_from_ann_index(spark, index_path, ids)
+    def delete(ids, guard_txn):
+        A.delete_from_ann_index(spark, index_path, ids, guard_txn=guard_txn)
 
     return _sync(
         spark, corpus_path,

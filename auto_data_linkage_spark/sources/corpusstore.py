@@ -244,12 +244,24 @@ def append_corpus_snapshot(
 
     def mutate(fresh: dict):
         _check_meta(fresh["meta"])  # raises across a re-purposed store
+        fm = fresh["meta"]
+        if txn is not None and M.txn_version(fm, txn[0]) >= int(txn[1]):
+            # same-token concurrent writer won since the entry check:
+            # merging would double-append — abort atomically with the
+            # commit; our gen stays invisible (vacuumable orphan)
+            raise M.AlreadyApplied(fresh)
         return (
             M.add_gens(fresh["tables"], _TABLE, parts, gen),
             M.with_txn(fresh["meta"], txn),
         )
 
-    out = M.commit_with_retry(path, mutate, op="append")
+    try:
+        out = M.commit_with_retry(path, mutate, op="append")
+    except M.AlreadyApplied as e:
+        return {
+            "partitions": 0, "rows_written": 0,
+            "version": e.snapshot["version"],
+        }
     n = delta.count()
     return {
         "partitions": len(parts),

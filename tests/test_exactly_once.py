@@ -252,3 +252,90 @@ def test_two_apps_do_not_collide(spark, docs, tmp_path):
     meta = M.read_manifest(root)["meta"]
     assert meta["n_docs"] == n0 + 8
     assert M.txn_version(meta, "q1") == 0 and M.txn_version(meta, "q2") == 0
+
+
+# ------------------------------------------ concurrent same-token writers
+# The TOCTOU the entry check alone cannot close (ADVICE r12, medium):
+# two writers presenting the SAME (app_id, batch_id) — duplicate sink
+# instances, overlapping syncs — can both pass the entry check before
+# either commits. The token re-check must be ATOMIC with the commit:
+# the mutate closure re-reads it from the fresh snapshot and aborts
+# (manifestfs.AlreadyApplied), so exactly one copy of the batch lands.
+
+
+def test_lex_same_token_interleaved_writers_append_once(
+    spark, docs, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "lex")
+    base = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    L.build_lex_index(base, root, n_buckets=4, layout="manifest")
+    n0 = M.read_manifest(root)["meta"]["n_docs"]
+    nb = b.count()
+
+    real_cwr = M.commit_with_retry
+    state = {"fired": False}
+
+    def interleave(path, mutate, **kw):
+        # the FOLLOWER already passed its entry check and wrote its
+        # gens; now (before its commit) the LEADER lands the same
+        # (app, batch) in full — exactly the window the advisor named
+        if not state["fired"]:
+            state["fired"] = True
+            L.append_lex_index(b, root, txn=("dup", 0))
+        return real_cwr(path, mutate, **kw)
+
+    monkeypatch.setattr(
+        "auto_data_linkage_spark.operators.lexindex.M.commit_with_retry",
+        interleave,
+    )
+    out = L.append_lex_index(b, root, txn=("dup", 0))
+    snap = M.read_manifest(root)
+    assert out["n_docs"] == n0 + nb  # follower reports the leader's state
+    assert snap["meta"]["n_docs"] == n0 + nb  # NOT double-counted
+    # the postings themselves carry exactly one copy of the batch
+    posts = M.read_table(spark, root, "postings", snap)
+    dup = (
+        posts.groupBy("doc_id", "term").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    # the follower's orphan generations are reclaimable, invisible now
+    assert M.txn_version(snap["meta"], "dup") == 0
+
+
+def test_corpus_same_token_interleaved_writers_append_once(
+    spark, docs, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "corpus")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1).localCheckpoint(eager=True)
+    C.build_corpus_snapshot(base, root, key="doc_id", partition_by=["lang"])
+    n0 = C.load_corpus_snapshot(spark, root).count()
+    nb = b.count()
+
+    real_cwr = M.commit_with_retry
+    state = {"fired": False}
+
+    def interleave(path, mutate, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            C.append_corpus_snapshot(root, b, txn=("dup", 0))
+        return real_cwr(path, mutate, **kw)
+
+    monkeypatch.setattr(
+        "auto_data_linkage_spark.sources.corpusstore.M.commit_with_retry",
+        interleave,
+    )
+    out = C.append_corpus_snapshot(root, b, txn=("dup", 0))
+    assert out["rows_written"] == 0 and out["partitions"] == 0
+    assert C.load_corpus_snapshot(spark, root).count() == n0 + nb
+    dup = (
+        C.load_corpus_snapshot(spark, root)
+        .groupBy("doc_id").count().where(F.col("count") > 1).count()
+    )
+    assert dup == 0

@@ -322,3 +322,91 @@ def test_ann_sync_matches_manual_appends(spark, emb, tmp_path):
     # idempotent re-sync
     out = sync_ann_index(spark, corpus, idx)
     assert out["applied"] == []
+
+
+def test_overlapping_sync_delete_cannot_remask_revisions(
+    spark, docs, tmp_path, probes, monkeypatch
+):
+    """The check-then-delete TOCTOU (ADVICE r12, medium): an
+    overlapping FOLLOWER sync reads the cursor below v, then the
+    LEADER applies commit v in full (delete + re-append, token=v) —
+    the follower's delete, executed now, would cut tombstones at the
+    advanced counter and permanently mask the leader's re-appended
+    revision rows (its own append is then token-skipped, so nothing
+    restores them). The guard_txn riding the delete's own commit CAS
+    must turn that delete into a no-op."""
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    C.build_corpus_snapshot(docs, corpus, key="doc_id", partition_by=["lang"])
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).limit(0), idx,
+        n_buckets=4, layout="manifest",
+    )
+    sync_lex_index(spark, corpus, idx)
+    revised = (
+        docs.orderBy("doc_id").limit(5)
+        .withColumn("text", F.lit("unique xylophage revision text"))
+        .localCheckpoint(eager=True)
+    )
+    C.upsert_corpus_snapshot(spark, corpus, revised)  # commit v=2
+
+    real_delete = L.delete_from_lex_index
+    state = {"fired": False}
+
+    def interleaved_delete(sp, path, ids, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            # the LEADER completes the whole sync (delete + re-append,
+            # token=2) in the window between the follower's cursor
+            # fast-check and its delete — then the follower's delete
+            # proceeds with its guard
+            sync_lex_index(spark, corpus, idx)
+        return real_delete(sp, path, ids, **kw)
+
+    monkeypatch.setattr(
+        "auto_data_linkage_spark.operators.sync.L.delete_from_lex_index",
+        interleaved_delete,
+    )
+    out = sync_lex_index(spark, corpus, idx)  # the follower
+    assert {a["version"] for a in out["applied"]} == {2}
+    q = query_terms_from_docs(revised, n_terms=4)
+    ref = str(tmp_path / "ref")
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).select("doc_id", "text"),
+        ref, n_buckets=4, layout="manifest",
+    )
+    # the revision rows still serve — the follower's late delete was a
+    # guarded no-op, not a permanent mask
+    assert _lex_topk(spark, idx, q) == _lex_topk(spark, ref, q)
+    assert _lex_topk(spark, idx, probes) == _lex_topk(spark, ref, probes)
+    assert (
+        M.read_manifest(idx)["meta"]["n_docs"]
+        == M.read_manifest(ref)["meta"]["n_docs"]
+    )
+
+
+def test_guarded_delete_skips_when_token_committed(spark, docs, tmp_path):
+    """Unit form of the guard: once the index carries token >= v for
+    the sync app, a delete presenting guard_txn=(app, v) no-ops — and
+    an UNGUARDED delete of the same ids still works (takedowns are
+    unaffected)."""
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    C.build_corpus_snapshot(docs, corpus, key="doc_id", partition_by=["lang"])
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).limit(0), idx,
+        n_buckets=4, layout="manifest",
+    )
+    sync_lex_index(spark, corpus, idx)  # token ("corpus-sync:...", 1)
+    from auto_data_linkage_spark.operators.sync import _sync_app_id
+
+    app = _sync_app_id(corpus)
+    ids = docs.orderBy("doc_id").limit(3).select("doc_id")
+    n0 = M.read_manifest(idx)["meta"]["n_docs"]
+    out = L.delete_from_lex_index(spark, idx, ids, guard_txn=(app, 1))
+    assert out.get("skipped_txn") and out["deleted"] == 0
+    assert M.read_manifest(idx)["meta"]["n_docs"] == n0
+    # a guard for a FUTURE version does not block (token < v)
+    out = L.delete_from_lex_index(spark, idx, ids, guard_txn=(app, 2))
+    assert "skipped_txn" not in out and out["deleted"] == 3
+    assert M.read_manifest(idx)["meta"]["n_docs"] == n0 - 3
