@@ -142,7 +142,7 @@ def build_ann_index(
     n_cells: int | None = None,
     kmeans_iter: int = 5,
     seed: int = 0,
-    layout: str = "rename",
+    layout: str = "manifest",
     _expected_version: int = 0,
 ) -> dict:
     """One corpus pass → stored index. Centroids are the per-cell
@@ -161,8 +161,11 @@ def build_ann_index(
     per-dimension codes — 4× smaller than floats at ~full recall,
     scored scale-invariantly; ``m``/``n_codewords`` are ignored).
 
-    ``layout="manifest"`` stores the index as immutable generations +
-    a manifest log instead of in-place dirs (module docstring)."""
+    ``layout`` defaults to ``"manifest"`` (immutable generations + a
+    manifest log — atomic commits, exactly-once sinks, time travel,
+    object-store-safe); ``layout="rename"`` opts into the in-place
+    single-writer POSIX layout (:mod:`.lexindex` module docstring for
+    the trade). Existing stores auto-detect their layout."""
     if codec not in ("pq", "sq8"):
         raise ValueError(f"codec must be 'pq' or 'sq8', got {codec!r}")
     if layout not in ("rename", "manifest"):
@@ -925,11 +928,21 @@ def rebuild_ann_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
             **build_kwargs,
         )
     local = _local(path)
+    # a rebuild keeps the store's layout: this is a rename store, so
+    # the scratch build must be rename too (the flipped manifest
+    # default must not leak a manifest log into the swap)
+    want = build_kwargs.pop("layout", "rename")
+    if want != "rename":
+        raise ValueError(
+            "rebuild cannot change a store's layout in place (store "
+            f"is rename-layout, got layout={want!r}); build a new "
+            "index at a new path instead"
+        )
     tmp = local + "__rebuild"
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    meta = build_ann_index(corpus, tmp, **build_kwargs)
+    meta = build_ann_index(corpus, tmp, layout="rename", **build_kwargs)
     repair_ann_index(path)  # clear any parked __old before the swap
     swap_dir(local, tmp)
     return meta

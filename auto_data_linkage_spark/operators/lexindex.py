@@ -34,17 +34,21 @@ JSON literal; no sidecar services, no custom file formats.
 
 Two storage layouts, chosen at build time and auto-detected after:
 
-- ``layout="rename"`` (default, back-compatible): live ``bucket=N``
-  dirs mutated in place by the two-rename swap, repaired on load
-  (:mod:`.storefs`) — POSIX filesystems, single writer.
-- ``layout="manifest"``: immutable ``gen=N`` data directories + a
-  linear log of JSON manifests committed by conditional create
-  (:mod:`.manifestfs`) — zero renames, so maintenance works on object
-  stores (S3/GCS); every mutation (append, DELETE — all three
-  artifacts in one commit, multi-bucket compaction, whole-store
-  rebuild) is one atomic manifest commit, and loaded indexes PIN the
-  snapshot they opened (concurrent maintenance never changes what a
-  reader sees; reclamation is an explicit :func:`vacuum_lex_index`).
+- ``layout="manifest"`` (default): immutable ``gen=N`` data
+  directories + a linear log of JSON manifests committed by
+  conditional create (:mod:`.manifestfs`) — zero renames, so
+  maintenance works on object stores (S3/GCS); every mutation
+  (append, DELETE — all three artifacts in one commit, multi-bucket
+  compaction, whole-store rebuild) is one atomic manifest commit, and
+  loaded indexes PIN the snapshot they opened (concurrent maintenance
+  never changes what a reader sees; reclamation is an explicit
+  :func:`vacuum_lex_index`). Default since the sf0.1 A/B showed ~parity
+  cost (SCALE.md: +31 ms load, probe parity) and it is the only layout
+  with exactly-once sinks, time travel, and concurrent writers.
+- ``layout="rename"`` (opt-in): live ``bucket=N`` dirs mutated in
+  place by the two-rename swap, repaired on load (:mod:`.storefs`) —
+  the single-writer POSIX fast path; no manifest log to maintain.
+  Existing rename stores keep working unchanged (auto-detected).
 
 Scale design: the postings shuffle at build time is the inverted index
 itself (map-side combined distinct (doc, term) pairs — any index build
@@ -259,11 +263,11 @@ def build_lex_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
-    layout: str = "rename",
+    layout: str = "manifest",
 ) -> dict:
     """One corpus pass → stored inverted index. Returns the metadata
-    dict (written atomically to ``index.json``, or embedded in
-    manifest v1 with ``layout="manifest"`` — see the module docstring
+    dict (embedded in manifest v1 by default, or written atomically to
+    ``index.json`` with ``layout="rename"`` — see the module docstring
     for the layout trade)."""
     if layout not in ("rename", "manifest"):
         raise ValueError(f"layout must be 'rename' or 'manifest', got {layout!r}")
@@ -977,9 +981,19 @@ def rebuild_lex_index(corpus: DataFrame, path: str, **build_kwargs) -> dict:
             corpus, path, expected_version=snap["version"], **args
         )["meta"]
     local = _local(path)
+    # a rebuild keeps the store's layout: this is a rename store, so
+    # the scratch build must be rename too (the flipped manifest
+    # default must not leak a manifest log into the swap)
+    want = build_kwargs.pop("layout", "rename")
+    if want != "rename":
+        raise ValueError(
+            "rebuild cannot change a store's layout in place (store "
+            f"is rename-layout, got layout={want!r}); build a new "
+            "index at a new path instead"
+        )
     tmp = local + "__rebuild"
     shutil.rmtree(tmp, ignore_errors=True)
-    meta = build_lex_index(corpus, tmp, **build_kwargs)
+    meta = build_lex_index(corpus, tmp, layout="rename", **build_kwargs)
     repair_lex_index(path)  # clear any parked __old before the swap
     swap_dir(local, tmp)
     return meta

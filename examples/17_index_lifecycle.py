@@ -66,7 +66,7 @@ def main() -> None:
 
     # 1. torn compaction -> load heals it
     lex = os.path.join(root, "lex")
-    L.build_lex_index(docs, lex, n_buckets=4)
+    L.build_lex_index(docs, lex, n_buckets=4, layout="rename")
     want = topk(spark, lex, probes)
     postings = os.path.join(lex, "postings")
     bucket = sorted(
@@ -88,7 +88,7 @@ def main() -> None:
     out = L.delete_from_lex_index(spark, lex, victims)
     fresh = os.path.join(root, "lex_fresh")
     L.build_lex_index(docs.where(F.col("doc_id") % 5 != 0), fresh,
-                      n_buckets=4)
+                      n_buckets=4, layout="rename")
     same = topk(spark, lex, probes) == topk(spark, fresh, probes)
     print(f"deleted {out['deleted']} docs; "
           f"top-k == fresh build without them: {same}")

@@ -69,7 +69,7 @@ def test_version_guard(spark, vecs, tmp_path):
     import os
 
     out = str(tmp_path / "annidx_v")
-    A.build_ann_index(vecs, out, m=4, n_codewords=8)
+    A.build_ann_index(vecs, out, m=4, n_codewords=8, layout="rename")
     p = os.path.join(out, "index.json")
     meta = json.load(open(p))
     meta["version"] = 99
@@ -154,7 +154,7 @@ def test_compact_ann_index_shrinks_files_same_results(spark, vecs, tmp_path):
 
     out = str(tmp_path / "annidx_cmp")
     base = vecs.where(F.col("vec_id") < 300)
-    A.build_ann_index(base, out, m=4, n_codewords=8)
+    A.build_ann_index(base, out, m=4, n_codewords=8, layout="rename")
     for lo, hi in [(300, 350), (350, 400), (400, 450), (450, 10**9)]:
         A.append_ann_index(
             vecs.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), out
@@ -201,7 +201,7 @@ def test_append_updates_meta_incrementally_and_atomically(spark, vecs, tmp_path)
 
     out = str(tmp_path / "annidx_meta")
     base = vecs.where(F.col("vec_id") < 400)
-    m0 = A.build_ann_index(base, out, m=4, n_codewords=8)
+    m0 = A.build_ann_index(base, out, m=4, n_codewords=8, layout="rename")
     m1 = A.append_ann_index(vecs.where(F.col("vec_id") >= 400), out)
     assert m1["generation"] > m0["generation"]
     assert m1["n_rows"] == vecs.count()
@@ -236,7 +236,7 @@ def test_ann_index_sink_inline_compaction(spark, vecs, tmp_path):
     out = str(tmp_path / "annidx_stream_cmp")
     base = vecs.where(F.col("vec_id") < 400)
     delta = vecs.where(F.col("vec_id") >= 400).repartition(6)
-    A.build_ann_index(base, out, m=4, n_codewords=8)
+    A.build_ann_index(base, out, m=4, n_codewords=8, layout="rename")
 
     src_dir = str(tmp_path / "incoming_cmp")
     delta.write.parquet(src_dir)

@@ -215,7 +215,7 @@ def test_lex_compaction_purges_tombstoned_rows(
 ):
     out_dir = str(tmp_path / "lex_purge")
     L.build_lex_index(docs.where(F.col("doc_id") % 2 == 0), out_dir,
-                      n_buckets=4)
+                      n_buckets=4, layout="rename")
     L.append_lex_index(docs.where(F.col("doc_id") % 2 == 1), out_dir)
     victims = [r.doc_id for r in docs.where(F.col("doc_id") % 5 == 0)
                .select("doc_id").collect()]
@@ -252,7 +252,7 @@ def test_lex_delete_crash_retry_never_double_decrements(
     from pyspark.sql.readwriter import DataFrameWriter
 
     out_dir = str(tmp_path / "lex_crashdel")
-    L.build_lex_index(docs, out_dir, n_buckets=4)
+    L.build_lex_index(docs, out_dir, n_buckets=4, layout="rename")
     meta0 = L.load_lex_index(spark, out_dir).meta
     victims = [r.doc_id for r in docs.where(F.col("doc_id") % 4 == 0)
                .select("doc_id").collect()]
@@ -331,7 +331,8 @@ def test_ann_delete_crash_meta_drift_heals_at_compaction(
         "vec_id", "embedding", "label"
     )
     out_dir = str(tmp_path / "ann_drift")
-    meta0 = A.build_ann_index(vecs, out_dir, m=4, n_codewords=8)
+    meta0 = A.build_ann_index(vecs, out_dir, m=4, n_codewords=8,
+                              layout="rename")
     victims = [r.vec_id for r in vecs.where(F.col("vec_id") % 9 == 0)
                .select("vec_id").collect()]
 
@@ -469,7 +470,8 @@ def test_ann_delete_idempotent_and_compaction_purges(
     )
     out_dir = str(tmp_path / "ann_purge")
     A.build_ann_index(
-        vecs.where(F.col("vec_id") % 3 == 0), out_dir, m=4, n_codewords=8
+        vecs.where(F.col("vec_id") % 3 == 0), out_dir, m=4, n_codewords=8,
+        layout="rename",
     )
     for m in range(1, 3):
         A.append_ann_index(vecs.where(F.col("vec_id") % 3 == m), out_dir)
@@ -531,7 +533,7 @@ def test_rebuild_crash_between_renames_keeps_old_index_serving(
 
     out_dir = str(tmp_path / "lex_rbc")
     half = docs.where(F.col("doc_id") % 2 == 0)
-    L.build_lex_index(half, out_dir, n_buckets=4)
+    L.build_lex_index(half, out_dir, n_buckets=4, layout="rename")
     want_old = _lex_topk(spark, out_dir, probes)
 
     class _Crash:

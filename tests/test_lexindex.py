@@ -52,12 +52,12 @@ def test_append_equals_union_build(spark, docs, probes, tmp_path):
     half_b = docs.where(F.col("doc_id") % 2 == 1)
 
     inc = str(tmp_path / "lex_inc")
-    L.build_lex_index(half_a, inc, n_buckets=16)
+    L.build_lex_index(half_a, inc, n_buckets=16, layout="rename")
     meta = L.append_lex_index(half_b, inc)
     assert meta["n_docs"] == docs.count()
 
     full = str(tmp_path / "lex_full")
-    L.build_lex_index(docs, full, n_buckets=16)
+    L.build_lex_index(docs, full, n_buckets=16, layout="rename")
 
     got = L.lex_index_topk(L.load_lex_index(spark, inc), probes, k=5)
     want = L.lex_index_topk(L.load_lex_index(spark, full), probes, k=5)
@@ -87,7 +87,8 @@ def test_probe_scan_partition_prunes(spark, docs, probes, tmp_path):
 
 def test_compaction_merges_and_preserves_results(spark, docs, probes, tmp_path):
     out = str(tmp_path / "lex_cc")
-    L.build_lex_index(docs.where(F.col("doc_id") % 4 == 0), out, n_buckets=4)
+    L.build_lex_index(docs.where(F.col("doc_id") % 4 == 0), out,
+                      n_buckets=4, layout="rename")
     for m in range(1, 4):
         L.append_lex_index(docs.where(F.col("doc_id") % 4 == m), out)
 
@@ -141,7 +142,7 @@ def test_empty_query_set(spark, docs, tmp_path):
 
 def test_version_guard(spark, docs, tmp_path):
     out = str(tmp_path / "lex_v")
-    L.build_lex_index(docs.limit(10), out, n_buckets=4)
+    L.build_lex_index(docs.limit(10), out, n_buckets=4, layout="rename")
     p = os.path.join(out, "index.json")
     meta = json.load(open(p))
     meta["version"] = 99
@@ -152,7 +153,8 @@ def test_version_guard(spark, docs, tmp_path):
 
 def test_streaming_sink_appends_and_compacts(spark, docs, tmp_path):
     out = str(tmp_path / "lex_stream")
-    L.build_lex_index(docs.where(F.col("doc_id") < 100), out, n_buckets=4)
+    L.build_lex_index(docs.where(F.col("doc_id") < 100), out,
+                      n_buckets=4, layout="rename")
 
     src_dir = str(tmp_path / "landing")
     ckpt = str(tmp_path / "ckpt")
@@ -237,7 +239,7 @@ def test_empty_corpus_build_and_probe(spark, tmp_path):
 
 def test_append_empty_delta_is_noop(spark, docs, tmp_path):
     out = str(tmp_path / "lex_noop")
-    L.build_lex_index(docs.limit(20), out, n_buckets=4)
+    L.build_lex_index(docs.limit(20), out, n_buckets=4, layout="rename")
     before = json.load(open(os.path.join(out, "index.json")))
     empty = spark.createDataFrame([], "doc_id bigint, text string")
     after = L.append_lex_index(empty, out)

@@ -658,7 +658,7 @@ def test_ann_reader_pins_across_rebuild(spark, sf_dir, tmp_path):
     A.rebuild_ann_index(vecs, out, m=4, n_codewords=8)
     assert topk(pinned) == want
     fresh = str(tmp_path / "fresh")
-    A.build_ann_index(vecs, fresh, m=4, n_codewords=8)
+    A.build_ann_index(vecs, fresh, m=4, n_codewords=8, layout="rename")
     assert topk(A.load_ann_index(spark, out)) == topk(
         A.load_ann_index(spark, fresh)
     )
@@ -691,9 +691,11 @@ def test_time_travel_serves_historical_snapshots_bit_exactly(
     assert _handle_topk(
         L.load_lex_index(spark, out, version=2), probes
     ) == v2_want
-    # v3 head == fresh build without the deleted docs (delete parity)
+    # v3 head == fresh build without the deleted docs (delete parity);
+    # rename layout on purpose — it doubles as the no-history negative
+    # case below
     fresh = str(tmp_path / "fresh")
-    L.build_lex_index(b, fresh, n_buckets=4)
+    L.build_lex_index(b, fresh, n_buckets=4, layout="rename")
     assert _lex_topk(spark, out, probes) == _lex_topk(spark, fresh, probes)
 
     # vacuumed history raises with the retention hint; retained works

@@ -20,6 +20,26 @@ from pyspark.sql import functions as F
 from auto_data_linkage_spark.operators import storefs
 
 
+@pytest.fixture(autouse=True)
+def _rename_layout(monkeypatch):
+    """This suite tests the RENAME layout's crash repair exclusively;
+    new stores default to layout="manifest", so pin the builds here
+    (an explicit layout= at a call site still wins over the partial)."""
+    import functools
+
+    from auto_data_linkage_spark.operators import annindex as A
+    from auto_data_linkage_spark.operators import lexindex as L
+
+    monkeypatch.setattr(
+        L, "build_lex_index",
+        functools.partial(L.build_lex_index, layout="rename"),
+    )
+    monkeypatch.setattr(
+        A, "build_ann_index",
+        functools.partial(A.build_ann_index, layout="rename"),
+    )
+
+
 class _CrashOnNthRename:
     """os.rename wrapper raising on the Nth invocation — simulates a
     process kill between swap_dir's two renames."""
