@@ -8,15 +8,34 @@ base is a long-lived asset, each micro-batch does delta-sized work
 (:mod:`auto_data_linkage_spark.incremental`), and the state is versioned
 so replays are idempotent.
 
-State layout: one parquet snapshot per micro-batch id under
-``state_dir/batch=<id>/``. A batch REPLAYED after a crash overwrites its
-own snapshot (same ``batch_id`` ⇒ same directory ⇒ same result — the
-source offsets come from the stream checkpoint), so the sink is
-effectively exactly-once without a transactional table format. The
-snapshot is the full cluster table: at true scale you'd swap this single
-file-snapshot for a Delta/Iceberg MERGE of only the delta rows — the
-assignment/merge DataFrames this module produces are exactly that merge's
-input, so only ``_write_state`` changes.
+State layouts — the same two-seam contract as the persisted indexes
+(:mod:`..operators.lexindex`) and the corpus snapshot store
+(:mod:`..sources.corpusstore`), chosen at first use and auto-detected
+afterwards:
+
+- ``layout="manifest"`` (default): the cluster table lives in a
+  manifest-committed store (:mod:`..operators.manifestfs`). Each batch
+  writes the new snapshot into a fresh immutable ``gen=N`` directory
+  and commits ONE manifest that atomically (a) replaces the table's
+  live generation and (b) records the ``(app_id, batch_id)``
+  idempotence token — so a batch replayed after a crash between the
+  commit and the stream-checkpoint advance is recognized by its token
+  and skipped outright: exactly-once, with zero renames and zero
+  overwrites (object-store safe). ``version=`` time travel replays any
+  retained snapshot bit-exactly, and reclamation is the shared
+  :func:`..operators.manifestfs.vacuum` policy (``keep_versions`` +
+  age floor) instead of ad-hoc directory pruning.
+- ``layout="rename"`` (opt-in POSIX fast path): one parquet snapshot
+  per micro-batch id under ``state_dir/batch=<id>/``. A replayed batch
+  folds into the snapshot BEFORE its own (same batch_id ⇒ same
+  directory ⇒ same result) and old snapshots are pruned by
+  ``retain_versions``. Single writer, POSIX rename semantics; no
+  token, no time travel API.
+
+``app_id`` identifies the streaming query's checkpoint lineage
+(:func:`..operators.manifestfs.txn_version`): restarting from a NEW
+checkpoint directory resets batch ids to 0, so it must use a new
+app_id against the same state store.
 """
 
 from __future__ import annotations
@@ -30,6 +49,9 @@ from auto_data_linkage_spark.incremental import (
     apply_increment,
     incremental_assign,
 )
+from auto_data_linkage_spark.operators import manifestfs as M
+
+_TABLE = "clusters"
 
 
 class StreamingLinker:
@@ -39,7 +61,8 @@ class StreamingLinker:
     :class:`~auto_data_linkage_spark.model.FellegiSunterModel` (set a
     fixed ``prior`` — scoring must not depend on batch size). The first
     batch is clustered outright; every later batch folds in via
-    incremental assignment. ``current_clusters`` exposes the latest state.
+    incremental assignment. ``current_clusters`` exposes the latest state
+    (or, on the manifest layout, any retained historical ``version=``).
     """
 
     def __init__(
@@ -50,17 +73,44 @@ class StreamingLinker:
         threshold: float = 0.8,
         unique_id: str = "unique_id",
         retain_versions: int = 3,
+        layout: str = "manifest",
+        app_id: str = "linker",
+        vacuum_age_seconds: float = 3600.0,
     ):
+        if layout not in ("manifest", "rename"):
+            raise ValueError(
+                f"layout must be 'manifest' or 'rename', got {layout!r}"
+            )
         self.model = model
         self.state_dir = state_dir
         self.threshold = threshold
         self.unique_id = unique_id
-        # snapshots to keep. ≥2 is required for crash replay (a replayed
-        # batch folds into the snapshot BEFORE its own); more buys manual
-        # time travel at the cost of disk
+        self.layout = layout
+        self.app_id = app_id
+        # snapshots/manifest versions to keep. On the rename layout ≥2
+        # is required for crash replay (a replayed batch folds into the
+        # snapshot BEFORE its own); on the manifest layout the token
+        # skips replays outright, so retain_versions only buys time
+        # travel — still floored at 2 so the pre-batch snapshot stays
+        # readable for concurrent readers.
         self.retain_versions = max(2, retain_versions)
+        # the shared vacuum safety floor: a generation or manifest
+        # younger than this is never reclaimed by the per-batch vacuum
+        # (a concurrent reader may be pinned to it); 0 = immediate,
+        # only when no reader/writer can be in flight.
+        self.vacuum_age_seconds = vacuum_age_seconds
 
-    # ---------------------------------------------------------- state io
+    # ---------------------------------------------------------- layout
+    def _is_manifest(self) -> bool:
+        """Existing stores auto-detect their layout; a fresh state_dir
+        follows the constructor's ``layout``."""
+        if M.is_manifest_store(self.state_dir):
+            return True
+        if self._versions():
+            return False
+        return self.layout == "manifest"
+
+    # ------------------------------------------------- rename state io
     def _versions(self) -> list[int]:
         if not os.path.isdir(self.state_dir):
             return []
@@ -73,22 +123,14 @@ class StreamingLinker:
                     continue
         return sorted(out)
 
-    def current_clusters(self, spark: SparkSession) -> DataFrame | None:
-        """Latest cluster-table snapshot, or None before the first batch."""
-        versions = self._versions()
-        if not versions:
-            return None
-        return spark.read.parquet(
-            f"{self.state_dir}/batch={versions[-1]}"
-        )
-
     def _state_before(
         self, spark: SparkSession, batch_id: int
     ) -> DataFrame | None:
-        """Latest snapshot written by a batch EARLIER than ``batch_id``.
-        A replayed batch (crash after snapshot write, before checkpoint
-        commit) must fold into the state as of its original run — reading
-        the overall latest would fold its own snapshot in twice."""
+        """Rename layout: latest snapshot written by a batch EARLIER than
+        ``batch_id``. A replayed batch (crash after snapshot write,
+        before checkpoint commit) must fold into the state as of its
+        original run — reading the overall latest would fold its own
+        snapshot in twice."""
         versions = [v for v in self._versions() if v < batch_id]
         if not versions:
             return None
@@ -103,8 +145,8 @@ class StreamingLinker:
         self._prune(keep_latest=batch_id)
 
     def _prune(self, keep_latest: int) -> None:
-        """Drop snapshots beyond ``retain_versions``, never the one just
-        written nor the ``retain_versions - 1`` before it."""
+        """Rename layout: drop snapshots beyond ``retain_versions``,
+        never the one just written nor those after it."""
         import shutil
 
         keep = set(
@@ -119,33 +161,139 @@ class StreamingLinker:
                     f"{self.state_dir}/batch={v}", ignore_errors=True
                 )
 
+    # ----------------------------------------------------- public state
+    def current_clusters(
+        self, spark: SparkSession, *, version: int | None = None
+    ) -> DataFrame | None:
+        """Latest cluster-table snapshot, or None before the first batch.
+        ``version=`` (manifest layout only) pins a retained historical
+        manifest version — the pre-merge state for an audit, the
+        pre-batch state for a diff — served bit-exactly."""
+        if self._is_manifest():
+            try:
+                snap = M.read_manifest(self.state_dir, version=version)
+            except FileNotFoundError:
+                if version is not None:
+                    raise
+                return None
+            return M.read_table(spark, self.state_dir, _TABLE, snap)
+        if version is not None:
+            raise ValueError(
+                "version= time travel needs a manifest-layout state "
+                "store (StreamingLinker(layout='manifest'))"
+            )
+        versions = self._versions()
+        if not versions:
+            return None
+        return spark.read.parquet(
+            f"{self.state_dir}/batch={versions[-1]}"
+        )
+
+    def vacuum(
+        self,
+        *,
+        keep_versions: int | None = None,
+        min_age_seconds: float | None = None,
+    ) -> dict:
+        """Reclaim superseded state (manifest layout): generations and
+        manifests outside the last ``keep_versions`` readable manifests
+        and older than ``min_age_seconds`` (defaults: the constructor's
+        ``retain_versions`` / ``vacuum_age_seconds``) — the shared
+        :func:`..operators.manifestfs.vacuum` policy. The rename layout
+        prunes inline per batch and returns an empty report here."""
+        if not self._is_manifest():
+            return {"removed_gens": [], "removed_manifests": []}
+        return M.vacuum(
+            self.state_dir,
+            keep_manifests=(
+                self.retain_versions
+                if keep_versions is None
+                else keep_versions
+            ),
+            min_age_seconds=(
+                self.vacuum_age_seconds
+                if min_age_seconds is None
+                else min_age_seconds
+            ),
+        )
+
     # ------------------------------------------------------------- logic
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: fold one micro-batch into the cluster state."""
+        if self._is_manifest():
+            return self._process_batch_manifest(batch_df, batch_id)
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         uid = self.unique_id
         base = self._state_before(spark, batch_id)
+        clustered = self._fold(base, batch_df, uid)
+        self._write_state(clustered, batch_id)
+
+    def _fold(self, base, batch_df: DataFrame, uid: str) -> DataFrame:
         if base is None:
             scored = self.model.predict(batch_df)
-            clustered = cluster_at_threshold(
+            return cluster_at_threshold(
                 batch_df, scored, self.threshold, unique_id=uid
             )
-        else:
-            inc = incremental_assign(
-                self.model,
-                base,
-                batch_df,
-                threshold=self.threshold,
-                unique_id=uid,
+        inc = incremental_assign(
+            self.model, base, batch_df,
+            threshold=self.threshold, unique_id=uid,
+        )
+        # ids keep their native type end-to-end: cluster_at_threshold
+        # and incremental_assign both label components by the same typed
+        # minimum, so every snapshot has one stable schema and numeric
+        # ids never fall into lexicographic ordering
+        return apply_increment(base, batch_df, inc, unique_id=uid)
+
+    def _process_batch_manifest(
+        self, batch_df: DataFrame, batch_id: int
+    ) -> None:
+        """One micro-batch on the manifest seam: read the pinned head,
+        fold, write the new snapshot into a fresh generation, commit
+        snapshot + token atomically. A replayed batch id is skipped by
+        its token BEFORE any data work (exactly-once); a crash before
+        the commit leaves nothing visible, so the replay re-runs
+        cleanly and the orphan generation is vacuumable."""
+        spark = batch_df.sparkSession
+        try:
+            snap = M.read_manifest(self.state_dir)
+        except FileNotFoundError:
+            # lazy init: v1 is the empty state, so the first data batch
+            # is an ordinary versioned commit like every later one
+            os.makedirs(M.local_path(self.state_dir), exist_ok=True)
+            snap = M.init_manifest_store(
+                self.state_dir,
+                tables={},
+                meta={"kind": "linkage-state", "unique_id": self.unique_id},
+                op="init",
             )
-            clustered = apply_increment(base, batch_df, inc, unique_id=uid)
-        # ids keep their native type end-to-end: cluster_at_threshold and
-        # incremental_assign both label components by the same typed
-        # minimum, so every snapshot has one stable schema and numeric ids
-        # never fall into lexicographic ordering
-        self._write_state(clustered, batch_id)
+        meta = snap["meta"]
+        if M.txn_version(meta, self.app_id) >= int(batch_id):
+            return  # batch already committed: a checkpoint replay
+        if batch_df.isEmpty():
+            return
+        base = M.read_table(spark, self.state_dir, _TABLE, snap)
+        clustered = self._fold(base, batch_df, self.unique_id)
+        gen = M.next_gen(self.state_dir, _TABLE)
+        clustered.write.parquet(
+            os.path.join(M.local_path(self.state_dir), _TABLE, gen)
+        )
+        # whole-table replace: the snapshot IS the state, so the commit
+        # content depends on the snapshot it read — loud conflict on a
+        # lost version race (single maintenance writer per state store,
+        # the same contract as compaction), never a blind merge.
+        M.commit_manifest(
+            self.state_dir,
+            tables={_TABLE: {"": [gen]}},
+            meta=M.with_txn(meta, (self.app_id, int(batch_id))),
+            expected_version=snap["version"],
+            op="linkage-batch",
+        )
+        # per-batch retention policy: reclaim superseded snapshots past
+        # the age floor (never the one just committed; a pinned reader
+        # inside the floor keeps everything it can name)
+        self.vacuum()
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         """Start the maintenance query on a streaming DataFrame of records.
