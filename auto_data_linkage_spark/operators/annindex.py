@@ -26,12 +26,12 @@ literal; no sidecar services, no custom file formats.
 
 Two storage layouts, chosen at build time and auto-detected after
 (identical contract to :mod:`.lexindex` — see its docstring):
-``layout="rename"`` (default; in-place ``cell=N`` dirs, two-rename
-swap + load-time repair, POSIX only) or ``layout="manifest"``
-(immutable ``gen=N`` dirs + one-JSON-commit manifests,
-:mod:`.manifestfs`: zero renames → object-store-safe, atomic deletes
-and whole-store cutover, snapshot-pinned readers, explicit
-:func:`vacuum_ann_index`).
+``layout="manifest"`` (default; immutable ``gen=N`` dirs +
+one-JSON-commit manifests, :mod:`.manifestfs`: zero renames →
+object-store-safe, atomic deletes and whole-store cutover,
+snapshot-pinned readers, explicit :func:`vacuum_ann_index`) or
+``layout="rename"`` (opt-in; in-place ``cell=N`` dirs, two-rename
+swap + load-time repair, single-writer POSIX fast path).
 """
 
 from __future__ import annotations
@@ -128,6 +128,59 @@ def _sq8_coded(
     ).withColumn("__cn", norm_expr(F.col("codes")))
 
 
+def _pq_recon_err(
+    df: DataFrame, cbs, *, vec_col: str, id_col: str
+) -> float | None:
+    """Mean RELATIVE QUANTIZATION ERROR of ``df`` under the codebooks:
+    ``||v − recon(v)||² / ||v||²`` averaged over rows, where recon is
+    the PQ reconstruction (nearest codeword per subspace). ~0 is
+    lossless; it RISES monotonically as the embedding distribution
+    moves outside the hull the codebooks were trained on (the standard
+    IVF/PQ staleness signal — note a cosine-based fidelity is NOT
+    monotone here: a scaled/sign-flipped delta can cosine-align with
+    extreme codewords while its ADC scores are garbage, which is why
+    the error form is used). Expanded JVM-side as
+    ``(||v||² − 2·v·r + ||r||²) / ||v||²`` — one codegen pass (encode +
+    literal-array codeword lookups, no join, no UDF) + one aggregate;
+    zero-norm rows are excluded; None on an empty frame. Cost is one
+    extra encode of ``df`` — O(corpus) once at build, O(delta) per
+    append."""
+    from auto_data_linkage_spark.operators.similarity import (
+        _pq_adc_dot,
+        _pq_recon_norm,
+        norm_expr,
+        pq_encode,
+    )
+
+    coded = pq_encode(df, cbs, vec_col=vec_col, id_col=id_col, keep=(vec_col,))
+    vn2 = norm_expr(F.col(vec_col)) ** 2
+    rn2 = _pq_recon_norm(cbs) ** 2
+    err = (vn2 - 2.0 * _pq_adc_dot(cbs, qvec_col=vec_col) + rn2) / vn2
+    row = (
+        coded.select(err.alias("__e"))
+        .where(F.col("__e").isNotNull())
+        .agg(F.avg("__e"))
+        .first()
+    )
+    return None if row[0] is None else float(row[0])
+
+
+def ann_drift(meta: dict) -> float | None:
+    """Quantization drift of the APPENDED generations vs the build:
+    ``mean(appended recon error) − build recon error``, row-weighted
+    over every append since the last build/rebuild (appends record
+    ``err_sum``/``err_rows`` in the same atomic commit as their data).
+    0.0 = appends encode as well as the build corpus did; positive =
+    the embedding distribution has moved and ADC scores are degrading
+    — schedule a rebuild (or let ``sync_ann_index(rebuild_over=...)``
+    trigger one). None when unmeasurable: SQ8 codec (self-contained
+    codes, cannot drift), a pre-metric index, or no appends yet."""
+    if meta.get("recon_err") is None or not meta.get("err_rows"):
+        return None
+    appended = float(meta["err_sum"]) / int(meta["err_rows"])
+    return max(0.0, appended - float(meta["recon_err"]))
+
+
 def build_ann_index(
     corpus: DataFrame,
     path: str,
@@ -192,7 +245,9 @@ def build_ann_index(
             corpus, learned, vec_col=vec_col, cell_col=cell_col
         )
     cents = build_centroids(corpus, vec_col=vec_col, cell_col=cell_col, dim=dim)
+    recon_err = None
     if codec == "sq8":
+        # SQ8 codes are self-contained — no drift baseline needed
         cbs = None
         coded = _sq8_coded(
             corpus, vec_col=vec_col, id_col=id_col, cell_col=cell_col
@@ -202,6 +257,9 @@ def build_ann_index(
             corpus, m=m, n_codewords=n_codewords, vec_col=vec_col,
             id_col=id_col,
         )
+        # drift baseline: how well the build corpus itself encodes
+        # under these codebooks (ann_drift compares appends against it)
+        recon_err = _pq_recon_err(corpus, cbs, vec_col=vec_col, id_col=id_col)
         coded = pq_encode(
             corpus, cbs, vec_col=vec_col, id_col=id_col, keep=(cell_col,)
         ).select(
@@ -251,6 +309,10 @@ def build_ann_index(
         # their tombstones at the current value — re-appended ids serve
         # their new rows (lexindex._mask_tombstoned)
         "seq": 1,
+        # drift baseline (PQ only, None for sq8/empty): mean relative
+        # quantization error of the build corpus; appends accumulate
+        # err_sum/err_rows against it — see ann_drift
+        "recon_err": recon_err,
     }
     if layout == "manifest":
         tables = M.add_gens(
@@ -380,6 +442,7 @@ def append_ann_index(
             id_col=meta["id_col"],
             cell_col=cell_col,
         )
+        err = None
     else:
         coded = pq_encode(
             delta,
@@ -392,6 +455,16 @@ def append_ann_index(
             F.col(cell_col).alias("cell"),
             "codes",
             _pq_recon_norm(cbs).alias("__cn"),
+        )
+        # drift accounting (O(delta)): this append's mean relative
+        # quantization error, row-weighted into the running err_sum/
+        # err_rows the same atomic commit carries — ann_drift reads it
+        err = (
+            _pq_recon_err(
+                delta, cbs, vec_col=meta["vec_col"], id_col=meta["id_col"]
+            )
+            if meta.get("recon_err") is not None
+            else None
         )
     seq_aware = "seq" in meta
     if seq_aware:
@@ -463,6 +536,11 @@ def append_ann_index(
             m2["n_cells"] = len(c2)
             if seq_aware:
                 m2["seq"] = int(fm.get("seq", 0)) + 1
+            if err is not None:
+                m2["err_sum"] = float(fm.get("err_sum", 0.0)) + err * int(
+                    n_delta
+                )
+                m2["err_rows"] = int(fm.get("err_rows", 0)) + int(n_delta)
             m2 = M.with_txn(m2, txn)
             return M.add_gens(fresh["tables"], "coded", cp, gc_), m2
 
@@ -488,6 +566,9 @@ def append_ann_index(
     meta["n_cells"] = len(cells)
     if seq_aware:
         meta["seq"] = int(meta["seq"]) + 1
+    if err is not None:
+        meta["err_sum"] = float(meta.get("err_sum", 0.0)) + err * int(n_delta)
+        meta["err_rows"] = int(meta.get("err_rows", 0)) + int(n_delta)
     meta = M.with_txn(meta, txn)
     _write_meta(local, meta)
     return meta

@@ -256,13 +256,29 @@ def sync_ann_index(
     index_path: str,
     *,
     since: int | None = None,
+    rebuild_over: float | None = None,
 ) -> dict:
     """ANN twin of :func:`sync_lex_index`: corpus commits fold into
     the persisted ANN index (appends encode with the STORED
     codebooks/centroids — the standard IVF practice; rebuild when the
     embedding distribution drifts). The index must be built from a
     known corpus version first (codebooks need training data) and the
-    FIRST sync passes ``since=`` that version."""
+    FIRST sync passes ``since=`` that version.
+
+    ``rebuild_over`` is the drift-triggered refresh policy, mirroring
+    the sinks' ``compact_over``: after the commits fold in, the
+    appended-generation quantization drift
+    (:func:`..operators.annindex.ann_drift` — build-time encode
+    fidelity minus the row-weighted fidelity of everything appended
+    since) is measured, surfaced in the result as ``drift``, and when
+    it exceeds the threshold the index is REBUILT from the synced
+    corpus head (codebooks/centroids re-trained on the current
+    distribution — the recall-restoring refresh) with the sync cursor
+    re-anchored at that head. PQ-codec indexes only (SQ8 codes are
+    self-contained and cannot drift; ``drift`` is None there and the
+    trigger never fires). Returns
+    ``{"applied": [...], "version": head, "drift": float|None,
+    "rebuilt": bool}``."""
     meta = A.load_ann_index(spark, index_path).meta
     cols = [meta["id_col"], meta["vec_col"]]
     cell = meta.get("cell_col")
@@ -278,12 +294,44 @@ def sync_ann_index(
     def delete(ids, guard_txn):
         A.delete_from_ann_index(spark, index_path, ids, guard_txn=guard_txn)
 
-    return _sync(
+    cursor_io = _make_cursor_io(index_path, A._write_meta)
+    out = _sync(
         spark, corpus_path,
         since=since, index_meta=meta, append=append, delete=delete,
         id_col=meta["id_col"],
         cols=cols,
         kind="ANN",
-        cursor_io=_make_cursor_io(index_path, A._write_meta),
+        cursor_io=cursor_io,
         index_empty=int(meta.get("n_rows", 0)) == 0,
     )
+    meta2 = A.load_ann_index(spark, index_path).meta
+    drift = A.ann_drift(meta2)
+    out["drift"] = drift
+    out["rebuilt"] = False
+    if rebuild_over is not None and drift is not None and drift > rebuild_over:
+        head = int(out["version"])
+        # rebuild from the SAME corpus version the sync just applied
+        # (a commit landing after the sync must not leak in unsynced),
+        # re-training codebooks/centroids on the drifted distribution
+        corpus_head = C.load_corpus_snapshot(
+            spark, corpus_path, version=head
+        ).select(*cols)
+        kw = {
+            "m": int(meta2["m"]),
+            "n_codewords": int(meta2["n_codewords"]),
+            "vec_col": meta2["vec_col"],
+            "id_col": meta2["id_col"],
+            "codec": meta2.get("codec", "pq"),
+        }
+        if meta2.get("cell_col") == "__cell":
+            kw["n_cells"] = int(meta2["n_cells"])
+        else:
+            kw["cell_col"] = meta2["cell_col"]
+        A.rebuild_ann_index(corpus_head, index_path, **kw)
+        # the rebuild reset the metadata (tokens included): re-anchor
+        # the cursor at the head the rebuild reflects, so the next
+        # parameterless sync resumes from there
+        record_cursor, _ = cursor_io
+        record_cursor(_sync_app_id(corpus_path), head)
+        out["rebuilt"] = True
+    return out

@@ -410,3 +410,82 @@ def test_guarded_delete_skips_when_token_committed(spark, docs, tmp_path):
     out = L.delete_from_lex_index(spark, idx, ids, guard_txn=(app, 2))
     assert "skipped_txn" not in out and out["deleted"] == 3
     assert M.read_manifest(idx)["meta"]["n_docs"] == n0 - 3
+
+
+def test_ann_drift_triggers_rebuild_and_restores_recall(spark, tmp_path):
+    """rebuild_over (VERDICT r12 ask #2): clustered base corpus, then
+    (a) an in-distribution append never trips the drift metric, and
+    (b) a distribution-shifted append trips it — the triggered rebuild
+    re-trains codebooks/centroids on the synced corpus head, restores
+    the >=0.8 recall floor on drifted-region queries, and re-anchors
+    the sync cursor so the next parameterless sync is a no-op."""
+    import random
+
+    from auto_data_linkage_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rnd = random.Random(7)
+    DIM, K = 16, 6
+    centers = [[rnd.uniform(-3, 3) for _ in range(DIM)] for _ in range(K)]
+
+    def mk(i, shift=0.0):
+        c = centers[i % K]
+        return [c[d] + rnd.gauss(0, 0.15) + shift for d in range(DIM)]
+
+    def frame(ids, shift=0.0):
+        return spark.createDataFrame(
+            [(i, mk(i, shift), int(i) % 2) for i in ids],
+            "vec_id long, embedding array<double>, part int",
+        )
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    C.build_corpus_snapshot(
+        frame(range(600)), corpus, key="vec_id", partition_by=["part"]
+    )
+    A.build_ann_index(
+        C.load_corpus_snapshot(spark, corpus).select("vec_id", "embedding"),
+        idx, m=4, n_codewords=8, n_cells=K,
+    )
+    assert A.load_ann_index(spark, idx).meta["recon_err"] is not None
+
+    # (a) in-distribution append: drift stays under the threshold
+    C.append_corpus_snapshot(corpus, frame(range(600, 900)))
+    out = sync_ann_index(spark, corpus, idx, since=1, rebuild_over=0.1)
+    assert out["drift"] is not None and out["drift"] <= 0.1
+    assert out["rebuilt"] is False
+
+    # (b) shifted append: drift trips, rebuild fires
+    C.append_corpus_snapshot(corpus, frame(range(9000, 9300), shift=4.0))
+    out = sync_ann_index(spark, corpus, idx, rebuild_over=0.1)
+    assert out["drift"] > 0.1 and out["rebuilt"] is True
+
+    # the rebuild reset the drift baseline and accounting
+    meta = A.load_ann_index(spark, idx).meta
+    assert A.ann_drift(meta) is None and not meta.get("err_rows")
+
+    # recall floor on drifted-region queries vs exact brute force
+    full = C.load_corpus_snapshot(spark, corpus).select(
+        "vec_id", "embedding"
+    ).localCheckpoint(eager=True)
+    queries = full.where(F.col("vec_id") >= 9000).limit(10)
+    exact = {}
+    for r in brute_force_topk(full, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in A.ann_index_topk(
+        A.load_ann_index(spark, idx), queries, k=5, nprobe=3,
+        rerank_factor=20, corpus=full,
+    ).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    # cursor re-anchored at the rebuilt head: parameterless re-sync no-ops
+    v = M.read_manifest(idx)["version"]
+    out = sync_ann_index(spark, corpus, idx, rebuild_over=0.1)
+    assert all(a["action"] != "applied" for a in out["applied"])
+    assert out["rebuilt"] is False and M.read_manifest(idx)["version"] == v
