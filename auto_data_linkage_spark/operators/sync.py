@@ -27,9 +27,18 @@ that crashes mid-backlog resumes exactly where it stopped and a
 replayed append is skipped by its token. No sidecar state anywhere.
 
 Retention: reading commit ``v``'s delta (and, for upserts, the
-pre-image) needs manifests ``v-1`` and ``v`` retained — vacuum the corpus with ``keep_manifests`` covering
-the sync lag, or the sync raises with the retention hint (rebuild the
-index from head in that case).
+pre-image) needs manifests ``v-1`` and ``v`` retained. Each sync also
+REGISTERS its cursor in the corpus meta (``corpus-sync:<index path>``
+— at the start of the run with the current cursor, bumped to head at
+the end), and the default
+:func:`..sources.corpusstore.vacuum_corpus_snapshot` derives its
+retention floor from those registered cursors — so a lagging
+registered sync can never lose the history it still needs to a
+default vacuum. A vacuum explicitly waived past the floor
+(``ignore_consumers=True``) makes the lagging sync raise with the
+retention hint (rebuild the index from head in that case); retire
+dead indexes with ``unregister_corpus_consumer`` so they stop pinning
+the log.
 
 Canonical flows::
 
@@ -108,6 +117,25 @@ def _make_cursor_io(index_path: str, write_meta):
     return record, read
 
 
+def _register_consumer(corpus_path: str, index_path: str, version: int) -> None:
+    """Record this index's progress in the CORPUS meta under its
+    ``corpus-sync:<index path>`` registry key (monotone token commit,
+    skipped when already covered). The default
+    :func:`..sources.corpusstore.vacuum_corpus_snapshot` derives its
+    retention floor from these cursors, so registering at sync START
+    (the current cursor) pins the history the run is about to read,
+    and the bump at sync END releases it."""
+    key = "corpus-sync:" + os.path.abspath(M.local_path(index_path))
+    snap = M.read_manifest(corpus_path)
+    if M.txn_version(snap["meta"], key) >= int(version):
+        return
+
+    def mutate(fresh: dict):
+        return fresh["tables"], M.with_txn(fresh["meta"], (key, int(version)))
+
+    M.commit_with_retry(corpus_path, mutate, op="sync-cursor")
+
+
 def _changed_parts(prev: dict, cur: dict, table: str = "data") -> list[str]:
     pm = prev["tables"].get(table, {})
     cm = cur["tables"].get(table, {})
@@ -130,6 +158,7 @@ def _old_rows(spark: SparkSession, corpus_path: str, prev: dict, parts):
 def _sync(
     spark: SparkSession,
     corpus_path: str,
+    index_path: str,
     *,
     since: int | None,
     index_meta: dict,
@@ -158,10 +187,25 @@ def _sync(
     cursor = int(since) if since is not None else stored
     if cursor < 0:
         cursor = 0
+    # register (or re-affirm) this consumer in the corpus registry at
+    # the CURRENT cursor before reading any history: the default corpus
+    # vacuum then retains every manifest this run needs
+    _register_consumer(corpus_path, index_path, cursor)
     applied: list[dict] = []
+    # the version the recorded cursor may advance to: the LAST non-
+    # cursor-only commit seen. Cursor-only commits (sync registrations,
+    # consumer retirements — including the one THIS run makes below)
+    # change no content; chasing them with the cursor would make every
+    # idle sync commit a new registration that the next sync then
+    # chases — the log would never quiesce. Leaving them past the
+    # cursor is free: re-examined next run, skipped again by op.
+    content_head = cursor
     for v in range(cursor + 1, head + 1):
         cur = M.read_manifest(corpus_path, version=v)
         op = cur.get("op") or "unknown"
+        if op in ("sync-cursor", "unregister-consumer"):
+            continue  # registry bookkeeping, not content — not reported
+        content_head = v
         if op == "compact":
             applied.append({"version": v, "op": op, "action": "skipped"})
             continue
@@ -213,8 +257,11 @@ def _sync(
     # parameterless sync would fall back to the last APPEND's token and
     # re-apply everything after it — double-appending rows. The record
     # is a tiny cursor-only commit, skipped when a token already
-    # covers the head.
-    record_cursor(app, head)
+    # covers content_head (so an idle sync commits NOTHING anywhere).
+    record_cursor(app, content_head)
+    # bump the corpus-side registry to the content head just applied:
+    # releases the retention floor the start-of-run registration pinned
+    _register_consumer(corpus_path, index_path, content_head)
     return {"applied": applied, "version": head}
 
 
@@ -240,7 +287,7 @@ def sync_lex_index(
         L.delete_from_lex_index(spark, index_path, ids, guard_txn=guard_txn)
 
     return _sync(
-        spark, corpus_path,
+        spark, corpus_path, index_path,
         since=since, index_meta=meta, append=append, delete=delete,
         id_col=meta["id_col"],
         cols=[meta["id_col"], meta["text_col"]],
@@ -296,7 +343,7 @@ def sync_ann_index(
 
     cursor_io = _make_cursor_io(index_path, A._write_meta)
     out = _sync(
-        spark, corpus_path,
+        spark, corpus_path, index_path,
         since=since, index_meta=meta, append=append, delete=delete,
         id_col=meta["id_col"],
         cols=cols,

@@ -62,6 +62,8 @@ __all__ = [
     "compact_corpus_snapshot",
     "corpus_snapshot_changes",
     "corpus_snapshot_history",
+    "registered_sync_cursors",
+    "unregister_corpus_consumer",
     "vacuum_corpus_snapshot",
 ]
 
@@ -583,12 +585,80 @@ def corpus_snapshot_changes(
     return out
 
 
+def registered_sync_cursors(path: str) -> dict[str, int]:
+    """The corpus's CONSUMER REGISTRY: every ``corpus-sync:<index>``
+    key in the head manifest's txn map, with the corpus version that
+    consumer has applied up to. :mod:`..operators.sync` registers and
+    advances these atomically with its progress; the default
+    :func:`vacuum_corpus_snapshot` derives its retention floor from
+    them so a lagging sync's history can never be reclaimed out from
+    under it."""
+    meta = M.read_manifest(path)["meta"]
+    return {
+        k: int(v)
+        for k, v in meta.get("txn", {}).items()
+        if k.startswith("corpus-sync:")
+    }
+
+
+def unregister_corpus_consumer(path: str, consumer: str) -> dict:
+    """Drop a RETIRED consumer from the registry so the default vacuum
+    stops retaining history for it (a deleted index would otherwise
+    pin the corpus log forever). ``consumer`` is the index path or the
+    full ``corpus-sync:...`` registry key. Unregistering a consumer
+    that still syncs is a contract violation — its next sync may hit
+    the retention hint and need a rebuild."""
+    key = (
+        consumer
+        if consumer.startswith("corpus-sync:")
+        else "corpus-sync:" + os.path.abspath(M.local_path(consumer))
+    )
+
+    def mutate(fresh: dict):
+        meta = dict(fresh["meta"])
+        t = dict(meta.get("txn", {}))
+        t.pop(key, None)
+        meta["txn"] = t
+        return fresh["tables"], meta
+
+    return M.commit_with_retry(path, mutate, op="unregister-consumer")
+
+
 def vacuum_corpus_snapshot(
-    path: str, *, keep_manifests: int = 2, min_age_seconds: float = 3600.0
+    path: str,
+    *,
+    keep_manifests: int = 2,
+    min_age_seconds: float = 3600.0,
+    ignore_consumers: bool = False,
 ) -> dict:
     """Reclaim generations superseded by upserts/compactions and
     orphans of crashed writers — see :func:`..operators.manifestfs.
-    vacuum` for the reader-grace and age-floor contracts."""
+    vacuum` for the reader-grace and age-floor contracts.
+
+    CONSUMER-AWARE by default: the retention floor is raised to cover
+    every cursor in :func:`registered_sync_cursors`, so a lagging
+    registered index sync keeps the manifests it still needs (reading
+    commit ``v`` needs manifests ``v-1`` and ``v``) no matter how
+    small ``keep_manifests`` is — the vacuum can then run on a cron
+    without coordinating with sync cadence. ``ignore_consumers=True``
+    waives the floor (explicit override — a sync lagging past it
+    raises the retention hint and must rebuild from head); retire dead
+    consumers with :func:`unregister_corpus_consumer` instead of
+    waiving."""
+    keep = int(keep_manifests)
+    if not ignore_consumers:
+        snap = M.read_manifest(path)
+        cursors = {
+            k: int(v)
+            for k, v in snap["meta"].get("txn", {}).items()
+            if k.startswith("corpus-sync:")
+        }
+        if cursors:
+            floor = min(cursors.values())
+            # a consumer at cursor c reads commits c+1.. — each needs
+            # its own manifest and its predecessor's, so retain
+            # versions >= c: the last (head - c + 1) manifests
+            keep = max(keep, int(snap["version"]) - floor + 1)
     return M.vacuum(
-        path, keep_manifests=keep_manifests, min_age_seconds=min_age_seconds
+        path, keep_manifests=keep, min_age_seconds=min_age_seconds
     )

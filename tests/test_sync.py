@@ -77,7 +77,9 @@ def test_lex_sync_tracks_append_only_corpus(spark, docs, tmp_path, probes):
     C.compact_corpus_snapshot(spark, corpus, max_files_per_partition=0)
     out = sync_lex_index(spark, corpus, idx)
     acts = {a["version"]: a["action"] for a in out["applied"]}
-    assert acts[2] == "applied" and acts[3] == "skipped"
+    # v2/v3 are the first sync's registry commits (not reported);
+    # the append is v4, the compaction v5
+    assert acts[4] == "applied" and acts[5] == "skipped"
     ref2 = str(tmp_path / "ref2")
     L.build_lex_index(
         C.load_corpus_snapshot(spark, corpus).select("doc_id", "text"),
@@ -170,8 +172,9 @@ def test_lex_sync_folds_upserts(spark, docs, tmp_path, probes):
     )
     C.append_corpus_snapshot(corpus, ins)
     out = sync_lex_index(spark, corpus, idx)
+    # v2/v3 are the first sync's registry commits (not reported)
     assert [(a["version"], a["op"]) for a in out["applied"]] == [
-        (2, "upsert"), (3, "append"),
+        (4, "upsert"), (5, "append"),
     ]
     ref = str(tmp_path / "ref")
     L.build_lex_index(
@@ -294,8 +297,9 @@ def test_ann_sync_matches_manual_appends(spark, emb, tmp_path):
 
     C.append_corpus_snapshot(corpus, delta)
     out = sync_ann_index(spark, corpus, idx)
+    # v2 is the first sync's registry commit, so the append lands at v3
     assert [(a["version"], a["action"]) for a in out["applied"]] == [
-        (2, "applied")
+        (3, "applied")
     ]
 
     # reference: the same initial build + a manual append of the delta
@@ -368,7 +372,8 @@ def test_overlapping_sync_delete_cannot_remask_revisions(
         interleaved_delete,
     )
     out = sync_lex_index(spark, corpus, idx)  # the follower
-    assert {a["version"] for a in out["applied"]} == {2}
+    # v2/v3 are the first sync's registry commits; the upsert is v4
+    assert {a["version"] for a in out["applied"]} == {4}
     q = query_terms_from_docs(revised, n_terms=4)
     ref = str(tmp_path / "ref")
     L.build_lex_index(
@@ -489,3 +494,102 @@ def test_ann_drift_triggers_rebuild_and_restores_recall(spark, tmp_path):
     out = sync_ann_index(spark, corpus, idx, rebuild_over=0.1)
     assert all(a["action"] != "applied" for a in out["applied"])
     assert out["rebuilt"] is False and M.read_manifest(idx)["version"] == v
+
+
+def test_lagging_cursor_blocks_default_vacuum_then_sync_completes(
+    spark, docs, tmp_path, probes
+):
+    """Consumer-aware corpus vacuum (VERDICT r12 ask #3): a registered
+    sync lagging behind the corpus head pins the manifests it still
+    needs — a default vacuum (even keep_manifests=1, age floor waived)
+    must not reclaim them, and the sync then completes. Once caught
+    up, the same vacuum reclaims. A dead consumer is unregistered and
+    stops pinning."""
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    C.build_corpus_snapshot(
+        docs.where(F.col("doc_id") % 3 == 0), corpus,
+        key="doc_id", partition_by=["lang"],
+    )
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).limit(0), idx, n_buckets=4,
+    )
+    sync_lex_index(spark, corpus, idx)  # cursor -> v1, registered
+    key = "corpus-sync:" + __import__("os").path.abspath(idx)
+    assert C.registered_sync_cursors(corpus)[key] >= 1
+
+    # the corpus moves on while the consumer lags
+    C.append_corpus_snapshot(corpus, docs.where(F.col("doc_id") % 3 == 1))
+    C.append_corpus_snapshot(corpus, docs.where(F.col("doc_id") % 3 == 2))
+    head = M.read_manifest(corpus)["version"]
+    cursor = C.registered_sync_cursors(corpus)[key]
+    assert cursor < head  # genuinely lagging
+
+    out = C.vacuum_corpus_snapshot(
+        corpus, keep_manifests=1, min_age_seconds=0
+    )
+    # every manifest the lagging sync needs (>= cursor) survived
+    kept = {
+        int(n[1:-5])
+        for n in __import__("os").listdir(f"{corpus}/_manifests")
+        if n.startswith("v")
+    }
+    assert all(v in kept for v in range(cursor, head + 1)), (out, kept)
+
+    # the sync completes and equals a fresh head build
+    sync_lex_index(spark, corpus, idx)
+    ref = str(tmp_path / "ref")
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).select("doc_id", "text"),
+        ref, n_buckets=4,
+    )
+    assert _lex_topk(spark, idx, probes) == _lex_topk(spark, ref, probes)
+
+    # caught up: the same default vacuum now reclaims old manifests.
+    # The floor converges at 2: the content head the cursor covers plus
+    # the trailing sync-cursor registration commit itself.
+    C.vacuum_corpus_snapshot(corpus, keep_manifests=1, min_age_seconds=0)
+    left = [
+        n for n in __import__("os").listdir(f"{corpus}/_manifests")
+        if n.startswith("v")
+    ]
+    assert len(left) == 2
+
+    # QUIESCENCE: an idle sync commits NOTHING anywhere — the cursor
+    # never chases the registry's own cursor-only commits, so the logs
+    # stop growing the moment content stops
+    cv = M.read_manifest(corpus)["version"]
+    iv = M.read_manifest(idx)["version"]
+    out = sync_lex_index(spark, corpus, idx)
+    assert all(a["action"] != "applied" for a in out["applied"])
+    assert M.read_manifest(corpus)["version"] == cv
+    assert M.read_manifest(idx)["version"] == iv
+
+    # retire the consumer: nothing pins any more
+    C.unregister_corpus_consumer(corpus, idx)
+    assert key not in C.registered_sync_cursors(corpus)
+
+
+def test_waived_vacuum_makes_lagging_sync_raise_retention_hint(
+    spark, docs, tmp_path
+):
+    """ignore_consumers=True is the explicit override: the reclaimed
+    history makes the lagging sync fail LOUDLY with the vacuum hint
+    (never silently skip commits)."""
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    C.build_corpus_snapshot(
+        docs.where(F.col("doc_id") % 3 == 0), corpus,
+        key="doc_id", partition_by=["lang"],
+    )
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).limit(0), idx, n_buckets=4,
+    )
+    sync_lex_index(spark, corpus, idx)
+    C.append_corpus_snapshot(corpus, docs.where(F.col("doc_id") % 3 == 1))
+    C.append_corpus_snapshot(corpus, docs.where(F.col("doc_id") % 3 == 2))
+    C.vacuum_corpus_snapshot(
+        corpus, keep_manifests=1, min_age_seconds=0, ignore_consumers=True
+    )
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        sync_lex_index(spark, corpus, idx)
