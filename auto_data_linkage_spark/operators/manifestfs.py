@@ -100,6 +100,8 @@ __all__ = [
     "read_table",
     "part_file_counts",
     "history",
+    "checkpoint_manifest_log",
+    "prune_txn_tokens",
     "vacuum",
 ]
 
@@ -189,8 +191,34 @@ def _backend(root: str):
 def is_manifest_store(root: str) -> bool:
     be = _backend(root)
     if be is not None:
-        return bool(be.list_records())
+        return bool(_manifest_names(root))
     return os.path.isdir(_mdir(root))
+
+
+def _manifest_names(root: str) -> list[str]:
+    """Sorted ``v*.json`` record names WITHOUT parsing any payload —
+    the names-only primitive the O(1)-opens head read builds on."""
+    be = _backend(root)
+    if be is not None:
+        names = be.list_names()
+    else:
+        mdir = _mdir(root)
+        names = os.listdir(mdir) if os.path.isdir(mdir) else []
+    return sorted(
+        n for n in names if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def _get_manifest(root: str, name: str) -> dict | None:
+    """Point-read one manifest record (None = absent/unreadable)."""
+    be = _backend(root)
+    if be is not None:
+        return be.get(name)
+    try:
+        with open(os.path.join(_mdir(root), name)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def _list_manifests(root: str) -> list[tuple[str, dict | None]]:
@@ -199,7 +227,11 @@ def _list_manifests(root: str) -> list[tuple[str, dict | None]]:
     dead writer; CommitStore backends report the same)."""
     be = _backend(root)
     if be is not None:
-        return sorted(be.list_records().items())
+        return sorted(
+            (n, r)
+            for n, r in be.list_records().items()
+            if n.startswith("v") and n.endswith(".json")
+        )
     mdir = _mdir(root)
     out: list[tuple[str, dict | None]] = []
     if os.path.isdir(mdir):
@@ -222,10 +254,15 @@ def read_manifest(root: str, version: int | None = None) -> dict:
     its results bit-exactly; versions reclaimed by :func:`vacuum`
     raise with the retention hint). A truncated newest file (writer
     died mid-write on a POSIX filesystem; object stores never expose
-    partials) is skipped in favor of its predecessor."""
-    records = dict(_list_manifests(root))
+    partials) is skipped in favor of its predecessor.
+
+    Opens O(1) FILES however long the log is: one names-only listing,
+    then point-reads from the newest name backwards until a complete
+    manifest parses (one read in the healthy case) — a 200-commit
+    store costs the same head read as a 2-commit one, so log growth
+    between vacuums never taxes readers."""
     if version is not None:
-        m = records.get(_vname(int(version)))
+        m = _get_manifest(root, _vname(int(version)))
         if not m:
             raise FileNotFoundError(
                 f"manifest version {version} of {root} is not readable "
@@ -233,8 +270,8 @@ def read_manifest(root: str, version: int | None = None) -> dict:
                 "keep_manifests to retain more history)"
             )
         return m
-    for name in sorted(records, reverse=True):
-        m = records[name]
+    for name in reversed(_manifest_names(root)):
+        m = _get_manifest(root, name)
         if m is not None and int(m.get("version", -1)) == int(name[1:-5]):
             return m
     raise FileNotFoundError(f"no readable manifest for {root}")
@@ -666,42 +703,180 @@ def part_file_counts(root: str, table: str, snapshot: dict) -> dict[str, int]:
     return out
 
 
+def _gen_sets(manifest: dict) -> dict:
+    """tables → flat set of ``part/gen`` keys (the diffing unit)."""
+    return {
+        t: {f"{p}/{g}" if p else g for p, gens in mp.items() for g in gens}
+        for t, mp in manifest.get("tables", {}).items()
+    }
+
+
+def _diff_entry(prev: dict, cur: dict, manifest: dict) -> dict:
+    added = {
+        t: sorted(cur[t] - prev.get(t, set()))
+        for t in cur
+        if cur[t] - prev.get(t, set())
+    }
+    removed = {
+        t: sorted(prev[t] - cur.get(t, set()))
+        for t in prev
+        if prev[t] - cur.get(t, set())
+    }
+    return {
+        "version": int(manifest["version"]),
+        "op": manifest.get("op"),
+        "added": added,
+        "removed": removed,
+    }
+
+
+def _chk_name(upto: int) -> str:
+    return f"chk{upto:012d}.json"
+
+
+def _checkpoint_names(root: str) -> list[str]:
+    be = _backend(root)
+    if be is not None:
+        names = be.list_names()
+    else:
+        mdir = _mdir(root)
+        names = os.listdir(mdir) if os.path.isdir(mdir) else []
+    return sorted(
+        n for n in names if n.startswith("chk") and n.endswith(".json")
+    )
+
+
+def _newest_checkpoint(root: str) -> dict | None:
+    for name in reversed(_checkpoint_names(root)):
+        rec = _get_manifest(root, name)
+        if rec is not None and "upto" in rec:
+            return rec
+    return None
+
+
+def _put_checkpoint(root: str, record: dict) -> dict:
+    """Publish a checkpoint record by conditional create; a racing
+    checkpointer at the same upto wins or loses cleanly — the loser
+    adopts the winner's record (same content by construction)."""
+    name = _chk_name(int(record["upto"]))
+    be = _backend(root)
+    if be is not None:
+        if be.create_exclusive(name, record):
+            return record
+        return be.get(name) or record
+    mdir = _mdir(root)
+    os.makedirs(mdir, exist_ok=True)
+    import uuid
+
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, os.path.join(mdir, name))
+        _fsync_dir(mdir)
+    except FileExistsError:
+        pass  # a concurrent checkpointer at the same upto won — same content
+    finally:
+        os.remove(tmp)
+    return record
+
+
+def checkpoint_manifest_log(root: str) -> dict:
+    """Delta-style LOG CHECKPOINT: one summary record
+    (``chk<upto>.json``) carrying the audit history (per-version op +
+    generation adds/removes) and the cumulative live-set state of
+    every version ≤ the current head. After checkpointing, ``vacuum``
+    may reclaim the manifest FILES the checkpoint covers while
+    :func:`history` still replays their entries — the log's audit
+    trail no longer forces unbounded manifest retention.
+
+    Head READS never need checkpoints: every manifest is already a
+    full snapshot, and :func:`read_manifest` opens O(1) files however
+    long the log grows. What the checkpoint bounds is the cost (and
+    retention requirement) of the FULL-LOG operations — history and
+    audit replay.
+
+    Incremental: builds on the newest previous checkpoint, parsing
+    only manifests committed after it. Returns the checkpoint record
+    ``{"upto", "entries": [...], "state": {table: [part/gen, ...]}}``.
+    Time travel to versions whose manifests were subsequently vacuumed
+    still raises with the retention hint — a checkpoint preserves the
+    audit trail, not the snapshots' data."""
+    prev_chk = _newest_checkpoint(root)
+    entries = list(prev_chk["entries"]) if prev_chk else []
+    state = (
+        {t: set(ks) for t, ks in prev_chk["state"].items()}
+        if prev_chk
+        else {}
+    )
+    upto = int(prev_chk["upto"]) if prev_chk else 0
+    for name, m in _list_manifests(root):
+        if m is None or int(m.get("version", -1)) != int(name[1:-5]):
+            continue
+        if int(m["version"]) <= upto:
+            continue
+        cur = _gen_sets(m)
+        entries.append(_diff_entry(state, cur, m))
+        state = cur
+        upto = int(m["version"])
+    record = {
+        "upto": upto,
+        "entries": entries,
+        "state": {t: sorted(ks) for t, ks in state.items()},
+    }
+    if prev_chk is not None and int(prev_chk["upto"]) == upto:
+        return prev_chk  # nothing new to summarize
+    return _put_checkpoint(root, record)
+
+
+def prune_txn_tokens(root: str, apps) -> dict:
+    """Token RETENTION policy: drop the ``(app_id → batch_id)``
+    idempotence tokens of the given RETIRED writers from the store
+    meta (one cursor-only merge-retried commit). The txn map otherwise
+    grows one entry per streaming-query lineage / sync consumer
+    forever. Only prune app ids that will never present a batch again
+    — a pruned app replaying an old batch id would re-append it
+    (exactly-once holds per RETAINED token). Sync consumers should be
+    retired with ``unregister_corpus_consumer`` on the corpus side as
+    well, so they also stop pinning vacuum retention."""
+    apps = {str(a) for a in apps}
+
+    def mutate(fresh: dict):
+        meta = dict(fresh["meta"])
+        meta["txn"] = {
+            k: v for k, v in meta.get("txn", {}).items() if k not in apps
+        }
+        return fresh["tables"], meta
+
+    return commit_with_retry(root, mutate, op="prune-txn")
+
+
 def history(root: str) -> list[dict]:
-    """Audit view of the store's retained commit history, oldest
-    first: for each readable manifest version, which tables gained or
-    lost generations relative to its predecessor — the what-changed
-    trail takedowns/compliance reviews read (pair with ``version=``
-    time travel to replay any listed snapshot). Unreadable (mid-write)
-    files are skipped. Returns
-    ``[{"version", "added": {table: [gen,...]}, "removed": {...}}]``.
-    """
-    out: list[dict] = []
-    prev: dict = {}
+    """Audit view of the store's commit history, oldest first: for
+    each version, which tables gained or lost generations relative to
+    its predecessor — the what-changed trail takedowns/compliance
+    reviews read (pair with ``version=`` time travel to replay any
+    retained snapshot). Entries for versions whose manifest files were
+    vacuumed away after a :func:`checkpoint_manifest_log` come from
+    the checkpoint record; newer entries are diffed from the live
+    manifest files. Unreadable (mid-write) files are skipped. Returns
+    ``[{"version", "op", "added": {table: [gen,...]}, "removed":
+    {...}}]``."""
+    chk = _newest_checkpoint(root)
+    out: list[dict] = list(chk["entries"]) if chk else []
+    prev: dict = (
+        {t: set(ks) for t, ks in chk["state"].items()} if chk else {}
+    )
+    upto = int(chk["upto"]) if chk else 0
     for name, m in _list_manifests(root):
         if m is None:
             continue
-        cur = {
-            t: {f"{p}/{g}" if p else g for p, gens in mp.items() for g in gens}
-            for t, mp in m.get("tables", {}).items()
-        }
-        added = {
-            t: sorted(cur[t] - prev.get(t, set()))
-            for t in cur
-            if cur[t] - prev.get(t, set())
-        }
-        removed = {
-            t: sorted(prev[t] - cur.get(t, set()))
-            for t in prev
-            if prev[t] - cur.get(t, set())
-        }
-        out.append(
-            {
-                "version": int(m["version"]),
-                "op": m.get("op"),
-                "added": added,
-                "removed": removed,
-            }
-        )
+        if int(m.get("version", -1)) <= upto:
+            continue  # already summarized by the checkpoint
+        cur = _gen_sets(m)
+        out.append(_diff_entry(prev, cur, m))
         prev = cur
     return out
 
@@ -743,9 +918,14 @@ def vacuum(
     younger than the floor is left alone (it may be an in-flight
     writer's pre-commit generation). Pass ``min_age_seconds=0`` for
     immediate reclamation when you can PROVE no reader or writer is in
-    flight. CommitStore-backed logs expose no timestamps; their
-    records count as age 0 (protected) until the floor is explicitly
-    waived. Returns
+    flight. CommitStore-backed logs report record ages through the
+    ``age_seconds`` timestamp hook (S3/GCS LastModified); a backend
+    that returns None (no timestamps) counts its records as age 0
+    (protected) until the floor is explicitly waived — the default
+    vacuum therefore actually reclaims on timestamped object-store
+    backends and degrades safe on the rest. Superseded log checkpoints
+    (see :func:`checkpoint_manifest_log`) are reclaimed too — only the
+    newest is kept. Returns
     ``{"removed_gens": [...], "removed_manifests": [...]}``."""
     if keep_manifests < 1:
         raise ValueError("keep_manifests must be >= 1")
@@ -755,7 +935,8 @@ def vacuum(
 
     def _age(name: str) -> float:
         if be is not None:
-            return 0.0  # no timestamp primitive: treat as just-written
+            a = be.age_seconds(name)
+            return 0.0 if a is None else float(a)
         return _entry_age(os.path.join(_mdir(root), name))
 
     readable = [(n, m) for n, m in manifests if m is not None]
@@ -797,6 +978,16 @@ def vacuum(
     removed_manifests = []
     for name, _ in manifests:
         if name in keep_names:
+            continue
+        if be is not None:
+            be.remove(name)
+        else:
+            os.remove(os.path.join(_mdir(root), name))
+        removed_manifests.append(name)
+    # superseded log checkpoints: the newest subsumes every older one
+    chks = _checkpoint_names(root)
+    for name in chks[:-1]:
+        if min_age_seconds > 0 and _age(name) < min_age_seconds:
             continue
         if be is not None:
             be.remove(name)

@@ -291,6 +291,28 @@ class CommitStore:
         """name -> parsed record (None = unreadable/mid-write)."""
         raise NotImplementedError
 
+    # Optional fast-path primitives — defaults fall back to the full
+    # listing so pre-existing backends keep working unchanged. Real
+    # object-store backends should override all three (names = prefix
+    # LIST without bodies, get = GetObject, age = LastModified).
+
+    def list_names(self) -> list[str]:
+        """All record names, sorted, WITHOUT parsing payloads — the
+        O(1)-opens head-read path lists names and point-reads only the
+        newest record(s)."""
+        return sorted(self.list_records())
+
+    def get(self, name: str) -> "dict | None":
+        """Point-read one record (None = absent or unreadable)."""
+        return self.list_records().get(name)
+
+    def age_seconds(self, name: str) -> "float | None":
+        """Seconds since ``name`` was created — the timestamp hook the
+        vacuum age floor needs (S3/GCS LastModified). None = unknown;
+        the vacuum then treats the record as just-written (protected),
+        so a backend without timestamps degrades SAFE, never eager."""
+        return None
+
 
 class PosixCommitStore(CommitStore):
     """O_CREAT|O_EXCL-based commit log under ``<dir>/``."""
@@ -348,36 +370,91 @@ class PosixCommitStore(CommitStore):
                     out[name] = None  # mid-write by its owner
         return out
 
+    def list_names(self) -> list[str]:
+        import os
+
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            n for n in os.listdir(self.log_dir) if n.endswith(".json")
+        )
+
+    def get(self, name: str) -> "dict | None":
+        import json
+        import os
+
+        try:
+            with open(os.path.join(self.log_dir, name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def age_seconds(self, name: str) -> "float | None":
+        import os
+        import time
+
+        try:
+            return max(
+                0.0,
+                time.time()
+                - os.path.getmtime(os.path.join(self.log_dir, name)),
+            )
+        except OSError:
+            return None
+
 
 class MemoryCommitStore(CommitStore):
     """In-process conditional-put map — the object-store semantics
     (create-if-absent precondition, unconditional replace) without any
     filesystem, usable to run the full protocol in tests."""
 
-    def __init__(self):
+    def __init__(self, clock=None):
+        """``clock`` (callable -> float, default ``time.time``) feeds
+        :meth:`age_seconds` — injectable so tests can advance time
+        without sleeping."""
         import threading
+        import time
 
         self._lock = threading.Lock()
         self._data: dict[str, dict] = {}
+        self._ctime: dict[str, float] = {}
+        self._clock = clock or time.time
 
     def create_exclusive(self, name: str, record: dict) -> bool:
         with self._lock:
             if name in self._data:
                 return False
             self._data[name] = dict(record)
+            self._ctime[name] = float(self._clock())
             return True
 
     def replace(self, name: str, record: dict) -> None:
         with self._lock:
             self._data[name] = dict(record)
+            self._ctime[name] = float(self._clock())
 
     def remove(self, name: str) -> None:
         with self._lock:
             self._data.pop(name, None)
+            self._ctime.pop(name, None)
 
     def list_records(self) -> dict[str, "dict | None"]:
         with self._lock:
             return {k: dict(v) for k, v in self._data.items()}
+
+    def list_names(self) -> list[str]:
+        with self._lock:
+            return sorted(self._data)
+
+    def get(self, name: str) -> "dict | None":
+        with self._lock:
+            rec = self._data.get(name)
+            return dict(rec) if rec is not None else None
+
+    def age_seconds(self, name: str) -> "float | None":
+        with self._lock:
+            t = self._ctime.get(name)
+            return None if t is None else max(0.0, self._clock() - t)
 
 
 class FlakyCommitStore(CommitStore):
@@ -473,6 +550,20 @@ class FlakyCommitStore(CommitStore):
 
             time.sleep(self.list_delay_s)
         return self.inner.list_records()
+
+    def list_names(self) -> list[str]:
+        self.stats["lists"] += 1
+        if self.list_delay_s > 0:
+            import time
+
+            time.sleep(self.list_delay_s)
+        return self.inner.list_names()
+
+    def get(self, name: str) -> "dict | None":
+        return self.inner.get(name)
+
+    def age_seconds(self, name: str) -> "float | None":
+        return self.inner.age_seconds(name)
 
 
 def _commit_log_dir(path: str) -> str:

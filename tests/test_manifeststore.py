@@ -1255,3 +1255,171 @@ def test_ann_manifest_sink_compact_over_bounds_fragmentation(
         }
 
     assert topk(out) == topk(ref)
+
+
+# ------------------------------------------- log scaling (r12 ask #4)
+def _long_log(root, n=200):
+    os.makedirs(root, exist_ok=True)
+    M.init_manifest_store(root, tables={}, meta={"k": 0}, op="build")
+    for i in range(1, n):
+        M.commit_manifest(
+            root, tables={}, meta={"k": i}, expected_version=i, op="append"
+        )
+
+
+def test_head_read_is_point_read_on_long_log(tmp_path, monkeypatch):
+    """A 200-commit store's head read opens O(1) files: one names-only
+    listing + one point read — never a parse of the whole log."""
+    root = str(tmp_path / "s")
+    _long_log(root, 200)
+    calls = []
+    real = M._get_manifest
+    monkeypatch.setattr(
+        M, "_get_manifest", lambda r, n: (calls.append(n), real(r, n))[1]
+    )
+    monkeypatch.setattr(
+        M,
+        "_list_manifests",
+        lambda r: (_ for _ in ()).throw(
+            AssertionError("full-log parse on a head read")
+        ),
+    )
+    snap = M.read_manifest(root)
+    assert snap["version"] == 200 and snap["meta"]["k"] == 199
+    assert len(calls) == 1
+    calls.clear()
+    assert M.read_manifest(root, version=37)["meta"]["k"] == 36
+    assert len(calls) == 1
+
+
+def test_head_read_point_reads_on_commitstore_backend(tmp_path):
+    """Same O(1) contract through a CommitStore log: the head read
+    uses list_names + get, never the full list_records payload
+    fetch."""
+    from auto_data_linkage_spark.sources.layout import MemoryCommitStore
+
+    class _Counting(MemoryCommitStore):
+        def __init__(self):
+            super().__init__()
+            self.n_list_records = 0
+            self.n_gets = 0
+
+        def list_records(self):
+            self.n_list_records += 1
+            return super().list_records()
+
+        def get(self, name):
+            self.n_gets += 1
+            return super().get(name)
+
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    be = _Counting()
+    M.use_commit_log(root, be)
+    try:
+        _long_log(root, 120)
+        be.n_list_records = be.n_gets = 0
+        snap = M.read_manifest(root)
+        assert snap["version"] == 120
+        assert be.n_list_records == 0 and be.n_gets == 1
+    finally:
+        M.clear_commit_log(root)
+
+
+def test_checkpoint_preserves_history_across_vacuum(tmp_path):
+    """checkpoint_manifest_log + vacuum: the old manifest FILES are
+    reclaimed, the audit trail still replays every version's entry
+    (op + generation adds), and a later incremental checkpoint folds
+    only the new commits in."""
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    tables = {}
+    M.init_manifest_store(root, tables={}, meta={}, op="build")
+    n = 30
+    for i in range(1, n):
+        gen = f"gen={i}xaaaaaaa{i:02d}"
+        gdir = os.path.join(root, "t", gen)
+        os.makedirs(gdir)
+        open(os.path.join(gdir, "part-0.parquet"), "w").write("x")
+        tables = M.add_gens(tables, "t", [""], gen)
+        M.commit_manifest(
+            root, tables=tables, meta={}, expected_version=i, op="append"
+        )
+    want = M.history(root)
+    assert len(want) == n and want[5]["added"] == {"t": [f"gen=5xaaaaaaa05"]}
+
+    chk = M.checkpoint_manifest_log(root)
+    assert chk["upto"] == n
+    out = M.vacuum(root, keep_manifests=2, min_age_seconds=0)
+    assert len(out["removed_manifests"]) == n - 2
+    # every version's audit entry survives the file reclamation
+    assert M.history(root) == want
+    # the head still reads fine, and data gens are all live (no gen
+    # was superseded, so nothing data-side was reclaimed)
+    assert M.read_manifest(root)["version"] == n
+    assert out["removed_gens"] == []
+
+    # incremental: two more commits, re-checkpoint, vacuum again
+    for i in range(n, n + 2):
+        gen = f"gen={i}xbbbbbbb{i:02d}"
+        gdir = os.path.join(root, "t", gen)
+        os.makedirs(gdir)
+        open(os.path.join(gdir, "part-0.parquet"), "w").write("x")
+        tables = M.add_gens(tables, "t", [""], gen)
+        M.commit_manifest(
+            root, tables=tables, meta={}, expected_version=i, op="append"
+        )
+    chk2 = M.checkpoint_manifest_log(root)
+    assert chk2["upto"] == n + 2
+    M.vacuum(root, keep_manifests=1, min_age_seconds=0)
+    hist = M.history(root)
+    assert len(hist) == n + 2
+    assert [h["version"] for h in hist] == list(range(1, n + 3))
+    # the superseded checkpoint record was reclaimed with the vacuum
+    assert M._checkpoint_names(root) == [M._chk_name(n + 2)]
+
+
+def test_commitstore_age_hook_lets_default_vacuum_reclaim(tmp_path):
+    """The timestamp hook (r12 'what's wrong #2'): on a CommitStore
+    backend with age_seconds, records older than the floor are
+    reclaimable by a DEFAULT vacuum — previously every record counted
+    as just-written and nothing could ever be reclaimed without
+    waiving the floor."""
+    from auto_data_linkage_spark.sources.layout import MemoryCommitStore
+
+    now = {"t": 1000.0}
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    be = MemoryCommitStore(clock=lambda: now["t"])
+    M.use_commit_log(root, be)
+    try:
+        _long_log(root, 5)  # committed at t=1000
+        now["t"] += 7200.0  # two hours pass
+        M.commit_manifest(
+            root, tables={}, meta={"k": 99}, expected_version=5, op="append"
+        )  # young head
+        out = M.vacuum(root, keep_manifests=1)  # DEFAULT 1 h age floor
+        # old records (2 h) reclaimed; the young head kept
+        assert len(out["removed_manifests"]) == 5
+        assert M.read_manifest(root)["version"] == 6
+    finally:
+        M.clear_commit_log(root)
+
+
+def test_prune_txn_tokens_drops_only_named_apps(tmp_path):
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    M.init_manifest_store(root, tables={}, meta={}, op="build")
+
+    def record(app, bid):
+        def mutate(fresh):
+            return fresh["tables"], M.with_txn(fresh["meta"], (app, bid))
+
+        M.commit_with_retry(root, mutate, op="append")
+
+    record("q-old", 7)
+    record("q-live", 3)
+    M.prune_txn_tokens(root, ["q-old"])
+    meta = M.read_manifest(root)["meta"]
+    assert M.txn_version(meta, "q-old") == -1  # pruned: would replay
+    assert M.txn_version(meta, "q-live") == 3  # retained: exactly-once
