@@ -1363,6 +1363,13 @@ def sql_shared_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pytest (tests/test_oracle_window.py runs the SAME Spark-vs-DuckDB
 # comparison over every out-of-window entry) and tools/check_oracle.py.
 _DEPRIORITIZED = (
+    "bm25_topk_synced",  # storage-composition certification row (corpus
+    #                      commits → index sync → persisted serve == SQL
+    #                      over the head): back-window by design — it
+    #                      builds real stores per run, so the cheap
+    #                      in-window bm25_topk keeps the driver slot while
+    #                      tests/test_oracle_window.py runs this one
+    #                      through the identical Spark-vs-DuckDB gate
     "jaro_winkler_pairs",  # sql_registered_udfs exercises the same pandas
     #                        UDF through the registered-SQL surface
     "sql_entropy_probe",  # A3 front row is `entropy`; this certifies the

@@ -958,11 +958,15 @@ def count_min_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lexical retrieval: BM25 inverted-index top-k. Probe set = distinct first
 # 8 tokens of every 100th document; scores rounded to 6 decimals BEFORE
 # ranking in both engines so ties (and hashes) agree cross-engine.
-_BM25_SQL = f"""
-    WITH dls AS (
+# Parameterized on the corpus SOURCE so the sync-composition row below
+# can run the identical scoring over a revised corpus expressed in SQL.
+def _bm25_sql(src: str) -> str:
+    return f"""
+    WITH src AS ({src}),
+    dls AS (
         SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS tk,
                len({_SQL_TOKENS.format(c='text')}) AS dl
-        FROM documents
+        FROM src
     ),
     stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls),
     posts AS (
@@ -1002,6 +1006,9 @@ _BM25_SQL = f"""
 """
 
 
+_BM25_SQL = _bm25_sql("SELECT doc_id, text FROM documents")
+
+
 @register(
     "bm25_topk",
     _BM25_SQL,
@@ -1015,6 +1022,82 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 100 == 0), n_terms=8
     )
     return R.bm25_topk(docs, probes, k=5, exclude_self=True)
+
+
+# Sync-composition correctness row (VERDICT r12 ask #7): the whole
+# storage tier composed — corpus snapshot store (build v1 with half the
+# docs → append the rest → upsert revisions) → incremental index sync
+# from the commit log (appends + the sequence-aware delete/re-append
+# revision fold) → serve from the PERSISTED index. The oracle is plain
+# SQL BM25 over the corpus's FINAL logical state (the revision applied
+# as a CASE), so a hash match proves synced-index == head-build ==
+# inline scoring, revisions serving their new text, through DuckDB.
+_SYNC_REV_PRED = "doc_id % 17 = 3"
+_SYNC_REV_PREFIX = "revised edition "
+
+_BM25_SYNCED_SQL = _bm25_sql(
+    f"""SELECT doc_id,
+               CASE WHEN {_SYNC_REV_PRED}
+                    THEN '{_SYNC_REV_PREFIX}' || text ELSE text END AS text
+        FROM documents"""
+)
+
+
+@register(
+    "bm25_topk_synced",
+    _BM25_SYNCED_SQL,
+    survey="storage composition: corpus snapshot commits (append + "
+    "revision upsert) → incremental index sync → persisted-index BM25 "
+    "top-k equals SQL over the corpus head",
+)
+def bm25_topk_synced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from auto_data_linkage_spark.operators import lexindex as L
+    from auto_data_linkage_spark.operators import retrieval as R
+    from auto_data_linkage_spark.operators.sync import sync_lex_index
+    from auto_data_linkage_spark.sources import corpusstore as C
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", (F.col("doc_id") % 4).alias("part")
+    )
+    root = tempfile.mkdtemp(prefix="adl_sync_row_")
+    corpus = f"{root}/corpus"
+    idx = f"{root}/idx"
+    try:
+        # v1: half the corpus; the index starts EMPTY and follows the log
+        C.build_corpus_snapshot(
+            docs.where(F.col("doc_id") % 2 == 0), corpus,
+            key="doc_id", partition_by=["part"],
+        )
+        L.build_lex_index(
+            C.load_corpus_snapshot(spark, corpus).limit(0), idx, n_buckets=8,
+        )
+        sync_lex_index(spark, corpus, idx)
+        # the corpus moves: append the other half, then REVISE a slice
+        # (upsert = partition-granular replace; the sync folds it as a
+        # sequence-aware delete + re-append, so the new text serves)
+        C.append_corpus_snapshot(corpus, docs.where(F.col("doc_id") % 2 == 1))
+        C.upsert_corpus_snapshot(
+            spark, corpus,
+            docs.where(F.expr(_SYNC_REV_PRED)).withColumn(
+                "text", F.concat(F.lit(_SYNC_REV_PREFIX), F.col("text"))
+            ),
+        )
+        sync_lex_index(spark, corpus, idx)
+        # serve from the PERSISTED synced index; probes mirror the
+        # oracle's q CTE over the corpus head (revisions included)
+        head = C.load_corpus_snapshot(spark, corpus).select("doc_id", "text")
+        probes = R.query_terms_from_docs(
+            head.where(F.col("doc_id") % 100 == 0), n_terms=8
+        )
+        out = L.lex_index_topk(
+            L.load_lex_index(spark, idx), probes, k=5, exclude_self=True
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 @register(
