@@ -356,7 +356,7 @@ def commit_manifest(
                 won = be.create_exclusive(name, manifest)
             except TransientCommitError:
                 had_ambiguous = True
-                stored = be.list_records().get(name)
+                stored = be.get(name)  # point read, not the full log
                 if stored == manifest:
                     return manifest  # our ambiguous put actually landed
                 if stored is None:
@@ -366,10 +366,10 @@ def commit_manifest(
                 return manifest
             # A plain lost race (create returned False) can only be OUR
             # prior attempt if an earlier iteration was AMBIGUOUS — so
-            # the O(log)-listing read-back is paid only then, never on
+            # the read-back (a point read) is paid only then, never on
             # the common first-attempt conflict in commit_with_retry's
             # hot retry loop.
-            if had_ambiguous and be.list_records().get(name) == manifest:
+            if had_ambiguous and be.get(name) == manifest:
                 return manifest  # a prior ambiguous attempt of ours won
             raise ManifestConflictError(
                 f"version {version} of {root} was committed by a "

@@ -339,6 +339,9 @@ def test_ambiguous_then_lost_race_still_reads_back(tmp_path):
         def list_records(self):
             return inner.list_records()
 
+        def get(self, name):
+            return inner.get(name)
+
         def remove(self, name):
             return inner.remove(name)
 
