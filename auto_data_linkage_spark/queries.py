@@ -1753,7 +1753,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "embedding-curation": ("embedding_outliers",),
     "training-order": ("curriculum_order",),
     "html-ingestion": ("html_extract",),
-    "lexical-retrieval": ("bm25_topk",),
+    "lexical-retrieval": ("bm25_topk", "bm25_topk_synced"),
     "hybrid-retrieval": ("hybrid_topk",),
     "dsir": ("dsir_logweights", "dsir_resample"),
     "contrastive-mining": ("hard_negatives",),
