@@ -339,3 +339,39 @@ def test_corpus_same_token_interleaved_writers_append_once(
         .groupBy("doc_id").count().where(F.col("count") > 1).count()
     )
     assert dup == 0
+
+
+def test_ann_same_token_interleaved_writers_append_once(
+    spark, emb, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "ann")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1).localCheckpoint(eager=True)
+    A.build_ann_index(base, root, m=4, n_codewords=8, layout="manifest")
+    n0 = M.read_manifest(root)["meta"]["n_rows"]
+    nb = b.count()
+
+    real_cwr = M.commit_with_retry
+    state = {"fired": False}
+
+    def interleave(path, mutate, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            A.append_ann_index(b, root, txn=("dup", 0))
+        return real_cwr(path, mutate, **kw)
+
+    monkeypatch.setattr(
+        "auto_data_linkage_spark.operators.annindex.M.commit_with_retry",
+        interleave,
+    )
+    out = A.append_ann_index(b, root, txn=("dup", 0))
+    snap = M.read_manifest(root)
+    assert out["n_rows"] == n0 + nb  # follower reports the leader's state
+    assert snap["meta"]["n_rows"] == n0 + nb  # NOT double-counted
+    coded = M.read_table(spark, root, "coded", snap)
+    dup = (
+        coded.groupBy("neighbor_id").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    assert M.txn_version(snap["meta"], "dup") == 0
