@@ -271,12 +271,20 @@ def sync_lex_index(
     index_path: str,
     *,
     since: int | None = None,
+    compact_over: int | None = None,
 ) -> dict:
     """Fold corpus snapshot commits since the last sync into the
     lexical index (module docstring for semantics, cursor, crash
     behavior, and the upsert refusal). ``since`` overrides the stored
     cursor for the FIRST sync of an index built from a non-empty
-    corpus version. Returns
+    corpus version.
+
+    ``compact_over`` is the fragmentation policy the sinks already
+    carry (``lex_index_sink(compact_over=...)``): every applied commit
+    appends one generation per touched bucket, so a long-synced index
+    fragments without maintenance — past the threshold (data files per
+    bucket), :func:`..operators.lexindex.compact_lex_index` runs after
+    the fold and the result carries ``"compacted": True``. Returns
     ``{"applied": [{version, op, action}...], "version": head}``."""
     meta = L.load_lex_index(spark, index_path).meta
 
@@ -286,7 +294,7 @@ def sync_lex_index(
     def delete(ids, guard_txn):
         L.delete_from_lex_index(spark, index_path, ids, guard_txn=guard_txn)
 
-    return _sync(
+    out = _sync(
         spark, corpus_path, index_path,
         since=since, index_meta=meta, append=append, delete=delete,
         id_col=meta["id_col"],
@@ -295,6 +303,13 @@ def sync_lex_index(
         cursor_io=_make_cursor_io(index_path, L._write_meta),
         index_empty=int(meta.get("n_docs", 0)) == 0,
     )
+    out["compacted"] = False
+    if compact_over is not None:
+        rep = L.compact_lex_index(
+            spark, index_path, max_files_per_bucket=compact_over
+        )
+        out["compacted"] = rep.get("buckets_rewritten", 0) > 0
+    return out
 
 
 def sync_ann_index(
@@ -304,6 +319,7 @@ def sync_ann_index(
     *,
     since: int | None = None,
     rebuild_over: float | None = None,
+    compact_over: int | None = None,
 ) -> dict:
     """ANN twin of :func:`sync_lex_index`: corpus commits fold into
     the persisted ANN index (appends encode with the STORED
@@ -323,9 +339,14 @@ def sync_ann_index(
     distribution — the recall-restoring refresh) with the sync cursor
     re-anchored at that head. PQ-codec indexes only (SQ8 codes are
     self-contained and cannot drift; ``drift`` is None there and the
-    trigger never fires). Returns
+    trigger never fires).
+
+    ``compact_over`` mirrors :func:`sync_lex_index`'s fragmentation
+    policy (files per cell → :func:`..operators.annindex.
+    compact_ann_index`); skipped when a rebuild already rewrote the
+    store this call. Returns
     ``{"applied": [...], "version": head, "drift": float|None,
-    "rebuilt": bool}``."""
+    "rebuilt": bool, "compacted": bool}``."""
     meta = A.load_ann_index(spark, index_path).meta
     cols = [meta["id_col"], meta["vec_col"]]
     cell = meta.get("cell_col")
@@ -381,4 +402,10 @@ def sync_ann_index(
         record_cursor, _ = cursor_io
         record_cursor(_sync_app_id(corpus_path), head)
         out["rebuilt"] = True
+    out["compacted"] = False
+    if compact_over is not None and not out["rebuilt"]:
+        rep = A.compact_ann_index(
+            spark, index_path, max_files_per_cell=compact_over
+        )
+        out["compacted"] = rep.get("cells_rewritten", 0) > 0
     return out

@@ -593,3 +593,39 @@ def test_waived_vacuum_makes_lagging_sync_raise_retention_hint(
     )
     with pytest.raises(FileNotFoundError, match="vacuum"):
         sync_lex_index(spark, corpus, idx)
+
+
+def test_sync_compact_over_bounds_fragmentation(
+    spark, docs, tmp_path, probes
+):
+    """compact_over on the sync mirrors the sinks' policy: every
+    applied commit appends one generation per touched bucket, so a
+    long-synced index fragments — past the threshold the sync runs the
+    compaction itself, results bit-equal."""
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    C.build_corpus_snapshot(
+        docs.where(F.col("doc_id") % 5 == 0), corpus,
+        key="doc_id", partition_by=["lang"],
+    )
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).limit(0), idx, n_buckets=2,
+    )
+    sync_lex_index(spark, corpus, idx)
+    for m in range(1, 5):
+        C.append_corpus_snapshot(corpus, docs.where(F.col("doc_id") % 5 == m))
+        sync_lex_index(spark, corpus, idx)  # no policy: fragments
+    snap = M.read_manifest(idx)
+    frag = max(M.part_file_counts(idx, "postings", snap).values())
+    assert frag >= 5  # one generation per applied commit
+    want = _lex_topk(spark, idx, probes)
+
+    out = sync_lex_index(spark, corpus, idx, compact_over=1)
+    assert out["compacted"] is True
+    snap2 = M.read_manifest(idx)
+    assert max(M.part_file_counts(idx, "postings", snap2).values()) <= 1
+    assert _lex_topk(spark, idx, probes) == want  # bit-equal
+
+    # under the threshold: the policy is a no-op
+    out = sync_lex_index(spark, corpus, idx, compact_over=8)
+    assert out["compacted"] is False
