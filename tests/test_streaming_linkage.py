@@ -277,3 +277,67 @@ def test_manifest_state_time_travel_and_vacuum(
     rn.process_batch(b0, 0)
     with _pytest.raises(ValueError, match="manifest-layout"):
         rn.current_clusters(spark, version=1)
+
+
+def test_manifest_state_crash_before_commit_replays_cleanly(
+    spark, people_batches, tmp_path_factory, monkeypatch
+):
+    """Crash AFTER the batch's generation was written but BEFORE its
+    manifest commit: nothing is visible (readers keep the old state),
+    the replay of the same batch id re-runs fully and lands exactly
+    once, and the dead attempt's generation is a vacuumable orphan."""
+    import os
+
+    from auto_data_linkage_spark.operators import manifestfs as M
+
+    root = tmp_path_factory.mktemp("slink_crash")
+    state = str(root / "state")
+    _, (b0, b1, _) = people_batches
+    linker = StreamingLinker(_model(), state, threshold=THRESHOLD)
+    linker.process_batch(b0, 0)
+    before = _rows(linker.current_clusters(spark))
+    v = M.read_manifest(state)["version"]
+
+    real = M.commit_manifest
+    state_d = {"fired": False}
+
+    def crash_once(*a, **kw):
+        if not state_d["fired"] and kw.get("op") == "linkage-batch":
+            state_d["fired"] = True
+            raise OSError("injected crash before the state commit")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(
+        "auto_data_linkage_spark.streaming.linkage.M.commit_manifest",
+        crash_once,
+    )
+    with pytest.raises(OSError, match="injected"):
+        linker.process_batch(b1, 1)
+    # nothing visible: old state serves, version unchanged
+    assert M.read_manifest(state)["version"] == v
+    assert _rows(linker.current_clusters(spark)) == before
+
+    # the replay lands exactly once
+    linker.process_batch(b1, 1)
+    assert M.read_manifest(state)["version"] == v + 1
+    seen = b0.unionByName(b1)
+    expected = cluster_at_threshold(seen, _model().predict(seen), THRESHOLD)
+    assert _assignments(linker.current_clusters(spark)) == _assignments(
+        expected
+    )
+
+    # the crashed attempt's generation is an orphan, reclaimed by vacuum
+    tdir = os.path.join(state, "clusters")
+    live = set(
+        M.read_manifest(state)["tables"]["clusters"][""]
+    ) | set(
+        M.read_manifest(state, version=v)["tables"]["clusters"][""]
+    )
+    all_gens = {e for e in os.listdir(tdir) if e.startswith("gen=")}
+    assert len(all_gens - live) == 1  # exactly the dead attempt
+    out = linker.vacuum(keep_versions=2, min_age_seconds=0)
+    assert any("clusters" in g for g in out["removed_gens"])
+    remaining = {e for e in os.listdir(tdir) if e.startswith("gen=")}
+    assert remaining == set(
+        M.read_manifest(state)["tables"]["clusters"][""]
+    ) | set(M.read_manifest(state, version=v)["tables"]["clusters"][""])
