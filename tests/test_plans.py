@@ -496,3 +496,36 @@ def test_site_boilerplate_line_unit_cap_window_group_limited(spark):
     out = strip_boilerplate_grouped(df, "src", unit="line")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_ann_drift_metric_stays_jvm_side(spark, sf_dir):
+    """The drift accounting (annindex._pq_recon_err) must be one
+    codegen pass + one aggregate: no Python evaluation of any kind and
+    no join (codebooks are constant-folded literal arrays)."""
+    from pyspark.sql import functions as F
+
+    from auto_data_linkage_spark.operators.similarity import (
+        _pq_adc_dot,
+        _pq_recon_norm,
+        norm_expr,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = pq_codebooks(emb, m=4, n_codewords=8)
+    coded = pq_encode(
+        emb, cbs, vec_col="embedding", id_col="vec_id", keep=("embedding",)
+    )
+    vn2 = norm_expr(F.col("embedding")) ** 2
+    rn2 = _pq_recon_norm(cbs) ** 2
+    err = (vn2 - 2.0 * _pq_adc_dot(cbs, qvec_col="embedding") + rn2) / vn2
+    df = (
+        coded.select(err.alias("__e"))
+        .where(F.col("__e").isNotNull())
+        .agg(F.avg("__e"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan  # literal-array lookups, never a join
+    assert "HashAggregate" in plan
