@@ -36,6 +36,17 @@ afterwards:
 (:func:`..operators.manifestfs.txn_version`): restarting from a NEW
 checkpoint directory resets batch ids to 0, so it must use a new
 app_id against the same state store.
+
+Scale shape: each batch COMMITS the full cluster table as one new
+generation (state is a snapshot, so retained history costs
+O(cluster table) per retained version — size ``retain_versions`` and
+``vacuum_age_seconds`` accordingly). The per-batch COMPUTE is already
+delta-sized (:func:`..incremental.incremental_assign` contracts the
+base to super-nodes); at true 100 TB scale swap the snapshot write
+for a key-granular MERGE of only the changed assignments — the
+assignment/merge DataFrames this module produces are exactly that
+merge's input, so only the write step changes (the corpus snapshot
+store's ``upsert_corpus_snapshot`` is the in-repo seam for it).
 """
 
 from __future__ import annotations
