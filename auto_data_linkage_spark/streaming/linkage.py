@@ -25,6 +25,17 @@ afterwards:
   retained snapshot bit-exactly, and reclamation is the shared
   :func:`..operators.manifestfs.vacuum` policy (``keep_versions`` +
   age floor) instead of ad-hoc directory pruning.
+- ``layout="merge"`` (the 100 TB write path): the cluster table lives
+  in a CORPUS SNAPSHOT store (:mod:`..sources.corpusstore`) keyed by
+  ``unique_id`` and hash-partitioned into ``n_buckets``; each batch
+  UPSERTS only the CHANGED assignments — the batch's new rows plus the
+  base rows whose cluster was merged (both delta-sized, straight from
+  :class:`..incremental.Increment`) — so the per-batch write is
+  O(touched partitions), never O(cluster table). Exactly-once via the
+  same token (recorded atomically in the v1 build for batch 0 and in
+  every upsert commit after); ``version=`` time travel and the shared
+  vacuum apply unchanged. Untouched buckets' files keep serving
+  byte-identically across batches (tested).
 - ``layout="rename"`` (opt-in POSIX fast path): one parquet snapshot
   per micro-batch id under ``state_dir/batch=<id>/``. A replayed batch
   folds into the snapshot BEFORE its own (same batch_id ⇒ same
@@ -54,6 +65,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from auto_data_linkage_spark.cluster import cluster_at_threshold
 from auto_data_linkage_spark.incremental import (
@@ -61,8 +73,10 @@ from auto_data_linkage_spark.incremental import (
     incremental_assign,
 )
 from auto_data_linkage_spark.operators import manifestfs as M
+from auto_data_linkage_spark.sources import corpusstore as C
 
 _TABLE = "clusters"
+_BUCKET = "__bucket"
 
 
 class StreamingLinker:
@@ -87,10 +101,12 @@ class StreamingLinker:
         layout: str = "manifest",
         app_id: str = "linker",
         vacuum_age_seconds: float = 3600.0,
+        n_buckets: int = 16,
     ):
-        if layout not in ("manifest", "rename"):
+        if layout not in ("manifest", "merge", "rename"):
             raise ValueError(
-                f"layout must be 'manifest' or 'rename', got {layout!r}"
+                "layout must be 'manifest', 'merge', or 'rename', "
+                f"got {layout!r}"
             )
         self.model = model
         self.state_dir = state_dir
@@ -110,16 +126,34 @@ class StreamingLinker:
         # (a concurrent reader may be pinned to it); 0 = immediate,
         # only when no reader/writer can be in flight.
         self.vacuum_age_seconds = vacuum_age_seconds
+        # merge layout: hash-partition count of the cluster table —
+        # the upsert's rewrite unit. More buckets = smaller per-batch
+        # rewrites (a delta touching b of N buckets rewrites b/N of
+        # the state) at more files; size so state/n_buckets fits a
+        # comfortable rewrite.
+        self.n_buckets = int(n_buckets)
 
     # ---------------------------------------------------------- layout
-    def _is_manifest(self) -> bool:
+    def _mode(self) -> str:
         """Existing stores auto-detect their layout; a fresh state_dir
-        follows the constructor's ``layout``."""
+        follows the constructor's ``layout``. A merge-layout store is a
+        corpus snapshot (meta kind="corpus"); the snapshot-per-batch
+        manifest store carries kind="linkage-state"."""
         if M.is_manifest_store(self.state_dir):
-            return True
+            meta = M.read_manifest(self.state_dir)["meta"]
+            return "merge" if meta.get("kind") == "corpus" else "manifest"
         if self._versions():
-            return False
-        return self.layout == "manifest"
+            return "rename"
+        return self.layout
+
+    def _is_manifest(self) -> bool:
+        return self._mode() == "manifest"
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            _BUCKET,
+            F.pmod(F.xxhash64(F.col(self.unique_id)), F.lit(self.n_buckets)),
+        )
 
     # ------------------------------------------------- rename state io
     def _versions(self) -> list[int]:
@@ -180,7 +214,17 @@ class StreamingLinker:
         ``version=`` (manifest layout only) pins a retained historical
         manifest version — the pre-merge state for an audit, the
         pre-batch state for a diff — served bit-exactly."""
-        if self._is_manifest():
+        mode = self._mode()
+        if mode == "merge":
+            try:
+                return C.load_corpus_snapshot(
+                    spark, self.state_dir, version=version
+                ).drop(_BUCKET)
+            except FileNotFoundError:
+                if version is not None:
+                    raise
+                return None
+        if mode == "manifest":
             try:
                 snap = M.read_manifest(self.state_dir, version=version)
             except FileNotFoundError:
@@ -210,9 +254,11 @@ class StreamingLinker:
         manifests outside the last ``keep_versions`` readable manifests
         and older than ``min_age_seconds`` (defaults: the constructor's
         ``retain_versions`` / ``vacuum_age_seconds``) — the shared
-        :func:`..operators.manifestfs.vacuum` policy. The rename layout
-        prunes inline per batch and returns an empty report here."""
-        if not self._is_manifest():
+        :func:`..operators.manifestfs.vacuum` policy, identical for
+        the snapshot and merge layouts (both are manifest stores). The
+        rename layout prunes inline per batch and returns an empty
+        report here."""
+        if self._mode() == "rename":
             return {"removed_gens": [], "removed_manifests": []}
         return M.vacuum(
             self.state_dir,
@@ -231,7 +277,10 @@ class StreamingLinker:
     # ------------------------------------------------------------- logic
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: fold one micro-batch into the cluster state."""
-        if self._is_manifest():
+        mode = self._mode()
+        if mode == "merge":
+            return self._process_batch_merge(batch_df, batch_id)
+        if mode == "manifest":
             return self._process_batch_manifest(batch_df, batch_id)
         if batch_df.isEmpty():
             return
@@ -304,6 +353,65 @@ class StreamingLinker:
         # per-batch retention policy: reclaim superseded snapshots past
         # the age floor (never the one just committed; a pinned reader
         # inside the floor keeps everything it can name)
+        self.vacuum()
+
+    def _process_batch_merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One micro-batch on the MERGE seam: the state is a corpus
+        snapshot keyed by ``unique_id``; only the CHANGED assignments
+        are written — the batch's rows (with their cluster ids) plus
+        the base rows whose cluster a merge relabeled, both delta-sized
+        straight from the :class:`..incremental.Increment`. The upsert
+        rewrites only the buckets the delta touches; everything else
+        keeps serving byte-identically. Exactly-once: the token rides
+        the v1 build (batch 0) / the upsert commit (later batches)."""
+        spark = batch_df.sparkSession
+        uid = self.unique_id
+        initialized = M.is_manifest_store(self.state_dir)
+        if initialized and M.txn_version(
+            M.read_manifest(self.state_dir)["meta"], self.app_id
+        ) >= int(batch_id):
+            return  # batch already committed: a checkpoint replay
+        if batch_df.isEmpty():
+            return
+        if not initialized:
+            scored = self.model.predict(batch_df)
+            clustered = cluster_at_threshold(
+                batch_df, scored, self.threshold, unique_id=uid
+            )
+            C.build_corpus_snapshot(
+                self._bucketed(clustered), self.state_dir, key=uid,
+                partition_by=[_BUCKET],
+                txn=(self.app_id, int(batch_id)),
+            )
+            return
+        base = C.load_corpus_snapshot(spark, self.state_dir).drop(_BUCKET)
+        inc = incremental_assign(
+            self.model, base, batch_df,
+            threshold=self.threshold, unique_id=uid,
+        )
+        # base rows whose cluster merged (relabel to the new id) ...
+        relabeled = (
+            base.join(
+                F.broadcast(
+                    inc.merges.withColumnRenamed(
+                        "old_cluster_id", "cluster_id"
+                    )
+                ),
+                "cluster_id",
+                "inner",
+            )
+            .withColumn("cluster_id", F.col("new_cluster_id"))
+            .drop("new_cluster_id")
+        )
+        # ... plus the batch with its assignments: the full changed set
+        batch_rows = batch_df.join(inc.assignments, uid, "left")
+        delta = relabeled.select(*base.columns).unionByName(
+            batch_rows.select(*base.columns)
+        )
+        C.upsert_corpus_snapshot(
+            spark, self.state_dir, self._bucketed(delta),
+            txn=(self.app_id, int(batch_id)),
+        )
         self.vacuum()
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
