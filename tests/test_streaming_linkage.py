@@ -400,3 +400,49 @@ def test_merge_layout_state_matches_batch_reclustering(
     linker2 = StreamingLinker(_model(), state, threshold=THRESHOLD)
     assert linker2._mode() == "merge"  # auto-detected
     assert _rows(linker2.current_clusters(spark)) == before
+
+
+def test_merge_layout_through_checkpointed_stream(
+    spark, people_batches, tmp_path_factory
+):
+    """Merge layout end-to-end through a real checkpointed stream:
+    drain, restart with nothing new (no replay, no commit), then new
+    data folds in — state equals full batch re-clustering."""
+    from auto_data_linkage_spark.operators import manifestfs as M
+
+    root = tmp_path_factory.mktemp("slink_merge_ckpt")
+    in_dir, state, ckpt = (
+        str(root / "in"), str(root / "state"), str(root / "ckpt")
+    )
+    _, (b0, b1, _) = people_batches
+    linker = StreamingLinker(
+        _model(), state, threshold=THRESHOLD, layout="merge", n_buckets=32,
+    )
+
+    b0.write.mode("append").parquet(in_dir)
+    q = linker.attach(
+        spark.readStream.schema(PEOPLE_SCHEMA).parquet(in_dir), ckpt
+    )
+    q.awaitTermination()
+    before = _rows(linker.current_clusters(spark))
+    v = M.read_manifest(state)["version"]
+
+    # restart, nothing new: no commit anywhere
+    q = linker.attach(
+        spark.readStream.schema(PEOPLE_SCHEMA).parquet(in_dir), ckpt
+    )
+    q.awaitTermination()
+    assert M.read_manifest(state)["version"] == v
+    assert _rows(linker.current_clusters(spark)) == before
+
+    # new data folds in via the delta upsert
+    b1.write.mode("append").parquet(in_dir)
+    q = linker.attach(
+        spark.readStream.schema(PEOPLE_SCHEMA).parquet(in_dir), ckpt
+    )
+    q.awaitTermination()
+    seen = b0.unionByName(b1)
+    expected = cluster_at_threshold(seen, _model().predict(seen), THRESHOLD)
+    assert _assignments(linker.current_clusters(spark)) == _assignments(
+        expected
+    )
