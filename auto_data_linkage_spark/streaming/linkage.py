@@ -127,10 +127,13 @@ class StreamingLinker:
         # only when no reader/writer can be in flight.
         self.vacuum_age_seconds = vacuum_age_seconds
         # merge layout: hash-partition count of the cluster table —
-        # the upsert's rewrite unit. More buckets = smaller per-batch
-        # rewrites (a delta touching b of N buckets rewrites b/N of
-        # the state) at more files; size so state/n_buckets fits a
-        # comfortable rewrite.
+        # the upsert's rewrite unit. A delta of B changed rows touches
+        # min(B, N) buckets and rewrites that fraction of the state,
+        # so the write win REQUIRES B ≪ n_buckets (measured: a dense
+        # delta rewrites every bucket and pays parquet per-file
+        # overhead on top — SCALE.md round-13 table). Size n_buckets
+        # well above the typical per-batch changed-row count, or stay
+        # on the snapshot layout.
         self.n_buckets = int(n_buckets)
 
     # ---------------------------------------------------------- layout
