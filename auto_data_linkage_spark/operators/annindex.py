@@ -174,7 +174,14 @@ def ann_drift(meta: dict) -> float | None:
     the embedding distribution has moved and ADC scores are degrading
     — schedule a rebuild (or let ``sync_ann_index(rebuild_over=...)``
     trigger one). None when unmeasurable: SQ8 codec (self-contained
-    codes, cannot drift), a pre-metric index, or no appends yet."""
+    codes, cannot drift), a pre-metric index, or no appends yet.
+
+    Row-weighting makes the signal STABLE but also means a long history
+    of in-distribution appends dilutes fresh drift (400 good rows +
+    200 shifted rows read as one third of the shifted rows' own
+    drift) — size ``rebuild_over`` for the diluted value, or watch
+    ``meta["last_err"]`` (the most recent append's error, persisted
+    alongside) for an undiluted early-warning signal."""
     if meta.get("recon_err") is None or not meta.get("err_rows"):
         return None
     appended = float(meta["err_sum"]) / int(meta["err_rows"])
@@ -541,6 +548,7 @@ def append_ann_index(
                     n_delta
                 )
                 m2["err_rows"] = int(fm.get("err_rows", 0)) + int(n_delta)
+                m2["last_err"] = float(err)
             m2 = M.with_txn(m2, txn)
             return M.add_gens(fresh["tables"], "coded", cp, gc_), m2
 
@@ -569,6 +577,7 @@ def append_ann_index(
     if err is not None:
         meta["err_sum"] = float(meta.get("err_sum", 0.0)) + err * int(n_delta)
         meta["err_rows"] = int(meta.get("err_rows", 0)) + int(n_delta)
+        meta["last_err"] = float(err)
     meta = M.with_txn(meta, txn)
     _write_meta(local, meta)
     return meta

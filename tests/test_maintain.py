@@ -1,0 +1,129 @@
+"""One-call corpus maintenance (operators/maintain.py): consumer
+discovery from the corpus registry, lex/ANN sync with fragmentation
+and drift policies applied, checkpoint + consumer-aware vacuum."""
+
+import random
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_linkage_spark.operators import annindex as A
+from auto_data_linkage_spark.operators import lexindex as L
+from auto_data_linkage_spark.operators import manifestfs as M
+from auto_data_linkage_spark.operators.maintain import maintain_corpus
+from auto_data_linkage_spark.operators.sync import (
+    sync_ann_index,
+    sync_lex_index,
+)
+from auto_data_linkage_spark.sources import corpusstore as C
+
+DIM, K = 16, 6
+
+
+@pytest.fixture(scope="module")
+def centers():
+    rnd = random.Random(11)
+    return [[rnd.uniform(-3, 3) for _ in range(DIM)] for _ in range(K)]
+
+
+def _rows(spark, sf_dir, centers, lo, hi, shift=0.0, seed=0):
+    rnd = random.Random(seed)
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").limit(200).collect()
+    }
+    texts = list(docs.values())
+    data = [
+        (
+            i,
+            texts[i % len(texts)],
+            [centers[i % K][d] + rnd.gauss(0, 0.15) + shift
+             for d in range(DIM)],
+            int(i) % 2,
+        )
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        data, "doc_id long, text string, embedding array<double>, part int"
+    )
+
+
+def test_maintain_corpus_full_pass(spark, sf_dir, tmp_path, centers):
+    corpus = str(tmp_path / "corpus")
+    lex = str(tmp_path / "lex")
+    ann = str(tmp_path / "ann")
+    C.build_corpus_snapshot(
+        _rows(spark, sf_dir, centers, 0, 400, seed=1), corpus,
+        key="doc_id", partition_by=["part"],
+    )
+    L.build_lex_index(
+        C.load_corpus_snapshot(spark, corpus).limit(0), lex, n_buckets=4,
+    )
+    sync_lex_index(spark, corpus, lex)
+    A.build_ann_index(
+        C.load_corpus_snapshot(spark, corpus).select("doc_id", "embedding"),
+        ann, m=4, n_codewords=8, n_cells=K,
+        vec_col="embedding", id_col="doc_id",
+    )
+    sync_ann_index(spark, corpus, ann, since=M.read_manifest(corpus)["version"])
+
+    # the corpus moves on: two in-distribution appends
+    C.append_corpus_snapshot(
+        corpus, _rows(spark, sf_dir, centers, 400, 600, seed=2)
+    )
+    C.append_corpus_snapshot(
+        corpus, _rows(spark, sf_dir, centers, 600, 800, seed=3)
+    )
+    rep = maintain_corpus(
+        spark, corpus, compact_over=1, rebuild_over=0.1, min_age_seconds=0,
+    )
+    assert rep["skipped"] == []
+    assert set(rep["synced"]) == {
+        __import__("os").path.abspath(lex),
+        __import__("os").path.abspath(ann),
+    }
+    for out in rep["synced"].values():
+        assert any(a["action"] == "applied" for a in out["applied"])
+    ann_out = rep["synced"][__import__("os").path.abspath(ann)]
+    assert ann_out["drift"] is not None and ann_out["rebuilt"] is False
+    # both indexes serve the full corpus
+    assert (
+        M.read_manifest(lex)["meta"]["n_docs"]
+        == C.load_corpus_snapshot(spark, corpus).count()
+        == M.read_manifest(ann)["meta"]["n_rows"]
+    )
+    # corpus compacted + vacuumed (consumer-aware floor satisfied:
+    # both cursors are at head, so old manifests were reclaimable)
+    assert rep["corpus"]["vacuum"]["removed_manifests"]
+    # history survives the vacuum through the checkpoint
+    assert [h["version"] for h in M.history(corpus)][0] == 1
+    # idempotent: a second pass syncs nothing and skips nothing
+    rep2 = maintain_corpus(spark, corpus, min_age_seconds=0)
+    assert all(
+        all(a["action"] != "applied" for a in o["applied"])
+        for o in rep2["synced"].values()
+    )
+
+    # a drifted append trips the rebuild THROUGH the orchestrator
+    C.append_corpus_snapshot(
+        corpus, _rows(spark, sf_dir, centers, 9000, 9200, shift=4.0, seed=4)
+    )
+    # 200 shifted rows over 400 good appended rows: the row-weighted
+    # cumulative drift is ~1/3 of the shifted rows' own (documented
+    # dilution — ann_drift docstring), so the threshold is sized for
+    # the diluted value
+    rep3 = maintain_corpus(
+        spark, corpus, rebuild_over=0.05, min_age_seconds=0
+    )
+    ann3 = rep3["synced"][__import__("os").path.abspath(ann)]
+    assert ann3["drift"] > 0.05 and ann3["rebuilt"]
+
+    # a dead consumer store is reported, never silently unregistered
+    shutil.rmtree(lex)
+    rep4 = maintain_corpus(spark, corpus, min_age_seconds=0)
+    assert rep4["skipped"] == [__import__("os").path.abspath(lex)]
+    C.unregister_corpus_consumer(corpus, lex)
+    rep5 = maintain_corpus(spark, corpus, min_age_seconds=0)
+    assert rep5["skipped"] == []
