@@ -129,6 +129,25 @@ def main() -> None:
           f"{len(M._manifest_names(idx))} manifest file(s), history "
           f"still replays {len(M.history(idx))}/{before} versions")
 
+    # 6. ...or let ONE call do all of it: maintain_corpus discovers the
+    #    consumer indexes from the corpus registry and runs sync (with
+    #    fragmentation + drift policies), log checkpoints, and the
+    #    consumer-aware vacuum — the cron job as a function
+    from auto_data_linkage_spark.operators.maintain import maintain_corpus
+
+    C.append_corpus_snapshot(
+        corpus, make_vectors(spark, range(900, 1000), centers, seed=9)
+    )
+    rep = maintain_corpus(
+        spark, corpus, compact_over=4, rebuild_over=0.1, min_age_seconds=0
+    )
+    only = next(iter(rep["synced"].values()))
+    print(f"maintain_corpus: synced {len(rep['synced'])} index(es), "
+          f"applied={sum(a['action'] == 'applied' for a in only['applied'])} "
+          f"commit(s), drift={only['drift']:.3f}, "
+          f"rebuilt={only['rebuilt']}, corpus vacuum reclaimed "
+          f"{len(rep['corpus']['vacuum']['removed_manifests'])} manifests")
+
 
 if __name__ == "__main__":
     main()
