@@ -114,7 +114,10 @@ def _sq8_coded(
     """SQ8 coded rows ``(neighbor_id, cell, codes, __cn)``: cosine is
     scale-invariant (see :func:`similarity.sq8_topk`), so the index
     stores int8 codes and the CODE norm — no scale, no codebooks, and
-    appends never depend on build-time state."""
+    the ENCODING never depends on build-time state. The cell ROUTING
+    still does (build-time centroids place every row), which is why
+    SQ8 indexes carry the routing-drift accounting like every other
+    codec — see :func:`ann_drift`."""
     from auto_data_linkage_spark.operators.similarity import (
         norm_expr,
         quantize_int8,
@@ -166,26 +169,101 @@ def _pq_recon_err(
 
 
 def ann_drift(meta: dict) -> float | None:
-    """Quantization drift of the APPENDED generations vs the build:
-    ``mean(appended recon error) − build recon error``, row-weighted
-    over every append since the last build/rebuild (appends record
-    ``err_sum``/``err_rows`` in the same atomic commit as their data).
-    0.0 = appends encode as well as the build corpus did; positive =
-    the embedding distribution has moved and ADC scores are degrading
+    """Distribution drift of the APPENDED generations vs the build —
+    the max of two row-weighted signals, each accumulated in the same
+    atomic commit as the append's data:
+
+    - **quantization drift** (PQ codec only): ``mean(appended recon
+      error) − build recon error`` (``err_sum``/``err_rows`` vs
+      ``recon_err``) — rising means ADC scores are degrading;
+    - **routing drift** (EVERY codec, SQ8 included): ``mean(appended
+      1 − cos(v, centroid(assigned cell))) − the build corpus's same
+      measure`` (``route_sum``/``route_rows`` vs ``route_err``) —
+      rising means the build-time centroids no longer fit the data, so
+      probe recall degrades even when the codes themselves are exact.
+      This is why SQ8 indexes need the signal: their int8 codes are
+      self-contained (encoding cannot drift), but their IVF cell
+      assignment is still pinned to build-time centroids.
+
+    0.0 = appends fit the build distribution; positive = it has moved
     — schedule a rebuild (or let ``sync_ann_index(rebuild_over=...)``
-    trigger one). None when unmeasurable: SQ8 codec (self-contained
-    codes, cannot drift), a pre-metric index, or no appends yet.
+    trigger one). None when unmeasurable: a pre-metric index or no
+    appends yet.
 
     Row-weighting makes the signal STABLE but also means a long history
     of in-distribution appends dilutes fresh drift (400 good rows +
     200 shifted rows read as one third of the shifted rows' own
     drift) — size ``rebuild_over`` for the diluted value, or watch
-    ``meta["last_err"]`` (the most recent append's error, persisted
-    alongside) for an undiluted early-warning signal."""
-    if meta.get("recon_err") is None or not meta.get("err_rows"):
+    ``meta["last_err"]`` / ``meta["last_route_err"]`` (the most recent
+    append's errors, persisted alongside) for an undiluted
+    early-warning signal."""
+    signals = []
+    if meta.get("recon_err") is not None and meta.get("err_rows"):
+        signals.append(
+            float(meta["err_sum"]) / int(meta["err_rows"])
+            - float(meta["recon_err"])
+        )
+    if meta.get("route_err") is not None and meta.get("route_rows"):
+        signals.append(
+            float(meta["route_sum"]) / int(meta["route_rows"])
+            - float(meta["route_err"])
+        )
+    if not signals:
         return None
-    appended = float(meta["err_sum"]) / int(meta["err_rows"])
-    return max(0.0, appended - float(meta["recon_err"]))
+    return max(0.0, max(signals))
+
+
+def _route_err(
+    df: DataFrame, cents: DataFrame | None, *, vec_col: str, cell_col: str
+) -> float | None:
+    """Mean ROUTING ERROR of ``df`` against the cell centroids:
+    ``1 − cos(v, centroid(assigned cell))`` averaged over rows — the
+    codec-INDEPENDENT staleness signal (cell routing always uses the
+    build-time centroids, whatever the codes are). ~0 on tight
+    geometry-aligned cells; RISES as the embedding distribution moves
+    away from the centroids the index was built with, i.e. exactly
+    when probe recall starts to decay. All JVM-side: one broadcast
+    join against the (tiny) centroid table + one aggregate, no UDF.
+    Zero-norm vectors/centroids are excluded; None on an empty frame
+    or a missing routing table. Cost is O(rows) — one extra pass of
+    the build corpus at build time, O(delta) per append."""
+    from auto_data_linkage_spark.operators.similarity import (
+        cosine_from_norms,
+        norm_expr,
+    )
+
+    if cents is None:
+        return None
+    c = F.broadcast(
+        cents.select(
+            F.col("cell").alias("__rcell"),
+            F.col("centroid").alias("__cent"),
+            norm_expr(F.col("centroid")).alias("__ctn"),
+        )
+    )
+    j = (
+        df.select(
+            F.col(cell_col).alias("__rcell"),
+            F.col(vec_col).alias("__v"),
+            norm_expr(F.col(vec_col)).alias("__vn"),
+        )
+        .join(c, "__rcell")
+        .where((F.col("__vn") > 0) & (F.col("__ctn") > 0))
+    )
+    row = (
+        j.select(
+            (
+                1.0
+                - cosine_from_norms(
+                    F.col("__v"), F.col("__cent"),
+                    F.col("__vn"), F.col("__ctn"),
+                )
+            ).alias("__e")
+        )
+        .agg(F.avg("__e"))
+        .first()
+    )
+    return None if row[0] is None else float(row[0])
 
 
 def build_ann_index(
@@ -252,6 +330,11 @@ def build_ann_index(
             corpus, learned, vec_col=vec_col, cell_col=cell_col
         )
     cents = build_centroids(corpus, vec_col=vec_col, cell_col=cell_col, dim=dim)
+    # routing-drift baseline (codec-INDEPENDENT): how well the build
+    # corpus fits its own routing centroids; appends accumulate
+    # route_sum/route_rows against it — see ann_drift. Computed over
+    # the corpus ONCE at build (broadcast join + one aggregate).
+    route_err = _route_err(corpus, cents, vec_col=vec_col, cell_col=cell_col)
     recon_err = None
     if codec == "sq8":
         # SQ8 codes are self-contained — no drift baseline needed
@@ -316,10 +399,14 @@ def build_ann_index(
         # their tombstones at the current value — re-appended ids serve
         # their new rows (lexindex._mask_tombstoned)
         "seq": 1,
-        # drift baseline (PQ only, None for sq8/empty): mean relative
-        # quantization error of the build corpus; appends accumulate
-        # err_sum/err_rows against it — see ann_drift
+        # quantization-drift baseline (PQ only, None for sq8/empty):
+        # mean relative quantization error of the build corpus; appends
+        # accumulate err_sum/err_rows against it — see ann_drift
         "recon_err": recon_err,
+        # routing-drift baseline (every codec, None only on an empty
+        # build): mean 1−cos(v, assigned centroid) of the build corpus;
+        # appends accumulate route_sum/route_rows against it
+        "route_err": route_err,
     }
     if layout == "manifest":
         tables = M.add_gens(
@@ -442,7 +529,9 @@ def append_ann_index(
 
     if meta.get("codec", "pq") == "sq8":
         # SQ8 codes are self-contained per vector — no stored state to
-        # encode against, so appends can never drift from the build
+        # encode against, so the ENCODING cannot drift (no recon-error
+        # accounting). The cell ROUTING still uses build-time
+        # centroids, so the routing-drift accounting below applies.
         coded = _sq8_coded(
             delta,
             vec_col=meta["vec_col"],
@@ -473,6 +562,17 @@ def append_ann_index(
             if meta.get("recon_err") is not None
             else None
         )
+    # routing-drift accounting (O(delta), every codec): this append's
+    # mean 1−cos(v, assigned centroid), row-weighted into the running
+    # route_sum/route_rows the same atomic commit carries — ann_drift
+    # compares it against the build baseline
+    rerr = (
+        _route_err(
+            delta, cents_df, vec_col=meta["vec_col"], cell_col=cell_col
+        )
+        if meta.get("route_err") is not None
+        else None
+    )
     seq_aware = "seq" in meta
     if seq_aware:
         coded = coded.withColumn("__seq", F.lit(int(meta["seq"]) + 1))
@@ -515,8 +615,11 @@ def append_ann_index(
                 # check: merging would double-append — abort atomically
                 # with the commit (see lexindex.append_lex_index)
                 raise M.AlreadyApplied(fresh)
+            # route_err is in the guard set because it is recomputed by
+            # every rebuild — it catches a concurrent rebuild even on
+            # SQ8 indexes, whose codebooks are None before AND after
             for k in ("version", "codec", "m", "n_codewords", "vec_col",
-                      "id_col", "cell_col", "codebooks"):
+                      "id_col", "cell_col", "codebooks", "route_err"):
                 if fm.get(k) != orig.get(k):
                     raise M.ManifestConflictError(
                         f"ann-index parameter {k!r} changed under this "
@@ -549,6 +652,14 @@ def append_ann_index(
                 )
                 m2["err_rows"] = int(fm.get("err_rows", 0)) + int(n_delta)
                 m2["last_err"] = float(err)
+            if rerr is not None:
+                m2["route_sum"] = float(
+                    fm.get("route_sum", 0.0)
+                ) + rerr * int(n_delta)
+                m2["route_rows"] = int(fm.get("route_rows", 0)) + int(
+                    n_delta
+                )
+                m2["last_route_err"] = float(rerr)
             m2 = M.with_txn(m2, txn)
             return M.add_gens(fresh["tables"], "coded", cp, gc_), m2
 
@@ -578,6 +689,12 @@ def append_ann_index(
         meta["err_sum"] = float(meta.get("err_sum", 0.0)) + err * int(n_delta)
         meta["err_rows"] = int(meta.get("err_rows", 0)) + int(n_delta)
         meta["last_err"] = float(err)
+    if rerr is not None:
+        meta["route_sum"] = float(meta.get("route_sum", 0.0)) + rerr * int(
+            n_delta
+        )
+        meta["route_rows"] = int(meta.get("route_rows", 0)) + int(n_delta)
+        meta["last_route_err"] = float(rerr)
     meta = M.with_txn(meta, txn)
     _write_meta(local, meta)
     return meta

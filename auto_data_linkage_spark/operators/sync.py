@@ -330,16 +330,18 @@ def sync_ann_index(
 
     ``rebuild_over`` is the drift-triggered refresh policy, mirroring
     the sinks' ``compact_over``: after the commits fold in, the
-    appended-generation quantization drift
-    (:func:`..operators.annindex.ann_drift` — build-time encode
-    fidelity minus the row-weighted fidelity of everything appended
-    since) is measured, surfaced in the result as ``drift``, and when
-    it exceeds the threshold the index is REBUILT from the synced
-    corpus head (codebooks/centroids re-trained on the current
-    distribution — the recall-restoring refresh) with the sync cursor
-    re-anchored at that head. PQ-codec indexes only (SQ8 codes are
-    self-contained and cannot drift; ``drift`` is None there and the
-    trigger never fires).
+    appended-generation drift (:func:`..operators.annindex.ann_drift`
+    — the max of the PQ quantization signal and the codec-independent
+    ROUTING signal, each the build-time baseline minus the
+    row-weighted measure of everything appended since) is surfaced in
+    the result as ``drift``, and when it exceeds the threshold the
+    index is REBUILT from the synced corpus head (codebooks/centroids
+    re-trained on the current distribution — the recall-restoring
+    refresh) with the sync cursor re-anchored at that head. EVERY
+    codec gets the refresh loop: SQ8 codes are self-contained (no
+    quantization signal), but their IVF cell routing still uses
+    build-time centroids, so the routing signal trips the rebuild
+    when the distribution shifts.
 
     ``compact_over`` mirrors :func:`sync_lex_index`'s fragmentation
     policy (files per cell → :func:`..operators.annindex.

@@ -529,3 +529,49 @@ def test_ann_drift_metric_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan  # literal-array lookups, never a join
     assert "HashAggregate" in plan
+
+
+def test_ann_routing_drift_stays_jvm_side(spark, sf_dir):
+    """The codec-independent routing-drift accounting
+    (annindex._route_err) must be one BROADCAST join against the tiny
+    centroid table + one aggregate: no Python evaluation, no shuffle
+    join. (The join is unavoidable — the assigned centroid is per-row
+    data, not a literal — but it must stay broadcast.)"""
+    from pyspark.sql import functions as F
+
+    from auto_data_linkage_spark.operators.similarity import (
+        build_centroids,
+        cosine_from_norms,
+        norm_expr,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = build_centroids(emb, vec_col="embedding", cell_col="label")
+    c = F.broadcast(
+        cents.select(
+            F.col("cell").alias("__rcell"),
+            F.col("centroid").alias("__cent"),
+            norm_expr(F.col("centroid")).alias("__ctn"),
+        )
+    )
+    j = (
+        emb.select(
+            F.col("label").alias("__rcell"),
+            F.col("embedding").alias("__v"),
+            norm_expr(F.col("embedding")).alias("__vn"),
+        )
+        .join(c, "__rcell")
+        .where((F.col("__vn") > 0) & (F.col("__ctn") > 0))
+    )
+    df = j.select(
+        (
+            1.0
+            - cosine_from_norms(
+                F.col("__v"), F.col("__cent"), F.col("__vn"), F.col("__ctn")
+            )
+        ).alias("__e")
+    ).agg(F.avg("__e"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan

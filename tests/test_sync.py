@@ -629,3 +629,85 @@ def test_sync_compact_over_bounds_fragmentation(
     # under the threshold: the policy is a no-op
     out = sync_lex_index(spark, corpus, idx, compact_over=8)
     assert out["compacted"] is False
+
+
+def test_sq8_routing_drift_triggers_rebuild(spark, tmp_path):
+    """The codec-INDEPENDENT routing-drift signal (VERDICT r13 ask #1):
+    an SQ8-coded IVF index has no quantization signal (codes are
+    self-contained) but its cell routing is pinned to build-time
+    centroids, so a distribution shift must still trip
+    ``rebuild_over`` — via route_sum/route_rows accounting. Mirrors
+    test_ann_drift_triggers_rebuild_and_restores_recall with
+    codec='sq8': (a) in-distribution appends never trigger, (b) a
+    shifted append trips the rebuild, which restores the >=0.8 recall
+    floor on drifted-region queries."""
+    import random
+
+    from auto_data_linkage_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rnd = random.Random(23)
+    DIM, K = 16, 6
+    centers = [[rnd.uniform(-3, 3) for _ in range(DIM)] for _ in range(K)]
+
+    def mk(i, shift=0.0):
+        c = centers[i % K]
+        return [c[d] + rnd.gauss(0, 0.15) + shift for d in range(DIM)]
+
+    def frame(ids, shift=0.0):
+        return spark.createDataFrame(
+            [(i, mk(i, shift), int(i) % 2) for i in ids],
+            "vec_id long, embedding array<double>, part int",
+        )
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    C.build_corpus_snapshot(
+        frame(range(600)), corpus, key="vec_id", partition_by=["part"]
+    )
+    A.build_ann_index(
+        C.load_corpus_snapshot(spark, corpus).select("vec_id", "embedding"),
+        idx, codec="sq8", n_cells=K,
+    )
+    meta = A.load_ann_index(spark, idx).meta
+    # no quantization baseline (self-contained codes) — but a routing one
+    assert meta["recon_err"] is None and meta["route_err"] is not None
+
+    # (a) in-distribution append: routing drift stays under threshold
+    C.append_corpus_snapshot(corpus, frame(range(600, 900)))
+    out = sync_ann_index(spark, corpus, idx, since=1, rebuild_over=0.05)
+    assert out["drift"] is not None and out["drift"] <= 0.05
+    assert out["rebuilt"] is False
+
+    # (b) shifted append: the ROUTING signal trips, rebuild fires
+    C.append_corpus_snapshot(corpus, frame(range(9000, 9300), shift=4.0))
+    out = sync_ann_index(spark, corpus, idx, rebuild_over=0.05)
+    assert out["drift"] > 0.05 and out["rebuilt"] is True
+
+    # the rebuild reset baseline + accounting (codec preserved)
+    meta = A.load_ann_index(spark, idx).meta
+    assert meta["codec"] == "sq8"
+    assert A.ann_drift(meta) is None and not meta.get("route_rows")
+
+    # recall floor on drifted-region queries vs exact brute force
+    full = C.load_corpus_snapshot(spark, corpus).select(
+        "vec_id", "embedding"
+    ).localCheckpoint(eager=True)
+    queries = full.where(F.col("vec_id") >= 9000).limit(10)
+    exact = {}
+    for r in brute_force_topk(full, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in A.ann_index_topk(
+        A.load_ann_index(spark, idx), queries, k=5, nprobe=3,
+    ).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    # cursor re-anchored: parameterless re-sync applies nothing
+    out = sync_ann_index(spark, corpus, idx, rebuild_over=0.05)
+    assert all(a["action"] != "applied" for a in out["applied"])
