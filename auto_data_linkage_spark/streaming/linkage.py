@@ -133,8 +133,16 @@ class StreamingLinker:
         # delta rewrites every bucket and pays parquet per-file
         # overhead on top — SCALE.md round-13 table). Size n_buckets
         # well above the typical per-batch changed-row count, or stay
-        # on the snapshot layout.
+        # on the snapshot layout. Saturation is DETECTED at runtime:
+        # every merge batch records changed_rows/buckets_touched in
+        # ``last_batch_report`` and a batch whose changed rows reach
+        # n_buckets sets ``delta_saturates_buckets`` and warns — the
+        # measured 2.6× write regression can no longer pass silently.
         self.n_buckets = int(n_buckets)
+        # per-batch observability: set by process_batch on every
+        # applied batch (None before the first, unchanged on a
+        # token-skipped replay) — see _process_batch_merge
+        self.last_batch_report: dict | None = None
 
     # ---------------------------------------------------------- layout
     def _mode(self) -> str:
@@ -292,6 +300,10 @@ class StreamingLinker:
         base = self._state_before(spark, batch_id)
         clustered = self._fold(base, batch_df, uid)
         self._write_state(clustered, batch_id)
+        self.last_batch_report = {
+            "mode": "rename", "batch_id": int(batch_id),
+            "action": "snapshot",
+        }
 
     def _fold(self, base, batch_df: DataFrame, uid: str) -> DataFrame:
         if base is None:
@@ -353,6 +365,10 @@ class StreamingLinker:
             expected_version=snap["version"],
             op="linkage-batch",
         )
+        self.last_batch_report = {
+            "mode": "manifest", "batch_id": int(batch_id),
+            "action": "snapshot",
+        }
         # per-batch retention policy: reclaim superseded snapshots past
         # the age floor (never the one just committed; a pinned reader
         # inside the floor keeps everything it can name)
@@ -386,6 +402,12 @@ class StreamingLinker:
                 partition_by=[_BUCKET],
                 txn=(self.app_id, int(batch_id)),
             )
+            self.last_batch_report = {
+                "mode": "merge",
+                "batch_id": int(batch_id),
+                "action": "build",
+                "n_buckets": self.n_buckets,
+            }
             return
         base = C.load_corpus_snapshot(spark, self.state_dir).drop(_BUCKET)
         inc = incremental_assign(
@@ -411,10 +433,46 @@ class StreamingLinker:
         delta = relabeled.select(*base.columns).unionByName(
             batch_rows.select(*base.columns)
         )
+        # materialize the delta ONCE (it feeds both the saturation
+        # accounting and the upsert — without the checkpoint the whole
+        # incremental_assign chain would run twice)
+        bucketed = self._bucketed(delta).localCheckpoint(eager=True)
+        n_changed, n_touched = bucketed.agg(
+            F.count("*"), F.count_distinct(F.col(_BUCKET))
+        ).first()
         C.upsert_corpus_snapshot(
-            spark, self.state_dir, self._bucketed(delta),
+            spark, self.state_dir, bucketed,
             txn=(self.app_id, int(batch_id)),
         )
+        # bucket-saturation guard (SCALE.md r13: a delta with changed
+        # rows ≥ n_buckets rewrites every bucket and measured 2.6× MORE
+        # bytes than a plain snapshot) — surfaced per batch, loud when
+        # it happens, so mis-sized n_buckets is an observable event,
+        # not a silent write regression
+        saturated = int(n_changed) >= self.n_buckets
+        self.last_batch_report = {
+            "mode": "merge",
+            "batch_id": int(batch_id),
+            "action": "upsert",
+            "changed_rows": int(n_changed),
+            "buckets_touched": int(n_touched),
+            "n_buckets": self.n_buckets,
+            "delta_saturates_buckets": saturated,
+        }
+        if saturated:
+            import warnings
+
+            warnings.warn(
+                f"merge-layout batch {batch_id}: {n_changed} changed "
+                f"rows over {self.n_buckets} buckets touched "
+                f"{n_touched} — the delta saturates the bucket layout, "
+                "so this upsert rewrites (nearly) the whole state and "
+                "writes MORE bytes than a snapshot commit would. Size "
+                "n_buckets well above the per-batch changed-row count "
+                "(SCALE.md merge-layout table) or use "
+                "layout='manifest'.",
+                stacklevel=2,
+            )
         self.vacuum()
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
