@@ -18,6 +18,20 @@ maintenance pass an operator schedules:
    reclamation, then VACUUM — the corpus vacuum is consumer-aware by
    default (a consumer this pass somehow missed still blocks it).
 
+Non-index stores ride the same pass: a registered consumer (or an
+``extra_stores`` entry) whose meta identifies a streaming-linker state
+store (``kind="linkage-state"``) or another corpus snapshot (the
+merge-layout linker's state, ``kind="corpus"``) gets the
+compact/checkpoint/vacuum treatment instead of a sync.
+
+Dead consumers are never silently unregistered, but they are no longer
+silently CHEAP either: each one's retention pin (manifests/bytes the
+consumer-aware vacuum must keep for it alone —
+:func:`..sources.corpusstore.consumer_pin_cost`) is quantified in the
+report, and an explicit ``retire=[paths]`` opt-in drops the
+registration (freeing the pin at the next vacuum — which this same
+pass then runs).
+
 Every step is the library primitive, not a reimplementation; a step
 that raises aborts the pass loudly (partial maintenance is safe — all
 steps are independently idempotent and crash-safe by the underlying
@@ -43,10 +57,11 @@ __all__ = ["maintain_corpus"]
 
 
 def _index_kind(path: str) -> str | None:
-    """'lex' / 'ann' from the index's stored meta; None when the path
-    no longer holds a readable index (a retired consumer whose store
-    was deleted without :func:`..sources.corpusstore.
-    unregister_corpus_consumer`)."""
+    """'lex' / 'ann' / 'linkage' (snapshot-layout streaming-linker
+    state) / 'corpus' (a corpus snapshot store — e.g. the merge-layout
+    linker state) from the store's meta; None when the path no longer
+    holds a readable store (a retired consumer whose store was deleted
+    without :func:`..sources.corpusstore.unregister_corpus_consumer`)."""
     try:
         meta = M.read_manifest(path)["meta"]
     except FileNotFoundError:
@@ -56,11 +71,61 @@ def _index_kind(path: str) -> str | None:
 
         with open(os.path.join(M.local_path(path), "index.json")) as f:
             meta = json.load(f)
+    if meta.get("kind") == "linkage-state":
+        return "linkage"
+    if meta.get("kind") == "corpus":
+        return "corpus"
     if "text_col" in meta:
         return "lex"
     if "vec_col" in meta:
         return "ann"
     return None
+
+
+def _maintain_store(
+    spark: SparkSession,
+    path: str,
+    kind: str,
+    *,
+    compact_over: int,
+    keep_versions: int,
+    min_age_seconds: float,
+    checkpoint: bool,
+) -> dict:
+    """Compaction + checkpoint + vacuum for one NON-SYNCED store — the
+    linker-state / standalone-store leg of the pass. Each step is the
+    store-kind's own primitive; the snapshot-layout linker state has
+    nothing to compact (every batch replaces the whole table, so there
+    is exactly one live generation)."""
+    out: dict = {"kind": kind}
+    if kind == "corpus":
+        out["compacted"] = C.compact_corpus_snapshot(
+            spark, path, max_files_per_partition=compact_over
+        )
+    elif kind == "lex":
+        out["compacted"] = L.compact_lex_index(
+            spark, path, max_files_per_bucket=compact_over
+        )
+    elif kind == "ann":
+        out["compacted"] = A.compact_ann_index(
+            spark, path, max_files_per_cell=compact_over
+        )
+    if M.is_manifest_store(path):
+        if checkpoint:
+            M.checkpoint_manifest_log(path)
+        if kind == "corpus":
+            out["vacuum"] = C.vacuum_corpus_snapshot(
+                path,
+                keep_manifests=keep_versions,
+                min_age_seconds=min_age_seconds,
+            )
+        else:
+            out["vacuum"] = M.vacuum(
+                path,
+                keep_manifests=keep_versions,
+                min_age_seconds=min_age_seconds,
+            )
+    return out
 
 
 def maintain_corpus(
@@ -72,6 +137,8 @@ def maintain_corpus(
     keep_versions: int = 2,
     min_age_seconds: float = 3600.0,
     checkpoint: bool = True,
+    retire: list[str] | None = None,
+    extra_stores: list[str] | None = None,
 ) -> dict:
     """Run the full maintenance pass over ``corpus_path`` and every
     consumer index its registry names. Parameters map 1:1 onto the
@@ -83,19 +150,68 @@ def maintain_corpus(
     ``checkpoint`` (write a manifest-log checkpoint before each vacuum
     so history survives the reclamation).
 
+    ``retire`` opts specific DEAD consumers (paths whose store is
+    gone) into retirement: their registration — which IS their txn
+    token in the corpus meta — is dropped
+    (:func:`..sources.corpusstore.unregister_corpus_consumer`), so the
+    vacuum this same pass runs can reclaim what they pinned. A path
+    listed in ``retire`` whose store is still readable is NOT retired
+    (loud in the report) — retiring a live consumer is a contract
+    violation. Dead consumers NOT in ``retire`` stay registered, but
+    the report quantifies what each one pins
+    (:func:`..sources.corpusstore.consumer_pin_cost`).
+
+    ``extra_stores`` appends stores the registry does not name — most
+    usefully a streaming linker's state store
+    (:class:`..streaming.linkage.StreamingLinker`), either layout:
+    the snapshot layout gets checkpoint + vacuum, the merge layout
+    (a corpus snapshot store) gets compaction + checkpoint + vacuum.
+    Lex/ANN paths here get the same compact/checkpoint/vacuum pass
+    WITHOUT a sync (they are not this corpus's consumers).
+
     Returns ``{"synced": {index: sync-result}, "skipped": [paths whose
-    store is gone — unregister them], "corpus": {"compacted": ...,
-    "vacuum": ...}, "index_vacuum": {index: ...}}``."""
-    report: dict = {"synced": {}, "skipped": [], "index_vacuum": {}}
+    store is gone — retire them], "dead": {path: pin-cost},
+    "retired": [paths], "maintained": {path: report},
+    "corpus": {"compacted": ..., "vacuum": ...},
+    "index_vacuum": {index: ...}}``."""
+    report: dict = {
+        "synced": {},
+        "skipped": [],
+        "dead": {},
+        "retired": [],
+        "maintained": {},
+        "index_vacuum": {},
+    }
+    retire_set = {os.path.abspath(M.local_path(p)) for p in (retire or [])}
     prefix = "corpus-sync:"
     for key in sorted(C.registered_sync_cursors(corpus_path)):
         idx = key[len(prefix):]
         kind = _index_kind(idx)
         if kind is None:
-            # retired consumer with a dead store: report, never guess —
-            # deleting its registration is a human decision
-            # (unregister_corpus_consumer)
+            # retired consumer with a dead store: quantify what its
+            # registration pins; drop it only on the explicit retire
+            # opt-in — silent unregistration would un-protect a store
+            # that is merely unreachable right now
             report["skipped"].append(idx)
+            try:
+                report["dead"][idx] = C.consumer_pin_cost(
+                    corpus_path, key, keep_manifests=keep_versions
+                )
+            except (KeyError, FileNotFoundError):
+                report["dead"][idx] = None
+            if idx in retire_set:
+                C.unregister_corpus_consumer(corpus_path, key)
+                report["retired"].append(idx)
+            continue
+        if kind in ("linkage", "corpus"):
+            # a linker-state (or nested-corpus) consumer: no sync to
+            # run — it is not an index over this corpus — but it still
+            # gets the maintenance tier
+            report["maintained"][idx] = _maintain_store(
+                spark, idx, kind,
+                compact_over=compact_over, keep_versions=keep_versions,
+                min_age_seconds=min_age_seconds, checkpoint=checkpoint,
+            )
             continue
         if kind == "lex":
             out = sync_lex_index(
@@ -115,6 +231,16 @@ def maintain_corpus(
                 keep_manifests=keep_versions,
                 min_age_seconds=min_age_seconds,
             )
+    for path in extra_stores or []:
+        kind = _index_kind(path)
+        if kind is None:
+            report["skipped"].append(path)
+            continue
+        report["maintained"][path] = _maintain_store(
+            spark, path, kind,
+            compact_over=compact_over, keep_versions=keep_versions,
+            min_age_seconds=min_age_seconds, checkpoint=checkpoint,
+        )
     compacted = C.compact_corpus_snapshot(
         spark, corpus_path, max_files_per_partition=compact_over
     )

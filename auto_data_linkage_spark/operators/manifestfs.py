@@ -102,6 +102,7 @@ __all__ = [
     "history",
     "checkpoint_manifest_log",
     "prune_txn_tokens",
+    "retention_delta",
     "vacuum",
 ]
 
@@ -879,6 +880,54 @@ def history(root: str) -> list[dict]:
         out.append(_diff_entry(prev, cur, m))
         prev = cur
     return out
+
+
+def retention_delta(root: str, keep_small: int, keep_large: int) -> dict:
+    """What a LARGER vacuum keep-window retains beyond a smaller one —
+    the cost accounting behind "this consumer's cursor floor is
+    pinning X manifests / Y bytes" (:func:`..sources.corpusstore.
+    consumer_pin_cost`). Both windows follow :func:`vacuum`'s rule
+    (the last ``keep`` readable manifests; data generations referenced
+    by any kept manifest are live). Returns the manifests and
+    ``table/gen=N`` directories retained ONLY by the larger window,
+    with their on-disk byte total — i.e. exactly what a vacuum could
+    reclaim if the keep window shrank from ``keep_large`` to
+    ``keep_small`` (age floors aside). Read-only: one manifest-log
+    listing + a stat walk of the delta generations."""
+    readable = [(n, m) for n, m in _list_manifests(root) if m is not None]
+
+    def live(keep: int):
+        names = {n for n, _ in readable[-max(1, int(keep)):]}
+        gens: dict[str, set[str]] = {}
+        for name, m in readable:
+            if name not in names:
+                continue
+            for table, mapping in m.get("tables", {}).items():
+                s = gens.setdefault(table, set())
+                for gen_list in mapping.values():
+                    s.update(gen_list)
+        return names, gens
+
+    nm_s, g_s = live(keep_small)
+    nm_l, g_l = live(keep_large)
+    extra_gens: list[str] = []
+    nbytes = 0
+    local = local_path(root)
+    for table in sorted(g_l):
+        for gen in sorted(g_l[table] - g_s.get(table, set())):
+            extra_gens.append(f"{table}/{gen}")
+            gdir = os.path.join(local, table, gen)
+            for dirpath, _dirs, files in os.walk(gdir):
+                for f in files:
+                    try:
+                        nbytes += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+    return {
+        "manifests": sorted(nm_l - nm_s),
+        "gens": extra_gens,
+        "bytes": int(nbytes),
+    }
 
 
 def _entry_age(path: str) -> float:

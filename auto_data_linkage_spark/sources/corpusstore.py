@@ -64,6 +64,7 @@ __all__ = [
     "corpus_snapshot_history",
     "registered_sync_cursors",
     "unregister_corpus_consumer",
+    "consumer_pin_cost",
     "vacuum_corpus_snapshot",
 ]
 
@@ -630,6 +631,59 @@ def unregister_corpus_consumer(path: str, consumer: str) -> dict:
         return fresh["tables"], meta
 
     return M.commit_with_retry(path, mutate, op="unregister-consumer")
+
+
+def consumer_pin_cost(
+    path: str, consumer: str, *, keep_manifests: int = 2
+) -> dict:
+    """What one registered consumer's cursor floor is PINNING in this
+    corpus store: the manifests and generation bytes the default
+    consumer-aware vacuum must retain FOR THIS CONSUMER ALONE —
+    i.e. what becomes reclaimable the moment it is retired
+    (:func:`unregister_corpus_consumer`). A dead index store would
+    otherwise pin this history forever, invisibly; ``maintain_corpus``
+    surfaces this cost for every dead consumer it skips.
+
+    Computed as the retention delta (:func:`..operators.manifestfs.
+    retention_delta`) between the vacuum keep-window WITH this
+    consumer's cursor in the floor and the window WITHOUT it (the
+    remaining cursors', or the bare ``keep_manifests``). Zero when
+    another consumer lags equally or further behind. Returns
+    ``{"cursor", "head", "manifests_pinned", "gens_pinned",
+    "bytes_pinned", "txn_token"}``."""
+    key = (
+        consumer
+        if consumer.startswith("corpus-sync:")
+        else "corpus-sync:" + os.path.abspath(M.local_path(consumer))
+    )
+    snap = M.read_manifest(path)
+    cursors = {
+        k: int(v)
+        for k, v in snap["meta"].get("txn", {}).items()
+        if k.startswith("corpus-sync:")
+    }
+    if key not in cursors:
+        raise KeyError(f"{key} is not a registered consumer of {path}")
+    head = int(snap["version"])
+
+    def keep_for(cs: dict) -> int:
+        if not cs:
+            return int(keep_manifests)
+        # same floor rule as vacuum_corpus_snapshot: a consumer at
+        # cursor c needs manifests c-1.. retained → keep head-c+1
+        return max(int(keep_manifests), head - min(cs.values()) + 1)
+
+    keep_with = keep_for(cursors)
+    keep_without = keep_for({k: v for k, v in cursors.items() if k != key})
+    delta = M.retention_delta(path, keep_without, keep_with)
+    return {
+        "cursor": cursors[key],
+        "head": head,
+        "manifests_pinned": len(delta["manifests"]),
+        "gens_pinned": delta["gens"],
+        "bytes_pinned": delta["bytes"],
+        "txn_token": key,
+    }
 
 
 def vacuum_corpus_snapshot(
