@@ -1370,6 +1370,14 @@ _DEPRIORITIZED = (
     #                      in-window bm25_topk keeps the driver slot while
     #                      tests/test_oracle_window.py runs this one
     #                      through the identical Spark-vs-DuckDB gate
+    "ann_topk_synced",  # the vector twin of bm25_topk_synced: same
+    #                     storage-composition certification (corpus
+    #                     commits → ANN sync → persisted exact serve ==
+    #                     brute-force SQL over the head), back-window by
+    #                     design — it builds real stores per run, so the
+    #                     cheap in-window ivfpq_topk keeps the driver
+    #                     slot while tests/test_oracle_window.py runs
+    #                     this one through the identical gate
     "jaro_winkler_pairs",  # sql_registered_udfs exercises the same pandas
     #                        UDF through the registered-SQL surface
     "sql_entropy_probe",  # A3 front row is `entropy`; this certifies the

@@ -1100,6 +1100,107 @@ def bm25_topk_synced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ANN twin of bm25_topk_synced (VERDICT r13 ask #5): the vector half of
+# the storage tier composed as ONE correctness row — corpus snapshot
+# store (build v1 with the even vec_ids → append the odds → upsert
+# REVISED embeddings for a slice) → incremental ANN sync from the
+# commit log (appends encode with the stored codebooks; the revision
+# folds as a sequence-aware delete + re-append, so the NEW vectors
+# serve) → top-k from the PERSISTED IVF-PQ index. The serve is made
+# EXACT on purpose (nprobe covers every cell, the rerank shortlist
+# covers every candidate, scores re-computed from true vectors), so the
+# oracle is plain brute-force cosine top-k over the corpus's FINAL
+# logical state in DuckDB — a hash match proves synced-index ==
+# head-build == brute force, revisions serving their new embeddings,
+# cross-engine. Approximation QUALITY (small nprobe/rerank) is a
+# recall property, tested in tests/test_similarity.py — correctness of
+# the composition is what this row certifies.
+_ANN_SYNC_REV_PRED = "vec_id % 17 = 3"
+
+_ANN_SYNCED_SQL = """
+    WITH head AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 17 = 3
+                    THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                    ELSE CAST(embedding AS DOUBLE[]) END AS v
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM head WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT q.query_id, h.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.qv, h.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(h.v, h.v))),
+                     6) AS cosine
+        FROM q JOIN head h ON h.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_topk_synced",
+    _ANN_SYNCED_SQL,
+    survey="storage composition (vector half): corpus snapshot commits "
+    "(append + revision upsert) → incremental ANN sync → persisted "
+    "IVF-PQ serve (all-cell probe + exact rerank) equals brute-force "
+    "cosine top-k over the corpus head",
+)
+def ann_topk_synced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from auto_data_linkage_spark.operators import annindex as A
+    from auto_data_linkage_spark.operators.sync import sync_ann_index
+    from auto_data_linkage_spark.sources import corpusstore as C
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = emb.select("vec_id", "label", "embedding")
+    root = tempfile.mkdtemp(prefix="adl_annsync_row_")
+    corpus = f"{root}/corpus"
+    idx = f"{root}/idx"
+    try:
+        # v1: the even half; the ANN index is BUILT from it (codebooks
+        # need training data — sync.py's documented first-sync contract)
+        C.build_corpus_snapshot(
+            emb.where(F.col("vec_id") % 2 == 0), corpus,
+            key="vec_id", partition_by=["label"],
+        )
+        A.build_ann_index(
+            C.load_corpus_snapshot(spark, corpus), idx,
+            m=8, n_codewords=16, cell_col="label", dim=64,
+        )
+        # the corpus moves: append the odd half, then REVISE a slice's
+        # embeddings (upsert = key-level merge; the sync folds it as a
+        # sequence-aware delete + re-append, so the new vectors serve)
+        C.append_corpus_snapshot(corpus, emb.where(F.col("vec_id") % 2 == 1))
+        C.upsert_corpus_snapshot(
+            spark, corpus,
+            emb.where(F.expr(_ANN_SYNC_REV_PRED)).withColumn(
+                "embedding", F.reverse(F.col("embedding"))
+            ),
+        )
+        sync_ann_index(spark, corpus, idx, since=1)
+        # serve from the PERSISTED synced index, made exact: probe all
+        # 10 cells, shortlist k·100 = 500 ≥ |corpus| so the true-vector
+        # rerank re-scores every candidate
+        head = C.load_corpus_snapshot(spark, corpus)
+        out = A.ann_index_topk(
+            A.load_ann_index(spark, idx),
+            head.where(F.col("vec_id") % 100 == 0),
+            k=5, nprobe=10, rerank_factor=100, corpus=head,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @register(
     "embedding_near_dup",
     """
