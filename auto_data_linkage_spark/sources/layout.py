@@ -566,6 +566,181 @@ class FlakyCommitStore(CommitStore):
         return self.inner.age_seconds(name)
 
 
+# S3 error codes that are weather, not outcomes: the request may or may
+# not have applied — the commit protocol retries and resolves by
+# reading the slot back (manifestfs.commit_manifest's ambiguous path).
+_S3_TRANSIENT_CODES = frozenset(
+    {
+        "SlowDown",
+        "InternalError",
+        "ServiceUnavailable",
+        "RequestTimeout",
+        "503",
+        "500",
+        # concurrent conditional writers on one key: S3 returns 409
+        # ConditionalRequestConflict and documents "retry the request"
+        # — on retry the loser sees a clean PreconditionFailed
+        "ConditionalRequestConflict",
+    }
+)
+
+
+class S3CommitStore(CommitStore):
+    """S3-compatible commit-log backend (optional ``boto3`` dependency)
+    — the real object-store implementation of the mapping the
+    :class:`CommitStore` docstring describes, usable against AWS S3,
+    MinIO, Cloudflare R2, or GCS's S3-interop endpoint (pass
+    ``endpoint_url``), and testable hermetically under moto.
+
+    Primitive mapping (all public, documented S3 API):
+
+    - ``create_exclusive`` = ``PutObject`` + ``If-None-Match: *`` —
+      exactly one writer's put lands; the losers get HTTP 412
+      ``PreconditionFailed`` (→ ``False``). A 409
+      ``ConditionalRequestConflict`` (two conditional writers in
+      flight on the key) is WEATHER, not an outcome — raised as
+      :class:`..operators.manifestfs.TransientCommitError` so the
+      protocol retries and resolves by reading the slot back, the
+      same path FlakyCommitStore's ambiguous-success injection proves.
+    - ``replace`` = unconditional ``PutObject`` (last-writer-wins on a
+      token only its owner rewrites — the protocol's contract).
+    - ``remove`` = ``DeleteObject`` (idempotent: deleting an absent
+      key succeeds, so vacuum re-runs are safe).
+    - ``list_names`` = prefix LIST without bodies (the O(1)-opens
+      head-read path: names only, point-read the newest).
+    - ``get`` = ``GetObject`` (absent/unparseable → None).
+    - ``age_seconds`` = ``HeadObject`` LastModified (the vacuum age
+      floor's timestamp hook; None on error degrades SAFE).
+
+    5xx/throttle errors surface as ``TransientCommitError`` so
+    ``manifestfs.commit_with_retry`` treats a real bucket's weather
+    exactly like the injected kind. Not transactional across keys —
+    the manifest protocol only ever needs single-key atomicity."""
+
+    def __init__(self, bucket: str, prefix: str = "", *, client=None,
+                 **client_kwargs):
+        """``client`` injects a ready boto3 S3 client (tests/moto);
+        otherwise one is built lazily from ``client_kwargs``
+        (``endpoint_url=...`` for MinIO/R2/GCS-interop)."""
+        if client is None:
+            import boto3  # optional dependency — import only when used
+
+            client = boto3.client("s3", **client_kwargs)
+        self.client = client
+        self.bucket = bucket
+        self.prefix = prefix.strip("/") + "/" if prefix.strip("/") else ""
+
+    def _key(self, name: str) -> str:
+        return self.prefix + name
+
+    def _wrap(self, err, verb: str, name: str):
+        from ..operators.manifestfs import TransientCommitError
+
+        code = str(err.response.get("Error", {}).get("Code", ""))
+        if code in _S3_TRANSIENT_CODES:
+            return TransientCommitError(
+                f"s3 {verb} {self._key(name)}: transient {code}"
+            )
+        return err
+
+    def create_exclusive(self, name: str, record: dict) -> bool:
+        import json
+
+        from botocore.exceptions import ClientError
+
+        try:
+            self.client.put_object(
+                Bucket=self.bucket,
+                Key=self._key(name),
+                Body=json.dumps(record).encode(),
+                IfNoneMatch="*",
+            )
+            return True
+        except ClientError as e:
+            code = str(e.response.get("Error", {}).get("Code", ""))
+            if code == "PreconditionFailed":
+                return False  # clean lost race: the slot exists
+            raise self._wrap(e, "put", name) from e
+
+    def replace(self, name: str, record: dict) -> None:
+        import json
+
+        from botocore.exceptions import ClientError
+
+        try:
+            self.client.put_object(
+                Bucket=self.bucket,
+                Key=self._key(name),
+                Body=json.dumps(record).encode(),
+            )
+        except ClientError as e:
+            raise self._wrap(e, "replace", name) from e
+
+    def remove(self, name: str) -> None:
+        from botocore.exceptions import ClientError
+
+        try:
+            self.client.delete_object(
+                Bucket=self.bucket, Key=self._key(name)
+            )
+        except ClientError as e:
+            raise self._wrap(e, "delete", name) from e
+
+    def _names(self) -> list[str]:
+        names: list[str] = []
+        paginator = self.client.get_paginator("list_objects_v2")
+        for page in paginator.paginate(
+            Bucket=self.bucket, Prefix=self.prefix, Delimiter="/"
+        ):
+            for obj in page.get("Contents", ()):
+                name = obj["Key"][len(self.prefix):]
+                if name.endswith(".json"):
+                    names.append(name)
+        return sorted(names)
+
+    def list_records(self) -> dict[str, "dict | None"]:
+        return {
+            name: self.get(name)
+            for name in self._names()
+            if name.startswith("v")
+        }
+
+    def list_names(self) -> list[str]:
+        return self._names()
+
+    def get(self, name: str) -> "dict | None":
+        import json
+
+        from botocore.exceptions import ClientError
+
+        try:
+            body = self.client.get_object(
+                Bucket=self.bucket, Key=self._key(name)
+            )["Body"].read()
+            return json.loads(body)
+        except ClientError as e:
+            code = str(e.response.get("Error", {}).get("Code", ""))
+            if code in ("NoSuchKey", "404"):
+                return None
+            raise self._wrap(e, "get", name) from e
+        except ValueError:
+            return None  # unparseable: owner mid-write (non-atomic put)
+
+    def age_seconds(self, name: str) -> "float | None":
+        import datetime
+
+        from botocore.exceptions import ClientError
+
+        try:
+            head = self.client.head_object(
+                Bucket=self.bucket, Key=self._key(name)
+            )
+            now = datetime.datetime.now(datetime.timezone.utc)
+            return max(0.0, (now - head["LastModified"]).total_seconds())
+        except (ClientError, KeyError):
+            return None  # unknown age: the vacuum floor degrades SAFE
+
+
 def _commit_log_dir(path: str) -> str:
     import os
 

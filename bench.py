@@ -158,22 +158,12 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench", cpus=cpus)
-
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-
-    qs = catalog.queries()
-    # warmup: spin up executors / codegen once
-    qs["global_agg"](spark, sf_dir).collect()
-
+def _run(spark, qs, names, sf_dir, repeats):
+    """Per-query min over ``repeats`` passes + the verbatim first pass."""
     timings: dict[str, float] = {}  # per-query min across passes
     single: dict[str, float] = {}  # pass-1 verbatim (pre-min comparability)
     for rep in range(repeats):
-        for name in BENCH_QUERIES:
+        for name in names:
             fn = qs[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -185,7 +175,58 @@ def main() -> None:
             if rep == 0:
                 single[name] = t
             timings[name] = min(timings.get(name, float("inf")), t)
+    return timings, single
 
+
+def main() -> None:
+    run_all = "--all" in sys.argv[1:]
+    default_dir = "/root/testdata/sf0.01" if run_all else "/root/testdata/sf0.1"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", default_dir)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cpus=cpus)
+
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+
+    qs = catalog.queries()
+    # warmup: spin up executors / codegen once
+    qs["global_agg"](spark, sf_dir).collect()
+
+    if run_all:
+        # the back-window regression gate (VERDICT r13 ask #4): EVERY
+        # catalog entry — the driver's 50-row front window AND the 80+
+        # back-window rows that are correctness-verified each round but
+        # were never officially timed — min-of-repeats at sf0.01, with a
+        # per-query wall budget (SPARK_GRAFT_BENCH_BUDGET, default 30 s:
+        # ~3x the slowest steady state measured when the threshold was
+        # adopted — SCALE.md "Full-catalog time budget") so a demoted
+        # query can't silently regress. Queries over budget are listed
+        # in ``over_budget`` and the process exits non-zero.
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "30"))
+        names = list(qs)
+        timings, single = _run(spark, qs, names, sf_dir, repeats)
+        over = {n: t for n, t in timings.items() if t > budget}
+        print(
+            json.dumps(
+                {
+                    "metric": "catalog_queries_total",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(sf),
+                    "repeats": repeats,
+                    "n_queries": len(names),
+                    "budget_sec": budget,
+                    "over_budget": over,
+                    "value_single_shot": round(sum(single.values()), 3),
+                }
+            )
+        )
+        if over:
+            sys.exit(1)
+        return
+
+    timings, single = _run(spark, qs, BENCH_QUERIES, sf_dir, repeats)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

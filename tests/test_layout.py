@@ -317,10 +317,30 @@ def test_upsert_versioned_rejects_object_store_paths(spark):
 # the CommitStore primitive, not POSIX semantics.
 
 
-@pytest.fixture(params=["posix", "memory"])
+def _s3_store():
+    """moto-backed S3CommitStore, or a skip when moto/boto3 is absent
+    (optional dependencies). The mock stays alive for the test's
+    duration by riding the store object."""
+    moto = pytest.importorskip("moto")
+    import boto3
+
+    mock = moto.mock_aws()
+    mock.start()
+    client = boto3.client("s3", region_name="us-east-1")
+    client.create_bucket(Bucket="commit-log-test")
+    store = L.S3CommitStore(
+        "commit-log-test", "stores/lex/_manifests", client=client
+    )
+    store.__moto_mock = mock  # keep the mock alive; stopped by GC/exit
+    return store
+
+
+@pytest.fixture(params=["posix", "memory", "s3"])
 def commit_store(request, tmp_path):
     if request.param == "posix":
         return L.PosixCommitStore(str(tmp_path / "log"))
+    if request.param == "s3":
+        return _s3_store()
     return L.MemoryCommitStore()
 
 
