@@ -77,6 +77,7 @@ class AutoLinker:
         max_block_size: int | None = None,
         block_cap_mode: str = "drop",
         sampler: str = "tpe",
+        total_pairs_guard: int | None = None,
     ):
         if sampler not in ("tpe", "random"):
             raise ValueError(f"sampler must be 'tpe' or 'random', got {sampler!r}")
@@ -95,6 +96,12 @@ class AutoLinker:
         self.attribute_columns = attribute_columns
         self.max_block_size = max_block_size
         self.block_cap_mode = block_cap_mode
+        # conservative rule gate on the UNTRIMMED total pair estimate
+        # (blocking.generate_blocking_rules(total_pairs_guard=)): the
+        # reference's trimmed avg-k² estimate admits hot-block rules at
+        # scale (SCALE.md "AutoLinker E2E at 150k rows"); None keeps
+        # reference parity
+        self.total_pairs_guard = total_pairs_guard
         self.trials: list[Trial] = []
         self._link_frames: tuple[DataFrame, DataFrame] | None = None
         self.best_trial: Trial | None = None
@@ -203,6 +210,7 @@ class AutoLinker:
             attrs,
             comparison_size_limit=self.comparison_size_limit,
             seed=self.random_seed,
+            total_pairs_guard=self.total_pairs_guard,
         )
         if not rules:
             raise ValueError(

@@ -111,6 +111,41 @@ def estimate_or_rule(
     return int(total)  # reference does not clamp negatives
 
 
+def total_squared_lookup(
+    df: DataFrame,
+    attribute_columns: list[str],
+    *,
+    max_columns_per_and_rule: int = 2,
+    min_count: int = 2,
+) -> dict[tuple[str, ...], int]:
+    """Per AND-rule UNTRIMMED total squared block size — ``Σ cnt²`` over
+    the rule's blocks, the true (2×) pair mass on this frame, where the
+    reference's :func:`count_lookup` statistic is a TRIMMED per-block
+    average (outlier blocks replaced by the median, ARC.scala:36-40).
+
+    The difference matters exactly at scale: a rule whose few HOT
+    blocks dominate its pair count — the null-sentinel block of a
+    mostly-null column, a low-cardinality attribute — keeps a small
+    trimmed average while its total explodes quadratically; measured at
+    150k rows the gap reaches 10²–10³× (SCALE.md "AutoLinker E2E at
+    150k rows": 8 tasks pinned >1,000 s CPU each by a rule the trimmed
+    estimate admitted). Hot blocks also SURVIVE row sampling
+    proportionally (cnt_sample ≈ f·cnt, so k scales by f² — undone by
+    the caller's quadratic scale factor), which makes this total a
+    reliable hot-rule detector on the same 10k sample, while the many
+    tiny blocks sampling wipes out contribute negligible pair mass
+    anyway. Same one-explode plan as :func:`count_lookup`; the agg is
+    a plain SUM (no percentile window)."""
+    combos = column_combinations(attribute_columns, max_columns_per_and_rule)
+    counts = combo_value_counts(df, combos, min_count=min_count)
+    rows = (
+        counts.groupBy("combo")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("total"))
+        .collect()
+    )
+    return {tuple(r["combo"].split(",")): int(r["total"]) for r in rows}
+
+
 def generate_blocking_rules(
     df: DataFrame,
     attribute_columns: list[str],
@@ -121,6 +156,7 @@ def generate_blocking_rules(
     sample_rows: int | None = 10_000,
     seed: int = 42,
     top_k: int = 1000,
+    total_pairs_guard: int | None = None,
 ) -> list[RuleEstimate]:
     """Full reference pipeline (§3.2 stages A-C): sample → count lookup →
     enumerate OR-rules for i = 1..max arms → estimate → keep rules under
@@ -130,6 +166,16 @@ def generate_blocking_rules(
     Defaults match the reference: 100k pair budget (autolinker.py:693),
     ≤2 cols per AND, ≤3 arms per OR (autolinker.py:263-264), 10k-row
     estimation sample (autolinker.py:280-284).
+
+    ``total_pairs_guard`` adds a conservative second gate the reference
+    lacks: rules whose UNTRIMMED estimated total squared block size
+    (:func:`total_squared_lookup`, union-bounded over OR arms, sample-
+    scaled like the main estimate) exceeds the guard are dropped even
+    when their trimmed estimate fits ``comparison_size_limit``. Same
+    units as ``comparison_size_limit`` (squared counts ≈ 2× pairs).
+    Default ``None`` keeps exact reference parity; the selection order
+    among surviving rules is unchanged either way. Rationale + measured
+    failure mode: SCALE.md "AutoLinker E2E at 150k rows".
     """
     n = df.count()
     sampled = df
@@ -147,6 +193,24 @@ def generate_blocking_rules(
     )
     if not lookup:
         return []
+
+    guard_totals: dict[tuple[str, ...], int] = {}
+    if total_pairs_guard is not None:
+        guard_totals = total_squared_lookup(
+            sampled,
+            attribute_columns,
+            max_columns_per_and_rule=max_columns_per_and_rule,
+        )
+
+    def _over_guard(arm_set: tuple[tuple[str, ...], ...]) -> bool:
+        if total_pairs_guard is None:
+            return False
+        # union bound: Σ arm totals ≥ the OR's true total (pairs from
+        # several arms are counted once per arm) — conservative, and
+        # an arm absent from the totals (all blocks pruned by
+        # min_count) contributes 0
+        est = sum(guard_totals.get(a, 0) for a in arm_set) * scale
+        return est > total_pairs_guard
 
     arms_sorted = sorted(lookup)
     seen: set[tuple[tuple[str, ...], ...]] = set()
@@ -230,7 +294,12 @@ def generate_blocking_rules(
             ):
                 add(arm_set)
 
-    affordable = [r for r in results if r.estimated_pairs < comparison_size_limit]
+    affordable = [
+        r
+        for r in results
+        if r.estimated_pairs < comparison_size_limit
+        and not _over_guard(r.arms)
+    ]
     affordable.sort(key=lambda r: (-r.estimated_pairs, r.arms))
     return affordable[:top_k]
 

@@ -180,3 +180,91 @@ def test_or_rule_search_beam_overflow_returns_true_affordable_topk(spark):
         [x for x in exhaustive if x[1] < limit], key=lambda x: (-x[1], x[0])
     )[:k]
     assert [(r.arms, r.estimated_pairs) for r in got] == want
+
+
+# ----------------------------------------- untrimmed total-pairs guard
+# The reference's estimator is a TRIMMED per-block average: hot-block
+# rules keep a small trimmed estimate while their true pair count
+# explodes (measured at 150k rows — SCALE.md "AutoLinker E2E"). The
+# total_pairs_guard gate drops them on the UNTRIMMED total.
+
+
+def _skewed_df(spark):
+    """`hot`: two 60-row blocks + 80 singleton-ish blocks — the trimmed
+    estimate collapses toward the tiny median while the true squared
+    total is 2·60² + tail; `pc`: 40 uniform 4-row blocks (benign)."""
+    rows = []
+    uid = 0
+    for b in range(2):
+        for _ in range(60):
+            rows.append((uid, f"hot{b}", f"pc{uid % 40}")); uid += 1
+    for t in range(40):
+        for _ in range(2):
+            rows.append((uid, f"tail{t}", f"pc{uid % 40}")); uid += 1
+    return spark.createDataFrame(rows, "unique_id long, hot string, pc string")
+
+
+def test_total_squared_lookup_is_untrimmed(spark):
+    from auto_data_linkage_spark.blocking import total_squared_lookup
+
+    df = _skewed_df(spark)
+    totals = total_squared_lookup(
+        df, ["hot", "pc"], max_columns_per_and_rule=1
+    )
+    # untrimmed: the two 60-row blocks dominate (2·3600 + 40·4 = 7360)
+    assert totals[("hot",)] == 2 * 60 * 60 + 40 * 2 * 2
+    assert totals[("pc",)] == 40 * 5 * 5  # 200 rows over 40 blocks of 5
+
+
+def test_total_pairs_guard_drops_hot_rule_trim_admits(spark):
+    df = _skewed_df(spark)
+    kw = dict(
+        comparison_size_limit=3_000,
+        max_columns_per_and_rule=1,
+        max_rules_per_or_rule=1,
+        sample_rows=None,
+    )
+    # reference parity: the trimmed estimate (median-dominated by the
+    # 40 tail blocks) admits the hot rule under the 3k budget
+    base = generate_blocking_rules(df, ["hot", "pc"], **kw)
+    assert ("hot",) in {r.arms[0] for r in base}
+    # guarded: the untrimmed total (7,360 > 3,000) evicts it; the
+    # benign rule survives and its estimate/order are untouched
+    guarded = generate_blocking_rules(
+        df, ["hot", "pc"], total_pairs_guard=3_000, **kw
+    )
+    arms = {r.arms[0] for r in guarded}
+    assert ("hot",) not in arms and ("pc",) in arms
+    pc_base = next(r for r in base if r.arms[0] == ("pc",))
+    pc_guarded = next(r for r in guarded if r.arms[0] == ("pc",))
+    assert pc_base.estimated_pairs == pc_guarded.estimated_pairs
+
+
+def test_total_pairs_guard_default_is_reference_parity(spark, people):
+    kw = dict(comparison_size_limit=10_000, sample_rows=None)
+    assert generate_blocking_rules(
+        people, ["surname", "postcode", "suburb"], **kw
+    ) == generate_blocking_rules(
+        people, ["surname", "postcode", "suburb"],
+        total_pairs_guard=None, **kw
+    )
+
+
+def test_autolinker_passes_guard_through(spark, people, monkeypatch):
+    from auto_data_linkage_spark import blocking as blocking_mod
+    from auto_data_linkage_spark.autolink import AutoLinker
+
+    seen = {}
+    real = blocking_mod.generate_blocking_rules
+
+    def spy(df, attrs, **kw):
+        seen["guard"] = kw.get("total_pairs_guard")
+        return real(df, attrs, **kw)
+
+    monkeypatch.setattr(blocking_mod, "generate_blocking_rules", spy)
+    linker = AutoLinker(
+        comparison_size_limit=10_000, max_evals=1,
+        total_pairs_guard=9_999_999, random_seed=1,
+    )
+    linker.auto_link(people.drop("unique_id"))
+    assert seen["guard"] == 9_999_999
