@@ -20,9 +20,11 @@ maintenance pass an operator schedules:
 
 Non-index stores ride the same pass: a registered consumer (or an
 ``extra_stores`` entry) whose meta identifies a streaming-linker state
-store (``kind="linkage-state"``) or another corpus snapshot (the
-merge-layout linker's state, ``kind="corpus"``) gets the
-compact/checkpoint/vacuum treatment instead of a sync.
+store (``kind="linkage-state"``), another corpus snapshot (the
+merge-layout linker's state, ``kind="corpus"``), or a manifest-layout
+domain edge store (:func:`..operators.graph.init_edge_store` — the
+continuous-crawl link graph) gets the compact/checkpoint/vacuum
+treatment instead of a sync.
 
 Dead consumers are never silently unregistered, but they are no longer
 silently CHEAP either: each one's retention pin (manifests/bytes the
@@ -59,9 +61,15 @@ __all__ = ["maintain_corpus"]
 def _index_kind(path: str) -> str | None:
     """'lex' / 'ann' / 'linkage' (snapshot-layout streaming-linker
     state) / 'corpus' (a corpus snapshot store — e.g. the merge-layout
-    linker state) from the store's meta; None when the path no longer
-    holds a readable store (a retired consumer whose store was deleted
-    without :func:`..sources.corpusstore.unregister_corpus_consumer`)."""
+    linker state) / 'edges' (a manifest-layout domain edge store,
+    :func:`..operators.graph.init_edge_store`) from the store's meta;
+    None when the path no longer holds a readable store (a retired
+    consumer whose store was deleted without
+    :func:`..sources.corpusstore.unregister_corpus_consumer`). Rename-
+    layout edge stores are bare parquet directories with no meta —
+    undetectable here by design (their compaction is the POSIX
+    single-writer path; schedule it next to the sink, not from this
+    object-store-safe pass)."""
     try:
         meta = M.read_manifest(path)["meta"]
     except FileNotFoundError:
@@ -75,6 +83,8 @@ def _index_kind(path: str) -> str | None:
         return "linkage"
     if meta.get("kind") == "corpus":
         return "corpus"
+    if "edges_schema" in meta:
+        return "edges"
     if "text_col" in meta:
         return "lex"
     if "vec_col" in meta:
@@ -109,6 +119,12 @@ def _maintain_store(
     elif kind == "ann":
         out["compacted"] = A.compact_ann_index(
             spark, path, max_files_per_cell=compact_over
+        )
+    elif kind == "edges":
+        from . import graph as G
+
+        out["compacted"] = G.compact_edge_store(
+            spark, path, max_files_per_bucket=compact_over
         )
     if M.is_manifest_store(path):
         if checkpoint:
@@ -166,8 +182,14 @@ def maintain_corpus(
     (:class:`..streaming.linkage.StreamingLinker`), either layout:
     the snapshot layout gets checkpoint + vacuum, the merge layout
     (a corpus snapshot store) gets compaction + checkpoint + vacuum.
-    Lex/ANN paths here get the same compact/checkpoint/vacuum pass
-    WITHOUT a sync (they are not this corpus's consumers).
+    A manifest-layout edge store (:func:`.graph.edge_store_sink` —
+    its feed is the crawl stream, not this corpus, so it is never a
+    registered consumer) gets compaction + checkpoint + vacuum too;
+    its ranks are a derived product refreshed on read
+    (:func:`.graph.refresh_pagerank`), so maintenance never needs to
+    touch them. Lex/ANN paths here get the same
+    compact/checkpoint/vacuum pass WITHOUT a sync (they are not this
+    corpus's consumers).
 
     Returns ``{"synced": {index: sync-result}, "skipped": [paths whose
     store is gone — retire them], "dead": {path: pin-cost},

@@ -312,3 +312,67 @@ def test_maintain_corpus_covers_linker_state_stores(
     assert lk2.current_clusters(spark).count() == before2
     versions = [h["version"] for h in M.history(snap_state)]
     assert versions and versions[-1] == M.read_manifest(snap_state)["version"]
+
+
+def test_maintain_corpus_covers_edge_stores(spark, sf_dir, tmp_path, centers):
+    """A manifest-layout domain edge store passed via extra_stores gets
+    the compaction/checkpoint/vacuum tier in the same maintain pass;
+    the loaded edge table and its PageRank refresh are bit-identical
+    across the maintenance (the fixed-point claim), and vacuum
+    reclaims the superseded delta generations compaction left."""
+    from auto_data_linkage_spark.operators.graph import (
+        edge_store_sink,
+        init_edge_store,
+        load_edges,
+        refresh_pagerank,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    C.build_corpus_snapshot(
+        _rows(spark, sf_dir, centers, 0, 50, seed=21), corpus,
+        key="doc_id", partition_by=["part"],
+    )
+
+    def _pages(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(
+                F.lit("https://site"), (F.col("id") % 5).cast("string"),
+                F.lit(".com/p/"), F.col("id").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit('<a href="https://ref'),
+                (F.col("id") % 3).cast("string"),
+                F.lit('.org/x">l</a>'),
+            ).alias("html"),
+        )
+
+    edges = str(tmp_path / "edges")
+    init_edge_store(edges, n_buckets=2)
+    sink = edge_store_sink(edges, app_id="crawl")
+    for b in range(4):  # four delta generations -> fragmented buckets
+        sink(_pages(b * 20, (b + 1) * 20), b)
+    before_edges = sorted(map(tuple, load_edges(spark, edges).collect()))
+    before_pr = sorted(
+        map(tuple, refresh_pagerank(spark, edges, iterations=3).collect())
+    )
+
+    rep = maintain_corpus(
+        spark, corpus, compact_over=1, min_age_seconds=0, keep_versions=1,
+        extra_stores=[edges],
+    )
+    m = rep["maintained"][edges]
+    assert m["kind"] == "edges"
+    assert m["compacted"]["buckets_rewritten"] > 0
+    # compaction superseded the four delta generations; the vacuum in
+    # the same pass reclaimed them (min_age_seconds=0)
+    assert len(m["vacuum"]["removed_gens"]) >= 1
+    assert rep["skipped"] == []
+    # maintenance is invisible to readers: same edges, same fixed point
+    assert sorted(map(tuple, load_edges(spark, edges).collect())) \
+        == before_edges
+    assert sorted(
+        map(tuple, refresh_pagerank(spark, edges, iterations=3).collect())
+    ) == before_pr
+    # history survived the vacuum via the log checkpoint
+    versions = [h["version"] for h in M.history(edges)]
+    assert versions and versions[-1] == M.read_manifest(edges)["version"]
