@@ -1370,6 +1370,13 @@ _DEPRIORITIZED = (
     #                      in-window bm25_topk keeps the driver slot while
     #                      tests/test_oracle_window.py runs this one
     #                      through the identical Spark-vs-DuckDB gate
+    "edge_store_pagerank",  # the graph twin of the synced rows: manifest
+    #                         edge store (exactly-once appends) → takedown
+    #                         tombstone → compaction → PageRank == the
+    #                         unrolled fixed point over the filtered
+    #                         logical edges; back-window by design (builds
+    #                         a real store per run) — domain_pagerank
+    #                         keeps the family's driver slot
     "ann_topk_synced",  # the vector twin of bm25_topk_synced: same
     #                     storage-composition certification (corpus
     #                     commits → ANN sync → persisted exact serve ==
@@ -1757,7 +1764,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                         "decontaminate_attribution"),
     "ann-search": ("cosine_topk", "ivf_topk", "pq_topk", "ivfpq_topk",
                    "lsh_topk", "ivf_centroids", "embedding_quantize",
-                   "knn_graph_stats", "sq8_topk", "ann_recall_report"),
+                   "knn_graph_stats", "sq8_topk", "ann_recall_report",
+                   "ann_topk_synced"),
     "embedding-curation": ("embedding_outliers",),
     "training-order": ("curriculum_order",),
     "html-ingestion": ("html_extract",),
@@ -1782,7 +1790,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "url-curation": ("url_curation",),
     "link-graph": ("link_graph", "domain_pagerank", "domain_rank_prune",
                    "anchor_pairs", "domain_trustrank", "domain_hits",
-                   "domain_authority_prune"),
+                   "domain_authority_prune", "edge_store_pagerank"),
 }
 
 # Invariant: every entry NOT in _DEPRIORITIZED must fit in the driver's

@@ -5118,6 +5118,76 @@ def domain_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Edge-store composition row (the graph twin of bm25_topk_synced /
+# ann_topk_synced): the persisted link-graph tier composed as ONE
+# correctness row — manifest edge store (init → three exactly-once
+# micro-batch appends via the streaming sink) → domain TAKEDOWN
+# (tombstone mask, nothing rewritten) → compaction (deltas merged,
+# superseded generations left for vacuum) → load_edges → PageRank. The
+# oracle is the same unrolled exact-BIGINT PageRank CTE over the edges
+# extracted inline in SQL, minus every edge touching the taken-down
+# domain — a hash match proves store append/tombstone/compaction
+# semantics == the logical edge set, cross-engine. Back-window by
+# design (builds a real store per run); domain_pagerank keeps the
+# family's cheap driver slot.
+# --------------------------------------------------------------------------
+_EDGE_TAKEDOWN_DOMAIN = "ref3.com"
+
+
+def _edge_store_pagerank_sql(iterations: int = 4) -> str:
+    return f"""
+    WITH {_link_pages_edges_cte()},
+    pr_edges AS (
+        SELECT src_domain AS src, dst_domain AS dst FROM edges
+        WHERE src_domain <> '{_EDGE_TAKEDOWN_DOMAIN}'
+          AND dst_domain <> '{_EDGE_TAKEDOWN_DOMAIN}'
+    ),
+    {_pagerank_cte_sql(iterations)}
+    SELECT domain, rank_scaled FROM r{iterations}"""
+
+
+@register(
+    "edge_store_pagerank",
+    _edge_store_pagerank_sql(),
+    survey="storage composition (graph tier): manifest edge store "
+    "(exactly-once streaming appends) → domain takedown tombstone → "
+    "compaction → load_edges → PageRank equals the unrolled exact "
+    "fixed point over the filtered logical edge set",
+)
+def edge_store_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from auto_data_linkage_spark.operators.graph import (
+        compact_edge_store,
+        delete_domains_from_edge_store,
+        edge_store_sink,
+        init_edge_store,
+        load_edges,
+        pagerank,
+    )
+
+    pages = _link_pages(_docs(spark, sf_dir))
+    root = tempfile.mkdtemp(prefix="adl_edges_row_")
+    store = f"{root}/edges"
+    try:
+        init_edge_store(store, n_buckets=4)
+        sink = edge_store_sink(store, app_id="crawl")
+        for b in range(3):  # the crawl arrives as micro-batches
+            sink(pages.where(F.col("doc_id") % 3 == b), b)
+        delete_domains_from_edge_store(
+            spark, store, [_EDGE_TAKEDOWN_DOMAIN]
+        )
+        compact_edge_store(spark, store, max_files_per_bucket=1)
+        out = pagerank(
+            load_edges(spark, store), iterations=4
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
 # Domain-authority curation gate — the composition the link-graph family
 # exists for: extract the corpus's own link graph, PageRank it, keep
 # documents hosted on the top-k authority domains (tie-broken by domain
