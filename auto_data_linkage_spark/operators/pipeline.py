@@ -121,6 +121,93 @@ def curate_documents(
     return survivors.select(id_col, "lang_pred", "quality")
 
 
+def curation_funnel(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.7,
+    num_hashes: int = 4,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int | None = D.DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Survivor counts after each cumulative stage of
+    :func:`curate_documents`, as ``(stage_idx, stage, survivors)`` —
+    the funnel report every production curation run publishes next to
+    its output (what fraction did the quality gate drop? how much was
+    duplicated?), and the first thing an operator reads when a
+    pipeline change moves the corpus size.
+
+    Stages (cumulative, matching the pipeline order exactly):
+    ``input`` → ``quality`` (score ≥ ``min_quality``) → ``language``
+    (quality AND lang ∈ ``langs``) → ``exact_dedup`` (min-id per
+    normalized-text group) → ``near_dedup`` (one survivor per verified
+    LSH cluster). The near-dedup count is KEEPER-INDEPENDENT — every
+    ``keeper`` policy retains exactly one member per cluster — so this
+    one funnel serves both ``curate_documents`` modes.
+
+    Cost: the same two corpus scans as ``curate_documents`` (one for
+    the gate aggregate, one feeding the checkpointed exact-dedup
+    survivor set that the pair/cluster stages reuse); the cluster math
+    runs on candidate pairs only, and the dropped-per-cluster count is
+    an aggregate over the delta-sized component table — no extra join.
+    The five scalars assemble driver-side (they are one aggregate row,
+    not data).
+    """
+    from auto_data_linkage_spark.cluster import connected_components
+
+    spark = docs.sparkSession
+    c = F.col(text_col)
+    annotated = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.round(X.quality_score(c), 6).alias("quality"),
+        X.lang_id(c).alias("lang_pred"),
+    )
+    q_ok = F.col("quality") >= min_quality
+    l_ok = F.col("lang_pred").isin(*langs)
+    gates = annotated.agg(
+        F.count("*").alias("n_input"),
+        F.sum(q_ok.cast("long")).alias("n_quality"),
+        F.sum((q_ok & l_ok).cast("long")).alias("n_lang"),
+    ).collect()[0]
+    exact = D.exact_dedup(
+        annotated.where(q_ok & l_ok), text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    n_exact = exact.count()
+    pairs = D.minhash_dedup_pairs(
+        exact,
+        text_col=text_col,
+        id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_k=shingle_k,
+        max_bucket=max_bucket,
+    )
+    comp = connected_components(
+        pairs.select(
+            F.col(f"{id_col}_l").alias("src"),
+            F.col(f"{id_col}_r").alias("dst"),
+        )
+    )
+    # each cluster keeps exactly one member; dropped = non-canonical rows
+    n_dropped = comp.where(F.col("node") != F.col("component")).count()
+    rows = [
+        (0, "input", gates["n_input"]),
+        (1, "quality", int(gates["n_quality"] or 0)),
+        (2, "language", int(gates["n_lang"] or 0)),
+        (3, "exact_dedup", n_exact),
+        (4, "near_dedup", n_exact - n_dropped),
+    ]
+    return spark.createDataFrame(
+        rows, "stage_idx int, stage string, survivors long"
+    )
+
+
 def authority_gate_ids(
     docs: DataFrame,
     domain_ranks: DataFrame,

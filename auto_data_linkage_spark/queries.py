@@ -1370,6 +1370,10 @@ _DEPRIORITIZED = (
     #                      in-window bm25_topk keeps the driver slot while
     #                      tests/test_oracle_window.py runs this one
     #                      through the identical Spark-vs-DuckDB gate
+    "curation_funnel",  # the counts projection of curate_documents (in-
+    #                     window): same stage chain, same shared oracle
+    #                     CTEs, certified stage-by-stage back-window by
+    #                     tests/test_oracle_window.py
     "edge_store_pagerank",  # the graph twin of the synced rows: manifest
     #                         edge store (exactly-once appends) → takedown
     #                         tombstone → compaction → PageRank == the
@@ -1786,7 +1790,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "streaming-events": ("tumbling_window_agg", "sessionize",
                          "sliding_window_agg", "events_dedup_first"),
     "temporal-joins": ("asof_join_events", "interval_join_events"),
-    "curation-pipeline": ("curate_documents",),
+    "curation-pipeline": ("curate_documents", "curation_funnel"),
     "url-curation": ("url_curation",),
     "link-graph": ("link_graph", "domain_pagerank", "domain_rank_prune",
                    "anchor_pairs", "domain_trustrank", "domain_hits",

@@ -2013,7 +2013,11 @@ _CURATE_MIN_QUALITY = 0.5
 _CURATE_JACCARD = 0.7
 
 
-def _curate_sql() -> str:
+def _curate_ctes() -> str:
+    """The full curation-stage CTE chain (qual → kept → exact → LSH
+    pairs → verified → recursive closure → cc), shared by the
+    curate_documents survivors oracle and the curation_funnel counts
+    oracle — one definition, two final SELECTs."""
     # the shingle CTE again at the OUTER level (renamed shx; the copy
     # nested inside sig's WITH is scoped to sig) for the exact-Jaccard
     # verification of LSH candidates
@@ -2024,9 +2028,7 @@ def _curate_sql() -> str:
         "     / len(list_distinct(list_concat(sl.sh, sr.sh))) "
         "ELSE 0.0 END"
     )
-    return f"""
-    WITH RECURSIVE
-    qual AS ({_quality_sql().strip()}),
+    return f"""qual AS ({_quality_sql().strip()}),
     lp AS ({_lang_pred_sql().strip()}),
     kept AS (
         SELECT d.doc_id, d.text, lp.lang_pred, qual.quality
@@ -2059,7 +2061,13 @@ def _curate_sql() -> str:
         UNION
         SELECT s.src, reach.other FROM sym s JOIN reach ON s.dst = reach.node
     ),
-    cc AS (SELECT node, MIN(other) AS component FROM reach GROUP BY node)
+    cc AS (SELECT node, MIN(other) AS component FROM reach GROUP BY node)"""
+
+
+def _curate_sql() -> str:
+    return f"""
+    WITH RECURSIVE
+    {_curate_ctes()}
     SELECT e.doc_id, e.lang_pred, e.quality
     FROM exact e LEFT JOIN cc ON e.doc_id = cc.node
     WHERE COALESCE(cc.component, e.doc_id) = e.doc_id
@@ -2076,6 +2084,58 @@ def curate_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return curate_documents(
+        docs,
+        min_quality=_CURATE_MIN_QUALITY,
+        langs=("en",),
+        jaccard_threshold=_CURATE_JACCARD,
+        num_hashes=_MH_HASHES,
+        num_bands=_MH_HASHES,
+        shingle_k=_SHINGLE_K,
+    )
+
+
+# --------------------------------------------------------------------------
+# Curation funnel: survivor counts after every cumulative stage of the
+# SAME pipeline — the report a production curation run publishes next
+# to its output. The oracle re-derives the identical stage chain
+# (_curate_ctes — one definition shared with curate_documents' oracle)
+# and counts each CTE, so the funnel is value-checked stage by stage
+# cross-engine. Back-window: strictly the counts projection of the
+# in-window curate_documents machinery.
+# --------------------------------------------------------------------------
+def _curation_funnel_sql() -> str:
+    return f"""
+    WITH RECURSIVE
+    {_curate_ctes()},
+    surv AS (
+        SELECT e.doc_id FROM exact e LEFT JOIN cc ON e.doc_id = cc.node
+        WHERE COALESCE(cc.component, e.doc_id) = e.doc_id
+    )
+    SELECT stage_idx, stage, survivors FROM (
+        SELECT 0 AS stage_idx, 'input' AS stage,
+               (SELECT COUNT(*) FROM documents) AS survivors
+        UNION ALL SELECT 1, 'quality',
+               (SELECT COUNT(*) FROM qual
+                WHERE quality >= {_CURATE_MIN_QUALITY!r})
+        UNION ALL SELECT 2, 'language', (SELECT COUNT(*) FROM kept)
+        UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM exact)
+        UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM surv)
+    ) ORDER BY stage_idx
+    """
+
+
+@register(
+    "curation_funnel",
+    _curation_funnel_sql(),
+    survey="LLM pipeline: per-stage survivor counts of the composed "
+    "curation pass (input → quality → language → exact dedup → near "
+    "dedup), value-checked stage by stage against the same SQL chain",
+)
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.operators.pipeline import curation_funnel
+
+    docs = _docs(spark, sf_dir)
+    return curation_funnel(
         docs,
         min_quality=_CURATE_MIN_QUALITY,
         langs=("en",),

@@ -619,3 +619,43 @@ class TestFixMojibake:
         # CASE WHEN around the Python eval
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "RLIKE" in plan or "rlike" in plan.lower()
+
+
+def test_curation_funnel_counts_each_stage(spark):
+    """The funnel's five rows count the same planted corpus the
+    curate_documents tests use: 6 docs in, one low-quality drop, one
+    non-English drop, one exact dup, one near dup — and the final
+    stage equals curate_documents' survivor count (keeper-independent)."""
+    from auto_data_linkage_spark.operators.pipeline import (
+        curate_documents,
+        curation_funnel,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "with some other common words that keep the quality score high"
+    )
+    rows = [
+        (1, base),                      # survives (cluster min)
+        (2, base),                      # exact dup of 1
+        (3, base + " extra tail"),      # near dup of 1
+        (4, "el perro y el gato y la casa y los amigos y una palabra mas"),
+        (5, "#### $$$$ %%%% 1234 5678 !!!! ???? ****"),  # low quality
+        (6, "a completely different english sentence about the weather and "
+            "the mountains with many of the usual common words in it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kwargs = dict(min_quality=0.5, langs=("en",), num_hashes=4, num_bands=4)
+    got = {r["stage"]: r["survivors"]
+           for r in curation_funnel(df, **kwargs).collect()}
+    assert got == {
+        "input": 6,
+        "quality": 5,      # doc 5 dropped
+        "language": 4,     # doc 4 dropped
+        "exact_dedup": 3,  # doc 2 collapsed into 1
+        "near_dedup": 2,   # doc 3 collapsed into 1
+    }
+    assert got["near_dedup"] == curate_documents(df, **kwargs).count()
+    idx = [r["stage_idx"] for r in
+           curation_funnel(df, **kwargs).orderBy("stage_idx").collect()]
+    assert idx == [0, 1, 2, 3, 4]
