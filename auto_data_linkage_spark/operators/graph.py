@@ -926,11 +926,67 @@ def load_edges(spark, path: str, *, version: int | None = None) -> DataFrame:
     )
 
 
+def commit_ranks(spark, path: str, ranks: DataFrame, *, algo: str = "pagerank") -> dict:
+    """Persist ``(domain, rank_scaled)`` as the manifest edge store's
+    derived ``ranks`` table — REPLACED whole at each commit (a rank
+    vector is a fixed point, not a delta), atomically, with the
+    edge-store version it was computed FROM recorded in the meta
+    (``meta["ranks"] = {"algo", "at_version"}``) so a later warm
+    refresh knows exactly how stale it is. Superseded rank generations
+    are reclaimed by :func:`vacuum_edge_store` like any other; pinned
+    readers keep serving the snapshot they opened. Concurrent edge
+    appends interleave safely — the replace rides the same
+    merge-retry commit CAS as the sink."""
+    from . import manifestfs as M
+
+    if not M.is_manifest_store(path):
+        raise ValueError(
+            "persisted ranks need a manifest-layout edge store "
+            "(init_edge_store)"
+        )
+    at_version = M.read_manifest(path)["version"]
+    local = M.local_path(path)
+    gen = M.next_gen(path, "ranks")
+    ranks.select("domain", "rank_scaled").write.parquet(
+        os.path.join(local, "ranks", gen)
+    )
+    parts = M.written_parts(path, "ranks", gen)
+
+    def mutate(fresh: dict):
+        tables = {
+            t: m for t, m in fresh["tables"].items() if t != "ranks"
+        }
+        if parts:
+            tables = M.add_gens(tables, "ranks", parts, gen)
+        meta = dict(fresh["meta"])
+        meta["ranks"] = {"algo": algo, "at_version": at_version}
+        return tables, meta
+
+    return M.commit_with_retry(path, mutate, op="commit-ranks")
+
+
+def load_ranks(
+    spark, path: str, *, version: int | None = None
+) -> DataFrame | None:
+    """The last :func:`commit_ranks` rank vector ``(domain,
+    rank_scaled)`` of a manifest edge store, or None when none was
+    ever committed; ``version`` time-travels like :func:`load_edges`.
+    ``meta["ranks"]["at_version"]`` (via
+    :func:`manifestfs.read_manifest`) says which edge-store version it
+    scored."""
+    from . import manifestfs as M
+
+    snap = M.read_manifest(path, version)
+    return M.read_table(spark, path, "ranks", snap)
+
+
 def refresh_pagerank(
     spark,
     store_path: str,
     *,
     prev_ranks: DataFrame | None = None,
+    warm: bool = False,
+    persist: bool = False,
     iterations: int = 5,
     **pagerank_kwargs,
 ) -> DataFrame:
@@ -945,13 +1001,31 @@ def refresh_pagerank(
     stops as soon as an update moves total rank mass by no more than
     the tolerance — the usual steady-state refresh is then 1-2
     updates. Returns ``(domain, rank_scaled)``; persist it (and feed
-    it back) at whatever cadence the curation gates consume it."""
-    return pagerank(
+    it back) at whatever cadence the curation gates consume it.
+
+    ``warm=True`` makes the feedback loop one call: the previous rank
+    vector loads from the store's own derived ``ranks`` table
+    (:func:`load_ranks`; cold start when none exists), and
+    ``persist=True`` commits the refreshed vector back
+    (:func:`commit_ranks`) so the NEXT warm refresh starts from it —
+    the steady-state crawl cadence is then
+    ``refresh_pagerank(spark, path, warm=True, persist=True,
+    tol_scaled=...)`` on a schedule, each pass O(edges) per update
+    with 1-2 updates once the graph is quiet. The persisted vector is
+    eagerly materialized (its own compute feeds the write), so the
+    returned DataFrame re-reads cheaply."""
+    if warm and prev_ranks is None:
+        prev_ranks = load_ranks(spark, store_path)
+    out = pagerank(
         load_edges(spark, store_path),
         iterations=iterations,
         init_ranks=prev_ranks,
         **pagerank_kwargs,
     )
+    if persist:
+        out = out.localCheckpoint(eager=True)
+        commit_ranks(spark, store_path, out)
+    return out
 
 
 def refresh_hits(

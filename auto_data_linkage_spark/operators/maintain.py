@@ -185,9 +185,11 @@ def maintain_corpus(
     A manifest-layout edge store (:func:`.graph.edge_store_sink` —
     its feed is the crawl stream, not this corpus, so it is never a
     registered consumer) gets compaction + checkpoint + vacuum too;
-    its ranks are a derived product refreshed on read
-    (:func:`.graph.refresh_pagerank`), so maintenance never needs to
-    touch them. Lex/ANN paths here get the same
+    its ranks are a derived product (:func:`.graph.refresh_pagerank`;
+    optionally persisted in the same store via
+    :func:`.graph.commit_ranks`, where the shared vacuum already
+    reclaims superseded rank generations), so maintenance never needs
+    to touch them. Lex/ANN paths here get the same
     compact/checkpoint/vacuum pass WITHOUT a sync (they are not this
     corpus's consumers).
 

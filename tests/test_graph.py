@@ -616,3 +616,83 @@ class TestHits:
         # scale == n is the boundary: share is 1 unit, still nonzero
         out = hits(df, iterations=2, scale=3).collect()
         assert len(out) == 3
+
+
+def test_persisted_ranks_roundtrip_replace_and_vacuum(spark, tmp_path):
+    """commit_ranks stores the rank vector as the manifest store's
+    derived table (replaced whole per commit, at_version recorded);
+    load_ranks round-trips it; vacuum reclaims the superseded rank
+    generation while the live one keeps serving."""
+    from auto_data_linkage_spark.operators import manifestfs as M
+    from auto_data_linkage_spark.operators.graph import (
+        commit_ranks,
+        edge_store_sink,
+        init_edge_store,
+        load_ranks,
+        refresh_pagerank,
+        vacuum_edge_store,
+    )
+
+    store = str(tmp_path / "edges")
+    init_edge_store(store, n_buckets=2)
+    pages = TestEdgeStore()._pages
+    sink = edge_store_sink(store, app_id="crawl")
+    sink(pages(spark, 0, 40), 0)
+
+    assert load_ranks(spark, store) is None
+    v_edges = M.read_manifest(store)["version"]
+    r1 = refresh_pagerank(spark, store, iterations=3)
+    commit_ranks(spark, store, r1)
+    got = sorted(map(tuple, load_ranks(spark, store).collect()))
+    assert got == sorted(map(tuple, r1.collect()))
+    meta = M.read_manifest(store)["meta"]
+    assert meta["ranks"] == {"algo": "pagerank", "at_version": v_edges}
+
+    # second commit REPLACES: exactly one live rank generation
+    commit_ranks(spark, store, refresh_pagerank(spark, store, iterations=5))
+    snap = M.read_manifest(store)
+    assert [len(g) for g in snap["tables"]["ranks"].values()] == [1]
+    vac = vacuum_edge_store(store, keep_manifests=1, min_age_seconds=0)
+    assert vac["removed_gens"]  # the superseded rank gen reclaimed
+    assert load_ranks(spark, store).count() == r1.count()
+
+
+def test_warm_persisted_refresh_loop(spark, tmp_path):
+    """The one-call steady-state cadence: warm=True + persist=True
+    feeds each refresh from the last committed vector; after a small
+    delta the tol-stopped warm pass converges in fewer updates than
+    the cold pass did, and the persisted vector tracks the result."""
+    from auto_data_linkage_spark.operators import manifestfs as M
+    from auto_data_linkage_spark.operators.graph import (
+        edge_store_sink,
+        init_edge_store,
+        load_ranks,
+        refresh_pagerank,
+    )
+
+    store = str(tmp_path / "edges")
+    init_edge_store(store, n_buckets=2)
+    pages = TestEdgeStore()._pages
+    sink = edge_store_sink(store, app_id="crawl")
+    sink(pages(spark, 0, 60), 0)
+
+    s_cold: dict = {}
+    r1 = refresh_pagerank(
+        spark, store, warm=True, persist=True,
+        iterations=12, tol_scaled=5_000, stats=s_cold,
+    )
+    assert sorted(map(tuple, load_ranks(spark, store).collect())) == sorted(
+        map(tuple, r1.collect())
+    )
+
+    sink(pages(spark, 60, 66), 1)  # small crawl delta
+    s_warm: dict = {}
+    r2 = refresh_pagerank(
+        spark, store, warm=True, persist=True,
+        iterations=12, tol_scaled=5_000, stats=s_warm,
+    )
+    assert s_warm["iterations_run"] <= s_cold["iterations_run"]
+    assert sorted(map(tuple, load_ranks(spark, store).collect())) == sorted(
+        map(tuple, r2.collect())
+    )
+    assert M.read_manifest(store)["meta"]["ranks"]["at_version"] > 1
