@@ -926,17 +926,27 @@ def load_edges(spark, path: str, *, version: int | None = None) -> DataFrame:
     )
 
 
-def commit_ranks(spark, path: str, ranks: DataFrame, *, algo: str = "pagerank") -> dict:
+def commit_ranks(
+    spark,
+    path: str,
+    ranks: DataFrame,
+    *,
+    algo: str = "pagerank",
+    params: dict | None = None,
+    edge_state: str | None = None,
+) -> dict:
     """Persist ``(domain, rank_scaled)`` as the manifest edge store's
     derived ``ranks`` table — REPLACED whole at each commit (a rank
     vector is a fixed point, not a delta), atomically, with the
     edge-store version it was computed FROM recorded in the meta
-    (``meta["ranks"] = {"algo", "at_version"}``) so a later warm
-    refresh knows exactly how stale it is. Superseded rank generations
-    are reclaimed by :func:`vacuum_edge_store` like any other; pinned
-    readers keep serving the snapshot they opened. Concurrent edge
-    appends interleave safely — the replace rides the same
-    merge-retry commit CAS as the sink."""
+    (``meta["ranks"] = {"algo", "at_version", "params"}``) so a later
+    warm refresh knows exactly how stale it is and under which knobs
+    it was scored (``params`` powers :func:`refresh_pagerank`'s
+    quiescence skip). Superseded rank generations are reclaimed by
+    :func:`vacuum_edge_store` like any other; pinned readers keep
+    serving the snapshot they opened. Concurrent edge appends
+    interleave safely — the replace rides the same merge-retry commit
+    CAS as the sink."""
     from . import manifestfs as M
 
     if not M.is_manifest_store(path):
@@ -959,10 +969,47 @@ def commit_ranks(spark, path: str, ranks: DataFrame, *, algo: str = "pagerank") 
         if parts:
             tables = M.add_gens(tables, "ranks", parts, gen)
         meta = dict(fresh["meta"])
-        meta["ranks"] = {"algo": algo, "at_version": at_version}
+        meta["ranks"] = {
+            "algo": algo,
+            "at_version": at_version,
+            "params": params,
+            "edge_state": edge_state,
+        }
         return tables, meta
 
     return M.commit_with_retry(path, mutate, op="commit-ranks")
+
+
+def _pagerank_params(iterations: int, kw: dict) -> dict:
+    """Canonical JSON form of every knob that shapes the committed
+    vector — the quiescence-skip equality key. ``stats`` is an output
+    channel, not a knob, and is excluded."""
+    return {
+        "iterations": iterations,
+        "damping_pct": kw.get("damping_pct", 85),
+        "scale": kw.get("scale", PAGERANK_SCALE),
+        "seeds": sorted(kw["seeds"]) if kw.get("seeds") else None,
+        "tol_scaled": kw.get("tol_scaled"),
+        "min_iterations": kw.get("min_iterations", 1),
+    }
+
+
+def _edge_state_key(snapshot: dict) -> str:
+    """Deterministic fingerprint of WHAT a reader of this snapshot
+    serves: the live (edges, tombstones) generation mappings. Rank
+    commits don't touch them, so the key survives the refresh's own
+    commit; any append, takedown, or compaction changes it (compaction
+    conservatively so — the logical edges are identical but the
+    post-compaction warm recompute is 1-2 cheap updates)."""
+    import hashlib
+    import json
+
+    t = snapshot["tables"]
+    payload = json.dumps(
+        {"edges": t.get("edges", {}), "tombstones": t.get("tombstones", {})},
+        sort_keys=True,
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
 
 
 def load_ranks(
@@ -987,6 +1034,7 @@ def refresh_pagerank(
     prev_ranks: DataFrame | None = None,
     warm: bool = False,
     persist: bool = False,
+    skip_current: bool = True,
     iterations: int = 5,
     **pagerank_kwargs,
 ) -> DataFrame:
@@ -1013,18 +1061,61 @@ def refresh_pagerank(
     tol_scaled=...)`` on a schedule, each pass O(edges) per update
     with 1-2 updates once the graph is quiet. The persisted vector is
     eagerly materialized (its own compute feeds the write), so the
-    returned DataFrame re-reads cheaply."""
-    if warm and prev_ranks is None:
-        prev_ranks = load_ranks(spark, store_path)
+    returned DataFrame re-reads cheaply.
+
+    QUIESCENCE SKIP (``skip_current``, default True, warm mode only):
+    when the committed vector was scored over EXACTLY the edge state a
+    reader would serve now (the live edges+tombstones generation
+    fingerprint recorded with the commit — rank commits themselves
+    don't disturb it) under the SAME knobs (damping, scale, seeds,
+    schedule), the refresh returns it directly — zero Spark jobs over
+    the edge table, no new commit — the rank twin of "idle syncs
+    commit nothing". Any edge append, takedown tombstone, compaction
+    (conservatively: identical logical edges, new generations), or
+    knob change misses the fingerprint/params match and recomputes.
+    Note the skip serves the committed vector AS IS rather than
+    pushing it one more update toward the fixed point (a re-run
+    always executes ≥ ``min_iterations`` updates by contract); pass
+    ``skip_current=False`` to force that extra update. A ``stats``
+    dict gets ``{"iterations_run": 0, "final_l1": None,
+    "skipped": True}`` on the skip."""
+    from . import manifestfs as M
+
+    params = _pagerank_params(iterations, pagerank_kwargs)
+    snap = key = None
+    if M.is_manifest_store(store_path):
+        snap = M.read_manifest(store_path)
+        key = _edge_state_key(snap)
+    if warm and prev_ranks is None and snap is not None:
+        rk = snap["meta"].get("ranks")
+        if (
+            skip_current
+            and rk is not None
+            and rk.get("edge_state") == key
+            and rk.get("params") == params
+        ):
+            stats = pagerank_kwargs.get("stats")
+            if stats is not None:
+                stats.update(iterations_run=0, final_l1=None, skipped=True)
+            return M.read_table(spark, store_path, "ranks", snap)
+        if rk is not None:
+            prev_ranks = M.read_table(spark, store_path, "ranks", snap)
+    # pin the scored edges to the SAME snapshot the fingerprint
+    # describes — a concurrent append landing after this read misses
+    # the next skip check instead of being silently claimed as scored
     out = pagerank(
-        load_edges(spark, store_path),
+        load_edges(
+            spark,
+            store_path,
+            version=None if snap is None else snap["version"],
+        ),
         iterations=iterations,
         init_ranks=prev_ranks,
         **pagerank_kwargs,
     )
     if persist:
         out = out.localCheckpoint(eager=True)
-        commit_ranks(spark, store_path, out)
+        commit_ranks(spark, store_path, out, params=params, edge_state=key)
     return out
 
 

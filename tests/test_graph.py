@@ -646,7 +646,8 @@ def test_persisted_ranks_roundtrip_replace_and_vacuum(spark, tmp_path):
     got = sorted(map(tuple, load_ranks(spark, store).collect()))
     assert got == sorted(map(tuple, r1.collect()))
     meta = M.read_manifest(store)["meta"]
-    assert meta["ranks"] == {"algo": "pagerank", "at_version": v_edges}
+    assert meta["ranks"]["algo"] == "pagerank"
+    assert meta["ranks"]["at_version"] == v_edges
 
     # second commit REPLACES: exactly one live rank generation
     commit_ranks(spark, store, refresh_pagerank(spark, store, iterations=5))
@@ -696,3 +697,59 @@ def test_warm_persisted_refresh_loop(spark, tmp_path):
         map(tuple, r2.collect())
     )
     assert M.read_manifest(store)["meta"]["ranks"]["at_version"] > 1
+
+
+def test_quiescent_refresh_skips_compute_and_commit(spark, tmp_path):
+    """The rank twin of 'idle syncs commit nothing': with no edge/
+    tombstone change and the same knobs, a warm persisted refresh
+    serves the committed vector with zero recompute and zero new
+    commit; any takedown or knob change recomputes."""
+    from auto_data_linkage_spark.operators import manifestfs as M
+    from auto_data_linkage_spark.operators.graph import (
+        delete_domains_from_edge_store,
+        edge_store_sink,
+        init_edge_store,
+        refresh_pagerank,
+    )
+
+    store = str(tmp_path / "edges")
+    init_edge_store(store, n_buckets=2)
+    sink = edge_store_sink(store, app_id="crawl")
+    sink(TestEdgeStore()._pages(spark, 0, 40), 0)
+
+    kw = dict(warm=True, persist=True, iterations=8, tol_scaled=1_000_000)
+    r1 = refresh_pagerank(spark, store, **kw)
+    v_after = M.read_manifest(store)["version"]
+
+    s: dict = {}
+    r2 = refresh_pagerank(spark, store, stats=s, **kw)
+    assert s == {"iterations_run": 0, "final_l1": None, "skipped": True}
+    assert M.read_manifest(store)["version"] == v_after  # no new commit
+    assert sorted(map(tuple, r2.collect())) == sorted(
+        map(tuple, r1.collect())
+    )
+
+    # a knob change misses the params key: recompute + fresh commit
+    s2: dict = {}
+    refresh_pagerank(spark, store, stats=s2, warm=True, persist=True,
+                     iterations=8, tol_scaled=1_000_000, damping_pct=80)
+    assert s2.get("skipped") is None and s2["iterations_run"] >= 1
+    assert M.read_manifest(store)["version"] > v_after
+
+    # a takedown changes the served edge state: recompute (and the
+    # masked domain leaves the ranking)
+    delete_domains_from_edge_store(spark, store, ["ref0.org"])
+    s3: dict = {}
+    r4 = refresh_pagerank(spark, store, stats=s3, **kw)
+    assert s3.get("skipped") is None and s3["iterations_run"] >= 1
+    assert "ref0.org" not in {r.domain for r in r4.collect()}
+
+    # and the loop re-quiesces on the next call
+    s4: dict = {}
+    refresh_pagerank(spark, store, stats=s4, **kw)
+    assert s4.get("skipped") is True
+
+    # skip_current=False forces the contractual extra update
+    s5: dict = {}
+    refresh_pagerank(spark, store, stats=s5, skip_current=False, **kw)
+    assert s5.get("skipped") is None and s5["iterations_run"] >= 1
