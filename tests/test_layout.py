@@ -319,8 +319,11 @@ def test_upsert_versioned_rejects_object_store_paths(spark):
 
 def _s3_store():
     """moto-backed S3CommitStore, or a skip when moto/boto3 is absent
-    (optional dependencies). The mock stays alive for the test's
-    duration by riding the store object."""
+    (optional dependencies). Returns (store, mock); the CALLER must
+    stop the mock at teardown — leaving it running turns every later
+    ``moto.mock_aws()`` context in the process into a NESTED mock
+    whose exit does not reset state, leaking objects across tests
+    (observed: test_s3commitstore seeing another test's keys)."""
     moto = pytest.importorskip("moto")
     import boto3
 
@@ -331,17 +334,21 @@ def _s3_store():
     store = L.S3CommitStore(
         "commit-log-test", "stores/lex/_manifests", client=client
     )
-    store.__moto_mock = mock  # keep the mock alive; stopped by GC/exit
-    return store
+    return store, mock
 
 
 @pytest.fixture(params=["posix", "memory", "s3"])
 def commit_store(request, tmp_path):
     if request.param == "posix":
-        return L.PosixCommitStore(str(tmp_path / "log"))
-    if request.param == "s3":
-        return _s3_store()
-    return L.MemoryCommitStore()
+        yield L.PosixCommitStore(str(tmp_path / "log"))
+    elif request.param == "s3":
+        store, mock = _s3_store()
+        try:
+            yield store
+        finally:
+            mock.stop()
+    else:
+        yield L.MemoryCommitStore()
 
 
 def test_commit_store_create_exclusive_once(commit_store):
