@@ -1061,7 +1061,11 @@ def refresh_pagerank(
     tol_scaled=...)`` on a schedule, each pass O(edges) per update
     with 1-2 updates once the graph is quiet. The persisted vector is
     eagerly materialized (its own compute feeds the write), so the
-    returned DataFrame re-reads cheaply.
+    returned DataFrame re-reads cheaply. Rank persistence needs the
+    manifest layout: on a rename-layout store ``warm=True`` has no
+    ranks table to read and degrades to a cold start, and
+    ``persist=True`` raises in :func:`commit_ranks` — keep feeding
+    ``prev_ranks`` by hand there.
 
     QUIESCENCE SKIP (``skip_current``, default True, warm mode only):
     when the committed vector was scored over EXACTLY the edge state a
