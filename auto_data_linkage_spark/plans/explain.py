@@ -88,3 +88,75 @@ def codegen_stage_count(df: DataFrame) -> int:
         if stripped.startswith("*("):
             ids.add(stripped[2:].split(")", 1)[0])
     return len(ids)
+
+
+# ---------------------------------------------------------------- audit
+# The scale-killer checklist a reviewer applies before shipping a job
+# to a 1000-executor cluster, as data: which physical-plan nodes mean
+# "this will not survive a 100x scale-up", graded by how often they
+# are defensible.
+_SCALE_SMELLS = (
+    # code, severity, plan-node marker, why
+    (
+        "cartesian-product", "error", "CartesianProduct",
+        "O(left*right) pair blowup — block/bucket/band the join instead",
+    ),
+    (
+        "row-python-udf", "error", "BatchEvalPython",
+        "row-at-a-time Python eval in the hot path — use built-in "
+        "functions or an Arrow pandas UDF (ArrowEvalPython)",
+    ),
+    (
+        "nested-loop-join", "warn", "BroadcastNestedLoopJoin",
+        "fine when the broadcast side is a scalar/tiny frame; quadratic "
+        "work per row otherwise — confirm the build side is bounded",
+    ),
+    (
+        "sort-merge-join", "info", "SortMergeJoin",
+        "correct for two big sides; confirm the smaller side genuinely "
+        "cannot broadcast (or bucket both sides to skip the sort)",
+    ),
+)
+
+
+def plan_findings(df: DataFrame) -> list[dict]:
+    """Scale-killer audit of ``df``'s physical plan. Returns one
+    ``{"code", "severity", "node", "why"}`` per smell present —
+    ``severity`` is ``"error"`` (would not survive a scale-up:
+    CartesianProduct, row-at-a-time Python eval), ``"warn"``
+    (BroadcastNestedLoopJoin — legitimate for broadcast-scalar
+    attaches, quadratic otherwise), or ``"info"`` (SortMergeJoin —
+    often correct, worth a look). Purely driver-side string
+    inspection of the pre-execution plan: free to run on any
+    DataFrame before triggering it."""
+    plan = physical_plan(df)
+    return [
+        {"code": code, "severity": sev, "node": node, "why": why}
+        for code, sev, node, why in _SCALE_SMELLS
+        if node in plan
+    ]
+
+
+def assert_scalable(df: DataFrame, *, allow: tuple = ()) -> list[dict]:
+    """Raise ``AssertionError`` when ``df``'s plan carries an
+    ``error``-grade scale smell not listed in ``allow`` (codes from
+    :func:`plan_findings`); returns the full findings list (warns and
+    infos included) otherwise — the one-call pre-flight for a job
+    about to ship:
+
+        assert_scalable(my_pipeline_df)   # raises on CartesianProduct
+                                          # or row-at-a-time Python
+
+    ``allow=("cartesian-product",)`` opts in a deliberate tiny cross
+    (e.g. a literal 3-row grid); the return value still reports it."""
+    findings = plan_findings(df)
+    bad = [
+        f for f in findings
+        if f["severity"] == "error" and f["code"] not in allow
+    ]
+    if bad:
+        raise AssertionError(
+            "plan has scale-killer nodes: "
+            + "; ".join(f"{f['code']} ({f['node']}: {f['why']})" for f in bad)
+        )
+    return findings
