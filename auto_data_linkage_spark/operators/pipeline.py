@@ -134,28 +134,31 @@ def curation_funnel(
     shingle_k: int = 3,
     max_bucket: int | None = D.DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Survivor counts after each cumulative stage of
-    :func:`curate_documents`, as ``(stage_idx, stage, survivors)`` —
-    the funnel report every production curation run publishes next to
-    its output (what fraction did the quality gate drop? how much was
-    duplicated?), and the first thing an operator reads when a
+    """Survivor counts AND surviving whitespace-token mass after each
+    cumulative stage of :func:`curate_documents`, as ``(stage_idx,
+    stage, survivors, survivor_tokens)`` — the funnel report every
+    production curation run publishes next to its output (what
+    fraction did the quality gate drop? how many training TOKENS did
+    dedup reclaim?), and the first thing an operator reads when a
     pipeline change moves the corpus size.
 
     Stages (cumulative, matching the pipeline order exactly):
     ``input`` → ``quality`` (score ≥ ``min_quality``) → ``language``
     (quality AND lang ∈ ``langs``) → ``exact_dedup`` (min-id per
     normalized-text group) → ``near_dedup`` (one survivor per verified
-    LSH cluster). The near-dedup count is KEEPER-INDEPENDENT — every
-    ``keeper`` policy retains exactly one member per cluster — so this
-    one funnel serves both ``curate_documents`` modes.
+    LSH cluster). The near-dedup COUNT is KEEPER-INDEPENDENT — every
+    ``keeper`` policy retains exactly one member per cluster — and the
+    token column reports the min-id keeper's mass (near-dup cluster
+    members differ by small edits, so keeper choice moves it only
+    marginally).
 
     Cost: the same two corpus scans as ``curate_documents`` (one for
     the gate aggregate, one feeding the checkpointed exact-dedup
     survivor set that the pair/cluster stages reuse); the cluster math
-    runs on candidate pairs only, and the dropped-per-cluster count is
-    an aggregate over the delta-sized component table — no extra join.
-    The five scalars assemble driver-side (they are one aggregate row,
-    not data).
+    runs on candidate pairs only, and the dropped-cluster-member
+    rollup is one broadcast semi-join of the delta-sized component
+    table against the checkpointed survivors. The five rows assemble
+    driver-side (they are aggregate scalars, not data).
     """
     from auto_data_linkage_spark.cluster import connected_components
 
@@ -166,18 +169,25 @@ def curation_funnel(
         F.col(text_col),
         F.round(X.quality_score(c), 6).alias("quality"),
         X.lang_id(c).alias("lang_pred"),
+        X.token_count(c).cast("bigint").alias("__n_tok"),
     )
     q_ok = F.col("quality") >= min_quality
     l_ok = F.col("lang_pred").isin(*langs)
+    t = F.col("__n_tok")
     gates = annotated.agg(
         F.count("*").alias("n_input"),
+        F.sum(t).alias("t_input"),
         F.sum(q_ok.cast("long")).alias("n_quality"),
+        F.sum(F.when(q_ok, t)).alias("t_quality"),
         F.sum((q_ok & l_ok).cast("long")).alias("n_lang"),
+        F.sum(F.when(q_ok & l_ok, t)).alias("t_lang"),
     ).collect()[0]
     exact = D.exact_dedup(
         annotated.where(q_ok & l_ok), text_col=text_col, id_col=id_col
     ).localCheckpoint(eager=True)
-    n_exact = exact.count()
+    ex = exact.agg(
+        F.count("*").alias("n"), F.sum(t).alias("tok")
+    ).collect()[0]
     pairs = D.minhash_dedup_pairs(
         exact,
         text_col=text_col,
@@ -194,17 +204,26 @@ def curation_funnel(
             F.col(f"{id_col}_r").alias("dst"),
         )
     )
-    # each cluster keeps exactly one member; dropped = non-canonical rows
-    n_dropped = comp.where(F.col("node") != F.col("component")).count()
+    # each cluster keeps exactly one member; dropped = non-canonical
+    # rows of the (delta-sized, broadcast) component table
+    dropped = exact.join(
+        F.broadcast(
+            comp.where(F.col("node") != F.col("component")).select("node")
+        ),
+        exact[id_col] == F.col("node"),
+    ).agg(F.count("*").alias("n"), F.sum(t).alias("tok")).collect()[0]
+    z = lambda v: int(v or 0)  # noqa: E731 — null agg over empty stage
     rows = [
-        (0, "input", gates["n_input"]),
-        (1, "quality", int(gates["n_quality"] or 0)),
-        (2, "language", int(gates["n_lang"] or 0)),
-        (3, "exact_dedup", n_exact),
-        (4, "near_dedup", n_exact - n_dropped),
+        (0, "input", gates["n_input"], z(gates["t_input"])),
+        (1, "quality", z(gates["n_quality"]), z(gates["t_quality"])),
+        (2, "language", z(gates["n_lang"]), z(gates["t_lang"])),
+        (3, "exact_dedup", ex["n"], z(ex["tok"])),
+        (4, "near_dedup", ex["n"] - dropped["n"],
+         z(ex["tok"]) - z(dropped["tok"])),
     ]
     return spark.createDataFrame(
-        rows, "stage_idx int, stage string, survivors long"
+        rows,
+        "stage_idx int, stage string, survivors long, survivor_tokens long",
     )
 
 

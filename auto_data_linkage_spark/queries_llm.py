@@ -2104,22 +2104,40 @@ def curate_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-window curate_documents machinery.
 # --------------------------------------------------------------------------
 def _curation_funnel_sql() -> str:
+    toks = _SQL_TOKENS.format(c="text")
     return f"""
     WITH RECURSIVE
     {_curate_ctes()},
     surv AS (
         SELECT e.doc_id FROM exact e LEFT JOIN cc ON e.doc_id = cc.node
         WHERE COALESCE(cc.component, e.doc_id) = e.doc_id
+    ),
+    tok AS (
+        SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tok FROM documents
     )
-    SELECT stage_idx, stage, survivors FROM (
+    SELECT stage_idx, stage, survivors, survivor_tokens FROM (
         SELECT 0 AS stage_idx, 'input' AS stage,
-               (SELECT COUNT(*) FROM documents) AS survivors
+               (SELECT COUNT(*) FROM documents) AS survivors,
+               (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM tok)
+                   AS survivor_tokens
         UNION ALL SELECT 1, 'quality',
                (SELECT COUNT(*) FROM qual
+                WHERE quality >= {_CURATE_MIN_QUALITY!r}),
+               (SELECT CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT)
+                FROM qual JOIN tok t USING (doc_id)
                 WHERE quality >= {_CURATE_MIN_QUALITY!r})
-        UNION ALL SELECT 2, 'language', (SELECT COUNT(*) FROM kept)
-        UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM exact)
-        UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM surv)
+        UNION ALL SELECT 2, 'language',
+               (SELECT COUNT(*) FROM kept),
+               (SELECT CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT)
+                FROM kept JOIN tok t USING (doc_id))
+        UNION ALL SELECT 3, 'exact_dedup',
+               (SELECT COUNT(*) FROM exact),
+               (SELECT CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT)
+                FROM exact JOIN tok t USING (doc_id))
+        UNION ALL SELECT 4, 'near_dedup',
+               (SELECT COUNT(*) FROM surv),
+               (SELECT CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT)
+                FROM surv JOIN tok t USING (doc_id))
     ) ORDER BY stage_idx
     """
 

@@ -646,8 +646,9 @@ def test_curation_funnel_counts_each_stage(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kwargs = dict(min_quality=0.5, langs=("en",), num_hashes=4, num_bands=4)
-    got = {r["stage"]: r["survivors"]
-           for r in curation_funnel(df, **kwargs).collect()}
+    out = curation_funnel(df, **kwargs).collect()
+    got = {r["stage"]: r["survivors"] for r in out}
+    toks = {r["stage"]: r["survivor_tokens"] for r in out}
     assert got == {
         "input": 6,
         "quality": 5,      # doc 5 dropped
@@ -656,6 +657,14 @@ def test_curation_funnel_counts_each_stage(spark):
         "near_dedup": 2,   # doc 3 collapsed into 1
     }
     assert got["near_dedup"] == curate_documents(df, **kwargs).count()
+    # token mass tracks the whitespace token counts of each stage's
+    # survivor set exactly (cumulative, monotone non-increasing)
+    n = {i: len(t.split()) for i, t in rows}
+    assert toks["input"] == sum(n.values())
+    assert toks["quality"] == sum(v for k, v in n.items() if k != 5)
+    assert toks["language"] == sum(v for k, v in n.items() if k not in (4, 5))
+    assert toks["exact_dedup"] == n[1] + n[3] + n[6]
+    assert toks["near_dedup"] == n[1] + n[6]
     idx = [r["stage_idx"] for r in
            curation_funnel(df, **kwargs).orderBy("stage_idx").collect()]
     assert idx == [0, 1, 2, 3, 4]
