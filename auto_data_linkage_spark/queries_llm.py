@@ -2028,9 +2028,15 @@ def _curate_ctes() -> str:
         "     / len(list_distinct(list_concat(sl.sh, sr.sh))) "
         "ELSE 0.0 END"
     )
-    return f"""qual AS ({_quality_sql().strip()}),
+    # qual/kept/exact are referenced by several downstream CTEs (exact
+    # feeds the signature, shingle, AND pair chains; the funnel row
+    # aggregates each stage separately) — MATERIALIZED stops DuckDB
+    # re-evaluating the whole prefix per reference (measured: the
+    # funnel oracle 89 s -> seconds at sf0.01); pure optimizer hint,
+    # values unchanged
+    return f"""qual AS MATERIALIZED ({_quality_sql().strip()}),
     lp AS ({_lang_pred_sql().strip()}),
-    kept AS (
+    kept AS MATERIALIZED (
         SELECT d.doc_id, d.text, lp.lang_pred, qual.quality
         FROM documents d
         JOIN qual ON d.doc_id = qual.doc_id
@@ -2044,7 +2050,8 @@ def _curate_ctes() -> str:
               FROM kept)
         GROUP BY fp
     ),
-    exact AS (SELECT k.* FROM kept k JOIN keepx USING (doc_id)),
+    exact AS MATERIALIZED (
+        SELECT k.* FROM kept k JOIN keepx USING (doc_id)),
     sig AS ({_minhash_sql("exact").strip()}),
     {shx},
     {_minhash_pair_ctes("exact")},
@@ -2115,30 +2122,26 @@ def _curation_funnel_sql() -> str:
     tok AS (
         SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tok FROM documents
     )
-    SELECT stage_idx, stage, survivors, survivor_tokens FROM (
-        SELECT 0 AS stage_idx, 'input' AS stage,
-               (SELECT COUNT(*) FROM documents) AS survivors,
-               (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM tok)
-                   AS survivor_tokens
-        UNION ALL SELECT 1, 'quality',
-               (SELECT COUNT(*) FROM qual
-                WHERE quality >= {_CURATE_MIN_QUALITY!r}),
-               (SELECT CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT)
-                FROM qual JOIN tok t USING (doc_id)
-                WHERE quality >= {_CURATE_MIN_QUALITY!r})
-        UNION ALL SELECT 2, 'language',
-               (SELECT COUNT(*) FROM kept),
-               (SELECT CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT)
-                FROM kept JOIN tok t USING (doc_id))
-        UNION ALL SELECT 3, 'exact_dedup',
-               (SELECT COUNT(*) FROM exact),
-               (SELECT CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT)
-                FROM exact JOIN tok t USING (doc_id))
-        UNION ALL SELECT 4, 'near_dedup',
-               (SELECT COUNT(*) FROM surv),
-               (SELECT CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT)
-                FROM surv JOIN tok t USING (doc_id))
-    ) ORDER BY stage_idx
+    SELECT 0 AS stage_idx, 'input' AS stage, COUNT(*) AS survivors,
+           CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS survivor_tokens
+    FROM tok
+    UNION ALL
+    SELECT 1, 'quality', COUNT(*),
+           CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT)
+    FROM qual JOIN tok t USING (doc_id)
+    WHERE quality >= {_CURATE_MIN_QUALITY!r}
+    UNION ALL
+    SELECT 2, 'language', COUNT(*),
+           CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT)
+    FROM kept JOIN tok t USING (doc_id)
+    UNION ALL
+    SELECT 3, 'exact_dedup', COUNT(*),
+           CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT)
+    FROM exact JOIN tok t USING (doc_id)
+    UNION ALL
+    SELECT 4, 'near_dedup', COUNT(*),
+           CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT)
+    FROM surv JOIN tok t USING (doc_id)
     """
 
 
