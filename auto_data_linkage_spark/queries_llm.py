@@ -4937,7 +4937,7 @@ def _link_pages_edges_cte() -> str:
     host = _HOST_RE.replace("'", "''")
     dom = _sql_domain_expr
 
-    return rf"""pages AS (
+    return rf"""pages AS MATERIALIZED (
         SELECT doc_id,
                'https://'
                || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
@@ -4979,7 +4979,7 @@ def _link_pages_edges_cte() -> str:
                    AS dst_domain
         FROM hrefs
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT src_domain, dst_domain, COUNT(*) AS n_links
         FROM resolved
         WHERE dst_domain <> '' AND src_domain <> dst_domain
@@ -5094,7 +5094,7 @@ def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no float tolerance anywhere in an iterative numeric operator.
 # --------------------------------------------------------------------------
 _ARITH_EDGES_CTE = """ks(k) AS (VALUES (1), (2)),
-    pr_edges AS (
+    pr_edges AS MATERIALIZED (
         SELECT DISTINCT
                'd' || CAST(doc_id % 97 AS VARCHAR) AS src,
                'd' || CAST((doc_id * 7 + k) % 97 AS VARCHAR) AS dst
@@ -5126,15 +5126,16 @@ def _pagerank_cte_sql(iterations: int, seeds: tuple[str, ...] | None = None) -> 
         )
         seed_pred = f"b.domain IN ({lst})"
     parts = [
-        f"""nodes AS (SELECT src AS domain FROM pr_edges
+        f"""nodes AS MATERIALIZED (SELECT src AS domain FROM pr_edges
               UNION SELECT dst FROM pr_edges),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
     {nt_cte},
     deg AS (SELECT src AS domain, COUNT(*) AS out_degree
             FROM pr_edges GROUP BY src),
-    base AS (SELECT nodes.domain, COALESCE(deg.out_degree, 0) AS out_degree
+    base AS MATERIALIZED (
+        SELECT nodes.domain, COALESCE(deg.out_degree, 0) AS out_degree
              FROM nodes LEFT JOIN deg ON nodes.domain = deg.domain),
-    r0 AS (SELECT domain, out_degree,
+    r0 AS MATERIALIZED (SELECT domain, out_degree,
                   CAST({s} // n AS BIGINT) AS rank_scaled
            FROM base, nn)"""
     ]
@@ -5146,7 +5147,7 @@ def _pagerank_cte_sql(iterations: int, seeds: tuple[str, ...] | None = None) -> 
                     SUM(r.rank_scaled // r.out_degree) AS contrib
              FROM r{i - 1} r JOIN pr_edges e ON e.src = r.domain
              WHERE r.out_degree > 0 GROUP BY e.dst),
-    r{i} AS (SELECT b.domain, b.out_degree,
+    r{i} AS MATERIALIZED (SELECT b.domain, b.out_degree,
                     CAST(CASE WHEN {seed_pred}
                               THEN ({s} // nt.t) * 15 // 100 ELSE 0 END
                          + 85 * (COALESCE(c{i}.contrib, 0)
@@ -5218,7 +5219,7 @@ _EDGE_TAKEDOWN_DOMAIN = "ref3.com"
 def _edge_store_pagerank_sql(iterations: int = 4) -> str:
     return f"""
     WITH {_link_pages_edges_cte()},
-    pr_edges AS (
+    pr_edges AS MATERIALIZED (
         SELECT src_domain AS src, dst_domain AS dst FROM edges
         WHERE src_domain <> '{_EDGE_TAKEDOWN_DOMAIN}'
           AND dst_domain <> '{_EDGE_TAKEDOWN_DOMAIN}'
@@ -5283,7 +5284,7 @@ def _domain_rank_prune_sql(iterations: int = 4, k: int = 3) -> str:
     host = _HOST_RE.replace("'", "''")
     return f"""
     WITH {_link_pages_edges_cte()},
-    pr_edges AS (SELECT src_domain AS src, dst_domain AS dst FROM edges),
+    pr_edges AS MATERIALIZED (SELECT src_domain AS src, dst_domain AS dst FROM edges),
     {_pagerank_cte_sql(iterations)},
     top AS (SELECT domain, rank_scaled FROM r{iterations}
             ORDER BY rank_scaled DESC, domain LIMIT {k}),
@@ -5798,10 +5799,10 @@ def _hits_cte_sql(iterations: int) -> str:
 
     s = HITS_SCALE
     parts = [
-        f"""nodes AS (SELECT src AS domain FROM pr_edges
+        f"""nodes AS MATERIALIZED (SELECT src AS domain FROM pr_edges
               UNION SELECT dst FROM pr_edges),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
-    h0 AS (SELECT domain, CAST({s} // n AS BIGINT) AS hub
+    h0 AS MATERIALIZED (SELECT domain, CAST({s} // n AS BIGINT) AS hub
            FROM nodes, nn)"""
     ]
     for i in range(1, iterations + 1):
@@ -5811,7 +5812,7 @@ def _hits_cte_sql(iterations: int) -> str:
               GROUP BY e.dst),
     at{i} AS (SELECT GREATEST(COALESCE(SUM(raw), 0), 1) AS tot
               FROM ar{i}),
-    a{i} AS (SELECT n.domain,
+    a{i} AS MATERIALIZED (SELECT n.domain,
                     CAST(COALESCE(ar.raw, 0) * {s} // at.tot AS BIGINT)
                         AS auth
              FROM nodes n CROSS JOIN at{i} at
@@ -5821,7 +5822,7 @@ def _hits_cte_sql(iterations: int) -> str:
               GROUP BY e.src),
     ht{i} AS (SELECT GREATEST(COALESCE(SUM(raw), 0), 1) AS tot
               FROM hr{i}),
-    h{i} AS (SELECT n.domain,
+    h{i} AS MATERIALIZED (SELECT n.domain,
                     CAST(COALESCE(hr.raw, 0) * {s} // ht.tot AS BIGINT)
                         AS hub
              FROM nodes n CROSS JOIN ht{i} ht
@@ -5885,7 +5886,7 @@ def _domain_authority_prune_sql(iterations: int = 3, k: int = 3) -> str:
     host = _HOST_RE.replace("'", "''")
     return f"""
     WITH {_link_pages_edges_cte()},
-    pr_edges AS (SELECT src_domain AS src, dst_domain AS dst FROM edges),
+    pr_edges AS MATERIALIZED (SELECT src_domain AS src, dst_domain AS dst FROM edges),
     {_hits_cte_sql(iterations)},
     top AS (SELECT domain, auth AS auth_scaled FROM a{iterations}
             ORDER BY auth DESC, domain LIMIT {k}),
