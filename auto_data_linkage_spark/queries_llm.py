@@ -331,7 +331,7 @@ def _sql_shingle_cte(src: str = "documents") -> str:
     over its filtered survivor set)."""
     toks = _SQL_TOKENS.format(c="text")
     return f"""
-    shingled AS (
+    shingled AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(
                  list_transform(
@@ -401,7 +401,7 @@ def _minhash_long_cte(src: str = "documents") -> str:
     )
     toks = _SQL_TOKENS.format(c="text")
     return f"""
-    longb AS (
+    longb AS MATERIALIZED (
         SELECT b.doc_id, b.band, b.bh
         FROM ({bands_union}) b
         JOIN (SELECT doc_id FROM {src}
@@ -427,10 +427,10 @@ def _minhash_pair_ctes(src: str = "documents") -> str:
         SELECT band, bh FROM longb
         GROUP BY band, bh HAVING COUNT(*) <= {_MH_MAX_BUCKET}
     ),
-    keptb AS (
+    keptb AS MATERIALIZED (
         SELECT l.doc_id, l.band, l.bh FROM longb l JOIN okb USING (band, bh)
     ),
-    prs AS (
+    prs AS MATERIALIZED (
         SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
         FROM keptb l JOIN keptb r
           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
@@ -440,7 +440,7 @@ def _minhash_pair_ctes(src: str = "documents") -> str:
 
 def _minhash_pairs_sql() -> str:
     return f"""
-    WITH sig AS ({_minhash_sql().strip()}),
+    WITH sig AS MATERIALIZED ({_minhash_sql().strip()}),
     {_minhash_pair_ctes()}
     SELECT src AS doc_id_l, dst AS doc_id_r FROM prs
     """
@@ -473,7 +473,7 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _source_overlap_sql() -> str:
     return f"""
-    WITH sig AS ({_minhash_sql().strip()}),
+    WITH sig AS MATERIALIZED ({_minhash_sql().strip()}),
     {_minhash_pair_ctes()},
     m AS (SELECT doc_id, source FROM documents),
     ps AS (
@@ -527,7 +527,7 @@ def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _near_dedup_sql() -> str:
     return f"""
-    WITH RECURSIVE sig AS ({_minhash_sql().strip()}),
+    WITH RECURSIVE sig AS MATERIALIZED ({_minhash_sql().strip()}),
     {_minhash_pair_ctes()},
     sym AS (
         SELECT src, dst FROM prs UNION SELECT dst, src FROM prs
@@ -1975,7 +1975,7 @@ def _simhash_near_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
         for b in range(n_bands)
     )
     return f"""
-    WITH sig AS ({sig}),
+    WITH sig AS MATERIALIZED ({sig}),
     banded AS (
         SELECT doc_id, simhash, band,
                (simhash >> (band * {band_bits})) & {(1 << band_bits) - 1} AS val
@@ -2052,7 +2052,7 @@ def _curate_ctes() -> str:
     ),
     exact AS MATERIALIZED (
         SELECT k.* FROM kept k JOIN keepx USING (doc_id)),
-    sig AS ({_minhash_sql("exact").strip()}),
+    sig AS MATERIALIZED ({_minhash_sql("exact").strip()}),
     {shx},
     {_minhash_pair_ctes("exact")},
     verified AS (
@@ -3064,7 +3064,7 @@ def _incr_dedup_sql() -> str:
     # ALL new docs — routed-out short docs survive unconditionally, like
     # Spark's `assign` built from `new` itself.
     return f"""
-    WITH RECURSIVE sig AS ({_minhash_sql().strip()}),
+    WITH RECURSIVE sig AS MATERIALIZED ({_minhash_sql().strip()}),
     {_minhash_long_cte()},
     nwb AS (SELECT * FROM longb WHERE doc_id % 10 = 0),
     oldb AS (SELECT * FROM longb WHERE doc_id % 10 <> 0),
@@ -4422,7 +4422,7 @@ def dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _near_dedup_keep_best_sql() -> str:
     toks = _SQL_TOKENS.format(c="text")
     return f"""
-    WITH RECURSIVE sig AS ({_minhash_sql().strip()}),
+    WITH RECURSIVE sig AS MATERIALIZED ({_minhash_sql().strip()}),
     {_minhash_pair_ctes()},
     sym AS (
         SELECT src, dst FROM prs UNION SELECT dst, src FROM prs
@@ -4852,7 +4852,7 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _duplication_weights_sql() -> str:
     return f"""
-    WITH RECURSIVE sig AS ({_minhash_sql().strip()}),
+    WITH RECURSIVE sig AS MATERIALIZED ({_minhash_sql().strip()}),
     {_minhash_pair_ctes()},
     sym AS (
         SELECT src, dst FROM prs UNION SELECT dst, src FROM prs
