@@ -715,3 +715,50 @@ def test_mojibake_repair_is_identity_on_ascii(t):
     from auto_data_linkage_spark.operators.text import fix_mojibake_str
 
     assert fix_mojibake_str(t) == t
+
+
+# ------------------------------------------------- curation funnel law
+# Random small corpora (short texts over a tiny vocabulary maximize
+# exact- and near-duplicate collisions): the funnel's invariants hold
+# on EVERY input, not just the planted fixtures — few examples, each
+# one full pipeline pass (Spark in the loop).
+
+_words = st.sampled_from(
+    ["the", "quick", "brown", "fox", "jumps", "lazy", "dog", "common",
+     "words", "and", "with", "some", "other", "sentence", "about"]
+)
+_texts = st.lists(_words, min_size=1, max_size=12).map(" ".join)
+_corpora = st.lists(_texts, min_size=1, max_size=12)
+
+
+@given(_corpora)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_curation_funnel_laws(spark, corpus):
+    from auto_data_linkage_spark.operators.pipeline import (
+        curate_documents,
+        curation_funnel,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    kwargs = dict(min_quality=0.0, langs=("en",), num_hashes=4,
+                  num_bands=4, jaccard_threshold=0.7)
+    rows = curation_funnel(df, **kwargs).orderBy("stage_idx").collect()
+    stages = [r["stage"] for r in rows]
+    assert stages == ["input", "quality", "language", "exact_dedup",
+                      "near_dedup"]
+    # cumulative gates: survivors and token mass are both monotone
+    # non-increasing, start at the corpus, and never go negative
+    surv = [r["survivors"] for r in rows]
+    toks = [r["survivor_tokens"] for r in rows]
+    assert surv[0] == len(corpus)
+    assert toks[0] == sum(len(t.split()) for t in corpus)
+    assert all(a >= b >= 0 for a, b in zip(surv, surv[1:]))
+    assert all(a >= b >= 0 for a, b in zip(toks, toks[1:]))
+    # the funnel's last stage IS curate_documents' survivor count
+    assert surv[-1] == curate_documents(df, **kwargs).count()
