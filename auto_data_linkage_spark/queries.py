@@ -939,6 +939,126 @@ def fs_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Linkage funnel — the whole Fellegi–Sunter pipeline composed as ONE
+# counts row (the linkage twin of curation_funnel): records → blocked
+# candidate pairs → above-threshold matches → records touched by a
+# match → connected clusters → resolved entities. The oracle re-derives
+# every stage in one DuckDB program, recursive-CTE closure included, so
+# a hash match certifies the END-TO-END composition (blocking ∘ gamma ∘
+# FS arithmetic ∘ threshold ∘ transitive closure) — the report a
+# production linkage run publishes next to its cluster table.
+# Threshold on match_weight (exact arithmetic both engines round
+# identically): −9.0 sits between the gamma=1 weight (≈ −8.97) and the
+# gamma=0 weight (≈ −15.5), so near-matches link and non-matches don't
+# — nonempty at every shipped SF (gamma=1 pairs: 58 at sf0.001, 1661
+# at sf0.01).
+# --------------------------------------------------------------------------
+_FUNNEL_MIN_WEIGHT = -9.0
+
+
+def _linkage_funnel_sql() -> str:
+    prior_odds = math.log2(_FS_PRIOR / (1 - _FS_PRIOR))
+    bf2 = math.log2(_FS[2][0] / _FS[2][1])
+    bf1 = math.log2(_FS[1][0] / _FS[1][1])
+    bf0 = math.log2(_FS[0][0] / _FS[0][1])
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+               CASE WHEN l.c_name = r.c_name THEN 2
+                    WHEN levenshtein(l.c_name, r.c_name) <= 2 THEN 1
+                    ELSE 0 END AS gamma_name
+        FROM customer l JOIN customer r
+          ON l.c_nationkey = r.c_nationkey
+         AND l.c_mktsegment = r.c_mktsegment
+         AND l.c_custkey < r.c_custkey
+    ),
+    matched AS MATERIALIZED (
+        SELECT custkey_l, custkey_r FROM pairs
+        WHERE ROUND(({prior_odds!r}) + CASE gamma_name
+                  WHEN 2 THEN {bf2!r} WHEN 1 THEN {bf1!r}
+                  ELSE {bf0!r} END, 6) >= {_FUNNEL_MIN_WEIGHT!r}
+    ),
+    touched AS MATERIALIZED (
+        -- explicit DISTINCT: under WITH RECURSIVE DuckDB gives a
+        -- UNION-bodied CTE recursive-iteration semantics and the set
+        -- dedup is lost (measured: 2x the true count)
+        SELECT DISTINCT k FROM (
+            SELECT custkey_l AS k FROM matched
+            UNION ALL SELECT custkey_r FROM matched
+        )
+    ),
+    sym AS MATERIALIZED (
+        SELECT custkey_l AS src, custkey_r AS dst FROM matched
+        UNION SELECT custkey_r, custkey_l FROM matched
+    ),
+    reach(node, other) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, reach.other FROM sym s JOIN reach ON s.dst = reach.node
+    ),
+    cc AS MATERIALIZED (
+        SELECT node, MIN(other) AS component FROM reach GROUP BY node
+    )
+    SELECT 0 AS stage_idx, 'records' AS stage, COUNT(*) AS n FROM customer
+    UNION ALL
+    SELECT 1, 'candidate_pairs', COUNT(*) FROM pairs
+    UNION ALL
+    SELECT 2, 'matches', COUNT(*) FROM matched
+    UNION ALL
+    SELECT 3, 'matched_records', COUNT(*) FROM touched
+    UNION ALL
+    SELECT 4, 'clusters', COUNT(DISTINCT component) FROM cc
+    UNION ALL
+    SELECT 5, 'entities',
+           (SELECT COUNT(*) FROM customer)
+           - (SELECT COUNT(*) FROM touched)
+           + (SELECT COUNT(DISTINCT component) FROM cc)
+    """
+
+
+@register(
+    "linkage_funnel",
+    _linkage_funnel_sql(),
+    survey="L5+L6 composed: the full linkage pipeline as one counts row "
+    "(records -> blocked pairs -> FS threshold matches -> touched "
+    "records -> clusters -> resolved entities), recursive-closure "
+    "oracle",
+)
+def linkage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.cluster import connected_components
+
+    (cust,) = _t(spark, sf_dir, "customer")
+    n_records = cust.count()
+    scored = fs_score_fixed(spark, sf_dir).localCheckpoint(eager=True)
+    n_pairs = scored.count()
+    matched = scored.where(
+        F.col("match_weight") >= _FUNNEL_MIN_WEIGHT
+    ).select("custkey_l", "custkey_r").localCheckpoint(eager=True)
+    n_matches = matched.count()
+    n_touched = (
+        matched.select(F.col("custkey_l").alias("k"))
+        .union(matched.select("custkey_r"))
+        .distinct()
+        .count()
+    )
+    comp = connected_components(
+        matched.select(
+            F.col("custkey_l").alias("src"), F.col("custkey_r").alias("dst")
+        )
+    )
+    n_clusters = comp.select("component").distinct().count()
+    rows = [
+        (0, "records", n_records),
+        (1, "candidate_pairs", n_pairs),
+        (2, "matches", n_matches),
+        (3, "matched_records", n_touched),
+        (4, "clusters", n_clusters),
+        (5, "entities", n_records - n_touched + n_clusters),
+    ]
+    return spark.createDataFrame(rows, "stage_idx int, stage string, n long")
+
+
+# --------------------------------------------------------------------------
 # L5 + tf — Fellegi–Sunter scoring with term-frequency adjustment: on an
 # exact match the generic u is replaced by the matched VALUE's relative
 # frequency, so agreeing on a rare segment scores higher than agreeing on
@@ -1370,6 +1490,11 @@ _DEPRIORITIZED = (
     #                      in-window bm25_topk keeps the driver slot while
     #                      tests/test_oracle_window.py runs this one
     #                      through the identical Spark-vs-DuckDB gate
+    "linkage_funnel",  # the counts projection of the L5+L6 composition
+    #                    (fs_score_fixed + connected_components both
+    #                    in-window); certified back-window by
+    #                    tests/test_oracle_window.py with a recursive-
+    #                    closure oracle
     "curation_funnel",  # the counts projection of curate_documents (in-
     #                     window): same stage chain, same shared oracle
     #                     CTEs, certified stage-by-stage back-window by
@@ -1742,7 +1867,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                           "jaro_winkler_pairs", "ngram_jaccard_pairs"),
     "udf-surface": ("sql_registered_udfs",),
     "linkage-pipeline": ("fs_score_fixed", "fs_score_tf",
-                         "connected_components", "incremental_cluster"),
+                         "connected_components", "incremental_cluster",
+                         "linkage_funnel"),
     "sampling": ("stratified_sample", "mixture_sample",
                  "deterministic_sample", "sample_k_per_group",
                  "weighted_sample_k", "train_val_split",
