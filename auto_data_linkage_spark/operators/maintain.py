@@ -126,6 +126,19 @@ def _maintain_store(
         out["compacted"] = G.compact_edge_store(
             spark, path, max_files_per_bucket=compact_over
         )
+        # ops signal only — maintenance never touches ranks (they
+        # refresh via graph.refresh_pagerank): report whether the
+        # committed vector still describes the edge state a reader
+        # serves NOW (post-compaction generations count as stale; the
+        # next warm refresh is 1-2 cheap updates)
+        snap = M.read_manifest(path)
+        rk = snap["meta"].get("ranks")
+        if rk is not None:
+            out["ranks"] = {
+                "at_version": rk.get("at_version"),
+                "current": rk.get("edge_state")
+                == G._edge_state_key(snap),
+            }
     if M.is_manifest_store(path):
         if checkpoint:
             M.checkpoint_manifest_log(path)

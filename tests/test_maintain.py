@@ -363,6 +363,7 @@ def test_maintain_corpus_covers_edge_stores(spark, sf_dir, tmp_path, centers):
     m = rep["maintained"][edges]
     assert m["kind"] == "edges"
     assert m["compacted"]["buckets_rewritten"] > 0
+    assert "ranks" not in m  # no vector ever committed -> no signal
     # compaction superseded the four delta generations; the vacuum in
     # the same pass reclaimed them (min_age_seconds=0)
     assert len(m["vacuum"]["removed_gens"]) >= 1
@@ -376,3 +377,55 @@ def test_maintain_corpus_covers_edge_stores(spark, sf_dir, tmp_path, centers):
     # history survived the vacuum via the log checkpoint
     versions = [h["version"] for h in M.history(edges)]
     assert versions and versions[-1] == M.read_manifest(edges)["version"]
+
+
+def test_maintain_reports_rank_staleness(spark, sf_dir, tmp_path, centers):
+    """An edge store carrying a persisted rank vector gets an ops
+    signal in the maintain report: current=True when the vector still
+    describes the served edge state, False after maintenance itself
+    superseded the generations it was scored over (compaction) — the
+    cue to schedule a warm refresh (1-2 updates)."""
+    from auto_data_linkage_spark.operators.graph import (
+        edge_store_sink,
+        init_edge_store,
+        refresh_pagerank,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    C.build_corpus_snapshot(
+        _rows(spark, sf_dir, centers, 0, 40, seed=31), corpus,
+        key="doc_id", partition_by=["part"],
+    )
+    edges = str(tmp_path / "edges")
+    init_edge_store(edges, n_buckets=2)
+    sink = edge_store_sink(edges, app_id="crawl")
+    for b in range(3):
+        sink(
+            spark.range(b * 20, (b + 1) * 20).select(
+                F.concat(F.lit("https://s"), (F.col("id") % 4).cast("string"),
+                         F.lit(".com/p/"), F.col("id").cast("string"))
+                .alias("url"),
+                F.concat(F.lit('<a href="https://r'),
+                         (F.col("id") % 3).cast("string"),
+                         F.lit('.org/x">l</a>')).alias("html"),
+            ),
+            b,
+        )
+    refresh_pagerank(spark, edges, warm=True, persist=True, iterations=3)
+
+    # compaction rewrites the scored generations -> vector goes stale
+    rep = maintain_corpus(
+        spark, corpus, compact_over=1, min_age_seconds=0,
+        extra_stores=[edges],
+    )
+    r = rep["maintained"][edges]["ranks"]
+    assert r["at_version"] >= 1 and r["current"] is False
+
+    # the warm refresh re-scores; a second maintain pass with nothing
+    # to compact reports the vector current again
+    refresh_pagerank(spark, edges, warm=True, persist=True, iterations=3)
+    rep2 = maintain_corpus(
+        spark, corpus, compact_over=1000, min_age_seconds=0,
+        extra_stores=[edges],
+    )
+    assert rep2["maintained"][edges]["ranks"]["current"] is True
