@@ -16,6 +16,7 @@ Per-trial pipeline (all Spark work):
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -74,13 +75,20 @@ class AutoLinker:
         unique_id: str = "unique_id",
         random_seed: int = 42,
         attribute_columns: list[str] | None = None,
-        max_block_size: int | None = None,
-        block_cap_mode: str = "drop",
+        max_block_size: int | str | None = "auto",
+        block_cap_mode: str = "trim",
         sampler: str = "tpe",
-        total_pairs_guard: int | None = None,
+        total_pairs_guard: int | str | None = "auto",
+        parity: bool = False,
     ):
         if sampler not in ("tpe", "random"):
             raise ValueError(f"sampler must be 'tpe' or 'random', got {sampler!r}")
+        for name, v in (
+            ("max_block_size", max_block_size),
+            ("total_pairs_guard", total_pairs_guard),
+        ):
+            if isinstance(v, str) and v != "auto":
+                raise ValueError(f"{name} must be an int, None, or 'auto', got {v!r}")
         # "random" keeps the sampler in its startup (pure-random) phase
         # for every trial — the A/B control arm for TPE trial-efficiency
         # evidence (tools/tpe_ab.py; reference searches with hyperopt TPE,
@@ -94,14 +102,25 @@ class AutoLinker:
         self.unique_id = unique_id
         self.random_seed = random_seed
         self.attribute_columns = attribute_columns
+        # Scale-safe by DEFAULT (SCALE.md "AutoLinker E2E at 150k rows":
+        # the measured stall reproduced under the old all-None defaults).
+        # "auto" resolves at auto_link time, once n is known:
+        #   n ≤ estimation sample (10k)  → both None — the estimate is
+        #     computed on the FULL frame, bit-identical reference parity;
+        #   n > sample → total_pairs_guard = comparison_size_limit (the
+        #     untrimmed Σcnt² gate, same units as the trimmed gate) and
+        #     max_block_size = ⌈√comparison_size_limit⌉, so one block's
+        #     cap² pairs can never exceed the whole budget.
+        # Explicit ints/None pass through; parity=True forces both to
+        # None at ANY n (reference-faithful, accepts the documented
+        # hot-block risk — generate_blocking_rules then warns loudly).
+        self.parity = parity
         self.max_block_size = max_block_size
         self.block_cap_mode = block_cap_mode
-        # conservative rule gate on the UNTRIMMED total pair estimate
-        # (blocking.generate_blocking_rules(total_pairs_guard=)): the
-        # reference's trimmed avg-k² estimate admits hot-block rules at
-        # scale (SCALE.md "AutoLinker E2E at 150k rows"); None keeps
-        # reference parity
         self.total_pairs_guard = total_pairs_guard
+        # resolved at auto_link time (introspectable after the run)
+        self.resolved_max_block_size: int | None = None
+        self.resolved_total_pairs_guard: int | None = None
         self.trials: list[Trial] = []
         self._link_frames: tuple[DataFrame, DataFrame] | None = None
         self.best_trial: Trial | None = None
@@ -110,6 +129,39 @@ class AutoLinker:
         self._cluster_cache: dict[float, DataFrame] = {}
 
     # ------------------------------------------------------------ helpers
+    def _resolve_guards(self, n: int) -> tuple[int | None, int | None]:
+        """Resolve ("auto" | int | None) guards against the table size.
+
+        Returns ``(max_block_size, total_pairs_guard)``. ``parity=True``
+        forces ``(None, None)``. "auto" activates both guards only past
+        the estimation-sample boundary
+        (:data:`blocking.ESTIMATION_SAMPLE_ROWS`) — below it the rule
+        estimate is exact-on-frame and the defaults are bit-identical to
+        reference behavior; above it the trimmed sample extrapolation is
+        measured to under-cost hot-block rules by 10²–10³×
+        (SCALE.md "AutoLinker E2E at 150k rows"), so auto derives:
+
+        - ``total_pairs_guard = comparison_size_limit`` — the untrimmed
+          Σcnt² rule gate shares the trimmed gate's units;
+        - ``max_block_size = ⌈√comparison_size_limit⌉`` — one block then
+          contributes at most cap² ≈ the entire pair budget, bounding
+          blowup even for rules both estimators mis-cost.
+        """
+        if self.parity:
+            return None, None
+        sampled = n > blocking_mod.ESTIMATION_SAMPLE_ROWS
+        cap = self.max_block_size
+        if cap == "auto":
+            cap = (
+                int(math.isqrt(self.comparison_size_limit - 1)) + 1
+                if sampled and self.comparison_size_limit > 0
+                else None
+            )
+        guard = self.total_pairs_guard
+        if guard == "auto":
+            guard = self.comparison_size_limit if sampled else None
+        return cap, guard
+
     def _infer_attributes(self, df: DataFrame) -> list[str]:
         """All string columns minus id/label (reference autolinker.py:1022-1040)."""
         skip = {self.unique_id, self.true_label, "__src"}
@@ -205,12 +257,17 @@ class AutoLinker:
                 df.where(F.col("__src") == "r"),
             )
 
+        n = df.count()  # materializes the cache; guards key on n
+        (
+            self.resolved_max_block_size,
+            self.resolved_total_pairs_guard,
+        ) = self._resolve_guards(n)
         rules = blocking_mod.generate_blocking_rules(
             df,
             attrs,
             comparison_size_limit=self.comparison_size_limit,
             seed=self.random_seed,
-            total_pairs_guard=self.total_pairs_guard,
+            total_pairs_guard=self.resolved_total_pairs_guard,
         )
         if not rules:
             raise ValueError(
@@ -268,7 +325,7 @@ class AutoLinker:
             comps,
             rule.to_blocking_rules(),
             unique_id=self.unique_id,
-            max_block_size=self.max_block_size,
+            max_block_size=self.resolved_max_block_size,
             block_cap_mode=self.block_cap_mode,
         )
         model.estimate_u(df, target_pairs=100_000, seed=self.random_seed)

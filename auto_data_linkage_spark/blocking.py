@@ -18,6 +18,7 @@ ARC.scala:107-110); the OR search is pure Python arithmetic over that dict.
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 from itertools import combinations as _combinations
 
@@ -46,6 +47,12 @@ _ARM_CAP = 300
 # comparison_size_limit filter. Worst-case level work is bounded by
 # 2·top_k · C(_EXT_CAP, max_rules_per_or_rule-2).
 _EXT_CAP = 60
+
+# default estimation-sample size (reference autolinker.py:280-284). Also
+# the regime boundary for AutoLinker's "auto" guards: past this row
+# count the rule estimate is a quadratically-scaled sample extrapolation
+# and the untrimmed guard becomes mandatory for scale safety.
+ESTIMATION_SAMPLE_ROWS = 10_000
 
 
 @dataclass(frozen=True)
@@ -153,7 +160,7 @@ def generate_blocking_rules(
     comparison_size_limit: int = 100_000,
     max_columns_per_and_rule: int = 2,
     max_rules_per_or_rule: int = 3,
-    sample_rows: int | None = 10_000,
+    sample_rows: int | None = ESTIMATION_SAMPLE_ROWS,
     seed: int = 42,
     top_k: int = 1000,
     total_pairs_guard: int | None = None,
@@ -184,6 +191,25 @@ def generate_blocking_rules(
         frac = sample_rows / n
         sampled = df.sample(fraction=frac, seed=seed)
         scale = (n / sample_rows) ** 2  # pair counts scale quadratically
+        if total_pairs_guard is None:
+            # past the sample size the trimmed avg-k² statistic is
+            # quadratically extrapolated AND median-trimmed — the regime
+            # where it is measured to under-cost hot-block rules by
+            # 10²–10³× (SCALE.md "AutoLinker E2E at 150k rows"). Loud by
+            # design: the silent version of this stalled a 150k-row run.
+            warnings.warn(
+                f"generate_blocking_rules: n={n} exceeds the estimation "
+                f"sample ({sample_rows} rows) and total_pairs_guard is "
+                "None — the trimmed pair estimate can admit rules whose "
+                "true pair count is orders of magnitude over "
+                "comparison_size_limit (hot-block bias; see SCALE.md "
+                "'AutoLinker E2E at 150k rows'). Pass total_pairs_guard="
+                "comparison_size_limit (or use AutoLinker's default "
+                "'auto' guards) unless exact reference parity is "
+                "required.",
+                UserWarning,
+                stacklevel=2,
+            )
 
     lookup = count_lookup(
         sampled,

@@ -934,6 +934,7 @@ def commit_ranks(
     algo: str = "pagerank",
     params: dict | None = None,
     edge_state: str | None = None,
+    at_version: int | None = None,
 ) -> dict:
     """Persist ``(domain, rank_scaled)`` as the manifest edge store's
     derived ``ranks`` table — REPLACED whole at each commit (a rank
@@ -954,7 +955,12 @@ def commit_ranks(
             "persisted ranks need a manifest-layout edge store "
             "(init_edge_store)"
         )
-    at_version = M.read_manifest(path)["version"]
+    if at_version is None:
+        # fallback for direct callers; under a concurrent append this
+        # fresh read can postdate the snapshot the vector was scored
+        # from, so loops that pin their scored edges to a snapshot
+        # (refresh_pagerank) pass that snapshot's version explicitly
+        at_version = M.read_manifest(path)["version"]
     local = M.local_path(path)
     gen = M.next_gen(path, "ranks")
     ranks.select("domain", "rank_scaled").write.parquet(
@@ -998,9 +1004,11 @@ def _edge_state_key(snapshot: dict) -> str:
     """Deterministic fingerprint of WHAT a reader of this snapshot
     serves: the live (edges, tombstones) generation mappings. Rank
     commits don't touch them, so the key survives the refresh's own
-    commit; any append, takedown, or compaction changes it (compaction
-    conservatively so — the logical edges are identical but the
-    post-compaction warm recompute is 1-2 cheap updates)."""
+    commit; any append or takedown changes it. Compaction changes the
+    raw key too (new generations, identical logical edges), but
+    :func:`_compact_edges_manifest` re-fingerprints a rank vector that
+    was current at swap time, so quiescence survives a compact on a
+    quiet graph."""
     import hashlib
     import json
 
@@ -1074,9 +1082,13 @@ def refresh_pagerank(
     don't disturb it) under the SAME knobs (damping, scale, seeds,
     schedule), the refresh returns it directly — zero Spark jobs over
     the edge table, no new commit — the rank twin of "idle syncs
-    commit nothing". Any edge append, takedown tombstone, compaction
-    (conservatively: identical logical edges, new generations), or
-    knob change misses the fingerprint/params match and recomputes.
+    commit nothing". Any edge append, takedown tombstone, or knob
+    change misses the fingerprint/params match and recomputes.
+    Compaction does NOT break the skip: it proves logical identity
+    (its rewrite is the same purge+re-aggregation a reader applies),
+    so :func:`compact_edge_store` re-fingerprints a vector that was
+    current at swap time — a nightly compact on a quiet graph still
+    quiesces.
     Note the skip serves the committed vector AS IS rather than
     pushing it one more update toward the fixed point (a re-run
     always executes ≥ ``min_iterations`` updates by contract); pass
@@ -1098,10 +1110,19 @@ def refresh_pagerank(
             and rk.get("edge_state") == key
             and rk.get("params") == params
         ):
-            stats = pagerank_kwargs.get("stats")
-            if stats is not None:
-                stats.update(iterations_run=0, final_l1=None, skipped=True)
-            return M.read_table(spark, store_path, "ranks", snap)
+            committed = M.read_table(spark, store_path, "ranks", snap)
+            if committed is not None:
+                stats = pagerank_kwargs.get("stats")
+                if stats is not None:
+                    stats.update(
+                        iterations_run=0, final_l1=None, skipped=True
+                    )
+                return committed
+            # meta["ranks"] without a ranks table: the committed vector
+            # was EMPTY (Spark writes no parquet parts for an empty
+            # frame, so commit_ranks recorded meta only). Fall through
+            # to a recompute — trivially cheap over the same empty edge
+            # set — instead of breaking the DataFrame return contract.
         if rk is not None:
             prev_ranks = M.read_table(spark, store_path, "ranks", snap)
     # pin the scored edges to the SAME snapshot the fingerprint
@@ -1119,7 +1140,14 @@ def refresh_pagerank(
     )
     if persist:
         out = out.localCheckpoint(eager=True)
-        commit_ranks(spark, store_path, out, params=params, edge_state=key)
+        commit_ranks(
+            spark,
+            store_path,
+            out,
+            params=params,
+            edge_state=key,
+            at_version=None if snap is None else snap["version"],
+        )
     return out
 
 
@@ -1304,8 +1332,22 @@ def _compact_edges_manifest(
         .parquet(os.path.join(tdir, gen))
     )
     tables = M.replace_parts(snap["tables"], "edges", hot, gen, path)
+    meta = snap["meta"]
+    rk = meta.get("ranks")
+    if rk is not None and rk.get("edge_state") == _edge_state_key(snap):
+        # compaction proves logical identity: the rewrite is exactly the
+        # takedown purge + per-edge re-aggregation load_edges applies at
+        # read time, so a rank vector current BEFORE the swap is equally
+        # current after it. Carry the fingerprint forward to the
+        # post-compaction generation mapping so a nightly compact on a
+        # quiet graph doesn't force a nightly warm recompute
+        # (refresh_pagerank still quiesces; maintain's ranks.current
+        # stays True). A vector already stale stays stale.
+        meta = dict(meta)
+        meta["ranks"] = dict(rk)
+        meta["ranks"]["edge_state"] = _edge_state_key({"tables": tables})
     M.commit_manifest(
-        path, tables=tables, meta=snap["meta"],
+        path, tables=tables, meta=meta,
         expected_version=snap["version"],
     )
     summary["files_after"] = sum(

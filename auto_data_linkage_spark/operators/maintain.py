@@ -46,6 +46,7 @@ shop schedules as OPTIMIZE + VACUUM + MV refresh jobs.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -129,8 +130,10 @@ def _maintain_store(
         # ops signal only — maintenance never touches ranks (they
         # refresh via graph.refresh_pagerank): report whether the
         # committed vector still describes the edge state a reader
-        # serves NOW (post-compaction generations count as stale; the
-        # next warm refresh is 1-2 cheap updates)
+        # serves NOW. Compaction re-fingerprints a vector that was
+        # current at swap time (logical edges identical), so a nightly
+        # compact on a quiet graph keeps current=True; only real edge
+        # deltas (appends/takedowns) mark it stale.
         snap = M.read_manifest(path)
         rk = snap["meta"].get("ranks")
         if rk is not None:
@@ -166,7 +169,7 @@ def maintain_corpus(
     keep_versions: int = 2,
     min_age_seconds: float = 3600.0,
     checkpoint: bool = True,
-    retire: list[str] | None = None,
+    retire: list[str] | str | None = None,
     extra_stores: list[str] | None = None,
 ) -> dict:
     """Run the full maintenance pass over ``corpus_path`` and every
@@ -185,9 +188,13 @@ def maintain_corpus(
     (:func:`..sources.corpusstore.unregister_corpus_consumer`), so the
     vacuum this same pass runs can reclaim what they pinned. A path
     listed in ``retire`` whose store is still readable is NOT retired
-    (loud in the report) — retiring a live consumer is a contract
-    violation. Dead consumers NOT in ``retire`` stay registered, but
-    the report quantifies what each one pins
+    (``report["retire_refused"]`` + a UserWarning) — retiring a live
+    consumer is a contract violation. ``retire="dead"`` retires
+    exactly the consumers THIS pass proves dead (store unreadable) —
+    the report-driven ergonomic form: no re-typing the paths the last
+    report listed under ``skipped``; live consumers are untouchable by
+    construction. Dead consumers NOT retired stay registered, but the
+    report quantifies what each one pins
     (:func:`..sources.corpusstore.consumer_pin_cost`).
 
     ``extra_stores`` appends stores the registry does not name — most
@@ -208,7 +215,8 @@ def maintain_corpus(
 
     Returns ``{"synced": {index: sync-result}, "skipped": [paths whose
     store is gone — retire them], "dead": {path: pin-cost},
-    "retired": [paths], "maintained": {path: report},
+    "retired": [paths], "retire_refused": [live paths refused],
+    "maintained": {path: report},
     "corpus": {"compacted": ..., "vacuum": ...},
     "index_vacuum": {index: ...}}``."""
     report: dict = {
@@ -216,10 +224,20 @@ def maintain_corpus(
         "skipped": [],
         "dead": {},
         "retired": [],
+        "retire_refused": [],
         "maintained": {},
         "index_vacuum": {},
     }
-    retire_set = {os.path.abspath(M.local_path(p)) for p in (retire or [])}
+    if isinstance(retire, str) and retire != "dead":
+        raise ValueError(
+            f"retire must be a list of paths, 'dead', or None, got {retire!r}"
+        )
+    retire_dead = retire == "dead"
+    retire_set = (
+        set()
+        if retire_dead or retire is None
+        else {os.path.abspath(M.local_path(p)) for p in retire}
+    )
     prefix = "corpus-sync:"
     for key in sorted(C.registered_sync_cursors(corpus_path)):
         idx = key[len(prefix):]
@@ -236,10 +254,23 @@ def maintain_corpus(
                 )
             except (KeyError, FileNotFoundError):
                 report["dead"][idx] = None
-            if idx in retire_set:
+            if retire_dead or idx in retire_set:
                 C.unregister_corpus_consumer(corpus_path, key)
                 report["retired"].append(idx)
             continue
+        if idx in retire_set:
+            # the path resolves to a LIVE consumer: refuse, loudly —
+            # dropping its registration would let this same pass's
+            # vacuum reclaim generations it still reads
+            report["retire_refused"].append(idx)
+            warnings.warn(
+                f"maintain_corpus: refusing to retire {idx!r} — its "
+                "store is alive (readable); retiring a live consumer "
+                "would un-pin generations it still reads. Remove the "
+                "store first, or drop it from retire=.",
+                UserWarning,
+                stacklevel=2,
+            )
         if kind in ("linkage", "corpus"):
             # a linker-state (or nested-corpus) consumer: no sync to
             # run — it is not an index over this corpus — but it still

@@ -122,3 +122,63 @@ def test_random_sampler_mode(spark, people):
     assert len(linker.trials) == 2
     with pytest.raises(ValueError, match="sampler"):
         AutoLinker(sampler="parzen")
+
+
+class TestAutoGuards:
+    """Round-15: AutoLinker is scale-safe by DEFAULT — the "auto" guards
+    resolve against n at auto_link time (SCALE.md "AutoLinker E2E at
+    150k rows" is the measured failure the defaults now prevent)."""
+
+    def test_small_n_resolves_to_reference_parity(self):
+        linker = AutoLinker(comparison_size_limit=100_000)
+        assert linker._resolve_guards(10_000) == (None, None)
+
+    def test_large_n_derives_cap_and_guard(self):
+        linker = AutoLinker(comparison_size_limit=100_000)
+        cap, guard = linker._resolve_guards(10_001)
+        assert guard == 100_000
+        # ceil(sqrt(100_000)) = 317: one block contributes ≤ cap² ≈ budget
+        assert cap == 317
+        assert (cap - 1) ** 2 < 100_000 <= cap * cap
+
+    def test_large_n_cap_scales_with_budget(self):
+        linker = AutoLinker(comparison_size_limit=5_000_000)
+        cap, guard = linker._resolve_guards(150_000)
+        assert guard == 5_000_000
+        assert cap == 2_237  # ceil(sqrt(5M)) — the 150k E2E's derived cap
+
+    def test_parity_forces_none_at_any_n(self):
+        linker = AutoLinker(comparison_size_limit=100_000, parity=True)
+        assert linker._resolve_guards(10_000_000) == (None, None)
+
+    def test_explicit_values_pass_through(self):
+        linker = AutoLinker(
+            comparison_size_limit=100_000,
+            max_block_size=123,
+            total_pairs_guard=456,
+        )
+        assert linker._resolve_guards(5) == (123, 456)
+        assert linker._resolve_guards(10_000_000) == (123, 456)
+
+    def test_explicit_none_passes_through(self):
+        linker = AutoLinker(
+            comparison_size_limit=100_000,
+            max_block_size=None,
+            total_pairs_guard=None,
+        )
+        assert linker._resolve_guards(10_000_000) == (None, None)
+
+    def test_bad_string_rejected(self):
+        with pytest.raises(ValueError, match="total_pairs_guard"):
+            AutoLinker(total_pairs_guard="yes")
+        with pytest.raises(ValueError, match="max_block_size"):
+            AutoLinker(max_block_size="cap")
+
+    def test_default_run_records_resolved_guards(self, spark, people):
+        linker = AutoLinker(
+            comparison_size_limit=5_000, max_evals=1, random_seed=7
+        )
+        linker.auto_link(people.drop("unique_id"))
+        # fixture is tiny (< 10k rows): defaults resolved to parity
+        assert linker.resolved_max_block_size is None
+        assert linker.resolved_total_pairs_guard is None

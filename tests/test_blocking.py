@@ -268,3 +268,35 @@ def test_autolinker_passes_guard_through(spark, people, monkeypatch):
     )
     linker.auto_link(people.drop("unique_id"))
     assert seen["guard"] == 9_999_999
+
+
+def test_generate_rules_warns_when_sampled_without_guard(spark):
+    """Round-15: the loud runtime signal for the known-biased regime —
+    n past the estimation sample with no untrimmed guard reproduces the
+    measured 150k stall (SCALE.md), so generate_blocking_rules warns."""
+    import warnings as _w
+
+    from tests.febrl_fixture import SCHEMA, make_people
+
+    big = spark.createDataFrame(make_people(120, 0.3, seed=9), SCHEMA)
+    cols = ["surname", "postcode"]
+    # force the sampled regime with a tiny sample_rows instead of 10k+
+    # real rows — the warning keys on n > sample_rows, not on 10k
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        generate_blocking_rules(
+            big, cols, comparison_size_limit=10_000, sample_rows=50
+        )
+    assert any("total_pairs_guard" in str(r.message) for r in rec)
+
+    # guard present → silent; unsampled → silent
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        generate_blocking_rules(
+            big, cols, comparison_size_limit=10_000, sample_rows=50,
+            total_pairs_guard=10_000,
+        )
+        generate_blocking_rules(
+            big, cols, comparison_size_limit=10_000, sample_rows=None
+        )
+    assert not [r for r in rec2 if "total_pairs_guard" in str(r.message)]

@@ -753,3 +753,150 @@ def test_quiescent_refresh_skips_compute_and_commit(spark, tmp_path):
     s5: dict = {}
     refresh_pagerank(spark, store, stats=s5, skip_current=False, **kw)
     assert s5.get("skipped") is None and s5["iterations_run"] >= 1
+
+
+def test_quiescence_survives_compaction(spark, tmp_path):
+    """Round-15: compaction proves logical identity, so a rank vector
+    that was current at swap time stays current — a nightly compact on
+    a quiet graph must NOT force a nightly warm recompute."""
+    from auto_data_linkage_spark.operators import manifestfs as M
+    from auto_data_linkage_spark.operators.graph import (
+        compact_edge_store,
+        edge_store_sink,
+        init_edge_store,
+        refresh_pagerank,
+    )
+
+    store = str(tmp_path / "edges")
+    init_edge_store(store, n_buckets=2)
+    pages = TestEdgeStore()._pages
+    sink = edge_store_sink(store, app_id="crawl")
+    # several micro-batches → fragmented buckets worth compacting
+    sink(pages(spark, 0, 20), 0)
+    sink(pages(spark, 20, 40), 1)
+    sink(pages(spark, 40, 60), 2)
+
+    kw = dict(warm=True, persist=True, iterations=8, tol_scaled=1_000_000)
+    r1 = refresh_pagerank(spark, store, **kw)
+    v_after = M.read_manifest(store)["version"]
+
+    out = compact_edge_store(spark, store, max_files_per_bucket=0)
+    assert out["buckets_rewritten"] >= 1
+
+    # still quiescent: zero updates, zero new rank commit, same vector
+    s: dict = {}
+    r2 = refresh_pagerank(spark, store, stats=s, **kw)
+    assert s == {"iterations_run": 0, "final_l1": None, "skipped": True}
+    assert M.read_manifest(store)["version"] == v_after + 1  # compact only
+    assert sorted(map(tuple, r2.collect())) == sorted(
+        map(tuple, r1.collect())
+    )
+
+    # maintain's ops report agrees: ranks.current stays True
+    from auto_data_linkage_spark.operators.graph import _edge_state_key
+
+    snap = M.read_manifest(store)
+    assert snap["meta"]["ranks"]["edge_state"] == _edge_state_key(snap)
+
+    # a STALE vector stays stale through compaction: append a delta,
+    # compact, and the refresh recomputes (no false carry-forward)
+    sink(pages(spark, 60, 70), 3)
+    compact_edge_store(spark, store, max_files_per_bucket=0)
+    s2: dict = {}
+    refresh_pagerank(spark, store, stats=s2, **kw)
+    assert s2.get("skipped") is None and s2["iterations_run"] >= 1
+
+
+def test_commit_ranks_at_version_pins_scored_snapshot(spark, tmp_path):
+    """Round-15 (ADVICE): at_version records the snapshot the vector
+    was SCORED from, not a fresh read at commit time — a concurrent
+    append between scoring and commit must not be claimed as scored."""
+    from auto_data_linkage_spark.operators import manifestfs as M
+    from auto_data_linkage_spark.operators.graph import (
+        commit_ranks,
+        edge_store_sink,
+        init_edge_store,
+        refresh_pagerank,
+    )
+
+    store = str(tmp_path / "edges")
+    init_edge_store(store, n_buckets=2)
+    pages = TestEdgeStore()._pages
+    sink = edge_store_sink(store, app_id="crawl")
+    sink(pages(spark, 0, 30), 0)
+    v_scored = M.read_manifest(store)["version"]
+
+    ranks = refresh_pagerank(spark, store, iterations=3)
+    ranks = ranks.localCheckpoint(eager=True)
+    # concurrent append lands AFTER scoring, BEFORE the rank commit
+    sink(pages(spark, 30, 40), 1)
+
+    commit_ranks(spark, store, ranks, at_version=v_scored)
+    assert M.read_manifest(store)["meta"]["ranks"]["at_version"] == v_scored
+
+    # the warm persisted loop pins automatically: its commit records
+    # the version of the snapshot whose fingerprint it scored (the head
+    # it read at refresh time — NOT the newer head its own rank commit
+    # creates)
+    v_head = M.read_manifest(store)["version"]
+    r = refresh_pagerank(
+        spark, store, warm=True, persist=True, iterations=3
+    )
+    assert r is not None
+    meta = M.read_manifest(store)["meta"]
+    assert meta["ranks"]["at_version"] == v_head
+
+
+def test_empty_rank_commit_skip_falls_through(spark, tmp_path, monkeypatch):
+    """Round-15 (ADVICE): a rank commit whose vector write yields ZERO
+    parquet parts records meta["ranks"] without a ranks table; a
+    matching warm refresh must fall through to a recompute instead of
+    breaking the DataFrame return contract with None. (This Spark
+    writes one schema-bearing empty part even for an empty frame, so
+    the no-parts write is simulated; the guard covers engines/versions
+    that emit only _SUCCESS.) On an empty store the ordinary warm loop
+    keeps its contract either way: every refresh returns a (possibly
+    empty) DataFrame, never None."""
+    from auto_data_linkage_spark.operators import manifestfs as M
+    from auto_data_linkage_spark.operators.graph import (
+        _edge_state_key,
+        _pagerank_params,
+        commit_ranks,
+        init_edge_store,
+        load_ranks,
+        refresh_pagerank,
+    )
+
+    store = str(tmp_path / "edges")
+    init_edge_store(store, n_buckets=2)
+
+    # simulate the no-parts write (see docstring)
+    monkeypatch.setattr(M, "written_parts", lambda *a, **k: [])
+    empty = spark.createDataFrame([], "domain string, rank_scaled bigint")
+    snap = M.read_manifest(store)
+    commit_ranks(
+        spark, store, empty,
+        params=_pagerank_params(3, {}),
+        edge_state=_edge_state_key(snap),
+        at_version=snap["version"],
+    )
+    monkeypatch.undo()
+    post = M.read_manifest(store)
+    assert post["meta"]["ranks"] is not None
+    assert "ranks" not in post["tables"]  # no parts were written
+    assert load_ranks(spark, store) is None
+
+    # fingerprint+params MATCH, but there is no table to serve: the
+    # skip falls through and the refresh still returns a DataFrame
+    s: dict = {}
+    r = refresh_pagerank(
+        spark, store, warm=True, iterations=3, stats=s
+    )
+    assert r is not None and r.count() == 0
+    assert s.get("skipped") is None  # recomputed, not served
+
+    # the ordinary empty-store warm persisted loop never returns None
+    kw = dict(warm=True, persist=True, iterations=3)
+    r1 = refresh_pagerank(spark, store, **kw)
+    r2 = refresh_pagerank(spark, store, **kw)
+    assert r1 is not None and r2 is not None and r2.count() == 0

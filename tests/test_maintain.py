@@ -382,9 +382,12 @@ def test_maintain_corpus_covers_edge_stores(spark, sf_dir, tmp_path, centers):
 def test_maintain_reports_rank_staleness(spark, sf_dir, tmp_path, centers):
     """An edge store carrying a persisted rank vector gets an ops
     signal in the maintain report: current=True when the vector still
-    describes the served edge state, False after maintenance itself
-    superseded the generations it was scored over (compaction) — the
-    cue to schedule a warm refresh (1-2 updates)."""
+    describes the served edge state — INCLUDING through maintenance's
+    own compaction, which proves logical identity and carries the
+    fingerprint forward (round-15 ask #6; previously compaction
+    conservatively marked it stale) — and False only after a real edge
+    delta (append/takedown), the cue to schedule a warm refresh
+    (1-2 updates)."""
     from auto_data_linkage_spark.operators.graph import (
         edge_store_sink,
         init_edge_store,
@@ -413,13 +416,30 @@ def test_maintain_reports_rank_staleness(spark, sf_dir, tmp_path, centers):
         )
     refresh_pagerank(spark, edges, warm=True, persist=True, iterations=3)
 
-    # compaction rewrites the scored generations -> vector goes stale
+    # compaction rewrites the scored generations, but the logical
+    # edges are identical: the fingerprint is carried forward and the
+    # nightly compact does NOT flag a quiet graph's vector stale
     rep = maintain_corpus(
         spark, corpus, compact_over=1, min_age_seconds=0,
         extra_stores=[edges],
     )
     r = rep["maintained"][edges]["ranks"]
-    assert r["at_version"] >= 1 and r["current"] is False
+    assert r["at_version"] >= 1 and r["current"] is True
+
+    # a REAL edge delta marks it stale in the next pass's report
+    sink(
+        spark.range(60, 70).select(
+            F.concat(F.lit("https://s9.com/p/"),
+                     F.col("id").cast("string")).alias("url"),
+            F.lit('<a href="https://r9.org/x">l</a>').alias("html"),
+        ),
+        3,
+    )
+    rep_stale = maintain_corpus(
+        spark, corpus, compact_over=1000, min_age_seconds=0,
+        extra_stores=[edges],
+    )
+    assert rep_stale["maintained"][edges]["ranks"]["current"] is False
 
     # the warm refresh re-scores; a second maintain pass with nothing
     # to compact reports the vector current again
@@ -429,3 +449,54 @@ def test_maintain_reports_rank_staleness(spark, sf_dir, tmp_path, centers):
         extra_stores=[edges],
     )
     assert rep2["maintained"][edges]["ranks"]["current"] is True
+
+
+def test_retire_dead_sentinel_and_live_refusal(
+    spark, sf_dir, tmp_path, centers
+):
+    """Round-15 ask #8: retire="dead" retires exactly the consumers
+    THIS pass proves dead (no re-typing paths from the last report);
+    an explicit retire=[live_path] is refused loudly — in the report
+    AND as a UserWarning — because un-pinning a live reader is a
+    contract violation."""
+    corpus = str(tmp_path / "corpus")
+    dead1 = str(tmp_path / "lex_dead")
+    dead2 = str(tmp_path / "lex_dead2")
+    live = str(tmp_path / "lex_live")
+    C.build_corpus_snapshot(
+        _rows(spark, sf_dir, centers, 0, 200, seed=8), corpus,
+        key="doc_id", partition_by=["part"],
+    )
+    head = C.load_corpus_snapshot(spark, corpus).limit(0)
+    for p in (dead1, dead2, live):
+        L.build_lex_index(head, p, n_buckets=4)
+        sync_lex_index(spark, corpus, p)
+    shutil.rmtree(dead1)
+    shutil.rmtree(dead2)
+    _abs = __import__("os").path.abspath
+    live_abs, d1_abs, d2_abs = _abs(live), _abs(dead1), _abs(dead2)
+
+    # explicit retire of a LIVE consumer: refused, loud, not retired
+    with pytest.warns(UserWarning, match="refusing to retire"):
+        rep = maintain_corpus(
+            spark, corpus, min_age_seconds=0, retire=[live]
+        )
+    assert rep["retire_refused"] == [live_abs]
+    assert rep["retired"] == []
+    assert sorted(rep["skipped"]) == sorted([d1_abs, d2_abs])
+
+    # retire="dead": both proven-dead consumers dropped in one pass,
+    # the live one untouched (still syncing, still registered)
+    rep2 = maintain_corpus(
+        spark, corpus, min_age_seconds=0, retire="dead"
+    )
+    assert sorted(rep2["retired"]) == sorted([d1_abs, d2_abs])
+    assert rep2["retire_refused"] == []
+    assert live_abs in rep2["synced"]
+    assert sorted(C.registered_sync_cursors(corpus)) == [
+        f"corpus-sync:{live_abs}"
+    ]
+
+    # bad sentinel rejected
+    with pytest.raises(ValueError, match="retire"):
+        maintain_corpus(spark, corpus, retire="all")

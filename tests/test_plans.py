@@ -619,7 +619,7 @@ class TestScaleAudit:
     def test_every_catalog_query_is_scalable(self, spark, sf_dir):
         """The invariant the whole engine claims: NO registered catalog
         query plans a CartesianProduct or row-at-a-time Python eval.
-        Machine-checked over all 137 entries (plan inspection is
+        Machine-checked over every registered entry (plan inspection is
         driver-side; the handful of eager store-building rows execute
         at sf0.001)."""
         from auto_data_linkage_spark.plans.explain import assert_scalable

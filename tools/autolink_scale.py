@@ -9,14 +9,19 @@ default, ~10x the prior probe), then scores the winning model's
 clusters against the planted entities. Prints ONE JSON line:
 rows, trials, wall seconds, and pairwise P/R/F1.
 
-The per-block cap is ON by default (max_block_size=2000, trim) — the
-measured reason is in SCALE.md "AutoLinker E2E at 150k rows": the
-reference-faithful rule estimator is a TRIMMED avg-k² heuristic
-scaled quadratically from a 10k sample, and at this scale it admits
-rules whose true pair count is orders of magnitude over the budget
-(the uncapped run pinned 8 tasks at >1000 s CPU each inside the
-gamma projection of hot blocks — the exact job-killer
-candidate_pairs' docstring names). `--uncapped` reproduces that run.
+As of round 15 the linker is constructed with CLASS DEFAULTS — the
+"auto" guards (untrimmed Σcnt² rule gate at comparison_size_limit +
+per-block cap ⌈√comparison_size_limit⌉, active because n > the 10k
+estimation sample) are what a user who types `AutoLinker(...)` gets.
+The measured reason they exist is in SCALE.md "AutoLinker E2E at
+150k rows": the reference-faithful rule estimator is a TRIMMED
+avg-k² heuristic scaled quadratically from a 10k sample, and at this
+scale it admits rules whose true pair count is orders of magnitude
+over the budget (the unguarded run pinned 8 tasks at >1000 s CPU
+each inside the gamma projection of hot blocks — the exact
+job-killer candidate_pairs' docstring names). `--uncapped` passes
+parity=True (the reference-faithful escape hatch) and reproduces
+that run.
 
 Usage: python tools/autolink_scale.py [n_entities] [n_trials] [seed]
        [--uncapped]
@@ -55,17 +60,17 @@ def main():
     # pair budget scaled with the table: the generator's blocking rules
     # must fit comparison_size_limit; at ~150k rows the tightest single
     # attributes (date_of_birth ~20k values, postcode ~7.2k) estimate
-    # at 1-3M pairs, so 5M keeps the same rule shapes the 15k probe had
+    # at 1-3M pairs, so 5M keeps the same rule shapes the 15k probe had.
+    # Guards are the class DEFAULTS ("auto": untrimmed Σcnt² rule gate at
+    # the budget + per-block cap ⌈√budget⌉ = 2,237, active because
+    # n > the 10k estimation sample); --uncapped sets parity=True, the
+    # reference-faithful escape hatch that reproduces the measured stall.
     linker = AutoLinker(
         comparison_size_limit=5_000_000,
         max_evals=n_trials,
         true_label="recid",
         random_seed=seed,
-        # the cap bounds hot-block pair blowup REGARDLESS of estimator
-        # error (trim keeps hot blocks participating at cap² pairs) —
-        # mandatory at this scale, see module docstring
-        max_block_size=None if uncapped else 2_000,
-        block_cap_mode="trim",
+        parity=uncapped,
     )
     t0 = time.time()
     linker.auto_link(people.drop("unique_id"))
@@ -83,7 +88,8 @@ def main():
                 "precision": round(prf["precision"], 4),
                 "recall": round(prf["recall"], 4),
                 "f1": round(prf["f1"], 4),
-                "max_block_size": linker.max_block_size,
+                "max_block_size": linker.resolved_max_block_size,
+                "total_pairs_guard": linker.resolved_total_pairs_guard,
                 "cpus": cpus,
             }
         )
