@@ -60,6 +60,10 @@ __all__ = [
     "link_graph_stats",
     "pagerank",
     "PAGERANK_SCALE",
+    "commit_ranks",
+    "load_ranks",
+    "commit_hits",
+    "load_hits",
 ]
 
 _EDGES_SCHEMA = (
@@ -948,34 +952,87 @@ def commit_ranks(
     serving the snapshot they opened. Concurrent edge appends
     interleave safely — the replace rides the same merge-retry commit
     CAS as the sink."""
+    return _commit_vector(
+        path,
+        ranks,
+        table="ranks",
+        columns=("domain", "rank_scaled"),
+        algo=algo,
+        params=params,
+        edge_state=edge_state,
+        at_version=at_version,
+    )
+
+
+def commit_hits(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    *,
+    params: dict | None = None,
+    edge_state: str | None = None,
+    at_version: int | None = None,
+) -> dict:
+    """Persist ``(domain, hub_scaled, auth_scaled)`` as the manifest
+    edge store's derived ``hits`` table — the HITS twin of
+    :func:`commit_ranks`, same replace-whole semantics, recorded under
+    ``meta["hits"]`` so a store can carry BOTH a PageRank and a HITS
+    vector without clobbering (``meta["ranks"]`` is untouched).
+    Powers :func:`refresh_hits`'s quiescence skip; superseded
+    generations reclaimed by :func:`vacuum_edge_store`."""
+    return _commit_vector(
+        path,
+        vectors,
+        table="hits",
+        columns=("domain", "hub_scaled", "auth_scaled"),
+        algo="hits",
+        params=params,
+        edge_state=edge_state,
+        at_version=at_version,
+    )
+
+
+def _commit_vector(
+    path: str,
+    df: DataFrame,
+    *,
+    table: str,
+    columns: tuple[str, ...],
+    algo: str,
+    params: dict | None,
+    edge_state: str | None,
+    at_version: int | None,
+) -> dict:
+    """Shared replace-whole derived-vector commit (`ranks`/`hits`):
+    write a fresh generation, swap it in atomically, record the
+    scoring provenance under ``meta[table]``."""
     from . import manifestfs as M
 
     if not M.is_manifest_store(path):
         raise ValueError(
-            "persisted ranks need a manifest-layout edge store "
+            f"persisted {table} need a manifest-layout edge store "
             "(init_edge_store)"
         )
     if at_version is None:
         # fallback for direct callers; under a concurrent append this
         # fresh read can postdate the snapshot the vector was scored
         # from, so loops that pin their scored edges to a snapshot
-        # (refresh_pagerank) pass that snapshot's version explicitly
+        # (refresh_pagerank / refresh_hits) pass that snapshot's
+        # version explicitly
         at_version = M.read_manifest(path)["version"]
     local = M.local_path(path)
-    gen = M.next_gen(path, "ranks")
-    ranks.select("domain", "rank_scaled").write.parquet(
-        os.path.join(local, "ranks", gen)
-    )
-    parts = M.written_parts(path, "ranks", gen)
+    gen = M.next_gen(path, table)
+    df.select(*columns).write.parquet(os.path.join(local, table, gen))
+    parts = M.written_parts(path, table, gen)
 
     def mutate(fresh: dict):
         tables = {
-            t: m for t, m in fresh["tables"].items() if t != "ranks"
+            t: m for t, m in fresh["tables"].items() if t != table
         }
         if parts:
-            tables = M.add_gens(tables, "ranks", parts, gen)
+            tables = M.add_gens(tables, table, parts, gen)
         meta = dict(fresh["meta"])
-        meta["ranks"] = {
+        meta[table] = {
             "algo": algo,
             "at_version": at_version,
             "params": params,
@@ -983,7 +1040,7 @@ def commit_ranks(
         }
         return tables, meta
 
-    return M.commit_with_retry(path, mutate, op="commit-ranks")
+    return M.commit_with_retry(path, mutate, op=f"commit-{table}")
 
 
 def _pagerank_params(iterations: int, kw: dict) -> dict:
@@ -1075,6 +1132,20 @@ def refresh_pagerank(
     ``persist=True`` raises in :func:`commit_ranks` — keep feeding
     ``prev_ranks`` by hand there.
 
+    TRUSTRANK IS THIS FUNCTION: TrustRank (Gyöngyi'04) is PageRank
+    with teleportation restricted to a trusted seed set, which is
+    exactly ``seeds=`` (forwarded to :func:`pagerank`), so the
+    persisted warm loop — ``refresh_pagerank(spark, path,
+    seeds=[...], warm=True, persist=True, tol_scaled=...)`` — IS the
+    persisted warm TrustRank loop: the seed list is part of the
+    committed knob set (:func:`_pagerank_params`), so a TrustRank
+    vector quiesces on a quiet graph, recomputes when the seed list
+    (or any other knob) changes, and never collides with a plain
+    PageRank schedule's vector only if the two schedules share the
+    store deliberately — the ``ranks`` table holds ONE vector, the
+    last committed knob set wins (run two stores, or alternate and
+    eat the recompute, if you need both resident).
+
     QUIESCENCE SKIP (``skip_current``, default True, warm mode only):
     when the committed vector was scored over EXACTLY the edge state a
     reader would serve now (the live edges+tombstones generation
@@ -1151,29 +1222,105 @@ def refresh_pagerank(
     return out
 
 
+def load_hits(
+    spark, path: str, *, version: int | None = None
+) -> DataFrame | None:
+    """The last :func:`commit_hits` vector ``(domain, hub_scaled,
+    auth_scaled)`` of a manifest edge store, or None when none was
+    ever committed; ``version`` time-travels like :func:`load_edges`.
+    ``meta["hits"]["at_version"]`` says which edge-store version it
+    scored."""
+    from . import manifestfs as M
+
+    snap = M.read_manifest(path, version)
+    return M.read_table(spark, path, "hits", snap)
+
+
+def _hits_params(iterations: int, kw: dict) -> dict:
+    """Canonical knob set of a committed HITS vector — the quiescence
+    equality key (the HITS twin of :func:`_pagerank_params`)."""
+    return {
+        "iterations": iterations,
+        "scale": kw.get("scale", HITS_SCALE),
+    }
+
+
 def refresh_hits(
     spark,
     store_path: str,
     *,
     iterations: int = 5,
     version: int | None = None,
+    persist: bool = False,
+    skip_current: bool = True,
     **hits_kwargs,
 ) -> DataFrame:
     """One-call hubs/authorities refresh over an
     :func:`edge_store_sink` store — the HITS twin of
     :func:`refresh_pagerank`: aggregate the edge deltas
     (:func:`load_edges`, takedown mask applied) and run :func:`hits`.
-    HITS has no warm-start (each run renormalizes both vectors from
-    the uniform hub share — the fixed-point arithmetic is cheap at
-    the default 5 iterations), so the refresh is always a cold,
-    bit-exact recompute; ``version`` time-travels a manifest-layout
-    store to score a historical crawl epoch. Returns
-    ``(domain, hub_scaled, auth_scaled)``."""
-    return hits(
-        load_edges(spark, store_path, version=version),
+    HITS has no warm-START (each run renormalizes both vectors from
+    the uniform hub share, so a previous vector cannot seed the next
+    — a re-run is always a cold, bit-exact recompute), but it DOES
+    get the persisted-vector loop: ``persist=True`` commits the
+    result as the store's derived ``hits`` table
+    (:func:`commit_hits` — separate from the PageRank ``ranks``
+    table, both can coexist) and the QUIESCENCE SKIP (``skip_current``,
+    default True) serves the committed vector with zero Spark jobs
+    when the live edges+tombstones fingerprint and knob set match —
+    so a scheduled HITS-based curation gate stops re-deriving from
+    scratch on a quiet graph. Compaction carries a current
+    fingerprint forward exactly as for ranks. ``version`` time-travels
+    a manifest-layout store to score a historical crawl epoch
+    (time-travel reads never skip or persist — they are not the
+    head-state loop). Returns ``(domain, hub_scaled, auth_scaled)``."""
+    from . import manifestfs as M
+
+    params = _hits_params(iterations, hits_kwargs)
+    snap = key = None
+    if version is None and M.is_manifest_store(store_path):
+        snap = M.read_manifest(store_path)
+        key = _edge_state_key(snap)
+        hk = snap["meta"].get("hits")
+        if (
+            skip_current
+            and hk is not None
+            and hk.get("edge_state") == key
+            and hk.get("params") == params
+        ):
+            committed = M.read_table(spark, store_path, "hits", snap)
+            if committed is not None:
+                return committed
+            # meta without a table (empty zero-part commit): recompute
+    out = hits(
+        load_edges(
+            spark,
+            store_path,
+            version=(
+                version
+                if version is not None
+                else None if snap is None else snap["version"]
+            ),
+        ),
         iterations=iterations,
         **hits_kwargs,
     )
+    if persist:
+        if version is not None:
+            raise ValueError(
+                "persist=True scores and commits the HEAD edge state; "
+                "drop version= (time-travel reads are read-only)"
+            )
+        out = out.localCheckpoint(eager=True)
+        commit_hits(
+            spark,
+            store_path,
+            out,
+            params=params,
+            edge_state=key,
+            at_version=None if snap is None else snap["version"],
+        )
+    return out
 
 
 def compact_edge_store(
@@ -1333,19 +1480,23 @@ def _compact_edges_manifest(
     )
     tables = M.replace_parts(snap["tables"], "edges", hot, gen, path)
     meta = snap["meta"]
-    rk = meta.get("ranks")
-    if rk is not None and rk.get("edge_state") == _edge_state_key(snap):
-        # compaction proves logical identity: the rewrite is exactly the
-        # takedown purge + per-edge re-aggregation load_edges applies at
-        # read time, so a rank vector current BEFORE the swap is equally
-        # current after it. Carry the fingerprint forward to the
-        # post-compaction generation mapping so a nightly compact on a
-        # quiet graph doesn't force a nightly warm recompute
-        # (refresh_pagerank still quiesces; maintain's ranks.current
-        # stays True). A vector already stale stays stale.
-        meta = dict(meta)
-        meta["ranks"] = dict(rk)
-        meta["ranks"]["edge_state"] = _edge_state_key({"tables": tables})
+    pre_key = _edge_state_key(snap)
+    post_key = _edge_state_key({"tables": tables})
+    for vec in ("ranks", "hits"):
+        vk = meta.get(vec)
+        if vk is not None and vk.get("edge_state") == pre_key:
+            # compaction proves logical identity: the rewrite is exactly
+            # the takedown purge + per-edge re-aggregation load_edges
+            # applies at read time, so a vector current BEFORE the swap
+            # is equally current after it. Carry the fingerprint forward
+            # to the post-compaction generation mapping so a nightly
+            # compact on a quiet graph doesn't force a nightly warm
+            # recompute (refresh_pagerank / refresh_hits still quiesce;
+            # maintain's currency report stays True). A vector already
+            # stale stays stale.
+            meta = dict(meta)
+            meta[vec] = dict(vk)
+            meta[vec]["edge_state"] = post_key
     M.commit_manifest(
         path, tables=tables, meta=meta,
         expected_version=snap["version"],

@@ -135,13 +135,14 @@ def _maintain_store(
         # compact on a quiet graph keeps current=True; only real edge
         # deltas (appends/takedowns) mark it stale.
         snap = M.read_manifest(path)
-        rk = snap["meta"].get("ranks")
-        if rk is not None:
-            out["ranks"] = {
-                "at_version": rk.get("at_version"),
-                "current": rk.get("edge_state")
-                == G._edge_state_key(snap),
-            }
+        for vec in ("ranks", "hits"):
+            vk = snap["meta"].get(vec)
+            if vk is not None:
+                out[vec] = {
+                    "at_version": vk.get("at_version"),
+                    "current": vk.get("edge_state")
+                    == G._edge_state_key(snap),
+                }
     if M.is_manifest_store(path):
         if checkpoint:
             M.checkpoint_manifest_log(path)

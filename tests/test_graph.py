@@ -900,3 +900,153 @@ def test_empty_rank_commit_skip_falls_through(spark, tmp_path, monkeypatch):
     r1 = refresh_pagerank(spark, store, **kw)
     r2 = refresh_pagerank(spark, store, **kw)
     assert r1 is not None and r2 is not None and r2.count() == 0
+
+
+def test_persisted_hits_loop_and_quiescence(spark, tmp_path):
+    """Round-15 ask #5: HITS gets the persisted-vector loop — no
+    warm-START (renormalization makes every re-run cold by design) but
+    the committed (hub, auth) vector quiesces on a quiet graph, goes
+    stale on a real delta, survives compaction, coexists with the
+    PageRank ranks table, and shows up in maintain's currency report."""
+    from auto_data_linkage_spark.operators import manifestfs as M
+    from auto_data_linkage_spark.operators.graph import (
+        compact_edge_store,
+        edge_store_sink,
+        init_edge_store,
+        load_hits,
+        load_ranks,
+        refresh_hits,
+        refresh_pagerank,
+    )
+
+    store = str(tmp_path / "edges")
+    init_edge_store(store, n_buckets=2)
+    pages = TestEdgeStore()._pages
+    sink = edge_store_sink(store, app_id="crawl")
+    sink(pages(spark, 0, 40), 0)
+
+    assert load_hits(spark, store) is None
+    r1 = refresh_hits(spark, store, iterations=4, persist=True)
+    got = sorted(map(tuple, load_hits(spark, store).collect()))
+    assert got == sorted(map(tuple, r1.collect()))
+    meta = M.read_manifest(store)["meta"]
+    assert meta["hits"]["algo"] == "hits"
+    assert meta["hits"]["params"]["iterations"] == 4
+
+    # quiescence: same knobs + same edge state -> served, no commit
+    v = M.read_manifest(store)["version"]
+    r2 = refresh_hits(spark, store, iterations=4, persist=True)
+    assert M.read_manifest(store)["version"] == v  # no new commit
+    assert sorted(map(tuple, r2.collect())) == got
+
+    # knob change recomputes + commits
+    refresh_hits(spark, store, iterations=6, persist=True)
+    assert M.read_manifest(store)["version"] == v + 1
+
+    # compaction carries a current HITS fingerprint forward
+    sink(pages(spark, 40, 60), 1)
+    r3 = refresh_hits(spark, store, iterations=6, persist=True)
+    v3 = M.read_manifest(store)["version"]
+    compact_edge_store(spark, store, max_files_per_bucket=0)
+    r4 = refresh_hits(spark, store, iterations=6, persist=True)
+    assert M.read_manifest(store)["version"] == v3 + 1  # compact only
+    assert sorted(map(tuple, r4.collect())) == sorted(
+        map(tuple, r3.collect())
+    )
+
+    # ranks and hits coexist: a PageRank commit doesn't clobber hits
+    refresh_pagerank(spark, store, warm=True, persist=True, iterations=3)
+    snap = M.read_manifest(store)
+    assert "hits" in snap["tables"] and "ranks" in snap["tables"]
+    assert load_hits(spark, store).count() == load_ranks(
+        spark, store
+    ).count()
+
+    # time-travel read never persists
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="persist"):
+        refresh_hits(spark, store, version=1, persist=True)
+
+
+def test_hits_staleness_in_maintain_report(spark, tmp_path):
+    """maintain_corpus's edge-store pass reports hits currency next to
+    ranks (round-15 ask #5)."""
+    from auto_data_linkage_spark.operators.graph import (
+        edge_store_sink,
+        init_edge_store,
+        refresh_hits,
+    )
+    from auto_data_linkage_spark.operators.maintain import _maintain_store
+
+    store = str(tmp_path / "edges")
+    init_edge_store(store, n_buckets=2)
+    pages = TestEdgeStore()._pages
+    sink = edge_store_sink(store, app_id="crawl")
+    sink(pages(spark, 0, 30), 0)
+    refresh_hits(spark, store, iterations=3, persist=True)
+
+    rep = _maintain_store(
+        spark, store, "edges",
+        compact_over=1000, keep_versions=2,
+        min_age_seconds=0, checkpoint=False,
+    )
+    assert rep["hits"]["current"] is True
+
+    sink(pages(spark, 30, 40), 1)
+    rep2 = _maintain_store(
+        spark, store, "edges",
+        compact_over=1000, keep_versions=2,
+        min_age_seconds=0, checkpoint=False,
+    )
+    assert rep2["hits"]["current"] is False
+
+
+def test_trustrank_is_seeded_refresh_pagerank(spark, tmp_path):
+    """Round-15 ask #5: TrustRank == refresh_pagerank(seeds=...) — the
+    persisted warm loop serves it directly. The seed list is part of
+    the committed knob set, so a seeded schedule quiesces on a quiet
+    graph and a seed-list change recomputes."""
+    from auto_data_linkage_spark.operators import manifestfs as M
+    from auto_data_linkage_spark.operators.graph import (
+        edge_store_sink,
+        init_edge_store,
+        load_ranks,
+        pagerank,
+        refresh_pagerank,
+    )
+
+    store = str(tmp_path / "edges")
+    init_edge_store(store, n_buckets=2)
+    pages = TestEdgeStore()._pages
+    sink = edge_store_sink(store, app_id="crawl")
+    sink(pages(spark, 0, 40), 0)
+
+    seeds = ["ref0.org", "ref1.org"]
+    kw = dict(warm=True, persist=True, iterations=6, seeds=seeds)
+    r1 = refresh_pagerank(spark, store, **kw)
+    # identical to a direct seeded pagerank over the same edges
+    from auto_data_linkage_spark.operators.graph import load_edges
+
+    direct = pagerank(load_edges(spark, store), iterations=6, seeds=seeds)
+    assert sorted(map(tuple, r1.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    meta = M.read_manifest(store)["meta"]
+    assert meta["ranks"]["params"]["seeds"] == sorted(seeds)
+
+    # quiet graph + same seeds -> quiesce
+    s: dict = {}
+    refresh_pagerank(spark, store, stats=s, **kw)
+    assert s.get("skipped") is True
+
+    # seed-list change -> recompute (different trust base)
+    s2: dict = {}
+    r3 = refresh_pagerank(
+        spark, store, stats=s2, warm=True, persist=True,
+        iterations=6, seeds=["ref2.org"],
+    )
+    assert s2.get("skipped") is None
+    assert sorted(map(tuple, load_ranks(spark, store).collect())) == sorted(
+        map(tuple, r3.collect())
+    )
