@@ -75,6 +75,36 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def final_plan_stats(df: DataFrame) -> dict:
+    """Join/exchange strategy counts of the FINAL (post-AQE) plan —
+    EXECUTES the query once, JVM-side only (``queryExecution.toRdd``:
+    no rows cross to the driver or to Python, unlike
+    :func:`executed_plan`'s collect), so it is safe on large results.
+    AQE picks join strategies from RUNTIME sizes, so a broadcast→SMJ
+    flip that only happens past the broadcast threshold is invisible
+    in the pre-execution plan — this is the inspection the sf0.1 plan
+    pins (tests/plan_baselines_sf01.json via
+    ``tools/gen_plan_baselines.py --sf01``) are built from. Returns
+    ``{"exchanges", "smj", "bhj", "bnlj", "cartesian"}``."""
+    qe = df._jdf.queryExecution()
+    qe.toRdd().count()  # execute: finalizes adaptive planning
+    plan = qe.executedPlan().toString()
+    shuffle_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
+    )
+    return {
+        "exchanges": shuffle_exchanges,
+        "smj": plan.count("SortMergeJoin"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+    }
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen spans in the EXECUTED plan (runs the
     query). Fewer, wider spans = more of the query runs as fused JVM

@@ -1059,6 +1059,225 @@ def linkage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L4 ∘ L5 ∘ L6 — the TRAINED funnel (round-15 ask #7): the deterministic
+# contingency-table EM (the exact arithmetic of
+# model.FellegiSunterModel.estimate_m_em, model.py — fix_u, single
+# comparison, so the sufficient statistic collapses to the three
+# gamma-level pair counts) runs TO CONVERGENCE at the reference default
+# em_convergence=0.01 (reference autolinker.py:544) on the Spark side as
+# driver arithmetic over one 3-row aggregate, and in the ORACLE as a
+# recursive CTE iterating the identical update — so the hash match
+# certifies L4's trained parameters feeding the L5 threshold and the L6
+# closure CROSS-ENGINE at any SF (no data-dependent literals; the SQL
+# re-derives the fixed point itself). Classification at posterior ≥ 0.5
+# (trained match_weight ≥ 0); measured margins between the trained
+# per-gamma weights and 0 are ≥ 2.17 at both shipped SFs, so EM
+# floating-point jitter (ulp-order between numpy/libm and DuckDB) cannot
+# flip a pair across the threshold. em_iterations is emitted as a funnel
+# stage to pin the EM trajectory itself cross-engine (integer — exact).
+# --------------------------------------------------------------------------
+_EM_TOL = 0.01  # reference default em_convergence (autolinker.py:544)
+_EM_MAX_ITER = 100
+
+
+def _em_contingency(
+    n0: float, n1: float, n2: float
+) -> tuple[float, float, float, float, int]:
+    """Fixed-u contingency EM over the three gamma-level counts →
+    ``(m0, m1, m2, lam, iterations)``. EXPRESSION-IDENTICAL to the
+    recursive CTE in :func:`_linkage_funnel_trained_sql` (same
+    association order, same clamps) and arithmetically the
+    single-comparison, fix_u case of
+    ``FellegiSunterModel.estimate_m_em`` (model.py) — the parity is
+    pinned by tests/test_model.py::test_em_contingency_matches_model_em."""
+    m0, m1, m2 = _FS[0][0], _FS[1][0], _FS[2][0]
+    u0, u1, u2 = _FS[0][1], _FS[1][1], _FS[2][1]
+    lam = 0.5
+    iters = 0
+    for iters in range(1, _EM_MAX_ITER + 1):
+        p0 = (lam * m0) / ((lam * m0) + (1.0 - lam) * u0)
+        p1 = (lam * m1) / ((lam * m1) + (1.0 - lam) * u1)
+        p2 = (lam * m2) / ((lam * m2) + (1.0 - lam) * u2)
+        q0, q1, q2 = n0 * p0, n1 * p1, n2 * p2
+        s = q0 + q1 + q2
+        t = n0 + n1 + n2
+        nm0 = max(q0 / s, 1e-9)
+        nm1 = max(q1 / s, 1e-9)
+        nm2 = max(q2 / s, 1e-9)
+        nlam = s / t
+        delta = max(
+            abs(nm0 - m0), abs(nm1 - m1), abs(nm2 - m2), abs(nlam - lam)
+        )
+        m0, m1, m2, lam = nm0, nm1, nm2, nlam
+        if delta <= _EM_TOL:
+            break
+    return m0, m1, m2, lam, iters
+
+
+def _linkage_funnel_trained_sql() -> str:
+    m0_0, u0 = _FS[0]
+    m1_0, u1 = _FS[1]
+    m2_0, u2 = _FS[2]
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT l.c_custkey AS custkey_l, r.c_custkey AS custkey_r,
+               CASE WHEN l.c_name = r.c_name THEN 2
+                    WHEN levenshtein(l.c_name, r.c_name) <= 2 THEN 1
+                    ELSE 0 END AS gamma_name
+        FROM customer l JOIN customer r
+          ON l.c_nationkey = r.c_nationkey
+         AND l.c_mktsegment = r.c_mktsegment
+         AND l.c_custkey < r.c_custkey
+    ),
+    cnt AS MATERIALIZED (
+        SELECT CAST(SUM(CASE WHEN gamma_name = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+               CAST(SUM(CASE WHEN gamma_name = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+               CAST(SUM(CASE WHEN gamma_name = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+        FROM pairs
+    ),
+    -- the EM fixed point derived IN SQL: each recursive row is one
+    -- iteration of the identical update _em_contingency runs driver-side
+    -- anchor literals CAST to DOUBLE: the recursive CTE's column types
+    -- come from the anchor row, and bare decimal literals would type
+    -- the whole iteration DECIMAL(p,s) (measured: the EM silently
+    -- rounds to 2 decimals and stops an iteration early)
+    em(it, m0, m1, m2, lam, delta) AS (
+        SELECT 0, CAST({m0_0!r} AS DOUBLE), CAST({m1_0!r} AS DOUBLE),
+               CAST({m2_0!r} AS DOUBLE), CAST(0.5 AS DOUBLE),
+               CAST(1.0 AS DOUBLE)
+        UNION ALL
+        SELECT w.it + 1,
+               GREATEST(w.q0 / w.s, 1e-9),
+               GREATEST(w.q1 / w.s, 1e-9),
+               GREATEST(w.q2 / w.s, 1e-9),
+               w.s / w.t,
+               GREATEST(ABS(GREATEST(w.q0 / w.s, 1e-9) - w.m0),
+                        ABS(GREATEST(w.q1 / w.s, 1e-9) - w.m1),
+                        ABS(GREATEST(w.q2 / w.s, 1e-9) - w.m2),
+                        ABS(w.s / w.t - w.lam))
+        FROM (
+            SELECT e.it, e.m0, e.m1, e.m2, e.lam, e.delta,
+                   v.q0, v.q1, v.q2, v.q0 + v.q1 + v.q2 AS s,
+                   c.n0 + c.n1 + c.n2 AS t
+            FROM em e, cnt c, LATERAL (
+                SELECT c.n0 * ((e.lam * e.m0) / ((e.lam * e.m0) + (1.0 - e.lam) * {u0!r})) AS q0,
+                       c.n1 * ((e.lam * e.m1) / ((e.lam * e.m1) + (1.0 - e.lam) * {u1!r})) AS q1,
+                       c.n2 * ((e.lam * e.m2) / ((e.lam * e.m2) + (1.0 - e.lam) * {u2!r})) AS q2
+            ) v
+            WHERE e.delta > {_EM_TOL!r} AND e.it < {_EM_MAX_ITER}
+        ) w
+    ),
+    trained AS MATERIALIZED (
+        SELECT it, m0, m1, m2, lam FROM em ORDER BY it DESC LIMIT 1
+    ),
+    matched AS MATERIALIZED (
+        SELECT p.custkey_l, p.custkey_r
+        FROM pairs p, trained tr
+        WHERE LOG2(tr.lam / (1.0 - tr.lam)) + CASE p.gamma_name
+                  WHEN 2 THEN LOG2(tr.m2 / {u2!r})
+                  WHEN 1 THEN LOG2(tr.m1 / {u1!r})
+                  ELSE LOG2(tr.m0 / {u0!r}) END >= 0.0
+    ),
+    touched AS MATERIALIZED (
+        SELECT DISTINCT k FROM (
+            SELECT custkey_l AS k FROM matched
+            UNION ALL SELECT custkey_r FROM matched
+        )
+    ),
+    sym AS MATERIALIZED (
+        SELECT custkey_l AS src, custkey_r AS dst FROM matched
+        UNION SELECT custkey_r, custkey_l FROM matched
+    ),
+    reach(node, other) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, reach.other FROM sym s JOIN reach ON s.dst = reach.node
+    ),
+    cc AS MATERIALIZED (
+        SELECT node, MIN(other) AS component FROM reach GROUP BY node
+    )
+    SELECT 0 AS stage_idx, 'records' AS stage, COUNT(*) AS n FROM customer
+    UNION ALL
+    SELECT 1, 'candidate_pairs', COUNT(*) FROM pairs
+    UNION ALL
+    SELECT 2, 'em_iterations', (SELECT it FROM trained)
+    UNION ALL
+    SELECT 3, 'matches', COUNT(*) FROM matched
+    UNION ALL
+    SELECT 4, 'matched_records', COUNT(*) FROM touched
+    UNION ALL
+    SELECT 5, 'clusters', COUNT(DISTINCT component) FROM cc
+    UNION ALL
+    SELECT 6, 'entities',
+           (SELECT COUNT(*) FROM customer)
+           - (SELECT COUNT(*) FROM touched)
+           + (SELECT COUNT(DISTINCT component) FROM cc)
+    """
+
+
+@register(
+    "linkage_funnel_trained",
+    _linkage_funnel_trained_sql(),
+    survey="L4+L5+L6 composed: contingency EM trained to convergence "
+    "(reference tol 0.01) feeds the FS threshold and closure; the "
+    "oracle re-derives the EM fixed point as a recursive CTE — no "
+    "data-dependent literals",
+)
+def linkage_funnel_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_linkage_spark.cluster import connected_components
+
+    (cust,) = _t(spark, sf_dir, "customer")
+    n_records = cust.count()
+    pairs = blocking_self_join(spark, sf_dir).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    # L4: the 3-row contingency aggregate is the EM's entire input
+    lvl = {
+        int(r["gamma_name"]): float(r["count"])
+        for r in pairs.groupBy("gamma_name").count().collect()
+    }
+    m0, m1, m2, lam, iters = _em_contingency(
+        lvl.get(0, 0.0), lvl.get(1, 0.0), lvl.get(2, 0.0)
+    )
+    # L5 at the trained parameters: per-gamma weights are driver
+    # constants; posterior >= 0.5 <=> match_weight >= 0
+    prior_odds = math.log2(lam / (1.0 - lam))
+    w = {
+        0: prior_odds + math.log2(m0 / _FS[0][1]),
+        1: prior_odds + math.log2(m1 / _FS[1][1]),
+        2: prior_odds + math.log2(m2 / _FS[2][1]),
+    }
+    match_levels = [g for g, wt in w.items() if wt >= 0.0]
+    matched = (
+        pairs.where(F.col("gamma_name").isin(match_levels))
+        .select("custkey_l", "custkey_r")
+        .localCheckpoint(eager=True)
+    )
+    n_matches = matched.count()
+    n_touched = (
+        matched.select(F.col("custkey_l").alias("k"))
+        .union(matched.select("custkey_r"))
+        .distinct()
+        .count()
+    )
+    comp = connected_components(
+        matched.select(
+            F.col("custkey_l").alias("src"), F.col("custkey_r").alias("dst")
+        )
+    )
+    n_clusters = comp.select("component").distinct().count()
+    rows = [
+        (0, "records", n_records),
+        (1, "candidate_pairs", n_pairs),
+        (2, "em_iterations", iters),
+        (3, "matches", n_matches),
+        (4, "matched_records", n_touched),
+        (5, "clusters", n_clusters),
+        (6, "entities", n_records - n_touched + n_clusters),
+    ]
+    return spark.createDataFrame(rows, "stage_idx int, stage string, n long")
+
+
+# --------------------------------------------------------------------------
 # L5 + tf — Fellegi–Sunter scoring with term-frequency adjustment: on an
 # exact match the generic u is replaced by the matched VALUE's relative
 # frequency, so agreeing on a rare segment scores higher than agreeing on
@@ -1495,6 +1714,13 @@ _DEPRIORITIZED = (
     #                    in-window); certified back-window by
     #                    tests/test_oracle_window.py with a recursive-
     #                    closure oracle
+    "linkage_funnel_trained",  # the L4∘L5∘L6 composition (r15 ask #7):
+    #                            same funnel with the EM TRAINED m/λ —
+    #                            back-window like its fixed-parameter
+    #                            sibling (linkage_funnel family keeps
+    #                            fs_score_fixed/connected_components
+    #                            front); the oracle re-derives the EM
+    #                            fixed point as a recursive CTE
     "curation_funnel",  # the counts projection of curate_documents (in-
     #                     window): same stage chain, same shared oracle
     #                     CTEs, certified stage-by-stage back-window by

@@ -178,6 +178,53 @@ def _run(spark, qs, names, sf_dir, repeats):
     return timings, single
 
 
+def _check_plans(spark, qs, sf_dir, sf) -> None:
+    """`--check-plans` (VERDICT r14 ask #3): compare each headline
+    query's FINAL (post-AQE) plan at the bench SF against the pinned
+    join/exchange strategy counts in tests/plan_baselines_sf01.json.
+    AQE picks join strategies from runtime sizes, so a broadcast→SMJ
+    flip that only happens past the broadcast threshold is invisible
+    both to the sf0.001 static pins and (at small SF) to the time
+    budget — this catches it where it happens. A count may shrink
+    (improvement); growth in exchanges/smj/bnlj/cartesian is a
+    regression. Regenerate pins after an intentional plan change:
+    `python tools/gen_plan_baselines.py --sf01` + commit the diff."""
+    from auto_data_linkage_spark.plans.explain import final_plan_stats
+
+    pins_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "plan_baselines_sf01.json",
+    )
+    with open(pins_path) as f:
+        pins = json.load(f)
+    regressions: dict[str, dict] = {}
+    missing = [n for n in BENCH_QUERIES if n not in pins]
+    for name in BENCH_QUERIES:
+        if name not in pins:
+            continue
+        got = final_plan_stats(qs[name](spark, sf_dir))
+        worse = {
+            k: {"pinned": pins[name][k], "got": got[k]}
+            for k in ("exchanges", "smj", "bnlj", "cartesian")
+            if got[k] > pins[name].get(k, 0)
+        }
+        if worse:
+            regressions[name] = worse
+    print(
+        json.dumps(
+            {
+                "metric": "plan_check_sf01",
+                "sf": float(sf),
+                "n_checked": len(BENCH_QUERIES) - len(missing),
+                "missing_pins": missing,
+                "regressions": regressions,
+            }
+        )
+    )
+    if regressions or missing:
+        sys.exit(1)
+
+
 def main() -> None:
     run_all = "--all" in sys.argv[1:]
     default_dir = "/root/testdata/sf0.01" if run_all else "/root/testdata/sf0.1"
@@ -191,6 +238,10 @@ def main() -> None:
     qs = catalog.queries()
     # warmup: spin up executors / codegen once
     qs["global_agg"](spark, sf_dir).collect()
+
+    if "--check-plans" in sys.argv[1:]:
+        _check_plans(spark, qs, sf_dir, sf)
+        return
 
     if run_all:
         # the back-window regression gate (VERDICT r13 ask #4): EVERY

@@ -32,8 +32,42 @@ OUT = os.path.join(
 )
 
 
+SF01_DIR = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+OUT_SF01 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "plan_baselines_sf01.json",
+)
+
+
 def main() -> None:
     import auto_data_linkage_spark.queries as catalog
+
+    if "--sf01" in sys.argv[1:]:
+        # the sf0.1 FINAL-plan pins (VERDICT r14 ask #3): AQE decides
+        # join strategies from runtime sizes, so a broadcast→SMJ flip
+        # that only appears past the broadcast threshold is invisible
+        # to the sf0.001 static pins — these record the post-execution
+        # (isFinalPlan) exchange + join-strategy counts of the HEADLINE
+        # set at the bench SF. Compared by `bench.py --check-plans`
+        # (bench-adjacent — the suite stays sf0.001-only and fast).
+        # Regenerate after an intentional plan change:
+        #     python tools/gen_plan_baselines.py --sf01
+        # and commit the diff.
+        from bench import BENCH_QUERIES
+        from auto_data_linkage_spark.plans.explain import final_plan_stats
+
+        spark = get_spark("plan-baselines-sf01", cpus=8)
+        qs = catalog.queries()
+        out = {}
+        for name in BENCH_QUERIES:
+            out[name] = final_plan_stats(qs[name](spark, SF01_DIR))
+            print(f"{name}: {out[name]}")
+        with open(OUT_SF01, "w") as f:
+            json.dump(out, f, indent=0, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {len(out)} sf0.1 final-plan baselines -> {OUT_SF01}")
+        spark.stop()
+        return
 
     spark = get_spark("plan-baselines", cpus=8)
     out = {}
