@@ -536,7 +536,11 @@ def embedding_dup_pairs(
     cols = [F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("__n")]
     if bucket_col:
         cols.append(F.col(bucket_col))
-    base = df.select(*cols)
+    # the per-cell self-join does Σ cell² dot products — quadratic compute
+    # on linear bytes. A single-row-group scan would feed the (broadcast)
+    # join from ONE partition and serialize all of it on one task; the
+    # repartition is a no-op once the input arrives in ≥ cores partitions.
+    base = ensure_parallelism(df).select(*cols)
     left = base.alias("l")
     right = base.alias("r")
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")

@@ -18,10 +18,16 @@ A vectorized pandas-UDF path (numpy matmul per Arrow batch) is provided
 for wide corpora where the per-element fold dominates; semantics are
 identical, so tests pin them to each other.
 
-Unlike the shingling/hashing dedup ops, these paths do NOT pre-repartition
-small scans (``ensure_parallelism``): a cosine costs the same order of
-work as shuffling the vector row itself, so the repartition can never pay
-for itself here — measured, it doubled the warm query time at bench scale.
+The SCORING side of every search pre-repartitions single-partition scans
+(``ensure_parallelism``): each corpus row scores against |queries| (or
+|probes|) broadcast rows, so per-row compute is O(|queries|·d) — far above
+the one-time cost of shuffling the row — and a single-row-group file would
+otherwise serialize the whole scoring scan on ONE task (measured r15:
+pq_topk 2.65 s → 0.71 s, ivfpq 2.77 s → 1.03 s at sf0.1/local[32]). The
+AGGREGATION inputs (centroid means) deliberately stay on the raw corpus:
+float sums are order-dependent, and keeping the scan order fixed keeps the
+rounded centroids bit-identical to the DuckDB oracle under any core count.
+At real scale inputs arrive in many files and the repartition is a no-op.
 """
 
 from __future__ import annotations
@@ -91,13 +97,15 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cosine, rank). Queries are broadcast —
     the corpus never shuffles. Ties break by neighbor id (deterministic).
     """
+    from auto_data_linkage_spark.operators.text import ensure_parallelism
+
     qid = query_id_col or id_col
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         norm_expr(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         norm_expr(F.col(vec_col)).alias("__cn"),
@@ -212,7 +220,9 @@ def ivf_topk(
         F.col("cr") <= nprobe
     ).select("query_id", "__qvec", "__qn", "cell")
 
-    c = corpus.select(
+    from auto_data_linkage_spark.operators.text import ensure_parallelism
+
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         norm_expr(F.col(vec_col)).alias("__cn"),
@@ -346,7 +356,9 @@ def lsh_topk(
             id_alias, f"__vec_{id_alias}", f"__n_{id_alias}", "b.band", "b.val"
         )
 
-    c = banded(corpus, "neighbor_id")
+    from auto_data_linkage_spark.operators.text import ensure_parallelism
+
+    c = banded(ensure_parallelism(corpus), "neighbor_id")
     q = banded(queries, "query_id", flips=multiprobe)
     cands = (
         c.join(F.broadcast(q), ["band", "val"])
@@ -680,8 +692,12 @@ def sq8_topk(
     against true float vectors, the same two-phase recipe as
     :func:`pq_topk`.  Output: (query_id, neighbor_id, cosine, rank).
     """
+    from auto_data_linkage_spark.operators.text import ensure_parallelism
+
     if codes is None:
-        coded = sq8_encode(corpus, vec_col=vec_col, id_col=id_col)
+        coded = sq8_encode(
+            ensure_parallelism(corpus), vec_col=vec_col, id_col=id_col
+        )
     else:
         coded = codes
     c = coded.select(
@@ -930,10 +946,13 @@ def pq_topk(
     budget. At 100 TB use :func:`ivfpq_topk`, which prunes the ADC scan
     to the ``nprobe`` IVF cells nearest each query.
     """
+    from auto_data_linkage_spark.operators.text import ensure_parallelism
+
     cbs = codebooks if codebooks is not None else pq_codebooks(
         corpus, m=m, n_codewords=n_codewords, vec_col=vec_col, id_col=id_col
     )
 
+    corpus = ensure_parallelism(corpus)
     coded = pq_encode(corpus, cbs, vec_col=vec_col, id_col=id_col).select(
         F.col(id_col).alias("neighbor_id"),
         "codes",
@@ -1046,6 +1065,12 @@ def ivfpq_topk(
     )
 
     # ---- encode once: (neighbor_id, cell, codes, recon norm) ----------
+    # the repartition sits BELOW the encode so the per-row ADC prep and
+    # scoring parallelize; cents/cbs above read the raw scan (float-sum
+    # order stays fixed → centroids stay oracle-bit-identical)
+    from auto_data_linkage_spark.operators.text import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
     coded = pq_encode(
         corpus, cbs, vec_col=vec_col, id_col=id_col, keep=(cell_col,)
     ).select(

@@ -640,8 +640,14 @@ def _phonetic_sql_entry() -> str:
 )
 def phonetic_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_linkage_spark.compare import phonetic_key
+    from auto_data_linkage_spark.operators.text import ensure_parallelism
 
     (part,) = _t(spark, sf_dir, "part")
+    # probe side repartitioned (same rationale as blocking_self_join): a
+    # single-row-group file scans as ONE partition and the build side
+    # broadcasts, so the per-pair levenshtein + phonetic-key work would
+    # otherwise serialize on a single task regardless of core count
+    part = ensure_parallelism(part)
     keyed = part.select(
         "p_partkey",
         "p_name",
