@@ -239,6 +239,126 @@ def link_graph_stats(edges: DataFrame) -> DataFrame:
 PAGERANK_SCALE = 10**12
 
 
+def _collect_if_small(df: DataFrame, threshold: int):
+    """Bounded-probe collect (the connected-components convention): a
+    ``limit(threshold + 1)`` count ships ONE long to the driver; only
+    when the frame is actually small do the (cached) rows follow. The
+    probe's persist makes the often-expensive lineage execute once —
+    the collect reads cache, never recomputes. Returns the row list, or
+    None when the frame exceeds ``threshold`` (no row ever crossed)."""
+    lim = df.limit(threshold + 1).persist()
+    try:
+        n = lim.count()
+        return lim.collect() if n <= threshold else None
+    finally:
+        lim.unpersist()
+
+
+def _pagerank_driver(
+    edge_rows,
+    spark,
+    *,
+    iterations: int,
+    damping_pct: int,
+    scale: int,
+    seeds,
+    init_rank_rows,
+    tol_scaled,
+    min_iterations: int,
+    stats,
+) -> DataFrame:
+    """Driver-side replica of the distributed :func:`pagerank` loop for
+    graphs small enough to collect. Every quantity is the SAME exact
+    non-negative BIGINT arithmetic (``//`` ≡ SQL ``DIV`` on
+    non-negatives), so the output is bit-identical to the distributed
+    path — the adaptive-execution contract :func:`..cluster
+    .connected_components` established. A 50k-edge graph costs
+    O(E·iterations) dict ops here (milliseconds) versus ~2 Spark jobs
+    PER ITERATION distributed (~0.1 s each of pure scheduling at any
+    scale factor)."""
+    import pandas as pd
+
+    out_deg: dict = {}
+    nodes: set = set()
+    adj: list = []
+    for r in edge_rows:
+        s, d = r["src"], r["dst"]
+        nodes.add(s)
+        nodes.add(d)
+        out_deg[s] = out_deg.get(s, 0) + 1
+        adj.append((s, d))
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "domain string, rank_scaled bigint"
+        )
+    if seeds is not None:
+        seed_set = set(seeds)
+        is_seed = {v: (v in seed_set) for v in nodes}
+        n_tel = sum(1 for v in nodes if is_seed[v])
+        if n_tel == 0:
+            raise ValueError("no seed domain is present in the graph")
+    else:
+        is_seed = {v: True for v in nodes}
+        n_tel = n
+    teleport = (scale // n_tel) * (100 - damping_pct) // 100
+    if init_rank_rows is not None:
+        init_map = {r["domain"]: r["rank_scaled"] for r in init_rank_rows}
+        uniform = scale // n
+        rank = {
+            v: (
+                init_map[v]
+                if init_map.get(v) is not None
+                else uniform
+            )
+            for v in nodes
+        }
+    else:
+        rank = {v: scale // n for v in nodes}
+    prev = None
+    iterations_run = 0
+    l1 = None
+    for _ in range(iterations):
+        dangling = sum(
+            rank[v] for v in nodes if out_deg.get(v, 0) == 0
+        )
+        l1 = (
+            None
+            if prev is None
+            else sum(abs(rank[v] - prev[v]) for v in nodes)
+        )
+        if (
+            tol_scaled is not None
+            and l1 is not None
+            and iterations_run >= min_iterations
+            and l1 <= tol_scaled
+        ):
+            break
+        contrib: dict = {}
+        for s, d in adj:
+            share = rank[s] // out_deg[s]
+            contrib[d] = contrib.get(d, 0) + share
+        prev = rank
+        extra = dangling // n_tel
+        rank = {
+            v: (
+                (teleport if is_seed[v] else 0)
+                + damping_pct
+                * (contrib.get(v, 0) + (extra if is_seed[v] else 0))
+                // 100
+            )
+            for v in nodes
+        }
+        iterations_run += 1
+    if stats is not None:
+        stats["iterations_run"] = iterations_run
+        stats["final_l1"] = l1
+    pdf = pd.DataFrame(
+        sorted(rank.items()), columns=["domain", "rank_scaled"]
+    )
+    return spark.createDataFrame(pdf, "domain string, rank_scaled bigint")
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -252,6 +372,7 @@ def pagerank(
     tol_scaled: int | None = None,
     min_iterations: int = 1,
     stats: dict | None = None,
+    driver_threshold: int = 50_000,
 ) -> DataFrame:
     """Fixed-point PageRank over a (src, dst) edge table →
     ``(domain, rank_scaled)`` with rank_scaled summing to ≈ scale.
@@ -294,8 +415,15 @@ def pagerank(
     is the last L1 delta the stop-check aggregated, ``None`` if no
     update ran).
 
-    Per iteration: one shuffle join (ranks ⋈ edges on src) + one
-    aggregation (sum by dst), with ranks eagerly localCheckpointed so
+    ``driver_threshold``: graphs with no more than this many distinct
+    edges run the IDENTICAL exact-integer loop driver-side (bounded
+    limit probe first — no edge row reaches the driver above the
+    threshold), the same adaptive-execution convention as
+    ``cluster.connected_components``; 0/None forces the distributed
+    path. Both paths are bit-identical by construction.
+
+    Per iteration (distributed path): one shuffle join (ranks ⋈ edges
+    on src) + one aggregation (sum by dst), with ranks eagerly localCheckpointed so
     the logical plan stays O(1) in ``iterations``. The dangling mass is
     a 1-row aggregate COLLECTED to the driver each round — 8 bytes, the
     same loop-carried-scalar convention as the k-means centroid loop
@@ -314,6 +442,45 @@ def pagerank(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # adaptive execution (the connected_components convention): a graph
+    # under ``driver_threshold`` distinct edges runs the IDENTICAL exact-
+    # integer loop on the driver — a distributed iteration costs ~2 jobs
+    # of fixed scheduling latency regardless of data size, so a 100-node
+    # bench graph pays ~10 jobs for microseconds of arithmetic. Memory
+    # math: ≤ threshold+1 collected edge Rows (~200 B each incl. Python
+    # overhead → ~10 MB at the default 50k) plus two int dicts over
+    # ≤ 2·threshold nodes — trivially driver-safe; the 50k default also
+    # bounds the Python loop at O(50k·iterations) dict ops (~ms). Above
+    # the threshold NO edge row reaches the driver (bounded limit probe)
+    # and the star of the show stays the executor-side loop.
+    if driver_threshold and driver_threshold > 0:
+        rows = _collect_if_small(e, driver_threshold)
+        if rows is not None:
+            init_rows = (
+                None
+                if init_ranks is None
+                else _collect_if_small(
+                    # a warm-start vector for a ≤ threshold-edge graph
+                    # has ≤ 2·threshold useful rows; a bigger one means
+                    # the PREVIOUS graph was over-threshold — keep that
+                    # case distributed rather than collect it
+                    init_ranks.select("domain", "rank_scaled"),
+                    2 * driver_threshold,
+                )
+            )
+            if init_ranks is None or init_rows is not None:
+                return _pagerank_driver(
+                    rows,
+                    edges.sparkSession,
+                    iterations=iterations,
+                    damping_pct=damping_pct,
+                    scale=scale,
+                    seeds=seeds,
+                    init_rank_rows=init_rows,
+                    tol_scaled=tol_scaled,
+                    min_iterations=min_iterations,
+                    stats=stats,
+                )
     # reused every iteration (both loop reads) — materialize once.
     e = ensure_parallelism(e).localCheckpoint(eager=True)
 
@@ -452,6 +619,58 @@ def pagerank(
 HITS_SCALE = 10**6
 
 
+def _hits_driver(
+    edge_rows, spark, *, iterations: int, scale: int
+) -> DataFrame:
+    """Driver-side replica of the distributed :func:`hits` loop —
+    identical exact-integer half-steps (``//`` ≡ SQL ``DIV`` on
+    non-negatives), bit-identical output; see :func:`_pagerank_driver`
+    for the adaptive-execution rationale and memory math."""
+    import pandas as pd
+
+    nodes: set = set()
+    adj: list = []
+    for r in edge_rows:
+        s, d = r["src"], r["dst"]
+        nodes.add(s)
+        nodes.add(d)
+        adj.append((s, d))
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "domain string, hub_scaled bigint, auth_scaled bigint"
+        )
+    if scale // n == 0:
+        raise ValueError(
+            f"graph has {n} nodes but scale={scale}: the initial hub "
+            "share scale DIV n floors to 0 and zero vectors are a "
+            "fixed point of the integer rescale (the result would be "
+            "silently all-zero). Raise scale to at least the node "
+            "count — and check the max_degree < 2^63/scale^2 overflow "
+            "bound still holds at the new scale (see docstring)."
+        )
+    hub = {v: scale // n for v in nodes}
+    auth = None
+    for _ in range(iterations):
+        a_raw: dict = {}
+        for s, d in adj:
+            a_raw[d] = a_raw.get(d, 0) + hub[s]
+        a_tot = max(sum(a_raw.values()), 1)
+        auth = {v: a_raw.get(v, 0) * scale // a_tot for v in nodes}
+        h_raw: dict = {}
+        for s, d in adj:
+            h_raw[s] = h_raw.get(s, 0) + auth[d]
+        h_tot = max(sum(h_raw.values()), 1)
+        hub = {v: h_raw.get(v, 0) * scale // h_tot for v in nodes}
+    pdf = pd.DataFrame(
+        [(v, hub[v], auth[v]) for v in sorted(nodes)],
+        columns=["domain", "hub_scaled", "auth_scaled"],
+    )
+    return spark.createDataFrame(
+        pdf, "domain string, hub_scaled bigint, auth_scaled bigint"
+    )
+
+
 def hits(
     edges: DataFrame,
     *,
@@ -459,6 +678,7 @@ def hits(
     scale: int = HITS_SCALE,
     src_col: str = "src_domain",
     dst_col: str = "dst_domain",
+    driver_threshold: int = 50_000,
 ) -> DataFrame:
     """Fixed-point HITS (Kleinberg'99 hubs & authorities — public
     algorithm) over a (src, dst) edge table →
@@ -511,6 +731,20 @@ def hits(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # adaptive execution, same contract as pagerank: under the edge
+    # threshold the identical integer loop runs on the driver (HITS
+    # costs ~6 jobs per iteration distributed — two raw checkpoints,
+    # two total collects, two vector checkpoints — all fixed latency
+    # on a small graph); see _pagerank_driver for the memory math.
+    if driver_threshold and driver_threshold > 0:
+        rows = _collect_if_small(e, driver_threshold)
+        if rows is not None:
+            return _hits_driver(
+                rows,
+                edges.sparkSession,
+                iterations=iterations,
+                scale=scale,
+            )
     e = ensure_parallelism(e).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("domain"))

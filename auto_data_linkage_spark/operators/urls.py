@@ -266,15 +266,31 @@ def curate_urls(
         out = out.join(
             F.broadcast(bl), F.col("domain") == F.col("__blocked"), "left_anti"
         )
-    # exact dedup on the already-computed normalized url; hash_key
-    # shrinks the dedup exchange to 8-byte keys (url_dedup's trade)
+    # exact dedup on the already-computed normalized url, as ONE hash
+    # aggregate keeping the min-id row's full payload via min(struct(id,
+    # ...)) — identical survivors to the old groupBy + semi-join (id is
+    # unique and first in the struct, so comparison never reads further),
+    # but the normalize/host/domain regex chain above evaluates ONCE
+    # instead of once per join side, and one exchange replaces two plans
+    # (measured r15: url_curation 3.76 s → 1.44 s at sf0.1/local[32]).
+    # hash_key shrinks the group key to 8 bytes (url_dedup's trade).
+    group_key = "__ukey" if hash_key else "url_norm"
     if hash_key:
         out = out.withColumn("__ukey", md5_hash64(F.col("url_norm")))
-        keep = out.groupBy("__ukey").agg(F.min(id_col).alias(id_col))
-        out = out.join(keep, ["__ukey", id_col], "left_semi").drop("__ukey")
-    else:
-        keep = out.groupBy("url_norm").agg(F.min(id_col).alias(id_col))
-        out = out.join(keep, ["url_norm", id_col], "left_semi")
+    cols = list(out.columns)
+    payload = [id_col] + [c for c in cols if c not in (group_key, id_col)]
+    out = (
+        out.groupBy(group_key)
+        .agg(F.min(F.struct(*payload)).alias("__keep"))
+        .select(
+            *[
+                F.col(f"__keep.{c}").alias(c) if c != group_key else F.col(c)
+                for c in cols
+            ]
+        )
+    )
+    if hash_key:
+        out = out.drop("__ukey")
     if max_per_domain is not None:
         from pyspark.sql import Window
 

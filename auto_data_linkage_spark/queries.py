@@ -2100,7 +2100,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "udf-surface": ("sql_registered_udfs",),
     "linkage-pipeline": ("fs_score_fixed", "fs_score_tf",
                          "connected_components", "incremental_cluster",
-                         "linkage_funnel"),
+                         "linkage_funnel", "linkage_funnel_trained"),
     "sampling": ("stratified_sample", "mixture_sample",
                  "deterministic_sample", "sample_k_per_group",
                  "weighted_sample_k", "train_val_split",

@@ -1050,3 +1050,88 @@ def test_trustrank_is_seeded_refresh_pagerank(spark, tmp_path):
     assert sorted(map(tuple, load_ranks(spark, store).collect())) == sorted(
         map(tuple, r3.collect())
     )
+
+
+class TestAdaptiveDriverPath:
+    """r15: small graphs run the exact-integer loop driver-side
+    (pagerank/hits ``driver_threshold``, the connected_components
+    adaptive-execution convention). The contract is BIT-IDENTITY with
+    the distributed loop — pinned here by running both paths on the
+    same graphs, including the seeded, warm-started, and early-stop
+    variants."""
+
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            [(s, d) for s, d in pairs], "src_domain string, dst_domain string"
+        )
+
+    def test_pagerank_driver_equals_distributed(self, spark):
+        e = self._edges(
+            spark,
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("x", "a"),
+             ("d", "d"), ("a", "b")],  # self-loop + dup exercised
+        )
+        fast = pagerank(e, iterations=4)
+        slow = pagerank(e, iterations=4, driver_threshold=0)
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )
+        assert dict(fast.dtypes) == dict(slow.dtypes)
+
+    def test_pagerank_driver_seeds_and_stats(self, spark):
+        e = self._edges(
+            spark, [("a", "b"), ("b", "a"), ("c", "a"), ("c", "d")]
+        )
+        sf, ss = {}, {}
+        fast = pagerank(
+            e, iterations=6, seeds=["a"], tol_scaled=0, stats=sf
+        )
+        slow = pagerank(
+            e, iterations=6, seeds=["a"], tol_scaled=0, stats=ss,
+            driver_threshold=0,
+        )
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )
+        assert sf == ss  # iterations_run + final_l1 identical
+
+    def test_pagerank_driver_warm_start(self, spark):
+        e = self._edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        r0 = pagerank(e, iterations=2)
+        e2 = self._edges(
+            spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+        )
+        fast = pagerank(e2, iterations=2, init_ranks=r0)
+        slow = pagerank(
+            e2, iterations=2, init_ranks=r0, driver_threshold=0
+        )
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )
+
+    def test_pagerank_no_seed_in_graph_raises_on_driver_path(self, spark):
+        e = self._edges(spark, [("a", "b")])
+        with pytest.raises(ValueError, match="no seed domain"):
+            pagerank(e, iterations=2, seeds=["zz"])
+
+    def test_hits_driver_equals_distributed(self, spark):
+        from auto_data_linkage_spark.operators.graph import hits
+
+        e = self._edges(
+            spark,
+            [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("a1", "h2"),
+             ("z", "z")],
+        )
+        fast = hits(e, iterations=3)
+        slow = hits(e, iterations=3, driver_threshold=0)
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )
+        assert dict(fast.dtypes) == dict(slow.dtypes)
+
+    def test_empty_graph_driver_path_schema(self, spark):
+        from auto_data_linkage_spark.operators.graph import hits
+
+        e = self._edges(spark, []).where("src_domain != src_domain")
+        assert pagerank(e, iterations=2).collect() == []
+        assert hits(e, iterations=2).collect() == []
