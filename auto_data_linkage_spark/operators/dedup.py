@@ -250,6 +250,29 @@ def minhash_lsh_candidates(
       trades recall on degenerate template clusters for a hard
       O(cap²)-per-bucket output bound; pass ``None`` to disable.
     """
+    banded, pairs = _banded_and_candidates(
+        df, text_col, id_col,
+        num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
+        max_bucket=max_bucket, route_short=route_short,
+    )
+    return pairs
+
+
+def _banded_and_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int,
+    num_bands: int,
+    shingle_k: int,
+    max_bucket: int | None,
+    route_short: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(hot-dropped band table [checkpoint-backed], distinct candidate
+    pairs) — the shared core of :func:`minhash_lsh_candidates` and
+    :func:`minhash_dedup_pairs` (which also needs the band table to
+    bound its verification scan to colliding docs)."""
     banded = banded_table(
         df, text_col, id_col,
         num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
@@ -290,7 +313,7 @@ def minhash_lsh_candidates(
         F.col(f"l.{id_col}").alias(f"{id_col}_l"),
         F.col(f"r.{id_col}").alias(f"{id_col}_r"),
     )
-    return pairs.distinct()
+    return banded, pairs.distinct()
 
 
 def minhash_dedup_pairs(
@@ -309,13 +332,33 @@ def minhash_dedup_pairs(
     The exact check touches only candidate pairs (the LSH output), never
     the full n² space. ``max_bucket`` / ``route_short`` are the scale
     guards of :func:`minhash_lsh_candidates`."""
-    cands = minhash_lsh_candidates(
+    banded, cands = _banded_and_candidates(
         df, text_col, id_col,
         num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
         max_bucket=max_bucket, route_short=route_short,
     )
-    sh = ensure_parallelism(df).select(
-        F.col(id_col), shingles(text_col, shingle_k).alias("sh")
+    # verification shingles only for docs that CAN appear in a candidate
+    # pair: members of a surviving (band, hash) bucket with ≥ 2 members.
+    # The old shape computed full-corpus shingles TWICE (once per join
+    # side — Catalyst does not share the duplicated subtree); this
+    # computes them once, for the colliding subset only — at 100 TB the
+    # dedup working set, not the corpus. Checkpoint: read twice below.
+    multi = (
+        banded.groupBy("band", "band_hash")
+        .count()
+        .where(F.col("count") >= 2)
+        .select("band", "band_hash")
+    )
+    cand_ids = (
+        banded.join(multi, ["band", "band_hash"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    sh = (
+        ensure_parallelism(df)
+        .join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), shingles(text_col, shingle_k).alias("sh"))
+        .localCheckpoint(eager=True)
     )
     joined = (
         cands.join(

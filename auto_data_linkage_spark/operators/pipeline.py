@@ -78,21 +78,31 @@ def curate_documents(
         X.lang_id(c).alias("lang_pred"),
     )
     kept = annotated.where(
-        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
+        # no_pushdown: without it Catalyst pushes the regex gate below
+        # ensure_parallelism's repartition, serializing the whole
+        # quality/lang pass on the scan's (possibly single) partition —
+        # measured as two ~3 s one-task stages at sf0.1.
+        X.no_pushdown(
+            (F.col("quality") >= min_quality)
+            & F.col("lang_pred").isin(*langs)
+        )
     )
-    exact = D.exact_dedup(kept, text_col=text_col, id_col=id_col)
     if reuse_filtered:
-        # the exact-dedup survivor set feeds BOTH the near-dup pair
-        # branch and the final survivor join; without truncation the
-        # annotate→filter→exact prefix (regex quality/lang scoring over
-        # the full corpus) executes twice. Eager localCheckpoint
-        # materializes it once — measured 8.5 s → 3.0 s warm at sf0.1 —
-        # the same lineage-truncation pattern as the LSH banding and
-        # incremental-CC stages (dedup.py, incremental.py). Blocks are
-        # freed when the returned DataFrame is garbage collected; pass
-        # reuse_filtered=False for a purely declarative single-pass plan
-        # (e.g. under a cost-based optimizer that already dedups CTEs).
-        exact = exact.localCheckpoint(eager=True)
+        # the filtered survivor set feeds the exact-dedup aggregate, the
+        # near-dup pair branch, AND the final survivor join; without
+        # truncation the annotate→filter prefix (regex quality/lang
+        # scoring over the full corpus) executes once PER CONSUMER.
+        # Eager localCheckpoint right after the gate materializes it
+        # exactly once — downstream recomputes are then only the cheap
+        # fingerprint aggregate + broadcast semi-join over checkpointed
+        # rows, never the corpus regex pass. Same lineage-truncation
+        # pattern as the LSH banding and incremental-CC stages
+        # (dedup.py, incremental.py). Blocks are freed when the returned
+        # DataFrame is garbage collected; pass reuse_filtered=False for
+        # a purely declarative single-pass plan (e.g. under a cost-based
+        # optimizer that already dedups CTEs).
+        kept = kept.localCheckpoint(eager=True)
+    exact = D.exact_dedup(kept, text_col=text_col, id_col=id_col)
     pairs = D.minhash_dedup_pairs(
         exact,
         text_col=text_col,
@@ -182,9 +192,13 @@ def curation_funnel(
         F.sum((q_ok & l_ok).cast("long")).alias("n_lang"),
         F.sum(F.when(q_ok & l_ok, t)).alias("t_lang"),
     ).collect()[0]
-    exact = D.exact_dedup(
-        annotated.where(q_ok & l_ok), text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)
+    # barrier + checkpoint at the GATE (see curate_documents): the regex
+    # pass runs once, parallel, after the repartition; the exact-dedup
+    # aggregate recomputes cheaply from checkpointed rows per consumer.
+    kept = annotated.where(X.no_pushdown(q_ok & l_ok)).localCheckpoint(
+        eager=True
+    )
+    exact = D.exact_dedup(kept, text_col=text_col, id_col=id_col)
     ex = exact.agg(
         F.count("*").alias("n"), F.sum(t).alias("tok")
     ).collect()[0]

@@ -29,6 +29,27 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         return df.repartition(target)
     return df
 
+def no_pushdown(cond: Column) -> Column:
+    """``cond``, wrapped so the optimizer cannot push the filter below an
+    upstream exchange.
+
+    Catalyst pushes deterministic predicates through round-robin
+    repartitions — correct, but it undoes :func:`ensure_parallelism`:
+    a compute-heavy gate (regex quality/language scoring) lands BELOW
+    the repartition, on the single-partition scan, serializing the
+    whole pass on one core (measured: two ~3 s single-task stages in
+    curate_documents at sf0.1). Wrapping the condition in a CASE on the
+    non-deterministic ``spark_partition_id()`` (identically true — ids
+    are non-negative) makes the predicate non-pushable AS A WHOLE (a
+    bare conjunct would be split and its deterministic half pushed), so
+    the gate runs where the plan says: after the exchange, on every
+    core. Row-for-row identical output; on inputs that are already
+    parallel the only cost is one integer comparison per row."""
+    return F.when(
+        F.spark_partition_id() >= F.lit(0), cond
+    ).otherwise(F.lit(False))
+
+
 # BPE-ish token pattern: word pieces, numbers, or single non-space symbols —
 # mirrors the common GPT-2-style pre-tokenizer split (public regex idea).
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

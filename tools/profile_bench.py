@@ -38,8 +38,10 @@ def main() -> None:
         report(sys.argv[2], walls)
         return
     os.makedirs(EVDIR, exist_ok=True)
+    import shutil
+
     for f in glob.glob(os.path.join(EVDIR, "*")):
-        os.remove(f)
+        shutil.rmtree(f) if os.path.isdir(f) else os.remove(f)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     spark = get_spark(
@@ -58,6 +60,10 @@ def main() -> None:
 
     walls: dict[str, float] = {}
     for name in names:
+        # unlabeled warm pass (codegen/JIT/broadcast warm), then the
+        # labeled pass the report attributes — steady state, like the
+        # bench's min-of-3
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         spark.sparkContext.setJobDescription(f"Q::{name}")
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
