@@ -59,6 +59,19 @@ def get_spark(
         # side, pruning shuffle input at the scan. Free locally, decisive
         # at cluster scale.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # AQE coalescing floor. The 1m default sizes post-shuffle
+        # partitions by BYTES, which collapses compute-dense, byte-light
+        # intermediates (exploded postings, pair lists, scored
+        # candidates) onto 1-2 cores. A lower floor restores parallelism
+        # for those stages; at cluster scale real intermediates exceed
+        # the floor either way, so the setting is only ever binding on
+        # small data where extra tasks are nearly free. Overridable per
+        # deployment (e.g. back to "1m" for very high-latency shuffle
+        # services) via $SPARK_GRAFT_AQE_MIN_PARTITION.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
