@@ -188,14 +188,28 @@ def anchor_texts(
     return out
 
 
-def link_graph_stats(edges: DataFrame) -> DataFrame:
+def link_graph_stats(edges: DataFrame, *, materialize: bool = True) -> DataFrame:
     """Per-domain degree profile over a (src_domain, dst_domain[,
     n_links]) edge table: out_degree (distinct targets), in_degree
     (distinct referrers), and ``reciprocal`` (count of mutual links —
     link-farm rings show high reciprocity). Three aggregations over
     edge-sized relations plus one self-semi-join on the reversed key;
-    nothing corpus-sized."""
+    nothing corpus-sized.
+
+    ``materialize`` (default on) localCheckpoints the projected edge
+    table before the four consumers below (out/in/reciprocal's two
+    sides). Without it Catalyst prunes each branch differently (one
+    keeps the n_links count, the others drop it), the canonicalized
+    subtrees stop being equal, exchange reuse never fires, and the
+    edge-building lineage — for :func:`extract_links` input a full
+    page-corpus regex pass — executes once PER BRANCH (measured: 4
+    parquet scans + 4 regexp_extract_all passes in the sf0.1 plan).
+    The pinned state is edge-sized (two domain strings per row), the
+    same delta-class intermediate the LSH band table pins; pass
+    ``materialize=False`` to keep the plan fully declarative."""
     e = edges.select("src_domain", "dst_domain")
+    if materialize:
+        e = e.localCheckpoint(eager=False)
     out_deg = e.groupBy(F.col("src_domain").alias("domain")).agg(
         F.count("*").alias("out_degree")
     )
