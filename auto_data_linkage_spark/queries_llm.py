@@ -1295,9 +1295,13 @@ def media_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banding is k-means IVF cells over the embedding (better recall on
     # real re-encoded images), but a k-means assignment has no exact
     # DuckDB twin; tests/test_multimodal.py covers the default's recall
-    return M.media_near_dup(
+    # checkpoint-before-sort (see gopher_repetition_filter_q): the range
+    # partitioner's sample pass would re-run the pair-scoring stage; the
+    # pinned table is pair-sized and narrow.
+    pairs = M.media_near_dup(
         docs, dim=_MEDIA_DIM, threshold=_MEDIA_TAU, band="length"
-    ).orderBy("media_id_l", "media_id_r")
+    ).localCheckpoint(eager=False)
+    return pairs.orderBy("media_id_l", "media_id_r")
 
 
 # --------------------------------------------------------------------------
@@ -2592,7 +2596,9 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("")),
         ).alias("text"),
     )
-    return D.line_dedup(docs).orderBy("doc_id")
+    # checkpoint-before-sort (see gopher_repetition_filter_q): without it
+    # the sort's sample pass re-runs line_dedup's final reassembly stage.
+    return D.line_dedup(docs).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # C4 cleaning rules (text.c4_clean, Raffel et al. 2020): the synthetic
@@ -2722,7 +2728,13 @@ def _span_dedup_sql(k: int = _SPAN_WORDS) -> str:
 )
 def span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return D.span_dedup(docs, min_span_words=_SPAN_WORDS).orderBy("doc_id")
+    # checkpoint-before-sort (see gopher_repetition_filter_q): without it
+    # the sort's sample pass re-runs the gram cover-test projection.
+    return (
+        D.span_dedup(docs, min_span_words=_SPAN_WORDS)
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -3841,6 +3853,9 @@ def url_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_per_domain=8,
         )
         .select("doc_id", "url_norm", "host", "domain")
+        # checkpoint-before-sort (see gopher_repetition_filter_q): the
+        # sample pass would re-run the quota-window stage; narrow rows.
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 
@@ -3955,7 +3970,14 @@ def _gopher_repetition_sql() -> str:
 )
 def gopher_repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return X.gopher_repetition_rules(docs).orderBy("doc_id")
+    # checkpoint the NARROW rule table (id + 13 booleans) before the
+    # sort: a global orderBy's range partitioner first runs a SAMPLE
+    # pass over its child, so without the barrier the whole 13-fold
+    # n-gram projection executes twice (measured: two ~750 ms 32-task
+    # stages in the event log). The pinned bytes are ~25 B/doc; the
+    # exchange still moves only the narrow rows, never text.
+    out = X.gopher_repetition_rules(docs).localCheckpoint(eager=False)
+    return out.orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
