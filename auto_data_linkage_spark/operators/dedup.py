@@ -250,10 +250,11 @@ def minhash_lsh_candidates(
       trades recall on degenerate template clusters for a hard
       O(cap²)-per-bucket output bound; pass ``None`` to disable.
     """
-    banded, pairs = _banded_and_candidates(
+    banded, pairs, _ = _banded_and_candidates(
         df, text_col, id_col,
         num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
         max_bucket=max_bucket, route_short=route_short,
+        share_counts=False,
     )
     return pairs
 
@@ -268,11 +269,21 @@ def _banded_and_candidates(
     shingle_k: int,
     max_bucket: int | None,
     route_short: bool,
-) -> tuple[DataFrame, DataFrame]:
+    share_counts: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(hot-dropped band table [checkpoint-backed], distinct candidate
-    pairs) — the shared core of :func:`minhash_lsh_candidates` and
-    :func:`minhash_dedup_pairs` (which also needs the band table to
-    bound its verification scan to colliding docs)."""
+    pairs, per-bucket counts) — the shared core of
+    :func:`minhash_lsh_candidates` and :func:`minhash_dedup_pairs`
+    (which also needs the band table and the bucket counts to bound its
+    verification scan to colliding docs). With ``share_counts`` the
+    counts are aggregated ONCE over the checkpointed band table and
+    lazily checkpointed so the hot-bucket drop here AND the collider
+    gate in the verifier read the same bucket-sized table — the two
+    filters previously each ran their own full aggregate pass (two
+    ~350 ms 32-task jobs at sf0.1, measured in the event log). Leave it
+    off when only the hot drop consumes the counts (the candidates-only
+    path): a single consumer gains nothing from the extra pinned RDD
+    (tests pin that path's persistent-RDD count)."""
     banded = banded_table(
         df, text_col, id_col,
         num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
@@ -289,15 +300,18 @@ def _banded_and_candidates(
     # downstream jobs instead of recomputing — acceptable for this small
     # intermediate; on a lossy cluster prefer reliable checkpointing.
     banded = banded.localCheckpoint(eager=True)
+    # bucket-size aggregate over the checkpointed band table (cheap pass
+    # over (id, band, hash) rows, never the text). Bucket-sized; the
+    # lazy checkpoint (verification path only) pins at most one row per
+    # (band, hash) so both consumers share one aggregate pass.
+    bucket_counts = banded.groupBy("band", "band_hash").count()
+    if share_counts:
+        bucket_counts = bucket_counts.localCheckpoint(eager=False)
     if max_bucket is not None:
-        # hot-bucket drop reads the checkpointed band table (cheap second
-        # pass over (id, band, hash) rows, never the text); the hot set is
-        # tiny by construction (≤ n/cap buckets) so it broadcasts.
-        hot = (
-            banded.groupBy("band", "band_hash")
-            .count()
-            .where(F.col("count") > max_bucket)
-            .select("band", "band_hash")
+        # the hot set is tiny by construction (≤ n/cap buckets) so it
+        # broadcasts.
+        hot = bucket_counts.where(F.col("count") > max_bucket).select(
+            "band", "band_hash"
         )
         banded = banded.join(
             F.broadcast(hot), ["band", "band_hash"], "left_anti"
@@ -313,7 +327,7 @@ def _banded_and_candidates(
         F.col(f"l.{id_col}").alias(f"{id_col}_l"),
         F.col(f"r.{id_col}").alias(f"{id_col}_r"),
     )
-    return banded, pairs.distinct()
+    return banded, pairs.distinct(), bucket_counts
 
 
 def minhash_dedup_pairs(
@@ -332,10 +346,11 @@ def minhash_dedup_pairs(
     The exact check touches only candidate pairs (the LSH output), never
     the full n² space. ``max_bucket`` / ``route_short`` are the scale
     guards of :func:`minhash_lsh_candidates`."""
-    banded, cands = _banded_and_candidates(
+    banded, cands, bucket_counts = _banded_and_candidates(
         df, text_col, id_col,
         num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
         max_bucket=max_bucket, route_short=route_short,
+        share_counts=True,
     )
     # verification shingles only for docs that CAN appear in a candidate
     # pair: members of a surviving (band, hash) bucket with ≥ 2 members.
@@ -343,12 +358,14 @@ def minhash_dedup_pairs(
     # side — Catalyst does not share the duplicated subtree); this
     # computes them once, for the colliding subset only — at 100 TB the
     # dedup working set, not the corpus. Checkpoint: read twice below.
-    multi = (
-        banded.groupBy("band", "band_hash")
-        .count()
-        .where(F.col("count") >= 2)
-        .select("band", "band_hash")
-    )
+    # The collider gate filters the SHARED bucket-count table (counts
+    # are over pre-drop membership; dropping other buckets does not
+    # change a surviving bucket's count, so `2 <= count <= cap` over
+    # the pre-drop counts ≡ `count >= 2` recomputed post-drop).
+    multi = bucket_counts.where(F.col("count") >= 2)
+    if max_bucket is not None:
+        multi = multi.where(F.col("count") <= max_bucket)
+    multi = multi.select("band", "band_hash")
     cand_ids = (
         banded.join(multi, ["band", "band_hash"], "left_semi")
         .select(id_col)
