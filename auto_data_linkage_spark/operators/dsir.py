@@ -124,6 +124,15 @@ def dsir_logweights(
 
     ``log_w`` is rounded to 6 decimals for cross-engine stability.
     """
+    # The exploded raw-side features feed THREE consumers (the per-doc
+    # aggregate, the raw histogram, and the raw total inside ``tot``);
+    # left declarative, Catalyst re-runs the tokenize + bigram + md5
+    # projection over the raw corpus once per consumer — measured as two
+    # extra ~1 s full-width hashing passes at bench scale. Pinning the
+    # (id, bucket) ints is far cheaper than one md5 pass. ``cr`` is then
+    # a pure integer re-aggregation of the SAME rows, so every count —
+    # and the partition layout the per-doc float sum reads — is
+    # bit-identical to the unpinned plan.
     feats = raw.select(
         F.col(id_col),
         F.explode(
@@ -131,13 +140,19 @@ def dsir_logweights(
                 F.col(text_col), n_buckets=n_buckets, seed=seed
             )
         ).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    ct = (
+        bucket_counts(
+            target, n_buckets=n_buckets, text_col=text_col, seed=seed
+        )
+        .withColumnRenamed("cnt", "ct")
+        .localCheckpoint(eager=False)
     )
-    ct = bucket_counts(
-        target, n_buckets=n_buckets, text_col=text_col, seed=seed
-    ).withColumnRenamed("cnt", "ct")
-    cr = bucket_counts(
-        raw, n_buckets=n_buckets, text_col=text_col, seed=seed
-    ).withColumnRenamed("cnt", "cr")
+    cr = (
+        feats.groupBy("bucket")
+        .agg(F.count("*").alias("cr"))
+        .localCheckpoint(eager=False)
+    )
     # totals: one-row broadcast scalars (constant attach, not a shuffle)
     tot = ct.agg(F.sum("ct").alias("__tt")).crossJoin(
         cr.agg(F.sum("cr").alias("__tr"))
