@@ -1455,13 +1455,21 @@ def prototypicality(
     aggregation, never an exploded shuffle), broadcast back; the score
     is a row-local fold.  The corpus never shuffles.
     """
+    from auto_data_linkage_spark.operators.text import ensure_parallelism
+
+    # Centroids aggregate the RAW corpus — repartitioning a float-mean
+    # input reorders FP summation and changes results. The per-row
+    # cosine scoring below is row-local, so ITS scan side is safe to
+    # parallelize (single-row-group inputs otherwise serialize the
+    # whole fold chain on one core — measured: every embedding_outliers
+    # job 1-task at sf0.1).
     cents = (
         centroids
         if centroids is not None
         else build_centroids(corpus, vec_col=vec_col, cell_col=cell_col)
     )
     return (
-        corpus.select(
+        ensure_parallelism(corpus).select(
             F.col(id_col),
             F.col(cell_col).alias("cell"),
             F.col(vec_col).alias("__vec"),

@@ -4703,7 +4703,11 @@ def _html_extract_sql() -> str:
     "entity decode, block-tag newlines) + raw-page quality signals",
 )
 def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (docs,) = _t(spark, sf_dir, "documents")
+    # _docs (not _t): the per-tag regex strip chain is the heaviest
+    # row-local operator in the catalog, and without the parallelizing
+    # exchange it runs as ONE task on the single-row-group scan
+    # (measured: a 427 ms 1-task job carrying the whole query)
+    docs = _docs(spark, sf_dir)
     wrapped = docs.select(
         "doc_id",
         F.concat(
