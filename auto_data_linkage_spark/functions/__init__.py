@@ -79,7 +79,10 @@ def arc_generate_blocking_rules(
         comparison_size_limit=2**63 - 1,  # reference filters later
     )
     spark = df.sparkSession
-    return spark.createDataFrame(
+    from auto_data_linkage_spark.session import local_rows_df
+
+    return local_rows_df(
+        spark,
         [(r.to_sql(), int(r.estimated_pairs)) for r in rules],
         "splink_rule string, rule_squared_count long",
     )

@@ -802,8 +802,10 @@ def _delete_ann_once(
         # mask so ids deleted now mask rows appended later
         id_type = meta.get("id_type", "string")
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(i,) for i in ids], ["neighbor_id"]
+        from auto_data_linkage_spark.session import local_rows_df
+
+        ids = local_rows_df(
+            spark, [(i,) for i in ids], ["neighbor_id"]
         ).select(F.col("neighbor_id").cast(id_type))
     else:
         ids = ids.select(

@@ -1321,7 +1321,9 @@ def strip_boilerplate(
         )
 
     spark = df.sparkSession
-    bl_df = spark.createDataFrame([(c,) for c in bl], ["chunk"])
+    from auto_data_linkage_spark.session import local_rows_df
+
+    bl_df = local_rows_df(spark, [(c,) for c in bl], ["chunk"])
     exploded = df.select(
         F.col(id_col), F.posexplode(chunk_arr).alias("pos", "chunk")
     )
@@ -1603,7 +1605,10 @@ def dedup_recall_probe(
     n_recovered = keyed.join(pairs, ["__a", "__b"], "left_semi").count()
     spark = df.sparkSession
     recall = round(n_recovered / n_planted, 6) if n_planted else None
-    return spark.createDataFrame(
+    from auto_data_linkage_spark.session import local_rows_df
+
+    return local_rows_df(
+        spark,
         [(n_planted, n_recovered, recall)],
         "n_planted long, n_recovered long, recall double",
     )

@@ -1077,8 +1077,10 @@ def delete_domains_from_edge_store(spark, path: str, domains) -> dict:
     local = local_path(path)
     manifest = M.is_manifest_store(path)
     if not isinstance(domains, DataFrame):
-        domains = spark.createDataFrame(
-            [(str(d),) for d in domains], ["domain"]
+        from auto_data_linkage_spark.session import local_rows_df
+
+        domains = local_rows_df(
+            spark, [(str(d),) for d in domains], ["domain"]
         )
     else:
         domains = domains.select(

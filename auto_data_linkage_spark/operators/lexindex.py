@@ -571,8 +571,10 @@ def delete_from_lex_index(
     id_type = posts.schema["doc_id"].dataType
     seq_aware = "seq" in meta
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(i,) for i in ids], ["doc_id"]
+        from auto_data_linkage_spark.session import local_rows_df
+
+        ids = local_rows_df(
+            spark, [(i,) for i in ids], ["doc_id"]
         ).select(F.col("doc_id").cast(id_type))
     else:
         ids = ids.select(F.col(ids.columns[0]).cast(id_type).alias("doc_id"))
@@ -675,8 +677,10 @@ def _delete_manifest(
         else spark.createDataFrame([], meta["postings_schema"])
     ).schema["doc_id"].dataType
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(i,) for i in ids], ["doc_id"]
+        from auto_data_linkage_spark.session import local_rows_df
+
+        ids = local_rows_df(
+            spark, [(i,) for i in ids], ["doc_id"]
         ).select(F.col("doc_id").cast(id_type))
     else:
         ids = ids.select(F.col(ids.columns[0]).cast(id_type).alias("doc_id"))

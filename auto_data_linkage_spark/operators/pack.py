@@ -588,8 +588,10 @@ def epoch_repeat(
     output size = Σ n_s·rate_s by construction.
     """
     spark = df.sparkSession
+    from auto_data_linkage_spark.session import local_rows_df
+
     rate_rows = [(k, float(v)) for k, v in sorted(rates.items())]
-    rdf = spark.createDataFrame(rate_rows, [strata_col, "__rate"])
+    rdf = local_rows_df(spark, rate_rows, [strata_col, "__rate"])
     slot = F.pmod(
         md5_hash64(
             F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(epoch)))

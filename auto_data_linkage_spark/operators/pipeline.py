@@ -235,7 +235,10 @@ def curation_funnel(
         (4, "near_dedup", ex["n"] - dropped["n"],
          z(ex["tok"]) - z(dropped["tok"])),
     ]
-    return spark.createDataFrame(
+    from auto_data_linkage_spark.session import local_rows_df
+
+    return local_rows_df(
+        spark,
         rows,
         "stage_idx int, stage string, survivors long, survivor_tokens long",
     )

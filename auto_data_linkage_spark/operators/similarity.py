@@ -1375,7 +1375,9 @@ def knn_graph(
     n_cells = len(cmat)
     cent_rows = [(i, cmat[i]) for i in range(n_cells)]
     spark = corpus.sparkSession
-    cents = spark.createDataFrame(cent_rows, ["cell", "centroid"]).select(
+    from auto_data_linkage_spark.session import local_rows_df
+
+    cents = local_rows_df(spark, cent_rows, ["cell", "centroid"]).select(
         "cell", F.col("centroid").cast("array<double>").alias("centroid")
     )
 

@@ -154,8 +154,10 @@ def blocklist_filter(
             F.lower(F.col("__blocked")).alias("__blocked")
         )
     else:
-        bl = spark.createDataFrame(
-            [(d.lower(),) for d in blocked_domains], ["__blocked"]
+        from auto_data_linkage_spark.session import local_rows_df
+
+        bl = local_rows_df(
+            spark, [(d.lower(),) for d in blocked_domains], ["__blocked"]
         )
     dom = registered_domain(
         url_host(F.col(url_col)), two_level_suffixes=two_level_suffixes
@@ -260,8 +262,10 @@ def curate_urls(
                 F.lower(F.col("__blocked")).alias("__blocked")
             )
         else:
-            bl = spark.createDataFrame(
-                [(d.lower(),) for d in blocked_domains], ["__blocked"]
+            from auto_data_linkage_spark.session import local_rows_df
+
+            bl = local_rows_df(
+                spark, [(d.lower(),) for d in blocked_domains], ["__blocked"]
             )
         out = out.join(
             F.broadcast(bl), F.col("domain") == F.col("__blocked"), "left_anti"

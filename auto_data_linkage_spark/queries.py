@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from auto_data_linkage_spark.session import load_tables
+from auto_data_linkage_spark.session import load_tables, local_rows_df
 
 
 @dataclass
@@ -1061,7 +1061,7 @@ def linkage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (4, "clusters", n_clusters),
         (5, "entities", n_records - n_touched + n_clusters),
     ]
-    return spark.createDataFrame(rows, "stage_idx int, stage string, n long")
+    return local_rows_df(spark, rows, "stage_idx int, stage string, n long")
 
 
 # --------------------------------------------------------------------------
@@ -1280,7 +1280,7 @@ def linkage_funnel_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         (5, "clusters", n_clusters),
         (6, "entities", n_records - n_touched + n_clusters),
     ]
-    return spark.createDataFrame(rows, "stage_idx int, stage string, n long")
+    return local_rows_df(spark, rows, "stage_idx int, stage string, n long")
 
 
 # --------------------------------------------------------------------------

@@ -111,6 +111,36 @@ def get_spark(
     return spark
 
 
+def local_rows_df(spark: SparkSession, rows, schema):
+    """Small driver-local DataFrame via the Arrow path (guide §4:
+    eliminate the Python boundary).
+
+    A plain-list ``createDataFrame`` pickles the rows into a Python RDD;
+    EVERY consumer stage of that relation then launches Python workers
+    just to unpickle a handful of rows — measured 0.3–1.7 s per
+    materialization for a 50-row table on local[32], paid again whenever
+    the worker pool has gone cold. Converting driver-side to Arrow
+    batches (the pandas path) keeps execution JVM-only: same rows, same
+    order, same schema. ``schema`` is a DDL string (columns mapped
+    positionally) or a list of column names (types inferred, same rules
+    as the pickle path: int→bigint, float→double, str→string, list of
+    float→array<double>).
+
+    Empty inputs fall back to ``createDataFrame([], schema)`` — there is
+    nothing to unpickle, so the pickle path costs one empty task.
+    """
+    import pandas as pd
+
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    if isinstance(schema, (list, tuple)):
+        pdf = pd.DataFrame(rows, columns=list(schema), dtype=object)
+        return spark.createDataFrame(pdf)
+    pdf = pd.DataFrame(rows, dtype=object)
+    return spark.createDataFrame(pdf, schema)
+
+
 TPCH_TABLES = (
     "region",
     "nation",
