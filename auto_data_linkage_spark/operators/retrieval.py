@@ -179,6 +179,12 @@ def bm25_topk(
     ``exclude_self`` drops hits where the matched doc IS the query doc —
     for probe sets derived from the corpus itself.
 
+    ``materialize`` pins the (tiny) deduplicated query-term table with a
+    lazy localCheckpoint — it feeds three broadcast builds, each of
+    which would otherwise re-run the caller's probe derivation. The
+    corpus side is never pinned: both corpus passes (global stats,
+    postings) are straight-line scans.
+
     Returns (query_id, doc_id, bm25, rank).
     """
     qterms = queries.select("query_id", "term").distinct()
@@ -188,28 +194,25 @@ def bm25_topk(
         # derivation without this
         qterms = qterms.localCheckpoint(eager=False)
 
-    # Tokenize the corpus ONCE. The tokenized projection feeds both the
-    # global stats aggregate and the postings build; each consumer runs
-    # as its own job (stats ride a broadcast), and without the checkpoint
-    # Catalyst re-runs the regex tokenize per consumer — measured 4 full
-    # corpus passes, ~10× the operator's wall time at bench scale. With
-    # ``materialize=False`` the plan stays fully declarative (no executor
-    # storage) for corpora too large to pin — the scan then runs once per
-    # consumer, which a 100 TB caller may well prefer to caching.
+    # Tokenize the corpus. The tokenized projection feeds the global
+    # stats aggregate and the postings build — two scans, each a single
+    # straight-line pass (the r15 shape pinned the token arrays with a
+    # localCheckpoint instead; r16 measured the pin's construction-time
+    # stage execution costs more than the second tokenize pass once
+    # generated classes stop being recompiled, and at 100 TB pinning
+    # corpus-sized token arrays in executor storage is exactly what a
+    # streaming-scan engine must not do — two scans is the scale shape).
     tk = docs.select(
         F.col(id_col).alias("doc_id"), X.tokens(text_col).alias("tk")
     ).withColumn("dl", F.size("tk"))
-    if materialize:
-        tk = tk.localCheckpoint(eager=False)
 
-    # Corpus-global stats; joined onto the (tiny) query-vocabulary side
-    # below so the values ride inside the broadcast, not a driver collect.
+    # Corpus-global stats; joined onto the (tiny) query-term side below
+    # so the values ride inside the broadcast, not a driver collect.
     stats = tk.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
 
     # Query-vocabulary postings: filter exploded tokens against the
     # broadcast vocabulary BEFORE the tf aggregate (the hash-agg only
-    # sees matching tokens), and materialize the result — it feeds both
-    # the df/idf aggregation and the probe join.
+    # sees matching tokens).
     qvocab = qterms.select("term").distinct()
     posts = (
         tk.select("doc_id", "dl", F.explode("tk").alias("term"))
@@ -217,35 +220,32 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    if materialize:
-        posts = posts.localCheckpoint(eager=False)
 
-    # df/idf over the (already query-vocabulary-sized) postings. A doc
-    # appears once per distinct term in `posts`, so count(*) per term IS
-    # the document frequency.
-    dfs = (
-        posts.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "term",
-            "avgdl",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ).alias("idf"),
-        )
+    # Document frequency as a window over the postings: a doc appears
+    # once per distinct term in `posts`, so count(*) per term IS df.
+    # The window gives every posting row its term's df in ONE pass, so
+    # `posts` has a single consumer — the r15 shape aggregated df into a
+    # separate vocabulary-sized table and re-joined it, which forced a
+    # localCheckpoint pin of `posts` (two consumers) plus an extra
+    # aggregate job and broadcast build. The window's term-keyed
+    # exchange carries the same query-vocabulary-sized postings the old
+    # df aggregate shuffled.
+    posts = posts.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
     )
 
-    # One broadcast probe: (query_id, term, idf, avgdl) against postings.
-    # Both sides of this prep join are query-vocabulary-sized; hint the
-    # broadcast so it never falls to a sort-merge exchange.
-    probe = qterms.join(F.broadcast(dfs), "term")
+    # One broadcast probe: (query_id, term) × global stats against the
+    # postings; idf is row-local arithmetic on the matched side.
+    probe = qterms.crossJoin(F.broadcast(stats))
     matched = posts.join(F.broadcast(probe), "term")
     if exclude_self:
         matched = matched.where(F.col("doc_id") != F.col("query_id"))
 
-    contrib = F.col("idf") * (
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
         F.col("tf")
         * (k1 + 1.0)
         / (

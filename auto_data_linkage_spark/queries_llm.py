@@ -1017,7 +1017,13 @@ _BM25_SQL = _bm25_sql("SELECT doc_id, text FROM documents")
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_linkage_spark.operators import retrieval as R
 
-    docs = _docs(spark, sf_dir)
+    # raw scan, NOT _docs: bm25's first corpus operation is the postings
+    # explode+aggregate, whose own exchange parallelizes everything
+    # downstream — the ensure_parallelism round-robin shuffle in front
+    # of it only adds an exchange (A/B'd in r16: 2.26 s -> 1.65 s
+    # in-process without it; at real scale multi-file inputs make the
+    # fix-up a no-op anyway)
+    (docs,) = _t(spark, sf_dir, "documents")
     probes = R.query_terms_from_docs(
         docs.where(F.col("doc_id") % 100 == 0), n_terms=8
     )
@@ -4229,7 +4235,8 @@ def _hybrid_sql() -> str:
 def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_linkage_spark.operators import retrieval as R
 
-    docs = _docs(spark, sf_dir)
+    # raw scan for the lexical leg — same reasoning as bm25_topk_q
+    (docs,) = _t(spark, sf_dir, "documents")
     (emb,) = _t(spark, sf_dir, "embeddings")
     probes = R.query_terms_from_docs(
         docs.where(F.col("doc_id") % 100 == 0), n_terms=8
@@ -4275,7 +4282,8 @@ def _hard_negatives_sql() -> str:
 def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_linkage_spark.operators import retrieval as R
 
-    docs = _docs(spark, sf_dir)
+    # raw scan — same reasoning as bm25_topk_q
+    (docs,) = _t(spark, sf_dir, "documents")
     probes = R.query_terms_from_docs(
         docs.where(F.col("doc_id") % 100 == 0), n_terms=8
     )
