@@ -14,6 +14,7 @@ def vecs(spark, sf_dir):
     return df.select("vec_id", "embedding", "label")
 
 
+@pytest.mark.exhaustive
 def test_build_load_roundtrip_matches_inline(spark, vecs, tmp_path):
     out = str(tmp_path / "annidx")
     meta = A.build_ann_index(vecs, out, m=4, n_codewords=8)
@@ -229,6 +230,7 @@ def test_served_topk_exclude_self_flag(spark, vecs, tmp_path):
     assert any(r.query_id == r.neighbor_id for r in kept)
 
 
+@pytest.mark.exhaustive
 def test_ann_index_sink_inline_compaction(spark, vecs, tmp_path):
     """compact_over: after the stream drains, no cell directory holds
     more parquet files than the threshold, and results still match a

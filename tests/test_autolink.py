@@ -108,6 +108,7 @@ def test_auto_link_end_to_end(spark, people):
     assert {"unique_id_l", "unique_id_r", "match_probability"} <= set(scores.columns)
 
 
+@pytest.mark.exhaustive
 def test_random_sampler_mode(spark, people):
     """sampler="random" (the A/B control arm, tools/tpe_ab.py) must run
     the same loop with the Parzen model disabled and still link."""

@@ -435,6 +435,7 @@ def test_minhash_hot_bucket_cap_bounds_degenerate_corpus(spark):
     )
 
 
+@pytest.mark.exhaustive
 def test_minhash_short_doc_routing_vs_exact_dedup(spark):
     """Sub-shingle-length docs can only be exact duplicates (their
     shingle set is the singleton {whole text}); routing them out of
@@ -465,6 +466,7 @@ def test_minhash_short_doc_routing_vs_exact_dedup(spark):
     assert 2 not in kept and 4 not in kept and {1, 3, 5, 6} <= kept
 
 
+@pytest.mark.exhaustive
 def test_minhash_guards_are_noop_on_normal_corpus(spark, docs):
     """Default guards must not change recall when no bucket is hot and
     no doc is sub-shingle-length."""
@@ -482,6 +484,7 @@ def test_minhash_guards_are_noop_on_normal_corpus(spark, docs):
     assert guarded == raw and len(guarded) > 0
 
 
+@pytest.mark.exhaustive
 def test_incremental_near_dedup_caps_hot_batch_bucket(spark):
     """The batch-side self-join in incremental_near_dedup honours
     max_bucket: an over-cap template cluster in the delta produces no
@@ -503,6 +506,7 @@ def test_incremental_near_dedup_caps_hot_batch_bucket(spark):
     assert full.count() == 1               # one survivor per component
 
 
+@pytest.mark.exhaustive
 def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
     """Bloom flags are a superset of the exact operator's (never a false
     negative): every doc the exact n-gram overlap drops must also be

@@ -11,12 +11,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entry_mod
 
 
+import pytest
+
 def test_entry_returns_rows(spark):
     df = entry_mod.entry(spark)
     assert len(df.collect()) > 0
     assert df.columns  # stable schema
 
 
+@pytest.mark.exhaustive
 def test_every_query_runs_and_has_rows(spark, sf_dir):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_dir)

@@ -22,6 +22,13 @@ from auto_data_linkage_spark.operators.retrieval import query_terms_from_docs
 from auto_data_linkage_spark.sources import corpusstore as C
 
 
+# r16 test-tier split: this module is a lifecycle-matrix / property /
+# full-catalog sweep — cost is a matrix-sized multiple of a unit test,
+# so it runs in the exhaustive tier (pytest -m exhaustive), not the
+# default wall-budgeted gate. See pytest.ini + OPTIMIZATION_r16.md.
+pytestmark = pytest.mark.exhaustive
+
+
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
     return (

@@ -21,6 +21,13 @@ PEOPLE_SCHEMA = (
 )
 
 
+# r16 test-tier split: this module is a lifecycle-matrix / property /
+# full-catalog sweep — cost is a matrix-sized multiple of a unit test,
+# so it runs in the exhaustive tier (pytest -m exhaustive), not the
+# default wall-budgeted gate. See pytest.ini + OPTIMIZATION_r16.md.
+pytestmark = pytest.mark.exhaustive
+
+
 def _assignments(df, uid="unique_id", cl="cluster_id"):
     return {
         r[uid]: r[cl]

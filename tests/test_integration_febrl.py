@@ -16,6 +16,13 @@ from auto_data_linkage_spark.model import FellegiSunterModel
 from tests.febrl_fixture import SCHEMA, make_people
 
 
+# r16 test-tier split: this module is a lifecycle-matrix / property /
+# full-catalog sweep — cost is a matrix-sized multiple of a unit test,
+# so it runs in the exhaustive tier (pytest -m exhaustive), not the
+# default wall-budgeted gate. See pytest.ini + OPTIMIZATION_r16.md.
+pytestmark = pytest.mark.exhaustive
+
+
 @pytest.fixture(scope="module")
 def febrl(spark):
     return spark.createDataFrame(make_people(400, 0.4, seed=42), SCHEMA).cache()

@@ -39,6 +39,7 @@ def test_align_raises_on_disjoint_values(spark):
 
 
 @pytest.mark.slow
+@pytest.mark.exhaustive
 def test_auto_link_link_mode_cross_table_only(spark, people):
     """Link mode must pair across tables only, inferring the schema match
     when the second table's columns are renamed (reference

@@ -276,6 +276,7 @@ def test_incremental_dedup_empty_corpus_equals_batch_dedup(spark):
     assert kept == {1, 3}
 
 
+@pytest.mark.exhaustive
 def test_prepare_training_set_end_to_end(spark, tmp_path):
     """The capstone composition: raw corpus → curated → Gopher-gated →
     span-deduped → BPE-tokenized → packed → sharded export, with the
@@ -394,6 +395,7 @@ def test_perplexity_buckets_fractions_and_order(spark):
     assert all(r.doc_id < 20 for r in by_bucket["head"])
 
 
+@pytest.mark.exhaustive
 def test_prepare_training_set_resume_after_stage3_failure(
     spark, tmp_path, monkeypatch
 ):
@@ -454,6 +456,7 @@ def test_prepare_training_set_resume_after_stage3_failure(
     assert rewritten != before, "changed params must invalidate the store"
 
 
+@pytest.mark.exhaustive
 def test_prepare_training_set_url_front_door(spark, tmp_path):
     """Stage 0: blocklisted-domain docs and URL duplicates are gone
     before any text stage runs; corpora without a url column skip it."""
@@ -479,6 +482,7 @@ def test_prepare_training_set_url_front_door(spark, tmp_path):
     assert report["n_curated"] <= 2
 
 
+@pytest.mark.exhaustive
 def test_prepare_training_set_eos_token(spark, tmp_path):
     """eos_token: appended to the vocab as a special token and to every
     document's ids, so every doc boundary inside a packed sequence is
@@ -515,6 +519,7 @@ def test_prepare_training_set_eos_token(spark, tmp_path):
     assert bad == 0
 
 
+@pytest.mark.exhaustive
 def test_prepare_training_set_decontaminates_benchmark(spark, tmp_path):
     """Stage 2b: a training doc sharing a 7-gram with the held-out
     benchmark never reaches the tokenizer."""
@@ -542,6 +547,7 @@ def test_prepare_training_set_decontaminates_benchmark(spark, tmp_path):
     assert ids == {1}
 
 
+@pytest.mark.exhaustive
 def test_prepare_training_set_authority_gate(spark, tmp_path):
     """Stage 0b: documents on low-ranked (or unranked) domains are gone
     before any text stage; rank table typically comes from
@@ -582,6 +588,7 @@ def test_prepare_training_set_authority_gate(spark, tmp_path):
         )
 
 
+@pytest.mark.exhaustive
 def test_prepare_training_set_fix_encoding(spark, tmp_path):
     """Stage 0a: mojibake is repaired before anything reads the text —
     the tokenizer trains on clean bytes with fix_encoding=True and on
@@ -636,6 +643,7 @@ def test_prepare_training_set_fix_encoding(spark, tmp_path):
     assert any(c in raw_vocab for c in banned)
 
 
+@pytest.mark.exhaustive
 def test_prepare_training_set_site_boilerplate(spark, tmp_path):
     """Stage 0c (unit="line"): per-site nav LINES vanish from the text
     every later stage (and the trained tokenizer) sees, while the

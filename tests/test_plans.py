@@ -577,6 +577,7 @@ def test_ann_routing_drift_stays_jvm_side(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
+@pytest.mark.exhaustive
 class TestScaleAudit:
     """plan_findings / assert_scalable: the scale-killer checklist as a
     library call, and the catalog-wide invariant that no registered

@@ -27,6 +27,13 @@ node_ids = st.integers(min_value=0, max_value=40)
 edge_lists = st.lists(st.tuples(node_ids, node_ids), min_size=0, max_size=120)
 
 
+# r16 test-tier split: this module is a lifecycle-matrix / property /
+# full-catalog sweep — cost is a matrix-sized multiple of a unit test,
+# so it runs in the exhaustive tier (pytest -m exhaustive), not the
+# default wall-budgeted gate. See pytest.ini + OPTIMIZATION_r16.md.
+pytestmark = pytest.mark.exhaustive
+
+
 def _bfs_components(edges):
     adj: dict = {}
     for s, d in edges:

@@ -27,6 +27,13 @@ from auto_data_linkage_spark.sources.layout import (  # noqa: E402
 BUCKET = "adl-commit-log"
 
 
+# r16 test-tier split: this module is a lifecycle-matrix / property /
+# full-catalog sweep — cost is a matrix-sized multiple of a unit test,
+# so it runs in the exhaustive tier (pytest -m exhaustive), not the
+# default wall-budgeted gate. See pytest.ini + OPTIMIZATION_r16.md.
+pytestmark = pytest.mark.exhaustive
+
+
 def _vname(v: int) -> str:
     """The manifest log's zero-padded slot name for version v."""
     return f"v{v:012d}.json"

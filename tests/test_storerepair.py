@@ -20,6 +20,13 @@ from pyspark.sql import functions as F
 from auto_data_linkage_spark.operators import storefs
 
 
+# r16 test-tier split: this module is a lifecycle-matrix / property /
+# full-catalog sweep — cost is a matrix-sized multiple of a unit test,
+# so it runs in the exhaustive tier (pytest -m exhaustive), not the
+# default wall-budgeted gate. See pytest.ini + OPTIMIZATION_r16.md.
+pytestmark = pytest.mark.exhaustive
+
+
 @pytest.fixture(autouse=True)
 def _rename_layout(monkeypatch):
     """This suite tests the RENAME layout's crash repair exclusively;

@@ -18,6 +18,13 @@ PEOPLE_SCHEMA = (
 THRESHOLD = 0.9
 
 
+# r16 test-tier split: this module is a lifecycle-matrix / property /
+# full-catalog sweep — cost is a matrix-sized multiple of a unit test,
+# so it runs in the exhaustive tier (pytest -m exhaustive), not the
+# default wall-budgeted gate. See pytest.ini + OPTIMIZATION_r16.md.
+pytestmark = pytest.mark.exhaustive
+
+
 def _model():
     return FellegiSunterModel(
         comparisons=[
